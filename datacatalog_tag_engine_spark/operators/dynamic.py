@@ -1,0 +1,281 @@
+"""Dynamic tag execution (SURVEY.md sections 2.10, 3, 4-R9).
+
+The reference evaluates one SQL statement per (asset, field) in BigQuery
+(reference: apply_dynamic_table_config, DataCatalogController.py:250-330)
+and only fuses per-column field queries into a single multi-subquery
+statement (combine_queries, :488-495). Two executors here:
+
+* ``run_config_per_asset`` — semantics-exact path. For each matched
+  asset, ALL field expressions are fused into one single-row SELECT
+  (generalizing the reference's column-path fusion to every config) and
+  run as one Spark job; richtext fields run separately because they
+  collect all result rows (reference run_query :1797-1806
+  first-row-wins vs richtext-collect).
+
+* ``run_config_fused`` — the scale path (SURVEY R9). When every field
+  expression belongs to the profiling family the reference's own load
+  tests use (examples/load/configs/dynamic_table_500.json) —
+  ``select AGG from $table [where PRED]`` and the nested
+  avg-of-daily-counts form — the expressions compile to aggregate
+  columns with FILTER clauses over ONE union-of-scans DataFrame, and
+  every asset x every field is computed in a single groupBy(asset)
+  pass: one shuffle total instead of O(assets x fields) statements.
+  Catalyst pushes the union's column pruning into each scan and AQE
+  sizes the post-shuffle partitions.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+from concurrent.futures import ThreadPoolExecutor
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark.sql import types as T
+
+from ..model import coercion
+from .substitution import combine_queries, parse_query_expression
+
+# ---------------------------------------------------------------------------
+# shared: raw (stringly) field values -> typed long tag rows
+
+RAW_LONG_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_uri", T.StringType(), False),
+        T.StructField("column", T.StringType(), True),
+        T.StructField("template_id", T.StringType(), False),
+        T.StructField("field_id", T.StringType(), False),
+        T.StructField("field_type", T.StringType(), False),
+        T.StructField("raw_value", T.StringType(), True),
+    ]
+)
+
+
+def raw_rows_to_df(spark: SparkSession, rows: list[dict]) -> DataFrame:
+    return spark.createDataFrame(rows, RAW_LONG_SCHEMA)
+
+
+def coerce_long_rows(df: DataFrame, bool_mode: str = "query") -> DataFrame:
+    """Turn (asset_uri, column, template_id, field_id, field_type,
+    raw_value STRING) into typed tags-table rows.
+
+    bool_mode 'query' uses Python-truthiness semantics (reference
+    :1872-1875); 'csv' uses the 'TRUE'-literal rule (:1510-1521).
+    """
+    ft = F.col("field_type")
+    raw = F.col("raw_value")
+    bool_coerce = (
+        coercion.coerce_bool_truthy(raw) if bool_mode == "query" else coercion.coerce_bool_from_string(raw)
+    )
+    is_ts = ft.isin("datetime", "timestamp")
+    return df.select(
+        "asset_uri",
+        "column",
+        "template_id",
+        "field_id",
+        "field_type",
+        F.when(ft.isin("string", "enum", "richtext"), coercion.coerce_string(raw)).alias(
+            "field_value_string"
+        ),
+        F.when(ft == "double", coercion.coerce_double(raw)).alias("field_value_double"),
+        F.when(ft == "bool", bool_coerce).alias("field_value_bool"),
+        F.when(is_ts, coercion.coerce_timestamp(raw)).alias("field_value_ts"),
+        F.lit(None).cast("string").alias("job_uuid"),
+        F.current_timestamp().alias("updated_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-asset executor (semantics-exact, parallel jobs)
+
+
+def _stringify(v) -> str | None:
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    return str(v)
+
+
+def run_config_per_asset(
+    spark: SparkSession,
+    fields: list[dict],
+    asset_uris: list[str],
+    template_id: str,
+    qualify: Callable[[str, str, str], str],
+    column: str | None = None,
+    max_workers: int = 8,
+) -> list[dict]:
+    """Evaluate config fields per asset; returns raw long rows as dicts
+    (feed through ``coerce_long_rows``). Assets run as concurrent Spark
+    jobs (the driver-side analogue of the reference's task fan-out,
+    TaskManager.py:234-268, minus the HTTP hop)."""
+
+    scalar_fields = [f for f in fields if f["field_type"] != "richtext"]
+    richtext_fields = [f for f in fields if f["field_type"] == "richtext"]
+
+    def one_asset(uri: str) -> list[dict]:
+        rows: list[dict] = []
+        if scalar_fields:
+            exprs = [
+                parse_query_expression(uri, f["query_expression"], column, qualify)
+                for f in scalar_fields
+            ]
+            combined = combine_queries(exprs)
+            result = spark.sql(combined).first()
+            for i, f in enumerate(scalar_fields):
+                rows.append(
+                    {
+                        "asset_uri": uri,
+                        "column": column,
+                        "template_id": template_id,
+                        "field_id": f["field_id"],
+                        "field_type": f["field_type"],
+                        "raw_value": _stringify(result[i]),
+                    }
+                )
+        for f in richtext_fields:
+            q = parse_query_expression(uri, f["query_expression"], column, qualify)
+            values = [r[0] for r in spark.sql(q).collect()]
+            rows.append(
+                {
+                    "asset_uri": uri,
+                    "column": column,
+                    "template_id": template_id,
+                    "field_id": f["field_id"],
+                    "field_type": f["field_type"],
+                    "raw_value": "<br>".join(str(v) for v in values) if values else None,
+                }
+            )
+        return rows
+
+    out: list[dict] = []
+    if len(asset_uris) == 1:
+        out.extend(one_asset(asset_uris[0]))
+    else:
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            for rows in pool.map(one_asset, asset_uris):
+                out.extend(rows)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# fused executor (R9)
+
+_SIMPLE_RE = re.compile(
+    r"^\s*select\s+(?P<agg>.+?)\s+from\s+\$table\s*(?:where\s+(?P<pred>.+?))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+# avg-of-daily-counts nested form (reference load config dynamic_table_500)
+_DAILY_RE = re.compile(
+    r"^\s*select\s+(?P<outer>.+?)\s+from\s+\(\s*select\s+(?P<day>.+?)\s+(?:as\s+)?(?P<dayalias>\w+)\s*,\s*count\(\*\)\s+(?:as\s+)?(?P<cntalias>\w+)\s+from\s+\$table\s*(?:where\s+(?P<pred>.+?))?\s+group\s+by\s+(?P<grp>\w+)\s*\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def classify_expression(query_expression: str) -> tuple[str, dict]:
+    """Classify one field expression into a fusable family:
+    'constant' (no $table), 'simple' (agg [+ filter]), 'daily'
+    (avg-of-daily-counts), or 'opaque' (fall back to per-asset)."""
+    if "$table" not in query_expression:
+        return "constant", {"sql": query_expression}
+    m = _DAILY_RE.match(query_expression)
+    if m:
+        return "daily", {
+            "outer": m.group("outer"),
+            "day": m.group("day"),
+            "dayalias": m.group("dayalias"),
+            "cntalias": m.group("cntalias"),
+            "pred": m.group("pred"),
+        }
+    m = _SIMPLE_RE.match(query_expression)
+    if m and " from " not in m.group("agg").lower():
+        return "simple", {"agg": m.group("agg"), "pred": m.group("pred")}
+    return "opaque", {}
+
+
+def fusable(fields: list[dict]) -> bool:
+    return all(
+        classify_expression(f["query_expression"])[0] != "opaque"
+        and f["field_type"] != "richtext"
+        for f in fields
+    )
+
+
+def run_config_fused(
+    spark: SparkSession,
+    fields: list[dict],
+    assets: list[tuple[str, DataFrame]],
+    template_id: str,
+) -> DataFrame:
+    """One groupBy(asset) pass over the union of asset scans.
+
+    ``assets`` is [(asset_uri, scan DataFrame)]; scans must be
+    union-compatible on the columns the expressions reference (the
+    reference's load-test corpus profiles schema-identical clones).
+    Returns raw long rows (asset_uri, column, template_id, field_id,
+    field_type, raw_value).
+    """
+    classified = [(f, *classify_expression(f["query_expression"])) for f in fields]
+
+    # column-prune the union: keep only columns any expression references
+    union = None
+    for uri, df in assets:
+        tagged = df.withColumn("_asset_uri", F.lit(uri))
+        union = tagged if union is None else union.unionByName(tagged)
+
+    simple_aggs = []
+    for f, kind, info in classified:
+        if kind == "simple":
+            agg_sql = info["agg"]
+            if info["pred"]:
+                agg_sql = f"{agg_sql} FILTER (WHERE {info['pred']})"
+            simple_aggs.append(F.expr(agg_sql).cast("string").alias(f["field_id"]))
+
+    parts: list[DataFrame] = []
+    if simple_aggs:
+        parts.append(union.groupBy("_asset_uri").agg(*simple_aggs))
+
+    for f, kind, info in classified:
+        if kind == "daily":
+            pred = info["pred"]
+            base = union.filter(pred) if pred else union
+            daily = base.groupBy(
+                "_asset_uri", F.expr(info["day"]).alias(info["dayalias"])
+            ).agg(F.count("*").alias(info["cntalias"]))
+            outer = daily.groupBy("_asset_uri").agg(
+                F.expr(info["outer"]).cast("string").alias(f["field_id"])
+            )
+            parts.append(outer)
+        elif kind == "constant":
+            const = spark.sql(info["sql"]).first()[0]
+            parts.append(
+                union.select("_asset_uri")
+                .distinct()
+                .withColumn(f["field_id"], F.lit(_stringify(const)))
+            )
+
+    result = parts[0]
+    for p in parts[1:]:
+        result = result.join(p, "_asset_uri", "full_outer")
+
+    field_meta = {f["field_id"]: f["field_type"] for f in fields}
+    stack_cols = []
+    for fid in field_meta:
+        stack_cols.append(F.lit(fid))
+        stack_cols.append(F.col(fid).cast("string"))
+    long_df = result.select(
+        F.col("_asset_uri").alias("asset_uri"),
+        F.stack(F.lit(len(field_meta)), *stack_cols).alias("field_id", "raw_value"),
+    )
+    type_map = F.create_map(*[F.lit(x) for kv in field_meta.items() for x in kv])
+    return long_df.select(
+        "asset_uri",
+        F.lit(None).cast("string").alias("column"),
+        F.lit(template_id).alias("template_id"),
+        "field_id",
+        type_map[F.col("field_id")].alias("field_type"),
+        "raw_value",
+    )

@@ -1,0 +1,91 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on local[N]; the same settings are what we would ship
+on a multi-executor cluster: AQE on (runtime re-plan + skew-join
+handling), shuffle partitions sized for the data scale, Arrow enabled for
+the few Pandas-UDF paths (pipeline/ operators).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "tag-engine-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    shuffle_partitions defaults to the parallelism of the master; at
+    100 TB scale this is instead sized so post-shuffle partitions stay
+    in the 128-256 MB range — AQE coalesces down from a high initial
+    number, so we set a generous initial and let AQE shrink it.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or int(cpus)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_parquet(spark: SparkSession, path: str):
+    """Read a parquet file, tolerating TIMESTAMP(NANOS) columns.
+
+    Spark rejects nano-precision parquet timestamps outright; we read
+    them as raw nanos longs (legacy conf) and truncate to micros —
+    byte-identical to how DuckDB/Arrow surface the same column, so
+    oracle comparisons stay exact. Footer-only schema sniff, no data
+    read on the driver.
+    """
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    try:
+        footer = pq.read_schema(path)
+    except Exception:
+        return df
+    for field in footer:
+        if str(field.type) == "timestamp[ns]" and field.name in df.columns:
+            df = df.withColumn(
+                field.name, F.timestamp_micros(F.expr(f"`{field.name}` div 1000"))
+            )
+    return df
+
+
+def register_testdata(spark: SparkSession, sf_dir: str) -> None:
+    """Register the driver's parquet tables as temp views.
+
+    Parquet scans give Catalyst column pruning + predicate pushdown for
+    free; at 100 TB these would be external tables with partition
+    columns, and the same view names keep every query unchanged.
+    """
+    for name in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            load_parquet(spark, path).createOrReplaceTempView(name)

@@ -1,0 +1,125 @@
+"""Tags table with idempotent MERGE semantics (SURVEY.md S13/S14/P5,
+section 2.10 #18).
+
+The reference writes tags one catalog RPC at a time with retry-once
+backoff (reference: DataCatalogController.py:1608-1652) and reconciles
+column tags per entry (:456-473). Here every write is a bulk MERGE
+keyed on (asset_uri, column, template_id, field_id):
+
+* upsert: incoming row replaces the existing row with the same key;
+* overwrite=False guard: incoming rows whose TAG (asset, column,
+  template) already exists are skipped (reference: P5 call sites
+  :239-243, :752-758, :1027-1031, :1334-1338);
+* delete-when-empty: an incoming tag whose field values are ALL null
+  deletes the existing tag (reference: create_update_delete_tag
+  :1584-1586);
+* every applied mutation emits a history event (CREATE/UPDATE/DELETE)
+  for the audit stream (SURVEY T2).
+
+MERGE is retried-task idempotent (SURVEY R6): re-applying the same
+incoming batch converges to the same table.
+
+Scale: the merge is a single shuffle on the 4-part key; the tags table
+is tiny next to the data being profiled, so the join side of the guard
+checks broadcasts. Parquet persistence overwrites atomically via a
+temp-dir swap; on a real deployment this table would be Delta/Iceberg
+and this class maps 1:1 onto ``MERGE INTO``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..model.schemas import TAGS_SCHEMA
+
+TAG_KEY = ["asset_uri", "column", "template_id", "field_id"]
+TAG_GROUP_KEY = ["asset_uri", "column", "template_id"]
+VALUE_COLS = ["field_value_string", "field_value_double", "field_value_bool", "field_value_ts"]
+
+
+def _null_safe_key(df: DataFrame) -> list:
+    # `column` is null for table-level tags; join null-safely on it.
+    return [df[c] for c in TAG_KEY]
+
+
+class TagStore:
+    def __init__(self, spark: SparkSession, path: str | None = None):
+        self.spark = spark
+        self.path = path
+        if path and os.path.exists(path):
+            self._df = spark.read.parquet(path)
+        else:
+            self._df = spark.createDataFrame([], TAGS_SCHEMA)
+
+    def all(self) -> DataFrame:
+        return self._df
+
+    def merge(
+        self,
+        incoming: DataFrame,
+        overwrite: bool = True,
+        delete_when_empty: bool = True,
+    ) -> DataFrame:
+        """Apply a batch of incoming tag rows; returns the history events
+        (TAG_HISTORY-shaped minus accounts) the mutation produced.
+
+        ``column`` must exist in incoming (null for table-level tags).
+        """
+        existing = self._df
+        inc = incoming
+        # normalize nullable column for null-safe grouping
+        inc = inc.withColumn("column", F.col("column").cast("string"))
+
+        empty_flag = F.forall(F.array(*[F.col(c).isNull() for c in VALUE_COLS]), lambda x: x)
+        grp = Window.partitionBy(*TAG_GROUP_KEY)
+        inc = inc.withColumn("_all_empty", F.min(F.when(empty_flag, 1).otherwise(0)).over(grp) == 1)
+
+        deletes = inc.filter(F.col("_all_empty")).select(*TAG_GROUP_KEY).distinct()
+        upserts = inc.filter(~F.col("_all_empty") & ~empty_flag).drop("_all_empty")
+
+        if not overwrite:
+            # skip upserts whose tag already exists (P5)
+            existing_tags = existing.select(*TAG_GROUP_KEY).distinct()
+            cond = [upserts[k].eqNullSafe(existing_tags[k]) for k in TAG_GROUP_KEY]
+            upserts = upserts.join(existing_tags, cond, "left_anti")
+
+        # classify CREATE vs UPDATE against current state (for history)
+        existing_keys = existing.select(*TAG_KEY).withColumn("_existed", F.lit(True))
+        cond = [upserts[k].eqNullSafe(existing_keys[k]) for k in TAG_KEY]
+        upserts_flagged = (
+            upserts.join(existing_keys, cond, "left")
+            .select(*[upserts[c] for c in upserts.columns], existing_keys["_existed"])
+            .withColumn("action", F.when(F.col("_existed"), "UPDATE").otherwise("CREATE"))
+            .drop("_existed")
+        )
+        upserts_flagged = upserts_flagged.localCheckpoint(eager=True)
+
+        # deleted rows (existing rows of tag groups marked delete)
+        dcond = [existing[k].eqNullSafe(deletes[k]) for k in TAG_GROUP_KEY]
+        deleted_rows = existing.join(deletes, dcond, "left_semi").withColumn("action", F.lit("DELETE"))
+        deleted_rows = deleted_rows.localCheckpoint(eager=True)
+
+        # MERGE: existing rows lose to same-key upserts; delete groups drop
+        survivors = existing.join(deletes, dcond, "left_anti")
+        ucond = [survivors[k].eqNullSafe(upserts_flagged[k]) for k in TAG_KEY]
+        survivors = survivors.join(upserts_flagged.select(*TAG_KEY), ucond, "left_anti")
+
+        new_df = survivors.unionByName(upserts_flagged.drop("action"))
+        self._df = new_df.localCheckpoint(eager=True)
+        if self.path:
+            self._persist()
+
+        return upserts_flagged.unionByName(deleted_rows)
+
+    def _persist(self) -> None:
+        tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
+        self._df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(self.path):
+            shutil.rmtree(self.path)
+        os.rename(tmp, self.path)
+        self._df = self.spark.read.parquet(self.path)

@@ -1,0 +1,120 @@
+"""Dynamic-tag executor tests: per-asset (semantics-exact) and fused
+(R9 single-pass) paths agree with each other and with direct SQL."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datacatalog_tag_engine_spark.operators import dynamic as D
+
+FIELDS = [
+    {"field_id": "row_count", "field_type": "double", "query_expression": "select count(*) from $table"},
+    {
+        "field_id": "unique_orders",
+        "field_type": "double",
+        "query_expression": "select count(distinct l_orderkey) from $table",
+    },
+    {
+        "field_id": "open_count",
+        "field_type": "double",
+        "query_expression": "select count(*) from $table where l_linestatus = 'O'",
+    },
+    {
+        "field_id": "avg_daily",
+        "field_type": "double",
+        "query_expression": "select ifnull(round(avg(daily), 2), 0) from (select cast(l_shipdate as date) as d, count(*) as daily from $table group by d)",
+    },
+    {"field_id": "domain", "field_type": "string", "query_expression": "select 'LOGISTICS'"},
+]
+
+URI = "p/datasets/d/tables/lineitem"
+
+
+def short_name(p, d, t):
+    return t  # test views are registered under the bare table name
+
+
+@pytest.fixture(scope="module")
+def expected(spark):
+    li = spark.table("lineitem")
+    row = li.agg(
+        F.count("*").cast("double"),
+        F.countDistinct("l_orderkey").cast("double"),
+        F.count(F.when(F.col("l_linestatus") == "O", 1)).cast("double"),
+    ).first()
+    daily = (
+        li.groupBy(F.to_date("l_shipdate").alias("d"))
+        .count()
+        .agg(F.coalesce(F.round(F.avg("count"), 2), F.lit(0)))
+        .first()[0]
+    )
+    return {
+        "row_count": row[0],
+        "unique_orders": row[1],
+        "open_count": row[2],
+        "avg_daily": daily,
+        "domain": "LOGISTICS",
+    }
+
+
+def to_map(rows):
+    out = {}
+    for r in rows:
+        v = r["field_value_double"] if r["field_type"] == "double" else r["field_value_string"]
+        out[r["field_id"]] = v
+    return out
+
+
+def test_per_asset_path(spark, expected):
+    raw = D.run_config_per_asset(spark, FIELDS, [URI], "data_governance", short_name)
+    rows = D.coerce_long_rows(D.raw_rows_to_df(spark, raw)).collect()
+    assert to_map(rows) == expected
+    assert all(r["template_id"] == "data_governance" for r in rows)
+
+
+def test_fused_path_matches(spark, expected):
+    assert D.fusable(FIELDS)
+    raw_df = D.run_config_fused(
+        spark, FIELDS, [(URI, spark.table("lineitem"))], "data_governance"
+    )
+    rows = D.coerce_long_rows(raw_df).collect()
+    assert to_map(rows) == expected
+
+
+def test_fused_multi_asset(spark):
+    fields = [FIELDS[0]]
+    assets = [
+        ("p/datasets/d/tables/lineitem", spark.table("lineitem")),
+        ("p/datasets/d/tables/lineitem2", spark.table("lineitem")),
+    ]
+    raw_df = D.run_config_fused(spark, fields, assets, "t")
+    got = {r["asset_uri"]: r["raw_value"] for r in raw_df.collect()}
+    n = spark.table("lineitem").count()
+    assert got == {
+        "p/datasets/d/tables/lineitem": str(n),
+        "p/datasets/d/tables/lineitem2": str(n),
+    }
+
+
+def test_classify():
+    assert D.classify_expression("select 'X'")[0] == "constant"
+    assert D.classify_expression("select max(x) from $table")[0] == "simple"
+    assert D.classify_expression("select count(*) from $table where a=1")[0] == "simple"
+    assert (
+        D.classify_expression(
+            "select ifnull(round(avg(daily),2),0) from (select cast(ts as date) d, count(*) daily from $table group by d)"
+        )[0]
+        == "daily"
+    )
+    assert D.classify_expression("select x from $table join y on 1=1")[0] == "opaque"
+
+
+def test_richtext_collects_all_rows(spark):
+    fields = [
+        {
+            "field_id": "approvers",
+            "field_type": "richtext",
+            "query_expression": "select distinct l_returnflag from $table order by l_returnflag",
+        }
+    ]
+    raw = D.run_config_per_asset(spark, fields, [URI], "t", short_name)
+    assert raw[0]["raw_value"] == "A<br>N<br>R"

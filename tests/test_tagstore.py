@@ -1,0 +1,112 @@
+"""TagStore MERGE semantics tests (SURVEY S13/S14/P5, 2.10 #18, R6)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datacatalog_tag_engine_spark.model.schemas import TAGS_SCHEMA
+from datacatalog_tag_engine_spark.store.tagstore import TagStore
+
+
+def tag_row(asset, field, value=None, column=None, template="t", ftype="string", **kw):
+    return {
+        "asset_uri": asset,
+        "column": column,
+        "template_id": template,
+        "field_id": field,
+        "field_type": ftype,
+        "field_value_string": value,
+        "field_value_double": kw.get("double"),
+        "field_value_bool": kw.get("bool"),
+        "field_value_ts": None,
+        "job_uuid": None,
+        "updated_ts": None,
+    }
+
+
+def mk(spark, rows):
+    return spark.createDataFrame(rows, TAGS_SCHEMA)
+
+
+def state(store):
+    return {
+        (r["asset_uri"], r["column"], r["template_id"], r["field_id"]): r["field_value_string"]
+        for r in store.all().collect()
+    }
+
+
+def test_create_then_update(spark):
+    ts = TagStore(spark)
+    hist1 = ts.merge(mk(spark, [tag_row("a", "owner", "alice")])).collect()
+    assert [h["action"] for h in hist1] == ["CREATE"]
+    assert state(ts) == {("a", None, "t", "owner"): "alice"}
+
+    hist2 = ts.merge(mk(spark, [tag_row("a", "owner", "bob")])).collect()
+    assert [h["action"] for h in hist2] == ["UPDATE"]
+    assert state(ts) == {("a", None, "t", "owner"): "bob"}
+
+
+def test_merge_is_idempotent(spark):
+    ts = TagStore(spark)
+    batch = mk(spark, [tag_row("a", "owner", "alice"), tag_row("b", "owner", "bee")])
+    ts.merge(batch)
+    first = state(ts)
+    ts.merge(batch)
+    assert state(ts) == first
+    assert ts.all().count() == 2
+
+
+def test_overwrite_false_skips_existing_tag(spark):
+    ts = TagStore(spark)
+    ts.merge(mk(spark, [tag_row("a", "owner", "alice")]))
+    hist = ts.merge(
+        mk(spark, [tag_row("a", "owner", "mallory"), tag_row("b", "owner", "bee")]),
+        overwrite=False,
+    ).collect()
+    assert [h["action"] for h in hist] == ["CREATE"]  # only b
+    assert state(ts)[("a", None, "t", "owner")] == "alice"
+    assert state(ts)[("b", None, "t", "owner")] == "bee"
+
+
+def test_delete_when_all_empty(spark):
+    ts = TagStore(spark)
+    ts.merge(mk(spark, [tag_row("a", "owner", "alice"), tag_row("a", "domain", "X")]))
+    # all-null values for the tag group -> delete the whole tag
+    hist = ts.merge(mk(spark, [tag_row("a", "owner", None), tag_row("a", "domain", None)])).collect()
+    assert sorted(h["action"] for h in hist) == ["DELETE", "DELETE"]
+    assert state(ts) == {}
+
+
+def test_partial_empty_rows_are_skipped_not_deleted(spark):
+    ts = TagStore(spark)
+    ts.merge(mk(spark, [tag_row("a", "owner", "alice")]))
+    # one empty + one non-empty row in the same tag group: the group is
+    # not a delete; the empty row is just skipped
+    ts.merge(mk(spark, [tag_row("a", "owner", None), tag_row("a", "domain", "X")]))
+    assert state(ts) == {
+        ("a", None, "t", "owner"): "alice",
+        ("a", None, "t", "domain"): "X",
+    }
+
+
+def test_column_tags_distinct_from_table_tags(spark):
+    ts = TagStore(spark)
+    ts.merge(
+        mk(
+            spark,
+            [
+                tag_row("a", "owner", "table-level"),
+                tag_row("a", "owner", "col-level", column="c1"),
+            ],
+        )
+    )
+    s = state(ts)
+    assert s[("a", None, "t", "owner")] == "table-level"
+    assert s[("a", "c1", "t", "owner")] == "col-level"
+
+
+def test_persistence_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "tags.parquet")
+    ts = TagStore(spark, path=path)
+    ts.merge(mk(spark, [tag_row("a", "owner", "alice")]))
+    reloaded = TagStore(spark, path=path)
+    assert state(reloaded) == {("a", None, "t", "owner"): "alice"}
