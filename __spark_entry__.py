@@ -1,10 +1,25 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every ``queries()`` entry routes through the engine package
+(datacatalog_tag_engine_spark) and has a matching ``oracle_sql()``
+ANSI-SQL string DuckDB runs on the same parquet views. Column aliases
+are kept identical on both sides (the driver hashes values under
+sorted column names).
+
+Coverage map (SURVEY.md section 2.10 + training-data operators):
+  q01-q10  dynamic tag expression corpus (A1-A4, F5-F7, F15, S7/O4)
+  q11-q13  glossary + DLP containment joins (J1-J4, A5-A7)
+  q14      top-k (A8/O3)
+  q15      URI wildcard algebra (P1/P2/U1)
+  q16-q17  $column substitution + combined query (X3, S8/R1)
+  q18      delete-when-empty MERGE semantics (2.10 #18) — engine state
+  q19      report-table export (S9/S11/S12, F10)
+  q20      coverage rollup (J6/A9)
+  q21      job ledger rollup (A10/A11)
+  q22-q23  usage/event aggregations (T3 batch shape)
+  d01-d05  dedup: exact, minhash+LSH, simhash, ngram-jaccard, embedding
+  s01-s02  similarity search: brute-force top-k, LSH bucketed
+  t01-t04  text analysis: tokens, quality, language-id, fingerprint
 """
 
 from __future__ import annotations
@@ -12,27 +27,677 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datacatalog_tag_engine_spark.session import register_testdata
+from datacatalog_tag_engine_spark.model.schemas import ASSETS_SCHEMA, TAGS_SCHEMA
+from datacatalog_tag_engine_spark.operators import dynamic as DYN
+from datacatalog_tag_engine_spark.operators import export as EXP
+from datacatalog_tag_engine_spark.operators import glossary as GLO
+from datacatalog_tag_engine_spark.operators import sensitive as SEN
+from datacatalog_tag_engine_spark.operators import uri as URI
+from datacatalog_tag_engine_spark.operators.substitution import (
+    combine_queries,
+    parse_query_expression,
+)
+from datacatalog_tag_engine_spark.pipeline import dedup as DD
+from datacatalog_tag_engine_spark.pipeline import similarity as SIM
+from datacatalog_tag_engine_spark.pipeline import text as TXT
+from datacatalog_tag_engine_spark.store.jobs import rollup_tasks
+from datacatalog_tag_engine_spark.store.tagstore import TagStore
+
+# ---------------------------------------------------------------------------
+# shared fixtures (identical on the Spark and oracle sides)
+
+LINEITEM_URI = "p/datasets/d/tables/lineitem"
+ORDERS_URI = "p/datasets/d/tables/orders"
+EVENTS_URI = "p/datasets/d/tables/events"
+
+
+def _short(project: str, dataset: str, table: str) -> str:
+    # test views are registered under the bare table name
+    return table
+
+LINEITEM_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+    "l_shipdate",
+]
+ORDERS_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+    "o_orderpriority",
+]
+
+# glossary mapping fixture (FIXTURES.md section 5): one source_name that
+# matches nothing, and schema columns with no mapping
+GLOSSARY_MAPPING = [
+    ("l_shipdate", "ship_date"),
+    ("l_orderkey", "order_key"),
+    ("o_custkey", "customer_key"),
+    ("o_orderdate", "order_date"),
+    ("zz_missing", "ghost"),
+]
+
+# DLP fixtures (FIXTURES.md section 6)
+DLP_FINDINGS = [
+    ("email_col", "EMAIL_ADDRESS"),
+    ("email_col", "PERSON_NAME"),
+    ("email_col", "EMAIL_ADDRESS"),
+    ("name_col", "PERSON_NAME"),
+    ("phone_col", "PHONE_NUMBER"),
+    ("phone_col", "EMAIL_ADDRESS"),
+]
+INFOTYPE_SELECTION = [
+    (["EMAIL_ADDRESS"], "EMAIL"),
+    (["PERSON_NAME"], "NAME"),
+    (["EMAIL_ADDRESS", "PERSON_NAME"], "EMAIL_NAME"),
+    (["EMAIL_ADDRESS", "PHONE_NUMBER"], "CONTACT"),
+    (["EMAIL_ADDRESS", "PERSON_NAME", "PHONE_NUMBER"], "ALL_PII"),
+]
+
+# wildcard-expansion asset fixture (FIXTURES.md sections 2, 10)
+URI_ASSETS = [
+    ("p", "d", "tbl_a"),
+    ("p", "d", "tbl_b"),
+    ("p", "d", "tbl_ab"),
+    ("p", "d", "other"),
+    ("p", "d2", "tbl_a"),
+    ("p", "extra_d2", "zzz"),
+    ("q", "d", "tbl_a"),
+]
+URI_INCLUDE = "bigquery/project/p/dataset/d/tbl_*, bigquery/project/p/dataset/d2*/*"
+URI_EXCLUDE = "bigquery/project/p/dataset/d/tbl_ab"
+
+# export fixture: already-typed tag rows (column=None -> table grain)
+EXPORT_TAGS = [
+    (LINEITEM_URI, None, "data_governance", "data_domain", "string", "LOGISTICS", None, None, None),
+    (LINEITEM_URI, None, "data_governance", "retention_days", "double", None, 180.0, None, None),
+    (LINEITEM_URI, None, "data_governance", "is_compliant", "bool", None, None, True, None),
+    (LINEITEM_URI, None, "data_governance", "approved_by", "richtext", "alice<br>bob", None, None, None),
+    (LINEITEM_URI, "l_orderkey", "data_governance", "data_domain", "string", "KEYS", None, None, None),
+    (ORDERS_URI, None, "data_governance", "data_domain", "string", "SALES", None, None, None),
+]
+
+# job-ledger task fixture
+JOB_TASKS = [
+    ("job1", "cfg1", "DYNAMIC_TAG_TABLE", "SUCCESS"),
+    ("job1", "cfg1", "DYNAMIC_TAG_TABLE", "SUCCESS"),
+    ("job1", "cfg1", "DYNAMIC_TAG_TABLE", "SUCCESS"),
+    ("job1", "cfg1", "DYNAMIC_TAG_TABLE", "ERROR"),
+    ("job2", "cfg2", "STATIC_TAG_ASSET", "SUCCESS"),
+    ("job2", "cfg2", "STATIC_TAG_ASSET", "PENDING"),
+]
+
+PROFILE_FIELDS = [
+    {"field_id": "row_count", "field_type": "double",
+     "query_expression": "select count(*) from $table"},
+    {"field_id": "unique_orders", "field_type": "double",
+     "query_expression": "select count(distinct l_orderkey) from $table"},
+    {"field_id": "open_count", "field_type": "double",
+     "query_expression": "select count(*) from $table where l_linestatus = 'O'"},
+    {"field_id": "avg_daily_rows", "field_type": "double",
+     "query_expression": "select ifnull(round(avg(daily), 2), 0) from (select cast(l_shipdate as date) as d, count(*) as daily from $table group by d)"},
+    {"field_id": "data_domain", "field_type": "string",
+     "query_expression": "select 'LOGISTICS'"},
+]
+
+
+def _sql_values(rows: list[tuple], quote_cols: set[int] | None = None) -> str:
+    """Render python tuples as a SQL VALUES list (strings quoted)."""
+    out = []
+    for row in rows:
+        cells = []
+        for v in row:
+            if v is None:
+                cells.append("NULL")
+            elif isinstance(v, str):
+                cells.append("'" + v.replace("'", "''") + "'")
+            elif isinstance(v, bool):
+                cells.append("TRUE" if v else "FALSE")
+            elif isinstance(v, list):
+                cells.append("[" + ", ".join(f"'{x}'" for x in v) + "]")
+            else:
+                cells.append(str(v))
+        out.append("(" + ", ".join(cells) + ")")
+    return ", ".join(out)
+
+
+# ---------------------------------------------------------------------------
+# query builders
+
+
+def _expr_query(expression: str, uri: str = LINEITEM_URI, column: str | None = None):
+    """Run one reference-style query expression through the engine's
+    substitution path (F1 -> S7)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_testdata(spark, sf_dir)
+        return spark.sql(parse_query_expression(uri, expression, column, _short))
+
+    return run
+
+
+def _uri_assets_df(spark: SparkSession) -> DataFrame:
+    rows = [
+        {
+            "asset_uri": f"{p}/datasets/{d}/tables/{t}",
+            "asset_type": "bigquery",
+            "project": p,
+            "dataset": d,
+            "table": t,
+        }
+        for p, d, t in URI_ASSETS
+    ]
+    return spark.createDataFrame(rows, ASSETS_SCHEMA)
+
+
+def _schema_assets_df(spark: SparkSession) -> DataFrame:
+    rows = []
+    for uri, cols in [(LINEITEM_URI, LINEITEM_COLS), (ORDERS_URI, ORDERS_COLS)]:
+        rows.append(
+            {
+                "asset_uri": uri,
+                "asset_type": "bigquery",
+                "project": "p",
+                "dataset": "d",
+                "table": uri.rsplit("/", 1)[-1],
+                "schema": [{"name": c, "type": None, "mode": None, "subcolumns": None} for c in cols],
+            }
+        )
+    return spark.createDataFrame(rows, ASSETS_SCHEMA)
+
+
+def q11_glossary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mapping = spark.createDataFrame(GLOSSARY_MAPPING, "source_name string, canonical_name string")
+    return GLO.glossary_matches(_schema_assets_df(spark), mapping)
+
+
+def q12_infotype_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    findings = spark.createDataFrame(DLP_FINDINGS, "field string, infotype string")
+    per_field = SEN.field_infotypes(findings)
+    return per_field.select(
+        "field", F.concat_ws(",", "infotypes").alias("infotypes")
+    )
+
+
+def q13_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    findings = spark.createDataFrame(DLP_FINDINGS, "field string, infotype string")
+    selection = spark.createDataFrame(
+        INFOTYPE_SELECTION, "field_infotypes array<string>, notable_infotype string"
+    )
+    return SEN.select_notable_infotype(SEN.field_infotypes(findings), selection)
+
+
+def q15_uri_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return URI.expand_included_excluded(_uri_assets_df(spark), URI_INCLUDE, URI_EXCLUDE).select(
+        "asset_uri"
+    )
+
+
+def q17_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_testdata(spark, sf_dir)
+    exprs = [
+        parse_query_expression(LINEITEM_URI, "select count(*) from $table", None, _short),
+        parse_query_expression(LINEITEM_URI, "select count(distinct l_orderkey) from $table", None, _short),
+        parse_query_expression(LINEITEM_URI, "select max(cast(l_shipdate as date)) from $table", None, _short),
+    ]
+    combined = combine_queries(exprs)
+    df = spark.sql(combined)
+    return df.toDF("row_count", "unique_orders", "last_ship_date")
+
+
+def q18_delete_when_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = TagStore(spark)
+    full = spark.createDataFrame(
+        [
+            (LINEITEM_URI, None, "t", "owner", "string", "alice", None, None, None, None, None),
+            (LINEITEM_URI, None, "t", "domain", "string", "X", None, None, None, None, None),
+        ],
+        TAGS_SCHEMA,
+    )
+    empty = spark.createDataFrame(
+        [
+            (LINEITEM_URI, None, "t", "owner", "string", None, None, None, None, None, None),
+            (LINEITEM_URI, None, "t", "domain", "string", None, None, None, None, None, None),
+        ],
+        TAGS_SCHEMA,
+    )
+    store.merge(full)
+    hist = store.merge(empty)
+    n_deletes = hist.filter(F.col("action") == "DELETE").count()
+    return spark.createDataFrame(
+        [(store.all().count(), n_deletes)], "remaining_tags bigint, delete_events bigint"
+    )
+
+
+def q19_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tags = spark.createDataFrame(
+        [t + (None, None) for t in EXPORT_TAGS], TAGS_SCHEMA
+    )
+    return EXP.export_table_tags(tags).drop("export_time")
+
+
+def q20_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = _uri_assets_df(spark)
+    tagged = spark.createDataFrame(
+        [("p/datasets/d/tables/tbl_a",), ("p/datasets/d/tables/tbl_b",), ("p/datasets/d2/tables/tbl_a",)],
+        "asset_uri string",
+    )
+    tag_counts = tagged.groupBy("asset_uri").count()
+    return (
+        assets.join(tag_counts, "asset_uri", "left")
+        .groupBy("project", "dataset")
+        .agg(
+            F.count("*").alias("table_count"),
+            F.count(F.col("count")).alias("tagged_tables"),
+        )
+    )
+
+
+def q21_jobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tasks = spark.createDataFrame(
+        JOB_TASKS, "job_uuid string, config_uuid string, config_type string, status string"
+    )
+    return rollup_tasks(tasks)
+
+
+def _docs(spark, sf_dir):
+    register_testdata(spark, sf_dir)
+    return spark.table("documents")
+
+
+def _emb(spark, sf_dir):
+    register_testdata(spark, sf_dir)
+    return spark.table("embeddings")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the R9 fused profiling pass — every field of a
+    dynamic-table config for every matched asset in ONE groupBy job —
+    over sf0.001, returning typed tag rows."""
+    register_testdata(spark, "/root/testdata/sf0.001")
+    assets = [
+        (LINEITEM_URI, spark.table("lineitem")),
+    ]
+    raw = DYN.run_config_fused(spark, PROFILE_FIELDS, assets, "data_governance")
+    return DYN.coerce_long_rows(raw).drop("updated_ts")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- section 2.10 expression corpus ---
+    q["q01_row_count"] = _expr_query("select count(*) as row_count from $table")
+    q["q02_count_distinct"] = _expr_query(
+        "select count(distinct l_orderkey) as unique_orders from $table"
+    )
+    q["q03_conditional_count"] = _expr_query(
+        "select count(*) as open_count from $table where l_linestatus = 'O'"
+    )
+    q["q04_not_in_count"] = _expr_query(
+        "select count(*) as other_count from $table where l_linestatus not in ('O', 'F')"
+    )
+    q["q05_avg_daily"] = _expr_query(
+        "select ifnull(round(avg(daily), 2), 0) as avg_daily_rows from "
+        "(select cast(l_shipdate as date) as d, count(*) as daily from $table group by d)"
+    )
+    q["q06_avg_daily_filtered"] = _expr_query(
+        "select ifnull(round(avg(daily), 2), 0) as avg_daily_clicks from "
+        "(select cast(ts as date) as d, count(*) as daily from $table where event_type = 'click' group by d)",
+        uri=EVENTS_URI,
+    )
+    q["q07_constant_string"] = _expr_query("select 'LOGISTICS' as data_domain")
+    q["q08_constant_number"] = _expr_query("select 180 as retention_days")
+    q["q09_current_timestamp"] = _expr_query(
+        "select current_timestamp as tag_snapshot_time"
+    )  # rows-only check (non-deterministic value)
+    q["q10_freshness"] = _expr_query(
+        "select max(o_orderdate) as last_order_date from $table", uri=ORDERS_URI
+    )
+
+    # --- joins ---
+    q["q11_glossary"] = q11_glossary
+    q["q12_infotype_agg"] = q12_infotype_agg
+    q["q13_containment"] = q13_containment
+    q["q14_topk_users"] = _expr_query(
+        "select user_id, count(*) as event_count from $table "
+        "group by user_id order by event_count desc, user_id limit 3",
+        uri=EVENTS_URI,
+    )
+    q["q15_uri_algebra"] = q15_uri_algebra
+    q["q16_column_distinct"] = _expr_query(
+        "select count(distinct $column) as distinct_values from $table", column="l_partkey"
+    )
+    q["q17_combined"] = q17_combined
+    q["q18_delete_when_empty"] = q18_delete_when_empty
+    q["q19_export"] = q19_export
+    q["q20_coverage"] = q20_coverage
+    q["q21_jobs"] = q21_jobs
+    q["q22_usage_daily"] = _expr_query(
+        "select cast(ts as date) as event_date, event_type, count(*) as n "
+        "from $table group by event_date, event_type",
+        uri=EVENTS_URI,
+    )
+    q["q23_event_stats"] = _expr_query(
+        "select event_type, count(*) as n, round(min(value), 4) as min_value, "
+        "round(max(value), 4) as max_value from $table group by event_type",
+        uri=EVENTS_URI,
+    )
+
+    # --- dedup family ---
+    q["d01_dedup_exact"] = lambda spark, sf: DD.exact_dedup(_docs(spark, sf))
+    q["d02_dedup_minhash"] = lambda spark, sf: DD.minhash_dedup(_docs(spark, sf))
+    q["d03_simhash"] = lambda spark, sf: DD.simhash(_docs(spark, sf))
+    q["d04_ngram_jaccard"] = lambda spark, sf: DD.jaccard_pairs(
+        DD.shingle_table(_docs(spark, sf)), candidates=None, threshold=0.5
+    )
+    q["d05_embedding_neardup"] = lambda spark, sf: DD.embedding_neardup_pairs(
+        _emb(spark, sf), threshold=0.5
+    )
+
+    # --- similarity search ---
+    def s01(spark, sf):
+        emb = _emb(spark, sf)
+        return SIM.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+    def s02(spark, sf):
+        emb = _emb(spark, sf)
+        return SIM.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+    q["s01_ann_topk"] = s01
+    q["s02_ann_lsh"] = s02  # rows-only check (LSH planes not SQL-expressible)
+
+    # --- text analysis ---
+    q["t01_token_counts"] = lambda spark, sf: TXT.token_counts(_docs(spark, sf))
+    q["t02_quality"] = lambda spark, sf: TXT.quality_scores(_docs(spark, sf))
+    q["t03_lang_id"] = lambda spark, sf: TXT.language_id(_docs(spark, sf))
+    q["t04_fingerprint"] = lambda spark, sf: TXT.fingerprints(_docs(spark, sf))
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracles
+
+
+def _shingle_cte() -> str:
+    # word 3-shingles, distinct per doc — mirrors pipeline.dedup.word_shingles
+    return """
+toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(w) >= 3
+                THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+                ELSE [array_to_string(w, ' ')] END) AS shingle
+  FROM toks)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["q01_row_count"] = "select count(*) as row_count from lineitem"
+    o["q02_count_distinct"] = "select count(distinct l_orderkey) as unique_orders from lineitem"
+    o["q03_conditional_count"] = (
+        "select count(*) as open_count from lineitem where l_linestatus = 'O'"
+    )
+    o["q04_not_in_count"] = (
+        "select count(*) as other_count from lineitem where l_linestatus not in ('O', 'F')"
+    )
+    o["q05_avg_daily"] = (
+        "select ifnull(round(avg(daily), 2), 0) as avg_daily_rows from "
+        "(select cast(l_shipdate as date) as d, count(*) as daily from lineitem group by d)"
+    )
+    o["q06_avg_daily_filtered"] = (
+        "select ifnull(round(avg(daily), 2), 0) as avg_daily_clicks from "
+        "(select cast(ts as date) as d, count(*) as daily from events where event_type = 'click' group by d)"
+    )
+    o["q07_constant_string"] = "select 'LOGISTICS' as data_domain"
+    o["q08_constant_number"] = "select 180 as retention_days"
+    # q09 omitted: current_timestamp is non-deterministic -> rows-only check
+    o["q10_freshness"] = "select max(o_orderdate) as last_order_date from orders"
+
+    schema_cols = [
+        (LINEITEM_URI, c) for c in LINEITEM_COLS
+    ] + [(ORDERS_URI, c) for c in ORDERS_COLS]
+    o["q11_glossary"] = f"""
+WITH schema_cols(asset_uri, source_name) AS (VALUES {_sql_values(schema_cols)}),
+mapping(source_name, canonical_name) AS (VALUES {_sql_values(GLOSSARY_MAPPING)})
+SELECT asset_uri, s.source_name AS source_name, canonical_name
+FROM schema_cols s JOIN mapping USING (source_name)
+"""
+
+    o["q12_infotype_agg"] = f"""
+WITH findings(field, infotype) AS (VALUES {_sql_values(DLP_FINDINGS)})
+SELECT field, array_to_string(list_sort(list(DISTINCT infotype)), ',') AS infotypes
+FROM findings GROUP BY field
+"""
+
+    o["q13_containment"] = f"""
+WITH findings(field, infotype) AS (VALUES {_sql_values(DLP_FINDINGS)}),
+per_field AS (
+  SELECT field, list_sort(list(DISTINCT infotype)) AS infotypes FROM findings GROUP BY field),
+matched AS (
+  SELECT field, notable_infotype, len(field_infotypes) AS sz
+  FROM per_field
+  JOIN (SELECT * FROM (VALUES {_sql_values(INFOTYPE_SELECTION)}) t(field_infotypes, notable_infotype)) sel
+    ON list_has_all(sel.field_infotypes, per_field.infotypes))
+SELECT field, notable_infotype FROM matched
+QUALIFY row_number() OVER (PARTITION BY field ORDER BY sz, notable_infotype) = 1
+"""
+
+    o["q14_topk_users"] = (
+        "select user_id, count(*) as event_count from events "
+        "group by user_id order by event_count desc, user_id limit 3"
+    )
+
+    o["q15_uri_algebra"] = f"""
+WITH assets(project, dataset, tbl) AS (VALUES {_sql_values(URI_ASSETS)}),
+f AS (SELECT *, project || ':' || dataset || '.' || tbl AS fid FROM assets)
+SELECT project || '/datasets/' || dataset || '/tables/' || tbl AS asset_uri
+FROM f
+WHERE ((project = 'p' AND dataset = 'd' AND contains(fid, 'tbl_'))
+    OR (project = 'p' AND contains(dataset, 'd2')))
+  AND NOT (project = 'p' AND dataset = 'd' AND tbl = 'tbl_ab')
+"""
+
+    o["q16_column_distinct"] = "select count(distinct l_partkey) as distinct_values from lineitem"
+    o["q17_combined"] = (
+        "select (select count(*) from lineitem) as row_count, "
+        "(select count(distinct l_orderkey) from lineitem) as unique_orders, "
+        "(select max(cast(l_shipdate as date)) from lineitem) as last_ship_date"
+    )
+    o["q18_delete_when_empty"] = (
+        "select cast(0 as bigint) as remaining_tags, cast(2 as bigint) as delete_events"
+    )
+
+    export_expected = [
+        ("p", "d", "lineitem", "data_governance", "data_domain", "LOGISTICS"),
+        ("p", "d", "lineitem", "data_governance", "retention_days", "180.0"),
+        ("p", "d", "lineitem", "data_governance", "is_compliant", "TRUE"),
+        ("p", "d", "lineitem", "data_governance", "approved_by", "alice, bob"),
+        ("p", "d", "orders", "data_governance", "data_domain", "SALES"),
+    ]
+    o["q19_export"] = (
+        f"SELECT * FROM (VALUES {_sql_values(export_expected)}) "
+        't(project, dataset, "table", tag_template, tag_field, tag_value)'
+    )
+
+    o["q20_coverage"] = f"""
+WITH assets(project, dataset, tbl) AS (VALUES {_sql_values(URI_ASSETS)}),
+tagged(asset_uri) AS (VALUES ('p/datasets/d/tables/tbl_a'), ('p/datasets/d/tables/tbl_b'), ('p/datasets/d2/tables/tbl_a'))
+SELECT project, dataset, count(*) AS table_count,
+       count(t.asset_uri) AS tagged_tables
+FROM assets a LEFT JOIN tagged t
+  ON t.asset_uri = a.project || '/datasets/' || a.dataset || '/tables/' || a.tbl
+GROUP BY project, dataset
+"""
+
+    o["q21_jobs"] = f"""
+WITH tasks(job_uuid, config_uuid, config_type, status) AS (VALUES {_sql_values(JOB_TASKS)})
+SELECT job_uuid, config_uuid, config_type,
+       count(*) AS task_count,
+       count(*) FILTER (WHERE status IN ('SUCCESS', 'ERROR')) AS tasks_ran,
+       count(*) FILTER (WHERE status = 'SUCCESS') AS tasks_success,
+       count(*) FILTER (WHERE status = 'ERROR') AS tasks_failed,
+       round(count(*) FILTER (WHERE status IN ('SUCCESS', 'ERROR')) * 100.0 / count(*), 2) AS pct_complete,
+       CASE WHEN count(*) FILTER (WHERE status IN ('SUCCESS', 'ERROR')) = count(*)
+                 AND count(*) FILTER (WHERE status = 'ERROR') > 0 THEN 'ERROR'
+            WHEN count(*) FILTER (WHERE status IN ('SUCCESS', 'ERROR')) = count(*) THEN 'SUCCESS'
+            ELSE 'RUNNING' END AS job_status
+FROM tasks GROUP BY job_uuid, config_uuid, config_type
+"""
+
+    o["q22_usage_daily"] = (
+        "select cast(ts as date) as event_date, event_type, count(*) as n "
+        "from events group by event_date, event_type"
+    )
+    o["q23_event_stats"] = (
+        "select event_type, count(*) as n, round(min(value), 4) as min_value, "
+        "round(max(value), 4) as max_value from events group by event_type"
+    )
+
+    # --- dedup ---
+    o["d01_dedup_exact"] = """
+SELECT doc_id, md5(text) AS fingerprint,
+       row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS is_canonical
+FROM documents
+"""
+
+    sig_exprs = ",\n         ".join(
+        f"min(md5('{j}:' || shingle)) AS sig_{j}" for j in range(8)
+    )
+    band_cases = " ".join(
+        f"WHEN {b} THEN md5(sig_{2*b} || '|' || sig_{2*b+1})" for b in range(4)
+    )
+    o["d02_dedup_minhash"] = f"""
+WITH {_shingle_cte()},
+sigs AS (
+  SELECT doc_id, {sig_exprs}
+  FROM sh GROUP BY doc_id),
+buckets AS (
+  SELECT doc_id, band, CASE band {band_cases} END AS bucket
+  FROM sigs, (SELECT unnest(range(4)) AS band)),
+cands AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+SELECT c.da AS doc_a, c.db AS doc_b,
+       round(i / (sa.n + sb.n - i), 4) AS jaccard
+FROM cands c
+JOIN inter ON inter.da = c.da AND inter.db = c.db
+JOIN sizes sa ON sa.doc_id = c.da
+JOIN sizes sb ON sb.doc_id = c.db
+WHERE round(i / (sa.n + sb.n - i), 4) >= 0.5
+"""
+
+    o["d03_simhash"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::BIGINT AS hv FROM toks),
+bits AS (
+  SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, (SELECT unnest(range(16)) AS j)
+  GROUP BY doc_id, j)
+SELECT doc_id, cast(sum(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+    o["d04_ngram_jaccard"] = f"""
+WITH {_shingle_cte()},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+SELECT doc_a, doc_b, round(i / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(i / (sa.n + sb.n - i), 4) >= 0.5
+"""
+
+    o["d05_embedding_neardup"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.5
+"""
+
+    o["s01_ann_topk"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.v, e.v), 4) AS cosine
+  FROM q JOIN e ON q.vec_id <> e.vec_id)
+SELECT query_id, neighbor_id, cosine,
+       cast(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+    # s02_ann_lsh omitted: hyperplane constants not SQL-expressible -> rows-only
+
+    o["t01_token_counts"] = r"""
+SELECT doc_id, length(text) AS n_chars,
+       len(regexp_split_to_array(text, '\s+')) AS n_words,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens
+FROM documents
+"""
+
+    stop_list = ", ".join(f"'{s}'" for s in TXT.STOPWORDS)
+    o["t02_quality"] = f"""
+WITH b AS (
+  SELECT doc_id,
+         length(text) AS nc,
+         len(regexp_split_to_array(text, '\\s+')) AS nw,
+         len(list_filter(regexp_split_to_array(text, '\\s+'),
+                         w -> list_contains([{stop_list}], lower(w)))) AS ns,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS np,
+         len(regexp_extract_all(text, '[A-Za-z]')) AS na
+  FROM documents)
+SELECT doc_id,
+       round((nc - (nw - 1)) / nw, 4) AS mean_word_len,
+       round(ns / nw, 4) AS stopword_ratio,
+       round(np / nc, 4) AS punct_ratio,
+       round(na / nc, 4) AS alpha_ratio,
+       round(least(1.0, greatest(0.0,
+             0.5 * (na / nc) + 0.5 * least(1.0, (ns / nw) * 5) - (np / nc))), 4) AS quality_score
+FROM b
+"""
+
+    marker_sql = {
+        lang: ", ".join(f"'{m}'" for m in markers) for lang, markers in TXT.LANG_MARKERS.items()
+    }
+    o["t03_lang_id"] = f"""
+WITH w AS (
+  SELECT doc_id, text, regexp_split_to_array(lower(text), '\\s+') AS words FROM documents),
+s AS (
+  SELECT doc_id, text,
+         len(list_filter(words, x -> list_contains([{marker_sql['en']}], x))) AS s_en,
+         len(list_filter(words, x -> list_contains([{marker_sql['de']}], x))) AS s_de,
+         len(list_filter(words, x -> list_contains([{marker_sql['fr']}], x))) AS s_fr,
+         len(list_filter(words, x -> list_contains([{marker_sql['es']}], x))) AS s_es
+  FROM w)
+SELECT doc_id,
+       CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
+            WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+            WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+            WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+            WHEN s_fr >= s_es THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM s
+"""
+
+    o["t04_fingerprint"] = """
+WITH n AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents)
+SELECT doc_id, md5(norm) AS fingerprint,
+       ('0x' || substr(md5(norm), 1, 15))::BIGINT AS fingerprint64
+FROM n
+"""
+
+    return o

@@ -1,0 +1,235 @@
+"""Document deduplication operators for training-data pipelines.
+
+Four families, all DataFrame-native (no Python UDFs — every expression
+is JVM-side inside whole-stage codegen) and all deterministic so a SQL
+oracle can replay them:
+
+* exact      — md5 fingerprint, window-dedup keep-lowest-id;
+* minhash    — MinHash+LSH: word-shingles -> k md5-minhash signature ->
+               banded buckets -> candidate pairs -> exact-Jaccard verify;
+* simhash    — 16-bit SimHash over tokens (near-dup fingerprint);
+* ngram      — exact n-gram Jaccard via an inverted shingle index
+               (pairs sharing no shingle are never materialized).
+
+Scale notes (100 TB):
+- exact: one shuffle on the fingerprint; fingerprints are uniform so no
+  skew.
+- minhash-LSH: the only all-pairs step is the self-join on
+  (band, bucket); bucket sizes are bounded because a bucket collision
+  requires an exact band-signature match. This is the standard
+  shingle->minhash->band->bucket-join pipeline.
+- ngram: the inverted-index join can explode on stop-shingles; callers
+  can drop shingles with document frequency > max_df before the join
+  (the LSH path is the default at scale; this one is the exact
+  verifier).
+
+MinHash uses md5 (not murmur) so the DuckDB oracle computes bit-equal
+signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: (doc_id, fingerprint, is_canonical). Lowest doc_id in
+    each fingerprint group is canonical; equal-text docs dedup to it."""
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    return (
+        docs.select(id_col, F.md5(F.col(text_col)).alias("fingerprint"))
+        .withColumn("is_canonical", F.row_number().over(w) == 1)
+    )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Word k-shingles; docs shorter than k words yield one whole-text
+    shingle. Split on whitespace runs."""
+    toks = F.split(text, r"\s+")
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def shingle_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct rows — the shared base of the minhash
+    and ngram paths."""
+    return (
+        docs.select(id_col, F.explode(word_shingles(F.col(text_col), k)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 8, id_col: str = "doc_id") -> DataFrame:
+    """One row per doc with columns sig_0..sig_{n-1}: the md5-minhash
+    signature. Hash family j is md5('<j>:' || shingle) — deterministic
+    and reproducible in any engine with md5."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"sig_{j}")
+        for j in range(num_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Band the signature and self-join on (band, bucket): docs agreeing
+    on ALL hashes of any band become a candidate pair (doc_a < doc_b)."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        sig_slice = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *sig_slice)).alias("bucket")))
+    buckets = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    candidates: DataFrame | None = None,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (or for every pair
+    sharing at least one shingle when candidates is None — the
+    inverted-index join). Returns (doc_a, doc_b, jaccard) rounded to 4.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
+
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = (
+        inter.join(sa, F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("doc_b") == F.col(f"sb.{id_col}"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("sa.n") + F.col("sb.n") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: returns verified pairs
+    (doc_a, doc_b, jaccard >= threshold) found via banded LSH."""
+    sh = shingle_table(docs, id_col, text_col, k)
+    sigs = minhash_signatures(sh, num_hashes, id_col)
+    cands = lsh_candidate_pairs(sigs, num_hashes, bands, id_col)
+    return jaccard_pairs(sh, cands, threshold, id_col)
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
+    """Per-doc SimHash fingerprint over whitespace tokens.
+
+    Token hash = first 4 hex chars of md5 (16-bit space); bit j of the
+    fingerprint is 1 when the sum over tokens of (+1 if token-hash bit j
+    else -1) is positive. Distinct tokens weighted by occurrence count.
+    Returns (doc_id, simhash BIGINT).
+    """
+    toks = docs.select(id_col, F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long")
+    toks = toks.select(id_col, h.alias("h"))
+    bit_sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(bits)
+        ]
+    )
+    fingerprint = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return bit_sums.select(F.col(id_col), fingerprint.cast("long").alias("simhash"))
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup: all pairs with cosine >= threshold.
+
+    Brute-force baseline, vectorized: the corpus is L2-normalized once,
+    broadcast to executors, and each Arrow batch computes one GEMM
+    block (batch x corpus) in float64 — ~100x the throughput of
+    per-pair JVM lambda evaluation. Output keeps only a < b pairs.
+
+    Scale path: a broadcast corpus caps at executor memory (~1e6 x 128d
+    doubles = 1 GB); beyond that, switch to pipeline.similarity.lsh_topk
+    bucketing or block the corpus side into grid partitions (same GEMM
+    kernel per block pair).
+    """
+    import numpy as np
+
+    spark = emb.sparkSession
+    rows = emb.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, Mn))
+
+    def block(batches):
+        import pandas as pd
+
+        ids_all, mn_all = bc.value
+        for pdf in batches:
+            q = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+            qids = pdf[id_col].to_numpy()
+            sims = np.round(qn @ mn_all.T, 4)
+            qi, ci = np.where(sims >= threshold)
+            a, b = qids[qi], ids_all[ci]
+            keep = a < b
+            yield pd.DataFrame(
+                {"vec_a": a[keep], "vec_b": b[keep], "cosine": sims[qi, ci][keep]}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(block, "vec_a long, vec_b long, cosine double")

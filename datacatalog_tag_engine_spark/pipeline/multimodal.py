@@ -1,0 +1,142 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata, processed via Arrow-batched Pandas UDFs
+over mapInPandas.
+
+The Spark-side contract is real and tested — schemas, batch iteration,
+partition sizing — while the actual media decode is stubbed: the
+container has no image/audio libraries, so ``decode_image`` raises
+NotImplementedError unless ``fake=True`` picks the deterministic fake
+decoder (parses the tiny fake header written by ``make_fake_media``).
+
+At 100 TB: binary payloads dominate partition size, so media tables are
+read with a small files.maxPartitionBytes and processed by mapInPandas
+(streaming batches, no full-partition materialization); feature
+extraction emits narrow rows so downstream shuffles never carry the
+payload bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("meta_width", T.IntegerType(), True),
+        T.StructField("meta_height", T.IntegerType(), True),
+        T.StructField("meta_duration_ms", T.IntegerType(), True),
+    ]
+)
+
+_MAGIC = b"FAKEMEDIA"
+
+
+def make_fake_media(spark, n: int = 16) -> DataFrame:
+    """Deterministic fake media rows: payload = magic + packed
+    (width, height, duration_ms, n_frames)."""
+    rows = []
+    for i in range(n):
+        w, h, dur, frames = 16 + i, 9 + i, 1000 + 10 * i, 24 + i
+        payload = _MAGIC + struct.pack("<iiii", w, h, dur, frames)
+        rows.append(
+            {
+                "media_id": i,
+                "kind": ["image", "audio", "video"][i % 3],
+                "payload": bytearray(payload),
+                "mime": "application/x-fake",
+                "meta_width": w,
+                "meta_height": h,
+                "meta_duration_ms": dur,
+            }
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_payload(payload: bytes, fake: bool = True) -> dict:
+    """Decode one media payload into features.
+
+    fake=True parses the FAKEMEDIA header; fake=False is where a real
+    decoder (PIL/librosa/ffmpeg) would plug in — unavailable in this
+    container, so it raises.
+    """
+    if not fake:
+        raise NotImplementedError("real media decode needs PIL/librosa/ffmpeg — not in this container")
+    if payload is None or bytes(payload[: len(_MAGIC)]) != _MAGIC:
+        return {"width": None, "height": None, "duration_ms": None, "n_frames": None}
+    w, h, dur, frames = struct.unpack("<iiii", bytes(payload[len(_MAGIC) : len(_MAGIC) + 16]))
+    return {"width": w, "height": h, "duration_ms": dur, "n_frames": frames}
+
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("payload_bytes", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("frame_sample_ms", T.ArrayType(T.IntegerType()), True),
+    ]
+)
+
+
+def extract_features(media: DataFrame, sample_frames: int = 4, fake: bool = True) -> DataFrame:
+    """mapInPandas feature extraction: decode header features and sample
+    frame timestamps (evenly spaced). Arrow batches stream through the
+    Python worker; output drops the payload so downstream stages stay
+    narrow."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                feats = decode_payload(row["payload"], fake=fake)
+                dur = feats["duration_ms"]
+                samples = (
+                    [int(dur * i / sample_frames) for i in range(sample_frames)]
+                    if dur is not None
+                    else None
+                )
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "kind": row["kind"],
+                        "payload_bytes": len(row["payload"]) if row["payload"] is not None else None,
+                        "width": feats["width"],
+                        "height": feats["height"],
+                        "duration_ms": dur,
+                        "n_frames": feats["n_frames"],
+                        "frame_sample_ms": samples,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, FEATURES_SCHEMA)
+
+
+def resize_plan(media: DataFrame, max_side: int = 224) -> DataFrame:
+    """Pure-SQL resize planning from typed metadata (no decode): target
+    dimensions preserving aspect ratio — the JVM-side half of a
+    decode+resize pipeline; the pixel work would live in a Pandas UDF
+    beside extract_features."""
+    w, h = F.col("meta_width"), F.col("meta_height")
+    scale = F.least(F.lit(1.0), F.lit(max_side) / F.greatest(w, h))
+    return media.select(
+        "media_id",
+        "kind",
+        w.alias("src_width"),
+        h.alias("src_height"),
+        F.round(w * scale).cast("int").alias("dst_width"),
+        F.round(h * scale).cast("int").alias("dst_height"),
+    )

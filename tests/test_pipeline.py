@@ -1,0 +1,151 @@
+"""Training-data pipeline operator tests: dedup, similarity, text,
+multimodal — on the real sf0.001 documents/embeddings tables plus
+hand-built edge cases."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datacatalog_tag_engine_spark.pipeline import dedup as DD
+from datacatalog_tag_engine_spark.pipeline import multimodal as MM
+from datacatalog_tag_engine_spark.pipeline import similarity as SIM
+from datacatalog_tag_engine_spark.pipeline import text as TXT
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.table("documents")
+
+
+def test_exact_dedup_flags_equal_texts(spark):
+    d = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["is_canonical"] for r in DD.exact_dedup(d).collect()}
+    assert got == {1: True, 2: False, 3: True}
+
+
+def test_shingles_short_doc(spark):
+    d = spark.createDataFrame([(1, "only two")], "doc_id long, text string")
+    got = DD.shingle_table(d).collect()
+    assert [(r["doc_id"], r["shingle"]) for r in got] == [(1, "only two")]
+
+
+def test_minhash_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    d = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "completely different words here now ok")],
+        "doc_id long, text string",
+    )
+    pairs = DD.minhash_dedup(d, threshold=0.5).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["jaccard"] > 0.8
+
+
+def test_minhash_on_real_docs_subset_of_exact_jaccard(spark, docs):
+    lsh_pairs = {(r["doc_a"], r["doc_b"]) for r in DD.minhash_dedup(docs, threshold=0.5).collect()}
+    exact_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in DD.jaccard_pairs(DD.shingle_table(docs), threshold=0.5).collect()
+    }
+    assert lsh_pairs <= exact_pairs
+    # the planted near-dups are similar enough that LSH finds them all
+    assert lsh_pairs == exact_pairs
+
+
+def test_simhash_similar_docs_close(spark):
+    d = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g x"), (3, "z y x w v u t s")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["simhash"] for r in DD.simhash(d).collect()}
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+    assert hamming(got[1], got[2]) < hamming(got[1], got[3])
+
+
+def test_embedding_neardup_identical_vectors(spark):
+    d = spark.createDataFrame(
+        [(1, [1.0, 0.0, 2.0]), (2, [2.0, 0.0, 4.0]), (3, [-1.0, 5.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = DD.embedding_neardup_pairs(d, threshold=0.99).collect()
+    assert [(r["vec_a"], r["vec_b"], r["cosine"]) for r in got] == [(1, 2, 1.0)]
+
+
+def test_brute_force_topk_ranks(spark):
+    emb = spark.table("embeddings")
+    out = SIM.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=3).collect()
+    assert len(out) == 3
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert out[0]["cosine"] >= out[1]["cosine"] >= out[2]["cosine"]
+    assert all(r["neighbor_id"] != 0 for r in out)
+
+
+def test_lsh_topk_is_subset_quality(spark):
+    emb = spark.table("embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = SIM.brute_force_topk(emb, q, k=5)
+    approx = SIM.lsh_topk(emb, q, k=5)
+    # every LSH hit scores <= the exact best, and queries return rows
+    assert approx.count() > 0
+    best_exact = {r["query_id"]: r["cosine"] for r in exact.filter(F.col("rank") == 1).collect()}
+    for r in approx.filter(F.col("rank") == 1).collect():
+        assert r["cosine"] <= best_exact[r["query_id"]] + 1e-9
+
+
+def test_token_counts(spark):
+    d = spark.createDataFrame([(1, "Hello, world 42!")], "doc_id long, text string")
+    got = TXT.token_counts(d).first()
+    # tokens: Hello , world 42 !
+    assert (got["n_chars"], got["n_words"], got["n_tokens"]) == (16, 3, 5)
+
+
+def test_quality_scores_bounds(spark, docs):
+    rows = TXT.quality_scores(docs).collect()
+    assert all(0.0 <= r["quality_score"] <= 1.0 for r in rows)
+    assert all(r["alpha_ratio"] <= 1.0 for r in rows)
+
+
+def test_language_id_markers(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is in that house"),
+            (2, "der hund und die katze ist nicht da"),
+            (3, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in TXT.language_id(d).collect()}
+    assert got == {1: "en", 2: "de", 3: "und"}
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    d = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["fingerprint"] for r in TXT.fingerprints(d).collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+
+
+def test_multimodal_extract_features(spark):
+    media = MM.make_fake_media(spark, n=6)
+    feats = {r["media_id"]: r for r in MM.extract_features(media, sample_frames=4).collect()}
+    assert feats[0]["width"] == 16 and feats[0]["height"] == 9
+    assert feats[5]["duration_ms"] == 1050
+    assert feats[2]["frame_sample_ms"] == [0, 255, 510, 765]
+    assert all(f["payload_bytes"] == 9 + 16 for f in feats.values())
+
+
+def test_multimodal_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        MM.decode_payload(b"anything", fake=False)
+
+
+def test_resize_plan_preserves_aspect(spark):
+    media = MM.make_fake_media(spark, n=1).withColumn("meta_width", F.lit(448)).withColumn(
+        "meta_height", F.lit(224)
+    )
+    got = MM.resize_plan(media, max_side=224).first()
+    assert (got["dst_width"], got["dst_height"]) == (224, 112)
