@@ -301,6 +301,144 @@ def q21_jobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_tasks(tasks)
 
 
+IMPORT_CSV_ROWS = [
+    ("p", "d", "tbl1", "alice", "90", "TRUE", "a@x.com, b@x.com"),
+    ("p", "d", "tbl2", "bob", "", "FALSE", ""),
+]
+IMPORT_CSV_SCHEMA = (
+    "project string, dataset string, table string, data_owner string, "
+    "retention_days string, is_compliant string, approved_by string"
+)
+IMPORT_TEMPLATE_FIELDS = [
+    ("t", "data_owner", None, "string", False, 0, None),
+    ("t", "retention_days", None, "double", False, 1, None),
+    ("t", "is_compliant", None, "bool", False, 2, None),
+    ("t", "approved_by", None, "richtext", False, 3, None),
+]
+
+BACKUP_OBJS = [
+    {
+        "entryGroupId": "d", "id": "tbl1", "locationId": "us", "projectId": "p",
+        "tags": [
+            {"templateId": "t", "projectId": "p",
+             "fields": [{"name": "data_owner", "type": "STRING", "value": "carol"},
+                        {"name": "retention_days", "type": "DOUBLE", "value": "30"}]},
+            {"templateId": "other", "projectId": "p",
+             "fields": [{"name": "data_owner", "type": "STRING", "value": "IGNORED"}]},
+        ],
+        "columns": [
+            {"name": "tbl1:c1",
+             "tags": [{"templateId": "t", "projectId": "p",
+                       "fields": [{"name": "is_compliant", "type": "BOOL", "value": "TRUE"}]}]}
+        ],
+    },
+    {"entryGroupId": "d", "id": "tbl2", "locationId": "us", "projectId": "OTHER",
+     "tags": [{"templateId": "t", "projectId": "OTHER",
+               "fields": [{"name": "data_owner", "type": "STRING", "value": "SKIP"}]}],
+     "columns": []},
+]
+
+# (table, n_columns) for the discovery oracle — stable testdata schemas
+TESTDATA_NCOLS = [
+    ("region", 2), ("nation", 3), ("customer", 5), ("supplier", 4),
+    ("part", 6), ("orders", 6), ("lineitem", 11), ("events", 6),
+    ("documents", 5), ("embeddings", 3),
+]
+
+
+def q24_import_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datacatalog_tag_engine_spark.model.schemas import TEMPLATES_SCHEMA
+    from datacatalog_tag_engine_spark.operators.importer import melt_to_tag_rows
+
+    csv = spark.createDataFrame(IMPORT_CSV_ROWS, IMPORT_CSV_SCHEMA)
+    tf = spark.createDataFrame(IMPORT_TEMPLATE_FIELDS, TEMPLATES_SCHEMA)
+    return melt_to_tag_rows(csv, tf, "t")
+
+
+def q25_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datacatalog_tag_engine_spark.operators.backup import BACKUP_SCHEMA, restore_tag_rows
+
+    backup = spark.createDataFrame(
+        [
+            (
+                o["entryGroupId"], o["id"], o["locationId"], o["projectId"],
+                [(t["templateId"], t["projectId"],
+                  [(f["name"], f["type"], f["value"]) for f in t["fields"]])
+                 for t in o["tags"]],
+                [(c["name"],
+                  [(t["templateId"], t["projectId"],
+                    [(f["name"], f["type"], f["value"]) for f in t["fields"]])
+                   for t in c["tags"]])
+                 for c in o["columns"]],
+                None, None, None,
+            )
+            for o in BACKUP_OBJS
+        ],
+        BACKUP_SCHEMA,
+    )
+    return restore_tag_rows(backup, "t", "p")
+
+
+def q26_tag_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datacatalog_tag_engine_spark.engine import TagEngine
+
+    eng = TagEngine(spark)
+    eng.create_template("t", [{"field_id": "owner", "field_type": "string"},
+                              {"field_id": "domain", "field_type": "string"}])
+    assets = spark.createDataFrame(
+        [{"asset_uri": "p/datasets/d/tables/src", "asset_type": "bigquery",
+          "project": "p", "dataset": "d", "table": "src"}],
+        ASSETS_SCHEMA,
+    )
+    cfg = eng.create_config(
+        "STATIC_TAG_ASSET", "t", included_uris="bigquery/project/p/dataset/d/src",
+        fields=[{"field_id": "owner", "field_value": "alice"},
+                {"field_id": "domain", "field_value": "OPS"}],
+    )
+    eng.trigger_job(cfg, assets)
+    eng.copy_tags("p/datasets/d/tables/src", "p/datasets/d/tables/dst")
+    eng.update_tag_subset("t", "p/datasets/d/tables/dst", None,
+                          [{"field_id": "owner", "field_type": "string", "raw_value": "bob"}])
+    return eng.store.all().select("asset_uri", "field_id", "field_value_string")
+
+
+COLUMN_EXISTS_TARGETS = ["l_orderkey", "parent.child", "parent.nope", "missing"]
+
+
+def q27_column_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datacatalog_tag_engine_spark.operators.uri import column_exists_in_schema
+
+    assets = spark.createDataFrame(
+        [
+            {
+                "asset_uri": LINEITEM_URI,
+                "asset_type": "bigquery",
+                "project": "p", "dataset": "d", "table": "lineitem",
+                "schema": (
+                    [{"name": c, "type": None, "mode": None, "subcolumns": None} for c in LINEITEM_COLS]
+                    + [{"name": "parent", "type": "RECORD", "mode": None,
+                        "subcolumns": [{"name": "child", "type": "STRING"}]}]
+                ),
+            }
+        ],
+        ASSETS_SCHEMA,
+    )
+    return assets.select(
+        "asset_uri",
+        *[
+            column_exists_in_schema(F.col("schema"), t).alias(f"has_{t.replace('.', '_')}")
+            for t in COLUMN_EXISTS_TARGETS
+        ],
+    )
+
+
+def q28_assets_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datacatalog_tag_engine_spark.operators.discovery import discover_parquet_assets
+
+    assets = discover_parquet_assets(spark, sf_dir)
+    return assets.select("table", "num_rows", F.size("schema").alias("n_columns"))
+
+
 def _docs(spark, sf_dir):
     register_testdata(spark, sf_dir)
     return spark.table("documents")
@@ -373,6 +511,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q19_export"] = q19_export
     q["q20_coverage"] = q20_coverage
     q["q21_jobs"] = q21_jobs
+    q["q24_import_melt"] = q24_import_melt
+    q["q25_restore"] = q25_restore
+    q["q26_tag_copy"] = q26_tag_copy
+    q["q27_column_exists"] = q27_column_exists
+    q["q28_assets_discovery"] = q28_assets_discovery
     q["q22_usage_daily"] = _expr_query(
         "select cast(ts as date) as event_date, event_type, count(*) as n "
         "from $table group by event_date, event_type",
@@ -547,6 +690,54 @@ SELECT job_uuid, config_uuid, config_type,
             ELSE 'RUNNING' END AS job_status
 FROM tasks GROUP BY job_uuid, config_uuid, config_type
 """
+
+    import_expected = [
+        ("p/datasets/d/tables/tbl1", None, "t", "data_owner", "string", "alice"),
+        ("p/datasets/d/tables/tbl1", None, "t", "retention_days", "double", "90"),
+        ("p/datasets/d/tables/tbl1", None, "t", "is_compliant", "bool", "TRUE"),
+        ("p/datasets/d/tables/tbl1", None, "t", "approved_by", "richtext", "a@x.com<br>b@x.com"),
+        ("p/datasets/d/tables/tbl2", None, "t", "data_owner", "string", "bob"),
+        ("p/datasets/d/tables/tbl2", None, "t", "retention_days", "double", None),
+        ("p/datasets/d/tables/tbl2", None, "t", "is_compliant", "bool", "FALSE"),
+        ("p/datasets/d/tables/tbl2", None, "t", "approved_by", "richtext", None),
+    ]
+    o["q24_import_melt"] = (
+        f"SELECT * FROM (VALUES {_sql_values(import_expected)}) "
+        "t(asset_uri, \"column\", template_id, field_id, field_type, raw_value)"
+    )
+
+    restore_expected = [
+        ("p/datasets/d/tables/tbl1", None, "t", "data_owner", "string", "carol"),
+        ("p/datasets/d/tables/tbl1", None, "t", "retention_days", "double", "30"),
+        ("p/datasets/d/tables/tbl1", "c1", "t", "is_compliant", "bool", "TRUE"),
+    ]
+    o["q25_restore"] = (
+        f"SELECT * FROM (VALUES {_sql_values(restore_expected)}) "
+        "t(asset_uri, \"column\", template_id, field_id, field_type, raw_value)"
+    )
+
+    copy_expected = [
+        ("p/datasets/d/tables/src", "owner", "alice"),
+        ("p/datasets/d/tables/src", "domain", "OPS"),
+        ("p/datasets/d/tables/dst", "owner", "bob"),
+        ("p/datasets/d/tables/dst", "domain", "OPS"),
+    ]
+    o["q26_tag_copy"] = (
+        f"SELECT * FROM (VALUES {_sql_values(copy_expected)}) "
+        "t(asset_uri, field_id, field_value_string)"
+    )
+
+    o["q27_column_exists"] = (
+        f"SELECT '{LINEITEM_URI}' AS asset_uri, TRUE AS has_l_orderkey, "
+        "TRUE AS has_parent_child, FALSE AS has_parent_nope, FALSE AS has_missing"
+    )
+
+    ncols = {t: n for t, n in TESTDATA_NCOLS}
+    discovery_parts = [
+        f"SELECT '{t}' AS \"table\", (SELECT count(*) FROM {t}) AS num_rows, {n} AS n_columns"
+        for t, n in TESTDATA_NCOLS
+    ]
+    o["q28_assets_discovery"] = " UNION ALL ".join(discovery_parts)
 
     o["q22_usage_daily"] = (
         "select cast(ts as date) as event_date, event_type, count(*) as n "

@@ -1,0 +1,362 @@
+"""TagEngine: the end-to-end lifecycle facade (SURVEY.md section 3).
+
+Maps the reference's three entry points onto driver-side orchestration
+of DataFrame plans:
+
+* config authoring (POST /create_<type>_config, main.py:2121-2179) ->
+  ``create_config`` with template validation and dedup-by-hash
+  deactivation of prior configs (P11, TagEngineStoreHandler.py:370-391);
+* job trigger (POST /trigger_job -> /_split_work -> /_run_task,
+  main.py:2930-3656) -> ``trigger_job``: expand URIs against the assets
+  inventory, dispatch by config type, evaluate expressions, MERGE into
+  the tag store, append history, close the job ledger row. The
+  shard/task fan-out collapses into Spark's own scheduling (SURVEY R3);
+* cron refresh (POST /scheduled_auto_updates, main.py:3075-3110) ->
+  ``run_ready_configs``: the ready-config predicate (P10,
+  TagEngineStoreHandler.py:1374-1392) + version bump and
+  next_run += frequency (:290-309).
+
+Config metadata is driver-side (it is Firestore-document sized); all
+data-shaped state (tags, history, reports) lives in DataFrames.
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .model.schemas import TAG_HISTORY_SCHEMA
+from .operators import dynamic as DYN
+from .operators import uri as URI
+from .operators.glossary import glossary_tag_rows
+from .operators.importer import melt_to_tag_rows, read_tag_csv
+from .operators.backup import read_backup, restore_tag_rows
+from .operators.substitution import parse_query_expression, split_resource_uri
+from .store.tagstore import TagStore
+
+_REFRESH_UNITS = {"minutes": 60, "hours": 3600, "days": 86400}
+
+
+class TagEngine:
+    def __init__(self, spark: SparkSession, tags_path: str | None = None, qualify=None):
+        self.spark = spark
+        self.templates: dict[str, list[dict]] = {}
+        self.configs: dict[str, dict] = {}
+        self.jobs: list[dict] = []
+        self.store = TagStore(spark, path=tags_path)
+        self._history = spark.createDataFrame([], TAG_HISTORY_SCHEMA)
+        self._seq = 0
+        self.qualify = qualify or (lambda p, d, t: t)
+
+    # -- templates ---------------------------------------------------------
+
+    def create_template(self, template_id: str, fields: list[dict]) -> None:
+        """fields: [{field_id, field_type[, enum_values][, order]}]."""
+        for f in fields:
+            if f["field_type"] not in ("bool", "string", "double", "enum", "richtext", "datetime", "timestamp"):
+                raise ValueError(f"unknown field_type {f['field_type']!r}")
+        self.templates[template_id] = fields
+
+    def template_fields_df(self, template_id: str) -> DataFrame:
+        rows = [
+            {
+                "template_id": template_id,
+                "field_id": f["field_id"],
+                "display_name": f.get("display_name"),
+                "field_type": f["field_type"],
+                "is_required": f.get("is_required", False),
+                "order": f.get("order", i),
+                "enum_values": f.get("enum_values"),
+            }
+            for i, f in enumerate(self.templates[template_id])
+        ]
+        from .model.schemas import TEMPLATES_SCHEMA
+
+        return self.spark.createDataFrame(rows, TEMPLATES_SCHEMA)
+
+    # -- configs -----------------------------------------------------------
+
+    def _uuid(self, kind: str) -> str:
+        self._seq += 1
+        return f"{kind}-{self._seq:06d}"
+
+    def create_config(self, config_type: str, template_id: str, **kw) -> str:
+        """Validate against the template and persist; a new config with
+        the same (type, template, included_uris) hash deactivates the
+        prior one (P11 dedup-by-hash)."""
+        if template_id not in self.templates:
+            raise ValueError(f"unknown template {template_id!r}")
+        tfields = {f["field_id"]: f for f in self.templates[template_id]}
+        for f in kw.get("fields", []):
+            if f["field_id"] not in tfields:
+                raise ValueError(f"field {f['field_id']!r} not in template {template_id!r}")
+            tf = tfields[f["field_id"]]
+            f.setdefault("field_type", tf["field_type"])
+            if tf["field_type"] == "enum" and f.get("field_value") is not None:
+                if f["field_value"] not in (tf.get("enum_values") or []):
+                    raise ValueError(
+                        f"enum value {f['field_value']!r} not in {tf.get('enum_values')}"
+                    )
+
+        uris_hash = hashlib.md5(
+            f"{config_type}|{template_id}|{kw.get('included_uris', '')}".encode()
+        ).hexdigest()
+        for cfg in self.configs.values():
+            if cfg["uris_hash"] == uris_hash and cfg["config_status"] == "ACTIVE":
+                cfg["config_status"] = "INACTIVE"
+
+        uuid = self._uuid("cfg")
+        self.configs[uuid] = {
+            "config_uuid": uuid,
+            "config_type": config_type,
+            "config_status": "ACTIVE",
+            "template_id": template_id,
+            "uris_hash": uris_hash,
+            "scheduling_status": "READY",
+            "version": 1,
+            "next_run": kw.get("next_run"),
+            **kw,
+        }
+        return uuid
+
+    def lookup_config_by_uris(self, template_id: str, included_uris: str) -> dict | None:
+        """Trigger-by-URI lookup (J8, TagEngineStoreHandler.py:1395-1428)."""
+        for cfg in self.configs.values():
+            if (
+                cfg["template_id"] == template_id
+                and cfg.get("included_uris") == included_uris
+                and cfg["config_status"] == "ACTIVE"
+            ):
+                return cfg
+        return None
+
+    # -- job execution -----------------------------------------------------
+
+    def trigger_job(self, config_uuid: str, assets: DataFrame | None = None, **kw) -> str:
+        cfg = self.configs[config_uuid]
+        if cfg["config_status"] != "ACTIVE":
+            raise ValueError(f"config {config_uuid} is not active")
+        job_uuid = self._uuid("job")
+        started = datetime.datetime.now(datetime.timezone.utc)
+        dispatch = {
+            "DYNAMIC_TAG_TABLE": self._run_dynamic_table,
+            "DYNAMIC_TAG_COLUMN": self._run_dynamic_column,
+            "STATIC_TAG_ASSET": self._run_static,
+            "GLOSSARY_TAG_ASSET": self._run_glossary,
+            "TAG_IMPORT": self._run_import,
+            "TAG_RESTORE": self._run_restore,
+        }
+        if cfg["config_type"] not in dispatch:
+            raise ValueError(f"unsupported config_type {cfg['config_type']!r}")
+        try:
+            raw = dispatch[cfg["config_type"]](cfg, assets, **kw)
+            tags = DYN.coerce_long_rows(
+                raw,
+                bool_mode="csv" if cfg["config_type"] in ("TAG_IMPORT", "TAG_RESTORE", "GLOSSARY_TAG_ASSET") else "query",
+            ).withColumn("job_uuid", F.lit(job_uuid))
+            history = self.store.merge(tags, overwrite=cfg.get("overwrite", True))
+            n = self._append_history(history, job_uuid)
+            status, failed = "SUCCESS", 0
+        except Exception:
+            self.jobs.append(
+                {"job_uuid": job_uuid, "config_uuid": config_uuid,
+                 "config_type": cfg["config_type"], "job_status": "ERROR",
+                 "task_count": 0, "tasks_ran": 0, "tasks_success": 0,
+                 "tasks_failed": 1, "creation_time": started,
+                 "completion_time": datetime.datetime.now(datetime.timezone.utc)}
+            )
+            raise
+        self.jobs.append(
+            {
+                "job_uuid": job_uuid,
+                "config_uuid": config_uuid,
+                "config_type": cfg["config_type"],
+                "job_status": status,
+                "task_count": n,
+                "tasks_ran": n,
+                "tasks_success": n - failed,
+                "tasks_failed": failed,
+                "creation_time": started,
+                "completion_time": datetime.datetime.now(datetime.timezone.utc),
+            }
+        )
+        cfg["scheduling_status"] = "READY"
+        return job_uuid
+
+    def _matched_uris(self, cfg: dict, assets: DataFrame) -> list[str]:
+        matched = URI.expand_included_excluded(
+            assets, cfg["included_uris"], cfg.get("excluded_uris")
+        )
+        return [r["asset_uri"] for r in matched.select("asset_uri").collect()]
+
+    def _run_dynamic_table(self, cfg, assets, **kw):
+        uris = self._matched_uris(cfg, assets)
+        if DYN.fusable(cfg["fields"]) and len(uris) > 1:
+            pairs = []
+            for uri in uris:
+                p, d, t = split_resource_uri(uri)
+                pairs.append((uri, self.spark.table(self.qualify(p, d or "", t or ""))))
+            return DYN.run_config_fused(self.spark, cfg["fields"], pairs, cfg["template_id"])
+        rows = DYN.run_config_per_asset(
+            self.spark, cfg["fields"], uris, cfg["template_id"], self.qualify
+        )
+        return DYN.raw_rows_to_df(self.spark, rows)
+
+    def _run_dynamic_column(self, cfg, assets, **kw):
+        uris = self._matched_uris(cfg, assets)
+        all_rows = []
+        for uri in uris:
+            cols_q = parse_query_expression(uri, cfg["included_columns_query"], None, self.qualify)
+            columns = [c for c in self.spark.sql(cols_q).first() if c]
+            for col in columns:
+                all_rows.extend(
+                    DYN.run_config_per_asset(
+                        self.spark, cfg["fields"], [uri], cfg["template_id"], self.qualify, column=col
+                    )
+                )
+        return DYN.raw_rows_to_df(self.spark, all_rows)
+
+    def _run_static(self, cfg, assets, **kw):
+        uris = self._matched_uris(cfg, assets)
+        rows = [
+            {
+                "asset_uri": uri,
+                "column": None,
+                "template_id": cfg["template_id"],
+                "field_id": f["field_id"],
+                "field_type": f["field_type"],
+                "raw_value": f.get("field_value"),
+            }
+            for uri in uris
+            for f in cfg["fields"]
+        ]
+        return DYN.raw_rows_to_df(self.spark, rows)
+
+    def _run_glossary(self, cfg, assets, **kw):
+        matched = URI.expand_included_excluded(
+            assets, cfg["included_uris"], cfg.get("excluded_uris")
+        )
+        return glossary_tag_rows(matched, kw["mapping"], cfg["template_id"])
+
+    def _run_import(self, cfg, assets, **kw):
+        csv_df = kw.get("csv_df")
+        if csv_df is None:
+            csv_df = read_tag_csv(self.spark, cfg["csv_path"])
+        return melt_to_tag_rows(
+            csv_df, self.template_fields_df(cfg["template_id"]), cfg["template_id"]
+        )
+
+    def _run_restore(self, cfg, assets, **kw):
+        backup = kw.get("backup_df")
+        if backup is None:
+            backup = read_backup(self.spark, cfg["backup_path"])
+        return restore_tag_rows(backup, cfg["template_id"], cfg["project_id"])
+
+    # -- synchronous tag operations (no job machinery, like the
+    # reference's /copy_tags and /update_tag_subset routes) -----------------
+
+    def copy_tags(self, source_uri: str, target_uri: str, overwrite: bool = True) -> int:
+        """J7 (reference DataCatalogController.py:1946-2056): re-key every
+        tag of the source asset onto the target and MERGE."""
+        src = self.store.all().filter(F.col("asset_uri") == source_uri)
+        moved = src.withColumn("asset_uri", F.lit(target_uri))
+        job_uuid = self._uuid("copy")
+        events = self.store.merge(moved, overwrite=overwrite)
+        return self._append_history(events, job_uuid)
+
+    def update_tag_subset(self, template_id: str, asset_uri: str, column: str | None, raw_rows: list[dict]) -> int:
+        """Overwrite-merge of a field subset (reference main.py:2868-2919
+        -> DataCatalogController.py:2091-2178): only the named fields
+        change, other fields of the tag survive."""
+        rows = [
+            {
+                "asset_uri": asset_uri,
+                "column": column,
+                "template_id": template_id,
+                "field_id": r["field_id"],
+                "field_type": r["field_type"],
+                "raw_value": r.get("raw_value"),
+            }
+            for r in raw_rows
+        ]
+        tags = DYN.coerce_long_rows(DYN.raw_rows_to_df(self.spark, rows), bool_mode="csv")
+        job_uuid = self._uuid("upd")
+        events = self.store.merge(tags)
+        return self._append_history(events, job_uuid)
+
+    # -- history / scheduling ----------------------------------------------
+
+    def _append_history(self, events: DataFrame, job_uuid: str) -> int:
+        """T2: every applied mutation appends an audit row. asset_name is
+        the singularized reference form project/dataset/ds/table/t[/column/c]
+        (BigQueryUtils.py:123-128)."""
+        from .model.coercion import render_tag_value
+
+        singular = F.regexp_replace(
+            F.regexp_replace(F.col("asset_uri"), "/datasets/", "/dataset/"),
+            "/tables/",
+            "/table/",
+        )
+        asset_name = F.when(
+            F.col("column").isNotNull(), F.concat(singular, F.lit("/column/"), F.col("column"))
+        ).otherwise(singular)
+        rows = events.select(
+            F.current_timestamp().alias("event_time"),
+            asset_name.alias("asset_name"),
+            F.col("column"),
+            F.col("template_id"),
+            F.col("field_id"),
+            render_tag_value(
+                F.col("field_type"),
+                F.col("field_value_string"),
+                F.col("field_value_double"),
+                F.col("field_value_bool"),
+                F.col("field_value_ts"),
+            ).alias("field_value"),
+            F.col("action"),
+            F.lit(None).cast("string").alias("tag_creator_account"),
+            F.lit(None).cast("string").alias("tag_invoker_account"),
+            F.lit(job_uuid).alias("job_uuid"),
+            F.to_date(F.current_timestamp()).alias("event_date"),
+        )
+        rows = rows.localCheckpoint(eager=True)
+        self._history = self._history.unionByName(rows)
+        return rows.count()
+
+    def history(self) -> DataFrame:
+        return self._history
+
+    def jobs_df(self) -> DataFrame:
+        from .model.schemas import JOBS_SCHEMA
+
+        return self.spark.createDataFrame(self.jobs, JOBS_SCHEMA)
+
+    def ready_configs(self, now: datetime.datetime) -> list[dict]:
+        """P10: AUTO + ACTIVE + READY + next_run <= now."""
+        return [
+            c
+            for c in self.configs.values()
+            if c.get("refresh_mode") == "AUTO"
+            and c["config_status"] == "ACTIVE"
+            and c["scheduling_status"] == "READY"
+            and c.get("next_run") is not None
+            and c["next_run"] <= now
+        ]
+
+    def run_ready_configs(self, assets: DataFrame, now: datetime.datetime | None = None, **kw) -> list[str]:
+        """T1: the cron path — run every ready config, bump version and
+        next_run += frequency (TagEngineStoreHandler.py:290-309)."""
+        now = now or datetime.datetime.now(datetime.timezone.utc)
+        job_ids = []
+        for cfg in self.ready_configs(now):
+            cfg["scheduling_status"] = "PENDING"
+            cfg["version"] += 1
+            step = cfg.get("refresh_frequency", 24) * _REFRESH_UNITS.get(
+                cfg.get("refresh_unit", "hours"), 3600
+            )
+            cfg["next_run"] = cfg["next_run"] + datetime.timedelta(seconds=step)
+            job_ids.append(self.trigger_job(cfg["config_uuid"], assets, **kw))
+        return job_ids

@@ -1,0 +1,277 @@
+"""End-to-end TagEngine lifecycle tests (SURVEY.md section 3): config
+authoring -> trigger_job -> tags + history + jobs, across config types,
+mirroring the reference's examples/unit_tests.sh but asserting on
+tables instead of a UI."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from datacatalog_tag_engine_spark.engine import TagEngine
+from datacatalog_tag_engine_spark.model.schemas import ASSETS_SCHEMA
+
+TEMPLATE = [
+    {"field_id": "data_domain", "field_type": "enum", "enum_values": ["LOGISTICS", "MARKETING", "OPERATIONS"]},
+    {"field_id": "data_owner", "field_type": "string"},
+    {"field_id": "is_compliant", "field_type": "bool"},
+    {"field_id": "retention_days", "field_type": "double"},
+    {"field_id": "approved_by", "field_type": "richtext"},
+    {"field_id": "data_creation", "field_type": "datetime"},
+    {"field_id": "row_count", "field_type": "double"},
+]
+
+
+@pytest.fixture()
+def engine(spark):
+    eng = TagEngine(spark)
+    eng.create_template("data_governance", TEMPLATE)
+    return eng
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    rows = [
+        {
+            "asset_uri": f"p/datasets/d/tables/{t}",
+            "asset_type": "bigquery",
+            "project": "p",
+            "dataset": "d",
+            "table": t,
+            "schema": [
+                {"name": c, "type": None, "mode": None, "subcolumns": None}
+                for c in spark.table(t).columns
+            ],
+        }
+        for t in ["lineitem", "orders"]
+    ]
+    return spark.createDataFrame(rows, ASSETS_SCHEMA)
+
+
+def tag_map(engine):
+    out = {}
+    for r in engine.store.all().collect():
+        v = (
+            r["field_value_double"]
+            if r["field_type"] == "double"
+            else r["field_value_bool"]
+            if r["field_type"] == "bool"
+            else r["field_value_ts"]
+            if r["field_type"] in ("datetime", "timestamp")
+            else r["field_value_string"]
+        )
+        out[(r["asset_uri"], r["column"], r["field_id"])] = v
+    return out
+
+
+def test_dynamic_table_end_to_end(spark, engine, assets):
+    cfg = engine.create_config(
+        "DYNAMIC_TAG_TABLE",
+        "data_governance",
+        included_uris="bigquery/project/p/dataset/d/*",
+        excluded_uris="bigquery/project/p/dataset/d/orders",
+        fields=[
+            {"field_id": "row_count", "query_expression": "select count(*) from $table"},
+            {"field_id": "data_domain", "query_expression": "select 'LOGISTICS'"},
+        ],
+    )
+    job = engine.trigger_job(cfg, assets)
+    tags = tag_map(engine)
+    assert tags[("p/datasets/d/tables/lineitem", None, "row_count")] == 6000.0
+    assert tags[("p/datasets/d/tables/lineitem", None, "data_domain")] == "LOGISTICS"
+    assert ("p/datasets/d/tables/orders", None, "row_count") not in tags
+
+    hist = engine.history().collect()
+    assert all(h["action"] == "CREATE" for h in hist)
+    assert hist[0]["asset_name"].startswith("p/dataset/d/table/")
+    assert all(h["job_uuid"] == job for h in hist)
+
+    jobs = {j["job_uuid"]: j for j in engine.jobs}
+    assert jobs[job]["job_status"] == "SUCCESS"
+    assert jobs[job]["tasks_success"] == 2
+
+
+def test_static_and_overwrite_guard(spark, engine, assets):
+    cfg1 = engine.create_config(
+        "STATIC_TAG_ASSET",
+        "data_governance",
+        included_uris="bigquery/project/p/dataset/d/lineitem",
+        fields=[
+            {"field_id": "data_owner", "field_value": "alice"},
+            {"field_id": "is_compliant", "field_value": "TRUE"},
+            {"field_id": "retention_days", "field_value": "180"},
+            {"field_id": "data_creation", "field_value": "2023-11-10"},
+        ],
+    )
+    engine.trigger_job(cfg1, assets)
+    tags = tag_map(engine)
+    assert tags[("p/datasets/d/tables/lineitem", None, "data_owner")] == "alice"
+    assert tags[("p/datasets/d/tables/lineitem", None, "is_compliant")] is True
+    assert tags[("p/datasets/d/tables/lineitem", None, "retention_days")] == 180.0
+    assert tags[("p/datasets/d/tables/lineitem", None, "data_creation")] == datetime.datetime(2023, 11, 10)
+
+    # overwrite=False: second config does not clobber the existing tag
+    cfg2 = engine.create_config(
+        "STATIC_TAG_ASSET",
+        "data_governance",
+        included_uris="bigquery/project/p/dataset/d/lineitem",
+        excluded_uris=None,
+        overwrite=False,
+        fields=[{"field_id": "data_owner", "field_value": "mallory"}],
+    )
+    engine.trigger_job(cfg2, assets)
+    assert tag_map(engine)[("p/datasets/d/tables/lineitem", None, "data_owner")] == "alice"
+
+
+def test_enum_validation_rejects_bad_value(engine):
+    with pytest.raises(ValueError, match="enum value"):
+        engine.create_config(
+            "STATIC_TAG_ASSET",
+            "data_governance",
+            included_uris="x",
+            fields=[{"field_id": "data_domain", "field_value": "NOT_A_DOMAIN"}],
+        )
+
+
+def test_unknown_field_rejected(engine):
+    with pytest.raises(ValueError, match="not in template"):
+        engine.create_config(
+            "STATIC_TAG_ASSET",
+            "data_governance",
+            included_uris="x",
+            fields=[{"field_id": "nope", "field_value": "v"}],
+        )
+
+
+def test_config_dedup_by_hash(engine):
+    c1 = engine.create_config(
+        "STATIC_TAG_ASSET", "data_governance",
+        included_uris="bigquery/project/p/dataset/d/*",
+        fields=[{"field_id": "data_owner", "field_value": "a"}],
+    )
+    c2 = engine.create_config(
+        "STATIC_TAG_ASSET", "data_governance",
+        included_uris="bigquery/project/p/dataset/d/*",
+        fields=[{"field_id": "data_owner", "field_value": "b"}],
+    )
+    assert engine.configs[c1]["config_status"] == "INACTIVE"
+    assert engine.configs[c2]["config_status"] == "ACTIVE"
+    with pytest.raises(ValueError, match="not active"):
+        engine.trigger_job(c1, None)
+
+
+def test_dynamic_column_config(spark, engine, assets):
+    cfg = engine.create_config(
+        "DYNAMIC_TAG_COLUMN",
+        "data_governance",
+        included_uris="bigquery/project/p/dataset/d/lineitem",
+        included_columns_query="select 'l_orderkey', 'l_partkey'",
+        fields=[
+            {"field_id": "row_count", "query_expression": "select count(distinct $column) from $table"},
+        ],
+    )
+    engine.trigger_job(cfg, assets)
+    tags = tag_map(engine)
+    li = spark.table("lineitem")
+    assert tags[("p/datasets/d/tables/lineitem", "l_orderkey", "row_count")] == float(
+        li.select(F.countDistinct("l_orderkey")).first()[0]
+    )
+    assert tags[("p/datasets/d/tables/lineitem", "l_partkey", "row_count")] == float(
+        li.select(F.countDistinct("l_partkey")).first()[0]
+    )
+
+
+def test_glossary_config(spark, engine, assets):
+    mapping = spark.createDataFrame(
+        [("l_orderkey", "is_compliant"), ("o_custkey", "is_compliant")],
+        "source_name string, canonical_name string",
+    )
+    cfg = engine.create_config(
+        "GLOSSARY_TAG_ASSET",
+        "data_governance",
+        included_uris="bigquery/project/p/dataset/d/*",
+    )
+    engine.trigger_job(cfg, assets, mapping=mapping)
+    tags = tag_map(engine)
+    assert tags[("p/datasets/d/tables/lineitem", None, "is_compliant")] is True
+    assert tags[("p/datasets/d/tables/orders", None, "is_compliant")] is True
+
+
+def test_import_config(spark, engine, assets, tmp_path):
+    csv = tmp_path / "tags.csv"
+    csv.write_text(
+        "project,dataset,table,data_owner,retention_days,approved_by\n"
+        "p,d,lineitem,bob ,90,x@y.com, z@y.com\n"
+    )
+    # note: csv line has richtext with comma -> must be quoted to survive
+    csv.write_text(
+        'project,dataset,table,data_owner,retention_days,approved_by\n'
+        'p,d,lineitem,bob ,90,"x@y.com, z@y.com"\n'
+    )
+    cfg = engine.create_config(
+        "TAG_IMPORT", "data_governance", included_uris="n/a", csv_path=str(csv)
+    )
+    engine.trigger_job(cfg, assets)
+    tags = tag_map(engine)
+    assert tags[("p/datasets/d/tables/lineitem", None, "data_owner")] == "bob"  # rtrim
+    assert tags[("p/datasets/d/tables/lineitem", None, "retention_days")] == 90.0
+    assert tags[("p/datasets/d/tables/lineitem", None, "approved_by")] == "x@y.com<br>z@y.com"
+
+
+def test_restore_config(spark, engine, assets, tmp_path):
+    import json
+
+    jl = tmp_path / "backup.jsonl"
+    objs = [
+        {
+            "entryGroupId": "d", "id": "lineitem", "locationId": "us", "projectId": "p",
+            "tags": [
+                {"templateId": "data_governance", "projectId": "p",
+                 "fields": [{"name": "data_owner", "type": "STRING", "value": "carol"}]},
+                {"templateId": "other_template", "projectId": "p",
+                 "fields": [{"name": "data_owner", "type": "STRING", "value": "IGNORED"}]},
+            ],
+            "columns": [
+                {"name": "lineitem:l_orderkey",
+                 "tags": [{"templateId": "data_governance", "projectId": "p",
+                           "fields": [{"name": "is_compliant", "type": "BOOL", "value": "TRUE"}]}]}
+            ],
+            "createTime": "x", "updateTime": "y", "snapshotTime": "z",
+        },
+        {"entryGroupId": "d", "id": "orders", "locationId": "us", "projectId": "OTHER",
+         "tags": [{"templateId": "data_governance", "projectId": "OTHER",
+                   "fields": [{"name": "data_owner", "type": "STRING", "value": "SKIP"}]}],
+         "columns": [], "createTime": "x", "updateTime": "y", "snapshotTime": "z"},
+    ]
+    jl.write_text("\n".join(json.dumps(o) for o in objs))
+    cfg = engine.create_config(
+        "TAG_RESTORE", "data_governance", included_uris="n/a",
+        backup_path=str(jl), project_id="p",
+    )
+    engine.trigger_job(cfg, assets)
+    tags = tag_map(engine)
+    assert tags[("p/datasets/d/tables/lineitem", None, "data_owner")] == "carol"
+    assert tags[("p/datasets/d/tables/lineitem", "l_orderkey", "is_compliant")] is True
+    assert not any(k[0].endswith("orders") for k in tags)
+
+
+def test_scheduled_refresh(spark, engine, assets):
+    t0 = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+    cfg = engine.create_config(
+        "STATIC_TAG_ASSET",
+        "data_governance",
+        included_uris="bigquery/project/p/dataset/d/lineitem",
+        fields=[{"field_id": "data_owner", "field_value": "cron"}],
+        refresh_mode="AUTO",
+        refresh_frequency=24,
+        refresh_unit="hours",
+        next_run=t0,
+    )
+    jobs = engine.run_ready_configs(assets, now=t0)
+    assert len(jobs) == 1
+    c = engine.configs[cfg]
+    assert c["version"] == 2
+    assert c["next_run"] == t0 + datetime.timedelta(hours=24)
+    # not ready again until next_run
+    assert engine.run_ready_configs(assets, now=t0) == []
+    assert engine.run_ready_configs(assets, now=t0 + datetime.timedelta(hours=25)) != []

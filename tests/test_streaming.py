@@ -1,0 +1,105 @@
+"""Structured Streaming tests (T2/T3): streaming results must equal the
+identical batch transformation (Spark's unified API makes the oracle
+the batch run)."""
+
+import pytest
+
+from datacatalog_tag_engine_spark.streaming import history as H
+from datacatalog_tag_engine_spark.streaming import usage as U
+
+EVENTS_DIR = "/root/testdata/sf0.001"
+
+
+def test_daily_usage_stream_matches_batch(spark):
+    stream = U.read_events_stream(spark, EVENTS_DIR)
+    assert stream.isStreaming
+    U.run_available_now(U.daily_usage(stream), "usage_sink")
+    got = {
+        (str(r["event_date"]), r["event_type"]): r["n"]
+        for r in spark.table("usage_sink").collect()
+    }
+    batch = {
+        (str(r["event_date"]), r["event_type"]): r["n"]
+        for r in U.daily_usage(spark.table("events")).collect()
+    }
+    assert got == batch
+    assert sum(got.values()) == spark.table("events").count()
+
+
+def test_user_activity_stream_matches_batch(spark):
+    stream = U.read_events_stream(spark, EVENTS_DIR)
+    U.run_available_now(U.user_activity(stream), "activity_sink")
+    got = spark.table("activity_sink")
+    batch = U.user_activity(spark.table("events"))
+    assert got.count() == batch.count()
+    assert got.agg({"events": "sum"}).first()[0] == batch.agg({"events": "sum"}).first()[0]
+
+
+def test_history_stream_roundtrip(spark, tmp_path):
+    from datacatalog_tag_engine_spark.engine import TagEngine
+    from datacatalog_tag_engine_spark.model.schemas import ASSETS_SCHEMA
+
+    eng = TagEngine(spark)
+    eng.create_template("t", [{"field_id": "owner", "field_type": "string"}])
+    assets = spark.createDataFrame(
+        [{"asset_uri": "p/datasets/d/tables/lineitem", "asset_type": "bigquery",
+          "project": "p", "dataset": "d", "table": "lineitem"}],
+        ASSETS_SCHEMA,
+    )
+    cfg = eng.create_config(
+        "STATIC_TAG_ASSET", "t",
+        included_uris="bigquery/project/p/dataset/d/lineitem",
+        fields=[{"field_id": "owner", "field_value": "alice"}],
+    )
+    eng.trigger_job(cfg, assets)
+
+    src_dir = str(tmp_path / "history_src")
+    eng.history().write.mode("overwrite").parquet(src_dir)
+
+    # stream it through the mutation-counts rollup
+    stream = H.read_history_stream(spark, src_dir)
+    q = (
+        H.mutation_counts(stream)
+        .writeStream.format("memory")
+        .queryName("hist_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("hist_counts").collect()
+    assert len(rows) == 1
+    assert (rows[0]["template_id"], rows[0]["action"], rows[0]["n"]) == ("t", "CREATE", 1)
+
+    # duplicate delivery (retry) does not double-count
+    dup_dir = str(tmp_path / "history_dup")
+    eng.history().unionAll(eng.history()).write.mode("overwrite").parquet(dup_dir)
+    q2 = (
+        H.mutation_counts(H.read_history_stream(spark, dup_dir))
+        .writeStream.format("memory")
+        .queryName("hist_dedup")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    assert spark.table("hist_dedup").first()["n"] == 1
+
+
+def test_history_append_sink(spark, tmp_path):
+    import datetime
+
+    rows = [
+        (datetime.datetime(2026, 1, 1, 10), "p/dataset/d/table/t", None, "tpl", "f", "v",
+         "CREATE", None, None, "job1", datetime.date(2026, 1, 1)),
+    ]
+    from datacatalog_tag_engine_spark.model.schemas import TAG_HISTORY_SCHEMA
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, TAG_HISTORY_SCHEMA).write.parquet(src)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = H.write_history_stream(H.read_history_stream(spark, src), out, ckpt)
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 1
+    assert "event_date=2026-01-01" in [f.name for f in __import__("pathlib").Path(out).iterdir() if f.is_dir()]
