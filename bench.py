@@ -36,6 +36,13 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm up the JVM / parquet footers outside the timed loop
+    from datacatalog_tag_engine_spark.session import register_testdata
+
+    register_testdata(spark, SF_DIR)
+    spark.table("lineitem").count()
+    spark.range(10).groupBy("id").count().collect()
+
     timings: dict[str, float] = {}
     for name, fn in E.queries().items():
         t0 = time.time()

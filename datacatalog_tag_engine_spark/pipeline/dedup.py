@@ -59,10 +59,19 @@ def word_shingles(text: Column, k: int = 3) -> Column:
 
 def shingle_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
     """(doc_id, shingle) distinct rows — the shared base of the minhash
-    and ngram paths."""
-    return (
-        docs.select(id_col, F.explode(word_shingles(F.col(text_col), k)).alias("shingle"))
-        .distinct()
+    and ngram paths.
+
+    Two deliberate plan choices: (1) repartition by id before the
+    CPU-heavy explode — document corpora often arrive as few large
+    files, and without this the shingling runs on as many cores as
+    there are input splits; partitioning BY the id also feeds the
+    signature groupBy(id) with no second shuffle. (2) dedup shingles
+    per-document with array_distinct inside the row (equivalent to a
+    global distinct on (id, shingle)) — saves an entire shuffle."""
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(parallelism, id_col).select(
+        id_col,
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("shingle"),
     )
 
 
@@ -157,7 +166,10 @@ def minhash_dedup(
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: returns verified pairs
     (doc_a, doc_b, jaccard >= threshold) found via banded LSH."""
-    sh = shingle_table(docs, id_col, text_col, k)
+    # the shingle table feeds both the signature and the verify branch
+    # of one action — materialize it once (eager local checkpoint)
+    # instead of recomputing the explode in both subtrees
+    sh = shingle_table(docs, id_col, text_col, k).localCheckpoint(eager=True)
     sigs = minhash_signatures(sh, num_hashes, id_col)
     cands = lsh_candidate_pairs(sigs, num_hashes, bands, id_col)
     return jaccard_pairs(sh, cands, threshold, id_col)
@@ -171,7 +183,10 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     else -1) is positive. Distinct tokens weighted by occurrence count.
     Returns (doc_id, simhash BIGINT).
     """
-    toks = docs.select(id_col, F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"))
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    toks = docs.repartition(parallelism, id_col).select(
+        id_col, F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
+    )
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long")
     toks = toks.select(id_col, h.alias("h"))
     bit_sums = toks.groupBy(id_col).agg(

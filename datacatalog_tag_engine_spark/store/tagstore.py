@@ -97,12 +97,9 @@ class TagStore:
             .withColumn("action", F.when(F.col("_existed"), "UPDATE").otherwise("CREATE"))
             .drop("_existed")
         )
-        upserts_flagged = upserts_flagged.localCheckpoint(eager=True)
-
         # deleted rows (existing rows of tag groups marked delete)
         dcond = [existing[k].eqNullSafe(deletes[k]) for k in TAG_GROUP_KEY]
         deleted_rows = existing.join(deletes, dcond, "left_semi").withColumn("action", F.lit("DELETE"))
-        deleted_rows = deleted_rows.localCheckpoint(eager=True)
 
         # MERGE: existing rows lose to same-key upserts; delete groups drop
         survivors = existing.join(deletes, dcond, "left_anti")
@@ -110,6 +107,10 @@ class TagStore:
         survivors = survivors.join(upserts_flagged.select(*TAG_KEY), ucond, "left_anti")
 
         new_df = survivors.unionByName(upserts_flagged.drop("action"))
+        # one eager checkpoint: truncates the self-referential merge
+        # lineage (each merge reads the previous state) so plans stay
+        # flat across many merges; the returned history recomputes its
+        # (cheap, one-shot) joins on demand
         self._df = new_df.localCheckpoint(eager=True)
         if self.path:
             self._persist()
