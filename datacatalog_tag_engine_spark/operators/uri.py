@@ -133,6 +133,34 @@ def glob_to_regex(pattern: str) -> str:
     return "^.*" + ".*".join(parts) + ".*$" if "*" in pattern else "^" + re.escape(pattern) + "$"
 
 
+def table_resource_to_uri(table_resource: str) -> str:
+    """F2 (reference Resources.py:131-138): BQ 'project:dataset.table' ->
+    catalog resource 'project/datasets/dataset/tables/table'."""
+    resource = table_resource.replace(":", "/datasets/").replace(".", "/tables/")
+    return resource
+
+
+def dataset_resource_to_uri(dataset_resource: str) -> str:
+    """F2 (reference Resources.py:140-147): 'project.dataset' ->
+    'project/datasets/dataset'."""
+    return dataset_resource.replace(".", "/datasets/")
+
+
+def uri_to_dotted(uri: str) -> str:
+    """F2 (reference DataCatalogController.py:1724): catalog resource ->
+    BigQuery dotted name 'project.dataset.table'."""
+    return uri.replace("/project/", ".").replace("/datasets/", ".").replace("/tables/", ".")
+
+
+def bigquery_uri_to_resource(uri: str) -> str:
+    """F2 (reference DataCatalogController.py:873-876): config uri
+    'bigquery/project/p/dataset/d/t' -> resource 'p/datasets/d/tables/t'."""
+    p = parse_uri(uri)
+    if p["table"] is None:
+        return f"{p['project']}/datasets/{p['dataset']}"
+    return f"{p['project']}/datasets/{p['dataset']}/tables/{p['table']}"
+
+
 def column_exists_in_schema(schema_col: Column, target: str) -> Column:
     """Nested column existence check with dotted ``parent.child`` lookup
     (reference: DataCatalogController.py:333-360 / column_exists_in_table).

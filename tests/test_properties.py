@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis) for the subtle string algebra
+SURVEY.md section 7 flags: $var substitution precedence and wildcard
+matching. The oracle is a direct Python transcription of the reference
+algorithm's observable behavior (DataCatalogController.py:1685-1772,
+Resources.py:230-251) run against generated inputs."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datacatalog_tag_engine_spark.operators.substitution import parse_query_expression
+
+ident = st.text(alphabet="abcdefgh_123", min_size=1, max_size=8)
+
+
+def reference_model(uri: str, query_expression: str, column: str | None) -> str:
+    """Reference behavior: FROM-clause $table -> fully-qualified for ALL
+    occurrences; else $table -> short name, then $project/$dataset;
+    bare expressions pass through; $column last."""
+    parts = uri.split("/")
+    project = parts[0]
+    dataset = parts[parts.index("datasets") + 1] if "datasets" in parts else None
+    table = parts[parts.index("tables") + 1] if "tables" in parts else None
+
+    has_from = " from $table" in query_expression or " from `$table`" in query_expression
+    q = None
+    if has_from:
+        qualified = ".".join(x for x in (project, dataset, table) if x)
+        q = query_expression.replace("$table", qualified)
+    else:
+        if "$table" in query_expression:
+            q = query_expression.replace("$table", table or "")
+        if "$project" in query_expression:
+            q = (q or query_expression).replace("$project", project)
+        if "$dataset" in query_expression and dataset is not None:
+            q = (q or query_expression).replace("$dataset", dataset)
+    if q is None:
+        q = query_expression
+    if "$column" in q and column is not None:
+        q = q.replace("$column", column)
+    return q
+
+
+@given(
+    project=ident, dataset=ident, table=ident, column=ident,
+    template=st.sampled_from(
+        [
+            "select count(*) from $table",
+            "select count(*) from `$table`",
+            "select '$table' from $table",
+            "select '$table'",
+            "select x from y where p = '$project' and d = '$dataset'",
+            "select count(distinct $column) from $table",
+            "select count(distinct $column) from $table where c = '$column'",
+            "select 'constant'",
+            "select $column from other where t = '$table' and p = '$project'",
+        ]
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_substitution_matches_reference_model(project, dataset, table, column, template):
+    uri = f"{project}/datasets/{dataset}/tables/{table}"
+    assert parse_query_expression(uri, template, column) == reference_model(uri, template, column)
+
+
+def wildcard_model(pattern: str, project: str, dataset: str, table: str) -> bool:
+    """Reference table-wildcard semantics (Resources.py:230-251):
+    '*' matches everything; otherwise every '*'-separated substring must
+    appear in the full id 'project:dataset.table'; no '*' -> exact
+    table-name equality."""
+    if pattern == "*":
+        return True
+    if "*" in pattern:
+        full = f"{project}:{dataset}.{table}"
+        return all(sub in full for sub in pattern.split("*") if sub)
+    return table == pattern
+
+
+@given(
+    table=ident,
+    pattern=st.one_of(
+        st.just("*"),
+        ident,
+        st.tuples(ident, ident).map(lambda t: f"{t[0]}*{t[1]}"),
+        ident.map(lambda s: s + "*"),
+        ident.map(lambda s: "*" + s),
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_wildcard_matches_reference_model(spark, table, pattern):
+    from datacatalog_tag_engine_spark.model.schemas import ASSETS_SCHEMA
+    from datacatalog_tag_engine_spark.operators import uri as U
+
+    assets = spark.createDataFrame(
+        [{"asset_uri": f"p/datasets/d/tables/{table}", "asset_type": "bigquery",
+          "project": "p", "dataset": "d", "table": table}],
+        ASSETS_SCHEMA,
+    )
+    got = U.expand_uris(assets, f"bigquery/project/p/dataset/d/{pattern}").count() == 1
+    assert got == wildcard_model(pattern, "p", "d", table)
