@@ -439,6 +439,44 @@ def q28_assets_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets.select("table", "num_rows", F.size("schema").alias("n_columns"))
 
 
+# the reference's dynamic_table_500 load-test shape: 11 expressions
+# (incl. nested daily averages) over N schema-identical assets — the R9
+# rewrite computes all of them for all assets in ONE fused pass.
+N_CLONES = 10
+CLONE_URIS = [f"p/datasets/d/tables/clone_{i:02d}" for i in range(N_CLONES)]
+FUSED_FIELDS = [
+    {"field_id": "row_count", "field_type": "double",
+     "query_expression": "select count(*) from $table"},
+    {"field_id": "unique_orders", "field_type": "double",
+     "query_expression": "select count(distinct l_orderkey) from $table"},
+    {"field_id": "unique_parts", "field_type": "double",
+     "query_expression": "select count(distinct l_partkey) from $table"},
+    {"field_id": "open_count", "field_type": "double",
+     "query_expression": "select count(*) from $table where l_linestatus = 'O'"},
+    {"field_id": "closed_count", "field_type": "double",
+     "query_expression": "select count(*) from $table where l_linestatus = 'F'"},
+    {"field_id": "flagged_count", "field_type": "double",
+     "query_expression": "select count(*) from $table where l_returnflag = 'R'"},
+    {"field_id": "max_ship_date", "field_type": "datetime",
+     "query_expression": "select max(cast(l_shipdate as date)) from $table"},
+    {"field_id": "total_qty", "field_type": "double",
+     "query_expression": "select cast(sum(l_quantity) as bigint) from $table"},
+    {"field_id": "avg_qty", "field_type": "double",
+     "query_expression": "select ifnull(round(avg(l_quantity), 2), 0) from $table"},
+    {"field_id": "avg_daily_rows", "field_type": "double",
+     "query_expression": "select ifnull(round(avg(daily), 2), 0) from (select cast(l_shipdate as date) as d, count(*) as daily from $table group by d)"},
+    {"field_id": "avg_daily_open", "field_type": "double",
+     "query_expression": "select ifnull(round(avg(daily), 2), 0) from (select cast(l_shipdate as date) as d, count(*) as daily from $table where l_linestatus = 'O' group by d)"},
+]
+
+
+def q29_fused_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_testdata(spark, sf_dir)
+    li = spark.table("lineitem")
+    wide = DYN.run_config_fused_wide(spark, FUSED_FIELDS, [(u, li) for u in CLONE_URIS])
+    return wide.withColumnRenamed("_asset_uri", "asset_uri")
+
+
 def _docs(spark, sf_dir):
     register_testdata(spark, sf_dir)
     return spark.table("documents")
@@ -511,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q19_export"] = q19_export
     q["q20_coverage"] = q20_coverage
     q["q21_jobs"] = q21_jobs
+    q["q29_fused_profile"] = q29_fused_profile
     q["q24_import_melt"] = q24_import_melt
     q["q25_restore"] = q25_restore
     q["q26_tag_copy"] = q26_tag_copy
@@ -689,6 +728,27 @@ SELECT job_uuid, config_uuid, config_type,
             WHEN count(*) FILTER (WHERE status IN ('SUCCESS', 'ERROR')) = count(*) THEN 'SUCCESS'
             ELSE 'RUNNING' END AS job_status
 FROM tasks GROUP BY job_uuid, config_uuid, config_type
+"""
+
+    uris_values = ", ".join(f"('{u}')" for u in CLONE_URIS)
+    o["q29_fused_profile"] = f"""
+WITH m AS (
+  SELECT count(*) AS row_count,
+         count(DISTINCT l_orderkey) AS unique_orders,
+         count(DISTINCT l_partkey) AS unique_parts,
+         count(*) FILTER (WHERE l_linestatus = 'O') AS open_count,
+         count(*) FILTER (WHERE l_linestatus = 'F') AS closed_count,
+         count(*) FILTER (WHERE l_returnflag = 'R') AS flagged_count,
+         max(cast(l_shipdate AS date)) AS max_ship_date,
+         cast(sum(l_quantity) AS bigint) AS total_qty,
+         ifnull(round(avg(l_quantity), 2), 0) AS avg_qty,
+         (SELECT ifnull(round(avg(daily), 2), 0) FROM
+            (SELECT cast(l_shipdate AS date) AS d, count(*) AS daily FROM lineitem GROUP BY d)) AS avg_daily_rows,
+         (SELECT ifnull(round(avg(daily), 2), 0) FROM
+            (SELECT cast(l_shipdate AS date) AS d, count(*) AS daily FROM lineitem
+             WHERE l_linestatus = 'O' GROUP BY d)) AS avg_daily_open
+  FROM lineitem)
+SELECT u.asset_uri, m.* FROM (VALUES {uris_values}) u(asset_uri) CROSS JOIN m
 """
 
     import_expected = [

@@ -146,11 +146,14 @@ class TagEngine:
             "DYNAMIC_TAG_COLUMN": self._run_dynamic_column,
             "STATIC_TAG_ASSET": self._run_static,
             "GLOSSARY_TAG_ASSET": self._run_glossary,
+            "SENSITIVE_TAG_COLUMN": self._run_sensitive,
             "TAG_IMPORT": self._run_import,
             "TAG_RESTORE": self._run_restore,
         }
         if cfg["config_type"] not in dispatch:
             raise ValueError(f"unsupported config_type {cfg['config_type']!r}")
+        errors: list[tuple[str, str]] = []
+        kw["_errors"] = errors
         try:
             raw = dispatch[cfg["config_type"]](cfg, assets, **kw)
             tags = DYN.coerce_long_rows(
@@ -159,7 +162,11 @@ class TagEngine:
             ).withColumn("job_uuid", F.lit(job_uuid))
             history = self.store.merge(tags, overwrite=cfg.get("overwrite", True))
             n = self._append_history(history, job_uuid)
-            status, failed = "SUCCESS", 0
+            failed = len(errors)
+            status = "ERROR" if failed else "SUCCESS"
+            if errors:
+                self.job_errors = getattr(self, "job_errors", {})
+                self.job_errors[job_uuid] = errors
         except Exception:
             self.jobs.append(
                 {"job_uuid": job_uuid, "config_uuid": config_uuid,
@@ -175,9 +182,9 @@ class TagEngine:
                 "config_uuid": config_uuid,
                 "config_type": cfg["config_type"],
                 "job_status": status,
-                "task_count": n,
-                "tasks_ran": n,
-                "tasks_success": n - failed,
+                "task_count": n + failed,
+                "tasks_ran": n + failed,
+                "tasks_success": n,
                 "tasks_failed": failed,
                 "creation_time": started,
                 "completion_time": datetime.datetime.now(datetime.timezone.utc),
@@ -194,14 +201,23 @@ class TagEngine:
 
     def _run_dynamic_table(self, cfg, assets, **kw):
         uris = self._matched_uris(cfg, assets)
+        errors = kw.get("_errors")
         if DYN.fusable(cfg["fields"]) and len(uris) > 1:
             pairs = []
             for uri in uris:
                 p, d, t = split_resource_uri(uri)
-                pairs.append((uri, self.spark.table(self.qualify(p, d or "", t or ""))))
-            return DYN.run_config_fused(self.spark, cfg["fields"], pairs, cfg["template_id"])
+                try:
+                    pairs.append((uri, self.spark.table(self.qualify(p, d or "", t or ""))))
+                except Exception as ex:
+                    if errors is None:
+                        raise
+                    errors.append((uri, f"{type(ex).__name__}: {ex}"))
+            if len(pairs) > 1:
+                return DYN.run_config_fused(self.spark, cfg["fields"], pairs, cfg["template_id"])
+            uris = [uri for uri, _ in pairs]
         rows = DYN.run_config_per_asset(
-            self.spark, cfg["fields"], uris, cfg["template_id"], self.qualify
+            self.spark, cfg["fields"], uris, cfg["template_id"], self.qualify,
+            errors=errors,
         )
         return DYN.raw_rows_to_df(self.spark, rows)
 
@@ -240,6 +256,63 @@ class TagEngine:
             assets, cfg["included_uris"], cfg.get("excluded_uris")
         )
         return glossary_tag_rows(matched, kw["mapping"], cfg["template_id"])
+
+    def _run_sensitive(self, cfg, assets, **kw):
+        """Sensitive-column classification over ALL matched assets in one
+        pass (reference runs three generated statements per asset,
+        DataCatalogController.py:873-984). Emits per-column tags:
+        sensitive_field bool + sensitive_type string with the notable
+        infotype. Assets classified Public_Information are skipped
+        (reference :998)."""
+        from .operators import sensitive as SEN
+
+        findings = kw["findings"]  # (asset_uri, field, infotype)
+        selection = kw["selection"]
+        classification = kw["classification"]
+
+        matched = URI.expand_included_excluded(
+            assets, cfg["included_uris"], cfg.get("excluded_uris")
+        ).select("asset_uri")
+        findings = findings.join(F.broadcast(matched), "asset_uri", "left_semi")
+
+        per_field = SEN.field_infotypes(findings, keys=["asset_uri", "field"])
+        notables = SEN.select_notable_infotype(per_field, selection, keys=["asset_uri", "field"])
+
+        # per-asset classification: smallest superset over the asset's
+        # distinct notable infotypes; Public_Information assets drop
+        table_sets = notables.groupBy("asset_uri").agg(
+            F.array_sort(F.collect_set("notable_infotype")).alias("have")
+        )
+        classed = table_sets.join(
+            F.broadcast(classification),
+            F.size(F.array_except(F.col("have"), F.col("notable_infotypes"))) == 0,
+            "inner",
+        ).groupBy("asset_uri").agg(
+            F.min_by(
+                F.col("classification_result"),
+                F.struct(F.size("notable_infotypes"), F.col("classification_result")),
+            ).alias("classification_result")
+        )
+        keep = classed.filter(F.col("classification_result") != "Public_Information")
+        notables = notables.join(F.broadcast(keep.select("asset_uri")), "asset_uri", "left_semi")
+
+        flag_rows = notables.select(
+            "asset_uri",
+            F.col("field").alias("column"),
+            F.lit(cfg["template_id"]).alias("template_id"),
+            F.lit("sensitive_field").alias("field_id"),
+            F.lit("bool").alias("field_type"),
+            F.lit("TRUE").alias("raw_value"),
+        )
+        type_rows = notables.select(
+            "asset_uri",
+            F.col("field").alias("column"),
+            F.lit(cfg["template_id"]).alias("template_id"),
+            F.lit("sensitive_type").alias("field_id"),
+            F.lit("string").alias("field_type"),
+            F.col("notable_infotype").alias("raw_value"),
+        )
+        return flag_rows.unionByName(type_rows)
 
     def _run_import(self, cfg, assets, **kw):
         csv_df = kw.get("csv_df")
@@ -286,6 +359,23 @@ class TagEngine:
         job_uuid = self._uuid("upd")
         events = self.store.merge(tags)
         return self._append_history(events, job_uuid)
+
+    def export_reports(self, base_path: str, truncate: bool = False) -> dict[str, int]:
+        """TAG_EXPORT (reference export path, BigQueryUtils.py:234-313):
+        write the three report grains under base_path; returns row
+        counts."""
+        from .operators import export as EXP
+
+        out = {}
+        for name, df in [
+            ("catalog_report_dataset_tags", EXP.export_dataset_tags(self.store.all())),
+            ("catalog_report_table_tags", EXP.export_table_tags(self.store.all())),
+            ("catalog_report_column_tags", EXP.export_column_tags(self.store.all())),
+        ]:
+            out[name] = df.count()
+            if out[name]:
+                EXP.write_report(df, f"{base_path}/{name}", truncate=truncate)
+        return out
 
     # -- history / scheduling ----------------------------------------------
 

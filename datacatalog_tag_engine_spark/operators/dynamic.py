@@ -107,11 +107,18 @@ def run_config_per_asset(
     qualify: Callable[[str, str, str], str],
     column: str | None = None,
     max_workers: int = 8,
+    errors: list | None = None,
 ) -> list[dict]:
     """Evaluate config fields per asset; returns raw long rows as dicts
     (feed through ``coerce_long_rows``). Assets run as concurrent Spark
     jobs (the driver-side analogue of the reference's task fan-out,
-    TaskManager.py:234-268, minus the HTTP hop)."""
+    TaskManager.py:234-268, minus the HTTP hop).
+
+    A failing asset does not abort the run: its error is appended to
+    ``errors`` as (asset_uri, message) and the other assets proceed —
+    the reference's per-task error semantics (run_query catches and
+    logs, DataCatalogController.py:1813-1816; task status ERROR,
+    TaskManager.py:143-155)."""
 
     scalar_fields = [f for f in fields if f["field_type"] != "richtext"]
     richtext_fields = [f for f in fields if f["field_type"] == "richtext"]
@@ -151,12 +158,21 @@ def run_config_per_asset(
             )
         return rows
 
+    def guarded(uri: str) -> list[dict]:
+        try:
+            return one_asset(uri)
+        except Exception as ex:
+            if errors is None:
+                raise
+            errors.append((uri, f"{type(ex).__name__}: {ex}"))
+            return []
+
     out: list[dict] = []
     if len(asset_uris) == 1:
-        out.extend(one_asset(asset_uris[0]))
+        out.extend(guarded(asset_uris[0]))
     else:
         with ThreadPoolExecutor(max_workers=max_workers) as pool:
-            for rows in pool.map(one_asset, asset_uris):
+            for rows in pool.map(guarded, asset_uris):
                 out.extend(rows)
     return out
 
@@ -204,23 +220,24 @@ def fusable(fields: list[dict]) -> bool:
     )
 
 
-def run_config_fused(
+def run_config_fused_wide(
     spark: SparkSession,
     fields: list[dict],
     assets: list[tuple[str, DataFrame]],
-    template_id: str,
 ) -> DataFrame:
-    """One groupBy(asset) pass over the union of asset scans.
+    """The R9 plan, wide shape: one groupBy(asset) pass over the union
+    of asset scans, one naturally-typed column per field.
 
     ``assets`` is [(asset_uri, scan DataFrame)]; scans must be
     union-compatible on the columns the expressions reference (the
-    reference's load-test corpus profiles schema-identical clones).
-    Returns raw long rows (asset_uri, column, template_id, field_id,
-    field_type, raw_value).
+    reference's load-test corpus profiles schema-identical clones,
+    examples/load/configs/). Simple aggregates compile to FILTER-clause
+    aggregate columns; nested avg-of-daily forms run as a two-level
+    groupBy joined back on the asset key; constants evaluate once and
+    broadcast as literals.
     """
     classified = [(f, *classify_expression(f["query_expression"])) for f in fields]
 
-    # column-prune the union: keep only columns any expression references
     union = None
     for uri, df in assets:
         tagged = df.withColumn("_asset_uri", F.lit(uri))
@@ -232,7 +249,7 @@ def run_config_fused(
             agg_sql = info["agg"]
             if info["pred"]:
                 agg_sql = f"{agg_sql} FILTER (WHERE {info['pred']})"
-            simple_aggs.append(F.expr(agg_sql).cast("string").alias(f["field_id"]))
+            simple_aggs.append(F.expr(agg_sql).alias(f["field_id"]))
 
     parts: list[DataFrame] = []
     if simple_aggs:
@@ -246,7 +263,7 @@ def run_config_fused(
                 "_asset_uri", F.expr(info["day"]).alias(info["dayalias"])
             ).agg(F.count("*").alias(info["cntalias"]))
             outer = daily.groupBy("_asset_uri").agg(
-                F.expr(info["outer"]).cast("string").alias(f["field_id"])
+                F.expr(info["outer"]).alias(f["field_id"])
             )
             parts.append(outer)
         elif kind == "constant":
@@ -254,12 +271,25 @@ def run_config_fused(
             parts.append(
                 union.select("_asset_uri")
                 .distinct()
-                .withColumn(f["field_id"], F.lit(_stringify(const)))
+                .withColumn(f["field_id"], F.lit(const))
             )
 
     result = parts[0]
     for p in parts[1:]:
         result = result.join(p, "_asset_uri", "full_outer")
+    return result
+
+
+def run_config_fused(
+    spark: SparkSession,
+    fields: list[dict],
+    assets: list[tuple[str, DataFrame]],
+    template_id: str,
+) -> DataFrame:
+    """R9 plan, long shape: the wide result stacked into raw long rows
+    (asset_uri, column, template_id, field_id, field_type, raw_value)
+    for the coercion/MERGE path."""
+    result = run_config_fused_wide(spark, fields, assets)
 
     field_meta = {f["field_id"]: f["field_type"] for f in fields}
     stack_cols = []

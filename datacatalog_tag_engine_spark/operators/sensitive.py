@@ -26,15 +26,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def field_infotypes(findings: DataFrame) -> DataFrame:
+def field_infotypes(findings: DataFrame, keys: list[str] | None = None) -> DataFrame:
     """J2: per-field distinct infotypes, sorted for determinism.
 
     findings: (field STRING, infotype STRING) — the already-unnested
     shape of the reference's dlp_sql output (the nested-record unnest
     itself is ``explode`` on the struct path when findings arrive raw).
-    Returns (field, infotypes ARRAY<STRING> sorted).
+    Returns (field, infotypes ARRAY<STRING> sorted). ``keys`` widens the
+    grain for multi-asset batches (e.g. ['asset_uri', 'field']) — the
+    engine's one-pass replacement for the reference's per-asset dlp_sql.
     """
-    return findings.groupBy("field").agg(
+    return findings.groupBy(*(keys or ["field"])).agg(
         F.array_sort(F.collect_set("infotype")).alias("infotypes")
     )
 
@@ -49,7 +51,9 @@ def unnest_raw_findings(raw: DataFrame) -> DataFrame:
     ).select(F.col("cl")["record_location"]["field_id"]["name"].alias("field"), "infotype")
 
 
-def select_notable_infotype(per_field: DataFrame, selection: DataFrame) -> DataFrame:
+def select_notable_infotype(
+    per_field: DataFrame, selection: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
     """J3: for each field, the notable_infotype of the smallest selection
     row whose field_infotypes superset-contains the field's infotypes.
 
@@ -62,7 +66,7 @@ def select_notable_infotype(per_field: DataFrame, selection: DataFrame) -> DataF
         F.size(F.array_except(per_field["infotypes"], selection["field_infotypes"])) == 0,
         "inner",
     )
-    return joined.groupBy("field").agg(
+    return joined.groupBy(*(keys or ["field"])).agg(
         F.min_by(
             F.col("notable_infotype"),
             F.struct(F.size("field_infotypes"), F.col("notable_infotype")),
