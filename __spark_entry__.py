@@ -589,6 +589,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["s01_ann_topk"] = s01
     q["s02_ann_lsh"] = s02  # rows-only check (LSH planes not SQL-expressible)
 
+    def s03(spark, sf):
+        emb = _emb(spark, sf)
+        return SIM.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, num_cells=8)
+
+    q["s03_ann_ivf"] = s03
+
+    def m01(spark, sf):
+        from datacatalog_tag_engine_spark.pipeline import multimodal as MM
+
+        feats = MM.extract_features(MM.make_fake_media(spark, n=16), sample_frames=4)
+        return feats.select(
+            "media_id", "kind", "payload_bytes", "width", "height",
+            "duration_ms", "n_frames",
+            F.concat_ws(",", F.col("frame_sample_ms")).alias("frame_samples"),
+        )
+
+    q["m01_multimodal_features"] = m01
+
     # --- text analysis ---
     q["t01_token_counts"] = lambda spark, sf: TXT.token_counts(_docs(spark, sf))
     q["t02_quality"] = lambda spark, sf: TXT.quality_scores(_docs(spark, sf))
@@ -891,6 +909,37 @@ FROM scored
 QUALIFY rank <= 5
 """
     # s02_ann_lsh omitted: hyperplane constants not SQL-expressible -> rows-only
+
+    o["s03_ann_ivf"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cent_v FROM e ORDER BY vec_id LIMIT 8),
+assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round(list_cosine_similarity(e.v, c.cent_v), 6) DESC, c.cell) AS rn
+    FROM e CROSS JOIN cents c) WHERE rn = 1),
+q AS (SELECT * FROM assign WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.v, a.v), 4) AS cosine
+  FROM q JOIN assign a ON q.cell = a.cell AND q.vec_id <> a.vec_id)
+SELECT query_id, neighbor_id, cosine,
+       cast(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+FROM scored QUALIFY rank <= 5
+"""
+
+    o["m01_multimodal_features"] = """
+SELECT i AS media_id,
+       CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       cast(25 AS INT) AS payload_bytes,
+       cast(16 + i AS INT) AS width,
+       cast(9 + i AS INT) AS height,
+       cast(1000 + 10 * i AS INT) AS duration_ms,
+       cast(24 + i AS INT) AS n_frames,
+       array_to_string(list_transform(range(4), j -> ((1000 + 10 * i) * j) // 4), ',') AS frame_samples
+FROM range(16) t(i)
+"""
 
     o["t01_token_counts"] = r"""
 SELECT doc_id, length(text) AS n_chars,

@@ -419,6 +419,54 @@ class TagEngine:
     def history(self) -> DataFrame:
         return self._history
 
+    # -- persistence --------------------------------------------------------
+
+    def save_state(self, base_path: str) -> None:
+        """Persist the engine's full state: configs/templates/jobs as
+        JSON (they are Firestore-document sized in the reference —
+        TagEngineStoreHandler.py:366-1131), tags and history as parquet."""
+        import json
+        import os
+
+        os.makedirs(base_path, exist_ok=True)
+
+        def default(o):
+            if isinstance(o, datetime.datetime):
+                return {"__dt__": o.isoformat()}
+            raise TypeError(type(o))
+
+        meta = {
+            "templates": self.templates,
+            "configs": self.configs,
+            "jobs": self.jobs,
+            "seq": self._seq,
+        }
+        with open(os.path.join(base_path, "meta.json"), "w") as f:
+            json.dump(meta, f, default=default)
+        self.store._df.write.mode("overwrite").parquet(os.path.join(base_path, "tags"))
+        self._history.write.mode("overwrite").parquet(os.path.join(base_path, "history"))
+
+    @classmethod
+    def load_state(cls, spark: SparkSession, base_path: str, qualify=None) -> "TagEngine":
+        import json
+        import os
+
+        def hook(d):
+            if "__dt__" in d:
+                return datetime.datetime.fromisoformat(d["__dt__"])
+            return d
+
+        eng = cls(spark, qualify=qualify)
+        with open(os.path.join(base_path, "meta.json")) as f:
+            meta = json.load(f, object_hook=hook)
+        eng.templates = meta["templates"]
+        eng.configs = meta["configs"]
+        eng.jobs = meta["jobs"]
+        eng._seq = meta["seq"]
+        eng.store._df = spark.read.parquet(os.path.join(base_path, "tags"))
+        eng._history = spark.read.parquet(os.path.join(base_path, "history"))
+        return eng
+
     def jobs_df(self) -> DataFrame:
         from .model.schemas import JOBS_SCHEMA
 

@@ -93,6 +93,78 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def ivf_assign_cells(
+    corpus: DataFrame,
+    num_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer with deterministic centroids: the first
+    ``num_cells`` corpus vectors (by id) act as cell centroids; every
+    vector joins the centroid with the highest cosine (ties -> lowest
+    centroid id). Returns corpus columns + ``cell``.
+
+    Real IVF trains centroids with k-means; seeding them from fixed
+    corpus rows keeps the structure (and the partition-pruning win)
+    while staying reproducible in any engine — the SQL oracle replays
+    the exact assignment.
+    """
+    cents = corpus.orderBy(id_col).limit(num_cells).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).cast("array<double>").alias("cent_v")
+    )
+    v = corpus.select(F.col(id_col), F.col(vec_col), F.col(vec_col).cast("array<double>").alias("v"))
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        vec_col,
+        "cell",
+        F.round(cosine_expr(F.col("v"), F.col("cent_v")), 6).alias("_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cell"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_sim")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: queries only score vectors in their own cell
+    (nprobe=1). At 100 TB the corpus is partitioned by cell, so each
+    query reads one partition instead of the full corpus; recall is
+    traded via num_cells/nprobe. Same output shape as brute_force_topk.
+    """
+    assigned = ivf_assign_cells(corpus, num_cells, id_col, vec_col)
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        "cell",
+    )
+    q = assigned.join(queries.select(id_col), id_col, "left_semi").select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        "cell",
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("qv"), F.col("cv")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

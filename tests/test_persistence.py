@@ -1,0 +1,38 @@
+"""Engine state persistence round-trip."""
+
+import datetime
+
+from datacatalog_tag_engine_spark.engine import TagEngine
+from datacatalog_tag_engine_spark.model.schemas import ASSETS_SCHEMA
+
+
+def test_save_load_roundtrip(spark, tmp_path):
+    eng = TagEngine(spark)
+    eng.create_template("t", [{"field_id": "owner", "field_type": "string"}])
+    assets = spark.createDataFrame(
+        [{"asset_uri": "p/datasets/d/tables/lineitem", "asset_type": "bigquery",
+          "project": "p", "dataset": "d", "table": "lineitem"}],
+        ASSETS_SCHEMA,
+    )
+    cfg = eng.create_config(
+        "STATIC_TAG_ASSET", "t",
+        included_uris="bigquery/project/p/dataset/d/lineitem",
+        fields=[{"field_id": "owner", "field_value": "alice"}],
+        refresh_mode="AUTO", refresh_frequency=1, refresh_unit="hours",
+        next_run=datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc),
+    )
+    eng.trigger_job(cfg, assets)
+    eng.save_state(str(tmp_path / "state"))
+
+    loaded = TagEngine.load_state(spark, str(tmp_path / "state"))
+    assert loaded.templates == eng.templates
+    assert loaded.configs[cfg]["next_run"] == eng.configs[cfg]["next_run"]
+    assert loaded.store.all().count() == 1
+    assert loaded.history().count() == 1
+    assert loaded.jobs[0]["job_status"] == "SUCCESS"
+
+    # the loaded engine keeps working: new config ids don't collide and
+    # scheduling state carried over
+    jobs = loaded.run_ready_configs(assets, now=datetime.datetime(2026, 1, 2, tzinfo=datetime.timezone.utc))
+    assert len(jobs) == 1
+    assert jobs[0] not in {j["job_uuid"] for j in eng.jobs}

@@ -97,3 +97,34 @@ def test_wildcard_matches_reference_model(spark, table, pattern):
     )
     got = U.expand_uris(assets, f"bigquery/project/p/dataset/d/{pattern}").count() == 1
     assert got == wildcard_model(pattern, "p", "d", table)
+
+
+@given(
+    ts=st.datetimes(
+        min_value=__import__("datetime").datetime(1971, 1, 1),
+        max_value=__import__("datetime").datetime(2100, 1, 1),
+    ),
+    form=st.sampled_from(["date10", "dt19", "iso"]),
+)
+@settings(max_examples=40, deadline=None)
+def test_timestamp_matrix_matches_reference_model(spark, ts, form):
+    """Length-sniffed timestamp parsing (reference
+    DataCatalogController.py:1893-1936): 10-char -> midnight UTC,
+    19-char -> second precision, otherwise ISO."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from datacatalog_tag_engine_spark.model.coercion import coerce_timestamp
+
+    if form == "date10":
+        s = ts.strftime("%Y-%m-%d")
+        expected = dt.datetime.combine(ts.date(), dt.time())
+    elif form == "dt19":
+        s = ts.strftime("%Y-%m-%d %H:%M:%S")
+        expected = ts.replace(microsecond=0)
+    else:
+        s = ts.isoformat()
+        expected = ts
+    got = spark.range(1).select(coerce_timestamp(F.lit(s)).alias("v")).first()["v"]
+    assert got == expected
