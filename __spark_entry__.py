@@ -488,14 +488,15 @@ def _emb(spark, sf_dir):
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: the R9 fused profiling pass — every field of a
-    dynamic-table config for every matched asset in ONE groupBy job —
-    over sf0.001, returning typed tag rows."""
+    """Flagship: the R9 fused profiling pass — the reference's
+    dynamic_table load-test shape (11 expressions incl. nested daily
+    averages, N assets) computed in ONE groupBy job over sf0.001,
+    coerced into typed tag rows."""
     register_testdata(spark, "/root/testdata/sf0.001")
-    assets = [
-        (LINEITEM_URI, spark.table("lineitem")),
-    ]
-    raw = DYN.run_config_fused(spark, PROFILE_FIELDS, assets, "data_governance")
+    li = spark.table("lineitem")
+    raw = DYN.run_config_fused(
+        spark, FUSED_FIELDS, [(u, li) for u in CLONE_URIS[:4]], "data_governance"
+    )
     return DYN.coerce_long_rows(raw).drop("updated_ts")
 
 

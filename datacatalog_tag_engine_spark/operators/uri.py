@@ -82,15 +82,21 @@ def _table_predicate(table: str) -> Column:
 
 
 def uri_predicate(uri: str) -> Column:
-    """Column predicate matching one parsed uri against the assets table."""
+    """Column predicate matching one parsed uri against the assets table.
+
+    A dataset-level uri (no table component) tags the DATASET asset
+    itself — the inventory row with table null (reference
+    Resources.py:215-219 adds the dataset resource, not its tables) —
+    never the tables inside it.
+    """
     p = parse_uri(uri)
     pred = F.col("project") == p["project"]
     if p["dataset"] is None:
         return pred & F.col("table").isNotNull()
     pred = pred & _dataset_predicate(p["dataset"])
     if p["level"] == DATASET_TAG:
-        return pred
-    return pred & _table_predicate(p["table"])
+        return pred & F.col("table").isNull()
+    return pred & _table_predicate(p["table"]) & F.col("table").isNotNull()
 
 
 def expand_uris(assets: DataFrame, uris: str) -> DataFrame:
@@ -123,6 +129,13 @@ def expand_included_excluded(assets: DataFrame, included_uris: str, excluded_uri
     for p in ex_preds[1:]:
         combined = combined | p
     return included.filter(~combined)
+
+
+def expand_folder(assets: DataFrame, projects: list[str]) -> DataFrame:
+    """S2 (reference Resources.py:104-128): folder-scoped discovery —
+    the folder resolves to a project list, then every table asset in
+    those projects. One isin filter over the inventory."""
+    return assets.filter(F.col("project").isin(projects) & F.col("table").isNotNull())
 
 
 def glob_to_regex(pattern: str) -> str:

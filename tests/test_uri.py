@@ -91,6 +91,23 @@ def test_dataset_level_uri(assets):
     assert p["level"] == U.DATASET_TAG
 
 
+def test_dataset_level_matches_dataset_asset_not_tables(spark, assets):
+    # inventory with a dataset-grain row (table null) alongside tables
+    ds_row = spark.createDataFrame(
+        [{"asset_uri": "p/datasets/d", "asset_type": "bigquery",
+          "project": "p", "dataset": "d", "table": None}],
+        assets.schema,
+    )
+    inventory = assets.unionByName(ds_row)
+    # dataset-level uri -> ONLY the dataset asset (reference tags the
+    # dataset, not each table in it)
+    got = tables(U.expand_uris(inventory, "bigquery/project/p/dataset/d"))
+    assert got == ["p/datasets/d"]
+    # table wildcard never matches the dataset-grain row
+    got2 = tables(U.expand_uris(inventory, "bigquery/project/p/dataset/d/*"))
+    assert "p/datasets/d" not in got2
+
+
 def test_invalid_uri_raises():
     with pytest.raises(ValueError):
         U.parse_uri("spanner/thing")
