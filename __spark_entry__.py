@@ -608,6 +608,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["m01_multimodal_features"] = m01
 
+    # --- profiling / sessionization ---
+    def q30(spark, sf):
+        from datacatalog_tag_engine_spark.pipeline.profiling import profile_numeric_columns
+
+        register_testdata(spark, sf)
+        return profile_numeric_columns(
+            spark.table("lineitem"), ["l_quantity", "l_extendedprice", "l_discount"]
+        )
+
+    def q31(spark, sf):
+        from datacatalog_tag_engine_spark.pipeline.profiling import corpus_stats
+
+        return corpus_stats(_docs(spark, sf))
+
+    def q32(spark, sf):
+        from datacatalog_tag_engine_spark.pipeline.profiling import sessionize
+
+        register_testdata(spark, sf)
+        return sessionize(spark.table("events"), gap_minutes=30)
+
+    q["q30_numeric_profile"] = q30
+    q["q31_corpus_stats"] = q31
+    q["q32_sessionize"] = q32
+
     # --- text analysis ---
     q["t01_token_counts"] = lambda spark, sf: TXT.token_counts(_docs(spark, sf))
     q["t02_quality"] = lambda spark, sf: TXT.quality_scores(_docs(spark, sf))
@@ -940,6 +964,48 @@ SELECT i AS media_id,
        cast(24 + i AS INT) AS n_frames,
        array_to_string(list_transform(range(4), j -> ((1000 + 10 * i) * j) // 4), ',') AS frame_samples
 FROM range(16) t(i)
+"""
+
+    profile_parts = []
+    for c in ["l_quantity", "l_extendedprice", "l_discount"]:
+        profile_parts.append(f"""
+SELECT '{c}' AS "column",
+       cast(count({c}) AS DOUBLE) AS n,
+       cast(count(*) FILTER (WHERE {c} IS NULL) AS DOUBLE) AS n_null,
+       cast(count(DISTINCT {c}) AS DOUBLE) AS n_distinct,
+       cast(min({c}) AS DOUBLE) AS min_value,
+       cast(max({c}) AS DOUBLE) AS max_value,
+       round(avg({c}), 2) AS mean_value,
+       round(stddev_samp({c}), 2) AS stddev_value
+FROM lineitem""")
+    o["q30_numeric_profile"] = " UNION ALL ".join(profile_parts)
+
+    o["q31_corpus_stats"] = r"""
+SELECT source,
+       count(*) AS n_docs,
+       sum(len(regexp_split_to_array(text, '\s+'))) AS total_words,
+       round(avg(len(regexp_split_to_array(text, '\s+'))), 2) AS mean_words,
+       sum(length(text)) AS total_chars,
+       min(length(text)) AS min_chars,
+       max(length(text)) AS max_chars
+FROM documents GROUP BY source
+"""
+
+    o["q32_sessionize"] = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+              THEN 1 ELSE 0 END AS ns
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, ts,
+         cast(sum(ns) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_index
+  FROM flagged)
+SELECT user_id, session_index, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT AS duration_sec
+FROM s GROUP BY user_id, session_index
 """
 
     o["t01_token_counts"] = r"""

@@ -122,15 +122,34 @@ def jaccard_pairs(
     candidates: DataFrame | None = None,
     threshold: float = 0.5,
     id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (or for every pair
     sharing at least one shingle when candidates is None — the
     inverted-index join). Returns (doc_a, doc_b, jaccard) rounded to 4.
+
+    ``max_df`` is the skew lever: shingles appearing in more than
+    max_df documents are dropped from the JOIN side only (a shingle in
+    f docs contributes f^2 join rows — stop-shingles dominate the
+    shuffle at corpus scale). Sizes still count every shingle, so
+    scores only shift for pairs whose sole overlap was stop-shingles —
+    exactly the pairs a near-dup detector doesn't want anyway. Leave
+    None for exact semantics (the oracle-checked default).
     """
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
 
-    a = shingles.alias("a")
-    b = shingles.alias("b")
+    join_side = shingles
+    if max_df is not None:
+        rare = (
+            shingles.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        join_side = shingles.join(F.broadcast(rare), "shingle", "left_semi")
+
+    a = join_side.alias("a")
+    b = join_side.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))

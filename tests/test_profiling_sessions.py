@@ -1,0 +1,90 @@
+"""Numeric profiling, corpus stats, and sessionization (batch + the
+applyInPandasWithState streaming form)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from datacatalog_tag_engine_spark.pipeline import profiling as P
+
+
+def test_profile_numeric_columns(spark):
+    df = spark.table("lineitem")
+    prof = {r["column"]: r for r in P.profile_numeric_columns(df, ["l_quantity", "l_discount"]).collect()}
+    assert prof["l_quantity"]["n"] == 6000.0
+    assert prof["l_quantity"]["n_null"] == 0.0
+    assert prof["l_quantity"]["min_value"] >= 1.0
+    assert prof["l_quantity"]["max_value"] <= 50.0
+    assert 0 < prof["l_discount"]["mean_value"] < 1
+
+
+def test_profile_defaults_to_numeric_schema(spark):
+    prof = P.profile_numeric_columns(spark.table("orders"))
+    cols = {r["column"] for r in prof.collect()}
+    assert cols == {"o_orderkey", "o_custkey", "o_totalprice"}
+
+
+def test_corpus_stats(spark):
+    stats = P.corpus_stats(spark.table("documents"))
+    rows = stats.collect()
+    assert sum(r["n_docs"] for r in rows) == spark.table("documents").count()
+    assert all(r["min_chars"] <= r["max_chars"] for r in rows)
+
+
+SESS_EVENTS = [
+    # user 1: two sessions (gap > 30 min between 10:20 and 11:30)
+    (1, "2026-01-01 10:00:00"), (1, "2026-01-01 10:10:00"), (1, "2026-01-01 10:20:00"),
+    (1, "2026-01-01 11:30:00"), (1, "2026-01-01 11:40:00"),
+    # user 2: one session
+    (2, "2026-01-01 09:00:00"), (2, "2026-01-01 09:29:00"),
+]
+
+
+def _events_df(spark):
+    return spark.createDataFrame(SESS_EVENTS, "user_id long, ts_s string").select(
+        "user_id", F.to_timestamp("ts_s").alias("ts")
+    )
+
+
+def test_batch_sessionize(spark):
+    out = {
+        (r["user_id"], r["session_index"]): (r["n_events"], r["duration_sec"])
+        for r in P.sessionize(_events_df(spark), gap_minutes=30).collect()
+    }
+    assert out == {
+        (1, 1): (3, 1200),
+        (1, 2): (2, 600),
+        (2, 1): (2, 1740),
+    }
+
+
+def test_streaming_sessionize_closed_sessions_match_batch(spark, tmp_path):
+    from datacatalog_tag_engine_spark.streaming.sessions import sessionize_stream
+
+    src = str(tmp_path / "events")
+    _events_df(spark).write.parquet(src)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    q = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sessions_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["n_events"], r["duration_sec"])
+        for r in spark.table("sessions_sink").collect()
+    }
+    # within one batch, user 1's first session closes (a later event
+    # arrived past the gap); each user's final session stays open in
+    # state awaiting the event-time timeout
+    assert (1, 3, 1200) in got
+    assert (1, 2, 600) not in got
+    batch = {
+        (r["user_id"], r["n_events"], r["duration_sec"])
+        for r in P.sessionize(_events_df(spark), gap_minutes=30).collect()
+    }
+    assert got <= batch
