@@ -57,7 +57,9 @@ def make_fake_media(spark, n: int = 16) -> DataFrame:
                 "meta_duration_ms": dur,
             }
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # tiny fixture: keep partitions ~= rows/8 so the Pandas-UDF stage
+    # doesn't spawn one Python worker per near-empty partition
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(max(1, n // 8))
 
 
 def decode_payload(payload: bytes, fake: bool = True) -> dict:
