@@ -628,6 +628,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         register_testdata(spark, sf)
         return sessionize(spark.table("events"), gap_minutes=30)
 
+    def q33(spark, sf):
+        # dataset-level tagging: a dataset uri tags the dataset asset
+        # itself, never the tables inside it (reference
+        # Resources.py:215-219)
+        from datacatalog_tag_engine_spark.engine import TagEngine
+
+        eng = TagEngine(spark)
+        eng.create_template("t", [{"field_id": "data_owner", "field_type": "string"}])
+        inventory = _uri_assets_df(spark).unionByName(
+            spark.createDataFrame(
+                [{"asset_uri": "p/datasets/d", "asset_type": "bigquery",
+                  "project": "p", "dataset": "d", "table": None}],
+                ASSETS_SCHEMA,
+            )
+        )
+        cfg = eng.create_config(
+            "STATIC_TAG_ASSET", "t",
+            included_uris="bigquery/project/p/dataset/d",
+            fields=[{"field_id": "data_owner", "field_value": "governance-team"}],
+        )
+        eng.trigger_job(cfg, inventory)
+        return eng.store.all().select("asset_uri", "field_id", "field_value_string")
+
+    q["q33_dataset_tag"] = q33
     q["q30_numeric_profile"] = q30
     q["q31_corpus_stats"] = q31
     q["q32_sessionize"] = q32
@@ -965,6 +989,11 @@ SELECT i AS media_id,
        array_to_string(list_transform(range(4), j -> ((1000 + 10 * i) * j) // 4), ',') AS frame_samples
 FROM range(16) t(i)
 """
+
+    o["q33_dataset_tag"] = (
+        "SELECT 'p/datasets/d' AS asset_uri, 'data_owner' AS field_id, "
+        "'governance-team' AS field_value_string"
+    )
 
     profile_parts = []
     for c in ["l_quantity", "l_extendedprice", "l_discount"]:

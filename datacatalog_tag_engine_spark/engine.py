@@ -360,6 +360,23 @@ class TagEngine:
         events = self.store.merge(tags)
         return self._append_history(events, job_uuid)
 
+    def create_entries(self, directory: str, project: str = "local", dataset: str | None = None) -> DataFrame:
+        """S15 (reference apply_entry_config,
+        DataCatalogController.py:498-674): discover files as catalog
+        entries — one inventory row per file with footer schema — and
+        keep them on the engine for subsequent config runs. Re-running
+        replaces rows for the same asset_uri (idempotent)."""
+        from .operators.discovery import discover_parquet_assets
+
+        found = discover_parquet_assets(self.spark, directory, project, dataset)
+        if not hasattr(self, "assets") or self.assets is None:
+            self.assets = found
+        else:
+            keys = found.select("asset_uri")
+            survivors = self.assets.join(keys, "asset_uri", "left_anti")
+            self.assets = survivors.unionByName(found)
+        return self.assets
+
     def export_reports(self, base_path: str, truncate: bool = False) -> dict[str, int]:
         """TAG_EXPORT (reference export path, BigQueryUtils.py:234-313):
         write the three report grains under base_path; returns row

@@ -131,6 +131,23 @@ def expand_included_excluded(assets: DataFrame, included_uris: str, excluded_uri
     return included.filter(~combined)
 
 
+def parse_spanner_fqn(fqn: str) -> dict:
+    """Spanner FQN form ``spanner:project.regional-<region>.<instance>.
+    <database>.<table>`` (reference DataCatalogController.py:1288)."""
+    if not fqn.startswith("spanner:"):
+        raise ValueError(f"not a spanner fqn: {fqn!r}")
+    parts = fqn[len("spanner:") :].split(".")
+    if len(parts) != 5 or not parts[1].startswith("regional-"):
+        raise ValueError(f"malformed spanner fqn: {fqn!r}")
+    return {
+        "project": parts[0],
+        "region": parts[1][len("regional-") :],
+        "instance": parts[2],
+        "database": parts[3],
+        "table": parts[4],
+    }
+
+
 def expand_folder(assets: DataFrame, projects: list[str]) -> DataFrame:
     """S2 (reference Resources.py:104-128): folder-scoped discovery —
     the folder resolves to a project list, then every table asset in
