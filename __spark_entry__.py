@@ -578,6 +578,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(spark, sf), threshold=0.5
     )
 
+    def q34(spark, sf):
+        docs = _docs(spark, sf)
+        pairs = DD.minhash_dedup(docs)
+        return DD.neardup_clusters(docs, pairs)
+
+    q["q34_dedup_clusters"] = q34
+
+    def q35(spark, sf):
+        from datacatalog_tag_engine_spark.pipeline.sampling import deterministic_sample
+
+        return deterministic_sample(_docs(spark, sf), "doc_id", 0.1).select("doc_id")
+
+    q["q35_deterministic_sample"] = q35
+
+    def q36(spark, sf):
+        from datacatalog_tag_engine_spark.pipeline.sampling import histogram
+
+        d = _docs(spark, sf)
+        return histogram(d, F.size(F.split(F.col("text"), r"\s+")), bucket_width=50, max_buckets=20)
+
+    q["q36_token_histogram"] = q36
+
     # --- similarity search ---
     def s01(spark, sf):
         emb = _emb(spark, sf)
@@ -935,6 +957,52 @@ sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
 SELECT doc_a, doc_b, round(i / (sa.n + sb.n - i), 4) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(i / (sa.n + sb.n - i), 4) >= 0.5
+"""
+
+    # clusters: transitive closure over the (oracle-replayed) minhash
+    # pairs; cluster_id = min reachable doc_id, singletons = self
+    o["q34_dedup_clusters"] = f"""
+WITH RECURSIVE {_shingle_cte()},
+sigs AS (
+  SELECT doc_id, {sig_exprs}
+  FROM sh GROUP BY doc_id),
+buckets AS (
+  SELECT doc_id, band, CASE band {band_cases} END AS bucket
+  FROM sigs, (SELECT unnest(range(4)) AS band)),
+cands AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT c.da, c.db
+  FROM cands c
+  JOIN inter ON inter.da = c.da AND inter.db = c.db
+  JOIN sizes sa ON sa.doc_id = c.da
+  JOIN sizes sb ON sb.doc_id = c.db
+  WHERE round(i / (sa.n + sb.n - i), 4) >= 0.5),
+edges AS (SELECT da AS src, db AS dst FROM pairs UNION SELECT db, da FROM pairs),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+"""
+
+    o["q35_deterministic_sample"] = """
+SELECT doc_id FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < 1000
+"""
+
+    o["q36_token_histogram"] = r"""
+WITH b AS (
+  SELECT least(floor(len(regexp_split_to_array(text, '\s+')) / 50), 19)::BIGINT AS bucket
+  FROM documents)
+SELECT bucket, cast(bucket * 50 AS DOUBLE) AS lo, count(*) AS n
+FROM b GROUP BY bucket
 """
 
     o["d05_embedding_neardup"] = """

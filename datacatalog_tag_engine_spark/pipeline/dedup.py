@@ -223,6 +223,56 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     return bit_sums.select(F.col(id_col), fingerprint.cast("long").alias("simhash"))
 
 
+def neardup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs: every document gets a
+    cluster_id = the smallest doc id reachable through the pair graph
+    (singletons cluster to themselves). The canonical keeper per cluster
+    is then ``doc_id == cluster_id``.
+
+    Iterative min-label propagation: each round joins current labels to
+    the edge list and takes the min over neighbors; converges in
+    O(component diameter) rounds — near-dup clusters are tiny cliques,
+    so 2-3 rounds in practice, with an eager checkpoint per round to
+    keep lineage flat. This is the standard DataFrame-only connected
+    components (no GraphX dependency, works on any cluster).
+    """
+    edges = (
+        pairs.selectExpr("doc_a as src", "doc_b as dst")
+        .unionByName(pairs.selectExpr("doc_b as src", "doc_a as dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = docs.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels[id_col])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels[id_col] == neighbor_min["src"], "left")
+            .select(
+                labels[id_col],
+                F.least(F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))).alias(
+                    "new_cluster_id"
+                ),
+                F.col("cluster_id"),
+            )
+        )
+        changed = updated.filter(F.col("new_cluster_id") != F.col("cluster_id")).count()
+        labels = updated.select(
+            F.col(id_col), F.col("new_cluster_id").alias("cluster_id")
+        ).localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
