@@ -84,7 +84,12 @@ def register_testdata(spark: SparkSession, sf_dir: str) -> None:
     Parquet scans give Catalyst column pruning + predicate pushdown for
     free; at 100 TB these would be external tables with partition
     columns, and the same view names keep every query unchanged.
+
+    Pins the session timezone to UTC: date-casting queries must agree
+    with the (timezone-naive) DuckDB oracle even when the caller built
+    the SparkSession without our factory.
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     for name in TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
