@@ -199,10 +199,18 @@ class TagEngine:
         )
         return [r["asset_uri"] for r in matched.select("asset_uri").collect()]
 
+    # measured crossover (tools/scale_ladder.py): thread-pooled per-asset
+    # execution beats the fused union up to hundreds of assets on
+    # local[32]; fused wins when per-asset job scheduling dominates
+    # (thousands of assets / real-cluster job latency) or when assets
+    # share scans. Configs can override with fuse_threshold.
+    FUSE_THRESHOLD = 256
+
     def _run_dynamic_table(self, cfg, assets, **kw):
         uris = self._matched_uris(cfg, assets)
         errors = kw.get("_errors")
-        if DYN.fusable(cfg["fields"]) and len(uris) > 1:
+        threshold = cfg.get("fuse_threshold", self.FUSE_THRESHOLD)
+        if DYN.fusable(cfg["fields"]) and len(uris) >= threshold:
             pairs = []
             for uri in uris:
                 p, d, t = split_resource_uri(uri)

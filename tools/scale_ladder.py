@@ -1,0 +1,58 @@
+"""Asset-count scale ladder (SURVEY.md section 5.iv): the reference
+load-tests 500 -> 1M assets (examples/load/configs/); this replays the
+same shape locally — N schema-identical assets, the 11-expression
+profile — on both execution paths and prints seconds per rung.
+
+The point being demonstrated: per-asset cost grows with ASSET COUNT
+(one Spark job each — driver scheduling bound), fused cost grows with
+DATA SIZE only (one job regardless of N). The crossover arrives within
+two orders of magnitude, long before the reference's million-asset
+ladder.
+
+Usage: python tools/scale_ladder.py [N ...]   (default 10 50 200)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as E
+from datacatalog_tag_engine_spark.operators import dynamic as DYN
+from datacatalog_tag_engine_spark.session import get_spark, register_testdata
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def main() -> None:
+    rungs = [int(a) for a in sys.argv[1:]] or [10, 50, 200]
+    spark = get_spark("scale-ladder")
+    spark.sparkContext.setLogLevel("ERROR")
+    register_testdata(spark, SF_DIR)
+    li = spark.table("lineitem")
+    li.count()  # warm
+
+    print(f"{'assets':>8} {'fused(s)':>10} {'per-asset(s)':>14}")
+    for n in rungs:
+        uris = [f"p/datasets/d/tables/clone_{i:04d}" for i in range(n)]
+
+        t0 = time.time()
+        DYN.run_config_fused(
+            spark, E.FUSED_FIELDS, [(u, li) for u in uris], "t"
+        ).write.mode("overwrite").format("noop").save()
+        fused = time.time() - t0
+
+        t0 = time.time()
+        DYN.run_config_per_asset(
+            spark, E.FUSED_FIELDS, uris, "t", qualify=lambda p, d, t: "lineitem", max_workers=8
+        )
+        per_asset = time.time() - t0
+
+        print(f"{n:>8} {fused:>10.2f} {per_asset:>14.2f}")
+
+
+if __name__ == "__main__":
+    main()
