@@ -585,6 +585,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q34_dedup_clusters"] = q34
 
+    def q37(spark, sf):
+        from datacatalog_tag_engine_spark.pipeline.sketches import kmv_distinct_df
+
+        register_testdata(spark, sf)
+        return kmv_distinct_df(spark.table("lineitem"), "l_orderkey", k=256)
+
+    q["q37_kmv_sketch"] = q37
+
     def q35(spark, sf):
         from datacatalog_tag_engine_spark.pipeline.sampling import deterministic_sample
 
@@ -990,6 +998,15 @@ reach(src, dst) AS (
   UNION
   SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
 SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+"""
+
+    o["q37_kmv_sketch"] = """
+WITH u AS (
+  SELECT DISTINCT (('0x' || substr(md5(l_orderkey::VARCHAR), 1, 8))::BIGINT + 1.0) / 4294967296.0 AS u
+  FROM lineitem ORDER BY u LIMIT 256)
+SELECT count(*) AS k_used, max(u) AS u_k,
+       round(CASE WHEN count(*) < 256 THEN count(*)::DOUBLE ELSE 255 / max(u) END, 4) AS estimate
+FROM u
 """
 
     o["q35_deterministic_sample"] = """
