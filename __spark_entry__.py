@@ -859,7 +859,8 @@ SELECT u.asset_uri, m.* FROM (VALUES {uris_values}) u(asset_uri) CROSS JOIN m
         ("p/datasets/d/tables/tbl2", None, "t", "approved_by", "richtext", None),
     ]
     o["q24_import_melt"] = (
-        f"SELECT * FROM (VALUES {_sql_values(import_expected)}) "
+        f"SELECT asset_uri, CAST(\"column\" AS VARCHAR) AS \"column\", template_id, "
+        f"field_id, field_type, raw_value FROM (VALUES {_sql_values(import_expected)}) "
         "t(asset_uri, \"column\", template_id, field_id, field_type, raw_value)"
     )
 
