@@ -682,6 +682,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return eng.store.all().select("asset_uri", "field_id", "field_value_string")
 
     q["q33_dataset_tag"] = q33
+    # multi-way join + window profiling (decimal-exact money aggregation:
+    # float sums are shuffle-order-dependent, decimal sums are not)
+    q["q38_join_profile"] = _expr_query(
+        "select c.c_mktsegment, count(*) as n_lineitems, "
+        "cast(sum(l.l_quantity) as bigint) as total_qty, "
+        "sum(cast(l.l_extendedprice as decimal(18,2)) * cast(1 - l.l_discount as decimal(18,2))) as revenue "
+        "from lineitem l join orders o on l.l_orderkey = o.o_orderkey "
+        "join customer c on o.o_custkey = c.c_custkey "
+        "group by c.c_mktsegment"
+    )
+    q["q39_window_running"] = _expr_query(
+        "select o_custkey, o_orderkey, "
+        "cast(sum(cast(o_totalprice as decimal(18,2))) over "
+        "(partition by o_custkey order by o_orderdate, o_orderkey) as decimal(18,2)) as running_total "
+        "from orders where o_custkey < 100"
+    )
     q["q30_numeric_profile"] = q30
     q["q31_corpus_stats"] = q31
     q["q32_sessionize"] = q32
@@ -1000,6 +1016,21 @@ reach(src, dst) AS (
   SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
 SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
 """
+
+    o["q38_join_profile"] = (
+        "select c.c_mktsegment, count(*) as n_lineitems, "
+        "cast(sum(l.l_quantity) as bigint) as total_qty, "
+        "sum(cast(l.l_extendedprice as decimal(18,2)) * cast(1 - l.l_discount as decimal(18,2))) as revenue "
+        "from lineitem l join orders o on l.l_orderkey = o.o_orderkey "
+        "join customer c on o.o_custkey = c.c_custkey "
+        "group by c.c_mktsegment"
+    )
+    o["q39_window_running"] = (
+        "select o_custkey, o_orderkey, "
+        "cast(sum(cast(o_totalprice as decimal(18,2))) over "
+        "(partition by o_custkey order by o_orderdate, o_orderkey) as decimal(18,2)) as running_total "
+        "from orders where o_custkey < 100"
+    )
 
     o["q37_kmv_sketch"] = """
 WITH u AS (
