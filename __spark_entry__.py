@@ -698,6 +698,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "(partition by o_custkey order by o_orderdate, o_orderkey) as decimal(18,2)) as running_total "
         "from orders where o_custkey < 100"
     )
+    def q40(spark, sf):
+        from datacatalog_tag_engine_spark.operators.temporal import asof_join
+
+        register_testdata(spark, sf)
+        ev = spark.table("events")
+        clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+        purch = (
+            ev.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id", "ts")
+            .agg(F.max("event_id").alias("purchase_id"), F.max("value").alias("purchase_value"))
+        )
+        return asof_join(clicks, purch, on="user_id")
+
+    q["q40_asof_join"] = q40
+
+    def q41(spark, sf):
+        from datacatalog_tag_engine_spark.operators.temporal import range_join
+
+        register_testdata(spark, sf)
+        ev = spark.table("events")
+        errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+        purch = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+        return range_join(errors, purch, on="user_id", lower_sec=0, upper_sec=300).select(
+            "event_id", "user_id", "ts", "match_ts", "event_id_m"
+        )
+
+    q["q41_range_join"] = q41
+
     q["q30_numeric_profile"] = q30
     q["q31_corpus_stats"] = q31
     q["q32_sessionize"] = q32
@@ -1031,6 +1059,26 @@ SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
         "(partition by o_custkey order by o_orderdate, o_orderkey) as decimal(18,2)) as running_total "
         "from orders where o_custkey < 100"
     )
+
+    o["q40_asof_join"] = """
+WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+purch AS (
+  SELECT user_id, ts, max(event_id) AS purchase_id, max(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT c.event_id, c.user_id, c.ts,
+       p.purchase_id AS purchase_id_asof,
+       p.purchase_value AS purchase_value_asof,
+       p.ts AS ts_asof
+FROM clicks c ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+    o["q41_range_join"] = """
+SELECT e.event_id, e.user_id, e.ts, p.ts AS match_ts, p.event_id AS event_id_m
+FROM events e JOIN events p
+  ON e.user_id = p.user_id AND p.event_type = 'purchase'
+ AND epoch(p.ts) >= epoch(e.ts) AND epoch(p.ts) <= epoch(e.ts) + 300
+WHERE e.event_type = 'error'
+"""
 
     o["q37_kmv_sketch"] = """
 WITH u AS (
