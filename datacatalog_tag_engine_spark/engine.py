@@ -139,6 +139,13 @@ class TagEngine:
         cfg = self.configs[config_uuid]
         if cfg["config_status"] != "ACTIVE":
             raise ValueError(f"config {config_uuid} is not active")
+        if kw.pop("incremental", False) and assets is not None:
+            # refresh only assets whose data changed since their last tag
+            # (operators/incremental) — scheduled-job cost tracks change
+            # rate, not catalog size
+            from .operators.incremental import stale_assets
+
+            assets = stale_assets(assets, self.store.all(), cfg["template_id"])
         job_uuid = self._uuid("job")
         started = datetime.datetime.now(datetime.timezone.utc)
         dispatch = {
