@@ -88,9 +88,20 @@ def register_testdata(spark: SparkSession, sf_dir: str) -> None:
     Pins the session timezone to UTC: date-casting queries must agree
     with the (timezone-naive) DuckDB oracle even when the caller built
     the SparkSession without our factory.
+
+    Idempotent per (session, sf_dir): repeated calls (every query entry
+    calls this) skip the footer reads and catalog churn unless the
+    directory changed.
     """
+    key = id(spark)
+    if _REGISTERED.get(key) == sf_dir:
+        return
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     for name in TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             load_parquet(spark, path).createOrReplaceTempView(name)
+    _REGISTERED[key] = sf_dir
+
+
+_REGISTERED: dict[int, str] = {}
