@@ -110,8 +110,12 @@ class TagStore:
         # one eager checkpoint: truncates the self-referential merge
         # lineage (each merge reads the previous state) so plans stay
         # flat across many merges; the returned history recomputes its
-        # (cheap, one-shot) joins on demand
-        self._df = new_df.localCheckpoint(eager=True)
+        # (cheap, one-shot) joins on demand. Coalesce first (narrow, no
+        # shuffle): post-merge state otherwise inherits one near-empty
+        # partition per shuffle partition and every later op schedules
+        # that many tasks.
+        parallelism = self.spark.sparkContext.defaultParallelism
+        self._df = new_df.coalesce(max(8, parallelism // 4)).localCheckpoint(eager=True)
         if self.path:
             self._persist()
 
