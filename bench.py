@@ -44,23 +44,27 @@ def main() -> None:
     spark.range(10).groupBy("id").count().collect()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in E.queries().items():
         t0 = time.time()
-        force(fn(spark, SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
+        try:
+            force(fn(spark, SF_DIR))
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as ex:  # one broken query must not lose the whole run
+            errors[name] = f"{type(ex).__name__}: {str(ex)[:120]}"
+            print(f"bench error in {name}: {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total wall-clock for the full query inventory (noop sink)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_from_dir(SF_DIR),
-            }
-        )
-    )
+    out = {
+        "metric": "total wall-clock for the full query inventory (noop sink)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_from_dir(SF_DIR),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
