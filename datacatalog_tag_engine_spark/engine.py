@@ -237,18 +237,49 @@ class TagEngine:
         return DYN.raw_rows_to_df(self.spark, rows)
 
     def _run_dynamic_column(self, cfg, assets, **kw):
+        """Default: thread-pooled per-(asset, column) statements —
+        measured faster than the fused single pass when expressions
+        carry count-distincts (the multi-distinct Expand multiplies scan
+        rows by #aggregates; see SCALE.md). fuse_columns=True opts into
+        the one-pass plan for distinct-free profiles or job-count-bound
+        catalogs."""
+        from concurrent.futures import ThreadPoolExecutor
+
         uris = self._matched_uris(cfg, assets)
-        all_rows = []
+        tasks: list[tuple[str, str]] = []
+        fused_parts = []
         for uri in uris:
             cols_q = parse_query_expression(uri, cfg["included_columns_query"], None, self.qualify)
             columns = [c for c in self.spark.sql(cols_q).first() if c]
-            for col in columns:
-                all_rows.extend(
-                    DYN.run_config_per_asset(
-                        self.spark, cfg["fields"], [uri], cfg["template_id"], self.qualify, column=col
+            if cfg.get("fuse_columns"):
+                p, d, t = split_resource_uri(uri)
+                fused_parts.append(
+                    DYN.run_column_config_fused(
+                        self.spark, cfg["fields"], uri,
+                        self.spark.table(self.qualify(p, d or "", t or "")),
+                        columns, cfg["template_id"],
                     )
                 )
-        return DYN.raw_rows_to_df(self.spark, all_rows)
+            else:
+                tasks.extend((uri, col) for col in columns)
+
+        all_rows: list[dict] = []
+        if tasks:
+            def one(task):
+                uri, col = task
+                return DYN.run_config_per_asset(
+                    self.spark, cfg["fields"], [uri], cfg["template_id"],
+                    self.qualify, column=col, errors=kw.get("_errors"),
+                )
+
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                for rows in pool.map(one, tasks):
+                    all_rows.extend(rows)
+
+        out = DYN.raw_rows_to_df(self.spark, all_rows)
+        for part in fused_parts:
+            out = out.unionByName(part)
+        return out
 
     def _run_static(self, cfg, assets, **kw):
         uris = self._matched_uris(cfg, assets)

@@ -280,6 +280,66 @@ def run_config_fused_wide(
     return result
 
 
+def run_column_config_fused(
+    spark: SparkSession,
+    fields: list[dict],
+    asset_uri: str,
+    scan: DataFrame,
+    columns: list[str],
+    template_id: str,
+) -> DataFrame:
+    """R9 applied to the COLUMN path: every (column, field) cell of a
+    dynamic-column config computed in ONE aggregation pass over the
+    asset scan.
+
+    The reference fuses one statement per column (combine_queries,
+    DataCatalogController.py:488-495) — still O(columns) statements per
+    asset. Here each field expression is classified like the table path
+    and its ``$column`` placeholder is expanded per column into parallel
+    aggregate expressions: a 100-column profile is one job, one scan,
+    one shuffle of partial aggregates. Falls back (ValueError) on
+    opaque expressions — callers use the per-asset path then.
+
+    Returns raw long rows (asset_uri, column, template_id, field_id,
+    field_type, raw_value).
+    """
+    aggs = []
+    cells = []  # (column, field_id) in agg order
+    for f in fields:
+        kind, info = classify_expression(f["query_expression"].replace("$column", "__COL__"))
+        if kind not in ("simple", "constant"):
+            raise ValueError(f"not column-fusable: {f['query_expression']!r}")
+        for col in columns:
+            if kind == "constant":
+                expr_sql = info["sql"].replace("select ", "", 1).replace("__COL__", f"`{col}`")
+            else:
+                expr_sql = info["agg"].replace("__COL__", f"`{col}`")
+                if info.get("pred"):
+                    pred = info["pred"].replace("__COL__", f"`{col}`")
+                    expr_sql = f"{expr_sql} FILTER (WHERE {pred})"
+            aggs.append(F.expr(expr_sql).cast("string").alias(f"_c{len(aggs)}"))
+            cells.append((col, f["field_id"]))
+
+    row = scan.agg(*aggs)
+    stack_cols = []
+    for i, (col, fid) in enumerate(cells):
+        stack_cols.extend([F.lit(col), F.lit(fid), F.col(f"_c{i}")])
+    long_df = row.select(
+        F.stack(F.lit(len(cells)), *stack_cols).alias("column", "field_id", "raw_value")
+    )
+    type_map = F.create_map(
+        *[F.lit(x) for f in fields for x in (f["field_id"], f["field_type"])]
+    )
+    return long_df.select(
+        F.lit(asset_uri).alias("asset_uri"),
+        "column",
+        F.lit(template_id).alias("template_id"),
+        "field_id",
+        type_map[F.col("field_id")].alias("field_type"),
+        "raw_value",
+    )
+
+
 def run_config_fused(
     spark: SparkSession,
     fields: list[dict],

@@ -108,6 +108,37 @@ def test_classify():
     assert D.classify_expression("select x from $table join y on 1=1")[0] == "opaque"
 
 
+def test_column_fused_matches_per_column(spark):
+    fields = [
+        {"field_id": "distinct_values", "field_type": "double",
+         "query_expression": "select count(distinct $column) from $table"},
+        {"field_id": "open_values", "field_type": "double",
+         "query_expression": "select count(distinct $column) from $table where l_linestatus = 'O'"},
+    ]
+    columns = ["l_orderkey", "l_partkey", "l_returnflag"]
+    fused = D.run_column_config_fused(
+        spark, fields, URI, spark.table("lineitem"), columns, "t"
+    )
+    got = {(r["column"], r["field_id"]): r["raw_value"] for r in fused.collect()}
+    assert len(got) == 6
+    for col in columns:
+        rows = D.run_config_per_asset(spark, fields, [URI], "t", short_name, column=col)
+        for r in rows:
+            assert got[(col, r["field_id"])] == r["raw_value"], (col, r["field_id"])
+
+
+def test_column_fused_rejects_opaque(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not column-fusable"):
+        D.run_column_config_fused(
+            spark,
+            [{"field_id": "x", "field_type": "double",
+              "query_expression": "select a from $table join b on 1=1"}],
+            URI, spark.table("lineitem"), ["l_orderkey"], "t",
+        )
+
+
 def test_richtext_collects_all_rows(spark):
     fields = [
         {
