@@ -86,6 +86,38 @@ def test_history_stream_roundtrip(spark, tmp_path):
     assert spark.table("hist_dedup").first()["n"] == 1
 
 
+def test_history_sink_checkpoint_recovery(spark, tmp_path):
+    """Restarting the sink from its checkpoint neither loses nor
+    duplicates events: files processed before the restart are not
+    reprocessed, new files are picked up."""
+    import datetime
+
+    from datacatalog_tag_engine_spark.model.schemas import TAG_HISTORY_SCHEMA
+
+    def hist_rows(n, job):
+        return [
+            (datetime.datetime(2026, 1, 1, 10), f"p/dataset/d/table/t{i}", None, "tpl",
+             "f", "v", "CREATE", None, None, job, datetime.date(2026, 1, 1))
+            for i in range(n)
+        ]
+
+    src = str(tmp_path / "src")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    spark.createDataFrame(hist_rows(3, "job1"), TAG_HISTORY_SCHEMA).write.parquet(src)
+
+    q1 = H.write_history_stream(H.read_history_stream(spark, src), out, ckpt)
+    q1.awaitTermination()
+    assert spark.read.parquet(out).count() == 3
+
+    # new events arrive; restart from the same checkpoint
+    spark.createDataFrame(hist_rows(2, "job2"), TAG_HISTORY_SCHEMA).write.mode("append").parquet(src)
+    q2 = H.write_history_stream(H.read_history_stream(spark, src), out, ckpt)
+    q2.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 5  # 3 + 2, no reprocessing of the first batch
+    assert got.groupBy("job_uuid").count().count() == 2
+
+
 def test_history_append_sink(spark, tmp_path):
     import datetime
 
