@@ -730,8 +730,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q31_corpus_stats"] = q31
     q["q32_sessionize"] = q32
 
+    def q42(spark, sf):
+        # multi-asset sensitive-column classification through the engine
+        # (J2-J4 over several assets in one pass; Public_Information skip)
+        from datacatalog_tag_engine_spark.engine import TagEngine
+
+        eng = TagEngine(spark)
+        eng.create_template("data_sensitivity", [
+            {"field_id": "sensitive_field", "field_type": "bool"},
+            {"field_id": "sensitive_type", "field_type": "string"},
+        ])
+        assets = spark.createDataFrame(
+            [{"asset_uri": f"p/datasets/d/tables/{t}", "asset_type": "bigquery",
+              "project": "p", "dataset": "d", "table": t}
+             for t in ["users", "public_stuff"]],
+            ASSETS_SCHEMA,
+        )
+        findings = spark.createDataFrame(
+            [("p/datasets/d/tables/users", "email", "EMAIL_ADDRESS"),
+             ("p/datasets/d/tables/users", "name", "PERSON_NAME"),
+             ("p/datasets/d/tables/public_stuff", "city", "LOCATION")],
+            "asset_uri string, field string, infotype string",
+        )
+        selection = spark.createDataFrame(
+            [(["EMAIL_ADDRESS"], "EMAIL"), (["PERSON_NAME"], "NAME"), (["LOCATION"], "LOCATION")],
+            "field_infotypes array<string>, notable_infotype string",
+        )
+        classification = spark.createDataFrame(
+            [(["EMAIL", "NAME"], "Sensitive_Personal_Identifiable_Information"),
+             (["LOCATION"], "Public_Information"),
+             (["EMAIL", "NAME", "LOCATION"], "Sensitive_Personal_Identifiable_Information")],
+            "notable_infotypes array<string>, classification_result string",
+        )
+        cfg = eng.create_config("SENSITIVE_TAG_COLUMN", "data_sensitivity",
+                                included_uris="bigquery/project/p/dataset/d/*")
+        eng.trigger_job(cfg, assets, findings=findings, selection=selection,
+                        classification=classification)
+        return eng.store.all().select(
+            "asset_uri", "column", "field_id",
+            F.coalesce(F.col("field_value_string"),
+                       F.when(F.col("field_value_bool"), "TRUE")).alias("value"),
+        )
+
+    q["q42_sensitive_e2e"] = q42
+
+    def q43(spark, sf):
+        # history mutation rollup (T2 reporting shape, batch form of the
+        # streaming rollup) over a fixture event set with retry dupes
+        import datetime as _dt
+
+        from datacatalog_tag_engine_spark.model.schemas import TAG_HISTORY_SCHEMA
+        from datacatalog_tag_engine_spark.streaming.history import mutation_counts
+
+        rows = [
+            (_dt.datetime(2026, 1, 1, 10), "p/dataset/d/table/a", None, "gov", "f1", "v", "CREATE", None, None, "j1", _dt.date(2026, 1, 1)),
+            (_dt.datetime(2026, 1, 1, 11), "p/dataset/d/table/a", None, "gov", "f1", "v2", "UPDATE", None, None, "j2", _dt.date(2026, 1, 1)),
+            (_dt.datetime(2026, 1, 1, 11), "p/dataset/d/table/a", None, "gov", "f1", "v2", "UPDATE", None, None, "j2", _dt.date(2026, 1, 1)),  # retry dupe
+            (_dt.datetime(2026, 1, 2, 9), "p/dataset/d/table/b", None, "gov", "f1", "v", "CREATE", None, None, "j3", _dt.date(2026, 1, 2)),
+            (_dt.datetime(2026, 1, 2, 9), "p/dataset/d/table/b", None, "sec", "f2", "v", "DELETE", None, None, "j3", _dt.date(2026, 1, 2)),
+        ]
+        hist = spark.createDataFrame(rows, TAG_HISTORY_SCHEMA)
+        return mutation_counts(hist)
+
+    q["q43_history_rollup"] = q43
+
     # --- text analysis ---
     q["t01_token_counts"] = lambda spark, sf: TXT.token_counts(_docs(spark, sf))
+    q["t05_vocabulary"] = lambda spark, sf: (
+        _docs(spark, sf)
+        .select(F.explode(F.split(F.col("text"), r"\s+")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
     q["t02_quality"] = lambda spark, sf: TXT.quality_scores(_docs(spark, sf))
     q["t03_lang_id"] = lambda spark, sf: TXT.language_id(_docs(spark, sf))
     q["t04_fingerprint"] = lambda spark, sf: TXT.fingerprints(_docs(spark, sf))
@@ -1200,6 +1272,34 @@ SELECT user_id, session_index, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end,
        floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT AS duration_sec
 FROM s GROUP BY user_id, session_index
+"""
+
+    sensitive_expected = [
+        ("p/datasets/d/tables/users", "email", "sensitive_field", "TRUE"),
+        ("p/datasets/d/tables/users", "email", "sensitive_type", "EMAIL"),
+        ("p/datasets/d/tables/users", "name", "sensitive_field", "TRUE"),
+        ("p/datasets/d/tables/users", "name", "sensitive_type", "NAME"),
+    ]
+    o["q42_sensitive_e2e"] = (
+        f"SELECT * FROM (VALUES {_sql_values(sensitive_expected)}) "
+        't(asset_uri, "column", field_id, value)'
+    )
+
+    o["q43_history_rollup"] = """
+WITH h(event_time, asset_name, field_id, action, job_uuid, template_id) AS (VALUES
+  (TIMESTAMP '2026-01-01 10:00:00', 'p/dataset/d/table/a', 'f1', 'CREATE', 'j1', 'gov'),
+  (TIMESTAMP '2026-01-01 11:00:00', 'p/dataset/d/table/a', 'f1', 'UPDATE', 'j2', 'gov'),
+  (TIMESTAMP '2026-01-01 11:00:00', 'p/dataset/d/table/a', 'f1', 'UPDATE', 'j2', 'gov'),
+  (TIMESTAMP '2026-01-02 09:00:00', 'p/dataset/d/table/b', 'f1', 'CREATE', 'j3', 'gov'),
+  (TIMESTAMP '2026-01-02 09:00:00', 'p/dataset/d/table/b', 'f2', 'DELETE', 'j3', 'sec')),
+d AS (SELECT DISTINCT event_time, asset_name, field_id, action, job_uuid, template_id FROM h)
+SELECT cast(event_time AS DATE) AS event_date, template_id, action, count(*) AS n
+FROM d GROUP BY event_date, template_id, action
+"""
+
+    o["t05_vocabulary"] = r"""
+WITH w AS (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents)
+SELECT word, count(*) AS n FROM w GROUP BY word ORDER BY n DESC, word LIMIT 20
 """
 
     o["t01_token_counts"] = r"""
