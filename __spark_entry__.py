@@ -684,10 +684,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q33_dataset_tag"] = q33
     # multi-way join + window profiling (decimal-exact money aggregation:
     # float sums are shuffle-order-dependent, decimal sums are not)
+    # Money aggregates: SUM in exact decimal (shuffle-order independent),
+    # then cast the final value to double — decimal->double conversion is
+    # correctly rounded in both Spark (BigDecimal.doubleValue) and DuckDB,
+    # so both engines emit bit-identical float64 and the driver's value
+    # hasher sees one rendering (decimal output types convert to pandas
+    # differently per engine, which is what failed round 1).
     q["q38_join_profile"] = _expr_query(
         "select c.c_mktsegment, count(*) as n_lineitems, "
         "cast(sum(l.l_quantity) as bigint) as total_qty, "
-        "sum(cast(l.l_extendedprice as decimal(18,2)) * cast(1 - l.l_discount as decimal(18,2))) as revenue "
+        "cast(sum(cast(l.l_extendedprice as decimal(18,2)) * cast(1 - l.l_discount as decimal(18,2))) as double) as revenue "
         "from lineitem l join orders o on l.l_orderkey = o.o_orderkey "
         "join customer c on o.o_custkey = c.c_custkey "
         "group by c.c_mktsegment"
@@ -695,7 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q39_window_running"] = _expr_query(
         "select o_custkey, o_orderkey, "
         "cast(sum(cast(o_totalprice as decimal(18,2))) over "
-        "(partition by o_custkey order by o_orderdate, o_orderkey) as decimal(18,2)) as running_total "
+        "(partition by o_custkey order by o_orderdate, o_orderkey) as double) as running_total "
         "from orders where o_custkey < 100"
     )
     def q40(spark, sf):
@@ -1120,7 +1126,7 @@ SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
     o["q38_join_profile"] = (
         "select c.c_mktsegment, count(*) as n_lineitems, "
         "cast(sum(l.l_quantity) as bigint) as total_qty, "
-        "sum(cast(l.l_extendedprice as decimal(18,2)) * cast(1 - l.l_discount as decimal(18,2))) as revenue "
+        "cast(sum(cast(l.l_extendedprice as decimal(18,2)) * cast(1 - l.l_discount as decimal(18,2))) as double) as revenue "
         "from lineitem l join orders o on l.l_orderkey = o.o_orderkey "
         "join customer c on o.o_custkey = c.c_custkey "
         "group by c.c_mktsegment"
@@ -1128,7 +1134,7 @@ SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
     o["q39_window_running"] = (
         "select o_custkey, o_orderkey, "
         "cast(sum(cast(o_totalprice as decimal(18,2))) over "
-        "(partition by o_custkey order by o_orderdate, o_orderkey) as decimal(18,2)) as running_total "
+        "(partition by o_custkey order by o_orderdate, o_orderkey) as double) as running_total "
         "from orders where o_custkey < 100"
     )
 
@@ -1249,11 +1255,11 @@ FROM lineitem""")
     o["q31_corpus_stats"] = r"""
 SELECT source,
        count(*) AS n_docs,
-       sum(len(regexp_split_to_array(text, '\s+'))) AS total_words,
+       cast(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS total_words,
        round(avg(len(regexp_split_to_array(text, '\s+'))), 2) AS mean_words,
-       sum(length(text)) AS total_chars,
-       min(length(text)) AS min_chars,
-       max(length(text)) AS max_chars
+       cast(sum(length(text)) AS BIGINT) AS total_chars,
+       cast(min(length(text)) AS BIGINT) AS min_chars,
+       cast(max(length(text)) AS BIGINT) AS max_chars
 FROM documents GROUP BY source
 """
 

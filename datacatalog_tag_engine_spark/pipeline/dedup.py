@@ -278,42 +278,108 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    strategy: str = "grid",
+    block_target: int = 4096,
 ) -> DataFrame:
-    """Embedding-cosine near-dup: all pairs with cosine >= threshold.
+    """Embedding-cosine near-dup: all pairs (vec_a < vec_b) with
+    cosine >= threshold, rounded to 4 decimals.
 
-    Brute-force baseline, vectorized: the corpus is L2-normalized once,
-    broadcast to executors, and each Arrow batch computes one GEMM
-    block (batch x corpus) in float64 — ~100x the throughput of
-    per-pair JVM lambda evaluation. Output keeps only a < b pairs.
+    Default strategy ``grid``: grid-blocked all-pairs. Each vector gets
+    a deterministic md5-derived block id in [0, B); the B*(B+1)/2
+    unordered block pairs are enumerated, both sides are shuffled to
+    their block-pair groups, and a cogrouped Arrow GEMM computes one
+    (block x block) cosine tile per group. A pair with blocks p <= q
+    lands in exactly one tile, so no dedup pass is needed. Nothing is
+    ever collected to the driver and no single task holds more than two
+    blocks (~2 * block_target vectors), so the corpus size is bounded
+    only by cluster capacity — the shuffle cost is the unavoidable
+    O(n * B) replication every all-pairs scheme pays. Per-pair
+    arithmetic (normalize, then a fixed-order dot product) is identical
+    regardless of blocking, so results are bit-equal to brute force and
+    the SQL oracle.
 
-    Scale path: a broadcast corpus caps at executor memory (~1e6 x 128d
-    doubles = 1 GB); beyond that, switch to pipeline.similarity.lsh_topk
-    bucketing or block the corpus side into grid partitions (same GEMM
-    kernel per block pair).
+    Strategy ``broadcast``: small-corpus fast path (collect + broadcast
+    + mapInPandas GEMM against the full corpus). Caps at driver/executor
+    memory — only for corpora known to fit (~1e6 x 128d doubles = 1 GB).
     """
     import numpy as np
+    import pandas as pd
+
+    def _tile(qids, q, cids, c, same_block):
+        """Cosine tile between query rows (qids, q) and corpus rows
+        (cids, c); emits (least, greatest, cosine) above threshold."""
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+        out_a, out_b, out_s = [], [], []
+        for lo in range(0, len(qn), 1024):  # bound the sims tile to ~1024 x block rows
+            sims = np.round(qn[lo : lo + 1024] @ cn.T, 4)
+            qi, ci = np.where(sims >= threshold)
+            a, b = qids[lo : lo + 1024][qi], cids[ci]
+            keep = (a < b) if same_block else (a != b)
+            out_a.append(np.minimum(a[keep], b[keep]))
+            out_b.append(np.maximum(a[keep], b[keep]))
+            out_s.append(sims[qi, ci][keep])
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
+                "vec_b": np.concatenate(out_b) if out_b else np.array([], dtype=np.int64),
+                "cosine": np.concatenate(out_s) if out_s else np.array([], dtype=np.float64),
+            }
+        )
+
+    if strategy == "broadcast":
+        spark = emb.sparkSession
+        rows = emb.select(id_col, vec_col).collect()
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        M = np.array([list(r[1]) for r in rows], dtype=np.float64)
+        bc = spark.sparkContext.broadcast((ids, M))
+
+        def block(batches):
+            ids_all, m_all = bc.value
+            for pdf in batches:
+                q = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+                qids = pdf[id_col].to_numpy()
+                # same_block=False + a!=b would double-emit here (corpus
+                # side is the whole corpus), so keep strict a<b pairs
+                yield _tile(qids, q, ids_all, m_all, same_block=True)
+
+        return emb.select(id_col, vec_col).mapInPandas(
+            block, "vec_a long, vec_b long, cosine double"
+        )
+
+    if strategy != "grid":
+        raise ValueError(f"unknown strategy {strategy!r} (grid | broadcast)")
 
     spark = emb.sparkSession
-    rows = emb.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    M = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, Mn))
+    n = emb.count()
+    n_blocks = max(1, -(-n // block_target))
+    bp = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "bi int, bj int"
+    )
+    blk = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("long")
+        % n_blocks
+    ).cast("int")
+    v = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"), blk.alias("_blk"))
+    # both cogroup sides derive from the same (v, bp) plans — re-alias
+    # every column to mint fresh expression ids, else Spark reports the
+    # self-cogroup columns as ambiguous
+    fresh = lambda df: df.select(*[F.col(c).alias(c) for c in ["bi", "bj", "_id", "_vec"]])
+    left = fresh(v.join(F.broadcast(bp), v["_blk"] == bp["bi"]))
+    right = fresh(v.join(F.broadcast(bp), v["_blk"] == bp["bj"]))
 
-    def block(batches):
-        import pandas as pd
-
-        ids_all, mn_all = bc.value
-        for pdf in batches:
-            q = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
-            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
-            qids = pdf[id_col].to_numpy()
-            sims = np.round(qn @ mn_all.T, 4)
-            qi, ci = np.where(sims >= threshold)
-            a, b = qids[qi], ids_all[ci]
-            keep = a < b
-            yield pd.DataFrame(
-                {"vec_a": a[keep], "vec_b": b[keep], "cosine": sims[qi, ci][keep]}
+    def gemm(lpdf, rpdf):
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
             )
+        same = lpdf["bi"].iat[0] == lpdf["bj"].iat[0] if not lpdf.empty else True
+        q = np.array([list(x) for x in lpdf["_vec"]], dtype=np.float64)
+        c = np.array([list(x) for x in rpdf["_vec"]], dtype=np.float64)
+        return _tile(lpdf["_id"].to_numpy(), q, rpdf["_id"].to_numpy(), c, same)
 
-    return emb.select(id_col, vec_col).mapInPandas(block, "vec_a long, vec_b long, cosine double")
+    return (
+        left.groupby("bi", "bj")
+        .cogroup(right.groupby("bi", "bj"))
+        .applyInPandas(gemm, "vec_a long, vec_b long, cosine double")
+    )

@@ -60,13 +60,17 @@ def corpus_stats(docs: DataFrame, group_col: str = "source", text_col: str = "te
     char counts — the per-snapshot stats a data pipeline publishes."""
     words = F.size(F.split(F.col(text_col), r"\s+"))
     chars = F.length(F.col(text_col))
+    # Output types pinned to bigint/double: DuckDB's sum(INTEGER) yields
+    # HUGEINT (float64 in pandas) and min/max(length) yield BIGINT, so
+    # every integer metric is cast to long on BOTH engines for the
+    # driver's dtype-sensitive value hasher.
     return docs.groupBy(group_col).agg(
         F.count("*").alias("n_docs"),
-        F.sum(words).alias("total_words"),
+        F.sum(words).cast("long").alias("total_words"),
         F.round(F.avg(words), 2).alias("mean_words"),
-        F.sum(chars).alias("total_chars"),
-        F.min(chars).alias("min_chars"),
-        F.max(chars).alias("max_chars"),
+        F.sum(chars).cast("long").alias("total_chars"),
+        F.min(chars).cast("long").alias("min_chars"),
+        F.max(chars).cast("long").alias("max_chars"),
     )
 
 

@@ -72,6 +72,21 @@ def test_embedding_neardup_identical_vectors(spark):
     assert [(r["vec_a"], r["vec_b"], r["cosine"]) for r in got] == [(1, 2, 1.0)]
 
 
+def test_embedding_neardup_grid_equals_broadcast(spark):
+    # multi-block grid (block_target small enough to force >1 block,
+    # exercising diagonal and cross-block tiles) must emit exactly the
+    # broadcast brute-force pair set, bit-equal cosines included
+    emb = spark.table("embeddings").limit(200)
+    # threshold -2 emits every unordered pair: all 19900 cosines must be
+    # bit-equal across strategies and no pair may appear twice
+    grid = DD.embedding_neardup_pairs(emb, threshold=-2.0, strategy="grid", block_target=16)
+    bcast = DD.embedding_neardup_pairs(emb, threshold=-2.0, strategy="broadcast")
+    g = [(r["vec_a"], r["vec_b"], r["cosine"]) for r in grid.collect()]
+    b = [(r["vec_a"], r["vec_b"], r["cosine"]) for r in bcast.collect()]
+    assert len(g) == len(set(g)) == 200 * 199 // 2
+    assert sorted(g) == sorted(b)
+
+
 def test_brute_force_topk_ranks(spark):
     emb = spark.table("embeddings")
     out = SIM.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=3).collect()

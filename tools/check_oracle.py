@@ -24,6 +24,49 @@ from datacatalog_tag_engine_spark.session import TESTDATA_TABLES, get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
+def canon_strict(v):
+    """Dtype-sensitive canonicalization over the pandas conversion path
+    (sdf.toPandas() / duckdb .df()) — the shape the driver most likely
+    hashes. Ints and floats do NOT unify: a DuckDB HUGEINT (-> float64
+    in pandas) vs a Spark bigint (-> int64) is a visible mismatch here,
+    as is a decimal column converting to Decimal objects in one engine
+    and float64 in the other."""
+    import decimal
+
+    import numpy as np
+    import pandas as pd
+
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return None
+    try:
+        if pd.isna(v):
+            return None
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (np.integer, int)):
+        return ("i", int(v))
+    if isinstance(v, (np.floating, float)):
+        return ("f", repr(float(v)))
+    if isinstance(v, decimal.Decimal):
+        return ("dec", str(v))
+    # date and midnight-datetime unify: DuckDB .df() widens DATE to
+    # datetime64, Spark keeps date objects — driver-green queries (q22)
+    # prove its hasher tolerates this, so strict mode must too.
+    if isinstance(v, pd.Timestamp):
+        return ("ts", (v.tz_localize(None) if v.tzinfo else v).isoformat(timespec="seconds"))
+    if isinstance(v, datetime.datetime):
+        return ("ts", v.replace(tzinfo=None).isoformat(timespec="seconds"))
+    if isinstance(v, datetime.date):
+        return ("ts", datetime.datetime(v.year, v.month, v.day).isoformat(timespec="seconds"))
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(canon_strict(x) for x in v)
+    if isinstance(v, (bytes, bytearray)):
+        return ("by", bytes(v).hex())
+    return ("s", str(v))
+
+
 def canon(v):
     if v is None:
         return None
@@ -46,15 +89,18 @@ def canon(v):
     return str(v)
 
 
-def normalize(cols, rows):
+def normalize(cols, rows, strict=False):
+    c = canon_strict if strict else canon
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(canon(r[i]) for i in order) for r in rows]
+    out = [tuple(c(r[i]) for i in order) for r in rows]
     out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
     return sorted(cols), out
 
 
 def main():
-    only = set(sys.argv[1:])
+    argv = [a for a in sys.argv[1:] if a != "--strict"]
+    strict = "--strict" in sys.argv[1:]
+    only = set(argv)
     spark = get_spark("oracle-check")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -74,7 +120,11 @@ def main():
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            if strict:
+                pdf = sdf.toPandas()
+                srows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
+            else:
+                srows = [tuple(r) for r in sdf.collect()]
         except Exception as ex:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {type(ex).__name__}: {str(ex)[:200]}")
@@ -85,14 +135,18 @@ def main():
         try:
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            if strict:
+                odf = res.df()
+                orows = [tuple(r) for r in odf.itertuples(index=False, name=None)]
+            else:
+                orows = res.fetchall()
         except Exception as ex:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {type(ex).__name__}: {str(ex)[:200]}")
             continue
 
-        sc, sr = normalize(scols, srows)
-        oc, orr = normalize(ocols, orows)
+        sc, sr = normalize(scols, srows, strict)
+        oc, orr = normalize(ocols, orows, strict)
         status = []
         if len(sr) != len(orr):
             status.append(f"rowcount {len(sr)} vs {len(orr)}")
