@@ -618,7 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return SIM.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
     q["s01_ann_topk"] = s01
-    q["s02_ann_lsh"] = s02  # rows-only check (LSH planes not SQL-expressible)
+    q["s02_ann_lsh"] = s02
 
     def s03(spark, sf):
         emb = _emb(spark, sf)
@@ -799,6 +799,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return mutation_counts(hist)
 
     q["q43_history_rollup"] = q43
+
+    def q44(spark, sf):
+        # policy-tag application (reference DataCatalogController.py
+        # :1038-1042 gate + :1064-1097 schema update): sensitive columns
+        # of non-public assets get the taxonomy policy tag matching the
+        # asset classification; output is the exploded schema metadata.
+        from datacatalog_tag_engine_spark.engine import TagEngine
+
+        eng = TagEngine(spark)
+        eng.create_template("data_sensitivity", [
+            {"field_id": "sensitive_field", "field_type": "bool"},
+            {"field_id": "sensitive_type", "field_type": "string"},
+        ])
+        schema_cols = lambda names: [
+            {"name": n, "type": "STRING", "mode": "NULLABLE", "subcolumns": None}
+            for n in names
+        ]
+        assets = spark.createDataFrame(
+            [{"asset_uri": "p/datasets/d/tables/users", "asset_type": "bigquery",
+              "project": "p", "dataset": "d", "table": "users",
+              "schema": schema_cols(["email", "name", "age"])},
+             {"asset_uri": "p/datasets/d/tables/public_stuff", "asset_type": "bigquery",
+              "project": "p", "dataset": "d", "table": "public_stuff",
+              "schema": schema_cols(["city"])}],
+            ASSETS_SCHEMA,
+        )
+        findings = spark.createDataFrame(
+            [("p/datasets/d/tables/users", "email", "EMAIL_ADDRESS"),
+             ("p/datasets/d/tables/users", "name", "PERSON_NAME"),
+             ("p/datasets/d/tables/public_stuff", "city", "LOCATION")],
+            "asset_uri string, field string, infotype string",
+        )
+        selection = spark.createDataFrame(
+            [(["EMAIL_ADDRESS"], "EMAIL"), (["PERSON_NAME"], "NAME"), (["LOCATION"], "LOCATION")],
+            "field_infotypes array<string>, notable_infotype string",
+        )
+        classification = spark.createDataFrame(
+            [(["EMAIL", "NAME"], "Sensitive_Personal_Identifiable_Information"),
+             (["LOCATION"], "Public_Information"),
+             (["EMAIL", "NAME", "LOCATION"], "Sensitive_Personal_Identifiable_Information")],
+            "notable_infotypes array<string>, classification_result string",
+        )
+        taxonomy = spark.createDataFrame(
+            [("taxonomies/t1/policyTags/pii", "Sensitive_Personal_Identifiable_Information"),
+             ("taxonomies/t1/policyTags/public", "Public_Information")],
+            "policy_tag_name string, category string",
+        )
+        cfg = eng.create_config("SENSITIVE_TAG_COLUMN", "data_sensitivity",
+                                included_uris="bigquery/project/p/dataset/d/*",
+                                create_policy_tags=True)
+        eng.trigger_job(cfg, assets, findings=findings, selection=selection,
+                        classification=classification, taxonomy=taxonomy)
+        return (
+            eng.apply_policy_tags(assets)
+            .select("asset_uri", F.explode("schema").alias("c"))
+            .select("asset_uri", F.col("c.name").alias("column"),
+                    F.col("c.policy_tag").alias("policy_tag"))
+        )
+
+    q["q44_policy_tags"] = q44
 
     # --- text analysis ---
     q["t01_token_counts"] = lambda spark, sf: TXT.token_counts(_docs(spark, sf))
@@ -1200,7 +1260,36 @@ SELECT query_id, neighbor_id, cosine,
 FROM scored
 QUALIFY rank <= 5
 """
-    # s02_ann_lsh omitted: hyperplane constants not SQL-expressible -> rows-only
+    # s02: the hyperplanes are deterministic driver-side literals
+    # (similarity._hyperplanes, LCG seed 42), so the bucket assignment IS
+    # SQL-expressible — materialize the 8x64 plane matrix as DOUBLE[]
+    # literals (repr round-trips float64 exactly) and replay sign-pattern
+    # bucketing + same-bucket scoring in DuckDB.
+    from datacatalog_tag_engine_spark.pipeline.similarity import _hyperplanes
+
+    _planes = _hyperplanes(64, 8, 42)
+    _plane_rows = ",\n".join(
+        f"({p}, [{', '.join(repr(w) for w in row)}]::DOUBLE[])"
+        for p, row in enumerate(_planes)
+    )
+    o["s02_ann_lsh"] = f"""
+WITH plane_arr(p, pv) AS (VALUES {_plane_rows}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+buckets AS (
+  SELECT e.vec_id,
+         sum(CASE WHEN list_dot_product(e.v, pa.pv) >= 0 THEN (1::BIGINT << pa.p) ELSE 0 END)::BIGINT AS bucket
+  FROM e CROSS JOIN plane_arr pa GROUP BY e.vec_id),
+b AS (SELECT e.vec_id, e.v, bk.bucket FROM e JOIN buckets bk USING (vec_id)),
+q AS (SELECT * FROM b WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.v, c.v), 4) AS cosine
+  FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+SELECT query_id, neighbor_id, cosine,
+       cast(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
 
     o["s03_ann_ivf"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1290,6 +1379,56 @@ FROM s GROUP BY user_id, session_index
         f"SELECT * FROM (VALUES {_sql_values(sensitive_expected)}) "
         't(asset_uri, "column", field_id, value)'
     )
+
+    # q44: full derivation replay — per-field smallest-superset notable
+    # selection, per-asset smallest-superset classification, taxonomy
+    # category join, left-joined back onto the schema columns.
+    o["q44_policy_tags"] = """
+WITH findings(asset_uri, field, infotype) AS (VALUES
+  ('p/datasets/d/tables/users', 'email', 'EMAIL_ADDRESS'),
+  ('p/datasets/d/tables/users', 'name', 'PERSON_NAME'),
+  ('p/datasets/d/tables/public_stuff', 'city', 'LOCATION')),
+sel(field_infotypes, notable_infotype) AS (VALUES
+  (['EMAIL_ADDRESS'], 'EMAIL'), (['PERSON_NAME'], 'NAME'), (['LOCATION'], 'LOCATION')),
+cls(notable_infotypes, classification_result) AS (VALUES
+  (['EMAIL', 'NAME'], 'Sensitive_Personal_Identifiable_Information'),
+  (['LOCATION'], 'Public_Information'),
+  (['EMAIL', 'NAME', 'LOCATION'], 'Sensitive_Personal_Identifiable_Information')),
+tax(policy_tag_name, category) AS (VALUES
+  ('taxonomies/t1/policyTags/pii', 'Sensitive_Personal_Identifiable_Information'),
+  ('taxonomies/t1/policyTags/public', 'Public_Information')),
+cols(asset_uri, col) AS (VALUES
+  ('p/datasets/d/tables/users', 'email'), ('p/datasets/d/tables/users', 'name'),
+  ('p/datasets/d/tables/users', 'age'), ('p/datasets/d/tables/public_stuff', 'city')),
+per_field AS (
+  SELECT asset_uri, field, list_sort(list(DISTINCT infotype)) AS infotypes
+  FROM findings GROUP BY asset_uri, field),
+notable AS (
+  SELECT asset_uri, field, notable_infotype FROM (
+    SELECT p.asset_uri, p.field, s.notable_infotype,
+           row_number() OVER (PARTITION BY p.asset_uri, p.field
+                              ORDER BY len(s.field_infotypes), s.notable_infotype) AS rn
+    FROM per_field p JOIN sel s
+      ON len(list_filter(p.infotypes, x -> NOT list_contains(s.field_infotypes, x))) = 0)
+  WHERE rn = 1),
+have(asset_uri, have) AS (
+  SELECT asset_uri, list_sort(list(DISTINCT notable_infotype)) FROM notable GROUP BY asset_uri),
+classed AS (
+  SELECT asset_uri, classification_result FROM (
+    SELECT h.asset_uri, c.classification_result,
+           row_number() OVER (PARTITION BY h.asset_uri
+                              ORDER BY len(c.notable_infotypes), c.classification_result) AS rn
+    FROM have h JOIN cls c
+      ON len(list_filter(h.have, x -> NOT list_contains(c.notable_infotypes, x))) = 0)
+  WHERE rn = 1),
+reqs AS (
+  SELECT n.asset_uri, n.field AS col, t.policy_tag_name AS policy_tag
+  FROM notable n JOIN classed cl ON n.asset_uri = cl.asset_uri
+  JOIN tax t ON t.category = cl.classification_result
+  WHERE cl.classification_result <> 'Public_Information')
+SELECT c.asset_uri, c.col AS "column", r.policy_tag
+FROM cols c LEFT JOIN reqs r ON c.asset_uri = r.asset_uri AND c.col = r.col
+"""
 
     o["q43_history_rollup"] = """
 WITH h(event_time, asset_name, field_id, action, job_uuid, template_id) AS (VALUES

@@ -214,6 +214,19 @@ class TagEngine:
     FUSE_THRESHOLD = 256
 
     def _run_dynamic_table(self, cfg, assets, **kw):
+        # scale form: cfg["inventory_view"] names a registered table/view
+        # holding EVERY matched asset's rows with an asset_uri column
+        # (one partitioned scan). The fused plan then has a single leaf
+        # regardless of asset count — the shape that survives the
+        # reference's 500k/1M-asset ladder — and asset matching is a
+        # semi-join, never a driver-side uri collect.
+        inv_view = cfg.get("inventory_view")
+        if inv_view and DYN.fusable(cfg["fields"]):
+            matched = URI.expand_included_excluded(
+                assets, cfg["included_uris"], cfg.get("excluded_uris")
+            ).select("asset_uri")
+            inv = self.spark.table(inv_view).join(matched, "asset_uri", "left_semi")
+            return DYN.run_config_fused(self.spark, cfg["fields"], inv, cfg["template_id"])
         uris = self._matched_uris(cfg, assets)
         errors = kw.get("_errors")
         threshold = cfg.get("fuse_threshold", self.FUSE_THRESHOLD)
@@ -340,6 +353,15 @@ class TagEngine:
             ).alias("classification_result")
         )
         keep = classed.filter(F.col("classification_result") != "Public_Information")
+
+        # policy-tag application (reference :1038-1042 gate, :1064-1097
+        # schema update): stash the requests; callers materialize the
+        # schema rewrite with apply_policy_tags(assets).
+        if cfg.get("create_policy_tags") and kw.get("taxonomy") is not None:
+            self.last_policy_tag_requests = SEN.policy_tag_requests(
+                notables, classed, kw["taxonomy"]
+            )
+
         notables = notables.join(F.broadcast(keep.select("asset_uri")), "asset_uri", "left_semi")
 
         flag_rows = notables.select(
@@ -359,6 +381,16 @@ class TagEngine:
             F.col("notable_infotype").alias("raw_value"),
         )
         return flag_rows.unionByName(type_rows)
+
+    def apply_policy_tags(self, assets: DataFrame) -> DataFrame:
+        """Materialize the schema rewrite for the last sensitive job run
+        with create_policy_tags=True (reference apply_policy_tags,
+        DataCatalogController.py:1064-1097)."""
+        from .operators import sensitive as SEN
+
+        if getattr(self, "last_policy_tag_requests", None) is None:
+            return assets
+        return SEN.apply_policy_tags(assets, self.last_policy_tag_requests)
 
     def _run_import(self, cfg, assets, **kw):
         csv_df = kw.get("csv_df")

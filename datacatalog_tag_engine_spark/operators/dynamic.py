@@ -223,25 +223,40 @@ def fusable(fields: list[dict]) -> bool:
 def run_config_fused_wide(
     spark: SparkSession,
     fields: list[dict],
-    assets: list[tuple[str, DataFrame]],
+    assets: list[tuple[str, DataFrame]] | DataFrame,
 ) -> DataFrame:
-    """The R9 plan, wide shape: one groupBy(asset) pass over the union
-    of asset scans, one naturally-typed column per field.
+    """The R9 plan, wide shape: one groupBy(asset) pass, one
+    naturally-typed column per field.
 
-    ``assets`` is [(asset_uri, scan DataFrame)]; scans must be
-    union-compatible on the columns the expressions reference (the
-    reference's load-test corpus profiles schema-identical clones,
-    examples/load/configs/). Simple aggregates compile to FILTER-clause
+    ``assets`` — the scale form is ONE DataFrame carrying an
+    ``asset_uri`` column (a single scan of a partitioned inventory:
+    e.g. ``spark.read.parquet(*paths)`` with a path-derived uri, or a
+    table partitioned by asset). The plan then has exactly one leaf no
+    matter how many assets the inventory holds — this is what survives
+    the reference's 500k/1M-asset load ladder
+    (examples/load/configs/dynamic_table_500k.json), where a
+    union-of-N-scans logical plan dies in driver analysis long before
+    execution.
+
+    The list form [(asset_uri, scan DataFrame)] remains as a small-N
+    convenience (per-asset temp views / heterogeneous sources) and
+    builds the union internally; scans must be union-compatible on the
+    referenced columns. Simple aggregates compile to FILTER-clause
     aggregate columns; nested avg-of-daily forms run as a two-level
     groupBy joined back on the asset key; constants evaluate once and
     broadcast as literals.
     """
     classified = [(f, *classify_expression(f["query_expression"])) for f in fields]
 
-    union = None
-    for uri, df in assets:
-        tagged = df.withColumn("_asset_uri", F.lit(uri))
-        union = tagged if union is None else union.unionByName(tagged)
+    if isinstance(assets, DataFrame):
+        union = assets.withColumnRenamed("asset_uri", "_asset_uri")
+        if "_asset_uri" not in union.columns:
+            raise ValueError("inventory DataFrame needs an asset_uri column")
+    else:
+        union = None
+        for uri, df in assets:
+            tagged = df.withColumn("_asset_uri", F.lit(uri))
+            union = tagged if union is None else union.unionByName(tagged)
 
     simple_aggs = []
     for f, kind, info in classified:
@@ -343,12 +358,14 @@ def run_column_config_fused(
 def run_config_fused(
     spark: SparkSession,
     fields: list[dict],
-    assets: list[tuple[str, DataFrame]],
+    assets: list[tuple[str, DataFrame]] | DataFrame,
     template_id: str,
 ) -> DataFrame:
     """R9 plan, long shape: the wide result stacked into raw long rows
     (asset_uri, column, template_id, field_id, field_type, raw_value)
-    for the coercion/MERGE path."""
+    for the coercion/MERGE path. ``assets`` as in
+    ``run_config_fused_wide`` (single inventory DataFrame = the scale
+    form)."""
     result = run_config_fused_wide(spark, fields, assets)
 
     field_meta = {f["field_id"]: f["field_type"] for f in fields}

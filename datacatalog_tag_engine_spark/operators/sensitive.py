@@ -74,6 +74,67 @@ def select_notable_infotype(
     )
 
 
+def policy_tag_requests(
+    notables: DataFrame, classed: DataFrame, taxonomy: DataFrame
+) -> DataFrame:
+    """Second half of the sensitive path (reference
+    DataCatalogController.py:1038-1042): every sensitive column of an
+    asset whose classification is not Public_Information gets the policy
+    tag whose taxonomy category equals the asset's classification.
+
+    notables: (asset_uri, field, notable_infotype) per sensitive column.
+    classed:  (asset_uri, classification_result) per asset.
+    taxonomy: (policy_tag_name, category) — the reference's
+              ListPolicyTags response (:842-845), a tiny dimension.
+    Returns (asset_uri, column, policy_tag) — one shuffle on asset_uri;
+    the taxonomy joins broadcast.
+    """
+    keep = classed.filter(F.col("classification_result") != "Public_Information")
+    return (
+        notables.join(keep, "asset_uri")
+        .join(
+            F.broadcast(taxonomy),
+            F.col("classification_result") == F.col("category"),
+        )
+        .select(
+            "asset_uri",
+            F.col("field").alias("column"),
+            F.col("policy_tag_name").alias("policy_tag"),
+        )
+    )
+
+
+def apply_policy_tags(assets: DataFrame, requests: DataFrame) -> DataFrame:
+    """Schema-metadata update (reference apply_policy_tags,
+    DataCatalogController.py:1064-1097): rebuild each asset's schema
+    array with a ``policy_tag`` on the matching columns, other columns
+    untouched (null policy_tag).
+
+    The reference mutates one BQ table schema per asset via
+    update_table; here the whole catalog updates in one pass — requests
+    collapse to a per-asset column->tag map (grouped on the same
+    asset_uri key, broadcast onto the assets scan), and the schema array
+    rewrites JVM-side with ``transform``. No shuffle on the assets side.
+    """
+    ptmap = requests.groupBy("asset_uri").agg(
+        F.map_from_entries(
+            F.collect_set(F.struct(F.col("column"), F.col("policy_tag")))
+        ).alias("_ptmap")
+    )
+    joined = assets.join(F.broadcast(ptmap), "asset_uri", "left")
+    new_schema = F.transform(
+        "schema",
+        lambda c: F.struct(
+            c["name"].alias("name"),
+            c["type"].alias("type"),
+            c["mode"].alias("mode"),
+            c["subcolumns"].alias("subcolumns"),
+            F.try_element_at(F.col("_ptmap"), c["name"]).alias("policy_tag"),
+        ),
+    )
+    return joined.withColumn("schema", new_schema).drop("_ptmap")
+
+
 def classify_table(notables: DataFrame, classification: DataFrame) -> DataFrame:
     """J4: one classification_result for the table: smallest
     classification row whose notable_infotypes contains ALL the table's

@@ -95,6 +95,30 @@ def test_fused_multi_asset(spark):
     }
 
 
+def test_fused_inventory_form_matches_list_form(spark):
+    """The scale form (ONE DataFrame with an asset_uri column) computes
+    the same raw rows as the small-N union-of-scans list form."""
+    li = spark.table("lineitem")
+    blk = F.pmod(F.hash("l_orderkey"), F.lit(3))
+    inv = li.withColumn(
+        "asset_uri", F.format_string("p/datasets/d/tables/clone_%d", blk)
+    )
+    raw_inv = D.run_config_fused(spark, FIELDS, inv, "t")
+    assets = [
+        (f"p/datasets/d/tables/clone_{i}", li.filter(blk == i)) for i in range(3)
+    ]
+    raw_list = D.run_config_fused(spark, FIELDS, assets, "t")
+    got_inv = {(r["asset_uri"], r["field_id"]): r["raw_value"] for r in raw_inv.collect()}
+    got_list = {(r["asset_uri"], r["field_id"]): r["raw_value"] for r in raw_list.collect()}
+    assert got_inv == got_list
+    assert len(got_inv) == 3 * len(FIELDS)
+
+
+def test_fused_inventory_requires_asset_uri(spark):
+    with pytest.raises(ValueError, match="asset_uri"):
+        D.run_config_fused(spark, [FIELDS[0]], spark.table("lineitem"), "t")
+
+
 def test_classify():
     assert D.classify_expression("select 'X'")[0] == "constant"
     assert D.classify_expression("select max(x) from $table")[0] == "simple"

@@ -91,6 +91,51 @@ def test_dynamic_table_end_to_end(spark, engine, assets):
     assert jobs[job]["tasks_success"] == 2
 
 
+def test_dynamic_table_inventory_view(spark, engine):
+    """Scale form: cfg['inventory_view'] names one relation holding all
+    matched assets' rows keyed by asset_uri — a single-leaf fused plan
+    with exclusion applied as a semi-join, no per-asset scans."""
+    li = spark.table("lineitem")
+    clones = {"clone_a": li, "clone_b": li.limit(100), "clone_c": li.limit(7)}
+    inv = None
+    for name, df in clones.items():
+        part = df.withColumn("asset_uri", F.lit(f"p/datasets/d/tables/{name}"))
+        inv = part if inv is None else inv.unionByName(part)
+    inv.createOrReplaceTempView("inv_clones")
+    asset_rows = [
+        {
+            "asset_uri": f"p/datasets/d/tables/{name}",
+            "asset_type": "bigquery",
+            "project": "p",
+            "dataset": "d",
+            "table": name,
+            "schema": [
+                {"name": c, "type": None, "mode": None, "subcolumns": None}
+                for c in li.columns
+            ],
+        }
+        for name in clones
+    ]
+    assets = spark.createDataFrame(asset_rows, ASSETS_SCHEMA)
+    cfg = engine.create_config(
+        "DYNAMIC_TAG_TABLE",
+        "data_governance",
+        included_uris="bigquery/project/p/dataset/d/*",
+        excluded_uris="bigquery/project/p/dataset/d/clone_c",
+        fields=[
+            {"field_id": "row_count", "query_expression": "select count(*) from $table"},
+            {"field_id": "data_domain", "query_expression": "select 'LOGISTICS'"},
+        ],
+        inventory_view="inv_clones",
+    )
+    engine.trigger_job(cfg, assets)
+    tags = tag_map(engine)
+    assert tags[("p/datasets/d/tables/clone_a", None, "row_count")] == 6000.0
+    assert tags[("p/datasets/d/tables/clone_b", None, "row_count")] == 100.0
+    assert tags[("p/datasets/d/tables/clone_a", None, "data_domain")] == "LOGISTICS"
+    assert ("p/datasets/d/tables/clone_c", None, "row_count") not in tags
+
+
 def test_static_and_overwrite_guard(spark, engine, assets):
     cfg1 = engine.create_config(
         "STATIC_TAG_ASSET",

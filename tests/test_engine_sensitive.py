@@ -75,6 +75,80 @@ def test_sensitive_config_end_to_end(spark, engine, assets):
     assert not any(k[0].endswith("public_stuff") for k in got)
 
 
+def test_policy_tag_application(spark, engine):
+    """create_policy_tags=True: sensitive columns of non-public assets
+    get the taxonomy policy tag matching the asset classification,
+    applied as a schema-metadata rewrite (reference
+    DataCatalogController.py:1038-1042, :1064-1097)."""
+    schema_cols = lambda names: [
+        {"name": n, "type": "STRING", "mode": "NULLABLE", "subcolumns": None}
+        for n in names
+    ]
+    assets = spark.createDataFrame(
+        [
+            {"asset_uri": "p/datasets/d/tables/users", "asset_type": "bigquery",
+             "project": "p", "dataset": "d", "table": "users",
+             "schema": schema_cols(["email", "name", "age"])},
+            {"asset_uri": "p/datasets/d/tables/public_stuff", "asset_type": "bigquery",
+             "project": "p", "dataset": "d", "table": "public_stuff",
+             "schema": schema_cols(["city"])},
+        ],
+        ASSETS_SCHEMA,
+    )
+    findings = spark.createDataFrame(
+        [
+            ("p/datasets/d/tables/users", "email", "EMAIL_ADDRESS"),
+            ("p/datasets/d/tables/users", "name", "PERSON_NAME"),
+            ("p/datasets/d/tables/public_stuff", "city", "LOCATION"),
+        ],
+        "asset_uri string, field string, infotype string",
+    )
+    selection = spark.createDataFrame(
+        [(["EMAIL_ADDRESS"], "EMAIL"), (["PERSON_NAME"], "NAME"), (["LOCATION"], "LOCATION")],
+        "field_infotypes array<string>, notable_infotype string",
+    )
+    classification = spark.createDataFrame(
+        [
+            (["EMAIL", "NAME"], "Sensitive_Personal_Identifiable_Information"),
+            (["LOCATION"], "Public_Information"),
+        ],
+        "notable_infotypes array<string>, classification_result string",
+    )
+    taxonomy = spark.createDataFrame(
+        [
+            ("taxonomies/t1/policyTags/pii", "Sensitive_Personal_Identifiable_Information"),
+            ("taxonomies/t1/policyTags/public", "Public_Information"),
+        ],
+        "policy_tag_name string, category string",
+    )
+    cfg = engine.create_config(
+        "SENSITIVE_TAG_COLUMN", "data_sensitivity",
+        included_uris="bigquery/project/p/dataset/d/*",
+        create_policy_tags=True,
+    )
+    engine.trigger_job(cfg, assets, findings=findings, selection=selection,
+                       classification=classification, taxonomy=taxonomy)
+
+    reqs = {
+        (r["asset_uri"], r["column"]): r["policy_tag"]
+        for r in engine.last_policy_tag_requests.collect()
+    }
+    assert reqs == {
+        ("p/datasets/d/tables/users", "email"): "taxonomies/t1/policyTags/pii",
+        ("p/datasets/d/tables/users", "name"): "taxonomies/t1/policyTags/pii",
+    }
+
+    updated = engine.apply_policy_tags(assets)
+    by_asset = {r["asset_uri"]: r for r in updated.collect()}
+    users_schema = {c["name"]: c for c in by_asset["p/datasets/d/tables/users"]["schema"]}
+    assert users_schema["email"]["policy_tag"] == "taxonomies/t1/policyTags/pii"
+    assert users_schema["name"]["policy_tag"] == "taxonomies/t1/policyTags/pii"
+    assert users_schema["age"]["policy_tag"] is None
+    assert users_schema["age"]["type"] == "STRING"  # untouched fields survive
+    public = {c["name"]: c for c in by_asset["p/datasets/d/tables/public_stuff"]["schema"]}
+    assert public["city"]["policy_tag"] is None
+
+
 def test_per_asset_error_capture(spark, engine, assets):
     cfg = engine.create_config(
         "DYNAMIC_TAG_TABLE", "data_sensitivity",

@@ -4,10 +4,14 @@ same shape locally — N schema-identical assets, the 11-expression
 profile — on both execution paths and prints seconds per rung.
 
 The point being demonstrated: per-asset cost grows with ASSET COUNT
-(one Spark job each — driver scheduling bound), fused cost grows with
-DATA SIZE only (one job regardless of N). The crossover arrives within
-two orders of magnitude, long before the reference's million-asset
-ladder.
+(one Spark job each — driver scheduling bound), fused-union cost grows
+with PLAN SIZE (N scan leaves — driver analysis bound, the cliff at
+>= ~10k assets), and fused-inventory cost grows with DATA SIZE only:
+one scan leaf regardless of N, the only shape that reaches the
+reference's 500k/1M-asset ladder.
+
+Per-mode caps keep the ladder runnable: per-asset stops at 200 rungs,
+fused-union at 2000; fused-inventory runs every rung.
 
 Usage: python tools/scale_ladder.py [N ...]   (default 10 50 200)
 """
@@ -35,23 +39,41 @@ def main() -> None:
     li = spark.table("lineitem")
     li.count()  # warm
 
-    print(f"{'assets':>8} {'fused(s)':>10} {'per-asset(s)':>14}")
+    from pyspark.sql import functions as F
+
+    print(f"{'assets':>8} {'fused-inv(s)':>13} {'fused-union(s)':>15} {'per-asset(s)':>14}")
     for n in rungs:
         uris = [f"p/datasets/d/tables/clone_{i:04d}" for i in range(n)]
 
-        t0 = time.time()
-        DYN.run_config_fused(
-            spark, E.FUSED_FIELDS, [(u, li) for u in uris], "t"
-        ).write.mode("overwrite").format("noop").save()
-        fused = time.time() - t0
-
-        t0 = time.time()
-        DYN.run_config_per_asset(
-            spark, E.FUSED_FIELDS, uris, "t", qualify=lambda p, d, t: "lineitem", max_workers=8
+        # inventory form: ONE scan with a derived asset_uri column — the
+        # same total data volume, split across n assets
+        inv = li.withColumn(
+            "asset_uri",
+            F.format_string("p/datasets/d/tables/clone_%04d", F.pmod(F.hash("l_orderkey"), F.lit(n))),
         )
-        per_asset = time.time() - t0
+        t0 = time.time()
+        DYN.run_config_fused(spark, E.FUSED_FIELDS, inv, "t").write.mode(
+            "overwrite"
+        ).format("noop").save()
+        fused_inv = time.time() - t0
 
-        print(f"{n:>8} {fused:>10.2f} {per_asset:>14.2f}")
+        fused = float("nan")
+        if n <= 2000:
+            t0 = time.time()
+            DYN.run_config_fused(
+                spark, E.FUSED_FIELDS, [(u, li) for u in uris], "t"
+            ).write.mode("overwrite").format("noop").save()
+            fused = time.time() - t0
+
+        per_asset = float("nan")
+        if n <= 200:
+            t0 = time.time()
+            DYN.run_config_per_asset(
+                spark, E.FUSED_FIELDS, uris, "t", qualify=lambda p, d, t: "lineitem", max_workers=8
+            )
+            per_asset = time.time() - t0
+
+        print(f"{n:>8} {fused_inv:>13.2f} {fused:>15.2f} {per_asset:>14.2f}")
 
 
 if __name__ == "__main__":
