@@ -488,8 +488,14 @@ class TagEngine:
         asset_name = F.when(
             F.col("column").isNotNull(), F.concat(singular, F.lit("/column/"), F.col("column"))
         ).otherwise(singular)
+        # one driver-side timestamp per append: deterministic across
+        # recomputes (the reference stamps one export/event time per
+        # job), so the history rows need no pinning checkpoint of their
+        # own — the merge's combined checkpoint already materialized the
+        # expensive joins and the count() below only re-runs a filter.
+        now = datetime.datetime.now()
         rows = events.select(
-            F.current_timestamp().alias("event_time"),
+            F.lit(now).cast("timestamp").alias("event_time"),
             asset_name.alias("asset_name"),
             F.col("column"),
             F.col("template_id"),
@@ -505,9 +511,8 @@ class TagEngine:
             F.lit(None).cast("string").alias("tag_creator_account"),
             F.lit(None).cast("string").alias("tag_invoker_account"),
             F.lit(job_uuid).alias("job_uuid"),
-            F.to_date(F.current_timestamp()).alias("event_date"),
+            F.lit(now.date()).cast("date").alias("event_date"),
         )
-        rows = rows.localCheckpoint(eager=True)
         self._history = self._history.unionByName(rows)
         return rows.count()
 

@@ -40,8 +40,22 @@ KEY_COLUMNS = (
 )
 
 
-def read_tag_csv(spark: SparkSession, path: str) -> DataFrame:
-    """S5: header-projected CSV with right-stripped string values."""
+def read_tag_csv(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """S5/U3: one CSV path, a glob, or a list of paths.
+
+    A list reads each file independently and concatenates by column
+    name with missing columns null-filled (the reference concatenates
+    per-file extracts, main.py:3433-3436) — files may carry different
+    field-column subsets; a null melts to skip semantics downstream. A
+    glob string stays a single multi-file scan (same header expected),
+    which is the scale path: one job, splittable across executors.
+    """
+    if isinstance(path, (list, tuple)):
+        dfs = [read_tag_csv(spark, p) for p in path]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
     df = spark.read.option("header", True).csv(path)
     return df.select([F.rtrim(F.col(c)).alias(c) for c in df.columns])
 

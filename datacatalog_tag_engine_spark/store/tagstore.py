@@ -106,20 +106,35 @@ class TagStore:
         ucond = [survivors[k].eqNullSafe(upserts_flagged[k]) for k in TAG_KEY]
         survivors = survivors.join(upserts_flagged.select(*TAG_KEY), ucond, "left_anti")
 
-        new_df = survivors.unionByName(upserts_flagged.drop("action"))
-        # one eager checkpoint: truncates the self-referential merge
+        # ONE eager checkpoint materializes new state AND history events
+        # together: the checkpoint truncates the self-referential merge
         # lineage (each merge reads the previous state) so plans stay
-        # flat across many merges; the returned history recomputes its
-        # (cheap, one-shot) joins on demand. Coalesce first (narrow, no
+        # flat across many merges, and stacking the events into the same
+        # job means the caller's history append never re-runs the merge
+        # joins (previously the second action recomputed them — half of
+        # every merge-chain's wall time). Coalesce first (narrow, no
         # shuffle): post-merge state otherwise inherits one near-empty
         # partition per shuffle partition and every later op schedules
         # that many tasks.
+        state_part = (
+            survivors.withColumn("action", F.lit(None).cast("string"))
+            .unionByName(upserts_flagged)
+            .withColumn("_role", F.lit("state"))
+        )
+        event_part = (
+            upserts_flagged.unionByName(deleted_rows).withColumn("_role", F.lit("event"))
+        )
         parallelism = self.spark.sparkContext.defaultParallelism
-        self._df = new_df.coalesce(max(8, parallelism // 4)).localCheckpoint(eager=True)
+        combined = (
+            state_part.unionByName(event_part)
+            .coalesce(max(8, parallelism // 4))
+            .localCheckpoint(eager=True)
+        )
+        self._df = combined.filter(F.col("_role") == "state").drop("_role", "action")
         if self.path:
             self._persist()
 
-        return upserts_flagged.unionByName(deleted_rows)
+        return combined.filter(F.col("_role") == "event").drop("_role")
 
     def _persist(self) -> None:
         tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"

@@ -69,6 +69,35 @@ def test_read_tag_csv_rtrims(spark, tmp_path):
     assert df.first()["data_owner"] == "alice"
 
 
+def test_multi_file_csv_union(spark, tmp_path):
+    """U3: a config with several CSVs concatenates their extracts
+    (reference main.py:3433-3436), even when the files carry different
+    field-column subsets."""
+    a = tmp_path / "a.csv"
+    a.write_text("project,dataset,table,data_owner\np,d,t1,alice\n")
+    b = tmp_path / "b.csv"
+    b.write_text("project,dataset,table,retention_days,is_compliant\np,d,t2,90,TRUE\n")
+    df = IMP.read_tag_csv(spark, [str(a), str(b)])
+    rows = IMP.melt_to_tag_rows(df, _template_fields(spark), "t").collect()
+    got = {
+        (r["asset_uri"], r["field_id"]): r["raw_value"]
+        for r in rows
+        if r["raw_value"] is not None
+    }
+    assert got == {
+        ("p/datasets/d/tables/t1", "data_owner"): "alice",
+        ("p/datasets/d/tables/t2", "retention_days"): "90",
+        ("p/datasets/d/tables/t2", "is_compliant"): "TRUE",
+    }
+    # glob form: one multi-file scan with a shared header layout
+    c = tmp_path / "glob" ; c.mkdir()
+    (c / "x.csv").write_text("project,dataset,table,data_owner\np,d,t3,bob\n")
+    (c / "y.csv").write_text("project,dataset,table,data_owner\np,d,t4,carol\n")
+    df2 = IMP.read_tag_csv(spark, str(c / "*.csv"))
+    owners = {r["table"]: r["data_owner"] for r in df2.collect()}
+    assert owners == {"t3": "bob", "t4": "carol"}
+
+
 def test_dataset_level_uri(spark):
     csv = spark.createDataFrame(
         [("p", "d", "alice")], "project string, dataset string, data_owner string"
