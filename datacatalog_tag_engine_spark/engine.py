@@ -572,6 +572,40 @@ class TagEngine:
 
         return self.spark.createDataFrame(self.jobs, JOBS_SCHEMA)
 
+    def jobs_by_config(self, config_uuid: str) -> DataFrame:
+        """O5 (reference TagEngineStoreHandler.py:1238-1247): one
+        config's jobs, most recent completion first."""
+        return (
+            self.jobs_df()
+            .filter(F.col("config_uuid") == config_uuid)
+            .orderBy(F.desc("completion_time"))
+        )
+
+    def active_configs(self) -> list[dict]:
+        """O5 (reference TagEngineStoreHandler.py:1345-1356): non-INACTIVE
+        configs ordered by config_status desc (driver-side — config
+        metadata is always driver-resident and tiny)."""
+        return sorted(
+            (c for c in self.configs.values() if c["config_status"] != "INACTIVE"),
+            key=lambda c: c["config_status"],
+            reverse=True,
+        )
+
+    def recent_log_entries(self, limit: int = 25) -> DataFrame:
+        """O6 (reference main.py:195-225 get_log_entries): the latest
+        ``limit`` audit entries, newest first, payload truncated to 120
+        chars. The reference tails Cloud Logging; the engine's audit
+        stream is the tag history."""
+        payload = F.concat_ws(
+            " ", F.col("action"), F.col("asset_name"), F.col("field_id"), F.col("field_value")
+        )
+        return (
+            self.history()
+            .orderBy(F.desc("event_time"), F.asc("asset_name"), F.asc("field_id"))
+            .limit(limit)
+            .select("event_time", F.substring(payload, 1, 120).alias("payload"))
+        )
+
     def ready_configs(self, now: datetime.datetime) -> list[dict]:
         """P10: AUTO + ACTIVE + READY + next_run <= now."""
         return [

@@ -136,6 +136,39 @@ def test_dynamic_table_inventory_view(spark, engine):
     assert ("p/datasets/d/tables/clone_c", None, "row_count") not in tags
 
 
+def test_ordering_views(spark, engine, assets):
+    """O5/O6: jobs-by-config newest-completion-first, non-inactive
+    config ordering, and the latest-25 log view."""
+    import time
+
+    cfg = engine.create_config(
+        "STATIC_TAG_ASSET", "data_governance",
+        included_uris="bigquery/project/p/dataset/d/lineitem",
+        fields=[{"field_id": "data_owner", "field_value": "alice"}],
+    )
+    engine.trigger_job(cfg, assets)
+    time.sleep(0.01)
+    engine.trigger_job(cfg, assets)
+
+    jobs = engine.jobs_by_config(cfg).collect()
+    assert len(jobs) == 2
+    assert jobs[0]["completion_time"] >= jobs[1]["completion_time"]
+
+    # a same-hash config deactivates the prior one; active_configs drops it
+    cfg2 = engine.create_config(
+        "STATIC_TAG_ASSET", "data_governance",
+        included_uris="bigquery/project/p/dataset/d/lineitem",
+        fields=[{"field_id": "data_owner", "field_value": "bob"}],
+    )
+    act = engine.active_configs()
+    assert [c["config_uuid"] for c in act] == [cfg2]
+
+    logs = engine.recent_log_entries(limit=1).collect()
+    assert len(logs) == 1
+    assert logs[0]["payload"].startswith("UPDATE p/dataset/d/table/lineitem data_owner")
+    assert len(logs[0]["payload"]) <= 120
+
+
 def test_static_and_overwrite_guard(spark, engine, assets):
     cfg1 = engine.create_config(
         "STATIC_TAG_ASSET",
