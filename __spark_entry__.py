@@ -18,8 +18,10 @@ Coverage map (SURVEY.md section 2.10 + training-data operators):
   q21      job ledger rollup (A10/A11)
   q22-q23  usage/event aggregations (T3 batch shape)
   d01-d05  dedup: exact, minhash+LSH, simhash, ngram-jaccard, embedding
-  s01-s02  similarity search: brute-force top-k, LSH bucketed
-  t01-t04  text analysis: tokens, quality, language-id, fingerprint
+  s01-s03  similarity search: brute-force top-k, LSH bucketed, IVF
+  t01-t09  text analysis: tokens, quality, language-id, fingerprint,
+           vocabulary, PII redaction, tf-idf, percentiles, chunking
+  q44-q45  policy-tag application; deterministic training shuffle
 """
 
 from __future__ import annotations
@@ -874,6 +876,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["t03_lang_id"] = lambda spark, sf: TXT.language_id(_docs(spark, sf))
     q["t04_fingerprint"] = lambda spark, sf: TXT.fingerprints(_docs(spark, sf))
 
+    def t06(spark, sf):
+        # PII scrub over documents carrying synthetic id-derived PII
+        # (the corpus itself is clean words, so the suffix guarantees
+        # every doc exercises all three patterns)
+        docs = _docs(spark, sf)
+        pii = docs.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact u"), F.col("doc_id").cast("string"),
+                F.lit("@ex.com at 10.0."), (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1 or 555-123-4567"),
+            ).alias("text"),
+        )
+        return TXT.redact_pii(pii)
+
+    q["t06_pii_redaction"] = t06
+    q["t07_tfidf"] = lambda spark, sf: TXT.tfidf_top_terms(_docs(spark, sf), k=5)
+    q["t08_length_percentiles"] = lambda spark, sf: TXT.length_percentiles(_docs(spark, sf))
+    q["t09_chunking"] = lambda spark, sf: TXT.chunk_documents(_docs(spark, sf))
+    q["q45_training_shuffle"] = lambda spark, sf: TXT.training_shuffle(_docs(spark, sf))
+
     return q
 
 
@@ -1504,6 +1528,73 @@ WITH n AS (
 SELECT doc_id, md5(norm) AS fingerprint,
        ('0x' || substr(md5(norm), 1, 15))::BIGINT AS fingerprint64
 FROM n
+"""
+
+    # t06: the three patterns apply in fixed order, each counting
+    # against the previous stage's output — replayed as a CTE chain.
+    _email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    _ip = r"(\d{1,3}\.){3}\d{1,3}"
+    _phone = r"\d{3}-\d{3}-\d{4}"
+    o["t06_pii_redaction"] = f"""
+WITH pii AS (
+  SELECT doc_id,
+         text || ' contact u' || doc_id || '@ex.com at 10.0.' || (doc_id % 256) || '.1 or 555-123-4567' AS text
+  FROM documents),
+s1 AS (SELECT doc_id,
+              len(regexp_extract_all(text, '{_email}')) AS c1,
+              regexp_replace(text, '{_email}', '<EMAIL>', 'g') AS t FROM pii),
+s2 AS (SELECT doc_id, c1,
+              len(regexp_extract_all(t, '{_ip}')) AS c2,
+              regexp_replace(t, '{_ip}', '<IP>', 'g') AS t FROM s1),
+s3 AS (SELECT doc_id, c1, c2,
+              len(regexp_extract_all(t, '{_phone}')) AS c3,
+              regexp_replace(t, '{_phone}', '<PHONE>', 'g') AS t FROM s2)
+SELECT doc_id, t AS redacted, (c1 + c2 + c3)::INT AS n_redactions FROM s3
+"""
+
+    o["t07_tfidf"] = r"""
+WITH w AS (
+  SELECT source AS grp, unnest(regexp_split_to_array(lower(text), '\s+')) AS term FROM documents),
+w2 AS (SELECT grp, term FROM w WHERE len(term) > 0),
+tf AS (SELECT grp, term, count(*) AS tf FROM w2 GROUP BY grp, term),
+df AS (SELECT term, count(DISTINCT grp) AS df FROM tf GROUP BY term),
+ng AS (SELECT count(DISTINCT source) AS n_groups FROM documents),
+scored AS (
+  SELECT tf.grp AS source, tf.term, round(tf.tf * ln(ng.n_groups / df.df), 4) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN ng)
+SELECT source, term, tfidf,
+       cast(row_number() OVER (PARTITION BY source ORDER BY tfidf DESC, term) AS INT) AS rank
+FROM scored QUALIFY rank <= 5
+"""
+
+    o["t08_length_percentiles"] = """
+SELECT source,
+       round(quantile_cont(n_chars, 0.5), 4) AS p50,
+       round(quantile_cont(n_chars, 0.9), 4) AS p90,
+       round(quantile_cont(n_chars, 0.99), 4) AS p99,
+       count(*) AS n
+FROM documents GROUP BY source
+"""
+
+    # chunk token counts: least(32, nt - chunk_id*32)
+    o["t09_chunking"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{TXT.TOKEN_REGEX}'))::INT AS nt,
+         ceil(len(regexp_extract_all(text, '{TXT.TOKEN_REGEX}')) / 32.0)::INT AS nc
+  FROM documents),
+c AS (SELECT doc_id, unnest(range(nc))::INT AS chunk_id, nt FROM t WHERE nc > 0)
+SELECT doc_id, chunk_id, least(32, nt - chunk_id * 32) AS n_tokens FROM c
+"""
+
+    o["q45_training_shuffle"] = """
+WITH k AS (
+  SELECT doc_id, md5('s42' || doc_id) AS sort_key,
+         (('0x' || substr(md5('s42' || doc_id), 1, 8))::BIGINT % 8)::INT AS shard
+  FROM documents)
+SELECT doc_id, shard,
+       cast(row_number() OVER (PARTITION BY shard ORDER BY sort_key, doc_id) AS INT) AS position
+FROM k
 """
 
     return o

@@ -111,6 +111,145 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return docs.select(id_col, pred.alias("lang_pred"))
 
 
+# PII scrub patterns, applied in fixed order; kept RE2/Java-regex
+# compatible (no \b, no lookaround) so a SQL engine replays them exactly.
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"(\d{1,3}\.){3}\d{1,3}", "<IP>"),
+    (r"\d{3}-\d{3}-\d{4}", "<PHONE>"),
+)
+
+
+def redact_pii(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Training-data PII scrub: emails, IPv4s, phone-shaped numbers
+    replaced by typed placeholders, counted per doc. Pure regexp
+    expressions (JVM codegen, no Python); patterns apply in declaration
+    order, each counting against the previous stage's output, so the
+    semantics are a deterministic pipeline any regex engine can replay.
+    """
+    t = F.col(text_col)
+    n_red = F.lit(0)
+    for pat, repl in PII_PATTERNS:
+        n_red = n_red + F.size(F.regexp_extract_all(t, F.lit(pat), 0))
+        t = F.regexp_replace(t, pat, repl)
+    return docs.select(id_col, t.alias("redacted"), n_red.alias("n_redactions"))
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group top-k terms by tf-idf (tf = term count in the group,
+    idf = ln(n_groups / groups_containing_term), natural log, rounded to
+    4; ties break on term asc).
+
+    Scale shape: one explode + two hash aggregations (term counts per
+    group; document frequency per term) and a broadcast of the tiny
+    (term, df) side back onto the group counts — the corpus shuffles
+    once on (group, term). The final top-k is a per-group window over
+    the aggregated (small) term table, not the corpus.
+    """
+    words = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
+    ).filter(F.length("term") > 0)
+    tf = words.groupBy("grp", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.countDistinct("grp").alias("df"))
+    n_groups = docs.select(F.countDistinct(group_col).alias("n_groups"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_groups))
+        .select(
+            F.col("grp").alias(group_col),
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n_groups") / F.col("df")), 4).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def length_percentiles(
+    docs: DataFrame, group_col: str = "source", value_col: str = "n_chars"
+) -> DataFrame:
+    """Exact p50/p90/p99 of a numeric column per group
+    (linear-interpolation percentiles — the PERCENTILE_CONT definition
+    both Spark's ``percentile`` and DuckDB's ``quantile_cont`` use).
+    One hash aggregation; for 100 TB switch to approx_percentile with a
+    documented error bound — the exact form here doubles as its oracle.
+    """
+    v = F.col(value_col)
+    return docs.groupBy(group_col).agg(
+        F.round(F.percentile(v, F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile(v, F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile(v, F.lit(0.99)), 4).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
+def training_shuffle(
+    docs: DataFrame,
+    n_shards: int = 8,
+    seed: str = "s42",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic training-order shuffle: md5(seed||id) assigns a
+    pseudo-random sort key, documents shard by the key's top 32 bits and
+    order within their shard by (key, id).
+
+    This is the distributed form of "shuffle the corpus once per epoch":
+    no global single-partition window — the row_number partitions by
+    shard, so each shard orders independently (one shuffle on shard).
+    Reshuffling = changing the seed. Returns (id, shard, position).
+    """
+    key = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    shard = (F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_shards).cast("int")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("sort_key", id_col)
+    return (
+        docs.select(id_col, key.alias("sort_key"), shard.alias("shard"))
+        .withColumn("position", F.row_number().over(w))
+        .select(id_col, "shard", "position")
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-size context chunking: each document splits into
+    ceil(n_tokens / chunk_tokens) chunks; the last chunk carries the
+    remainder. Returns (id, chunk_id, n_tokens) — the packing manifest a
+    sequence-training pipeline materializes before tokenization. Pure
+    sequence+explode (no Python, no shuffle: chunking is row-local)."""
+    n_tokens = F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), 0))
+    n_chunks = F.ceil(n_tokens / F.lit(chunk_tokens)).cast("int")
+    return (
+        docs.select(id_col, n_tokens.alias("_nt"), n_chunks.alias("_nc"))
+        .filter(F.col("_nc") > 0)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_id"),
+            F.col("_nt"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.least(
+                F.lit(chunk_tokens), F.col("_nt") - F.col("chunk_id") * chunk_tokens
+            ).alias("n_tokens"),
+        )
+    )
+
+
 def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercase text
     plus a 64-bit numeric form (first 15 hex chars) for cheap joins."""

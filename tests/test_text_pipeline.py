@@ -1,0 +1,70 @@
+"""Training-data text operators: PII redaction, tf-idf, percentiles,
+deterministic training shuffle, context chunking."""
+
+from pyspark.sql import functions as F
+
+from datacatalog_tag_engine_spark.pipeline import text as TXT
+
+
+def test_redact_pii(spark):
+    docs = spark.createDataFrame(
+        [(1, "mail bob@x.org or 10.0.0.1 or 555-123-4567 end"),
+         (2, "clean text only")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in TXT.redact_pii(docs).collect()}
+    assert got[1]["redacted"] == "mail <EMAIL> or <IP> or <PHONE> end"
+    assert got[1]["n_redactions"] == 3
+    assert got[2]["redacted"] == "clean text only"
+    assert got[2]["n_redactions"] == 0
+
+
+def test_tfidf_top_terms(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana", "s1"), (2, "banana cherry", "s2")],
+        "doc_id long, text string, source string",
+    )
+    rows = TXT.tfidf_top_terms(docs, k=2).collect()
+    got = {(r["source"], r["term"]): (r["tfidf"], r["rank"]) for r in rows}
+    # banana appears in both sources -> idf = ln(2/2) = 0
+    assert got[("s1", "banana")][0] == 0.0
+    # apple: tf=2 in s1, df=1 -> 2*ln(2)
+    import math
+
+    assert got[("s1", "apple")] == (round(2 * math.log(2), 4), 1)
+    assert got[("s2", "cherry")][1] == 1
+
+
+def test_length_percentiles(spark):
+    docs = spark.createDataFrame(
+        [(i, "s1", i) for i in range(1, 11)],
+        "doc_id long, source string, n_chars long",
+    )
+    row = TXT.length_percentiles(docs).collect()[0]
+    assert row["p50"] == 5.5
+    assert row["n"] == 10
+
+
+def test_training_shuffle_deterministic(spark):
+    docs = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    a = {r["doc_id"]: (r["shard"], r["position"]) for r in TXT.training_shuffle(docs).collect()}
+    b = {r["doc_id"]: (r["shard"], r["position"]) for r in TXT.training_shuffle(docs).collect()}
+    assert a == b  # same seed -> same order
+    c = {r["doc_id"]: (r["shard"], r["position"]) for r in TXT.training_shuffle(docs, seed="other").collect()}
+    assert a != c  # reshuffle by reseeding
+    # positions are dense 1..n within every shard
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for shard, pos in a.values():
+        by_shard[shard].append(pos)
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+
+
+def test_chunk_documents(spark):
+    text = " ".join(["tok"] * 70)  # 70 word tokens
+    docs = spark.createDataFrame([(1, text), (2, "")], "doc_id long, text string")
+    rows = TXT.chunk_documents(docs, chunk_tokens=32).collect()
+    got = {(r["doc_id"], r["chunk_id"]): r["n_tokens"] for r in rows}
+    assert got == {(1, 0): 32, (1, 1): 32, (1, 2): 6}
