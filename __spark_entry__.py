@@ -43,6 +43,7 @@ from datacatalog_tag_engine_spark.operators.substitution import (
     parse_query_expression,
 )
 from datacatalog_tag_engine_spark.pipeline import dedup as DD
+from datacatalog_tag_engine_spark.pipeline import sampling as SAMP
 from datacatalog_tag_engine_spark.pipeline import similarity as SIM
 from datacatalog_tag_engine_spark.pipeline import text as TXT
 from datacatalog_tag_engine_spark.store.jobs import rollup_tasks
@@ -898,6 +899,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["t09_chunking"] = lambda spark, sf: TXT.chunk_documents(_docs(spark, sf))
     q["q45_training_shuffle"] = lambda spark, sf: TXT.training_shuffle(_docs(spark, sf))
 
+    # corpus mixture sampling: per-source keep rates (data-mixing
+    # ratios), hash-bucket deterministic like q35
+    MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+    q["q46_mixture_sample"] = lambda spark, sf: SAMP.stratified_deterministic_sample(
+        _docs(spark, sf).select("doc_id", "source"), "doc_id", "source", MIX_WEIGHTS
+    )
+
+    q["q47_embedding_quantize"] = lambda spark, sf: SIM.quantize_int8(_emb(spark, sf))
+
     return q
 
 
@@ -1585,6 +1595,23 @@ WITH t AS (
   FROM documents),
 c AS (SELECT doc_id, unnest(range(nc))::INT AS chunk_id, nt FROM t WHERE nc > 0)
 SELECT doc_id, chunk_id, least(32, nt - chunk_id * 32) AS n_tokens FROM c
+"""
+
+    o["q46_mixture_sample"] = """
+SELECT doc_id, source FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 <
+      CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                  WHEN 'src2' THEN 2500 WHEN 'src3' THEN 1000 ELSE 10000 END
+"""
+
+    o["q47_embedding_quantize"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+s AS (SELECT vec_id, v, CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS sc FROM m)
+SELECT vec_id,
+       list_transform(v, x -> floor(x * sc + 0.5)::INT) AS q8,
+       round(sc, 6) AS scale
+FROM s
 """
 
     o["q45_training_shuffle"] = """

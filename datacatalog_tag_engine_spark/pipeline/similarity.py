@@ -93,6 +93,23 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def quantize_int8(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = 127/max|x|,
+    q = floor(x*scale + 0.5). The explicit floor(+0.5) half-up makes
+    the rounding rule engine-independent (round() half-rule varies);
+    zero vectors map to scale 0 / all-zero. Row-local transform — no
+    shuffle, codegen JVM-side — this is the storage-compression step a
+    100 TB embedding corpus runs before ANN indexing (4x smaller,
+    dequantize = q/scale)."""
+    v = F.col(vec_col).cast("array<double>")
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(mx > 0, F.lit(127.0) / mx).otherwise(F.lit(0.0))
+    q = F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("int"))
+    return corpus.select(id_col, q.alias("q8"), F.round(scale, 6).alias("scale"))
+
+
 def ivf_assign_cells(
     corpus: DataFrame,
     num_cells: int = 8,

@@ -62,6 +62,21 @@ def test_training_shuffle_deterministic(spark):
         assert sorted(positions) == list(range(1, len(positions) + 1))
 
 
+def test_quantize_int8(spark):
+    from datacatalog_tag_engine_spark.pipeline.similarity import quantize_int8
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r for r in quantize_int8(emb).collect()}
+    # scale = 127/2 = 63.5; floor(x*63.5 + 0.5): 64, -127, 32
+    assert got[1]["q8"] == [64, -127, 32]
+    assert got[1]["scale"] == 63.5
+    assert got[2]["q8"] == [0, 0, 0]  # zero vector -> all zero
+    assert got[2]["scale"] == 0.0
+
+
 def test_chunk_documents(spark):
     text = " ".join(["tok"] * 70)  # 70 word tokens
     docs = spark.createDataFrame([(1, text), (2, "")], "doc_id long, text string")
