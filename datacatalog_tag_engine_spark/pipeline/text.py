@@ -146,30 +146,30 @@ def tfidf_top_terms(
     idf = ln(n_groups / groups_containing_term), natural log, rounded to
     4; ties break on term asc).
 
-    Scale shape: one explode + two hash aggregations (term counts per
-    group; document frequency per term) and a broadcast of the tiny
-    (term, df) side back onto the group counts — the corpus shuffles
-    once on (group, term). The final top-k is a per-group window over
-    the aggregated (small) term table, not the corpus.
+    Scale shape: the expensive explode scans the corpus ONCE into one
+    (group, term) aggregation; document frequency is then a count
+    window over the aggregated term table ((group, term) rows are
+    unique, so count-per-term == distinct groups containing the term) —
+    a join back to a second aggregation of the same corpus would scan
+    and explode it twice (measured: Spark does not reuse the exchange).
+    n_groups is a driver-side scalar from a column-pruned mini-scan.
+    The final top-k is a per-group window with WindowGroupLimit pushdown
+    over the small term table, never the corpus.
     """
+    n_groups = docs.select(group_col).distinct().count()
     words = docs.select(
         F.col(group_col).alias("grp"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
     ).filter(F.length("term") > 0)
     tf = words.groupBy("grp", "term").agg(F.count("*").alias("tf"))
-    df = tf.groupBy("term").agg(F.countDistinct("grp").alias("df"))
-    n_groups = docs.select(F.countDistinct(group_col).alias("n_groups"))
-    scored = (
-        tf.join(F.broadcast(df), "term")
-        .crossJoin(F.broadcast(n_groups))
-        .select(
-            F.col("grp").alias(group_col),
-            "term",
-            F.round(F.col("tf") * F.log(F.col("n_groups") / F.col("df")), 4).alias("tfidf"),
-        )
-    )
     from pyspark.sql import Window
 
+    wt = Window.partitionBy("term")
+    scored = tf.withColumn("df", F.count("*").over(wt)).select(
+        F.col("grp").alias(group_col),
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(n_groups) / F.col("df")), 4).alias("tfidf"),
+    )
     w = Window.partitionBy(group_col).orderBy(F.desc("tfidf"), F.asc("term"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
