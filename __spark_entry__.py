@@ -588,6 +588,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q34_dedup_clusters"] = q34
 
+    def q48(spark, sf):
+        # end-to-end dedup apply: shingle -> LSH pairs -> connected
+        # components -> canonical-only corpus
+        docs = _docs(spark, sf)
+        pairs = DD.minhash_dedup(docs)
+        clusters = DD.neardup_clusters(docs, pairs)
+        return DD.apply_neardup_dedup(docs, clusters).select("doc_id", "source", "n_chars")
+
+    q["q48_dedup_apply"] = q48
+
     def q37(spark, sf):
         from datacatalog_tag_engine_spark.pipeline.sketches import kmv_distinct_df
 
@@ -1186,7 +1196,8 @@ WHERE round(i / (sa.n + sb.n - i), 4) >= 0.5
 
     # clusters: transitive closure over the (oracle-replayed) minhash
     # pairs; cluster_id = min reachable doc_id, singletons = self
-    o["q34_dedup_clusters"] = f"""
+    # shared by q34 (clusters) and q48 (dedup apply)
+    _cluster_cte = f"""
 WITH RECURSIVE {_shingle_cte()},
 sigs AS (
   SELECT doc_id, {sig_exprs}
@@ -1213,8 +1224,17 @@ edges AS (SELECT da AS src, db AS dst FROM pairs UNION SELECT db, da FROM pairs)
 reach(src, dst) AS (
   SELECT doc_id, doc_id FROM documents
   UNION
-  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+clusters AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)"""
+
+    o["q34_dedup_clusters"] = f"""{_cluster_cte}
+SELECT doc_id, cluster_id FROM clusters
+"""
+
+    o["q48_dedup_apply"] = f"""{_cluster_cte}
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN clusters c ON d.doc_id = c.doc_id
+WHERE c.doc_id = c.cluster_id
 """
 
     o["q38_join_profile"] = (

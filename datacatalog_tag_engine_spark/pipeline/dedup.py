@@ -273,6 +273,21 @@ def neardup_clusters(
     return labels
 
 
+def apply_neardup_dedup(
+    docs: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Materialize the deduplicated corpus: keep one canonical document
+    per cluster (the min-id member, i.e. cluster_id == id). The last
+    step of the dedup pipeline — shingle -> LSH pairs -> connected
+    components -> THIS. A left-semi join on the id key — the canonical
+    set is corpus-sized (most documents are unique), so no broadcast:
+    one co-partitioned shuffle, AQE downgrades it to broadcast when the
+    surviving set really is small. Payload columns pass through
+    untouched."""
+    keep = clusters.filter(F.col("cluster_id") == F.col(id_col)).select(id_col)
+    return docs.join(keep, id_col, "left_semi")
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -28,6 +28,17 @@ def test_clusters_on_real_neardups(spark):
     assert keep.count() == docs.count() - merged
 
 
+def test_apply_neardup_dedup(spark):
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 2}") for i in range(6)], "doc_id long, source string"
+    )
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (3, 4)], "doc_a long, doc_b long")
+    clusters = DD.neardup_clusters(docs, pairs)
+    kept = DD.apply_neardup_dedup(docs, clusters)
+    assert {r["doc_id"] for r in kept.collect()} == {0, 3, 5}
+    assert kept.columns == docs.columns  # payload passes through
+
+
 def test_deterministic_sample_reproducible(spark):
     docs = spark.table("documents")
     a = {r["doc_id"] for r in S.deterministic_sample(docs, "doc_id", 0.2).collect()}
