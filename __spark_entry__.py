@@ -598,6 +598,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q48_dedup_apply"] = q48
 
+    def q49(spark, sf):
+        # R9 column path: every (column, field) cell of a dynamic-column
+        # profile in ONE aggregation pass (run_column_config_fused)
+        register_testdata(spark, sf)
+        fields = [
+            {"field_id": "distinct_values", "field_type": "double",
+             "query_expression": "select count(distinct $column) from $table"},
+            {"field_id": "non_null_values", "field_type": "double",
+             "query_expression": "select count($column) from $table"},
+        ]
+        raw = DYN.run_column_config_fused(
+            spark, fields, LINEITEM_URI, spark.table("lineitem"),
+            ["l_orderkey", "l_returnflag", "l_shipdate"], "profile",
+        )
+        return DYN.coerce_long_rows(raw).select(
+            "asset_uri", "column", "field_id", "field_value_double"
+        )
+
+    q["q49_column_profile_fused"] = q49
+
     def q37(spark, sf):
         from datacatalog_tag_engine_spark.pipeline.sketches import kmv_distinct_df
 
@@ -638,6 +658,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return SIM.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, num_cells=8)
 
     q["s03_ann_ivf"] = s03
+
+    def s04(spark, sf):
+        emb = _emb(spark, sf)
+        return SIM.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, num_cells=8, nprobe=2)
+
+    q["s04_ann_ivf_nprobe"] = s04
 
     def m01(spark, sf):
         from datacatalog_tag_engine_spark.pipeline import multimodal as MM
@@ -1437,6 +1463,25 @@ FROM s GROUP BY user_id, session_index
     # q44: full derivation replay — per-field smallest-superset notable
     # selection, per-asset smallest-superset classification, taxonomy
     # category join, left-joined back onto the schema columns.
+    o["s04_ann_ivf_nprobe"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cent_v FROM e ORDER BY vec_id LIMIT 8),
+ranked AS (
+  SELECT e.vec_id, e.v, c.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round(list_cosine_similarity(e.v, c.cent_v), 6) DESC, c.cell) AS rn
+  FROM e CROSS JOIN cents c),
+assign AS (SELECT vec_id, v, cell FROM ranked WHERE rn = 1),
+qprobe AS (SELECT vec_id, v, cell FROM ranked WHERE rn <= 2 AND vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.v, a.v), 4) AS cosine
+  FROM qprobe q JOIN assign a ON q.cell = a.cell AND q.vec_id <> a.vec_id)
+SELECT query_id, neighbor_id, cosine,
+       cast(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+FROM scored QUALIFY rank <= 5
+"""
+
     o["q44_policy_tags"] = """
 WITH findings(asset_uri, field, infotype) AS (VALUES
   ('p/datasets/d/tables/users', 'email', 'EMAIL_ADDRESS'),
@@ -1615,6 +1660,19 @@ WITH t AS (
   FROM documents),
 c AS (SELECT doc_id, unnest(range(nc))::INT AS chunk_id, nt FROM t WHERE nc > 0)
 SELECT doc_id, chunk_id, least(32, nt - chunk_id * 32) AS n_tokens FROM c
+"""
+
+    o["q49_column_profile_fused"] = """
+WITH base AS (
+  SELECT 'l_orderkey' AS col, count(DISTINCT l_orderkey)::DOUBLE AS dv, count(l_orderkey)::DOUBLE AS nn FROM lineitem
+  UNION ALL
+  SELECT 'l_returnflag', count(DISTINCT l_returnflag)::DOUBLE, count(l_returnflag)::DOUBLE FROM lineitem
+  UNION ALL
+  SELECT 'l_shipdate', count(DISTINCT l_shipdate)::DOUBLE, count(l_shipdate)::DOUBLE FROM lineitem)
+SELECT 'p/datasets/d/tables/lineitem' AS asset_uri, col AS "column",
+       'distinct_values' AS field_id, dv AS field_value_double FROM base
+UNION ALL
+SELECT 'p/datasets/d/tables/lineitem', col, 'non_null_values', nn FROM base
 """
 
     o["q46_mixture_sample"] = """

@@ -151,23 +151,46 @@ def ivf_topk(
     num_cells: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF search: queries only score vectors in their own cell
-    (nprobe=1). At 100 TB the corpus is partitioned by cell, so each
-    query reads one partition instead of the full corpus; recall is
-    traded via num_cells/nprobe. Same output shape as brute_force_topk.
-    """
+    """IVF search: corpus vectors live in exactly one cell; each query
+    probes its ``nprobe`` closest cells. At 100 TB the corpus is
+    partitioned by cell, so a query reads nprobe partitions instead of
+    the full corpus; recall is traded via num_cells x nprobe (nprobe =
+    num_cells degenerates to exact brute force). Same output shape as
+    brute_force_topk."""
     assigned = ivf_assign_cells(corpus, num_cells, id_col, vec_col)
     c = assigned.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
         "cell",
     )
-    q = assigned.join(queries.select(id_col), id_col, "left_semi").select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
-        "cell",
-    )
+    if nprobe <= 1:
+        q = assigned.join(queries.select(id_col), id_col, "left_semi").select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+            "cell",
+        )
+    else:
+        # re-rank cells per query and keep the nprobe closest (the
+        # corpus-side assignment stays single-cell)
+        cents = corpus.orderBy(id_col).limit(num_cells).select(
+            F.col(id_col).alias("cell"), F.col(vec_col).cast("array<double>").alias("cent_v")
+        )
+        qv = (
+            corpus.join(queries.select(id_col), id_col, "left_semi")
+            .select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"))
+        )
+        probed = qv.crossJoin(F.broadcast(cents)).select(
+            "query_id", "qv", "cell",
+            F.round(cosine_expr(F.col("qv"), F.col("cent_v")), 6).alias("_sim"),
+        )
+        wq = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("cell"))
+        q = (
+            probed.withColumn("_rn", F.row_number().over(wq))
+            .filter(F.col("_rn") <= nprobe)
+            .drop("_rn", "_sim")
+        )
     scored = (
         F.broadcast(q)
         .join(c, "cell")
