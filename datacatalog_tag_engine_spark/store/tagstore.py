@@ -53,8 +53,10 @@ class TagStore:
         self.path = path
         if path and os.path.exists(path):
             self._df = spark.read.parquet(path)
+            self._known_empty = False
         else:
             self._df = spark.createDataFrame([], TAGS_SCHEMA)
+            self._known_empty = True
 
     def all(self) -> DataFrame:
         return self._df
@@ -82,29 +84,40 @@ class TagStore:
         deletes = inc.filter(F.col("_all_empty")).select(*TAG_GROUP_KEY).distinct()
         upserts = inc.filter(~F.col("_all_empty") & ~empty_flag).drop("_all_empty")
 
-        if not overwrite:
-            # skip upserts whose tag already exists (P5)
-            existing_tags = existing.select(*TAG_GROUP_KEY).distinct()
-            cond = [upserts[k].eqNullSafe(existing_tags[k]) for k in TAG_GROUP_KEY]
-            upserts = upserts.join(existing_tags, cond, "left_anti")
+        if self._known_empty:
+            # first merge onto an empty store: every upsert is a CREATE,
+            # nothing exists to guard, delete, or survive — skip all
+            # four joins (this is every engine's cold start)
+            upserts_flagged = upserts.withColumn("action", F.lit("CREATE"))
+            deleted_rows = upserts_flagged.filter(F.lit(False)).withColumn(
+                "action", F.lit("DELETE")
+            )
+            survivors = existing
+        else:
+            if not overwrite:
+                # skip upserts whose tag already exists (P5)
+                existing_tags = existing.select(*TAG_GROUP_KEY).distinct()
+                cond = [upserts[k].eqNullSafe(existing_tags[k]) for k in TAG_GROUP_KEY]
+                upserts = upserts.join(existing_tags, cond, "left_anti")
 
-        # classify CREATE vs UPDATE against current state (for history)
-        existing_keys = existing.select(*TAG_KEY).withColumn("_existed", F.lit(True))
-        cond = [upserts[k].eqNullSafe(existing_keys[k]) for k in TAG_KEY]
-        upserts_flagged = (
-            upserts.join(existing_keys, cond, "left")
-            .select(*[upserts[c] for c in upserts.columns], existing_keys["_existed"])
-            .withColumn("action", F.when(F.col("_existed"), "UPDATE").otherwise("CREATE"))
-            .drop("_existed")
-        )
-        # deleted rows (existing rows of tag groups marked delete)
-        dcond = [existing[k].eqNullSafe(deletes[k]) for k in TAG_GROUP_KEY]
-        deleted_rows = existing.join(deletes, dcond, "left_semi").withColumn("action", F.lit("DELETE"))
+            # classify CREATE vs UPDATE against current state (for history)
+            existing_keys = existing.select(*TAG_KEY).withColumn("_existed", F.lit(True))
+            cond = [upserts[k].eqNullSafe(existing_keys[k]) for k in TAG_KEY]
+            upserts_flagged = (
+                upserts.join(existing_keys, cond, "left")
+                .select(*[upserts[c] for c in upserts.columns], existing_keys["_existed"])
+                .withColumn("action", F.when(F.col("_existed"), "UPDATE").otherwise("CREATE"))
+                .drop("_existed")
+            )
+            # deleted rows (existing rows of tag groups marked delete)
+            dcond = [existing[k].eqNullSafe(deletes[k]) for k in TAG_GROUP_KEY]
+            deleted_rows = existing.join(deletes, dcond, "left_semi").withColumn("action", F.lit("DELETE"))
 
-        # MERGE: existing rows lose to same-key upserts; delete groups drop
-        survivors = existing.join(deletes, dcond, "left_anti")
-        ucond = [survivors[k].eqNullSafe(upserts_flagged[k]) for k in TAG_KEY]
-        survivors = survivors.join(upserts_flagged.select(*TAG_KEY), ucond, "left_anti")
+            # MERGE: existing rows lose to same-key upserts; delete groups drop
+            survivors = existing.join(deletes, dcond, "left_anti")
+            ucond = [survivors[k].eqNullSafe(upserts_flagged[k]) for k in TAG_KEY]
+            survivors = survivors.join(upserts_flagged.select(*TAG_KEY), ucond, "left_anti")
+        self._known_empty = False
 
         # ONE eager checkpoint materializes new state AND history events
         # together: the checkpoint truncates the self-referential merge
