@@ -254,6 +254,9 @@ def neardup_clusters(
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nmin"))
         )
+        # ONE checkpoint materializes the round; the convergence count
+        # and next round's labels both read it (counting the
+        # un-checkpointed plan would re-run the propagation join)
         updated = (
             labels.join(neighbor_min, labels[id_col] == neighbor_min["src"], "left")
             .select(
@@ -263,11 +266,10 @@ def neardup_clusters(
                 ),
                 F.col("cluster_id"),
             )
+            .localCheckpoint(eager=True)
         )
         changed = updated.filter(F.col("new_cluster_id") != F.col("cluster_id")).count()
-        labels = updated.select(
-            F.col(id_col), F.col("new_cluster_id").alias("cluster_id")
-        ).localCheckpoint(eager=True)
+        labels = updated.select(F.col(id_col), F.col("new_cluster_id").alias("cluster_id"))
         if changed == 0:
             break
     return labels
