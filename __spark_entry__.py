@@ -18,10 +18,12 @@ Coverage map (SURVEY.md section 2.10 + training-data operators):
   q21      job ledger rollup (A10/A11)
   q22-q23  usage/event aggregations (T3 batch shape)
   d01-d05  dedup: exact, minhash+LSH, simhash, ngram-jaccard, embedding
-  s01-s03  similarity search: brute-force top-k, LSH bucketed, IVF
+  s01-s04  similarity search: brute-force top-k, LSH bucketed, IVF
+           (single- and multi-probe)
   t01-t09  text analysis: tokens, quality, language-id, fingerprint,
            vocabulary, PII redaction, tf-idf, percentiles, chunking
-  q44-q45  policy-tag application; deterministic training shuffle
+  q44-q49  policy tags; training shuffle; mixture sampling; int8
+           quantization; dedup apply; fused column profile
 """
 
 from __future__ import annotations
