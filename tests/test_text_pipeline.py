@@ -62,6 +62,24 @@ def test_training_shuffle_deterministic(spark):
         assert sorted(positions) == list(range(1, len(positions) + 1))
 
 
+def test_redact_pii_idempotent_and_chunks_conserve(spark):
+    """Invariants over the real corpus: redaction is idempotent
+    (placeholders contain no redactable text) and chunk token counts
+    sum back to the document token count."""
+    docs = spark.table("documents")
+    once = TXT.redact_pii(docs).withColumnRenamed("redacted", "text")
+    twice = TXT.redact_pii(once.select("doc_id", "text"))
+    assert twice.filter(F.col("n_redactions") != 0).count() == 0
+
+    chunks = TXT.chunk_documents(docs, chunk_tokens=32)
+    totals = chunks.groupBy("doc_id").agg(F.sum("n_tokens").alias("total"))
+    counts = TXT.token_counts(docs).select("doc_id", "n_tokens")
+    bad = totals.join(counts, "doc_id").filter(F.col("total") != F.col("n_tokens"))
+    assert bad.count() == 0
+    # every chunk holds 1..32 tokens
+    assert chunks.filter((F.col("n_tokens") < 1) | (F.col("n_tokens") > 32)).count() == 0
+
+
 def test_quantize_int8(spark):
     from datacatalog_tag_engine_spark.pipeline.similarity import quantize_int8
 
