@@ -221,7 +221,19 @@ class TagEngine:
         # reference's 500k/1M-asset ladder — and asset matching is a
         # semi-join, never a driver-side uri collect.
         inv_view = cfg.get("inventory_view")
-        if inv_view and DYN.fusable(cfg["fields"]):
+        if inv_view:
+            if not DYN.fusable(cfg["fields"]):
+                # silently falling back to the per-asset uri-collect path
+                # would reintroduce exactly the driver-side shape the
+                # inventory form exists to avoid — fail loudly instead
+                opaque = [
+                    f["field_id"] for f in cfg["fields"]
+                    if DYN.classify_expression(f["query_expression"])[0] == "opaque"
+                    or f["field_type"] == "richtext"
+                ]
+                raise ValueError(
+                    f"inventory_view config requires fusable fields; not fusable: {opaque}"
+                )
             matched = URI.expand_included_excluded(
                 assets, cfg["included_uris"], cfg.get("excluded_uris")
             ).select("asset_uri")
@@ -564,6 +576,9 @@ class TagEngine:
         eng.jobs = meta["jobs"]
         eng._seq = meta["seq"]
         eng.store._df = spark.read.parquet(os.path.join(base_path, "tags"))
+        # the injected state may hold rows — without this the next merge
+        # would take the empty-store fast path and duplicate same-key tags
+        eng.store._known_empty = False
         eng._history = spark.read.parquet(os.path.join(base_path, "history"))
         return eng
 

@@ -51,6 +51,8 @@ def read_tag_csv(spark: SparkSession, path: str | list[str]) -> DataFrame:
     which is the scale path: one job, splittable across executors.
     """
     if isinstance(path, (list, tuple)):
+        if not path:
+            raise ValueError("no CSV paths to import")
         dfs = [read_tag_csv(spark, p) for p in path]
         out = dfs[0]
         for d in dfs[1:]:

@@ -116,9 +116,17 @@ def apply_policy_tags(assets: DataFrame, requests: DataFrame) -> DataFrame:
     asset_uri key, broadcast onto the assets scan), and the schema array
     rewrites JVM-side with ``transform``. No shuffle on the assets side.
     """
-    ptmap = requests.groupBy("asset_uri").agg(
+    # one tag per column: a taxonomy with two policy tags in the same
+    # category yields duplicate (asset, column) requests — pick the
+    # deterministic min (the reference keeps the first match per field,
+    # apply_policy_tags :1075-1081); map_from_entries would otherwise
+    # throw DUPLICATE_MAP_KEY at runtime
+    one_per_col = requests.groupBy("asset_uri", "column").agg(
+        F.min("policy_tag").alias("policy_tag")
+    )
+    ptmap = one_per_col.groupBy("asset_uri").agg(
         F.map_from_entries(
-            F.collect_set(F.struct(F.col("column"), F.col("policy_tag")))
+            F.collect_list(F.struct(F.col("column"), F.col("policy_tag")))
         ).alias("_ptmap")
     )
     joined = assets.join(F.broadcast(ptmap), "asset_uri", "left")

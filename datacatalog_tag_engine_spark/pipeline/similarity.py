@@ -110,6 +110,32 @@ def quantize_int8(
     return corpus.select(id_col, q.alias("q8"), F.round(scale, 6).alias("scale"))
 
 
+def _ranked_cells(
+    corpus: DataFrame,
+    num_cells: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Every vector's cells ranked by centroid cosine (round-6 score,
+    cell-asc tiebreak): ``_rn == 1`` is the IVF assignment, ``_rn <=
+    nprobe`` the probe set. ONE definition shared by assignment and
+    multi-probe search so the two can never disagree on rounding or
+    tiebreak. Returns (id, vec, v DOUBLE[], cell, _rn)."""
+    cents = corpus.orderBy(id_col).limit(num_cells).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).cast("array<double>").alias("cent_v")
+    )
+    v = corpus.select(F.col(id_col), F.col(vec_col), F.col(vec_col).cast("array<double>").alias("v"))
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        vec_col,
+        "v",
+        "cell",
+        F.round(cosine_expr(F.col("v"), F.col("cent_v")), 6).alias("_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cell"))
+    return scored.withColumn("_rn", F.row_number().over(w)).drop("_sim")
+
+
 def ivf_assign_cells(
     corpus: DataFrame,
     num_cells: int = 8,
@@ -126,21 +152,10 @@ def ivf_assign_cells(
     while staying reproducible in any engine — the SQL oracle replays
     the exact assignment.
     """
-    cents = corpus.orderBy(id_col).limit(num_cells).select(
-        F.col(id_col).alias("cell"), F.col(vec_col).cast("array<double>").alias("cent_v")
-    )
-    v = corpus.select(F.col(id_col), F.col(vec_col), F.col(vec_col).cast("array<double>").alias("v"))
-    scored = v.crossJoin(F.broadcast(cents)).select(
-        id_col,
-        vec_col,
-        "cell",
-        F.round(cosine_expr(F.col("v"), F.col("cent_v")), 6).alias("_sim"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cell"))
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
+        _ranked_cells(corpus, num_cells, id_col, vec_col)
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "_sim")
+        .select(id_col, vec_col, "cell")
     )
 
 
@@ -159,38 +174,17 @@ def ivf_topk(
     the full corpus; recall is traded via num_cells x nprobe (nprobe =
     num_cells degenerates to exact brute force). Same output shape as
     brute_force_topk."""
-    assigned = ivf_assign_cells(corpus, num_cells, id_col, vec_col)
-    c = assigned.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-        "cell",
+    ranked = _ranked_cells(corpus, num_cells, id_col, vec_col)
+    c = ranked.filter(F.col("_rn") == 1).select(
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), "cell"
     )
-    if nprobe <= 1:
-        q = assigned.join(queries.select(id_col), id_col, "left_semi").select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).cast("array<double>").alias("qv"),
-            "cell",
-        )
-    else:
-        # re-rank cells per query and keep the nprobe closest (the
-        # corpus-side assignment stays single-cell)
-        cents = corpus.orderBy(id_col).limit(num_cells).select(
-            F.col(id_col).alias("cell"), F.col(vec_col).cast("array<double>").alias("cent_v")
-        )
-        qv = (
-            corpus.join(queries.select(id_col), id_col, "left_semi")
-            .select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"))
-        )
-        probed = qv.crossJoin(F.broadcast(cents)).select(
-            "query_id", "qv", "cell",
-            F.round(cosine_expr(F.col("qv"), F.col("cent_v")), 6).alias("_sim"),
-        )
-        wq = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("cell"))
-        q = (
-            probed.withColumn("_rn", F.row_number().over(wq))
-            .filter(F.col("_rn") <= nprobe)
-            .drop("_rn", "_sim")
-        )
+    # queries probe their nprobe closest cells; same ranked frame as the
+    # corpus assignment, so probe cells and assigned cells can't desync
+    q = (
+        ranked.filter(F.col("_rn") <= nprobe)
+        .join(queries.select(id_col), id_col, "left_semi")
+        .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "cell")
+    )
     scored = (
         F.broadcast(q)
         .join(c, "cell")

@@ -81,7 +81,11 @@ class TagStore:
         grp = Window.partitionBy(*TAG_GROUP_KEY)
         inc = inc.withColumn("_all_empty", F.min(F.when(empty_flag, 1).otherwise(0)).over(grp) == 1)
 
-        deletes = inc.filter(F.col("_all_empty")).select(*TAG_GROUP_KEY).distinct()
+        if delete_when_empty:
+            deletes = inc.filter(F.col("_all_empty")).select(*TAG_GROUP_KEY).distinct()
+        else:
+            # all-empty groups are no-ops, not deletions
+            deletes = inc.filter(F.lit(False)).select(*TAG_GROUP_KEY).distinct()
         upserts = inc.filter(~F.col("_all_empty") & ~empty_flag).drop("_all_empty")
 
         if self._known_empty:

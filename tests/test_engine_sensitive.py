@@ -149,6 +149,26 @@ def test_policy_tag_application(spark, engine):
     assert public["city"]["policy_tag"] is None
 
 
+def test_policy_tag_duplicate_category(spark):
+    """Two policy tags in the same taxonomy category must not blow up
+    the schema map (DUPLICATE_MAP_KEY): the deterministic min wins."""
+    from datacatalog_tag_engine_spark.operators import sensitive as SEN
+
+    requests = spark.createDataFrame(
+        [("a", "email", "taxonomies/t1/policyTags/pii_b"),
+         ("a", "email", "taxonomies/t1/policyTags/pii_a")],
+        "asset_uri string, column string, policy_tag string",
+    )
+    assets = spark.createDataFrame(
+        [{"asset_uri": "a", "asset_type": "bigquery", "project": "p",
+          "dataset": "d", "table": "t",
+          "schema": [{"name": "email", "type": "STRING", "mode": None, "subcolumns": None}]}],
+        ASSETS_SCHEMA,
+    )
+    out = SEN.apply_policy_tags(assets, requests).collect()
+    assert out[0]["schema"][0]["policy_tag"] == "taxonomies/t1/policyTags/pii_a"
+
+
 def test_per_asset_error_capture(spark, engine, assets):
     cfg = engine.create_config(
         "DYNAMIC_TAG_TABLE", "data_sensitivity",

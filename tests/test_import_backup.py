@@ -98,6 +98,11 @@ def test_multi_file_csv_union(spark, tmp_path):
     assert owners == {"t3": "bob", "t4": "carol"}
 
 
+def test_empty_csv_path_list_fails_loudly(spark):
+    with pytest.raises(ValueError, match="no CSV paths"):
+        IMP.read_tag_csv(spark, [])
+
+
 def test_dataset_level_uri(spark):
     csv = spark.createDataFrame(
         [("p", "d", "alice")], "project string, dataset string, data_owner string"

@@ -36,3 +36,12 @@ def test_save_load_roundtrip(spark, tmp_path):
     jobs = loaded.run_ready_configs(assets, now=datetime.datetime(2026, 1, 2, tzinfo=datetime.timezone.utc))
     assert len(jobs) == 1
     assert jobs[0] not in {j["job_uuid"] for j in eng.jobs}
+
+    # regression: a merge after load_state must take the FULL merge path
+    # (the store is non-empty even though no tags_path was set) — a
+    # same-key re-run updates in place, never duplicates
+    assert loaded.store.all().count() == 1
+    rows = loaded.store.all().collect()
+    assert len({(r["asset_uri"], r["column"], r["field_id"]) for r in rows}) == len(rows)
+    hist_actions = [r["action"] for r in loaded.history().collect()]
+    assert hist_actions.count("UPDATE") == 1  # re-run classified as UPDATE, not CREATE

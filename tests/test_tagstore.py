@@ -88,6 +88,16 @@ def test_partial_empty_rows_are_skipped_not_deleted(spark):
     }
 
 
+def test_delete_when_empty_false_is_noop(spark):
+    ts = TagStore(spark)
+    ts.merge(mk(spark, [tag_row("a", "owner", "alice")]))
+    hist = ts.merge(
+        mk(spark, [tag_row("a", "owner", None)]), delete_when_empty=False
+    ).collect()
+    assert hist == []  # all-empty group neither deletes nor upserts
+    assert state(ts) == {("a", None, "t", "owner"): "alice"}
+
+
 def test_column_tags_distinct_from_table_tags(spark):
     ts = TagStore(spark)
     ts.merge(
