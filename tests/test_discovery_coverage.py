@@ -29,6 +29,30 @@ def test_discover_parquet_assets(spark, sf_dir):
     assert li["asset_uri"] == "local/datasets/sf0.001/tables/lineitem"
 
 
+def test_discover_parquet_assets_distributed_matches_driver(spark, sf_dir):
+    """The executor-side footer parse (S4 scale path) produces exactly
+    the driver-side inventory."""
+    from datacatalog_tag_engine_spark.operators.discovery import (
+        discover_parquet_assets_distributed,
+    )
+
+    drv = discover_parquet_assets(spark, sf_dir, project="local")
+    dist = discover_parquet_assets_distributed(spark, sf_dir, project="local")
+
+    def key(rows):
+        return {
+            r["asset_uri"]: (r["num_rows"], r["size_bytes"],
+                             tuple((c["name"], c["type"]) for c in r["schema"]))
+            for r in rows
+        }
+
+    assert key(dist.collect()) == key(drv.collect())
+    # empty directory -> empty inventory, not an error
+    import tempfile
+
+    assert discover_parquet_assets_distributed(spark, tempfile.mkdtemp()).count() == 0
+
+
 def test_coverage_report(spark, sf_dir):
     assets = discover_parquet_assets(spark, sf_dir)
     from datacatalog_tag_engine_spark.model.schemas import TAGS_SCHEMA
