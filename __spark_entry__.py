@@ -946,6 +946,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q47_embedding_quantize"] = lambda spark, sf: SIM.quantize_int8(_emb(spark, sf))
 
+    # --- round 3: decontamination / quality / split / incremental ---
+    def t10(spark, sf):
+        docs = _docs(spark, sf)
+        benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+        training = docs.filter(F.col("doc_id") % 20 != 0)
+        return TXT.contamination_check(training, benchmark, n=5)
+
+    q["t10_contamination"] = t10
+    q["t11_repetition"] = lambda spark, sf: TXT.repetition_scores(_docs(spark, sf))
+
+    # greedy sequence packing is inherently stateful (applyInPandas) —
+    # no SQL oracle; the driver records the rows-only check and
+    # tests/test_text_pipeline.py asserts capacity/conservation/
+    # determinism invariants
+    q["t12_packing"] = lambda spark, sf: TXT.pack_chunks(
+        TXT.chunk_documents(_docs(spark, sf)), capacity=64
+    )
+
+    q["q50_train_split"] = lambda spark, sf: SAMP.train_val_test_split(_docs(spark, sf))
+
+    def q51(spark, sf):
+        docs = _docs(spark, sf)
+        batch = docs.filter(F.col("doc_id") % 3 == 0)
+        prior = docs.filter(F.col("doc_id") % 3 != 0)
+        return DD.incremental_delta(batch, prior)
+
+    q["q51_corpus_delta"] = q51
+
+    def s05(spark, sf):
+        emb = _emb(spark, sf)
+        qs = emb.filter(F.col("vec_id") < 5)
+        exact = SIM.brute_force_topk(emb, qs, k=5).select("query_id", "neighbor_id")
+        approx = (
+            SIM.ivf_topk(emb, qs, k=5, num_cells=8)
+            .select("query_id", "neighbor_id")
+            .withColumn("_hit", F.lit(1))
+        )
+        return (
+            exact.join(approx, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.count("*").alias("k"),
+                F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_matched"),
+            )
+            .select(
+                "query_id",
+                "n_matched",
+                F.round(F.col("n_matched") / F.col("k"), 4).alias("recall_at_5"),
+            )
+        )
+
+    q["s05_ann_recall"] = s05
+
     return q
 
 
@@ -1702,6 +1755,108 @@ WITH k AS (
 SELECT doc_id, shard,
        cast(row_number() OVER (PARTITION BY shard ORDER BY sort_key, doc_id) AS INT) AS position
 FROM k
+"""
+
+    # t10: word 5-grams, distinct per doc; benchmark = doc_id % 20 == 0
+    o["t10_contamination"] = r"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') ws FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(ws) >= 5
+                THEN list_transform(range(1, len(ws) - 3), i -> array_to_string(ws[i:i+4], ' '))
+                ELSE []::VARCHAR[] END) AS shingle
+  FROM w),
+bench AS (SELECT DISTINCT shingle FROM g WHERE doc_id % 20 = 0),
+ev AS (SELECT doc_id, shingle FROM g WHERE doc_id % 20 <> 0)
+SELECT ev.doc_id,
+       count(*) AS n_shingles,
+       count(bench.shingle) AS n_matched,
+       round(count(bench.shingle)::DOUBLE / count(*), 4) AS contamination
+FROM ev LEFT JOIN bench USING (shingle)
+GROUP BY ev.doc_id
+"""
+
+    # t11: modal-bigram count == longest equal-run of the sorted bigram
+    # array; max_word_run via gaps-and-islands over word positions
+    o["t11_repetition"] = r"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') ws FROM documents),
+base AS (SELECT doc_id, ws, len(ws) AS n_words FROM w WHERE len(ws) >= 2),
+tok AS (
+  SELECT doc_id, i, ws[i] AS word
+  FROM base, unnest(range(1, len(ws) + 1)) t(i)),
+runs AS (
+  SELECT doc_id, count(*) AS run_len
+  FROM (SELECT doc_id, word, i - row_number() OVER (PARTITION BY doc_id, word ORDER BY i) AS grp
+        FROM tok)
+  GROUP BY doc_id, word, grp),
+max_run AS (SELECT doc_id, max(run_len) AS max_word_run FROM runs GROUP BY doc_id),
+bg AS (
+  SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS bigram
+  FROM base, unnest(range(1, len(ws))) t(i)),
+bgc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram),
+top_bg AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bigrams FROM bgc GROUP BY doc_id)
+SELECT b.doc_id,
+       cast(b.n_words AS INT) AS n_words,
+       round(1.0 - len(list_distinct(b.ws))::DOUBLE / b.n_words, 4) AS dup_word_frac,
+       round(t.top_c::DOUBLE / t.n_bigrams, 4) AS top_bigram_frac,
+       cast(m.max_word_run AS INT) AS max_word_run
+FROM base b JOIN top_bg t USING (doc_id) JOIN max_run m USING (doc_id)
+"""
+
+    o["q50_train_split"] = """
+SELECT doc_id, source,
+       CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < 8000 THEN 'train'
+            WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+    o["q51_corpus_delta"] = r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(lower(text), '\s+'))), ' ')) AS fingerprint
+  FROM documents)
+SELECT doc_id, fingerprint FROM fp
+WHERE doc_id % 3 = 0
+  AND fingerprint NOT IN (SELECT fingerprint FROM fp WHERE doc_id % 3 <> 0)
+"""
+
+    # s05: recall of IVF(nprobe=1) against the exact brute-force top-5 —
+    # composes the s01 and s03 oracle derivations and joins them
+    o["s05_ann_recall"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+exact_scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.v, e.v), 4) AS cosine
+  FROM q JOIN e ON q.vec_id <> e.vec_id),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM exact_scored) WHERE rank <= 5),
+cents AS (SELECT vec_id AS cell, v AS cent_v FROM e ORDER BY vec_id LIMIT 8),
+assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round(list_cosine_similarity(e.v, c.cent_v), 6) DESC, c.cell) AS rn
+    FROM e CROSS JOIN cents c) WHERE rn = 1),
+qa AS (SELECT * FROM assign WHERE vec_id < 5),
+ivf_scored AS (
+  SELECT qa.vec_id AS query_id, a.vec_id AS neighbor_id,
+         round(list_cosine_similarity(qa.v, a.v), 4) AS cosine
+  FROM qa JOIN assign a ON qa.cell = a.cell AND qa.vec_id <> a.vec_id),
+ivf AS (
+  SELECT query_id, neighbor_id, 1 AS hit FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM ivf_scored) WHERE rank <= 5)
+SELECT exact.query_id,
+       cast(coalesce(sum(ivf.hit), 0) AS BIGINT) AS n_matched,
+       round(coalesce(sum(ivf.hit), 0)::DOUBLE / count(*), 4) AS recall_at_5
+FROM exact LEFT JOIN ivf USING (query_id, neighbor_id)
+GROUP BY exact.query_id
 """
 
     return o

@@ -400,3 +400,31 @@ def embedding_neardup_pairs(
         .cogroup(right.groupby("bi", "bj"))
         .applyInPandas(gemm, "vec_a long, vec_b long, cosine double")
     )
+
+
+def bow_fingerprint(text: Column) -> Column:
+    """Bag-of-words fingerprint: md5 of the sorted distinct lowercase
+    word set. Two docs with the same vocabulary (any order, any
+    multiplicity) collide — a cheap order-insensitive near-dup key."""
+    words = F.array_sort(F.array_distinct(F.split(F.lower(text), r"\s+")))
+    return F.md5(F.concat_ws(" ", words))
+
+
+def incremental_delta(
+    batch: DataFrame,
+    prior: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental-ingest dedup: keep only the docs in an incoming batch
+    whose bag-of-words fingerprint does not already exist in the prior
+    corpus. This is the daily-crawl pattern at 100 TB: the new batch is
+    small relative to the accumulated corpus, and the anti-join runs on
+    the uniform fingerprint key (one shuffle; at extreme scale the prior
+    side collapses to a pre-built fingerprint index or a bloom filter,
+    with this anti-join as its exact form). Returns the surviving batch
+    rows as (doc_id, fingerprint).
+    """
+    b = batch.select(id_col, bow_fingerprint(F.col(text_col)).alias("fingerprint"))
+    p = prior.select(bow_fingerprint(F.col(text_col)).alias("fingerprint")).distinct()
+    return b.join(p, "fingerprint", "left_anti").select(id_col, "fingerprint")

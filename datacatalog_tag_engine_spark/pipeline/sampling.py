@@ -43,6 +43,31 @@ def stratified_deterministic_sample(
     return df.filter(bucket < F.coalesce(thresh[F.col(strata_col)], F.lit(buckets)))
 
 
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    strata_col: str = "source",
+    train_bp: int = 8000,
+    val_bp: int = 1000,
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the key's md5 bucket
+    decides the split (< train_bp -> train, next val_bp -> val, rest ->
+    test). Membership depends only on the key, so the split is stable
+    across reruns, engines, and cluster layouts — and documents can
+    never leak between splits when the corpus is re-partitioned or
+    appended to (new keys land in splits at the same ratios; existing
+    keys never move). Returns (key, strata, split) — a codegen
+    projection, no shuffle."""
+    bucket = hash_bucket(F.col(key_col), buckets)
+    split = (
+        F.when(bucket < train_bp, F.lit("train"))
+        .when(bucket < train_bp + val_bp, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.select(key_col, strata_col, split.alias("split"))
+
+
 def histogram(
     df: DataFrame, value: Column, bucket_width: float, max_buckets: int = 100
 ) -> DataFrame:

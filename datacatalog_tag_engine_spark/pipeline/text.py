@@ -250,6 +250,168 @@ def chunk_documents(
     )
 
 
+def word_ngrams(words: Column, n: int) -> Column:
+    """Array of space-joined word n-grams; empty array when the doc has
+    fewer than ``n`` words (guarded — ``sequence(1, 0)`` would count
+    DOWN in Spark and fabricate bogus indices)."""
+    idx = F.sequence(F.lit(1), F.size(words) - F.lit(n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    return F.when(F.size(words) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination detection: for each training document,
+    the fraction of its distinct word ``n``-grams that also appear in
+    the benchmark corpus. Training runs drop (or flag) docs whose
+    ``contamination`` exceeds a threshold before the data ships.
+
+    Returns (doc_id, n_shingles, n_matched, contamination) for docs
+    with at least one shingle (shorter docs have nothing to test).
+
+    Scale shape: the benchmark side (an eval suite) is tiny relative to
+    a 100 TB corpus — its distinct shingle set broadcasts, so the
+    corpus explodes ONCE and never shuffles before the per-doc
+    aggregation (keyed on doc_id, uniform). If the benchmark set ever
+    outgrows broadcast range, drop the hint and the same plan runs as a
+    shuffle join on the shingle key.
+    """
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    bench_sh = (
+        benchmark.select(F.explode(word_ngrams(words, n)).alias("shingle"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    doc_sh = (
+        docs.select(id_col, F.explode(word_ngrams(words, n)).alias("shingle"))
+        .distinct()
+    )
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_matched"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_matched",
+            F.round(F.col("n_matched") / F.col("n_shingles"), 4).alias("contamination"),
+        )
+    )
+
+
+def _max_run_expr(arr: Column) -> Column:
+    """Longest run of equal consecutive elements, computed row-locally
+    with an F.aggregate fold (struct state: prev, run, best) — no
+    explode, no shuffle."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(arr, init, step, lambda acc: acc["best"])
+
+
+def repetition_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    * ``dup_word_frac`` — 1 - distinct words / words (bulk repetition)
+    * ``top_bigram_frac`` — occurrences of the most frequent word
+      bigram / total bigrams (looping text)
+    * ``max_word_run`` — longest run of the SAME word consecutively
+      (stutter / generation loops)
+
+    Docs with fewer than two words are excluded (no bigram to measure).
+    Everything is row-local array math — ``array_distinct`` for the word
+    ratio, an ``aggregate`` fold over the SORTED bigram array for the
+    modal count (a sorted array's longest equal-run IS the mode count),
+    and the same fold over the unsorted words for runs. Zero shuffles,
+    zero Python: at 100 TB this is a pure scan projection.
+    """
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    n_words = F.size(words)
+    bigrams = word_ngrams(words, 2)
+    n_bigrams = F.size(bigrams)
+    dup_word_frac = F.lit(1.0) - F.size(F.array_distinct(words)) / n_words
+    top_bigram = _max_run_expr(F.array_sort(bigrams))
+    return (
+        docs.select(
+            id_col,
+            n_words.alias("n_words"),
+            F.round(dup_word_frac, 4).alias("dup_word_frac"),
+            F.round(top_bigram / n_bigrams, 4).alias("top_bigram_frac"),
+            _max_run_expr(words).alias("max_word_run"),
+        )
+        .filter(F.col("n_words") >= 2)
+    )
+
+
+PACK_SCHEMA = (
+    "shard int, bin_id int, doc_id long, chunk_id int, n_tokens int, bin_offset int"
+)
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    capacity: int = 64,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy sequence packing: assign fixed-size training chunks to
+    context-window bins of ``capacity`` tokens, first-fit in
+    deterministic (doc_id, chunk_id) order within a shard. This is the
+    step that turns a chunk manifest (``chunk_documents``) into the
+    packed batches a trainer consumes — bins never exceed capacity and
+    every chunk lands in exactly one bin.
+
+    Sequential packing is inherently stateful (a bin boundary depends
+    on every prior chunk), so this is the honest `applyInPandas` case:
+    chunks group by a deterministic shard key (``doc_id % n_shards``,
+    keeping a doc's chunks together), each shard packs independently in
+    one Arrow batch, and bin ids are shard-local. One shuffle on the
+    shard key; shards scale out with the corpus. Output:
+    (shard, bin_id, doc_id, chunk_id, n_tokens, bin_offset).
+    """
+    import pandas as pd
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([id_col, "chunk_id"]).reset_index(drop=True)
+        bin_ids, offsets = [], []
+        cur_bin, cur_fill = 0, 0
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if cur_fill + t > capacity and cur_fill > 0:
+                cur_bin += 1
+                cur_fill = 0
+            bin_ids.append(cur_bin)
+            offsets.append(cur_fill)
+            cur_fill += t
+        pdf["bin_id"] = pd.Series(bin_ids, dtype="int32")
+        pdf["bin_offset"] = pd.Series(offsets, dtype="int32")
+        return pdf[["shard", "bin_id", id_col, "chunk_id", "n_tokens", "bin_offset"]]
+
+    with_shard = chunks.withColumn(
+        "shard", (F.col(id_col) % n_shards).cast("int")
+    ).select("shard", id_col, F.col("chunk_id").cast("int"), F.col("n_tokens").cast("int"))
+    return with_shard.groupBy("shard").applyInPandas(pack, PACK_SCHEMA)
+
+
 def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercase text
     plus a 64-bit numeric form (first 15 hex chars) for cheap joins."""

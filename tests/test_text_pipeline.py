@@ -101,3 +101,116 @@ def test_chunk_documents(spark):
     rows = TXT.chunk_documents(docs, chunk_tokens=32).collect()
     got = {(r["doc_id"], r["chunk_id"]): r["n_tokens"] for r in rows}
     assert got == {(1, 0): 32, (1, 1): 32, (1, 2): 6}
+
+
+def test_contamination_check(spark):
+    bench = spark.createDataFrame(
+        [(100, "a b c d e f g h")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e x y z"),      # shingles: 4; "a b c d e" matches
+            (2, "p q r s t u"),          # 2 shingles, no match
+            (3, "tiny doc"),             # < 5 words -> excluded
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in TXT.contamination_check(docs, bench, n=5).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["n_shingles"] == 4
+    assert got[1]["n_matched"] == 1
+    assert got[1]["contamination"] == 0.25
+    assert got[2]["n_matched"] == 0
+
+
+def test_repetition_scores(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),        # all one word
+            (2, "a b a b a b"),                # looping bigrams
+            (3, "all words differ here ok"),   # clean
+            (4, "solo"),                       # excluded (<2 words)
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in TXT.repetition_scores(docs).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["dup_word_frac"] == 0.75       # 1 - 1/4
+    assert got[1]["top_bigram_frac"] == 1.0      # "spam spam" x3 / 3
+    assert got[1]["max_word_run"] == 4
+    # "a b": 3 of 5 bigrams; runs are all length 1
+    assert got[2]["top_bigram_frac"] == 0.6
+    assert got[2]["max_word_run"] == 1
+    assert got[3]["dup_word_frac"] == 0.0
+    assert got[3]["top_bigram_frac"] == 0.25     # every bigram unique: 1 of 4
+
+
+def test_pack_chunks_invariants(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (7 + 13 * (i % 9)))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    chunks = TXT.chunk_documents(docs, chunk_tokens=32)
+    packed = TXT.pack_chunks(chunks, capacity=64, n_shards=4)
+    rows = packed.collect()
+
+    # every chunk lands exactly once (token conservation)
+    got_chunks = sorted((r["doc_id"], r["chunk_id"], r["n_tokens"]) for r in rows)
+    want_chunks = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_tokens"]) for r in chunks.collect()
+    )
+    assert got_chunks == want_chunks
+
+    # no bin exceeds capacity; offsets are consistent prefix sums
+    from collections import defaultdict
+
+    bins = defaultdict(list)
+    for r in rows:
+        bins[(r["shard"], r["bin_id"])].append((r["doc_id"], r["chunk_id"], r["n_tokens"], r["bin_offset"]))
+    for members in bins.values():
+        members.sort()
+        fill = 0
+        for _, _, t, off in members:
+            assert off == fill
+            fill += t
+        assert fill <= 64
+
+    # deterministic under a different input partitioning
+    rows2 = TXT.pack_chunks(chunks.repartition(13), capacity=64, n_shards=4).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_train_val_test_split(spark):
+    from datacatalog_tag_engine_spark.pipeline import sampling as SAMP
+
+    docs = spark.createDataFrame(
+        [(i, "s%d" % (i % 3)) for i in range(1000)], "doc_id long, source string"
+    )
+    rows = SAMP.train_val_test_split(docs).collect()
+    counts = {}
+    for r in rows:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["test"] > counts["val"] * 0  # ratios roughly 80/10/10
+    assert 700 < counts["train"] < 900
+    # stable across reruns
+    again = {(r["doc_id"], r["split"]) for r in SAMP.train_val_test_split(docs).collect()}
+    assert {(r["doc_id"], r["split"]) for r in rows} == again
+
+
+def test_incremental_delta(spark):
+    from datacatalog_tag_engine_spark.pipeline import dedup as DD
+
+    prior = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "gamma beta alpha"),        # same word set as doc 1 -> dropped
+            (11, "alpha beta gamma alpha"),  # same distinct set -> dropped
+            (12, "zeta eta"),                # new -> kept
+        ],
+        "doc_id long, text string",
+    )
+    kept = [r["doc_id"] for r in DD.incremental_delta(batch, prior).collect()]
+    assert kept == [12]
