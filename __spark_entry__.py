@@ -20,10 +20,14 @@ Coverage map (SURVEY.md section 2.10 + training-data operators):
   d01-d05  dedup: exact, minhash+LSH, simhash, ngram-jaccard, embedding
   s01-s04  similarity search: brute-force top-k, LSH bucketed, IVF
            (single- and multi-probe)
-  t01-t09  text analysis: tokens, quality, language-id, fingerprint,
-           vocabulary, PII redaction, tf-idf, percentiles, chunking
-  q44-q49  policy tags; training shuffle; mixture sampling; int8
-           quantization; dedup apply; fused column profile
+  t01-t12  text analysis: tokens, quality, language-id, fingerprint,
+           vocabulary, PII redaction, tf-idf, percentiles, chunking,
+           benchmark-contamination, repetition signals, sequence
+           packing (t12 rows-only: stateful applyInPandas)
+  s05      ANN recall@k evaluation (IVF vs exact brute force)
+  q44-q51  policy tags; training shuffle; mixture sampling; int8
+           quantization; dedup apply; fused column profile;
+           train/val/test split; incremental corpus delta
 """
 
 from __future__ import annotations

@@ -270,28 +270,52 @@ def run_config_fused_wide(
     if simple_aggs:
         parts.append(union.groupBy("_asset_uri").agg(*simple_aggs))
 
+    # daily (avg-of-daily-counts) fields FUSE per day expression: one
+    # two-level aggregation computes every field sharing a day key, with
+    # per-field FILTER counts. A predicated field's original inner query
+    # only emits days having >= 1 matching row, so the fused count wraps
+    # in nullif(cnt, 0) — the outer avg then skips no-match days exactly
+    # like the standalone form. This turns N daily fields into
+    # ceil(distinct day exprs) scans of the inventory instead of N.
+    daily_groups: dict[str, list[tuple[dict, dict]]] = {}
     for f, kind, info in classified:
         if kind == "daily":
-            pred = info["pred"]
-            base = union.filter(pred) if pred else union
-            daily = base.groupBy(
-                "_asset_uri", F.expr(info["day"]).alias(info["dayalias"])
-            ).agg(F.count("*").alias(info["cntalias"]))
-            outer = daily.groupBy("_asset_uri").agg(
-                F.expr(info["outer"]).alias(f["field_id"])
+            daily_groups.setdefault(info["day"], []).append((f, info))
+
+    for day_expr, members in daily_groups.items():
+        cnt_aggs = []
+        outer_aggs = []
+        for i, (f, info) in enumerate(members):
+            cnt = f"_cnt_{i}"
+            if info["pred"]:
+                cnt_aggs.append(
+                    F.expr(f"count(*) FILTER (WHERE {info['pred']})").alias(cnt)
+                )
+            else:
+                cnt_aggs.append(F.count("*").alias(cnt))
+            outer_sql = re.sub(
+                rf"\b{re.escape(info['cntalias'])}\b", f"nullif({cnt}, 0)", info["outer"]
             )
-            parts.append(outer)
-        elif kind == "constant":
-            const = spark.sql(info["sql"]).first()[0]
-            parts.append(
-                union.select("_asset_uri")
-                .distinct()
-                .withColumn(f["field_id"], F.lit(const))
-            )
+            outer_aggs.append(F.expr(outer_sql).alias(f["field_id"]))
+        daily = union.groupBy("_asset_uri", F.expr(day_expr).alias("_day")).agg(*cnt_aggs)
+        # re-expose the day under each member's alias in case the outer
+        # expression references it (distinct aliases only)
+        for alias in {info["dayalias"] for _, info in members} - {"_day"}:
+            daily = daily.withColumn(alias, F.col("_day"))
+        parts.append(daily.groupBy("_asset_uri").agg(*outer_aggs))
+
+    constants = [(f, info) for f, kind, info in classified if kind == "constant"]
+    if not parts and constants:
+        # constants-only config still needs the asset list — one pruned scan
+        parts.append(union.select("_asset_uri").distinct())
 
     result = parts[0]
     for p in parts[1:]:
         result = result.join(p, "_asset_uri", "full_outer")
+    # constants evaluate once on the driver and attach as literals —
+    # never worth a scan of the inventory
+    for f, info in constants:
+        result = result.withColumn(f["field_id"], F.lit(spark.sql(info["sql"]).first()[0]))
     return result
 
 

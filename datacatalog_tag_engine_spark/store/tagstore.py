@@ -142,11 +142,22 @@ class TagStore:
             upserts_flagged.unionByName(deleted_rows).withColumn("_role", F.lit("event"))
         )
         parallelism = self.spark.sparkContext.defaultParallelism
+        prev_ckpt = getattr(self, "_ckpt", None)
         combined = (
             state_part.unionByName(event_part)
             .coalesce(max(8, parallelism // 4))
             .localCheckpoint(eager=True)
         )
+        # the previous merge's checkpoint blocks are superseded the
+        # moment the new one materializes — free them eagerly, or a long
+        # merge chain (streaming upserts, multi-config jobs, the bench's
+        # many engine queries in one session) accumulates every
+        # generation of state in the block manager until the executors
+        # GC-thrash. Callers must consume the returned event rows before
+        # the NEXT merge (the engine appends history immediately).
+        self._ckpt = combined
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist(blocking=False)
         self._df = combined.filter(F.col("_role") == "state").drop("_role", "action")
         if self.path:
             self._persist()
