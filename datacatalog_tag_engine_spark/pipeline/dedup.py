@@ -254,6 +254,7 @@ def neardup_clusters(
         .localCheckpoint(eager=True)
     )
     labels = docs.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
+    prev_ckpt = None
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels[id_col])
@@ -274,10 +275,17 @@ def neardup_clusters(
             )
             .localCheckpoint(eager=True)
         )
+        # the previous round's blocks are dead once this round exists —
+        # free them or an N-round run holds N generations of labels
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist(blocking=False)
+        prev_ckpt = updated
         changed = updated.filter(F.col("new_cluster_id") != F.col("cluster_id")).count()
         labels = updated.select(F.col(id_col), F.col("new_cluster_id").alias("cluster_id"))
         if changed == 0:
             break
+    # final labels read only the last round's checkpoint
+    edges.unpersist(blocking=False)
     return labels
 
 
