@@ -1003,6 +1003,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["s05_ann_recall"] = s05
 
+    def q52(spark, sf):
+        # the full training-data pipeline as ONE DataFrame composition:
+        # quality gate -> bag-of-words dedup (keep lowest id) ->
+        # deterministic split -> token counting. Every stage is an
+        # operator exercised individually elsewhere; this is the
+        # end-to-end shape a corpus-prep job actually runs.
+        from pyspark.sql import Window
+
+        docs = _docs(spark, sf)
+        quality = (
+            TXT.quality_scores(docs)
+            .filter(F.col("quality_score") >= 0.55)
+            .select("doc_id")
+        )
+        keep = docs.join(quality, "doc_id", "left_semi")
+        fp = keep.select("doc_id", DD.bow_fingerprint(F.col("text")).alias("fp"))
+        w = Window.partitionBy("fp").orderBy("doc_id")
+        canon_ids = (
+            fp.withColumn("rn", F.row_number().over(w)).filter("rn = 1").select("doc_id")
+        )
+        canon = keep.join(canon_ids, "doc_id", "left_semi")
+        split = SAMP.train_val_test_split(canon)
+        toks = TXT.token_counts(canon).select("doc_id", "n_tokens")
+        return split.join(toks, "doc_id").select("doc_id", "source", "split", "n_tokens")
+
+    q["q52_pipeline_e2e"] = q52
+
     return q
 
 
@@ -1861,6 +1888,41 @@ SELECT exact.query_id,
        round(coalesce(sum(ivf.hit), 0)::DOUBLE / count(*), 4) AS recall_at_5
 FROM exact LEFT JOIN ivf USING (query_id, neighbor_id)
 GROUP BY exact.query_id
+"""
+
+    # q52: the whole pipeline replayed — quality gate (t02's formula),
+    # bag-of-words canonical dedup (q51's fingerprint), split (q50's
+    # buckets), token count (t01's regex)
+    o["q52_pipeline_e2e"] = f"""
+WITH b AS (
+  SELECT doc_id,
+         length(text) AS nc,
+         len(regexp_split_to_array(text, '\\s+')) AS nw,
+         len(list_filter(regexp_split_to_array(text, '\\s+'),
+                         w -> list_contains([{stop_list}], lower(w)))) AS ns,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS np,
+         len(regexp_extract_all(text, '[A-Za-z]')) AS na
+  FROM documents),
+q AS (
+  SELECT doc_id,
+         round(least(1.0, greatest(0.0,
+               0.5 * (na / nc) + 0.5 * least(1.0, (ns / nw) * 5) - (np / nc))), 4) AS qs
+  FROM b),
+keep AS (
+  SELECT d.* FROM documents d JOIN q USING (doc_id) WHERE q.qs >= 0.55),
+fp AS (
+  SELECT doc_id, source, text,
+         md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(lower(text), '\\s+'))), ' ')) AS f
+  FROM keep),
+canon AS (
+  SELECT doc_id, source, text FROM fp
+  QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1)
+SELECT doc_id, source,
+       CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < 8000 THEN 'train'
+            WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < 9000 THEN 'val'
+            ELSE 'test' END AS split,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens
+FROM canon
 """
 
     return o

@@ -1,0 +1,40 @@
+"""Streaming ingest dedup for training-data pipelines.
+
+A continuous crawl delivers documents at-least-once (retries,
+re-fetches, mirrored sources). This operator drops re-deliveries and
+near-identical re-crawls inside a watermark horizon using
+``dropDuplicatesWithinWatermark`` on the content fingerprint — Spark
+keeps one state row per fingerprint and expires it when the watermark
+passes, so state size tracks the horizon's ingest volume, never the
+corpus (the batch-side exact form over full history is
+pipeline.dedup.incremental_delta's anti-join).
+
+Same at-least-once-to-effectively-once pattern as the tag-history
+stream (SURVEY T4): idempotency comes from a deterministic key, not
+from the delivery layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..pipeline.dedup import bow_fingerprint
+
+
+def dedup_stream(
+    docs: DataFrame,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Append-mode stream of first-seen documents: later deliveries with
+    the same bag-of-words fingerprint inside the watermark horizon drop.
+    Works on static frames too (plain dropDuplicates) so the batch
+    oracle can replay it."""
+    with_fp = docs.withColumn("fingerprint", bow_fingerprint(F.col(text_col)))
+    if not docs.isStreaming:
+        return with_fp.dropDuplicates(["fingerprint"])
+    return with_fp.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["fingerprint"]
+    )
