@@ -25,9 +25,10 @@ Coverage map (SURVEY.md section 2.10 + training-data operators):
            benchmark-contamination, repetition signals, sequence
            packing (t12 rows-only: stateful applyInPandas)
   s05      ANN recall@k evaluation (IVF vs exact brute force)
-  q44-q51  policy tags; training shuffle; mixture sampling; int8
+  q44-q52  policy tags; training shuffle; mixture sampling; int8
            quantization; dedup apply; fused column profile;
-           train/val/test split; incremental corpus delta
+           train/val/test split; incremental corpus delta;
+           end-to-end corpus-prep pipeline
 """
 
 from __future__ import annotations
