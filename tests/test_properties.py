@@ -128,3 +128,52 @@ def test_timestamp_matrix_matches_reference_model(spark, ts, form):
         expected = ts
     got = spark.range(1).select(coerce_timestamp(F.lit(s)).alias("v")).first()["v"]
     assert got == expected
+
+
+@given(
+    words=st.lists(st.sampled_from(["a", "bb", "ccc", "x", "yy"]), min_size=0, max_size=12),
+    n=st.integers(min_value=2, max_value=5),
+)
+@settings(max_examples=30, deadline=None)
+def test_word_ngrams_matches_naive_definition(spark, words, n):
+    """The zip_with n-gram construction equals the naive
+    slide-a-window-of-n definition for any word list."""
+    from pyspark.sql import functions as F
+
+    from datacatalog_tag_engine_spark.pipeline.text import word_ngrams
+
+    text = " ".join(words)
+    got = (
+        spark.range(1)
+        .select(word_ngrams(F.split(F.lit(text), r"\s+"), n).alias("g"))
+        .first()["g"]
+    )
+    toks = text.split(" ") if text else [""]
+    expected = (
+        [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        if len(toks) >= n
+        else []
+    )
+    assert got == expected
+
+
+@given(
+    words=st.lists(st.sampled_from(["a", "bb", "ccc"]), min_size=1, max_size=10),
+    k=st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=30, deadline=None)
+def test_word_shingles_matches_naive_definition(spark, words, k):
+    """dedup.word_shingles: sliding window of k, whole-text fallback for
+    short docs."""
+    from pyspark.sql import functions as F
+
+    from datacatalog_tag_engine_spark.pipeline.dedup import word_shingles
+
+    text = " ".join(words)
+    got = spark.range(1).select(word_shingles(F.lit(text), k).alias("g")).first()["g"]
+    toks = text.split(" ")
+    if len(toks) >= k:
+        expected = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    else:
+        expected = [" ".join(toks)]
+    assert got == expected
