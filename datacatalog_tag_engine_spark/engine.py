@@ -347,7 +347,14 @@ class TagEngine:
         findings = findings.join(F.broadcast(matched), "asset_uri", "left_semi")
 
         per_field = SEN.field_infotypes(findings, keys=["asset_uri", "field"])
-        notables = SEN.select_notable_infotype(per_field, selection, keys=["asset_uri", "field"])
+        # the notable-infotype table feeds three consumers (tag rows,
+        # policy-tag requests, the classification rollup) — cache it so
+        # the containment join + min-by derivation runs once per job,
+        # not once per consumer. Sized per tagged COLUMN, orders of
+        # magnitude below the scanned data at any scale.
+        notables = SEN.select_notable_infotype(
+            per_field, selection, keys=["asset_uri", "field"]
+        ).cache()
 
         # per-asset classification: smallest superset over the asset's
         # distinct notable infotypes; Public_Information assets drop
@@ -363,7 +370,7 @@ class TagEngine:
                 F.col("classification_result"),
                 F.struct(F.size("notable_infotypes"), F.col("classification_result")),
             ).alias("classification_result")
-        )
+        ).cache()  # consumed by both the keep-filter and policy requests
         keep = classed.filter(F.col("classification_result") != "Public_Information")
 
         # policy-tag application (reference :1038-1042 gate, :1064-1097
