@@ -20,16 +20,17 @@ Coverage map (SURVEY.md section 2.10 + training-data operators):
   d01-d05  dedup: exact, minhash+LSH, simhash, ngram-jaccard, embedding
   s01-s04  similarity search: brute-force top-k, LSH bucketed, IVF
            (single- and multi-probe)
-  t01-t12  text analysis: tokens, quality, language-id, fingerprint,
+  t01-t13  text analysis: tokens, quality, language-id, fingerprint,
            vocabulary, PII redaction, tf-idf, percentiles, chunking,
            benchmark-contamination, repetition signals, sequence
-           packing (t12 rows-only: stateful applyInPandas)
+           packing (t12 rows-only: stateful applyInPandas), unigram
+           LM scoring
   s05      ANN recall@k evaluation (IVF vs exact brute force)
   s06      k-means-trained IVF (MLlib centroids; rows-only)
-  q44-q52  policy tags; training shuffle; mixture sampling; int8
+  q44-q53  policy tags; training shuffle; mixture sampling; int8
            quantization; dedup apply; fused column profile;
-           train/val/test split; incremental corpus delta;
-           end-to-end corpus-prep pipeline
+           train/val/test split; incremental corpus delta; end-to-end
+           corpus-prep pipeline; per-source token-budget sampling
 """
 
 from __future__ import annotations
@@ -1042,6 +1043,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["s06_ann_ivf_kmeans"] = s06
 
+    q["t13_unigram_logprob"] = lambda spark, sf: TXT.unigram_logprob(_docs(spark, sf))
+    q["q53_token_budget"] = lambda spark, sf: TXT.token_budget_sample(
+        _docs(spark, sf), budget_tokens=800
+    )
+
     return q
 
 
@@ -1935,6 +1941,34 @@ SELECT doc_id, source,
             ELSE 'test' END AS split,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens
 FROM canon
+"""
+
+    # t13: per-word log-probs quantize to exact micro-log-prob integers
+    # before summing, so the average is associative (no float-order
+    # drift between engines)
+    o["t13_unigram_logprob"] = r"""
+WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS word FROM documents),
+v AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+t AS (SELECT sum(c)::DOUBLE AS total FROM v),
+m AS (SELECT word, cast(round(ln(c / total) * 1000000) AS BIGINT) AS lp6 FROM v, t)
+SELECT doc_id, count(*) AS n_words,
+       round(sum(lp6) / count(*) / 1e6, 4) AS avg_logprob
+FROM w JOIN m USING (word)
+GROUP BY doc_id
+"""
+
+    o["q53_token_budget"] = r"""
+WITH b AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens,
+         md5(doc_id::VARCHAR) AS _ord
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         cast(sum(n_tokens) OVER (PARTITION BY source ORDER BY _ord, doc_id) AS BIGINT) AS cum_tokens
+  FROM b)
+SELECT doc_id, source, n_tokens, cum_tokens FROM c
+WHERE cum_tokens - n_tokens < 800
 """
 
     return o

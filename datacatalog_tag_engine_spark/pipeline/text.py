@@ -433,3 +433,73 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         fp.alias("fingerprint"),
         F.conv(F.substring(fp, 1, 15), 16, 10).cast("long").alias("fingerprint64"),
     )
+
+
+def unigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-trained unigram language-model score per document — the
+    perplexity-style quality filter (low average log-prob = unusual
+    vocabulary = often junk). Two passes by nature: train (word counts
+    over the corpus) and score (join words to the model, average).
+
+    Cross-engine determinism: per-word log-probs round to 6 decimals
+    and sum as exact integers (micro-log-probs), so the aggregation is
+    associative — no float-summation-order drift between engines or
+    partitionings. Scale shape: the vocabulary is tiny next to the
+    corpus, so the scoring join broadcasts the model; the corpus
+    explodes once per pass and aggregates on doc_id.
+
+    Returns (doc_id, n_words, avg_logprob).
+    """
+    words = docs.select(
+        id_col, F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
+    )
+    vocab = words.groupBy("word").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c")).first()[0]
+    lp_micro = F.round(F.log(F.col("c") / F.lit(float(total))) * 1_000_000).cast("long")
+    model = vocab.select("word", lp_micro.alias("lp6"))
+    return (
+        words.join(F.broadcast(model), "word")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_words"), F.sum("lp6").alias("_s"))
+        .select(
+            id_col,
+            "n_words",
+            F.round(F.col("_s") / F.col("n_words") / 1e6, 4).alias("avg_logprob"),
+        )
+    )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget_tokens: int = 5000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source token-budget sampling: walk each source's documents in
+    deterministic pseudo-random order (md5 of the id) and keep documents
+    until the source's token budget is spent — the "take N tokens per
+    source" step that builds a fixed-size training mix from an unbounded
+    corpus. A document is kept when it STARTS inside the budget, so
+    every source overshoots by at most one document and sources cannot
+    starve. Exact integer cumulative sum over a per-source window (one
+    shuffle); membership depends only on ids and budgets, never on
+    layout. Returns (doc_id, source, n_tokens, cum_tokens).
+    """
+    from pyspark.sql import Window
+
+    n_tokens = F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), 0))
+    base = docs.select(
+        id_col,
+        group_col,
+        n_tokens.alias("n_tokens"),
+        F.md5(F.col(id_col).cast("string")).alias("_ord"),
+    )
+    w = Window.partitionBy(group_col).orderBy("_ord", id_col)
+    return (
+        base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < budget_tokens)
+        .select(id_col, group_col, "n_tokens", "cum_tokens")
+    )

@@ -214,3 +214,39 @@ def test_incremental_delta(spark):
     )
     kept = [r["doc_id"] for r in DD.incremental_delta(batch, prior).collect()]
     assert kept == [12]
+
+
+def test_unigram_logprob(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in TXT.unigram_logprob(docs).collect()}
+    # corpus counts: a=3, b=1, c=1, total=5
+    lp = {w: round(math.log(c / 5) * 1e6) for w, c in {"a": 3, "b": 1, "c": 1}.items()}
+    exp1 = round((2 * lp["a"] + lp["b"]) / 3 / 1e6, 4)
+    exp2 = round((lp["a"] + lp["c"]) / 2 / 1e6, 4)
+    assert got[1]["n_words"] == 3 and got[1]["avg_logprob"] == exp1
+    assert got[2]["n_words"] == 2 and got[2]["avg_logprob"] == exp2
+    # the common word scores higher than the rare ones
+    assert got[1]["avg_logprob"] > got[2]["avg_logprob"] or lp["a"] > lp["b"]
+
+
+def test_token_budget_sample(spark):
+    docs = spark.createDataFrame(
+        [(i, "s%d" % (i % 2), " ".join(["w"] * 10)) for i in range(40)],
+        "doc_id long, source string, text string",
+    )
+    out = TXT.token_budget_sample(docs, budget_tokens=35).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rows in by_src.items():
+        # every doc is 10 tokens: budget 35 -> exactly 4 kept (last one
+        # starts at 30 < 35), cum never exceeds budget + one doc
+        assert len(rows) == 4
+        assert max(r["cum_tokens"] for r in rows) == 40
+    # deterministic: same membership on rerun
+    again = {(r["doc_id"]) for r in TXT.token_budget_sample(docs, budget_tokens=35).collect()}
+    assert {r["doc_id"] for r in out} == again
