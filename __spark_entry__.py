@@ -17,7 +17,8 @@ Coverage map (SURVEY.md section 2.10 + training-data operators):
   q20      coverage rollup (J6/A9)
   q21      job ledger rollup (A10/A11)
   q22-q23  usage/event aggregations (T3 batch shape)
-  d01-d05  dedup: exact, minhash+LSH, simhash, ngram-jaccard, embedding
+  d01-d06  dedup: exact, minhash+LSH, simhash, ngram-jaccard,
+           embedding, cross-doc repeated spans
   s01-s04  similarity search: brute-force top-k, LSH bucketed, IVF
            (single- and multi-probe)
   t01-t13  text analysis: tokens, quality, language-id, fingerprint,
@@ -1043,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["s06_ann_ivf_kmeans"] = s06
 
+    q["d06_repeated_spans"] = lambda spark, sf: DD.repeated_spans(_docs(spark, sf), n=8)
     q["t13_unigram_logprob"] = lambda spark, sf: TXT.unigram_logprob(_docs(spark, sf))
     q["q53_token_budget"] = lambda spark, sf: TXT.token_budget_sample(
         _docs(spark, sf), budget_tokens=800
@@ -1941,6 +1943,27 @@ SELECT doc_id, source,
             ELSE 'test' END AS split,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens
 FROM canon
+"""
+
+    # d06: 8-gram repeated spans (short docs fall back to one whole-text
+    # shingle, mirroring dedup.word_shingles); df counts distinct docs
+    o["d06_repeated_spans"] = r"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 8 THEN len(ws) - 7 ELSE 1 END AS n_shingles,
+         unnest(CASE WHEN len(ws) >= 8
+                THEN list_transform(range(1, len(ws) - 6), i -> array_to_string(ws[i:i+7], ' '))
+                ELSE [array_to_string(ws, ' ')] END) AS shingle
+  FROM w),
+rep AS (
+  SELECT shingle FROM (
+    SELECT shingle, count(DISTINCT doc_id) AS df FROM sh GROUP BY shingle)
+  WHERE df >= 2)
+SELECT doc_id, cast(n_shingles AS INT) AS n_shingles, count(*) AS n_repeated,
+       round(count(*)::DOUBLE / n_shingles, 4) AS repeat_ratio
+FROM sh JOIN rep USING (shingle)
+GROUP BY doc_id, n_shingles
 """
 
     # t13: per-word log-probs quantize to exact micro-log-prob integers

@@ -442,3 +442,48 @@ def incremental_delta(
     b = batch.select(id_col, bow_fingerprint(F.col(text_col)).alias("fingerprint"))
     p = prior.select(bow_fingerprint(F.col(text_col)).alias("fingerprint")).distinct()
     return b.join(p, "fingerprint", "left_anti").select(id_col, "fingerprint")
+
+
+def repeated_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document repeated-span detection at n-gram granularity —
+    the boilerplate-removal signal: an n-gram appearing in >= min_docs
+    DISTINCT documents marks every position it covers as duplicated
+    text (headers, licenses, templated passages). Exact substring dedup
+    (suffix-array style) reduces to this at window granularity.
+
+    Returns (doc_id, n_shingles, n_repeated, repeat_ratio) for docs
+    with at least one n-gram. Scale shape: the position table shuffles
+    once on the shingle key for the document-frequency count and once
+    on doc_id for the rollup; at 100 TB a bloom/count-min prefilter on
+    singleton shingles cuts the join input (this is its exact form).
+    """
+    from .dedup import word_shingles  # same builder as the LSH path
+
+    words_sh = word_shingles(F.lower(F.col(text_col)), n)
+    sh = docs.select(
+        id_col,
+        F.size(words_sh).alias("n_shingles"),
+        F.explode(words_sh).alias("shingle"),
+    )
+    df_counts = (
+        sh.groupBy("shingle")
+        .agg(F.count_distinct(id_col).alias("df"))
+        .filter(F.col("df") >= min_docs)
+    )
+    return (
+        sh.join(df_counts.select("shingle"), "shingle")
+        .groupBy(id_col, "n_shingles")
+        .agg(F.count("*").alias("n_repeated"))
+        .select(
+            id_col,
+            "n_shingles",
+            "n_repeated",
+            F.round(F.col("n_repeated") / F.col("n_shingles"), 4).alias("repeat_ratio"),
+        )
+    )

@@ -164,3 +164,24 @@ def test_resize_plan_preserves_aspect(spark):
     )
     got = MM.resize_plan(media, max_side=224).first()
     assert (got["dst_width"], got["dst_height"]) == (224, 112)
+
+
+def test_repeated_spans(spark):
+    from datacatalog_tag_engine_spark.pipeline.dedup import repeated_spans
+
+    boiler = "this license text is shared across both documents exactly"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " plus unique tail one two three"),
+            (2, boiler + " and another different ending here now"),
+            (3, "entirely original content with no shared spans at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repeated_spans(docs, n=8).collect()}
+    # only the docs sharing the boilerplate appear; doc 3 has no repeats
+    assert set(got) == {1, 2}
+    # the 9-word boilerplate yields 2 shared 8-grams... both appear in
+    # both docs -> n_repeated >= 2 and ratio > 0
+    assert got[1]["n_repeated"] >= 2
+    assert 0 < got[1]["repeat_ratio"] <= 1.0
