@@ -47,19 +47,16 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     """Word k-shingles; docs shorter than k words yield one whole-text
     shingle. Split on whitespace runs.
 
-    Built with chained zip_with over shifted copies (O(words x k)) —
-    the per-index ``slice(toks, i, k)`` form is O(words^2) because every
-    element pays an array copy (measured 5-10x slower at corpus
-    scale). zip_with null-pads the shorter side and concat_ws drops
-    nulls, so the trailing partial shingles assemble harmlessly and the
-    final slice cuts them off."""
+    Built with the shared zip_with-DOUBLING n-gram constructor
+    (pipeline.text.ngram_array): O(log k) expression depth, O(words x
+    log k) runtime — the naive k-1-step chain blows up the expression
+    TREE exponentially (Catalyst planning hangs by k=8), and the
+    per-index slice form executes O(words^2) array copies."""
+    from .text import ngram_array
+
     toks = F.split(text, r"\s+")
     n = F.size(toks)
-    grams = toks
-    for j in range(1, k):
-        shifted = F.slice(toks, j + 1, F.greatest(n - j, F.lit(0)))
-        grams = F.zip_with(grams, shifted, lambda a, b: F.concat_ws(" ", a, b))
-    full = F.slice(grams, 1, F.greatest(n - F.lit(k - 1), F.lit(0)))
+    full = F.slice(ngram_array(toks, k), 1, F.greatest(n - F.lit(k - 1), F.lit(0)))
     return F.when(n >= k, full).otherwise(F.array(F.concat_ws(" ", toks)))
 
 

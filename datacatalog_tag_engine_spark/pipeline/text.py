@@ -250,23 +250,46 @@ def chunk_documents(
     )
 
 
+def ngram_array(words: Column, n: int) -> Column:
+    """Positionally-aligned n-gram array with partial tails: element i
+    is the space-join of words[i..i+n-1] (shorter at the tail). Callers
+    slice off the tail.
+
+    Construction is zip_with DOUBLING: a 2k-gram is a k-gram zipped
+    with itself shifted by k, so the expression tree is O(log n) levels
+    deep. The naive n-1-step chain duplicates the whole subtree at each
+    level — 2^(n-1) copies of the split — and Catalyst's analysis walks
+    it as a tree: at n=8 a single projection took MINUTES to plan.
+    (And transform(sequence, i -> slice(words, i, n)) executes
+    O(words^2) array copies — measured 10x slower at n<=5.) zip_with
+    pads the shorter (shifted) side with nulls and concat_ws skips
+    nulls, so partial tail grams assemble harmlessly."""
+    pows = {1: words}
+    p = 1
+    while p * 2 <= n:
+        g = pows[p]
+        shifted = F.slice(g, p + 1, F.greatest(F.size(g) - p, F.lit(0)))
+        pows[p * 2] = F.zip_with(g, shifted, lambda a, b: F.concat_ws(" ", a, b))
+        p *= 2
+    grams = None
+    offset = 0
+    for p in sorted(pows, reverse=True):
+        if offset + p <= n:
+            comp = pows[p]
+            if grams is None:
+                grams = comp
+            else:
+                shifted = F.slice(comp, offset + 1, F.greatest(F.size(comp) - offset, F.lit(0)))
+                grams = F.zip_with(grams, shifted, lambda a, b: F.concat_ws(" ", a, b))
+            offset += p
+    return grams
+
+
 def word_ngrams(words: Column, n: int) -> Column:
     """Array of space-joined word n-grams; empty array when the doc has
-    fewer than ``n`` words.
-
-    Built by zip_with-ing ``n-1`` progressively shifted copies of the
-    word array — O(words x n) total work. (The obvious
-    ``transform(sequence(...), i -> slice(words, i, n))`` is O(words^2):
-    every element pays an array copy; measured 10x slower on a 5k-doc
-    corpus.) zip_with pads the shorter (shifted) side with nulls and
-    concat_ws skips nulls, so trailing partial grams assemble harmlessly
-    and the final slice drops them."""
+    fewer than ``n`` words."""
     size = F.size(words)
-    grams = words
-    for k in range(1, n):
-        shifted = F.slice(words, k + 1, F.greatest(size - k, F.lit(0)))
-        grams = F.zip_with(grams, shifted, lambda a, b: F.concat_ws(" ", a, b))
-    full = F.slice(grams, 1, F.greatest(size - F.lit(n - 1), F.lit(0)))
+    full = F.slice(ngram_array(words, n), 1, F.greatest(size - F.lit(n - 1), F.lit(0)))
     return F.when(size >= n, full).otherwise(F.array().cast("array<string>"))
 
 

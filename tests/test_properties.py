@@ -132,9 +132,9 @@ def test_timestamp_matrix_matches_reference_model(spark, ts, form):
 
 @given(
     words=st.lists(st.sampled_from(["a", "bb", "ccc", "x", "yy"]), min_size=0, max_size=12),
-    n=st.integers(min_value=2, max_value=5),
+    n=st.integers(min_value=2, max_value=9),
 )
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=40, deadline=None)
 def test_word_ngrams_matches_naive_definition(spark, words, n):
     """The zip_with n-gram construction equals the naive
     slide-a-window-of-n definition for any word list."""
@@ -159,9 +159,9 @@ def test_word_ngrams_matches_naive_definition(spark, words, n):
 
 @given(
     words=st.lists(st.sampled_from(["a", "bb", "ccc"]), min_size=1, max_size=10),
-    k=st.integers(min_value=2, max_value=4),
+    k=st.integers(min_value=2, max_value=8),
 )
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=40, deadline=None)
 def test_word_shingles_matches_naive_definition(spark, words, k):
     """dedup.word_shingles: sliding window of k, whole-text fallback for
     short docs."""
