@@ -1045,6 +1045,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["s06_ann_ivf_kmeans"] = s06
 
     q["d06_repeated_spans"] = lambda spark, sf: DD.repeated_spans(_docs(spark, sf), n=8)
+    # SemDeDup-style semantic dedup: coarse-quantizer cells (shared
+    # _ranked_cells derivation with s03) + intra-cell dominance drop
+    q["d07_semantic_dedup"] = lambda spark, sf: DD.semantic_dedup(
+        _emb(spark, sf), threshold=0.35
+    )
     q["t13_unigram_logprob"] = lambda spark, sf: TXT.unigram_logprob(_docs(spark, sf))
     q["q53_token_budget"] = lambda spark, sf: TXT.token_budget_sample(
         _docs(spark, sf), budget_tokens=800
@@ -1494,6 +1499,32 @@ scored AS (
 SELECT query_id, neighbor_id, cosine,
        cast(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
 FROM scored QUALIFY rank <= 5
+"""
+
+    # d07: replay the s03 cell assignment, then the dominance rule —
+    # dropped iff ANY lower-id same-cell vector has round-4 cosine >=
+    # threshold; dup_of is the lowest such id.
+    o["d07_semantic_dedup"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cent_v FROM e ORDER BY vec_id LIMIT 8),
+assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round(list_cosine_similarity(e.v, c.cent_v), 6) DESC, c.cell) AS rn
+    FROM e CROSS JOIN cents c) WHERE rn = 1),
+sims AS (
+  SELECT a.vec_id AS vid, b.vec_id AS dom_id,
+         round(list_cosine_similarity(a.v, b.v), 4) AS cos
+  FROM assign a JOIN assign b ON a.cell = b.cell AND b.vec_id < a.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35),
+dom AS (
+  SELECT vid, dom_id AS dup_of, cos AS cosine FROM (
+    SELECT vid, dom_id, cos,
+           row_number() OVER (PARTITION BY vid ORDER BY dom_id) AS rn
+    FROM sims) WHERE rn = 1)
+SELECT a.vec_id, a.cell, d.dup_of, d.cosine, d.vid IS NULL AS is_kept
+FROM assign a LEFT JOIN dom d ON a.vec_id = d.vid
 """
 
     o["m01_multimodal_features"] = """

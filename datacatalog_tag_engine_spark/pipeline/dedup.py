@@ -413,6 +413,73 @@ def embedding_neardup_pairs(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.6,
+    num_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): partition the corpus with a coarse quantizer,
+    then inside each cell drop every vector that is semantically
+    near-identical (cosine >= threshold) to a higher-priority vector.
+
+    Priority is lowest-id, and the drop rule is the order-independent
+    dominance form: x is dropped iff ANY lower-id vector in its cell is
+    within threshold — a one-shot join, no iteration, identical on any
+    partitioning, SQL-replayable. (Greedy sequential SemDeDup differs
+    only on chains A~B, B~C, A!~C, where it would re-keep C; the
+    dominance rule drops C too — the conservative direction for
+    training-data dedup.)
+
+    Cells come from the shared ``_ranked_cells`` derivation
+    (deterministic first-k-by-id centroids, or trained ``cents`` via
+    ``similarity.kmeans_centroids``). 100 TB shape: assignment is a
+    broadcast-centroid projection (one corpus scan, no shuffle); the
+    intra-cell pair search shuffles once on cell id; the quantizer's
+    whole job is making the quadratic pair scan LOCAL to a cell — size
+    num_cells ~ sqrt(n) (the paper's regime) so cells stay bounded.
+
+    Returns (vec_id, cell, dup_of, cosine, is_kept): dup_of = lowest
+    dominating id (NULL for survivors), cosine = round-4 similarity to
+    it, is_kept = dup_of IS NULL.
+    """
+    from datacatalog_tag_engine_spark.pipeline.similarity import _ranked_cells, cosine_expr
+
+    assign = (
+        _ranked_cells(emb, num_cells, id_col, vec_col, cents=cents)
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col), F.col("v"), F.col("cell"))
+    )
+    a = assign.select(F.col(id_col).alias("vid"), F.col("v").alias("va"), "cell")
+    b = assign.select(F.col(id_col).alias("dom_id"), F.col("v").alias("vb"), "cell")
+    sims = (
+        a.join(b, "cell")
+        .filter(F.col("dom_id") < F.col("vid"))
+        .select(
+            "vid",
+            "dom_id",
+            F.round(cosine_expr(F.col("va"), F.col("vb")), 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    w = Window.partitionBy("vid").orderBy(F.asc("dom_id"))
+    dom = (
+        sims.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vid", F.col("dom_id").alias("dup_of"), F.col("cos").alias("cosine"))
+    )
+    return assign.join(dom, assign[id_col] == dom["vid"], "left").select(
+        id_col,
+        "cell",
+        "dup_of",
+        "cosine",
+        F.col("dup_of").isNull().alias("is_kept"),
+    )
+
+
 def bow_fingerprint(text: Column) -> Column:
     """Bag-of-words fingerprint: md5 of the sorted distinct lowercase
     word set. Two docs with the same vocabulary (any order, any

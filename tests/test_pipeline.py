@@ -87,6 +87,48 @@ def test_embedding_neardup_grid_equals_broadcast(spark):
     assert sorted(g) == sorted(b)
 
 
+def test_semantic_dedup_dominance_rule(spark):
+    # three near-identical vectors + one orthogonal: 1 survives as the
+    # lowest id, 2 and 3 both point dup_of at 1 (dominance, not chain),
+    # 4 is untouched
+    d = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0, 0.0]),
+            (3, [0.998, 0.02, 0.0, 0.0]),
+            (4, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r for r in DD.semantic_dedup(d, threshold=0.99, num_cells=1).collect()}
+    assert got[1]["is_kept"] and got[1]["dup_of"] is None
+    assert not got[2]["is_kept"] and got[2]["dup_of"] == 1
+    assert not got[3]["is_kept"] and got[3]["dup_of"] == 1
+    assert got[4]["is_kept"]
+
+
+def test_semantic_dedup_invariants_on_real_corpus(spark):
+    emb = spark.table("embeddings")
+    rows = DD.semantic_dedup(emb, threshold=0.35).collect()
+    assert len(rows) == emb.count()  # every vector classified exactly once
+    by_id = {r["vec_id"]: r for r in rows}
+    cells = {r["vec_id"]: r["cell"] for r in rows}
+    for r in rows:
+        if r["is_kept"]:
+            assert r["dup_of"] is None and r["cosine"] is None
+        else:
+            # dominated by a lower-id vector in the SAME cell, above threshold
+            assert r["dup_of"] < r["vec_id"]
+            assert cells[r["dup_of"]] == r["cell"]
+            assert r["cosine"] >= 0.35
+    # partition-layout independence: same verdicts after a repartition
+    re = {
+        r["vec_id"]: (r["dup_of"], r["is_kept"])
+        for r in DD.semantic_dedup(emb.repartition(7), threshold=0.35).collect()
+    }
+    assert re == {k: (v["dup_of"], v["is_kept"]) for k, v in by_id.items()}
+
+
 def test_brute_force_topk_ranks(spark):
     emb = spark.table("embeddings")
     out = SIM.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=3).collect()
