@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..model.timeutil import ts_seconds
+
 
 def asof_join(
     left: DataFrame,
@@ -95,8 +97,8 @@ def range_join(
     and other right columns suffixed ``_m``.
     """
     bucket_sec = bucket_sec or max(upper_sec - lower_sec, 1)
-    l_b = left.withColumn("_lsec", F.col(left_ts).cast("double"))
-    r_b = right.withColumn("_rsec", F.col(right_ts).cast("double")).withColumn(
+    l_b = left.withColumn("_lsec", ts_seconds(F.col(left_ts)))
+    r_b = right.withColumn("_rsec", ts_seconds(F.col(right_ts))).withColumn(
         "_bucket", F.floor(F.col("_rsec") / bucket_sec)
     )
     n_probe = (upper_sec - lower_sec) // bucket_sec + 1

@@ -90,8 +90,11 @@ def sessionize(
     """
     from pyspark.sql import Window
 
+    from ..model.timeutil import ts_epoch_long
+
     w = Window.partitionBy(user_col).orderBy(ts_col)
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    sec = ts_epoch_long(F.col(ts_col))
+    gap = sec - F.lag(sec).over(w)
     flagged = events.withColumn(
         "_new_session",
         F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
@@ -106,6 +109,6 @@ def sessionize(
         )
         .withColumn(
             "duration_sec",
-            F.col("session_end").cast("long") - F.col("session_start").cast("long"),
+            ts_epoch_long(F.col("session_end")) - ts_epoch_long(F.col("session_start")),
         )
     )

@@ -20,30 +20,67 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (driver parquet)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, directory: str, glob: str = "events.parquet") -> DataFrame:
-    """Streaming source over the driver's events parquet (nanos ts
-    normalized to a proper timestamp, same truncation as the batch
-    loader). Streaming file sources take a directory; ``glob`` narrows
-    it to the events file(s)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """Streaming source over the driver's events parquet. Streaming file
+    sources take a directory; ``glob`` narrows it to the events file(s).
+
+    Streaming sources need an explicit schema, so we sniff the parquet
+    footer of one matching file (driver-side, no data read — same
+    pattern as the batch loader ``session.load_parquet``) to decide the
+    ``ts`` flavor: TIMESTAMP(NANOS) files are read as raw longs via the
+    legacy conf and truncated to micros; micro-precision files are read
+    natively (no tz -> TIMESTAMP_NTZ), byte-identical to the batch path
+    so stream output == batch output."""
+    import glob as globmod
+    import os
+
+    import pyarrow.parquet as pq
+
+    ts_str = ""
+    matches = globmod.glob(os.path.join(directory, glob)) + globmod.glob(
+        os.path.join(directory, "**", glob), recursive=True
+    )
+    for path in matches:
+        try:
+            ts_str = str(pq.read_schema(path).field("ts").type)
+            break
+        except Exception:
+            continue
+
+    if ts_str == "timestamp[ns]":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(_events_schema(T.LongType()))
+            .option("pathGlobFilter", glob)
+            .parquet(directory)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    ts_type: T.DataType = (
+        T.TimestampType() if ts_str.startswith("timestamp[") and "tz=" in ts_str else T.TimestampNTZType()
+    )
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(_events_schema(ts_type))
         .option("pathGlobFilter", glob)
         .parquet(directory)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Watermarks require TIMESTAMP (not NTZ); with the session pinned to
+    # UTC the cast is an identity reinterpretation, and the usage aggs
+    # emit only dates, so stream output still equals the NTZ batch path.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def daily_usage(events: DataFrame, watermark: str = "1 day") -> DataFrame:
