@@ -409,9 +409,12 @@ def q26_tag_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"field_id": "domain", "field_value": "OPS"}],
     )
     eng.trigger_job(cfg, assets)
-    eng.copy_tags("p/datasets/d/tables/src", "p/datasets/d/tables/dst")
-    eng.update_tag_subset("t", "p/datasets/d/tables/dst", None,
-                          [{"field_id": "owner", "field_type": "string", "raw_value": "bob"}])
+    # fused copy+update: one MERGE applies the copy and the subset
+    # overwrite (same final state as the sequential route pair)
+    eng.copy_and_update_tags(
+        "p/datasets/d/tables/src", "p/datasets/d/tables/dst", "t",
+        [{"field_id": "owner", "field_type": "string", "raw_value": "bob"}],
+    )
     return eng.store.all().select("asset_uri", "field_id", "field_value_string")
 
 

@@ -437,6 +437,51 @@ class TagEngine:
         events = self.store.merge(moved, overwrite=overwrite)
         return self._append_history(events, job_uuid)
 
+    def copy_and_update_tags(
+        self,
+        source_uri: str,
+        target_uri: str,
+        template_id: str,
+        raw_rows: list[dict],
+        column: str | None = None,
+        overwrite: bool = True,
+    ) -> int:
+        """Fused copy_tags + update_tag_subset (the reference's
+        /copy_tags then /update_tag route pair issued back-to-back on
+        the same target, DataCatalogController.py:1946-2056 +
+        :2091-2178): ONE MERGE applies both, so the store pays one
+        checkpoint + one history append instead of two.
+
+        The incoming batch pre-resolves key collisions (a subset-update
+        field also present in the copied tag): update rows win, exactly
+        what the sequential pair converges to. History differs only in
+        shape — the updated field logs one CREATE-with-final-value
+        instead of CREATE then UPDATE; final state is identical.
+        """
+        from .store.tagstore import TAG_KEY
+
+        src = self.store.all().filter(F.col("asset_uri") == source_uri)
+        moved = src.withColumn("asset_uri", F.lit(target_uri))
+        rows = [
+            {
+                "asset_uri": target_uri,
+                "column": column,
+                "template_id": template_id,
+                "field_id": r["field_id"],
+                "field_type": r["field_type"],
+                "raw_value": r.get("raw_value"),
+            }
+            for r in raw_rows
+        ]
+        upd = DYN.coerce_long_rows(DYN.raw_rows_to_df(self.spark, rows), bool_mode="csv")
+        cond = [moved[k].eqNullSafe(upd[k]) for k in TAG_KEY]
+        merged_in = moved.join(upd, cond, "left_anti").unionByName(
+            upd, allowMissingColumns=True
+        )
+        job_uuid = self._uuid("copyupd")
+        events = self.store.merge(merged_in, overwrite=overwrite)
+        return self._append_history(events, job_uuid)
+
     def update_tag_subset(self, template_id: str, asset_uri: str, column: str | None, raw_rows: list[dict]) -> int:
         """Overwrite-merge of a field subset (reference main.py:2868-2919
         -> DataCatalogController.py:2091-2178): only the named fields

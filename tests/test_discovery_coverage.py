@@ -115,3 +115,47 @@ def test_copy_tags_and_update_subset(spark):
     }
     assert vals[("p/datasets/d/tables/dst", "owner")] == "bob"
     assert vals[("p/datasets/d/tables/dst", "domain")] == "OPS"
+
+
+def test_copy_and_update_fused_matches_sequential(spark):
+    from datacatalog_tag_engine_spark.engine import TagEngine
+    from datacatalog_tag_engine_spark.model.schemas import ASSETS_SCHEMA
+
+    def build():
+        eng = TagEngine(spark)
+        eng.create_template("t", [
+            {"field_id": "owner", "field_type": "string"},
+            {"field_id": "domain", "field_type": "string"},
+        ])
+        assets = spark.createDataFrame(
+            [{"asset_uri": "p/datasets/d/tables/src", "asset_type": "bigquery",
+              "project": "p", "dataset": "d", "table": "src"}],
+            ASSETS_SCHEMA,
+        )
+        cfg = eng.create_config(
+            "STATIC_TAG_ASSET", "t", included_uris="bigquery/project/p/dataset/d/src",
+            fields=[{"field_id": "owner", "field_value": "alice"},
+                    {"field_id": "domain", "field_value": "OPS"}],
+        )
+        eng.trigger_job(cfg, assets)
+        return eng
+
+    upd = [{"field_id": "owner", "field_type": "string", "raw_value": "bob"}]
+
+    seq = build()
+    seq.copy_tags("p/datasets/d/tables/src", "p/datasets/d/tables/dst")
+    seq.update_tag_subset("t", "p/datasets/d/tables/dst", None, upd)
+
+    fused = build()
+    n = fused.copy_and_update_tags(
+        "p/datasets/d/tables/src", "p/datasets/d/tables/dst", "t", upd)
+    assert n == 2  # one history row per dst field, single append
+
+    def state(eng):
+        return sorted(
+            (r["asset_uri"], r["column"], r["field_id"], r["field_value_string"])
+            for r in eng.store.all().collect()
+        )
+
+    assert state(fused) == state(seq)
+    assert ("p/datasets/d/tables/dst", None, "owner", "bob") in state(fused)
