@@ -442,6 +442,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cents: DataFrame | None = None,
+    cell_cap: int | None = 4096,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023,
     arXiv:2303.09540): partition the corpus with a coarse quantizer,
@@ -464,26 +465,64 @@ def semantic_dedup(
     whole job is making the quadratic pair scan LOCAL to a cell — size
     num_cells ~ sqrt(n) (the paper's regime) so cells stay bounded.
 
+    ``cell_cap`` is the skew lever: a hot quantizer cell (real corpora
+    cluster — one dense topic can swallow a large corpus fraction)
+    re-creates the quadratic INSIDE one task. Cells larger than the cap
+    split on a secondary id-hash into ceil(n/cap) salts: the probe side
+    keeps its own salt, the dominator side replicates to every salt of
+    the cell (the ``operators.skew`` salted-join pattern), so every
+    within-cell pair still meets exactly once and results are identical
+    on any distribution — only the max task's pair count is bounded
+    (cap x cell instead of cell^2). The per-cell counts come from one
+    tiny (cell)-grain aggregation that broadcasts. None disables.
+
     Returns (vec_id, cell, dup_of, cosine, is_kept): dup_of = lowest
     dominating id (NULL for survivors), cosine = round-4 similarity to
     it, is_kept = dup_of IS NULL.
     """
-    from datacatalog_tag_engine_spark.pipeline.similarity import _ranked_cells, cosine_expr
+    from datacatalog_tag_engine_spark.pipeline.similarity import (
+        _ranked_cells,
+        dot_expr,
+        norm_expr,
+    )
 
     assign = (
         _ranked_cells(emb, num_cells, id_col, vec_col, cents=cents)
         .filter(F.col("_rn") == 1)
         .select(F.col(id_col), F.col("v"), F.col("cell"))
     )
-    a = assign.select(F.col(id_col).alias("vid"), F.col("v").alias("va"), "cell")
-    b = assign.select(F.col(id_col).alias("dom_id"), F.col("v").alias("vb"), "cell")
+    # norm once per VECTOR, not per pair: inside the pair join the
+    # cosine denominator reuses these columns, cutting the per-pair
+    # interpreted array work from three O(dim) folds to one (the dot).
+    # na*nb multiplies the exact same float values sqrt(agg(v)) the
+    # in-pair form would, so scores are bit-identical.
+    withn = assign.withColumn("_norm", norm_expr(F.col("v")))
+    a = withn.select(F.col(id_col).alias("vid"), F.col("v").alias("va"), F.col("_norm").alias("_na"), "cell")
+    b = withn.select(F.col(id_col).alias("dom_id"), F.col("v").alias("vb"), F.col("_norm").alias("_nb"), "cell")
+    if cell_cap is not None:
+        splits = F.broadcast(
+            assign.groupBy("cell").agg(
+                F.ceil(F.count("*") / F.lit(cell_cap)).cast("int").alias("_s")
+            )
+        )
+        a = a.join(splits, "cell").withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("vid")), F.col("_s")).cast("int")
+        )
+        b = b.join(splits, "cell").withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.col("_s") - 1))
+        )
+        join_keys = ["cell", "_salt"]
+    else:
+        join_keys = ["cell"]
     sims = (
-        a.join(b, "cell")
+        a.join(b, join_keys)
         .filter(F.col("dom_id") < F.col("vid"))
         .select(
             "vid",
             "dom_id",
-            F.round(cosine_expr(F.col("va"), F.col("vb")), 4).alias("cos"),
+            F.round(
+                dot_expr(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")), 4
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

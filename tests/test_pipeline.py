@@ -129,6 +129,36 @@ def test_semantic_dedup_invariants_on_real_corpus(spark):
     assert re == {k: (v["dup_of"], v["is_kept"]) for k, v in by_id.items()}
 
 
+def test_semantic_dedup_cell_cap_identical_on_hot_cell(spark):
+    # adversarial distribution: EVERY vector lands in one quantizer cell
+    # (num_cells=1); a tiny cell_cap forces the salted split and must
+    # produce bit-identical verdicts to the unsalted path
+    emb = spark.table("embeddings")
+    base = {
+        r["vec_id"]: (r["dup_of"], r["cosine"], r["is_kept"])
+        for r in DD.semantic_dedup(emb, threshold=0.35, num_cells=1, cell_cap=None).collect()
+    }
+    capped = {
+        r["vec_id"]: (r["dup_of"], r["cosine"], r["is_kept"])
+        for r in DD.semantic_dedup(emb, threshold=0.35, num_cells=1, cell_cap=16).collect()
+    }
+    assert capped == base
+    assert len(base) == emb.count()
+    # the salt only changes the plan in the sort-merge regime (corpus
+    # side too big to broadcast — the 100 TB shape); force it and
+    # re-check identity there too
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        smj = {
+            r["vec_id"]: (r["dup_of"], r["cosine"], r["is_kept"])
+            for r in DD.semantic_dedup(emb, threshold=0.35, num_cells=1, cell_cap=16).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    assert smj == base
+
+
 def test_brute_force_topk_ranks(spark):
     emb = spark.table("embeddings")
     out = SIM.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=3).collect()
