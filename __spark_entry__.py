@@ -1058,7 +1058,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf), budget_tokens=800
     )
 
-    return q
+    # ---- driver CORRECTNESS window ordering ------------------------------
+    # The driver records correctness rows for the FIRST 50 insertion-
+    # ordered entries only. Round 2 left 30 queries (the whole training-
+    # pipeline family) outside that window with no driver row, so the
+    # order is pinned here explicitly: first the 30 queries with no
+    # driver record yet, then the queries whose implementation changed
+    # this round (their r02 rows are stale), then flagship fillers; the
+    # remainder (all green in CORRECTNESS_r02.json, unchanged since)
+    # fall past the window. Membership in the first 50 is what matters;
+    # every entry still runs in bench.py regardless of position.
+    window = [
+        # no driver row yet (r02 positions 51-80)
+        "q30_numeric_profile", "q31_corpus_stats", "q32_sessionize",
+        "q42_sensitive_e2e", "q43_history_rollup", "q44_policy_tags",
+        "t01_token_counts", "t02_quality", "t03_lang_id", "t04_fingerprint",
+        "t05_vocabulary", "t06_pii_redaction", "t07_tfidf",
+        "t08_length_percentiles", "t09_chunking", "t10_contamination",
+        "t11_repetition", "t12_packing", "t13_unigram_logprob",
+        "q45_training_shuffle", "q46_mixture_sample", "q47_embedding_quantize",
+        "q50_train_split", "q51_corpus_delta", "q52_pipeline_e2e",
+        "q53_token_budget", "s05_ann_recall", "s06_ann_ivf_kmeans",
+        "d06_repeated_spans", "d07_semantic_dedup",
+        # red in r02 (timestamp-flavor breakage, fixed this round)
+        "q41_range_join",
+        # implementation changed this round — re-record
+        "q40_asof_join", "q26_tag_copy", "d02_dedup_minhash",
+        "d04_ngram_jaccard", "q34_dedup_clusters", "q48_dedup_apply",
+        # flagship fillers (stable, keep a live row)
+        "q01_row_count", "q29_fused_profile", "d01_dedup_exact",
+        "d05_embedding_neardup", "s01_ann_topk", "q11_glossary",
+        "q12_infotype_agg", "q13_containment", "q19_export",
+        "q20_coverage", "q21_jobs", "q24_import_melt", "q28_assets_discovery",
+    ]
+    assert len(window) == 50 and set(window) <= set(q)
+    return {name: q[name] for name in window + [n for n in q if n not in window]}
 
 
 # ---------------------------------------------------------------------------

@@ -3,12 +3,22 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
+The same payload is also written to bench_out.json next to this file —
+the stdout capture that records bench runs has a bounded tail buffer
+and has truncated the (long) per-query map before; the file is the
+machine-readable copy.
+
 Execution is forced with a noop sink (full computation, no driver-side
 row transfer) so timings measure the distributed plan, not collect().
+Between queries the harness drops references and runs gc.collect() so
+the ContextCleaner frees superseded localCheckpoint blocks — without
+it, block-manager pressure from dozens of accumulated checkpoints
+inflates later queries' times by ~2x.
 """
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -48,11 +58,18 @@ def main() -> None:
     for name, fn in E.queries().items():
         t0 = time.time()
         try:
-            force(fn(spark, SF_DIR))
+            df = fn(spark, SF_DIR)
+            force(df)
             timings[name] = round(time.time() - t0, 3)
         except Exception as ex:  # one broken query must not lose the whole run
             errors[name] = f"{type(ex).__name__}: {str(ex)[:120]}"
             print(f"bench error in {name}: {errors[name]}", file=sys.stderr)
+        # free per-query state: cached views and the query's (now
+        # unreferenced) localCheckpoint blocks, so one query's blocks
+        # don't tax the next
+        df = None
+        spark.catalog.clearCache()
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -64,7 +81,10 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    payload = json.dumps(out)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"), "w") as f:
+        f.write(payload + "\n")
+    print(payload)
 
 
 if __name__ == "__main__":
