@@ -1057,6 +1057,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q53_token_budget"] = lambda spark, sf: TXT.token_budget_sample(
         _docs(spark, sf), budget_tokens=800
     )
+    # temperature-scaled mixture: per-source p ∝ tokens^alpha (alpha<1
+    # flattens the head so low-resource sources survive the mix)
+    q["q54_mixture_weights"] = lambda spark, sf: SAMP.mixture_weights(
+        _docs(spark, sf), alpha=0.5, budget_tokens=10_000
+    )
+    q["q55_mixture_sample"] = lambda spark, sf: SAMP.temperature_mixture_sample(
+        _docs(spark, sf), alpha=0.5, budget_tokens=10_000
+    )
+    # fastText-shaped hashed linear quality scorer (deterministic
+    # placeholder weights; trained weights plug in as a DataFrame)
+    q["t14_hashed_linear"] = lambda spark, sf: TXT.hashed_linear_score(_docs(spark, sf))
 
     # ---- driver CORRECTNESS window ordering ------------------------------
     # The driver records correctness rows for the FIRST 50 insertion-
@@ -2060,6 +2071,48 @@ c AS (
   FROM b)
 SELECT doc_id, source, n_tokens, cum_tokens FROM c
 WHERE cum_tokens - n_tokens < 800
+"""
+
+    _mix_cte = r"""
+WITH s AS (
+  SELECT source, count(*) AS n_docs,
+         cast(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+w AS (
+  SELECT source, n_docs, n_tokens,
+         round(pow(n_tokens::DOUBLE, 0.5) / sum(pow(n_tokens::DOUBLE, 0.5)) OVER (), 6) AS weight
+  FROM s)
+"""
+
+    o["q54_mixture_weights"] = _mix_cte + r"""
+SELECT source, n_docs, n_tokens, weight,
+       round(least(1.0, 10000 * weight / n_tokens), 6) AS rate
+FROM w
+"""
+
+    o["q55_mixture_sample"] = _mix_cte + r""",
+r AS (SELECT source, round(least(1.0, 10000 * weight / n_tokens), 6) AS rate FROM w)
+SELECT d.doc_id, d.source,
+       len(regexp_extract_all(d.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens
+FROM documents d JOIN r USING (source)
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+      < floor(rate * 10000 + 0.5)
+"""
+
+    o["t14_hashed_linear"] = r"""
+WITH wt AS (
+  SELECT i::INT AS bucket,
+         cast(round(((('0x' || substr(md5('w:' || i::VARCHAR), 1, 8))::BIGINT / 4294967296.0) * 2 - 1) * 1000000) AS BIGINT) AS w6
+  FROM range(1024) t(i)),
+tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS word FROM documents),
+b AS (
+  SELECT doc_id, (('0x' || substr(md5(word), 1, 8))::BIGINT % 1024)::INT AS bucket FROM tok),
+agg AS (
+  SELECT doc_id, count(*) AS n_words, cast(sum(w6) AS BIGINT) AS s6
+  FROM b JOIN wt USING (bucket) GROUP BY doc_id)
+SELECT doc_id, n_words, round(1.0 / (1.0 + exp(-(s6 / n_words / 1e6))), 4) AS score
+FROM agg
 """
 
     return o

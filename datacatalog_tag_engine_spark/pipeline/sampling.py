@@ -68,6 +68,90 @@ def train_val_test_split(
     return df.select(key_col, strata_col, split.alias("split"))
 
 
+def mixture_weights(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    budget_tokens: int | None = None,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled mixture weights per source (the multilingual /
+    multi-source training-mix recipe: p_s ∝ n_s^alpha — alpha=1 is
+    proportional to size, alpha->0 approaches uniform, flattening the
+    head so low-resource sources aren't drowned).
+
+    Returns (source, n_docs, n_tokens, weight, rate): ``weight`` is the
+    normalized mixture probability (round 6); ``rate`` is the per-source
+    document sampling fraction min(1, budget*weight/n_tokens) against a
+    token budget (round 6; NULL when no budget given).
+
+    Scale shape: one aggregation over the corpus to (source) grain —
+    source cardinality is tiny by nature, so the normalization runs as a
+    global window over a handful of rows; no corpus-sized shuffle beyond
+    the partial-agg rollup.
+    """
+    from pyspark.sql import Window
+
+    from .text import TOKEN_REGEX
+
+    toks = F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), 0))
+    per_src = docs.groupBy(strata_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks).cast("long").alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()  # source grain: a handful of rows
+    raw_w = F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+    weight = raw_w / F.sum(raw_w).over(w_all)
+    out = per_src.select(
+        strata_col,
+        "n_docs",
+        "n_tokens",
+        F.round(weight, 6).alias("weight"),
+    )
+    if budget_tokens is None:
+        return out.withColumn("rate", F.lit(None).cast("double"))
+    rate = F.least(
+        F.lit(1.0), F.lit(float(budget_tokens)) * F.col("weight") / F.col("n_tokens")
+    )
+    return out.withColumn("rate", F.round(rate, 6))
+
+
+def temperature_mixture_sample(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    budget_tokens: int = 10_000,
+    key_col: str = "doc_id",
+    strata_col: str = "source",
+    text_col: str = "text",
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Materialize a temperature-mixed corpus: each source's documents
+    are kept at the ``mixture_weights`` rate via the same hash-bucket
+    rule as ``deterministic_sample`` — membership depends only on the
+    key, so the mix is reproducible on any layout and any engine.
+
+    The per-source rate table is tiny (source grain) and broadcasts;
+    the corpus pays one scan + one broadcast-join filter (no shuffle of
+    the corpus itself). Returns (doc_id, source, n_tokens).
+    """
+    from .text import TOKEN_REGEX
+
+    rates = mixture_weights(docs, alpha, budget_tokens, strata_col, text_col).select(
+        strata_col, "rate"
+    )
+    toks = F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), 0))
+    keyed = docs.select(key_col, strata_col, toks.alias("n_tokens"))
+    # floor(rate*buckets + 0.5): integer threshold, half-up — the same
+    # arithmetic is replayable in the SQL oracle without float-compare
+    # edge cases at bucket boundaries
+    thresh = F.floor(F.col("rate") * buckets + F.lit(0.5))
+    return (
+        keyed.join(F.broadcast(rates), strata_col)
+        .filter(hash_bucket(F.col(key_col), buckets) < thresh)
+        .select(key_col, strata_col, "n_tokens")
+    )
+
+
 def histogram(
     df: DataFrame, value: Column, bucket_width: float, max_buckets: int = 100
 ) -> DataFrame:

@@ -526,3 +526,63 @@ def token_budget_sample(
         .filter(F.col("cum_tokens") - F.col("n_tokens") < budget_tokens)
         .select(id_col, group_col, "n_tokens", "cum_tokens")
     )
+
+
+def hashed_linear_score(
+    docs: DataFrame,
+    weights: DataFrame | None = None,
+    num_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """fastText-style linear quality classifier over the hashing trick:
+    each lowercase word hashes into one of ``num_buckets`` feature
+    buckets; a document's score is sigmoid(mean bucket weight). This is
+    the standard cheap quality-classifier shape (e.g. a
+    wiki-vs-crawl linear model) used to score 100 TB corpora.
+
+    ``weights`` is a (bucket INT, w DOUBLE) table from offline training.
+    When None, deterministic placeholder weights derive from
+    md5('w:'||bucket) mapped into [-1, 1) — honestly a stand-in for a
+    trained model (this container trains nothing), but exercising the
+    real plumbing: hashing trick, per-token bucket lookup, broadcast
+    weight table, mean-pool, sigmoid.
+
+    Plan: the weight table is ``num_buckets`` rows — broadcast; the
+    corpus explodes once to (doc, bucket), joins the broadcast table,
+    and aggregates back on doc_id. One corpus-sized shuffle (the doc_id
+    rollup), no Python anywhere. Weights quantize to integer
+    micro-units before summing (the t13 trick): the per-doc mean is an
+    exact integer sum, associative under any partitioning or engine.
+    Returns (doc_id, n_words, score) with score rounded to 4.
+    """
+    spark = docs.sparkSession
+    if weights is None:
+        # md5-derived placeholder in [-1, 1): first 8 hex chars / 2^32
+        frac = F.conv(
+            F.substring(F.md5(F.concat(F.lit("w:"), F.col("bucket").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("double") / F.lit(float(2**32))
+        weights = spark.range(num_buckets).select(
+            F.col("id").cast("int").alias("bucket"), (frac * 2 - 1).alias("w")
+        )
+    w6 = weights.select(
+        "bucket", F.round(F.col("w") * 1_000_000).cast("long").alias("w6")
+    )
+    toks = docs.select(
+        id_col, F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("word")), 1, 8), 16, 10).cast("long")
+        % num_buckets
+    ).cast("int")
+    scored = (
+        toks.select(id_col, bucket.alias("bucket"))
+        .join(F.broadcast(w6), "bucket")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_words"), F.sum("w6").alias("_s6"))
+    )
+    mean = F.col("_s6") / F.col("n_words") / F.lit(1e6)
+    sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-mean))
+    return scored.select(id_col, "n_words", F.round(sig, 4).alias("score"))

@@ -64,3 +64,41 @@ def test_histogram_buckets(spark):
     df = spark.createDataFrame([(v,) for v in [1, 49, 50, 99, 100, 5000]], "v long")
     got = {r["bucket"]: (r["lo"], r["n"]) for r in S.histogram(df, F.col("v"), 50, max_buckets=3).collect()}
     assert got == {0: (0.0, 2), 1: (50.0, 2), 2: (100.0, 2)}  # 5000 clamps into last
+
+
+def test_mixture_weights_invariants(spark):
+    docs = spark.table("documents")
+    rows = S.mixture_weights(docs, alpha=0.5, budget_tokens=10_000).collect()
+    assert len(rows) == docs.select("source").distinct().count()
+    total_w = sum(r["weight"] for r in rows)
+    assert abs(total_w - 1.0) < 1e-4  # probabilities normalize
+    for r in rows:
+        assert 0 < r["rate"] <= 1.0
+    # alpha -> 0 flattens toward uniform: max/min weight ratio shrinks
+    flat = S.mixture_weights(docs, alpha=0.01).collect()
+    ratio = lambda rs: max(r["weight"] for r in rs) / min(r["weight"] for r in rs)
+    assert ratio(flat) < ratio(rows)
+
+
+def test_temperature_mixture_sample_reproducible(spark):
+    docs = spark.table("documents")
+    a = {r["doc_id"] for r in S.temperature_mixture_sample(docs, budget_tokens=2000).collect()}
+    b = {
+        r["doc_id"]
+        for r in S.temperature_mixture_sample(docs.repartition(5), budget_tokens=2000).collect()
+    }
+    assert a == b  # layout-independent membership
+    assert 0 < len(a) < docs.count()  # the budget actually filters
+
+
+def test_hashed_linear_score_bounds_and_weights_override(spark):
+    from datacatalog_tag_engine_spark.pipeline import text as TXT
+
+    docs = spark.table("documents")
+    out = {r["doc_id"]: r for r in TXT.hashed_linear_score(docs).collect()}
+    assert len(out) == docs.count()
+    assert all(0.0 <= r["score"] <= 1.0 for r in out.values())
+    # all-zero trained weights -> sigmoid(0) = 0.5 for every doc
+    zeros = spark.range(1024).selectExpr("cast(id as int) as bucket", "cast(0.0 as double) as w")
+    flat = TXT.hashed_linear_score(docs, weights=zeros).collect()
+    assert all(r["score"] == 0.5 for r in flat)
