@@ -1069,6 +1069,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # placeholder weights; trained weights plug in as a DataFrame)
     q["t14_hashed_linear"] = lambda spark, sf: TXT.hashed_linear_score(_docs(spark, sf))
 
+    # product-quantization ADC top-k: 4x16 codebook (first-16-by-id
+    # seeding, same rationale as the IVF quantizer), integer micro-unit
+    # distances so argmin/code assignment replays exactly in SQL
+    def s07(spark, sf):
+        emb = _emb(spark, sf)
+        return SIM.pq_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+    q["s07_pq_adc"] = s07
+
     # ---- driver CORRECTNESS window ordering ------------------------------
     # The driver records correctness rows for the FIRST 50 insertion-
     # ordered entries only. Round 2 left 30 queries (the whole training-
@@ -2097,6 +2106,37 @@ SELECT d.doc_id, d.source,
 FROM documents d JOIN r USING (source)
 WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 10000
       < floor(rate * 10000 + 0.5)
+"""
+
+    o["s07_pq_adc"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+  FROM e ORDER BY vec_id LIMIT 16),
+ms AS (SELECT unnest(range(4)) AS m),
+csub AS (SELECT c, m, v[m*16+1 : m*16+16] AS cv FROM cent, ms),
+esub AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS sv FROM e, ms),
+dists AS (
+  SELECT vec_id, m, c,
+         list_sum(list_transform(range(1, 17),
+                  i -> cast(round((sv[i]-cv[i])^2 * 1e6) AS BIGINT))) AS d
+  FROM esub JOIN csub USING (m)),
+codes AS (
+  SELECT vec_id, m, cast(min(d*100 + c) % 100 AS INT) AS code
+  FROM dists GROUP BY vec_id, m),
+dt AS (
+  SELECT es.vec_id AS query_id, es.m, c AS code,
+         list_sum(list_transform(range(1, 17),
+                  i -> cast(round((es.sv[i]-cv[i])^2 * 1e6) AS BIGINT))) AS d
+  FROM esub es JOIN csub USING (m) WHERE es.vec_id < 5),
+scored AS (
+  SELECT dt.query_id, codes.vec_id AS neighbor_id, cast(sum(dt.d) AS BIGINT) AS adist_micro
+  FROM codes JOIN dt ON codes.m = dt.m AND codes.code = dt.code
+  GROUP BY dt.query_id, codes.vec_id)
+SELECT query_id, neighbor_id, adist_micro,
+       cast(row_number() OVER (PARTITION BY query_id ORDER BY adist_micro, neighbor_id) AS INT) AS rank
+FROM scored WHERE neighbor_id <> query_id
+QUALIFY rank <= 5
 """
 
     o["t14_hashed_linear"] = r"""

@@ -257,3 +257,32 @@ def test_repeated_spans(spark):
     # both docs -> n_repeated >= 2 and ratio > 0
     assert got[1]["n_repeated"] >= 2
     assert 0 < got[1]["repeat_ratio"] <= 1.0
+
+
+def test_pq_encode_deterministic_and_bounded(spark):
+    emb = spark.table("embeddings")
+    codes = {(r["vec_id"], r["m"]): r["code"] for r in SIM.pq_encode(emb).collect()}
+    n = emb.count()
+    assert len(codes) == n * 4  # one code per (vector, subspace)
+    assert all(0 <= c < 16 for c in codes.values())
+    re = {(r["vec_id"], r["m"]): r["code"] for r in SIM.pq_encode(emb.repartition(7)).collect()}
+    assert re == codes  # layout-independent (integer argmin)
+    # a codebook seed vector encodes to its own code in every subspace
+    first_ids = sorted(r["vec_id"] for r in emb.select("vec_id").orderBy("vec_id").limit(16).collect())
+    for rank, vid in enumerate(first_ids):
+        assert all(codes[(vid, m)] == rank for m in range(4))
+
+
+def test_pq_topk_shape_and_selfdistance(spark):
+    emb = spark.table("embeddings")
+    out = SIM.pq_topk(emb, emb.filter(F.col("vec_id") < 3), k=5).collect()
+    by_q = {}
+    for r in out:
+        assert r["neighbor_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["adist_micro"]))
+    assert set(by_q) == {0, 1, 2}
+    for q, rows in by_q.items():
+        rows.sort()
+        assert [r for r, _ in rows] == list(range(1, len(rows) + 1))
+        dists = [d for _, d in rows]
+        assert dists == sorted(dists)  # ascending approximate distance
