@@ -1,0 +1,86 @@
+"""Physical-plan audits: the properties that make these operators
+scale are visible in the executed plan, so assert them — a regression
+that silently trades a broadcast for a cartesian product or loses
+filter pushdown should fail CI, not a 100 TB run.
+
+Checks use df._jdf.queryExecution().executedPlan().toString() via
+explain-string capture at sf0.001 (plan shape, not timing)."""
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from datacatalog_tag_engine_spark.pipeline import dedup as DD
+from datacatalog_tag_engine_spark.pipeline import similarity as SIM
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_parquet_scan_prunes_and_pushes_down(spark, sf_dir):
+    # a filtered two-column projection must reach the scan as
+    # PushedFilters + a pruned ReadSchema (not the full 11-col lineitem)
+    li = spark.table("lineitem")
+    df = li.filter(F.col("l_linestatus") == "O").select("l_orderkey", "l_quantity")
+    p = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_linestatus), EqualTo(l_linestatus,O)" in p
+    assert "l_comment" not in p  # column pruning reached the scan
+    assert "ReadSchema" in p
+
+
+def test_glossary_join_broadcasts(spark):
+    from datacatalog_tag_engine_spark.model.schemas import ASSETS_SCHEMA
+    from datacatalog_tag_engine_spark.operators.glossary import glossary_tag_rows
+
+    assets = spark.createDataFrame(
+        [{
+            "asset_uri": "p/datasets/d/tables/t", "asset_type": "bigquery",
+            "project": "p", "dataset": "d", "table": "t",
+            "schema": [{"name": "email_addr", "type": "STRING", "mode": None, "subcolumns": None}],
+        }],
+        ASSETS_SCHEMA,
+    )
+    mapping = spark.createDataFrame(
+        [("email_addr", "Email Address")], "source_name string, canonical_name string"
+    )
+    p = plan_of(glossary_tag_rows(assets, mapping, "glossary"))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_minhash_pipeline_has_no_cartesian(spark):
+    docs = spark.table("documents")
+    p = plan_of(DD.minhash_dedup(docs))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ann_query_side_broadcasts(spark):
+    emb = spark.table("embeddings")
+    p = plan_of(SIM.ivf_topk(emb, emb.filter(F.col("vec_id") < 3), k=3))
+    assert "BroadcastHashJoin" in p  # probe table joins cells via broadcast
+    assert "CartesianProduct" not in p
+
+
+def test_pq_scoring_joins_codes_not_vectors(spark):
+    emb = spark.table("embeddings")
+    p = plan_of(SIM.pq_topk(emb, emb.filter(F.col("vec_id") < 3), k=3))
+    # the distance-table join must be a broadcast on (m, code) — the
+    # corpus-sized side carries only codes, never raw vectors
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_exact_dedup_single_shuffle(spark):
+    import re
+
+    docs = spark.table("documents")
+    p = plan_of(DD.exact_dedup(docs))
+    # one exchange for the fingerprint window — no join, no extra
+    # shuffle (the formatted plan names each node once as "(n) Exchange")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
