@@ -1069,6 +1069,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # placeholder weights; trained weights plug in as a DataFrame)
     q["t14_hashed_linear"] = lambda spark, sf: TXT.hashed_linear_score(_docs(spark, sf))
 
+    # bloom-prefiltered incremental delta: same rows as q51 by
+    # construction (the bloom only diverts definite-negatives), so its
+    # oracle IS the exact form's SQL
+    def q56(spark, sf):
+        docs = _docs(spark, sf)
+        batch = docs.filter(F.col("doc_id") % 3 == 0)
+        prior = docs.filter(F.col("doc_id") % 3 != 0)
+        return DD.incremental_delta_bloom(batch, prior)
+
+    q["q56_delta_bloom"] = q56
+
     # product-quantization ADC top-k: 4x16 codebook (first-16-by-id
     # seeding, same rationale as the IVF quantizer), integer micro-unit
     # distances so argmin/code assignment replays exactly in SQL
@@ -2107,6 +2118,8 @@ FROM documents d JOIN r USING (source)
 WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 10000
       < floor(rate * 10000 + 0.5)
 """
+
+    o["q56_delta_bloom"] = o["q51_corpus_delta"]
 
     o["s07_pq_adc"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -559,14 +559,87 @@ def incremental_delta(
     whose bag-of-words fingerprint does not already exist in the prior
     corpus. This is the daily-crawl pattern at 100 TB: the new batch is
     small relative to the accumulated corpus, and the anti-join runs on
-    the uniform fingerprint key (one shuffle; at extreme scale the prior
-    side collapses to a pre-built fingerprint index or a bloom filter,
-    with this anti-join as its exact form). Returns the surviving batch
-    rows as (doc_id, fingerprint).
+    the uniform fingerprint key (one shuffle).
+    ``incremental_delta_bloom`` is the extreme-scale sibling: a
+    constant-size broadcast bloom bitmap prefilters definite-negatives
+    so only dup-rate-sized candidates reach this exact anti-join —
+    identical output by construction. Returns the surviving batch rows
+    as (doc_id, fingerprint).
     """
     b = batch.select(id_col, bow_fingerprint(F.col(text_col)).alias("fingerprint"))
     p = prior.select(bow_fingerprint(F.col(text_col)).alias("fingerprint")).distinct()
     return b.join(p, "fingerprint", "left_anti").select(id_col, "fingerprint")
+
+
+def incremental_delta_bloom(
+    batch: DataFrame,
+    prior: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_bits: int = 1 << 16,
+    k: int = 4,
+) -> DataFrame:
+    """``incremental_delta`` with the bloom prefilter its docstring
+    promises at 100 TB — same output rows, different plan shape.
+
+    The prior corpus is scanned ONCE to build a bloom bitmap as plain
+    DataFrame aggregation: each fingerprint sets k = 4 bit positions
+    (xxhash64 seeded per hash) in an m = ``num_bits`` bitset stored as
+    ceil(m/64) longs via bit_or — a constant-size (<= m/64 rows) table
+    that broadcasts no matter how large the prior corpus grows. Batch
+    docs with ANY unset bit are DEFINITELY new (kept with no further
+    work — the common case for a daily crawl); only docs whose k bits
+    all hit (true dups + bloom false positives) reach the exact
+    anti-join, whose right side is the prior fingerprint set. The union
+    of both branches is exactly the exact-form output: the bloom can
+    only divert definite-negatives, never change membership — the SQL
+    oracle for this operator IS the exact form's query.
+
+    At 100 TB: the exact form shuffles batch+prior for the anti-join
+    every run; this form pays one prior scan to build a reusable
+    constant-size bitmap and the anti-join input shrinks to the
+    candidate set (dup-rate-sized).
+    """
+    fp_b = batch.select(id_col, bow_fingerprint(F.col(text_col)).alias("fingerprint"))
+    fp_p = prior.select(bow_fingerprint(F.col(text_col)).alias("fingerprint")).distinct()
+
+    def positions(df: DataFrame) -> Column:
+        return F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64("fingerprint", F.lit(i)), F.lit(num_bits))
+                    for i in range(k)
+                ]
+            )
+        )
+
+    # shiftleft with a COLUMN shift amount needs the SQL form (the
+    # python F.shiftleft only takes a literal int)
+    word = (F.col("pos") / 64).cast("long")
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))")
+
+    p_pos = fp_p.select(positions(fp_p).alias("pos"))
+    bitmap = (
+        p_pos.select(word.alias("w"), bit.alias("b"))
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+
+    b_pos = fp_b.select(id_col, "fingerprint", positions(fp_b).alias("pos")).select(
+        id_col, "fingerprint", word.alias("w"), bit.alias("b")
+    )
+    probed = b_pos.join(F.broadcast(bitmap), "w", "left").select(
+        id_col,
+        "fingerprint",
+        (F.col("bits").isNotNull() & (F.col("bits").bitwiseAND(F.col("b")) == F.col("b"))).alias("_hit"),
+    )
+    flags = probed.groupBy(id_col, "fingerprint").agg(
+        (F.min(F.col("_hit").cast("int")) == 1).alias("_all_hit")
+    )
+    definitely_new = flags.filter(~F.col("_all_hit")).select(id_col, "fingerprint")
+    candidates = flags.filter(F.col("_all_hit")).select(id_col, "fingerprint")
+    verified_new = candidates.join(fp_p, "fingerprint", "left_anti").select(id_col, "fingerprint")
+    return definitely_new.unionByName(verified_new)
 
 
 def repeated_spans(

@@ -90,3 +90,26 @@ def test_engine_incremental_refresh_skips_fresh_assets(spark):
     assert jobs[j2]["tasks_success"] == 0
     vals = {r["field_value_string"] for r in eng.store.all().collect()}
     assert vals == {"v1"}
+
+
+def test_incremental_delta_bloom_equals_exact(spark):
+    from pyspark.sql import functions as F
+
+    from datacatalog_tag_engine_spark.pipeline import dedup as DD
+
+    docs = spark.table("documents")
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    prior = docs.filter(F.col("doc_id") % 3 != 0)
+    exact = {(r["doc_id"], r["fingerprint"]) for r in DD.incremental_delta(batch, prior).collect()}
+    bloom = {
+        (r["doc_id"], r["fingerprint"])
+        for r in DD.incremental_delta_bloom(batch, prior).collect()
+    }
+    assert bloom == exact
+    # tiny bitmap: heavy false-positive pressure — membership must still
+    # be exact because every maybe-dup goes through the exact verify
+    stressed = {
+        (r["doc_id"], r["fingerprint"])
+        for r in DD.incremental_delta_bloom(batch, prior, num_bits=64, k=2).collect()
+    }
+    assert stressed == exact
