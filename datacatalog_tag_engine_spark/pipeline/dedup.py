@@ -1,8 +1,9 @@
 """Document deduplication operators for training-data pipelines.
 
-Four families, all DataFrame-native (no Python UDFs — every expression
-is JVM-side inside whole-stage codegen) and all deterministic so a SQL
-oracle can replay them:
+Four families, all DataFrame-native (no Python UDFs in the row path;
+everything is JVM-side — plain expressions run in whole-stage codegen,
+the higher-order n-gram builders run interpreted but still in the JVM)
+and all deterministic so a SQL oracle can replay them:
 
 * exact      — md5 fingerprint, window-dedup keep-lowest-id;
 * minhash    — MinHash+LSH: word-shingles -> k md5-minhash signature ->
@@ -24,7 +25,12 @@ Scale notes (100 TB):
   verifier).
 
 MinHash uses md5 (not murmur) so the DuckDB oracle computes bit-equal
-signatures.
+signatures. Join KEYS, by contrast, are xxhash64 longs wherever only
+equality matters (shingle membership joins, LSH band buckets): the
+shuffles carry 8-byte keys instead of n-word strings or 32-char hex,
+and sort-merge compares are integer compares — the values the oracle
+checks (ids, counts, jaccard) are unchanged barring a 64-bit
+collision.
 """
 
 from __future__ import annotations
