@@ -955,7 +955,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf).select("doc_id", "source"), "doc_id", "source", MIX_WEIGHTS
     )
 
-    q["q47_embedding_quantize"] = lambda spark, sf: SIM.quantize_int8(_emb(spark, sf))
+    # array<int> q8 rendered to a csv string (the q12 infotypes pattern):
+    # the driver's pandas canonicalizer cannot sort/hash list cells
+    q["q47_embedding_quantize"] = lambda spark, sf: SIM.quantize_int8(
+        _emb(spark, sf)
+    ).select(
+        "vec_id",
+        F.concat_ws(",", F.col("q8").cast("array<string>")).alias("q8"),
+        "scale",
+    )
 
     # --- round 3: decontamination / quality / split / incremental ---
     def t10(spark, sf):
@@ -1091,36 +1099,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- driver CORRECTNESS window ordering ------------------------------
     # The driver records correctness rows for the FIRST 50 insertion-
-    # ordered entries only. Round 2 left 30 queries (the whole training-
-    # pipeline family) outside that window with no driver row, so the
-    # order is pinned here explicitly: first the 30 queries with no
-    # driver record yet, then the queries whose implementation changed
-    # this round (their r02 rows are stale), then flagship fillers; the
-    # remainder (all green in CORRECTNESS_r02.json, unchanged since)
-    # fall past the window. Membership in the first 50 is what matters;
-    # every entry still runs in bench.py regardless of position.
+    # ordered entries only. Round-4 rotation, after which the inventory
+    # is FROZEN at 85 entries (no additions after this pin): first the
+    # 35 queries with no r03 driver row (the r02-green remainder plus
+    # the five round-3-late additions q54/q55/q56/s07/t14), then q47
+    # (r03 row was red on the harness's array canonicalizer — output is
+    # now rendered as a csv string), then the queries whose
+    # implementation changed this round, then stable r03-green fillers.
+    # Every entry still runs in bench.py regardless of position.
     window = [
-        # no driver row yet (r02 positions 51-80)
-        "q30_numeric_profile", "q31_corpus_stats", "q32_sessionize",
-        "q42_sensitive_e2e", "q43_history_rollup", "q44_policy_tags",
-        "t01_token_counts", "t02_quality", "t03_lang_id", "t04_fingerprint",
-        "t05_vocabulary", "t06_pii_redaction", "t07_tfidf",
-        "t08_length_percentiles", "t09_chunking", "t10_contamination",
-        "t11_repetition", "t12_packing", "t13_unigram_logprob",
-        "q45_training_shuffle", "q46_mixture_sample", "q47_embedding_quantize",
-        "q50_train_split", "q51_corpus_delta", "q52_pipeline_e2e",
-        "q53_token_budget", "s05_ann_recall", "s06_ann_ivf_kmeans",
-        "d06_repeated_spans", "d07_semantic_dedup",
-        # red in r02 (timestamp-flavor breakage, fixed this round)
-        "q41_range_join",
+        # no driver row in r03 (green in r02, code unchanged since)
+        "q02_count_distinct", "q03_conditional_count", "q04_not_in_count",
+        "q05_avg_daily", "q06_avg_daily_filtered", "q07_constant_string",
+        "q08_constant_number", "q09_current_timestamp", "q10_freshness",
+        "q14_topk_users", "q15_uri_algebra", "q16_column_distinct",
+        "q17_combined", "q18_delete_when_empty", "q22_usage_daily",
+        "q23_event_stats", "q25_restore", "q27_column_exists",
+        "q33_dataset_tag", "q35_deterministic_sample", "q36_token_histogram",
+        "q37_kmv_sketch", "q38_join_profile", "q39_window_running",
+        "q49_column_profile_fused", "d03_simhash",
+        "s02_ann_lsh", "s03_ann_ivf", "s04_ann_ivf_nprobe",
+        "m01_multimodal_features",
+        # round-3-late additions: first driver row ever
+        "q54_mixture_weights", "q55_mixture_sample", "q56_delta_bloom",
+        "s07_pq_adc", "t14_hashed_linear",
+        # red in r03 (harness array canonicalizer; output now stringified)
+        "q47_embedding_quantize",
         # implementation changed this round — re-record
-        "q40_asof_join", "q26_tag_copy", "d02_dedup_minhash",
-        "d04_ngram_jaccard", "q34_dedup_clusters", "q48_dedup_apply",
-        # flagship fillers (stable, keep a live row)
-        "q01_row_count", "q29_fused_profile", "d01_dedup_exact",
-        "d05_embedding_neardup", "s01_ann_topk", "q11_glossary",
-        "q12_infotype_agg", "q13_containment", "q19_export",
-        "q20_coverage", "q21_jobs", "q24_import_melt", "q28_assets_discovery",
+        "q26_tag_copy", "t12_packing", "q51_corpus_delta",
+        # flagship fillers (stable, r03-green, keep a live row)
+        "q01_row_count", "q11_glossary", "q12_infotype_agg",
+        "q13_containment", "q19_export", "q20_coverage", "q21_jobs",
+        "q24_import_melt", "q28_assets_discovery", "d01_dedup_exact",
+        "s01_ann_topk",
     ]
     assert len(window) == 50 and set(window) <= set(q)
     return {name: q[name] for name in window + [n for n in q if n not in window]}
@@ -1892,7 +1903,7 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
 s AS (SELECT vec_id, v, CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS sc FROM m)
 SELECT vec_id,
-       list_transform(v, x -> floor(x * sc + 0.5)::INT) AS q8,
+       array_to_string(list_transform(v, x -> floor(x * sc + 0.5)::INT), ',') AS q8,
        round(sc, 6) AS scale
 FROM s
 """
