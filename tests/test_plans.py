@@ -84,3 +84,31 @@ def test_exact_dedup_single_shuffle(spark):
     # one exchange for the fingerprint window — no join, no extra
     # shuffle (the formatted plan names each node once as "(n) Exchange")
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+
+
+def test_static_config_is_a_plan_not_a_collect(spark):
+    # the static path (engine._run_static) must emit matched x fields as
+    # a crossJoin with a broadcast dimension table — the reference's 1M-
+    # asset static load (examples/load/configs/static_asset_1m.json)
+    # must never materialize assets x fields dicts on the driver
+    from datacatalog_tag_engine_spark.engine import TagEngine
+
+    eng = TagEngine(spark)
+    eng.create_template("t", [{"field_id": f"f{i}", "field_type": "string"} for i in range(7)])
+    cfg_uuid = eng.create_config(
+        "STATIC_TAG_ASSET", "t",
+        included_uris="bigquery/project/p/dataset/d/*",
+        fields=[{"field_id": f"f{i}", "field_value": f"v{i}"} for i in range(7)],
+    )
+    assets = spark.range(100).selectExpr(
+        "format_string('p/datasets/d/tables/t_%03d', id) as asset_uri",
+        "'bigquery' as asset_type", "'p' as project", "'d' as dataset",
+        "format_string('t_%03d', id) as table",
+    )
+    df = eng._run_static(eng.configs[cfg_uuid], assets)
+    p = plan_of(df)
+    # distributed range scan survives into the plan (not a LocalTableScan
+    # of collected rows) and the fields side is broadcast
+    assert "Range" in p
+    assert "BroadcastNestedLoopJoin" in p
+    assert df.count() == 700

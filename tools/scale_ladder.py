@@ -13,7 +13,14 @@ reference's 500k/1M-asset ladder.
 Per-mode caps keep the ladder runnable: per-asset stops at 200 rungs,
 fused-union at 2000; fused-inventory runs every rung.
 
-Usage: python tools/scale_ladder.py [N ...]   (default 10 50 200)
+`--static` instead runs the STATIC_TAG_ASSET ladder (the reference's
+flagship load shape, examples/load/configs/static_asset_1m.json: N
+assets x 7 constant fields): a spark.range-derived synthetic inventory
+through the engine's _run_static crossJoin plan + type coercion to a
+noop sink — no createDataFrame-from-list anywhere in the path, so the
+1M rung is a single distributed job.
+
+Usage: python tools/scale_ladder.py [--static] [N ...]   (default 10 50 200)
 """
 
 from __future__ import annotations
@@ -31,7 +38,53 @@ from datacatalog_tag_engine_spark.session import get_spark, register_testdata
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
+STATIC_FIELDS = [
+    # mirrors examples/load/configs/static_asset_1m.json:5-33 (7 constant
+    # fields), typed against this repo's test template vocabulary
+    {"field_id": f"static_field_{i}", "field_type": "string", "field_value": f"VALUE_{i}"}
+    for i in range(7)
+]
+
+
+def static_ladder(rungs: list[int]) -> None:
+    from pyspark.sql import functions as F
+
+    from datacatalog_tag_engine_spark.engine import TagEngine
+
+    spark = get_spark("scale-ladder-static")
+    spark.sparkContext.setLogLevel("ERROR")
+    eng = TagEngine(spark)
+    eng.create_template(
+        "static_ladder", [{"field_id": f["field_id"], "field_type": "string"} for f in STATIC_FIELDS]
+    )
+    cfg_uuid = eng.create_config(
+        "STATIC_TAG_ASSET", "static_ladder",
+        included_uris="bigquery/project/p/dataset/d/*",
+        fields=STATIC_FIELDS,
+    )
+    cfg = eng.configs[cfg_uuid]
+    print(f"{'assets':>9} {'static(s)':>10}   (N assets x 7 fields -> coerced rows -> noop sink)")
+    for n in rungs:
+        assets = spark.range(n).select(
+            F.format_string("p/datasets/d/tables/t_%07d", F.col("id")).alias("asset_uri"),
+            F.lit("bigquery").alias("asset_type"),
+            F.lit("p").alias("project"),
+            F.lit("d").alias("dataset"),
+            F.format_string("t_%07d", F.col("id")).alias("table"),
+        )
+        t0 = time.time()
+        from datacatalog_tag_engine_spark.operators import dynamic as DYN
+
+        raw = eng._run_static(cfg, assets)
+        DYN.coerce_long_rows(raw).write.mode("overwrite").format("noop").save()
+        print(f"{n:>9} {time.time() - t0:>10.2f}")
+
+
 def main() -> None:
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--static":
+        static_ladder([int(a) for a in argv[1:]] or [1000, 100_000, 1_000_000])
+        return
     rungs = [int(a) for a in sys.argv[1:]] or [10, 50, 200]
     spark = get_spark("scale-ladder")
     spark.sparkContext.setLogLevel("ERROR")
