@@ -644,10 +644,10 @@ class TagEngine:
         eng.configs = meta["configs"]
         eng.jobs = meta["jobs"]
         eng._seq = meta["seq"]
-        eng.store._df = spark.read.parquet(os.path.join(base_path, "tags"))
-        # the injected state may hold rows — without this the next merge
-        # would take the empty-store fast path and duplicate same-key tags
-        eng.store._known_empty = False
+        # set_state keeps the store's driver-resident mirror in sync —
+        # without it the next merge would take the empty-store fast path
+        # and duplicate same-key tags
+        eng.store.set_state(spark.read.parquet(os.path.join(base_path, "tags")))
         eng._history = spark.read.parquet(os.path.join(base_path, "history"))
         return eng
 

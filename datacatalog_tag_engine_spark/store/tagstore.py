@@ -48,18 +48,104 @@ def _null_safe_key(df: DataFrame) -> list:
 
 
 class TagStore:
+    # While total state stays at most this many rows the MERGE runs on
+    # the driver over plain dicts (the reference's own regime: tags are
+    # Firestore documents, DataCatalogController.py:1608-1652) — a
+    # dimension-sized merge otherwise pays seconds of per-job overhead
+    # (4 broadcast joins + a window shuffle + an eager checkpoint) to
+    # move a handful of rows. Past the threshold the store promotes
+    # one-way to the distributed MERGE below, whose semantics these
+    # dict operations mirror rule for rule.
+    SMALL_STATE_MAX = 4096
+
     def __init__(self, spark: SparkSession, path: str | None = None):
         self.spark = spark
         self.path = path
         if path and os.path.exists(path):
             self._df = spark.read.parquet(path)
+            probe = self._df.limit(self.SMALL_STATE_MAX + 1).collect()
+            if len(probe) <= self.SMALL_STATE_MAX:
+                self._rows = [r.asDict() for r in probe]
+                self._df = self._small_df(self._rows)
+            else:
+                self._rows = None
             self._known_empty = False
         else:
             self._df = spark.createDataFrame([], TAGS_SCHEMA)
             self._known_empty = True
+            self._rows = []
 
     def all(self) -> DataFrame:
         return self._df
+
+    def set_state(self, df: DataFrame) -> None:
+        """Inject externally-persisted state (engine load_state), keeping
+        the driver-resident mirror consistent so the next merge takes
+        the right path and classifies UPDATE vs CREATE correctly."""
+        self._df = df
+        self._known_empty = False
+        probe = df.limit(self.SMALL_STATE_MAX + 1).collect()
+        if len(probe) <= self.SMALL_STATE_MAX:
+            self._rows = [r.asDict() for r in probe]
+            self._df = self._small_df(self._rows)
+        else:
+            self._rows = None
+
+    def _small_df(self, rows: list[dict]) -> DataFrame:
+        data = [tuple(r.get(f.name) for f in TAGS_SCHEMA.fields) for r in rows]
+        return self.spark.createDataFrame(data, TAGS_SCHEMA)
+
+    def _merge_small(
+        self, inc_rows: list[dict], overwrite: bool, delete_when_empty: bool
+    ) -> DataFrame:
+        """Driver-resident MERGE for dimension-sized state: identical
+        semantics to the distributed path (upsert, overwrite guard,
+        delete-when-empty, CREATE/UPDATE/DELETE events), no Spark jobs
+        beyond the caller's one evaluation of the incoming plan."""
+        import pyspark.sql.types as T
+
+        def gkey(r):
+            return (r["asset_uri"], r["column"], r["template_id"])
+
+        def key(r):
+            return (r["asset_uri"], r["column"], r["template_id"], r["field_id"])
+
+        def is_empty(r):
+            return all(r.get(c) is None for c in VALUE_COLS)
+
+        groups: dict[tuple, list[dict]] = {}
+        for r in inc_rows:
+            groups.setdefault(gkey(r), []).append(r)
+        all_empty = {g for g, rs in groups.items() if all(is_empty(r) for r in rs)}
+        deletes = all_empty if delete_when_empty else set()
+        upserts = [r for r in inc_rows if gkey(r) not in all_empty and not is_empty(r)]
+
+        existing = self._rows
+        if not overwrite:
+            existing_groups = {gkey(r) for r in existing}
+            upserts = [r for r in upserts if gkey(r) not in existing_groups]
+        existing_keys = {key(r) for r in existing}
+        events = [
+            {**r, "action": "UPDATE" if key(r) in existing_keys else "CREATE"}
+            for r in upserts
+        ]
+        events += [{**r, "action": "DELETE"} for r in existing if gkey(r) in deletes]
+
+        upsert_keys = {key(r) for r in upserts}
+        survivors = [
+            r for r in existing if gkey(r) not in deletes and key(r) not in upsert_keys
+        ]
+        self._rows = survivors + [dict(r) for r in upserts]
+        self._df = self._small_df(self._rows)
+        self._known_empty = not self._rows
+        if self.path:
+            self._persist()
+
+        event_schema = T.StructType(
+            list(TAGS_SCHEMA.fields) + [T.StructField("action", T.StringType(), False)]
+        )
+        data = [tuple(r.get(f.name) for f in event_schema.fields) for r in events]
+        return self.spark.createDataFrame(data, event_schema)
 
     def merge(
         self,
@@ -76,6 +162,20 @@ class TagStore:
         inc = incoming
         # normalize nullable column for null-safe grouping
         inc = inc.withColumn("column", F.col("column").cast("string"))
+
+        if self._rows is not None:
+            # state is driver-resident: probe the incoming size with a
+            # limit-collect (stops early past the cap). If everything
+            # stays dimension-sized, merge on the driver — no joins, no
+            # window, no checkpoint. A full probe promotes the store to
+            # the distributed path for good (one re-evaluation of the
+            # incoming plan, paid once at the small->large transition).
+            probe = inc.limit(self.SMALL_STATE_MAX + 1).collect()
+            if len(probe) + len(self._rows) <= self.SMALL_STATE_MAX:
+                return self._merge_small(
+                    [r.asDict() for r in probe], overwrite, delete_when_empty
+                )
+            self._rows = None
 
         empty_flag = F.forall(F.array(*[F.col(c).isNull() for c in VALUE_COLS]), lambda x: x)
         grp = Window.partitionBy(*TAG_GROUP_KEY)

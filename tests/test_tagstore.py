@@ -120,3 +120,31 @@ def test_persistence_roundtrip(spark, tmp_path):
     ts.merge(mk(spark, [tag_row("a", "owner", "alice")]))
     reloaded = TagStore(spark, path=path)
     assert state(reloaded) == {("a", None, "t", "owner"): "alice"}
+
+
+def test_small_state_promotes_to_distributed(spark, monkeypatch):
+    # shrink the driver-resident threshold so the third merge crosses it:
+    # the store must promote one-way to the distributed MERGE and keep
+    # identical semantics (upsert wins, UPDATE classified, no dupes)
+    monkeypatch.setattr(TagStore, "SMALL_STATE_MAX", 4)
+    ts = TagStore(spark)
+    ts.merge(mk(spark, [tag_row("a", "owner", "alice"), tag_row("a", "domain", "OPS")]))
+    assert ts._rows is not None  # still driver-resident
+
+    big = [tag_row(f"b{i}", "owner", f"u{i}") for i in range(6)]
+    big.append(tag_row("a", "owner", "bob"))  # same-key overwrite across the promotion
+    hist = ts.merge(mk(spark, big)).collect()
+    assert ts._rows is None  # promoted
+    assert {h["action"] for h in hist} == {"CREATE", "UPDATE"}
+    assert sum(1 for h in hist if h["action"] == "UPDATE") == 1
+
+    s = state(ts)
+    assert s[("a", None, "t", "owner")] == "bob"
+    assert s[("a", None, "t", "domain")] == "OPS"
+    assert len(s) == 8
+
+    # a later merge stays distributed and still updates in place
+    ts.merge(mk(spark, [tag_row("b3", "owner", "carol")]))
+    s = state(ts)
+    assert s[("b3", None, "t", "owner")] == "carol"
+    assert len(s) == 8
