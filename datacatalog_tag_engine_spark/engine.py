@@ -273,9 +273,22 @@ class TagEngine:
         uris = self._matched_uris(cfg, assets)
         tasks: list[tuple[str, str]] = []
         fused_parts = []
+
+        # column discovery runs through the same thread pool as
+        # execution: each asset's included_columns_query is independent
+        # user SQL, so at the reference's 500-asset column ladder a
+        # serial loop would schedule 500 tiny Spark jobs back to back
+        # before any tagging work starts
+        def discover(uri):
+            cols_q = parse_query_expression(
+                uri, cfg["included_columns_query"], None, self.qualify
+            )
+            return uri, [c for c in self.spark.sql(cols_q).first() if c]
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            discovered = dict(pool.map(discover, uris))
         for uri in uris:
-            cols_q = parse_query_expression(uri, cfg["included_columns_query"], None, self.qualify)
-            columns = [c for c in self.spark.sql(cols_q).first() if c]
+            columns = discovered[uri]
             if cfg.get("fuse_columns"):
                 p, d, t = split_resource_uri(uri)
                 fused_parts.append(

@@ -20,7 +20,12 @@ through the engine's _run_static crossJoin plan + type coercion to a
 noop sink — no createDataFrame-from-list anywhere in the path, so the
 1M rung is a single distributed job.
 
-Usage: python tools/scale_ladder.py [--static] [N ...]   (default 10 50 200)
+`--columns` runs the DYNAMIC_TAG_COLUMN ladder: per-asset column
+discovery + per-(asset, column) statements, both thread-pooled (the
+discovery loop used to be serial on the driver).
+
+Usage: python tools/scale_ladder.py [--static|--columns] [N ...]
+(default 10 50 200)
 """
 
 from __future__ import annotations
@@ -80,10 +85,50 @@ def static_ladder(rungs: list[int]) -> None:
         print(f"{n:>9} {time.time() - t0:>10.2f}")
 
 
+def columns_ladder(rungs: list[int]) -> None:
+    """DYNAMIC_TAG_COLUMN ladder: N assets x per-asset column discovery
+    (included_columns_query) + per-(asset, column) statements, all
+    through the engine's thread pools — the discovery phase used to be
+    a serial driver loop, so this rung is the regression guard for it.
+    Field expression is constant-cost so the number measures job
+    scheduling, the actual bottleneck of the interactive path."""
+    from pyspark.sql import functions as F
+
+    from datacatalog_tag_engine_spark.engine import TagEngine
+
+    spark = get_spark("scale-ladder-columns")
+    spark.sparkContext.setLogLevel("ERROR")
+    register_testdata(spark, SF_DIR)
+    spark.table("lineitem").count()  # warm
+    eng = TagEngine(spark, qualify=lambda p, d, t: "lineitem")
+    eng.create_template("cols", [{"field_id": "tagged", "field_type": "double"}])
+    print(f"{'assets':>8} {'columns(s)':>11}   (discovery + 2 stmts per asset, pooled)")
+    for n in rungs:
+        assets = spark.range(n).select(
+            F.format_string("p/datasets/d/tables/t_%05d", F.col("id")).alias("asset_uri"),
+            F.lit("bigquery").alias("asset_type"),
+            F.lit("p").alias("project"),
+            F.lit("d").alias("dataset"),
+            F.format_string("t_%05d", F.col("id")).alias("table"),
+        )
+        cfg = eng.create_config(
+            "DYNAMIC_TAG_COLUMN", "cols",
+            included_uris="bigquery/project/p/dataset/d/*",
+            included_columns_query="select 'l_orderkey', 'l_partkey'",
+            fields=[{"field_id": "tagged", "query_expression": "select 1"}],
+        )
+        t0 = time.time()
+        eng.trigger_job(cfg, assets)
+        print(f"{n:>8} {time.time() - t0:>11.2f}")
+
+
 def main() -> None:
     argv = sys.argv[1:]
     if argv and argv[0] == "--static":
         static_ladder([int(a) for a in argv[1:]] or [1000, 100_000, 1_000_000])
+        return
+    if argv and argv[0] == "--columns":
+        columns_ladder([int(a) for a in argv[1:]] or [100, 1000])
         return
     rungs = [int(a) for a in sys.argv[1:]] or [10, 50, 200]
     spark = get_spark("scale-ladder")
