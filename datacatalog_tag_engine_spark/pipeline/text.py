@@ -400,11 +400,15 @@ PACK_SCHEMA = (
     "shard int, bin_id int, doc_id long, chunk_id int, n_tokens int, bin_offset int"
 )
 
+# target chunks per packing shard: bounds each applyInPandas Arrow batch
+# (~tens of MB at typical manifest row width) independent of corpus size
+CHUNKS_PER_SHARD = 65_536
+
 
 def pack_chunks(
     chunks: DataFrame,
     capacity: int = 64,
-    n_shards: int = 8,
+    n_shards: int | None = None,
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Greedy sequence packing: assign fixed-size training chunks to
@@ -421,8 +425,26 @@ def pack_chunks(
     one Arrow batch, and bin ids are shard-local. One shuffle on the
     shard key; shards scale out with the corpus. Output:
     (shard, bin_id, doc_id, chunk_id, n_tokens, bin_offset).
+
+    ``n_shards=None`` (default) derives the shard count from the chunk
+    count (~CHUNKS_PER_SHARD chunks each, floored at the session's
+    default parallelism) so the per-shard Arrow batch stays bounded as
+    the corpus grows — a fixed shard count means batches that grow
+    linearly with input and eventually don't fit an executor. The count
+    is one cheap pass over the chunk manifest, and the derived value is
+    a deterministic function of the input, so packing stays replayable.
     """
+    import math
+
     import pandas as pd
+
+    if n_shards is None:
+        spark = chunks.sparkSession
+        n_chunks = chunks.count()
+        n_shards = max(
+            spark.sparkContext.defaultParallelism,
+            math.ceil(n_chunks / CHUNKS_PER_SHARD),
+        )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([id_col, "chunk_id"]).reset_index(drop=True)
