@@ -87,9 +87,18 @@ class TagEngine:
         """Validate against the template and persist; a new config with
         the same (type, template, included_uris) hash deactivates the
         prior one (P11 dedup-by-hash)."""
-        if template_id not in self.templates:
+        # TAG_EXPORT carries no template in the reference either (its
+        # export config stores only target coordinates, main.py:3621);
+        # ENTRY_CREATE may tag the created entries, so a template is
+        # allowed but not required.
+        if template_id is None:
+            if config_type not in ("TAG_EXPORT", "ENTRY_CREATE"):
+                raise ValueError(f"{config_type} config requires a template_id")
+            tfields = {}
+        elif template_id not in self.templates:
             raise ValueError(f"unknown template {template_id!r}")
-        tfields = {f["field_id"]: f for f in self.templates[template_id]}
+        else:
+            tfields = {f["field_id"]: f for f in self.templates[template_id]}
         for f in kw.get("fields", []):
             if f["field_id"] not in tfields:
                 raise ValueError(f"field {f['field_id']!r} not in template {template_id!r}")
@@ -102,7 +111,8 @@ class TagEngine:
                     )
 
         uris_hash = hashlib.md5(
-            f"{config_type}|{template_id}|{kw.get('included_uris', '')}".encode()
+            f"{config_type}|{template_id}|{kw.get('included_uris', '')}"
+            f"|{kw.get('target_path', '')}|{kw.get('directory', '')}".encode()
         ).hexdigest()
         for cfg in self.configs.values():
             if cfg["uris_hash"] == uris_hash and cfg["config_status"] == "ACTIVE":
@@ -148,6 +158,43 @@ class TagEngine:
             assets = stale_assets(assets, self.store.all(), cfg["template_id"])
         job_uuid = self._uuid("job")
         started = datetime.datetime.now(datetime.timezone.utc)
+        # side-effect config types: all 9 reference config types route
+        # through the job machinery (ConfigType.py:4-12, main.py:
+        # 3597-3628), so exports and entry syncs get the job ledger and
+        # the scheduled-refresh treatment like every tagging type — they
+        # just produce reports/entries instead of tag-row merges.
+        if cfg["config_type"] in ("TAG_EXPORT", "ENTRY_CREATE"):
+            try:
+                if cfg["config_type"] == "TAG_EXPORT":
+                    counts = self.export_reports(
+                        cfg["target_path"], truncate=cfg.get("truncate", False)
+                    )
+                    n = sum(1 for c in counts.values() if c)
+                else:
+                    inv = self.create_entries(
+                        cfg["directory"],
+                        cfg.get("entry_project", "local"),
+                        cfg.get("entry_dataset"),
+                    )
+                    n = inv.count()
+            except Exception:
+                self.jobs.append(
+                    {"job_uuid": job_uuid, "config_uuid": config_uuid,
+                     "config_type": cfg["config_type"], "job_status": "ERROR",
+                     "task_count": 0, "tasks_ran": 0, "tasks_success": 0,
+                     "tasks_failed": 1, "creation_time": started,
+                     "completion_time": datetime.datetime.now(datetime.timezone.utc)}
+                )
+                raise
+            self.jobs.append(
+                {"job_uuid": job_uuid, "config_uuid": config_uuid,
+                 "config_type": cfg["config_type"], "job_status": "SUCCESS",
+                 "task_count": n, "tasks_ran": n, "tasks_success": n,
+                 "tasks_failed": 0, "creation_time": started,
+                 "completion_time": datetime.datetime.now(datetime.timezone.utc)}
+            )
+            cfg["scheduling_status"] = "READY"
+            return job_uuid
         dispatch = {
             "DYNAMIC_TAG_TABLE": self._run_dynamic_table,
             "DYNAMIC_TAG_COLUMN": self._run_dynamic_column,

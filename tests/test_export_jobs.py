@@ -67,3 +67,62 @@ def test_job_rollup(spark):
     assert got["j1"]["pct_complete"] == 100.0
     assert got["j2"]["job_status"] == "RUNNING"
     assert got["j2"]["pct_complete"] == 50.0
+
+
+def test_scheduled_export_and_entry_create_jobs(spark, tmp_path):
+    # all 9 reference config types are job-dispatchable (ConfigType.py:
+    # 4-12 routed via main.py:3597-3628): a TAG_EXPORT config runs on a
+    # refresh schedule with a job-ledger row, same as tagging configs
+    from datacatalog_tag_engine_spark.engine import TagEngine
+    from datacatalog_tag_engine_spark.model.schemas import ASSETS_SCHEMA
+
+    eng = TagEngine(spark)
+    eng.create_template("gov", [{"field_id": "domain", "field_type": "string"}])
+    assets = spark.createDataFrame(
+        [{"asset_uri": "p/datasets/d/tables/lineitem", "asset_type": "bigquery",
+          "project": "p", "dataset": "d", "table": "lineitem"}],
+        ASSETS_SCHEMA,
+    )
+    tag_cfg = eng.create_config(
+        "STATIC_TAG_ASSET", "gov",
+        included_uris="bigquery/project/p/dataset/d/lineitem",
+        fields=[{"field_id": "domain", "field_value": "LOGISTICS"}],
+    )
+    eng.trigger_job(tag_cfg, assets)
+
+    export_cfg = eng.create_config(
+        "TAG_EXPORT", None, target_path=str(tmp_path / "reports"),
+        refresh_mode="AUTO", refresh_frequency=1, refresh_unit="hours",
+        next_run=datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc),
+    )
+    jobs = eng.run_ready_configs(
+        assets, now=datetime.datetime(2026, 1, 2, tzinfo=datetime.timezone.utc)
+    )
+    assert len(jobs) == 1
+    job = next(j for j in eng.jobs if j["job_uuid"] == jobs[0])
+    assert job["config_type"] == "TAG_EXPORT"
+    assert job["job_status"] == "SUCCESS"
+    assert job["tasks_success"] == 1  # only the table-grain report has rows
+    exported = spark.read.parquet(str(tmp_path / "reports" / "catalog_report_table_tags"))
+    assert exported.count() == 1
+    # the schedule advanced one refresh step
+    assert eng.configs[export_cfg]["next_run"] == datetime.datetime(
+        2026, 1, 1, 1, tzinfo=datetime.timezone.utc
+    )
+
+    # ENTRY_CREATE through the same machinery: discovers parquet files
+    # as entries and records a ledger row
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    (tmp_path / "files").mkdir()
+    pq.write_table(
+        pa.table({"id": list(range(10))}), str(tmp_path / "files" / "part_a.parquet")
+    )
+    entry_cfg = eng.create_config("ENTRY_CREATE", None, directory=str(tmp_path / "files"))
+    job_id = eng.trigger_job(entry_cfg, assets)
+    job = next(j for j in eng.jobs if j["job_uuid"] == job_id)
+    assert job["config_type"] == "ENTRY_CREATE"
+    assert job["job_status"] == "SUCCESS"
+    assert job["tasks_success"] >= 1
+    assert eng.assets.count() >= 1
