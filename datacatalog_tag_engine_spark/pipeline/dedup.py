@@ -132,6 +132,22 @@ def lsh_candidate_pairs(
     )
 
 
+def hash_collision_count(shingles: DataFrame, col: str = "shingle") -> int:
+    """Diagnostic for the xxhash64 join-key substitution used by
+    ``jaccard_pairs`` / ``repeated_spans``: number of distinct shingles
+    that share a 64-bit hash with a different shingle (each collision
+    silently merges counts). Expected 0 at any realistic corpus size
+    (~2^-64 per pair); run at small scale when validating a new corpus
+    shape, not in production plans — it double-scans the shingle set.
+    """
+    d = shingles.select(col).distinct()
+    return (
+        d.select(F.count("*").alias("n"), F.count_distinct(F.xxhash64(col)).alias("h"))
+        .select((F.col("n") - F.col("h")).alias("c"))
+        .first()["c"]
+    )
+
+
 def jaccard_pairs(
     shingles: DataFrame,
     candidates: DataFrame | None = None,
@@ -571,6 +587,12 @@ def incremental_delta(
     so only dup-rate-sized candidates reach this exact anti-join —
     identical output by construction. Returns the surviving batch rows
     as (doc_id, fingerprint).
+
+    Precondition (both forms): batch rows are unique per ``id_col`` —
+    the normal crawl-manifest shape. A batch with duplicate ids keeps
+    its duplicates here but collapses them in the bloom form's
+    per-(id, fingerprint) probe aggregation; dedupe the batch first if
+    its ids can repeat.
     """
     b = batch.select(id_col, bow_fingerprint(F.col(text_col)).alias("fingerprint"))
     p = prior.select(bow_fingerprint(F.col(text_col)).alias("fingerprint")).distinct()
@@ -605,6 +627,10 @@ def incremental_delta_bloom(
     every run; this form pays one prior scan to build a reusable
     constant-size bitmap and the anti-join input shrinks to the
     candidate set (dup-rate-sized).
+
+    Same precondition as ``incremental_delta``: batch rows unique per
+    ``id_col`` (the probe aggregation groups by (id, fingerprint), so a
+    duplicated id would collapse here while the exact form keeps it).
     """
     fp_b = batch.select(id_col, bow_fingerprint(F.col(text_col)).alias("fingerprint"))
     fp_p = prior.select(bow_fingerprint(F.col(text_col)).alias("fingerprint")).distinct()

@@ -53,14 +53,25 @@ def read_events_stream(spark: SparkSession, directory: str, glob: str = "events.
     matches = globmod.glob(os.path.join(directory, glob)) + globmod.glob(
         os.path.join(directory, "**", glob), recursive=True
     )
+    errors: list[str] = []
     for path in matches:
         try:
             ts_str = str(pq.read_schema(path).field("ts").type)
             break
-        except Exception:
-            continue
+        except Exception as ex:
+            errors.append(f"{path}: {type(ex).__name__}: {ex}")
+    if not ts_str:
+        # a silent fallback would mis-schema the stream (NTZ vs nanos is
+        # a 1000x timestamp skew) — fail clearly instead
+        raise FileNotFoundError(
+            f"cannot sniff a parquet footer for {glob!r} under {directory!r}: "
+            + (f"all {len(matches)} candidate(s) unreadable: {errors}" if matches else "no file matches")
+        )
 
-    if ts_str == "timestamp[ns]":
+    # any nanos precision takes the raw-long path regardless of tz —
+    # reading timestamp[ns, tz=...] through the native reader without
+    # the legacy conf would mis-scale values
+    if ts_str.startswith("timestamp[ns"):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = (
             spark.readStream.schema(_events_schema(T.LongType()))

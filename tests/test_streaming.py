@@ -180,3 +180,12 @@ def test_streaming_dedup_drops_redeliveries(spark, tmp_path):
     # static form replays identically
     static = dedup_stream(spark.read.parquet(src))
     assert static.count() == 2
+
+
+def test_events_stream_unsniffable_raises(spark, tmp_path):
+    # no matching file -> clear failure, never a silently mis-schemaed
+    # stream (NTZ vs nanos is a 1000x timestamp skew)
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="no file matches"):
+        U.read_events_stream(spark, str(tmp_path))
