@@ -51,7 +51,21 @@ def main() -> None:
 
     register_testdata(spark, SF_DIR)
     spark.table("lineitem").count()
+    spark.table("documents").count()
+    spark.table("embeddings").count()
     spark.range(10).groupBy("id").count().collect()
+    # fork the Python/Arrow worker pool and the broadcast machinery once
+    # outside the timed loop, so their one-time cost doesn't land on
+    # whichever query happens to run first
+    from pyspark.sql import functions as F
+
+    spark.range(64).withColumn("g", F.col("id") % 2).groupBy("g").applyInPandas(
+        lambda pdf: pdf, "id long, g long"
+    ).write.mode("overwrite").format("noop").save()
+    spark.range(100).join(
+        F.broadcast(spark.range(10).withColumnRenamed("id", "k")),
+        F.col("id") == F.col("k"),
+    ).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
