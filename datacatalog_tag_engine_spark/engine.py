@@ -655,7 +655,11 @@ class TagEngine:
             F.lit(now.date()).cast("date").alias("event_date"),
         )
         self._history = self._history.unionByName(rows)
-        return rows.count()
+        # a driver-resident merge already knows its event count — the
+        # select above is 1:1, so reuse it instead of scheduling a
+        # count job per merge in an interactive chain
+        known = getattr(events, "_tag_engine_event_count", None)
+        return known if known is not None else rows.count()
 
     def history(self) -> DataFrame:
         return self._history

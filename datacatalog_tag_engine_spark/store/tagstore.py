@@ -145,7 +145,11 @@ class TagStore:
             list(TAGS_SCHEMA.fields) + [T.StructField("action", T.StringType(), False)]
         )
         data = [tuple(r.get(f.name) for f in event_schema.fields) for r in events]
-        return self.spark.createDataFrame(data, event_schema)
+        out = self.spark.createDataFrame(data, event_schema)
+        # the caller's history append can reuse this instead of running
+        # a count job over a LocalTableScan
+        out._tag_engine_event_count = len(events)
+        return out
 
     def merge(
         self,
