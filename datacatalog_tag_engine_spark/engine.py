@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .model.schemas import TAG_HISTORY_SCHEMA
+from .session import local_df
 from .operators import dynamic as DYN
 from .operators import uri as URI
 from .operators.glossary import glossary_tag_rows
@@ -75,7 +76,7 @@ class TagEngine:
         ]
         from .model.schemas import TEMPLATES_SCHEMA
 
-        return self.spark.createDataFrame(rows, TEMPLATES_SCHEMA)
+        return local_df(self.spark, rows, TEMPLATES_SCHEMA)
 
     # -- configs -----------------------------------------------------------
 
@@ -718,7 +719,7 @@ class TagEngine:
     def jobs_df(self) -> DataFrame:
         from .model.schemas import JOBS_SCHEMA
 
-        return self.spark.createDataFrame(self.jobs, JOBS_SCHEMA)
+        return local_df(self.spark, self.jobs, JOBS_SCHEMA)
 
     def jobs_by_config(self, config_uuid: str) -> DataFrame:
         """O5 (reference TagEngineStoreHandler.py:1238-1247): one

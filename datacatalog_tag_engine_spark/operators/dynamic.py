@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..model import coercion
+from ..session import local_df
 from .substitution import combine_queries, parse_query_expression
 
 # ---------------------------------------------------------------------------
@@ -54,7 +55,7 @@ RAW_LONG_SCHEMA = T.StructType(
 
 
 def raw_rows_to_df(spark: SparkSession, rows: list[dict]) -> DataFrame:
-    return spark.createDataFrame(rows, RAW_LONG_SCHEMA)
+    return local_df(spark, rows, RAW_LONG_SCHEMA)
 
 
 def coerce_long_rows(df: DataFrame, bool_mode: str = "query") -> DataFrame:

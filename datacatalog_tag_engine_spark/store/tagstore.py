@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..model.schemas import TAGS_SCHEMA
+from ..session import local_df
 
 TAG_KEY = ["asset_uri", "column", "template_id", "field_id"]
 TAG_GROUP_KEY = ["asset_uri", "column", "template_id"]
@@ -93,7 +94,7 @@ class TagStore:
 
     def _small_df(self, rows: list[dict]) -> DataFrame:
         data = [tuple(r.get(f.name) for f in TAGS_SCHEMA.fields) for r in rows]
-        return self.spark.createDataFrame(data, TAGS_SCHEMA)
+        return local_df(self.spark, data, TAGS_SCHEMA)
 
     def _merge_small(
         self, inc_rows: list[dict], overwrite: bool, delete_when_empty: bool
@@ -145,7 +146,7 @@ class TagStore:
             list(TAGS_SCHEMA.fields) + [T.StructField("action", T.StringType(), False)]
         )
         data = [tuple(r.get(f.name) for f in event_schema.fields) for r in events]
-        out = self.spark.createDataFrame(data, event_schema)
+        out = local_df(self.spark, data, event_schema)
         # the caller's history append can reuse this instead of running
         # a count job over a LocalTableScan
         out._tag_engine_event_count = len(events)

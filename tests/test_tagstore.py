@@ -148,3 +148,53 @@ def test_small_state_promotes_to_distributed(spark, monkeypatch):
     s = state(ts)
     assert s[("b3", None, "t", "owner")] == "carol"
     assert len(s) == 8
+
+
+def test_driver_and_distributed_paths_agree_on_random_sequences(spark):
+    # Property: the driver-resident merge and the distributed merge are
+    # the SAME operator. Replay identical randomized merge sequences
+    # (upserts, overwrite=False guards, delete-when-empty batches,
+    # column/table tags, repeated keys) against one store pinned small
+    # and one pinned distributed; state and event multiset must match
+    # after every step.
+    import random
+
+    rng = random.Random(20260814)
+    assets = ["a", "b", "c"]
+    fields = ["owner", "domain"]
+    columns = [None, "c1"]
+
+    def random_batch():
+        rows = []
+        for _ in range(rng.randint(1, 5)):
+            empty = rng.random() < 0.3
+            rows.append(
+                tag_row(
+                    rng.choice(assets),
+                    rng.choice(fields),
+                    None if empty else rng.choice(["x", "y", "z"]),
+                    column=rng.choice(columns),
+                )
+            )
+        return rows
+
+    small = TagStore(spark)
+    dist = TagStore(spark)
+    dist.SMALL_STATE_MAX = 0  # instance override: promotes on first merge
+
+    def key(r):
+        return (r["asset_uri"], r["column"] or "", r["template_id"], r["field_id"])
+
+    for step in range(12):
+        rows = random_batch()
+        overwrite = rng.random() < 0.7
+        dwe = rng.random() < 0.7
+        ev_s = small.merge(mk(spark, rows), overwrite=overwrite, delete_when_empty=dwe)
+        ev_d = dist.merge(mk(spark, rows), overwrite=overwrite, delete_when_empty=dwe)
+        small_events = sorted((key(r), r["action"]) for r in ev_s.collect())
+        dist_events = sorted((key(r), r["action"]) for r in ev_d.collect())
+        assert small_events == dist_events, f"step {step} events diverge"
+        s_state = {key(r): r["field_value_string"] for r in small.all().collect()}
+        d_state = {key(r): r["field_value_string"] for r in dist.all().collect()}
+        assert s_state == d_state, f"step {step} state diverges"
+    assert small._rows is not None  # stayed driver-resident throughout
