@@ -24,7 +24,10 @@ noop sink — no createDataFrame-from-list anywhere in the path, so the
 discovery + per-(asset, column) statements, both thread-pooled (the
 discovery loop used to be serial on the driver).
 
-Usage: python tools/scale_ladder.py [--static|--columns] [N ...]
+`--merge` runs the tag-store MERGE ladder: distributed-path merges of
+a fixed 10k batch into growing standing state (10k/100k/1M rows).
+
+Usage: python tools/scale_ladder.py [--static|--columns|--merge] [N ...]
 (default 10 50 200)
 """
 
@@ -122,6 +125,60 @@ def columns_ladder(rungs: list[int]) -> None:
         print(f"{n:>8} {time.time() - t0:>11.2f}")
 
 
+def merge_ladder(rungs: list[int]) -> None:
+    """Tag-store MERGE ladder: state-size rungs through the DISTRIBUTED
+    path (state >> SMALL_STATE_MAX), batch fixed at 10k rows split
+    half updates / half creates plus 2% delete groups — the bulk
+    reconcile shape (S14) a nightly refresh applies to a large
+    standing tag table. Measures one full merge: guard joins, CREATE/
+    UPDATE classification, delete anti-join, and the eager checkpoint
+    that materializes state + events."""
+    from pyspark.sql import functions as F
+
+    from datacatalog_tag_engine_spark.model.schemas import TAGS_SCHEMA
+    from datacatalog_tag_engine_spark.store.tagstore import TagStore
+
+    spark = get_spark("scale-ladder-merge")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10).count()  # warm
+
+    def tag_rows(ids, value):
+        out = ids.select(
+            F.format_string("p/datasets/d/tables/t_%09d", F.col("id")).alias("asset_uri"),
+            F.lit(None).cast("string").alias("column"),
+            F.lit("t").alias("template_id"),
+            F.lit("owner").alias("field_id"),
+            F.lit("string").alias("field_type"),
+            value.alias("field_value_string"),
+            F.lit(None).cast("double").alias("field_value_double"),
+            F.lit(None).cast("boolean").alias("field_value_bool"),
+            F.lit(None).cast("timestamp").alias("field_value_ts"),
+            F.lit(None).cast("string").alias("job_uuid"),
+            F.lit(None).cast("timestamp").alias("updated_ts"),
+        )
+        return out.select(*[f.name for f in TAGS_SCHEMA.fields])
+
+    batch_n = 10_000
+    print(f"{'state':>9} {'merge(s)':>9}   (10k batch: 50% update / 48% create / 2% delete)")
+    for s in rungs:
+        store = TagStore(spark)
+        store.set_state(tag_rows(spark.range(s), F.lit("old")).repartition(32))
+        upd = tag_rows(spark.range(batch_n // 2), F.lit("new"))  # ids 0.. overlap
+        crt = tag_rows(
+            spark.range(s, s + batch_n // 2 - batch_n // 50), F.lit("new")
+        )
+        dlt = tag_rows(
+            spark.range(batch_n // 2, batch_n // 2 + batch_n // 50),
+            F.lit(None).cast("string"),
+        )
+        batch = upd.unionByName(crt).unionByName(dlt)
+        t0 = time.time()
+        ev = store.merge(batch)
+        n_ev = ev.count()
+        dt = time.time() - t0
+        print(f"{s:>9} {dt:>9.2f}   ({n_ev} events)")
+
+
 def main() -> None:
     argv = sys.argv[1:]
     if argv and argv[0] == "--static":
@@ -129,6 +186,9 @@ def main() -> None:
         return
     if argv and argv[0] == "--columns":
         columns_ladder([int(a) for a in argv[1:]] or [100, 1000])
+        return
+    if argv and argv[0] == "--merge":
+        merge_ladder([int(a) for a in argv[1:]] or [10_000, 100_000, 1_000_000])
         return
     rungs = [int(a) for a in sys.argv[1:]] or [10, 50, 200]
     spark = get_spark("scale-ladder")
