@@ -282,6 +282,111 @@ def kmeans_centroids(
     return spark.createDataFrame(rows, "cell long, cent_v array<double>")
 
 
+def kmeans_centroids_exact(
+    corpus: DataFrame,
+    num_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+) -> DataFrame:
+    """Deterministic integer-lattice Lloyd training: k-means whose
+    every step is exact integer arithmetic, so the trained centroids
+    are bit-identical on any partitioning, any cluster size, and any
+    engine that replays the same integer ops — the property MLlib's
+    seeded k-means (``kmeans_centroids``) cannot give across engines.
+
+    Mechanics: vectors quantize to micro-units (round(x*1e6) as long,
+    the s07/PQ trick); init is the first ``num_cells`` vectors by id
+    (the IVF seeding rule); assignment minimizes the exact integer
+    squared-L2 with ties to the lowest cell; the centroid update
+    collects per-cell integer (sum, count) pairs — k rows, dimension-
+    sized — and re-quantizes on the driver with symmetric half-away-
+    from-zero integer rounding ((2|s|+c) div 2c), all in Python ints.
+    Magnitudes stay far under 2^63: |q| <= ~1e6 gives per-dim squared
+    diffs <= ~4e12, times 64 dims ~ 2.6e14.
+
+    Per iteration: one scan of the corpus + one shuffle of per-cell
+    partial sums (map-side combined); centroids ride into the plan as
+    literals (k x dim doubles). At 100 TB, train on a deterministic
+    hash-bucket sample (pipeline.sampling) — the ladder's existing
+    pattern — and the exactness guarantee still holds on the sample.
+
+    Returns (cell, cent_q array<long> micro-units, cent_v
+    array<double>) ordered by cell.
+    """
+    spark = corpus.sparkSession
+    dim_row = corpus.select(F.size(vec_col).alias("d")).first()
+    dim = dim_row["d"]
+    q = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x.cast("double") * F.lit(1e6), 0).cast("long")
+        ).alias("qv"),
+    ).localCheckpoint(eager=True)
+
+    cents = [
+        [int(v) for v in r["qv"]]
+        for r in q.orderBy("_id").limit(num_cells).collect()
+    ]
+
+    def requantize(s: int, c: int) -> int:
+        # symmetric half-away-from-zero integer rounding of s/c
+        return (2 * s + c) // (2 * c) if s >= 0 else -((2 * (-s) + c) // (2 * c))
+
+    for _ in range(iters):
+        dist_cells = F.array(
+            *[
+                F.struct(
+                    _micro_sq_dist(
+                        F.col("qv"), F.array(*[F.lit(v) for v in cent])
+                    ).alias("d"),
+                    F.lit(ci).alias("cell"),
+                )
+                for ci, cent in enumerate(cents)
+            ]
+        )
+        assigned = q.withColumn("cell", F.array_min(dist_cells)["cell"])
+        stats = (
+            assigned.groupBy("cell")
+            .agg(
+                F.count("*").alias("_n"),
+                *[
+                    F.sum(F.element_at("qv", i + 1)).alias(f"_s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        by_cell = {r["cell"]: r for r in stats}
+        cents = [
+            [
+                requantize(int(by_cell[ci][f"_s{i}"]), int(by_cell[ci]["_n"]))
+                for i in range(dim)
+            ]
+            if ci in by_cell
+            else cent  # empty cell keeps its centroid
+            for ci, cent in enumerate(cents)
+        ]
+
+    from ..session import local_df
+
+    rows = [
+        (ci, cent, [v / 1e6 for v in cent]) for ci, cent in enumerate(cents)
+    ]
+    return local_df(
+        spark, rows, "cell long, cent_q array<long>, cent_v array<double>"
+    )
+
+
+def _micro_sq_dist(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 between two micro-unit long arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+
+
 def _micro_l2(a: Column, b: Column) -> Column:
     """Squared L2 distance in exact integer micro-units: each squared
     per-dimension difference rounds to a long BEFORE summing, so the

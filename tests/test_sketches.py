@@ -65,3 +65,65 @@ def test_ivf_kmeans_recall_beats_floor(spark):
     # every query returns exactly k rows (cells are non-degenerate)
     per_q = approx.groupBy("query_id").count().collect()
     assert all(r["count"] == 5 for r in per_q)
+
+
+def test_kmeans_exact_matches_pure_python_replay(spark):
+    """kmeans_centroids_exact is engine-portable by construction: an
+    independent pure-Python integer replay from the same parquet must
+    reproduce the trained micro-unit centroids bit-for-bit, Lloyd
+    iteration by Lloyd iteration (quantize -> first-k init -> exact
+    integer argmin with lowest-cell ties -> integer-rounded update)."""
+    import decimal
+
+    import duckdb
+
+    from datacatalog_tag_engine_spark.pipeline.similarity import (
+        kmeans_centroids_exact,
+    )
+
+    K, ITERS = 8, 3
+    emb = spark.table("embeddings")
+    got = {
+        r["cell"]: list(r["cent_q"])
+        for r in kmeans_centroids_exact(emb, num_cells=K, iters=ITERS).collect()
+    }
+
+    # -- independent replay (no Spark) -----------------------------------
+    con = duckdb.connect()
+    rows = con.execute(
+        "select vec_id, embedding from '/root/testdata/sf0.001/embeddings.parquet' order by vec_id"
+    ).fetchall()
+
+    def quant(x):
+        # mirror Spark's round(double, 0): BigDecimal on the shortest
+        # decimal repr, HALF_UP — Python's repr() is the same shortest
+        # round-trip string, Decimal quantize the same HALF_UP
+        return int(
+            decimal.Decimal(repr(float(x) * 1e6)).quantize(
+                0, rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    vecs = [[quant(x) for x in v] for _, v in rows]
+    cents = [list(v) for v in vecs[:K]]
+
+    def requant(s, c):
+        return (2 * s + c) // (2 * c) if s >= 0 else -((2 * (-s) + c) // (2 * c))
+
+    for _ in range(ITERS):
+        sums = [[0] * len(cents[0]) for _ in range(K)]
+        counts = [0] * K
+        for v in vecs:
+            best = min(
+                (sum((a - b) * (a - b) for a, b in zip(v, c)), ci)
+                for ci, c in enumerate(cents)
+            )[1]
+            counts[best] += 1
+            for i, x in enumerate(v):
+                sums[best][i] += x
+        cents = [
+            [requant(s, counts[ci]) for s in sums[ci]] if counts[ci] else cents[ci]
+            for ci in range(K)
+        ]
+
+    assert got == {ci: c for ci, c in enumerate(cents)}
