@@ -33,7 +33,12 @@ def _events_schema(ts_type: T.DataType) -> T.StructType:
     )
 
 
-def read_events_stream(spark: SparkSession, directory: str, glob: str = "events.parquet") -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    directory: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Streaming source over the driver's events parquet. Streaming file
     sources take a directory; ``glob`` narrows it to the events file(s).
 
@@ -73,21 +78,21 @@ def read_events_stream(spark: SparkSession, directory: str, glob: str = "events.
     # the legacy conf would mis-scale values
     if ts_str.startswith("timestamp[ns"):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = (
-            spark.readStream.schema(_events_schema(T.LongType()))
-            .option("pathGlobFilter", glob)
-            .parquet(directory)
+        reader = spark.readStream.schema(_events_schema(T.LongType())).option(
+            "pathGlobFilter", glob
         )
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        raw = reader.parquet(directory)
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
     ts_type: T.DataType = (
         T.TimestampType() if ts_str.startswith("timestamp[") and "tz=" in ts_str else T.TimestampNTZType()
     )
-    raw = (
-        spark.readStream.schema(_events_schema(ts_type))
-        .option("pathGlobFilter", glob)
-        .parquet(directory)
-    )
+    reader = spark.readStream.schema(_events_schema(ts_type)).option("pathGlobFilter", glob)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(directory)
     # Watermarks require TIMESTAMP (not NTZ); with the session pinned to
     # UTC the cast is an identity reinterpretation, and the usage aggs
     # emit only dates, so stream output still equals the NTZ batch path.

@@ -179,8 +179,54 @@ def merge_ladder(rungs: list[int]) -> None:
         print(f"{s:>9} {dt:>9.2f}   ({n_ev} events)")
 
 
+def streaming_ladder(reps: list[int]) -> None:
+    """Structured-Streaming throughput: the sf events file replicated N
+    times into a staging dir, streamed through read_events_stream ->
+    daily_usage (watermark + tumbling window + approx_count_distinct)
+    to a noop sink, one file per micro-batch (maxFilesPerTrigger=1 —
+    the steady-state shape of a file-landing pipeline, not one giant
+    batch). Reports wall seconds and events/s; state stays (window x
+    event_type)-bounded however many files arrive."""
+    import shutil
+    import tempfile
+
+    from datacatalog_tag_engine_spark.streaming.usage import daily_usage, read_events_stream
+
+    spark = get_spark("scale-ladder-streaming")
+    spark.sparkContext.setLogLevel("ERROR")
+    src = os.path.join(SF_DIR, "events.parquet")
+    n_events = spark.read.parquet(src).count()
+    print(f"{'files':>6} {'events':>10} {'wall(s)':>8} {'events/s':>10}   (1 file per micro-batch, noop sink)")
+    for n in reps:
+        stage = tempfile.mkdtemp(prefix="stream_ladder_")
+        try:
+            for i in range(n):
+                shutil.copy(src, os.path.join(stage, f"events_{i:03d}.parquet"))
+            stream = read_events_stream(spark, stage, glob="events_*.parquet", max_files_per_trigger=1)
+            agg = daily_usage(stream)
+            ckpt = tempfile.mkdtemp(prefix="stream_ladder_ckpt_")
+            t0 = time.time()
+            q = (
+                agg.writeStream.outputMode("update")
+                .format("noop")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            dt = time.time() - t0
+            total = n * n_events
+            print(f"{n:>6} {total:>10} {dt:>8.2f} {total / dt:>10.0f}")
+            shutil.rmtree(ckpt, ignore_errors=True)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+
+
 def main() -> None:
     argv = sys.argv[1:]
+    if argv and argv[0] == "--streaming":
+        streaming_ladder([int(a) for a in argv[1:]] or [1, 8, 32])
+        return
     if argv and argv[0] == "--static":
         static_ladder([int(a) for a in argv[1:]] or [1000, 100_000, 1_000_000])
         return
