@@ -111,10 +111,14 @@ class TagEngine:
                         f"enum value {f['field_value']!r} not in {tf.get('enum_values')}"
                     )
 
-        uris_hash = hashlib.md5(
-            f"{config_type}|{template_id}|{kw.get('included_uris', '')}"
-            f"|{kw.get('target_path', '')}|{kw.get('directory', '')}".encode()
-        ).hexdigest()
+        # tagging types keep the original 3-part hash so configs
+        # persisted by earlier builds still dedup against new ones;
+        # only the side-effect types (which older builds could not
+        # persist) extend the key with their target coordinates
+        hash_src = f"{config_type}|{template_id}|{kw.get('included_uris', '')}"
+        if config_type in ("TAG_EXPORT", "ENTRY_CREATE"):
+            hash_src += f"|{kw.get('target_path', '')}|{kw.get('directory', '')}"
+        uris_hash = hashlib.md5(hash_src.encode()).hexdigest()
         for cfg in self.configs.values():
             if cfg["uris_hash"] == uris_hash and cfg["config_status"] == "ACTIVE":
                 cfg["config_status"] = "INACTIVE"
@@ -172,12 +176,12 @@ class TagEngine:
                     )
                     n = sum(1 for c in counts.values() if c)
                 else:
-                    inv = self.create_entries(
+                    self.create_entries(
                         cfg["directory"],
                         cfg.get("entry_project", "local"),
                         cfg.get("entry_dataset"),
                     )
-                    n = inv.count()
+                    n = self._last_entries_created
             except Exception:
                 self.jobs.append(
                     {"job_uuid": job_uuid, "config_uuid": config_uuid,
@@ -589,6 +593,10 @@ class TagEngine:
         from .operators.discovery import discover_parquet_assets
 
         found = discover_parquet_assets(self.spark, directory, project, dataset)
+        # this run's discovery count, for the job ledger — the return
+        # value is the CUMULATIVE inventory, which would overstate a
+        # job's work on every re-run
+        self._last_entries_created = found.count()
         if not hasattr(self, "assets") or self.assets is None:
             self.assets = found
         else:

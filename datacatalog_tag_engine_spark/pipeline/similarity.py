@@ -316,6 +316,8 @@ def kmeans_centroids_exact(
     """
     spark = corpus.sparkSession
     dim_row = corpus.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        raise ValueError("kmeans_centroids_exact: empty corpus")
     dim = dim_row["d"]
     q = corpus.select(
         F.col(id_col).alias("_id"),
@@ -370,6 +372,9 @@ def kmeans_centroids_exact(
 
     from ..session import local_df
 
+    # the result is driver-resident; free the quantized-corpus
+    # checkpoint blocks instead of pinning them for the session
+    q.unpersist(blocking=False)
     rows = [
         (ci, cent, [v / 1e6 for v in cent]) for ci, cent in enumerate(cents)
     ]

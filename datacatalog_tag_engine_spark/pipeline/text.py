@@ -426,25 +426,26 @@ def pack_chunks(
     shard key; shards scale out with the corpus. Output:
     (shard, bin_id, doc_id, chunk_id, n_tokens, bin_offset).
 
-    ``n_shards=None`` (default) derives the shard count from the chunk
-    count (~CHUNKS_PER_SHARD chunks each, floored at the session's
-    default parallelism) so the per-shard Arrow batch stays bounded as
-    the corpus grows — a fixed shard count means batches that grow
-    linearly with input and eventually don't fit an executor. The count
-    is one cheap pass over the chunk manifest, and the derived value is
-    a deterministic function of the input, so packing stays replayable.
+    ``n_shards=None`` (default) derives the shard count purely from the
+    chunk count (~CHUNKS_PER_SHARD chunks each, floor 8) so the
+    per-shard Arrow batch stays bounded as the corpus grows — a fixed
+    shard count means batches that grow linearly with input and
+    eventually don't fit an executor. The derivation deliberately does
+    NOT consult cluster parallelism: shard assignment (doc_id %
+    n_shards) decides bin membership, so the same manifest must pack
+    identically on an 8-core laptop and a 1000-executor cluster for the
+    output to be replayable. The count pass runs on an eagerly
+    checkpointed manifest, which the packing stage then reuses — the
+    upstream chunking pipeline executes once, not twice.
     """
     import math
 
     import pandas as pd
 
     if n_shards is None:
-        spark = chunks.sparkSession
+        chunks = chunks.localCheckpoint(eager=True)
         n_chunks = chunks.count()
-        n_shards = max(
-            spark.sparkContext.defaultParallelism,
-            math.ceil(n_chunks / CHUNKS_PER_SHARD),
-        )
+        n_shards = max(8, math.ceil(n_chunks / CHUNKS_PER_SHARD))
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([id_col, "chunk_id"]).reset_index(drop=True)

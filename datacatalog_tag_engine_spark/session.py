@@ -63,6 +63,14 @@ def local_df(spark: SparkSession, data, schema):
     if not data:
         return spark.createDataFrame([], schema)
     if isinstance(data[0], dict):
+        # fail fast on misspelled keys — the RDD path verifies lazily on
+        # executors, so a silent r.get() None would surface (if at all)
+        # as a wrong column far from the bug
+        names = {f.name for f in schema.fields}
+        for r in data:
+            unknown = r.keys() - names
+            if unknown:
+                raise ValueError(f"local_df: keys {sorted(unknown)} not in schema {sorted(names)}")
         data = [tuple(r.get(f.name) for f in schema.fields) for r in data]
     slices = max(1, (len(data) + 4095) // 4096)
     return spark.createDataFrame(spark.sparkContext.parallelize(data, slices), schema)
