@@ -126,3 +126,58 @@ def test_scheduled_export_and_entry_create_jobs(spark, tmp_path):
     assert job["job_status"] == "SUCCESS"
     assert job["tasks_success"] >= 1
     assert eng.assets.count() >= 1
+
+
+def test_entry_create_ledger_counts_this_run_only(spark, tmp_path):
+    # a second ENTRY_CREATE run over a directory with one extra file
+    # records the DELTA in the ledger, not the cumulative inventory
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datacatalog_tag_engine_spark.engine import TagEngine
+
+    (tmp_path / "files").mkdir()
+    for name in ("a", "b"):
+        pq.write_table(pa.table({"id": [1]}), str(tmp_path / "files" / f"{name}.parquet"))
+
+    eng = TagEngine(spark)
+    cfg = eng.create_config("ENTRY_CREATE", None, directory=str(tmp_path / "files"))
+    j1 = eng.trigger_job(cfg, None)
+    assert next(j for j in eng.jobs if j["job_uuid"] == j1)["task_count"] == 2
+
+    pq.write_table(pa.table({"id": [2]}), str(tmp_path / "files" / "c.parquet"))
+    # same directory hash -> reuse the config; re-trigger directly
+    j2 = eng.trigger_job(cfg, None)
+    job2 = next(j for j in eng.jobs if j["job_uuid"] == j2)
+    # the run re-discovers all 3 files (idempotent replace), but never
+    # inflates with the engine's cumulative inventory across directories
+    assert job2["task_count"] == 3
+    assert eng.assets.count() == 3
+
+
+def test_export_job_failure_records_error_row(spark, tmp_path):
+    from datacatalog_tag_engine_spark.engine import TagEngine
+
+    eng = TagEngine(spark)
+    # unwritable target: a FILE where the report dir should be
+    target = tmp_path / "not_a_dir"
+    target.write_text("occupied")
+    cfg = eng.create_config("TAG_EXPORT", None, target_path=str(target / "sub"))
+    eng.create_template("gov", [{"field_id": "domain", "field_type": "string"}])
+    eng.store.merge(
+        spark.createDataFrame(
+            [("p/datasets/d/tables/t1", None, "gov", "domain", "string",
+              "X", None, None, None, None, None)],
+            TAGS_SCHEMA,
+        )
+    )
+    try:
+        eng.trigger_job(cfg, None)
+        raised = False
+    except Exception:
+        raised = True
+    assert raised
+    job = eng.jobs[-1]
+    assert job["config_type"] == "TAG_EXPORT"
+    assert job["job_status"] == "ERROR"
+    assert job["tasks_failed"] == 1
