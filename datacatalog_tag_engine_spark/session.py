@@ -45,6 +45,16 @@ def get_spark(app_name: str = "tag-engine-spark", shuffle_partitions: int | None
         # setting), and the engine's interactive paths (user-SQL
         # first-row-wins, merge size probes) are LIMIT-shaped.
         .config("spark.sql.limit.initialNumPartitions", cpus)
+        # RDD-default parallelism governs how python-local data
+        # (createDataFrame from driver rows) slices. In this engine that
+        # data is dimension-sized by construction (fixtures, metadata,
+        # centroid tables) — distributed work always enters through
+        # parquet scans and SQL shuffles, governed by the SQL configs
+        # above. Cluster-width parallelize fans a 3-row relation into
+        # one near-empty task per core (thousands on a real cluster);
+        # pin it small instead. Measured on the engine-fixture queries:
+        # q26 2.8->1.7s, q18 1.7->1.1s, q33 1.9->1.1s at local[32].
+        .config("spark.default.parallelism", str(max(4, int(cpus) // 4)))
     )
     return builder.getOrCreate()
 
