@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import free_local_checkpoint
+
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup: (doc_id, fingerprint, is_canonical). Lowest doc_id in
@@ -77,7 +79,10 @@ def shingle_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     signature groupBy(id) with no second shuffle. (2) dedup shingles
     per-document with array_distinct inside the row (equivalent to a
     global distinct on (id, shingle)) — saves an entire shuffle."""
-    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    # CPU-heavy explode stages must scale with the CLUSTER, which the
+    # session expresses as spark.sql.shuffle.partitions (RDD default
+    # parallelism is pinned small for driver-local relations)
+    parallelism = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return docs.repartition(parallelism, id_col).select(
         id_col,
         F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("shingle"),
@@ -245,7 +250,10 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     else -1) is positive. Distinct tokens weighted by occurrence count.
     Returns (doc_id, simhash BIGINT).
     """
-    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    # CPU-heavy explode stages must scale with the CLUSTER, which the
+    # session expresses as spark.sql.shuffle.partitions (RDD default
+    # parallelism is pinned small for driver-local relations)
+    parallelism = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     toks = docs.repartition(parallelism, id_col).select(
         id_col, F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
     )
@@ -315,7 +323,7 @@ def neardup_clusters(
         # the previous round's blocks are dead once this round exists —
         # free them or an N-round run holds N generations of labels
         if prev_ckpt is not None:
-            prev_ckpt.unpersist(blocking=False)
+            free_local_checkpoint(prev_ckpt)
         prev_ckpt = updated
         labels = updated.select(F.col(id_col), F.col("new_cluster_id").alias("cluster_id"))
         # round 1 changes whenever any edge exists — skip its
@@ -326,7 +334,7 @@ def neardup_clusters(
             if changed == 0:
                 break
     # final labels read only the last round's checkpoint
-    edges.unpersist(blocking=False)
+    free_local_checkpoint(edges)
     return labels
 
 
@@ -714,7 +722,10 @@ def repeated_spans(
     # same pre-explode repartition as shingle_table: document corpora
     # often arrive as few large files, and without it the CPU-heavy
     # n-gram stage runs on as many cores as there are input splits
-    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    # CPU-heavy explode stages must scale with the CLUSTER, which the
+    # session expresses as spark.sql.shuffle.partitions (RDD default
+    # parallelism is pinned small for driver-local relations)
+    parallelism = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     grams = (
         docs.repartition(parallelism, id_col)
         .select(id_col, words_sh.alias("_grams"))

@@ -63,10 +63,9 @@ def make_fake_media(spark, n: int = 16) -> DataFrame:
     # python-parallelized relation makes each task re-open every parent
     # pickle sub-partition through the JVM bridge — measured ~3s vs
     # ~0.2s for a 16-row identity mapInPandas.
-    data = [tuple(r.get(f.name) for f in MEDIA_SCHEMA.fields) for r in rows]
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize(data, max(1, n // 8)), MEDIA_SCHEMA
-    )
+    from ..session import local_df
+
+    return local_df(spark, rows, MEDIA_SCHEMA, slices=max(1, n // 8))
 
 
 def decode_payload(payload: bytes, fake: bool = True) -> dict:

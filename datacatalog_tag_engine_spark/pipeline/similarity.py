@@ -370,11 +370,11 @@ def kmeans_centroids_exact(
             for ci, cent in enumerate(cents)
         ]
 
-    from ..session import local_df
+    from ..session import free_local_checkpoint, local_df
 
     # the result is driver-resident; free the quantized-corpus
     # checkpoint blocks instead of pinning them for the session
-    q.unpersist(blocking=False)
+    free_local_checkpoint(q)
     rows = [
         (ci, cent, [v / 1e6 for v in cent]) for ci, cent in enumerate(cents)
     ]

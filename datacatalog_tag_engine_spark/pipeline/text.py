@@ -436,7 +436,11 @@ def pack_chunks(
     identically on an 8-core laptop and a 1000-executor cluster for the
     output to be replayable. The count pass runs on an eagerly
     checkpointed manifest, which the packing stage then reuses — the
-    upstream chunking pipeline executes once, not twice.
+    upstream chunking pipeline executes once, not twice, at the cost of
+    materializing the (narrow: ids + token count) manifest in the block
+    manager; its blocks are freed by the ContextCleaner once the caller
+    drops the result. Pass an explicit n_shards to skip both the count
+    and the checkpoint.
     """
     import math
 

@@ -54,12 +54,18 @@ def get_spark(app_name: str = "tag-engine-spark", shuffle_partitions: int | None
         # one near-empty task per core (thousands on a real cluster);
         # pin it small instead. Measured on the engine-fixture queries:
         # q26 2.8->1.7s, q18 1.7->1.1s, q33 1.9->1.1s at local[32].
+        # Distributed code paths must NOT size themselves off the RDD
+        # default: CPU-heavy repartitions (dedup shingling) read
+        # spark.sql.shuffle.partitions instead, and SQL leaf nodes
+        # (spark.range inventories) keep cluster width via the explicit
+        # leaf-parallelism conf below.
         .config("spark.default.parallelism", str(max(4, int(cpus) // 4)))
+        .config("spark.sql.leafNodeDefaultParallelism", cpus)
     )
     return builder.getOrCreate()
 
 
-def local_df(spark: SparkSession, data, schema):
+def local_df(spark: SparkSession, data, schema, slices: int | None = None):
     """createDataFrame for dimension-sized data without the 32-way
     parallelize: the default slices driver-local rows across
     defaultParallelism partitions, so every downstream collect/count on
@@ -82,8 +88,24 @@ def local_df(spark: SparkSession, data, schema):
             if unknown:
                 raise ValueError(f"local_df: keys {sorted(unknown)} not in schema {sorted(names)}")
         data = [tuple(r.get(f.name) for f in schema.fields) for r in data]
-    slices = max(1, (len(data) + 4095) // 4096)
+    if slices is None:
+        slices = max(1, (len(data) + 4095) // 4096)
     return spark.createDataFrame(spark.sparkContext.parallelize(data, slices), schema)
+
+
+def free_local_checkpoint(df) -> None:
+    """Eagerly free the block-manager storage behind a
+    ``localCheckpoint(eager=True)`` DataFrame whose data is no longer
+    referenced. ``Dataset.unpersist()`` is a NO-OP for these (verified
+    on Spark 4.1.2: it only uncaches CacheManager entries, while
+    checkpoint blocks live on the internally cached RDD), so reach the
+    RDD through the LogicalRDD plan root. Falls back silently if the
+    plan shape ever changes — the ContextCleaner then frees the blocks
+    when the RDD reference is GC'd, just later."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 TESTDATA_TABLES = (

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..model.schemas import TAGS_SCHEMA
-from ..session import local_df
+from ..session import free_local_checkpoint, local_df
 
 TAG_KEY = ["asset_uri", "column", "template_id", "field_id"]
 TAG_GROUP_KEY = ["asset_uri", "column", "template_id"]
@@ -246,7 +246,7 @@ class TagStore:
         event_part = (
             upserts_flagged.unionByName(deleted_rows).withColumn("_role", F.lit("event"))
         )
-        parallelism = self.spark.sparkContext.defaultParallelism
+        parallelism = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         prev_ckpt = getattr(self, "_ckpt", None)
         combined = (
             state_part.unionByName(event_part)
@@ -262,7 +262,7 @@ class TagStore:
         # the NEXT merge (the engine appends history immediately).
         self._ckpt = combined
         if prev_ckpt is not None:
-            prev_ckpt.unpersist(blocking=False)
+            free_local_checkpoint(prev_ckpt)
         self._df = combined.filter(F.col("_role") == "state").drop("_role", "action")
         if self.path:
             self._persist()

@@ -81,7 +81,7 @@ def read_events_stream(
         reader = spark.readStream.schema(_events_schema(T.LongType())).option(
             "pathGlobFilter", glob
         )
-        if max_files_per_trigger:
+        if max_files_per_trigger is not None:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         raw = reader.parquet(directory)
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -90,7 +90,7 @@ def read_events_stream(
         T.TimestampType() if ts_str.startswith("timestamp[") and "tz=" in ts_str else T.TimestampNTZType()
     )
     reader = spark.readStream.schema(_events_schema(ts_type)).option("pathGlobFilter", glob)
-    if max_files_per_trigger:
+    if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(directory)
     # Watermarks require TIMESTAMP (not NTZ); with the session pinned to

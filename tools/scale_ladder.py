@@ -27,7 +27,11 @@ discovery loop used to be serial on the driver).
 `--merge` runs the tag-store MERGE ladder: distributed-path merges of
 a fixed 10k batch into growing standing state (10k/100k/1M rows).
 
-Usage: python tools/scale_ladder.py [--static|--columns|--merge] [N ...]
+`--streaming` runs the Structured-Streaming throughput ladder: the sf
+events file replicated N times, one file per micro-batch, through
+read_events_stream -> daily_usage to a noop sink.
+
+Usage: python tools/scale_ladder.py [--static|--columns|--merge|--streaming] [N ...]
 (default 10 50 200)
 """
 
