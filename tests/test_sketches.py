@@ -127,3 +127,30 @@ def test_kmeans_exact_matches_pure_python_replay(spark):
         ]
 
     assert got == {ci: c for ci, c in enumerate(cents)}
+
+
+def test_ivf_search_accepts_exact_centroids(spark):
+    """The exact trainer's centroid table plugs into the shared IVF
+    search path: full per-query result sets and recall above the same
+    floor as the MLlib-trained form."""
+    from pyspark.sql import functions as F
+
+    from datacatalog_tag_engine_spark.pipeline.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids_exact,
+    )
+
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = kmeans_centroids_exact(emb, num_cells=8, iters=2)
+    approx = ivf_topk(emb, queries, k=5, num_cells=8, cents=cents)
+    per_q = approx.groupBy("query_id").count().collect()
+    assert len(per_q) == 5 and all(r["count"] == 5 for r in per_q)
+    exact = brute_force_topk(emb, queries, k=5)
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .count()
+    )
+    assert hits / exact.count() >= 0.4
