@@ -56,9 +56,11 @@ def get_spark(app_name: str = "tag-engine-spark", shuffle_partitions: int | None
         # q26 2.8->1.7s, q18 1.7->1.1s, q33 1.9->1.1s at local[32].
         # Distributed code paths must NOT size themselves off the RDD
         # default: CPU-heavy repartitions (dedup shingling) read
-        # spark.sql.shuffle.partitions instead, and SQL leaf nodes
-        # (spark.range inventories) keep cluster width via the explicit
-        # leaf-parallelism conf below.
+        # spark.sql.shuffle.partitions instead; SQL-side leaf nodes keep
+        # cluster width via the leaf-parallelism conf below (NOTE:
+        # PySpark's session.range() bypasses it by filling numSlices
+        # from the RDD default — synthetic range inventories must pass
+        # an explicit width, as tools/scale_ladder.py does).
         .config("spark.default.parallelism", str(max(4, int(cpus) // 4)))
         .config("spark.sql.leafNodeDefaultParallelism", cpus)
     )

@@ -77,7 +77,8 @@ def static_ladder(rungs: list[int]) -> None:
     cfg = eng.configs[cfg_uuid]
     print(f"{'assets':>9} {'static(s)':>10}   (N assets x 7 fields -> coerced rows -> noop sink)")
     for n in rungs:
-        assets = spark.range(n).select(
+        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        assets = spark.range(0, n, 1, width).select(
             F.format_string("p/datasets/d/tables/t_%07d", F.col("id")).alias("asset_uri"),
             F.lit("bigquery").alias("asset_type"),
             F.lit("p").alias("project"),
@@ -111,7 +112,8 @@ def columns_ladder(rungs: list[int]) -> None:
     eng.create_template("cols", [{"field_id": "tagged", "field_type": "double"}])
     print(f"{'assets':>8} {'columns(s)':>11}   (discovery + 2 stmts per asset, pooled)")
     for n in rungs:
-        assets = spark.range(n).select(
+        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        assets = spark.range(0, n, 1, width).select(
             F.format_string("p/datasets/d/tables/t_%05d", F.col("id")).alias("asset_uri"),
             F.lit("bigquery").alias("asset_type"),
             F.lit("p").alias("project"),
@@ -146,6 +148,8 @@ def merge_ladder(rungs: list[int]) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(10).count()  # warm
 
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
     def tag_rows(ids, value):
         out = ids.select(
             F.format_string("p/datasets/d/tables/t_%09d", F.col("id")).alias("asset_uri"),
@@ -166,13 +170,13 @@ def merge_ladder(rungs: list[int]) -> None:
     print(f"{'state':>9} {'merge(s)':>9}   (10k batch: 50% update / 48% create / 2% delete)")
     for s in rungs:
         store = TagStore(spark)
-        store.set_state(tag_rows(spark.range(s), F.lit("old")).repartition(32))
-        upd = tag_rows(spark.range(batch_n // 2), F.lit("new"))  # ids 0.. overlap
+        store.set_state(tag_rows(spark.range(0, s, 1, width), F.lit("old")))
+        upd = tag_rows(spark.range(0, batch_n // 2, 1, width), F.lit("new"))  # ids 0.. overlap
         crt = tag_rows(
-            spark.range(s, s + batch_n // 2 - batch_n // 50), F.lit("new")
+            spark.range(s, s + batch_n // 2 - batch_n // 50, 1, width), F.lit("new")
         )
         dlt = tag_rows(
-            spark.range(batch_n // 2, batch_n // 2 + batch_n // 50),
+            spark.range(batch_n // 2, batch_n // 2 + batch_n // 50, 1, width),
             F.lit(None).cast("string"),
         )
         batch = upd.unionByName(crt).unionByName(dlt)
