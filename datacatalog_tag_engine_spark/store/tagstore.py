@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..model.schemas import TAGS_SCHEMA
-from ..session import free_local_checkpoint, local_df
+from ..session import local_df
 
 TAG_KEY = ["asset_uri", "column", "template_id", "field_id"]
 TAG_GROUP_KEY = ["asset_uri", "column", "template_id"]
@@ -253,16 +253,20 @@ class TagStore:
             .coalesce(max(8, parallelism // 4))
             .localCheckpoint(eager=True)
         )
-        # the previous merge's checkpoint blocks are superseded the
-        # moment the new one materializes — free them eagerly, or a long
-        # merge chain (streaming upserts, multi-config jobs, the bench's
-        # many engine queries in one session) accumulates every
-        # generation of state in the block manager until the executors
-        # GC-thrash. Callers must consume the returned event rows before
-        # the NEXT merge (the engine appends history immediately).
+        # The previous merge's STATE is superseded the moment the new
+        # checkpoint materializes, but its EVENT rows may still be
+        # referenced: the engine's history is a lazy union whose plan
+        # reads every past generation's event filter, and a freed
+        # local checkpoint cannot recompute (lineage is truncated) — an
+        # eager free here breaks any history read after 2+ distributed
+        # merges (regression-tested). So only DROP the reference; the
+        # ContextCleaner frees each generation's blocks once nothing
+        # (history reads, persisted rollups) can reach it. Long merge
+        # chains that never consume history should checkpoint or write
+        # out the event stream (streaming/history.py) to release
+        # generations early.
         self._ckpt = combined
-        if prev_ckpt is not None:
-            free_local_checkpoint(prev_ckpt)
+        del prev_ckpt
         self._df = combined.filter(F.col("_role") == "state").drop("_role", "action")
         if self.path:
             self._persist()

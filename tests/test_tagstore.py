@@ -198,3 +198,20 @@ def test_driver_and_distributed_paths_agree_on_random_sequences(spark):
         d_state = {key(r): r["field_value_string"] for r in dist.all().collect()}
         assert s_state == d_state, f"step {step} state diverges"
     assert small._rows is not None  # stayed driver-resident throughout
+
+
+def test_history_readable_across_many_distributed_merges(spark):
+    # Regression: each distributed merge's returned event rows read THAT
+    # generation's checkpoint; an accumulated history union (the engine
+    # pattern) must stay readable after later merges supersede the
+    # state. An eager free of the previous generation broke this.
+    ts = TagStore(spark)
+    ts.SMALL_STATE_MAX = 0  # force the distributed path from merge 1
+    history = None
+    for i in range(4):
+        ev = ts.merge(mk(spark, [tag_row("a", "owner", f"v{i}"), tag_row(f"b{i}", "owner", "x")]))
+        history = ev if history is None else history.unionByName(ev)
+    rows = history.collect()
+    assert len(rows) == 8  # 2 events per merge, all generations readable
+    assert {r["action"] for r in rows} == {"CREATE", "UPDATE"}
+    assert ts.all().count() == 5
