@@ -215,3 +215,24 @@ def test_history_readable_across_many_distributed_merges(spark):
     assert len(rows) == 8  # 2 events per merge, all generations readable
     assert {r["action"] for r in rows} == {"CREATE", "UPDATE"}
     assert ts.all().count() == 5
+
+
+def test_persistence_reload_stays_distributed_past_threshold(spark, tmp_path):
+    # a reloaded store whose persisted state exceeds the driver-resident
+    # cap must come back on the distributed path and keep merging
+    path = str(tmp_path / "tags.parquet")
+    ts = TagStore(spark, path=path)
+    ts.SMALL_STATE_MAX = 4
+    ts.merge(mk(spark, [tag_row(f"a{i}", "owner", f"u{i}") for i in range(8)]))
+    assert ts._rows is None  # promoted during the merge
+
+    reloaded = TagStore(spark, path=path)
+    reloaded.SMALL_STATE_MAX = 4
+    # class-level probe in __init__ used the class cap (4096), so mirror
+    # the instance cap by re-probing through set_state
+    reloaded.set_state(spark.read.parquet(path))
+    assert reloaded._rows is None  # distributed from the start
+    hist = reloaded.merge(mk(spark, [tag_row("a3", "owner", "new")])).collect()
+    assert [h["action"] for h in hist] == ["UPDATE"]
+    assert state(reloaded)[("a3", None, "t", "owner")] == "new"
+    assert reloaded.all().count() == 8
