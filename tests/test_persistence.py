@@ -45,3 +45,34 @@ def test_save_load_roundtrip(spark, tmp_path):
     assert len({(r["asset_uri"], r["column"], r["field_id"]) for r in rows}) == len(rows)
     hist_actions = [r["action"] for r in loaded.history().collect()]
     assert hist_actions.count("UPDATE") == 1  # re-run classified as UPDATE, not CREATE
+
+
+def test_save_load_roundtrip_with_templateless_configs(spark, tmp_path):
+    # TAG_EXPORT / ENTRY_CREATE configs carry no template; they must
+    # survive the JSON persistence roundtrip and stay job-dispatchable
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datacatalog_tag_engine_spark.engine import TagEngine
+
+    (tmp_path / "files").mkdir()
+    pq.write_table(pa.table({"id": [1, 2]}), str(tmp_path / "files" / "a.parquet"))
+
+    eng = TagEngine(spark)
+    export_cfg = eng.create_config(
+        "TAG_EXPORT", None, target_path=str(tmp_path / "reports"),
+        refresh_mode="AUTO", refresh_frequency=1, refresh_unit="hours",
+        next_run=datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc),
+    )
+    entry_cfg = eng.create_config("ENTRY_CREATE", None, directory=str(tmp_path / "files"))
+
+    base = str(tmp_path / "state")
+    eng.save_state(base)
+    restored = TagEngine.load_state(spark, base)
+    assert restored.configs[export_cfg]["config_type"] == "TAG_EXPORT"
+    assert restored.configs[export_cfg]["template_id"] is None
+    job = restored.trigger_job(entry_cfg, None)
+    assert next(j for j in restored.jobs if j["job_uuid"] == job)["job_status"] == "SUCCESS"
+    assert restored.assets.count() == 1
