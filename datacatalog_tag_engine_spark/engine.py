@@ -92,6 +92,10 @@ class TagEngine:
         # export config stores only target coordinates, main.py:3621);
         # ENTRY_CREATE may tag the created entries, so a template is
         # allowed but not required.
+        if config_type == "TAG_EXPORT" and not kw.get("target_path"):
+            raise ValueError("TAG_EXPORT config requires target_path")
+        if config_type == "ENTRY_CREATE" and not kw.get("directory"):
+            raise ValueError("ENTRY_CREATE config requires directory")
         if template_id is None:
             if config_type not in ("TAG_EXPORT", "ENTRY_CREATE"):
                 raise ValueError(f"{config_type} config requires a template_id")
@@ -154,6 +158,12 @@ class TagEngine:
         cfg = self.configs[config_uuid]
         if cfg["config_status"] != "ACTIVE":
             raise ValueError(f"config {config_uuid} is not active")
+        if kw.get("incremental") and cfg["config_type"] in ("TAG_EXPORT", "ENTRY_CREATE"):
+            # side-effect jobs rebuild their full report/entry set every
+            # run; a silently-ignored flag would misreport what ran
+            raise ValueError(
+                f"incremental refresh is not applicable to {cfg['config_type']} configs"
+            )
         if kw.pop("incremental", False) and assets is not None:
             # refresh only assets whose data changed since their last tag
             # (operators/incremental) — scheduled-job cost tracks change
@@ -383,7 +393,8 @@ class TagEngine:
         matched = URI.expand_included_excluded(
             assets, cfg["included_uris"], cfg.get("excluded_uris")
         ).select("asset_uri")
-        fields_df = self.spark.createDataFrame(
+        fields_df = local_df(
+            self.spark,
             [
                 (
                     cfg["template_id"],

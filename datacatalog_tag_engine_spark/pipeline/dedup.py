@@ -139,9 +139,11 @@ def lsh_candidate_pairs(
 
 def hash_collision_count(shingles: DataFrame, col: str = "shingle") -> int:
     """Diagnostic for the xxhash64 join-key substitution used by
-    ``jaccard_pairs`` / ``repeated_spans``: number of distinct shingles
-    that share a 64-bit hash with a different shingle (each collision
-    silently merges counts). Expected 0 at any realistic corpus size
+    ``jaccard_pairs`` / ``repeated_spans``: excess collisions =
+    count(distinct shingle) - count(distinct hash). A group of k
+    distinct shingles sharing one hash contributes k-1 (so 0 means no
+    collisions anywhere; each collision silently merges counts).
+    Expected 0 at any realistic corpus size
     (~2^-64 per pair); run at small scale when validating a new corpus
     shape, not in production plans — it double-scans the shingle set.
     """

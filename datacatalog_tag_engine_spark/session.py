@@ -81,6 +81,10 @@ def local_df(spark: SparkSession, data, schema, slices: int | None = None):
     if not data:
         return spark.createDataFrame([], schema)
     if isinstance(data[0], dict):
+        if isinstance(schema, str):
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromDDL(schema)
         # fail fast on misspelled keys — the RDD path verifies lazily on
         # executors, so a silent r.get() None would surface (if at all)
         # as a wrong column far from the bug

@@ -181,3 +181,23 @@ def test_export_job_failure_records_error_row(spark, tmp_path):
     assert job["config_type"] == "TAG_EXPORT"
     assert job["job_status"] == "ERROR"
     assert job["tasks_failed"] == 1
+
+
+def test_side_effect_config_validation_at_create_time(spark, tmp_path):
+    # the essential coordinate is checked when the config is created,
+    # not discovered as a KeyError on the first (possibly scheduled) run
+    import pytest
+
+    from datacatalog_tag_engine_spark.engine import TagEngine
+
+    eng = TagEngine(spark)
+    with pytest.raises(ValueError, match="target_path"):
+        eng.create_config("TAG_EXPORT", None)
+    with pytest.raises(ValueError, match="directory"):
+        eng.create_config("ENTRY_CREATE", None)
+    # incremental refresh has no meaning for side-effect jobs: reject
+    # loudly instead of silently running a full export
+    cfg = eng.create_config("TAG_EXPORT", None, target_path=str(tmp_path / "r"))
+    with pytest.raises(ValueError, match="incremental"):
+        eng.trigger_job(cfg, None, incremental=True)
+    assert all(j["config_uuid"] != cfg for j in eng.jobs)

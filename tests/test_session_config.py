@@ -40,3 +40,12 @@ def test_local_df_rejects_unknown_keys(spark):
 
     with pytest.raises(ValueError, match="not in schema"):
         local_df(spark, [{"asset_urii": "typo"}], TAGS_SCHEMA)
+
+
+def test_local_df_dict_rows_with_ddl_schema(spark):
+    df = local_df(spark, [{"id": 7}, {"id": None}], "id long")
+    assert [r["id"] for r in df.orderBy("id").collect()] == [None, 7]
+    import pytest
+
+    with pytest.raises(ValueError, match="not in schema"):
+        local_df(spark, [{"idd": 1}], "id long")
