@@ -759,6 +759,37 @@ class TagEngine:
             reverse=True,
         )
 
+    def delete_config(self, config_uuid: str, config_type: str | None = None) -> bool:
+        """Config hard-delete (reference TagEngineStoreHandler.py:
+        1286-1314 via main.py:3235 /delete_config): False when the uuid
+        does not exist or the supplied config_type does not match the
+        stored one (the reference resolves the collection from the type,
+        so a wrong type is a miss); True after removal. Job-ledger rows
+        for past runs are kept — the reference deletes only the config
+        document."""
+        cfg = self.configs.get(config_uuid)
+        if cfg is None or (config_type is not None and cfg["config_type"] != config_type):
+            return False
+        del self.configs[config_uuid]
+        return True
+
+    def purge_inactive_configs(self, config_type: str = "ALL") -> int:
+        """Bulk-delete INACTIVE configs of one type, or every type for
+        'ALL' (reference TagEngineStoreHandler.py:1317-1343 via
+        main.py:3296 /purge_inactive_configs); returns the deleted
+        count. Configs go INACTIVE when a newer config with the same
+        (type, template, uris) hash supersedes them (P11), so this is
+        the reference's cleanup for superseded-config buildup."""
+        doomed = [
+            uuid
+            for uuid, c in self.configs.items()
+            if c["config_status"] == "INACTIVE"
+            and (config_type == "ALL" or c["config_type"] == config_type)
+        ]
+        for uuid in doomed:
+            del self.configs[uuid]
+        return len(doomed)
+
     def recent_log_entries(self, limit: int = 25) -> DataFrame:
         """O6 (reference main.py:195-225 get_log_entries): the latest
         ``limit`` audit entries, newest first, payload truncated to 120

@@ -353,3 +353,41 @@ def test_scheduled_refresh(spark, engine, assets):
     # not ready again until next_run
     assert engine.run_ready_configs(assets, now=t0) == []
     assert engine.run_ready_configs(assets, now=t0 + datetime.timedelta(hours=25)) != []
+
+
+def test_delete_and_purge_configs(spark, engine):
+    # delete_config: miss on unknown uuid or mismatched type, hard-delete
+    # otherwise (reference TagEngineStoreHandler.py:1286-1314)
+    cfg = engine.create_config(
+        "STATIC_TAG_ASSET",
+        "data_governance",
+        included_uris="bigquery/project/p/dataset/d/lineitem",
+        fields=[{"field_id": "data_owner", "field_value": "x"}],
+    )
+    assert not engine.delete_config("cfg-999999")
+    assert not engine.delete_config(cfg, "DYNAMIC_TAG_TABLE")
+    assert cfg in engine.configs
+    assert engine.delete_config(cfg, "STATIC_TAG_ASSET")
+    assert cfg not in engine.configs
+    assert not engine.delete_config(cfg)  # already gone
+
+    # purge_inactive_configs: superseding a config by hash (P11)
+    # deactivates the old one; purge removes only INACTIVE of the
+    # requested type (reference TagEngineStoreHandler.py:1317-1343)
+    old = engine.create_config(
+        "STATIC_TAG_ASSET",
+        "data_governance",
+        included_uris="bigquery/project/p/dataset/d/orders",
+        fields=[{"field_id": "data_owner", "field_value": "v1"}],
+    )
+    new = engine.create_config(
+        "STATIC_TAG_ASSET",
+        "data_governance",
+        included_uris="bigquery/project/p/dataset/d/orders",
+        fields=[{"field_id": "data_owner", "field_value": "v2"}],
+    )
+    assert engine.configs[old]["config_status"] == "INACTIVE"
+    assert engine.purge_inactive_configs("DYNAMIC_TAG_TABLE") == 0
+    assert engine.purge_inactive_configs("STATIC_TAG_ASSET") == 1
+    assert old not in engine.configs and new in engine.configs
+    assert engine.purge_inactive_configs() == 0  # nothing left to purge
