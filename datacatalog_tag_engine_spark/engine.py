@@ -51,6 +51,14 @@ class TagEngine:
         self._history = spark.createDataFrame([], TAG_HISTORY_SCHEMA)
         self._seq = 0
         self.qualify = qualify or (lambda p, d, t: t)
+        # keyed settings documents, mirroring the reference's
+        # settings collection (TagEngineStoreHandler.py:50-200:
+        # per-user defaults, tag_history, job_metadata,
+        # coverage_report). tag_history defaults ENABLED here — the
+        # engine's history table doubles as its audit log, and every
+        # history-consuming query assumes it is on; the reference
+        # default (off until configured) is one set_ call away.
+        self.settings: dict[str, dict] = {"tag_history": {"enabled": True}}
 
     # -- templates ---------------------------------------------------------
 
@@ -674,7 +682,8 @@ class TagEngine:
             F.lit(job_uuid).alias("job_uuid"),
             F.lit(now.date()).cast("date").alias("event_date"),
         )
-        self._history = self._history.unionByName(rows)
+        if self.tag_history_enabled():
+            self._history = self._history.unionByName(rows)
         # a driver-resident merge already knows its event count — the
         # select above is 1:1, so reuse it instead of scheduling a
         # count job per merge in an interactive chain
@@ -705,6 +714,7 @@ class TagEngine:
             "configs": self.configs,
             "jobs": self.jobs,
             "seq": self._seq,
+            "settings": self.settings,
         }
         with open(os.path.join(base_path, "meta.json"), "w") as f:
             json.dump(meta, f, default=default)
@@ -728,6 +738,9 @@ class TagEngine:
         eng.configs = meta["configs"]
         eng.jobs = meta["jobs"]
         eng._seq = meta["seq"]
+        # older snapshots predate the settings store: keep the
+        # constructor default (tag_history enabled)
+        eng.settings = meta.get("settings", eng.settings)
         # set_state keeps the store's driver-resident mirror in sync —
         # without it the next merge would take the empty-store fast path
         # and duplicate same-key tags
@@ -789,6 +802,47 @@ class TagEngine:
         for uuid in doomed:
             del self.configs[uuid]
         return len(doomed)
+
+    # -- settings (reference settings collection) --------------------------
+
+    def set_settings(self, doc: str, **values) -> None:
+        """Write one settings document (reference doc_ref.set semantics:
+        full replace, TagEngineStoreHandler.py:65-183). Documents:
+        a user email (default template coordinates), 'tag_history',
+        'job_metadata', 'coverage_report'."""
+        self.settings[doc] = dict(values)
+
+    def get_settings(self, doc: str) -> tuple[bool, dict]:
+        """(exists, settings) like the reference's read_* pairs
+        (TagEngineStoreHandler.py:50-62)."""
+        s = self.settings.get(doc)
+        return (s is not None), (s or {})
+
+    def tag_history_enabled(self) -> bool:
+        """Gate on history appends (reference read_tag_history_settings,
+        TagEngineStoreHandler.py:79-93: enabled only when the settings
+        doc exists and says so). Tagging itself never depends on it."""
+        return bool(self.settings.get("tag_history", {}).get("enabled"))
+
+    def coverage_report(self, assets: DataFrame) -> DataFrame:
+        """Settings-driven coverage report (reference main.py
+        /coverage_report + generate_coverage_report,
+        TagEngineStoreHandler.py:185-253): restrict assets to the
+        configured included projects, apply the configured
+        dataset/table exclusions, roll up per dataset. Unconfigured =
+        report everything (no projects filter, no exclusions)."""
+        from .operators.coverage import coverage_report as _report
+
+        _, s = self.get_settings("coverage_report")
+        included = s.get("included_projects")
+        if included:
+            assets = assets.filter(F.col("project").isin(list(included)))
+        return _report(
+            assets,
+            self.store.all(),
+            excluded_datasets=s.get("excluded_datasets"),
+            excluded_tables=s.get("excluded_tables"),
+        )
 
     def recent_log_entries(self, limit: int = 25) -> DataFrame:
         """O6 (reference main.py:195-225 get_log_entries): the latest

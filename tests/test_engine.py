@@ -391,3 +391,60 @@ def test_delete_and_purge_configs(spark, engine):
     assert engine.purge_inactive_configs("STATIC_TAG_ASSET") == 1
     assert old not in engine.configs and new in engine.configs
     assert engine.purge_inactive_configs() == 0  # nothing left to purge
+
+
+def test_settings_documents_and_history_gate(spark, engine, assets):
+    # settings docs mirror the reference's keyed collection: full
+    # replace on write, (exists, dict) on read
+    assert engine.get_settings("u@example.com") == (False, {})
+    engine.set_settings("u@example.com", template_id="data_governance", template_project="p")
+    ok, s = engine.get_settings("u@example.com")
+    assert ok and s["template_id"] == "data_governance"
+    engine.set_settings("u@example.com", template_id="other")
+    assert engine.get_settings("u@example.com")[1] == {"template_id": "other"}
+
+    # tag_history off: tagging still works, no history rows are written
+    engine.set_settings("tag_history", enabled=False)
+    cfg = engine.create_config(
+        "STATIC_TAG_ASSET",
+        "data_governance",
+        included_uris="bigquery/project/p/dataset/d/lineitem",
+        fields=[{"field_id": "data_owner", "field_value": "quiet"}],
+    )
+    engine.trigger_job(cfg, assets)
+    assert engine.store.all().count() == 1
+    assert engine.history().count() == 0
+    assert engine.jobs[-1]["job_status"] == "SUCCESS"
+
+    # re-enable: subsequent merges append again
+    engine.set_settings("tag_history", enabled=True)
+    cfg2 = engine.create_config(
+        "STATIC_TAG_ASSET",
+        "data_governance",
+        included_uris="bigquery/project/p/dataset/d/orders",
+        fields=[{"field_id": "data_owner", "field_value": "loud"}],
+    )
+    engine.trigger_job(cfg2, assets)
+    assert engine.history().count() == 1
+
+
+def test_settings_driven_coverage_report(spark, engine, assets):
+    cfg = engine.create_config(
+        "STATIC_TAG_ASSET",
+        "data_governance",
+        included_uris="bigquery/project/p/dataset/d/lineitem",
+        fields=[{"field_id": "data_owner", "field_value": "x"}],
+    )
+    engine.trigger_job(cfg, assets)
+    # unconfigured: everything reported
+    full = engine.coverage_report(assets)
+    assert full.agg(F.sum("table_count")).first()[0] == assets.count()
+    # configured: project filter + table exclusion both apply
+    engine.set_settings(
+        "coverage_report", included_projects=["p"], excluded_tables=["orders"]
+    )
+    r = engine.coverage_report(assets).first()
+    assert r["table_count"] == assets.count() - 1
+    assert r["tagged_tables"] == 1
+    engine.set_settings("coverage_report", included_projects=["absent"])
+    assert engine.coverage_report(assets).count() == 0

@@ -22,10 +22,13 @@ def test_save_load_roundtrip(spark, tmp_path):
         next_run=datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc),
     )
     eng.trigger_job(cfg, assets)
+    eng.set_settings("coverage_report", included_projects=["p"])
     eng.save_state(str(tmp_path / "state"))
 
     loaded = TagEngine.load_state(spark, str(tmp_path / "state"))
     assert loaded.templates == eng.templates
+    assert loaded.get_settings("coverage_report") == (True, {"included_projects": ["p"]})
+    assert loaded.tag_history_enabled()
     assert loaded.configs[cfg]["next_run"] == eng.configs[cfg]["next_run"]
     assert loaded.store.all().count() == 1
     assert loaded.history().count() == 1
