@@ -2117,12 +2117,17 @@ w AS (
 
     o["q54_mixture_weights"] = _mix_cte + r"""
 SELECT source, n_docs, n_tokens, weight,
-       round(least(1.0, 10000 * weight / n_tokens), 6) AS rate
+       CASE WHEN n_tokens > 0
+            THEN round(least(1.0, 10000 * weight / n_tokens), 6)
+            ELSE 0.0 END AS rate
 FROM w
 """
 
     o["q55_mixture_sample"] = _mix_cte + r""",
-r AS (SELECT source, round(least(1.0, 10000 * weight / n_tokens), 6) AS rate FROM w)
+r AS (SELECT source,
+             CASE WHEN n_tokens > 0
+                  THEN round(least(1.0, 10000 * weight / n_tokens), 6)
+                  ELSE 0.0 END AS rate FROM w)
 SELECT d.doc_id, d.source,
        len(regexp_extract_all(d.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens
 FROM documents d JOIN r USING (source)
@@ -2146,7 +2151,7 @@ dists AS (
                   i -> cast(round((sv[i]-cv[i])^2 * 1e6) AS BIGINT))) AS d
   FROM esub JOIN csub USING (m)),
 codes AS (
-  SELECT vec_id, m, cast(min(d*100 + c) % 100 AS INT) AS code
+  SELECT vec_id, m, cast(min(d*16 + c) % 16 AS INT) AS code
   FROM dists GROUP BY vec_id, m),
 dt AS (
   SELECT es.vec_id AS query_id, es.m, c AS code,

@@ -68,22 +68,27 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     return F.when(n >= k, full).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
+def _repartition_for_explode(df: DataFrame, id_col: str) -> DataFrame:
+    """Pre-explode repartition shared by every CPU-heavy shingle/token
+    stage: document corpora often arrive as few large files, and without
+    it the explode runs on as many cores as there are input splits.
+    CPU-heavy stages must scale with the CLUSTER, which the session
+    expresses as spark.sql.shuffle.partitions (RDD default parallelism
+    is pinned small for driver-local relations); hashing BY the id also
+    feeds any downstream groupBy(id) with no second shuffle."""
+    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(width, id_col)
+
+
 def shingle_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
     """(doc_id, shingle) distinct rows — the shared base of the minhash
     and ngram paths.
 
-    Two deliberate plan choices: (1) repartition by id before the
-    CPU-heavy explode — document corpora often arrive as few large
-    files, and without this the shingling runs on as many cores as
-    there are input splits; partitioning BY the id also feeds the
-    signature groupBy(id) with no second shuffle. (2) dedup shingles
-    per-document with array_distinct inside the row (equivalent to a
-    global distinct on (id, shingle)) — saves an entire shuffle."""
-    # CPU-heavy explode stages must scale with the CLUSTER, which the
-    # session expresses as spark.sql.shuffle.partitions (RDD default
-    # parallelism is pinned small for driver-local relations)
-    parallelism = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return docs.repartition(parallelism, id_col).select(
+    Two deliberate plan choices: (1) the shared pre-explode repartition
+    (see _repartition_for_explode). (2) dedup shingles per-document
+    with array_distinct inside the row (equivalent to a global distinct
+    on (id, shingle)) — saves an entire shuffle."""
+    return _repartition_for_explode(docs, id_col).select(
         id_col,
         F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("shingle"),
     )
@@ -247,19 +252,21 @@ def minhash_dedup(
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
     """Per-doc SimHash fingerprint over whitespace tokens.
 
-    Token hash = first 4 hex chars of md5 (16-bit space); bit j of the
+    Token hash = first ceil(bits/4) md5 hex chars (at least 4, so the
+    16-bit default matches the SQL oracle exactly); bit j of the
     fingerprint is 1 when the sum over tokens of (+1 if token-hash bit j
     else -1) is positive. Distinct tokens weighted by occurrence count.
-    Returns (doc_id, simhash BIGINT).
+    Returns (doc_id, simhash BIGINT). bits caps at 60: the token hash
+    must carry a real bit at every fingerprint position (the old fixed
+    4-hex prefix silently zeroed bits 16+) and fit a signed long.
     """
-    # CPU-heavy explode stages must scale with the CLUSTER, which the
-    # session expresses as spark.sql.shuffle.partitions (RDD default
-    # parallelism is pinned small for driver-local relations)
-    parallelism = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    toks = docs.repartition(parallelism, id_col).select(
+    if bits > 60:
+        raise ValueError(f"simhash supports at most 60 bits, got {bits}")
+    toks = _repartition_for_explode(docs, id_col).select(
         id_col, F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
     )
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long")
+    nhex = max(4, (bits + 3) // 4)
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, nhex), 16, 10).cast("long")
     toks = toks.select(id_col, h.alias("h"))
     bit_sums = toks.groupBy(id_col).agg(
         *[
@@ -293,6 +300,13 @@ def neardup_clusters(
     so 2-3 rounds in practice, with an eager checkpoint per round to
     keep lineage flat. This is the standard DataFrame-only connected
     components (no GraphX dependency, works on any cluster).
+
+    Raises RuntimeError if the label propagation has not converged
+    within ``max_iterations`` — a long chain component (diameter >
+    rounds) would otherwise return one cluster split under several
+    labels, and apply_neardup_dedup would silently keep multiple
+    'canonical' near-duplicates. Raise rather than guess; the caller
+    bumps max_iterations (cost is O(diameter), not O(n)).
     """
     edges = (
         pairs.selectExpr("doc_a as src", "doc_b as dst")
@@ -302,6 +316,7 @@ def neardup_clusters(
     )
     labels = docs.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
     prev_ckpt = None
+    converged = False
     for it in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels[id_col])
@@ -334,7 +349,15 @@ def neardup_clusters(
         if it > 0:
             changed = updated.filter(F.col("new_cluster_id") != F.col("cluster_id")).count()
             if changed == 0:
+                converged = True
                 break
+    if not converged:
+        free_local_checkpoint(edges)
+        raise RuntimeError(
+            f"neardup_clusters: label propagation did not converge within "
+            f"{max_iterations} rounds — a component's diameter exceeds the "
+            f"round budget; raise max_iterations"
+        )
     # final labels read only the last round's checkpoint
     free_local_checkpoint(edges)
     return labels
@@ -718,18 +741,9 @@ def repeated_spans(
     it; at 100 TB the same filter is what a bloom/count-min prefilter
     approximates, and this is its exact form.
     """
-    from .dedup import word_shingles  # same builder as the LSH path
-
-    words_sh = word_shingles(F.lower(F.col(text_col)), n)
-    # same pre-explode repartition as shingle_table: document corpora
-    # often arrive as few large files, and without it the CPU-heavy
-    # n-gram stage runs on as many cores as there are input splits
-    # CPU-heavy explode stages must scale with the CLUSTER, which the
-    # session expresses as spark.sql.shuffle.partitions (RDD default
-    # parallelism is pinned small for driver-local relations)
-    parallelism = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    words_sh = word_shingles(F.lower(F.col(text_col)), n)  # same builder as the LSH path
     grams = (
-        docs.repartition(parallelism, id_col)
+        _repartition_for_explode(docs, id_col)
         .select(id_col, words_sh.alias("_grams"))
         .localCheckpoint(eager=True)
     )

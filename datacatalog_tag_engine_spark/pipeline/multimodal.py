@@ -77,7 +77,14 @@ def decode_payload(payload: bytes, fake: bool = True) -> dict:
     """
     if not fake:
         raise NotImplementedError("real media decode needs PIL/librosa/ffmpeg — not in this container")
-    if payload is None or bytes(payload[: len(_MAGIC)]) != _MAGIC:
+    # a truncated header (magic present, fewer than 16 body bytes) is
+    # malformed the same way a wrong-magic payload is: all-None features,
+    # never a struct.error that aborts the whole Spark task
+    if (
+        payload is None
+        or len(payload) < len(_MAGIC) + 16
+        or bytes(payload[: len(_MAGIC)]) != _MAGIC
+    ):
         return {"width": None, "height": None, "duration_ms": None, "n_frames": None}
     w, h, dur, frames = struct.unpack("<iiii", bytes(payload[len(_MAGIC) : len(_MAGIC) + 16]))
     return {"width": w, "height": h, "duration_ms": dur, "n_frames": frames}

@@ -23,11 +23,25 @@ def profile_numeric_columns(df: DataFrame, columns: list[str] | None = None) -> 
     pass for ALL columns (the per-column metrics are parallel aggregate
     expressions, not per-column jobs), then unpivoted to long rows."""
     if columns is None:
+        # every numeric family, including DecimalType — the common
+        # warehouse type for money/quantity measures (a decimal column
+        # silently skipped would profile as absent, not as an error)
         columns = [
             f.name
             for f in df.schema.fields
-            if isinstance(f.dataType, (T.IntegerType, T.LongType, T.FloatType, T.DoubleType, T.ShortType))
+            if isinstance(
+                f.dataType,
+                (T.IntegerType, T.LongType, T.FloatType, T.DoubleType,
+                 T.ShortType, T.ByteType, T.DecimalType),
+            )
         ]
+    if not columns:
+        # nothing numeric: an empty profile, not an empty-agg crash
+        return df.sparkSession.createDataFrame(
+            [],
+            "column string, n double, n_null double, n_distinct double, "
+            "min_value double, max_value double, mean_value double, stddev_value double",
+        )
     aggs = []
     for c in columns:
         col = F.col(c).cast("double")

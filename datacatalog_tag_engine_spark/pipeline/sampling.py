@@ -27,18 +27,23 @@ def deterministic_sample(
     df: DataFrame, key_col: str, fraction: float, buckets: int = BUCKETS
 ) -> DataFrame:
     """Keep rows whose key bucket falls below fraction*buckets. Same
-    keys in -> same sample out, anywhere."""
-    return df.filter(hash_bucket(F.col(key_col), buckets) < int(fraction * buckets))
+    keys in -> same sample out, anywhere. The threshold rounds half-up
+    (same rule as temperature_mixture_sample): int(f*b) truncation
+    would drop a bucket whenever f*b lands just under an integer in
+    binary float (0.57*10000 = 5699.999…), making the kept fraction
+    disagree with any engine that computes the product exactly."""
+    return df.filter(hash_bucket(F.col(key_col), buckets) < int(fraction * buckets + 0.5))
 
 
 def stratified_deterministic_sample(
     df: DataFrame, key_col: str, strata_col: str, fractions: dict[str, float], buckets: int = BUCKETS
 ) -> DataFrame:
     """Per-stratum fractions (e.g. downsample 'en' to 10%, keep 'de'),
-    same hash-bucket reproducibility."""
+    same hash-bucket reproducibility and the same half-up threshold rule
+    as deterministic_sample."""
     bucket = hash_bucket(F.col(key_col), buckets)
     thresh = F.create_map(
-        *[F.lit(x) for kv in fractions.items() for x in (kv[0], int(kv[1] * buckets))]
+        *[F.lit(x) for kv in fractions.items() for x in (kv[0], int(kv[1] * buckets + 0.5))]
     )
     return df.filter(bucket < F.coalesce(thresh[F.col(strata_col)], F.lit(buckets)))
 
@@ -110,9 +115,13 @@ def mixture_weights(
     )
     if budget_tokens is None:
         return out.withColumn("rate", F.lit(None).cast("double"))
-    rate = F.least(
-        F.lit(1.0), F.lit(float(budget_tokens)) * F.col("weight") / F.col("n_tokens")
-    )
+    # guard the zero-token source explicitly: budget*weight/0 is NULL
+    # and least() SKIPS nulls, so the unguarded form returns rate=1.0 —
+    # keeping 100% of a weight-0 source, the opposite of the contract
+    rate = F.when(
+        F.col("n_tokens") > 0,
+        F.least(F.lit(1.0), F.lit(float(budget_tokens)) * F.col("weight") / F.col("n_tokens")),
+    ).otherwise(F.lit(0.0))
     return out.withColumn("rate", F.round(rate, 6))
 
 

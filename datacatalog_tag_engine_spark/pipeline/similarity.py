@@ -181,16 +181,26 @@ def ivf_topk(
     the full corpus; recall is traded via num_cells x nprobe (nprobe =
     num_cells degenerates to exact brute force). Same output shape as
     brute_force_topk. ``cents`` plugs in trained centroids (see
-    ``kmeans_centroids``)."""
+    ``kmeans_centroids``). Queries need not be corpus rows: each query
+    probes with its OWN vector against the same centroid table the
+    corpus was assigned with (like brute_force_topk / lsh_topk /
+    pq_topk), so external queries score correctly instead of being
+    silently dropped by an id lookup."""
+    if cents is None:
+        # materialize the default seeding from the CORPUS once so the
+        # corpus assignment and the query probes share one centroid
+        # table — deriving it per-frame would re-seed from the queries
+        cents = corpus.orderBy(id_col).limit(num_cells).select(
+            F.col(id_col).alias("cell"),
+            F.col(vec_col).cast("array<double>").alias("cent_v"),
+        )
     ranked = _ranked_cells(corpus, num_cells, id_col, vec_col, cents=cents)
     c = ranked.filter(F.col("_rn") == 1).select(
         F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), "cell"
     )
-    # queries probe their nprobe closest cells; same ranked frame as the
-    # corpus assignment, so probe cells and assigned cells can't desync
     q = (
-        ranked.filter(F.col("_rn") <= nprobe)
-        .join(queries.select(id_col), id_col, "left_semi")
+        _ranked_cells(queries, num_cells, id_col, vec_col, cents=cents)
+        .filter(F.col("_rn") <= nprobe)
         .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "cell")
     )
     scored = (
@@ -455,10 +465,12 @@ def pq_encode(
     to num_subspaces codes (4 bytes/vector at 4x16 vs 256 floats: the
     64x storage cut that makes billion-vector ANN fit in memory).
 
-    argmin is the integer trick min(micro_dist * 100 + c) % 100 — exact,
-    ties break to the lowest code, and the same expression replays in
-    the SQL oracle. One corpus scan, codebook broadcast, one
-    (vec, m)-grain aggregation."""
+    argmin is the integer trick min(micro_dist * num_codes + c) %
+    num_codes — exact for any codebook size (codes are always <
+    num_codes, so the packed low digits can never spill into the
+    distance component), ties break to the lowest code, and the same
+    expression replays in the SQL oracle. One corpus scan, codebook
+    broadcast, one (vec, m)-grain aggregation."""
     sub = dim // num_subspaces
     cb = codebook if codebook is not None else pq_codebook(
         corpus, num_subspaces, num_codes, dim, id_col, vec_col
@@ -466,10 +478,12 @@ def pq_encode(
     v = corpus.select(F.col(vec_col).cast("array<double>").alias("v"), F.col(id_col))
     subs = _pq_subspaces(v, id_col, id_col, num_subspaces, sub)
     scored = subs.join(F.broadcast(cb), "m").select(
-        id_col, "m", (_micro_l2(F.col("sv"), F.col("cv")) * 100 + F.col("c")).alias("_dc")
+        id_col,
+        "m",
+        (_micro_l2(F.col("sv"), F.col("cv")) * num_codes + F.col("c")).alias("_dc"),
     )
     return scored.groupBy(id_col, "m").agg(
-        (F.min("_dc") % 100).cast("int").alias("code")
+        (F.min("_dc") % num_codes).cast("int").alias("code")
     )
 
 

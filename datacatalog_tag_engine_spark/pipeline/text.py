@@ -505,7 +505,12 @@ def unigram_logprob(
     words = docs.select(
         id_col, F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
     )
-    vocab = words.groupBy("word").agg(F.count("*").alias("c"))
+    # the vocabulary aggregation feeds THREE consumers — the total
+    # action below, the broadcast model, and (via words) the scoring
+    # join — across two separate actions, which exchange reuse cannot
+    # span. Materialize it once (it is vocabulary-sized, tiny next to
+    # the corpus) so the corpus explode+groupBy runs a single time.
+    vocab = words.groupBy("word").agg(F.count("*").alias("c")).localCheckpoint(eager=True)
     total = vocab.agg(F.sum("c")).first()[0]
     lp_micro = F.round(F.log(F.col("c") / F.lit(float(total))) * 1_000_000).cast("long")
     model = vocab.select("word", lp_micro.alias("lp6"))

@@ -102,3 +102,64 @@ def test_hashed_linear_score_bounds_and_weights_override(spark):
     zeros = spark.range(1024).selectExpr("cast(id as int) as bucket", "cast(0.0 as double) as w")
     flat = TXT.hashed_linear_score(docs, weights=zeros).collect()
     assert all(r["score"] == 0.5 for r in flat)
+
+
+def test_clusters_unconverged_chain_raises(spark):
+    """Regression: a chain whose diameter exceeds the round budget must
+    raise instead of silently returning a split cluster."""
+    import pytest
+
+    n = 12
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    chain = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        DD.neardup_clusters(docs, chain, max_iterations=3)
+    # enough rounds: the whole chain resolves to one cluster
+    got = DD.neardup_clusters(docs, chain, max_iterations=n + 2)
+    assert {r["cluster_id"] for r in got.collect()} == {0}
+
+
+def test_simhash_wide_bits_carry_signal(spark):
+    """Regression: bits > 16 used to silently zero every bit above 15."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta{i}") for i in range(20)], "doc_id long, text string"
+    )
+    fp = {r["doc_id"]: r["simhash"] for r in DD.simhash(docs, bits=32).collect()}
+    assert any(v >= (1 << 16) for v in fp.values())  # high bits are live
+    with pytest.raises(ValueError, match="60"):
+        DD.simhash(docs, bits=64)
+
+
+def test_sample_threshold_rounds_half_up(spark):
+    """Regression: int(0.57*10000) truncates to 5699 in binary float —
+    the threshold must round half-up so any engine computing the
+    product exactly agrees on every bucket."""
+    df = spark.createDataFrame([(i,) for i in range(3000)], "doc_id long")
+    got = S.deterministic_sample(df, "doc_id", 0.57)
+    bucket = S.hash_bucket(F.col("doc_id"))
+    expected = df.filter(bucket < 5700)  # the exact-decimal threshold
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+    strat = S.stratified_deterministic_sample(
+        df.withColumn("src", F.lit("a")), "doc_id", "src", {"a": 0.57}
+    )
+    assert strat.count() == got.count()
+
+
+def test_mixture_rate_zero_for_zero_token_source(spark):
+    """Regression: least() skips NULLs, so budget*weight/0 used to give
+    a zero-token source rate 1.0 instead of 0.0."""
+    docs = spark.createDataFrame(
+        [(i, "full", "alpha beta gamma") for i in range(10)]
+        + [(100 + i, "empty", "   ") for i in range(5)],
+        "doc_id long, source string, text string",
+    )
+    rates = {r["source"]: r for r in S.mixture_weights(docs, budget_tokens=10).collect()}
+    assert rates["empty"]["n_tokens"] == 0
+    assert rates["empty"]["rate"] == 0.0
+    assert rates["full"]["rate"] > 0
+    # and the materialized mix keeps nothing from the empty source
+    mixed = S.temperature_mixture_sample(docs, budget_tokens=10)
+    assert mixed.filter(F.col("source") == "empty").count() == 0

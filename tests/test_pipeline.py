@@ -230,6 +230,17 @@ def test_multimodal_real_decode_is_stubbed():
         MM.decode_payload(b"anything", fake=False)
 
 
+def test_multimodal_truncated_header_is_graceful():
+    # magic present but body short: malformed like wrong-magic, not a
+    # struct.error that would abort the whole mapInPandas task
+    from datacatalog_tag_engine_spark.pipeline.multimodal import _MAGIC
+
+    assert MM.decode_payload(bytes(_MAGIC) + b"\x01\x02") == {
+        "width": None, "height": None, "duration_ms": None, "n_frames": None
+    }
+    assert MM.decode_payload(None)["width"] is None
+
+
 def test_resize_plan_preserves_aspect(spark):
     media = MM.make_fake_media(spark, n=1).withColumn("meta_width", F.lit(448)).withColumn(
         "meta_height", F.lit(224)

@@ -88,3 +88,19 @@ def test_streaming_sessionize_closed_sessions_match_batch(spark, tmp_path):
         for r in P.sessionize(_events_df(spark), gap_minutes=30).collect()
     }
     assert got <= batch
+
+
+def test_profile_includes_decimal_and_handles_no_numeric(spark):
+    # decimal measures (the warehouse money type) profile like doubles;
+    # a frame with nothing numeric returns an EMPTY profile, not a crash
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [(Decimal("1.50"), "a"), (Decimal("2.50"), "b")], "price decimal(10,2), name string"
+    )
+    prof = {r["column"]: r for r in P.profile_numeric_columns(df).collect()}
+    assert set(prof) == {"price"}
+    assert prof["price"]["mean_value"] == 2.0
+    empty = P.profile_numeric_columns(df.select("name"))
+    assert empty.count() == 0
+    assert empty.columns[0] == "column"

@@ -154,3 +154,45 @@ def test_ivf_search_accepts_exact_centroids(spark):
         .count()
     )
     assert hits / exact.count() >= 0.4
+
+
+def test_ivf_external_queries_score_own_vectors(spark):
+    """Queries that are NOT corpus rows probe with their own vectors
+    (regression: the id-lookup form silently dropped them)."""
+    from pyspark.sql import functions as F
+
+    from datacatalog_tag_engine_spark.pipeline.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.table("embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 100)
+    external = emb.filter(F.col("vec_id") < 3)  # ids absent from corpus
+    got = ivf_topk(corpus, external, k=5, num_cells=8, nprobe=8)
+    per_q = {r["query_id"]: r["count"] for r in got.groupBy("query_id").count().collect()}
+    assert set(per_q) == {0, 1, 2} and all(c == 5 for c in per_q.values())
+    # nprobe == num_cells degenerates to exact: must equal brute force
+    exact = brute_force_topk(corpus, external, k=5)
+    diff = got.select("query_id", "neighbor_id").exceptAll(
+        exact.select("query_id", "neighbor_id")
+    )
+    assert diff.count() == 0
+
+
+def test_pq_encode_valid_above_100_codes(spark):
+    """Regression: the packed argmin must hold codebooks larger than the
+    old fixed multiplier (num_codes > 100 silently corrupted codes)."""
+    from pyspark.sql import functions as F
+
+    from datacatalog_tag_engine_spark.pipeline.similarity import pq_codebook, pq_encode
+
+    emb = spark.table("embeddings").filter(F.col("vec_id") < 150)
+    cb = pq_codebook(emb, num_subspaces=2, num_codes=120, dim=64)
+    codes = pq_encode(emb, num_subspaces=2, num_codes=120, dim=64, codebook=cb)
+    rows = codes.collect()
+    assert {r["m"] for r in rows} == {0, 1}
+    assert all(0 <= r["code"] < 120 for r in rows)
+    # a codebook row encodes as itself: vector c's subspace is exactly
+    # codebook entry c, so distance 0 wins for every subspace
+    cb_ids = [r["vec_id"] for r in emb.orderBy("vec_id").limit(120).collect()]
+    own = {(r["vec_id"], r["m"]): r["code"] for r in rows}
+    for c, vid in enumerate(cb_ids[:25]):
+        assert own[(vid, 0)] == c and own[(vid, 1)] == c
