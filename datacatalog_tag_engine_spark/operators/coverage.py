@@ -22,11 +22,15 @@ def coverage_report(
     """Per-dataset coverage: table_count, tagged_tables, tag_count, plus
     the per-table breakdown the reference renders (collect_list of
     (table, tag_count) sorted by table)."""
+    # NULL-valued dataset/table rows (dataset-level assets have
+    # table=NULL) must SURVIVE an exclusion filter that doesn't name
+    # them: a bare ~isin() evaluates to NULL for them and silently
+    # drops rows the exclusion never mentioned
     a = assets
     if excluded_datasets:
-        a = a.filter(~F.col("dataset").isin(excluded_datasets))
+        a = a.filter(F.col("dataset").isNull() | ~F.col("dataset").isin(excluded_datasets))
     if excluded_tables:
-        a = a.filter(~F.col("table").isin(excluded_tables))
+        a = a.filter(F.col("table").isNull() | ~F.col("table").isin(excluded_tables))
 
     per_asset = tags.groupBy("asset_uri").agg(F.count("*").alias("tag_count"))
     joined = a.join(per_asset, "asset_uri", "left").withColumn(

@@ -351,7 +351,12 @@ def run_column_config_fused(
             raise ValueError(f"not column-fusable: {f['query_expression']!r}")
         for col in columns:
             if kind == "constant":
-                expr_sql = info["sql"].replace("select ", "", 1).replace("__COL__", f"`{col}`")
+                # classification is case-insensitive, so the SELECT strip
+                # must be too ("SELECT 'X'" would otherwise reach F.expr
+                # with the keyword attached and fail to parse)
+                expr_sql = re.sub(
+                    r"(?is)^\s*select\s+", "", info["sql"], count=1
+                ).replace("__COL__", f"`{col}`")
             else:
                 expr_sql = info["agg"].replace("__COL__", f"`{col}`")
                 if info.get("pred"):

@@ -40,10 +40,15 @@ def schema_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     exploded (asset, column) grain.
     """
     def cols(df, side):
+        # plain explode, not explode_outer: an asset with a null/empty
+        # schema contributes NO column-grain rows (asset presence is
+        # tracked separately below) — explode_outer's column=NULL rows
+        # can never match across the ["asset_uri","column"] join and
+        # reported every schemaless asset as spurious ADDED+REMOVED
         return df.select(
             "asset_uri",
-            F.explode_outer("schema").alias("_c"),
-        ).select(
+            F.explode("schema").alias("_c"),
+        ).filter(F.col("_c.name").isNotNull()).select(
             "asset_uri",
             F.col("_c.name").alias("column"),
             F.col("_c.type").alias(f"{side}_type"),

@@ -150,19 +150,28 @@ def classify_table(notables: DataFrame, classification: DataFrame) -> DataFrame:
 
     notables: (field, notable_infotype) from select_notable_infotype().
     classification: (notable_infotypes ARRAY<STRING>, classification_result STRING).
-    Returns a 1-row DataFrame (classification_result STRING).
+    Returns a 1-row DataFrame (classification_result STRING), or ZERO
+    rows when ``notables`` is empty — a table with no DLP findings has
+    no classification (the unguarded global agg produced have=[], which
+    superset-matches every classification row and mislabeled a clean
+    table with the smallest classification).
     """
     table_set = notables.agg(
         F.array_sort(F.collect_set("notable_infotype")).alias("have")
-    )
+    ).filter(F.size("have") > 0)
     joined = table_set.join(
         F.broadcast(classification),
         F.size(F.array_except(F.col("have"), F.col("notable_infotypes"))) == 0,
         "inner",
     )
-    return joined.agg(
-        F.min_by(
-            F.col("classification_result"),
-            F.struct(F.size("notable_infotypes"), F.col("classification_result")),
-        ).alias("classification_result")
+    return (
+        # grouped (not global) agg: zero input rows -> zero output rows
+        joined.groupBy(F.lit(1).alias("_g"))
+        .agg(
+            F.min_by(
+                F.col("classification_result"),
+                F.struct(F.size("notable_infotypes"), F.col("classification_result")),
+            ).alias("classification_result")
+        )
+        .select("classification_result")
     )

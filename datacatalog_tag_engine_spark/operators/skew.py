@@ -76,13 +76,26 @@ def salted_broadcast_join(
 ) -> DataFrame:
     """Join a skewed big side to a small side by replicating the small
     side across ``salts`` salt values. Output columns = big's columns +
-    small's non-key columns (inner join semantics)."""
-    if salt_source is None:
-        salt_source = key
-    salt = (
-        F.conv(F.substring(F.md5(F.col(salt_source).cast("string")), 1, 8), 16, 10)
-        .cast("long") % salts
-    )
+    small's non-key columns (inner join semantics).
+
+    The salt must VARY WITHIN a key to spread it — salting by the key
+    itself would put the hot key's rows back into one task and the
+    whole construction would be a no-op. With no row-identifying
+    ``salt_source``, the whole-row hash (same rule as salted_agg's
+    default) is used; rows that are full duplicates share a salt, which
+    only matters if the hot key's rows are mostly identical."""
+    if salt_source is not None:
+        if salt_source == key:
+            raise ValueError(
+                "salt_source must vary within the join key — salting by "
+                "the key itself leaves the hot key in a single task"
+            )
+        salt = (
+            F.conv(F.substring(F.md5(F.col(salt_source).cast("string")), 1, 8), 16, 10)
+            .cast("long") % salts
+        )
+    else:
+        salt = F.crc32(F.to_json(F.struct(*big.columns))) % salts
     big_s = big.withColumn("_salt", salt)
     small_s = small.crossJoin(
         F.broadcast(big.sparkSession.range(salts).select(F.col("id").alias("_salt")))

@@ -37,25 +37,32 @@ def asof_join(
     """For each left row, attach the most recent right row of the same
     key with right_ts <= left_ts (ties: the right row wins — DuckDB
     ASOF `>=` semantics). Left rows with no prior right row keep nulls.
+
+    The right row is carried as ONE struct (non-null for every right
+    row, even when its fields are null), so the attached columns are
+    always row-atomic — carrying each column independently with
+    last(ignorenulls) would stitch together fields from DIFFERENT right
+    rows whenever right value columns contain nulls.
     """
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
 
-    l_tag = left.select(
-        F.col(on).alias("_k"),
-        F.col(left_ts).alias("_t"),
-        F.lit(1).alias("_side"),
-        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
-    )
     r_tag = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_side"),
-        F.lit(None).cast(l_tag.schema["_lrow"].dataType).alias("_lrow"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
-        F.col(right_ts).alias("_r_ts"),
+        F.struct(
+            *[F.col(c).alias(c) for c in right_cols],
+            F.col(right_ts).alias("_rts"),
+        ).alias("_rrow"),
     )
+    l_tag = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r_tag.schema["_rrow"].dataType).alias("_rrow"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+    )
+    r_tag = r_tag.withColumn("_lrow", F.lit(None).cast(l_tag.schema["_lrow"].dataType))
     # right rows sort before left rows at equal timestamps so an
     # equal-ts right row is visible to the left row (ASOF >=)
     w = (
@@ -67,13 +74,12 @@ def asof_join(
     carried = unioned.select(
         "_side",
         "_lrow",
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_c_{c}") for c in right_cols],
-        F.last("_r_ts", ignorenulls=True).over(w).alias("_c_ts"),
+        F.last("_rrow", ignorenulls=True).over(w).alias("_c"),
     )
     out = carried.filter(F.col("_side") == 1).select(
         "_lrow.*",
-        *[F.col(f"_c_{c}").alias(f"{c}{suffix}") for c in right_cols],
-        F.col("_c_ts").alias(f"{right_ts}{suffix}"),
+        *[F.col(f"_c.{c}").alias(f"{c}{suffix}") for c in right_cols],
+        F.col("_c._rts").alias(f"{right_ts}{suffix}"),
     )
     return out
 
@@ -101,11 +107,15 @@ def range_join(
     r_b = right.withColumn("_rsec", ts_seconds(F.col(right_ts))).withColumn(
         "_bucket", F.floor(F.col("_rsec") / bucket_sec)
     )
-    n_probe = (upper_sec - lower_sec) // bucket_sec + 1
+    # the window [l+lower, l+upper] can overlap at most
+    # ceil((upper-lower)/bucket) + 1 buckets (the +1 covers the window
+    # straddling a bucket boundary); probing more is pure wasted join
+    # fan-out on the big side
+    n_probe = -((lower_sec - upper_sec) // bucket_sec) + 1
     probes = F.array(
         *[
             F.floor((F.col("_lsec") + lower_sec) / bucket_sec) + i
-            for i in range(int(n_probe) + 1)
+            for i in range(int(n_probe))
         ]
     )
     l_exp = l_b.withColumn("_bucket", F.explode(F.array_distinct(probes)))

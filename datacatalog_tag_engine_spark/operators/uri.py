@@ -49,8 +49,8 @@ def parse_uri(uri: str) -> dict:
     project = parts[2]
     if len(parts) == 3:
         return {"project": project, "dataset": None, "table": None, "level": TABLE_TAG}
-    if parts[3] != "dataset":
-        raise ValueError(f"invalid uri (expected 'dataset'): {uri!r}")
+    if parts[3] != "dataset" or len(parts) < 5:
+        raise ValueError(f"invalid uri (expected 'dataset/<name>'): {uri!r}")
     dataset = parts[4]
     if len(parts) == 5:
         return {"project": project, "dataset": dataset, "table": None, "level": DATASET_TAG}

@@ -20,6 +20,11 @@ from pyspark.sql import functions as F
 
 from ..model.schemas import TAG_HISTORY_SCHEMA
 
+# the at-least-once delivery identity of one history event: retry
+# dedup anywhere in the CDC pipeline MUST use this one key (asset_name
+# embeds the /column/<c> suffix, so column-level tags are covered)
+EVENT_DEDUP_KEYS = ["job_uuid", "asset_name", "field_id", "action"]
+
 
 def write_history_stream(history: DataFrame, path: str, checkpoint: str):
     """Append-mode day-partitioned sink — the Spark shape of the
@@ -43,7 +48,7 @@ def mutation_counts(history: DataFrame, watermark: str = "1 day") -> DataFrame:
     """Creates/updates/deletes per (day, template) with retry dedup —
     runs on streaming or static frames."""
     src = history.withWatermark("event_time", watermark) if history.isStreaming else history
-    deduped = src.dropDuplicates(["job_uuid", "asset_name", "field_id", "action"])
+    deduped = src.dropDuplicates(EVENT_DEDUP_KEYS)
     return (
         deduped.groupBy(F.window("event_time", "1 day").alias("w"), "template_id", "action")
         .agg(F.count("*").alias("n"))

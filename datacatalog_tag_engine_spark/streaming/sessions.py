@@ -61,16 +61,24 @@ def make_session_fn(gap_minutes: int):
             return
         else:
             start, end, n = ts[0], ts[0], 0
-        # fold events into sessions, emitting closed ones
+        # fold events into sessions, emitting closed ones. Events are
+        # sorted within the batch, but a LATE event (admitted by the
+        # watermark in a later batch) can precede the open session:
+        # merging uses min/max so the session's extent never moves
+        # backwards (the naive end=t produced negative durations and
+        # early timeouts), and an event older than start-gap — from an
+        # already-gone earlier session — is emitted as its own
+        # best-effort singleton rather than corrupting the open one.
         for t in ts:
             if n == 0:
                 start, end, n = t, t, 1
             elif t - end > gap:
                 yield _emit(user, start, end, n)
                 start, end, n = t, t, 1
+            elif t < start - gap:
+                yield _emit(user, t, t, 1)
             else:
-                end = t
-                n += 1
+                start, end, n = min(start, t), max(end, t), n + 1
         state.update((start, end, n))
         # close the open session once the watermark passes end + gap
         state.setTimeoutTimestamp((end + gap) * 1000)

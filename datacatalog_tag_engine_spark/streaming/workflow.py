@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_DEDUP_KEYS = ["job_uuid", "asset_name", "field_id", "action"]
+from .history import EVENT_DEDUP_KEYS
 
 
 def match_events(
@@ -41,7 +41,7 @@ def match_events(
         (F.col("field_id") == field_id)
         & (F.col("field_value") == field_value)
         & F.col("action").isin(list(actions))
-    ).dropDuplicates(_DEDUP_KEYS)
+    ).dropDuplicates(EVENT_DEDUP_KEYS)
 
 
 def asset_uri_from_name(name: str) -> str:

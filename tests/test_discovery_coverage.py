@@ -159,3 +159,27 @@ def test_copy_and_update_fused_matches_sequential(spark):
 
     assert state(fused) == state(seq)
     assert ("p/datasets/d/tables/dst", None, "owner", "bob") in state(fused)
+
+
+def test_coverage_exclusion_keeps_null_table_rows(spark):
+    """Regression: ~isin() is NULL for dataset-level rows (table=NULL),
+    so an unrelated table exclusion silently dropped them."""
+    from pyspark.sql import functions as F
+
+    from datacatalog_tag_engine_spark.model.schemas import ASSETS_SCHEMA, TAGS_SCHEMA
+
+    assets = spark.createDataFrame(
+        [{"asset_uri": "p/datasets/d", "asset_type": "bigquery",
+          "project": "p", "dataset": "d", "table": None},
+         {"asset_uri": "p/datasets/d/tables/t1", "asset_type": "bigquery",
+          "project": "p", "dataset": "d", "table": "t1"}],
+        ASSETS_SCHEMA,
+    )
+    tags = spark.createDataFrame([], TAGS_SCHEMA)
+    base = coverage_report(assets, tags).agg(F.sum("table_count")).first()[0]
+    with_excl = (
+        coverage_report(assets, tags, excluded_tables=["unrelated"])
+        .agg(F.sum("table_count"))
+        .first()[0]
+    )
+    assert base == with_excl == 2

@@ -100,3 +100,14 @@ def test_unnest_raw_findings(spark):
     )
     got = S.unnest_raw_findings(raw).collect()
     assert [(r["field"], r["infotype"]) for r in got] == [("email", "EMAIL_ADDRESS")]
+
+
+def test_classify_table_no_findings_returns_no_classification(spark):
+    """Regression: a table with zero notable infotypes used to get the
+    smallest classification (have=[] superset-matches every row)."""
+    cls = spark.createDataFrame(
+        [(["NAME"], "Public_Information")],
+        "notable_infotypes array<string>, classification_result string",
+    )
+    empty = spark.createDataFrame([], "field string, notable_infotype string")
+    assert S.classify_table(empty, cls).count() == 0

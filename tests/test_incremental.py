@@ -113,3 +113,15 @@ def test_incremental_delta_bloom_equals_exact(spark):
         for r in DD.incremental_delta_bloom(batch, prior, num_bits=64, k=2).collect()
     }
     assert stressed == exact
+
+
+def test_schema_diff_schemaless_assets_report_no_drift(spark):
+    """Regression: assets with null schema arrays produced spurious
+    ADDED+REMOVED rows (explode_outer NULL columns never join)."""
+    from datacatalog_tag_engine_spark.operators.incremental import schema_diff
+
+    snap = spark.createDataFrame(
+        [("a1", None)],
+        "asset_uri string, schema array<struct<name string, type string>>",
+    )
+    assert schema_diff(snap, snap).count() == 0

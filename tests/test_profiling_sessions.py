@@ -104,3 +104,51 @@ def test_profile_includes_decimal_and_handles_no_numeric(spark):
     empty = P.profile_numeric_columns(df.select("name"))
     assert empty.count() == 0
     assert empty.columns[0] == "column"
+
+
+def test_session_fn_late_events_never_move_backwards():
+    """Regression: a within-watermark late event in a later micro-batch
+    used to drag the open session's end backwards (negative duration,
+    early timeout). Drives the state function directly with a stub."""
+    import pandas as pd
+
+    from datacatalog_tag_engine_spark.streaming.sessions import make_session_fn
+
+    class StubState:
+        def __init__(self):
+            self._v, self.hasTimedOut, self.timeout = None, False, None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v = None
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout = ms
+
+    fn = make_session_fn(gap_minutes=30)
+    state = StubState()
+
+    def batch(*secs):
+        return list(fn((1,), iter([pd.DataFrame({"ts": [pd.Timestamp(s, unit="s") for s in secs]})]), state))
+
+    base = 1_700_000_000
+    assert batch(base + 600) == []           # open session at +600
+    out = batch(base + 0)                    # late but within gap: merges
+    assert out == []
+    start, end, n = state.get
+    assert (start, end, n) == (base, base + 600, 2)  # extent grew both ways
+    assert state.timeout == (base + 600 + 1800) * 1000  # timeout unchanged by late event
+    # an ancient event (older than start - gap) emits as its own session
+    out = batch(base - 10_000)
+    assert len(out) == 1 and out[0]["duration_sec"][0] == 0
+    assert state.get == (base, base + 600, 2)  # open session untouched

@@ -48,3 +48,20 @@ def test_salted_broadcast_join_matches_plain(spark):
     got = salted_broadcast_join(big, small, "k", salts=4).orderBy("k", "v").collect()
     want = big.join(small, "k").orderBy("k", "v").collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_salted_broadcast_join_default_salt_spreads_hot_key(spark):
+    """Regression: the old default salted by the join key itself, so the
+    hot key landed in ONE salt value — a no-op. The whole-row default
+    must fan a hot key across several salts, and salting by the key is
+    rejected."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    big = spark.createDataFrame([("hot", i) for i in range(200)], "k string, v long")
+    salt = F.crc32(F.to_json(F.struct(*big.columns))) % 4
+    n_salts = big.withColumn("_s", salt).select("_s").distinct().count()
+    assert n_salts > 1
+    with pytest.raises(ValueError, match="vary within"):
+        salted_broadcast_join(big, big.limit(1), "k", salt_source="k")

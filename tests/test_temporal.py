@@ -94,3 +94,23 @@ def test_range_join_spanning_buckets(spark):
         for r in range_join(left, right, on="user_id", lower_sec=0, upper_sec=300, bucket_sec=60).collect()
     )
     assert out == [1]
+
+
+def test_asof_join_row_atomic_with_null_fields(spark):
+    """Regression: per-column carries stitched fields from DIFFERENT
+    right rows when right value columns contain nulls; the attached row
+    must be the single most recent right row, nulls and all."""
+    import datetime
+
+    def t(s):
+        return datetime.datetime(2023, 1, 1, 0, 0, s)
+
+    left = spark.createDataFrame([(1, t(30), 99)], "user_id long, ts timestamp, event_id long")
+    right = spark.createDataFrame(
+        [(1, t(10), 5.0, None), (1, t(20), None, 7.0)],
+        "user_id long, ts timestamp, bid double, ask double",
+    )
+    row = asof_join(left, right, on="user_id").first()
+    # the t=20 row is the most recent: bid must be NULL (not 5.0 from t=10)
+    assert row["bid_asof"] is None and row["ask_asof"] == 7.0
+    assert row["ts_asof"] == t(20)

@@ -111,6 +111,9 @@ def test_dataset_level_matches_dataset_asset_not_tables(spark, assets):
 def test_invalid_uri_raises():
     with pytest.raises(ValueError):
         U.parse_uri("spanner/thing")
+    # regression: a uri ending AT the dataset keyword raised IndexError
+    with pytest.raises(ValueError):
+        U.parse_uri("bigquery/project/p/dataset")
 
 
 def test_column_exists_nested(spark):
