@@ -40,6 +40,10 @@ from .store.tagstore import TagStore
 
 _REFRESH_UNITS = {"minutes": 60, "hours": 3600, "days": 86400}
 
+# config types whose jobs always replay their full input — the
+# incremental (changed-assets-only) flag has no meaning for them
+_NON_INCREMENTAL_TYPES = ("TAG_EXPORT", "ENTRY_CREATE", "TAG_IMPORT", "TAG_RESTORE")
+
 
 class TagEngine:
     def __init__(self, spark: SparkSession, tags_path: str | None = None, qualify=None):
@@ -166,13 +170,18 @@ class TagEngine:
         cfg = self.configs[config_uuid]
         if cfg["config_status"] != "ACTIVE":
             raise ValueError(f"config {config_uuid} is not active")
-        if kw.get("incremental") and cfg["config_type"] in ("TAG_EXPORT", "ENTRY_CREATE"):
-            # side-effect jobs rebuild their full report/entry set every
-            # run; a silently-ignored flag would misreport what ran
-            raise ValueError(
-                f"incremental refresh is not applicable to {cfg['config_type']} configs"
-            )
-        if kw.pop("incremental", False) and assets is not None:
+        incremental = kw.pop("incremental", False)
+        if incremental:
+            # loud-failure policy, uniformly: a silently-ignored flag
+            # would misreport what ran. Side-effect jobs rebuild their
+            # full report/entry set; imports/restores replay their full
+            # file; and an asset-scoped refresh needs an asset catalog.
+            if cfg["config_type"] in _NON_INCREMENTAL_TYPES:
+                raise ValueError(
+                    f"incremental refresh is not applicable to {cfg['config_type']} configs"
+                )
+            if assets is None:
+                raise ValueError("incremental refresh requires an asset catalog")
             # refresh only assets whose data changed since their last tag
             # (operators/incremental) — scheduled-job cost tracks change
             # rate, not catalog size
@@ -707,6 +716,10 @@ class TagEngine:
         def default(o):
             if isinstance(o, datetime.datetime):
                 return {"__dt__": o.isoformat()}
+            if isinstance(o, (set, frozenset)):
+                # config kwargs may carry sets; order them for a
+                # deterministic snapshot (they reload as lists)
+                return sorted(o)
             raise TypeError(type(o))
 
         meta = {
@@ -809,14 +822,30 @@ class TagEngine:
         """Write one settings document (reference doc_ref.set semantics:
         full replace, TagEngineStoreHandler.py:65-183). Documents:
         a user email (default template coordinates), 'tag_history',
-        'job_metadata', 'coverage_report'."""
-        self.settings[doc] = dict(values)
+        'job_metadata', 'coverage_report'. Values must persist through
+        the JSON snapshot, so sets/tuples normalize to sorted lists at
+        write time rather than failing later inside save_state; stored
+        values are copies, detached from the caller's objects."""
+        import copy
+
+        self.settings[doc] = {
+            k: sorted(v)
+            if isinstance(v, (set, frozenset))
+            else list(v)
+            if isinstance(v, tuple)
+            else copy.deepcopy(v)
+            for k, v in values.items()
+        }
 
     def get_settings(self, doc: str) -> tuple[bool, dict]:
         """(exists, settings) like the reference's read_* pairs
-        (TagEngineStoreHandler.py:50-62)."""
+        (TagEngineStoreHandler.py:50-62). Returns a COPY — the
+        reference's read is a document snapshot; mutating it must not
+        edit engine state behind set_settings' full-replace contract."""
+        import copy
+
         s = self.settings.get(doc)
-        return (s is not None), (s or {})
+        return (s is not None), copy.deepcopy(s) if s else {}
 
     def tag_history_enabled(self) -> bool:
         """Gate on history appends (reference read_tag_history_settings,
@@ -835,8 +864,13 @@ class TagEngine:
 
         _, s = self.get_settings("coverage_report")
         included = s.get("included_projects")
-        if included:
-            assets = assets.filter(F.col("project").isin(list(included)))
+        if included is not None:
+            # configured-but-empty means "no projects onboarded": an
+            # EMPTY report, not an everything report (the reference
+            # iterates the configured list, so [] yields nothing)
+            assets = assets.filter(
+                F.col("project").isin(list(included)) if included else F.lit(False)
+            )
         return _report(
             assets,
             self.store.all(),
@@ -873,7 +907,15 @@ class TagEngine:
 
     def run_ready_configs(self, assets: DataFrame, now: datetime.datetime | None = None, **kw) -> list[str]:
         """T1: the cron path — run every ready config, bump version and
-        next_run += frequency (TagEngineStoreHandler.py:290-309)."""
+        next_run += frequency (TagEngineStoreHandler.py:290-309).
+
+        Each config runs isolated, like the reference's one-Cloud-Task-
+        per-config dispatch: a failing config gets its ERROR ledger row
+        (written by trigger_job) and its scheduling_status restored so
+        the next cycle retries it, and the remaining ready configs
+        still run. The incremental flag is dropped for config types it
+        cannot apply to — on the cron path that's a per-type
+        optimization toggle, not a per-call contract violation."""
         now = now or datetime.datetime.now(datetime.timezone.utc)
         job_ids = []
         for cfg in self.ready_configs(now):
@@ -883,5 +925,11 @@ class TagEngine:
                 cfg.get("refresh_unit", "hours"), 3600
             )
             cfg["next_run"] = cfg["next_run"] + datetime.timedelta(seconds=step)
-            job_ids.append(self.trigger_job(cfg["config_uuid"], assets, **kw))
+            per_kw = dict(kw)
+            if cfg["config_type"] in _NON_INCREMENTAL_TYPES:
+                per_kw.pop("incremental", None)
+            try:
+                job_ids.append(self.trigger_job(cfg["config_uuid"], assets, **per_kw))
+            except Exception:
+                cfg["scheduling_status"] = "READY"
         return job_ids

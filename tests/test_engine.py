@@ -448,3 +448,18 @@ def test_settings_driven_coverage_report(spark, engine, assets):
     assert r["tagged_tables"] == 1
     engine.set_settings("coverage_report", included_projects=["absent"])
     assert engine.coverage_report(assets).count() == 0
+
+
+def test_settings_snapshot_semantics(spark, engine, assets):
+    # reads are snapshots: mutating the returned dict must not edit
+    # engine state behind set_settings' full-replace contract
+    engine.set_settings("tag_history", enabled=True)
+    _, s = engine.get_settings("tag_history")
+    s["enabled"] = False
+    assert engine.tag_history_enabled()
+    # sets/tuples normalize to lists at write time (JSON-snapshot safe)
+    engine.set_settings("coverage_report", included_projects={"p2", "p1"})
+    assert engine.get_settings("coverage_report")[1]["included_projects"] == ["p1", "p2"]
+    # configured-but-EMPTY project list means an empty report, not all
+    engine.set_settings("coverage_report", included_projects=[])
+    assert engine.coverage_report(assets).count() == 0

@@ -201,3 +201,56 @@ def test_side_effect_config_validation_at_create_time(spark, tmp_path):
     with pytest.raises(ValueError, match="incremental"):
         eng.trigger_job(cfg, None, incremental=True)
     assert all(j["config_uuid"] != cfg for j in eng.jobs)
+
+
+def test_cron_cycle_isolates_failures_and_drops_inapplicable_incremental(spark, tmp_path):
+    """run_ready_configs mirrors the reference's one-task-per-config
+    dispatch: an export config on the cron path with incremental=True
+    just runs fully (the flag is a per-type optimization there), and a
+    FAILING config neither wedges its own schedule nor aborts the
+    configs after it."""
+    from datacatalog_tag_engine_spark.engine import TagEngine
+    from datacatalog_tag_engine_spark.model.schemas import ASSETS_SCHEMA
+
+    eng = TagEngine(spark)
+    eng.create_template("gov", [{"field_id": "domain", "field_type": "string"}])
+    assets = spark.createDataFrame(
+        [{"asset_uri": "p/datasets/d/tables/lineitem", "asset_type": "bigquery",
+          "project": "p", "dataset": "d", "table": "lineitem"}],
+        ASSETS_SCHEMA,
+    )
+    t0 = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+    blocked = tmp_path / "occupied"
+    blocked.write_text("file, not a dir")
+    bad = eng.create_config(
+        "TAG_EXPORT", None, target_path=str(blocked / "sub"),
+        refresh_mode="AUTO", refresh_frequency=1, refresh_unit="hours", next_run=t0,
+    )
+    good_export = eng.create_config(
+        "TAG_EXPORT", None, target_path=str(tmp_path / "reports"),
+        refresh_mode="AUTO", refresh_frequency=1, refresh_unit="hours", next_run=t0,
+    )
+    tag_cfg = eng.create_config(
+        "STATIC_TAG_ASSET", "gov",
+        included_uris="bigquery/project/p/dataset/d/lineitem",
+        fields=[{"field_id": "domain", "field_value": "X"}],
+    )
+    eng.trigger_job(tag_cfg, assets)  # populate the store so exports write
+    jobs = eng.run_ready_configs(assets, now=t0, incremental=True)
+    # the failing export didn't block the good export after it
+    assert len(jobs) == 1
+    good_job = next(j for j in eng.jobs if j["job_uuid"] == jobs[0])
+    assert good_job["config_uuid"] == good_export and good_job["job_status"] == "SUCCESS"
+    # the failure got its ERROR ledger row and stays schedulable
+    assert any(j["config_uuid"] == bad and j["job_status"] == "ERROR" for j in eng.jobs)
+    assert eng.configs[bad]["scheduling_status"] == "READY"
+    # direct calls keep the loud contract
+    import pytest
+
+    with pytest.raises(ValueError, match="incremental"):
+        eng.trigger_job(good_export, assets, incremental=True)
+    imp = eng.create_config("TAG_IMPORT", "gov", csv_path=str(tmp_path / "x.csv"))
+    with pytest.raises(ValueError, match="incremental"):
+        eng.trigger_job(imp, assets, incremental=True)
+    with pytest.raises(ValueError, match="asset catalog"):
+        eng.trigger_job(tag_cfg, None, incremental=True)
