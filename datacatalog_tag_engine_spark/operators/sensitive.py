@@ -130,6 +130,13 @@ def apply_policy_tags(assets: DataFrame, requests: DataFrame) -> DataFrame:
         ).alias("_ptmap")
     )
     joined = assets.join(F.broadcast(ptmap), "asset_uri", "left")
+    # a catalog that has been through this rewrite already carries a
+    # policy_tag field — columns without a new request KEEP their
+    # existing tag (re-applying must not silently strip the catalog)
+    has_pt = any(
+        f.name == "policy_tag"
+        for f in assets.schema["schema"].dataType.elementType.fields
+    )
     new_schema = F.transform(
         "schema",
         lambda c: F.struct(
@@ -137,10 +144,35 @@ def apply_policy_tags(assets: DataFrame, requests: DataFrame) -> DataFrame:
             c["type"].alias("type"),
             c["mode"].alias("mode"),
             c["subcolumns"].alias("subcolumns"),
-            F.try_element_at(F.col("_ptmap"), c["name"]).alias("policy_tag"),
+            F.coalesce(
+                F.try_element_at(F.col("_ptmap"), c["name"]),
+                c["policy_tag"] if has_pt else F.lit(None).cast("string"),
+            ).alias("policy_tag"),
         ),
     )
     return joined.withColumn("schema", new_schema).drop("_ptmap")
+
+
+def copy_policy_tags(assets: DataFrame, source_uri: str, target_uri: str) -> DataFrame:
+    """Copy the source asset's column policy tags onto the target's
+    matching columns (reference copy_policy_tags,
+    DataCatalogController.py:2059-2087, the include_policy_tags arm of
+    its copy_tags flow): the source schema's (column, policy_tag) pairs
+    become an apply_policy_tags request for the target. Columns present
+    only on the source miss the map lookup (ignored, like the
+    reference's per-field apply); a source with no policy tags is a
+    no-op, like the reference's early return."""
+    requests = (
+        assets.filter(F.col("asset_uri") == source_uri)
+        .select(F.explode("schema").alias("_c"))
+        .filter(F.col("_c.policy_tag").isNotNull())
+        .select(
+            F.lit(target_uri).alias("asset_uri"),
+            F.col("_c.name").alias("column"),
+            F.col("_c.policy_tag").alias("policy_tag"),
+        )
+    )
+    return apply_policy_tags(assets, requests)
 
 
 def classify_table(notables: DataFrame, classification: DataFrame) -> DataFrame:

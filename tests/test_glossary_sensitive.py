@@ -111,3 +111,45 @@ def test_classify_table_no_findings_returns_no_classification(spark):
     )
     empty = spark.createDataFrame([], "field string, notable_infotype string")
     assert S.classify_table(empty, cls).count() == 0
+
+
+def test_copy_policy_tags_and_reapply_preserves_existing(spark):
+    """Reference copy_policy_tags (DataCatalogController.py:2059-2087):
+    the source's column policy tags land on the target's matching
+    columns, and a second apply never strips tags that already exist."""
+    from pyspark.sql import functions as F
+
+    from datacatalog_tag_engine_spark.model.schemas import ASSETS_SCHEMA
+
+    def asset(uri, cols):
+        return {
+            "asset_uri": uri, "asset_type": "bigquery", "project": "p",
+            "dataset": "d", "table": uri.rsplit("/", 1)[-1],
+            "schema": [{"name": c, "type": "STRING", "mode": "NULLABLE",
+                        "subcolumns": None} for c in cols],
+        }
+
+    assets = spark.createDataFrame(
+        [asset("p/datasets/d/tables/src", ["email", "name", "only_src"]),
+         asset("p/datasets/d/tables/dst", ["email", "name", "extra"])],
+        ASSETS_SCHEMA,
+    )
+    # seed the source with policy tags via apply_policy_tags
+    seed = spark.createDataFrame(
+        [("p/datasets/d/tables/src", "email", "pii/email"),
+         ("p/datasets/d/tables/src", "only_src", "pii/other")],
+        "asset_uri string, column string, policy_tag string",
+    )
+    tagged = S.apply_policy_tags(assets, seed)
+    copied = S.copy_policy_tags(tagged, "p/datasets/d/tables/src", "p/datasets/d/tables/dst")
+    by_asset = {
+        r["asset_uri"]: {c["name"]: c["policy_tag"] for c in r["schema"]}
+        for r in copied.collect()
+    }
+    dst = by_asset["p/datasets/d/tables/dst"]
+    assert dst["email"] == "pii/email"      # matching column copied
+    assert dst["name"] is None and dst["extra"] is None
+    # the SOURCE's own tags survived the second rewrite (regression:
+    # apply_policy_tags used to null every column without a request)
+    src = by_asset["p/datasets/d/tables/src"]
+    assert src["email"] == "pii/email" and src["only_src"] == "pii/other"
