@@ -288,26 +288,40 @@ def neardup_clusters(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 20,
+    driver_edge_limit: int = 5_000_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs: every document gets a
     cluster_id = the smallest doc id reachable through the pair graph
     (singletons cluster to themselves). The canonical keeper per cluster
     is then ``doc_id == cluster_id``.
 
-    Iterative min-label propagation: each round joins current labels to
-    the edge list and takes the min over neighbors; converges in
-    O(component diameter) rounds — near-dup clusters are tiny cliques,
-    so 2-3 rounds in practice, with an eager checkpoint per round to
-    keep lineage flat. This is the standard DataFrame-only connected
-    components (no GraphX dependency, works on any cluster).
+    Two-regime plan. The EDGE set (verified near-dup pairs) is orders
+    of magnitude below corpus size at any scale — a few percent dup
+    rate over even a 100 TB corpus is a driver-memory-sized edge list —
+    so up to ``driver_edge_limit`` edges the components resolve with an
+    exact min-root union-find on the driver (the CORPUS is never
+    collected; only the non-trivial label mapping ships back, broadcast
+    onto one labels join). Beyond the limit, iterative min-label
+    propagation runs fully distributed: each round joins current labels
+    to the edge list and takes the min over neighbors; converges in
+    O(component diameter) rounds with an eager checkpoint per round to
+    keep lineage flat (the standard DataFrame-only connected
+    components, no GraphX dependency). Both regimes produce the
+    identical labeling (tests prove equality).
 
-    Raises RuntimeError if the label propagation has not converged
-    within ``max_iterations`` — a long chain component (diameter >
-    rounds) would otherwise return one cluster split under several
-    labels, and apply_neardup_dedup would silently keep multiple
-    'canonical' near-duplicates. Raise rather than guess; the caller
-    bumps max_iterations (cost is O(diameter), not O(n)).
+    The distributed regime raises RuntimeError if propagation has not
+    converged within ``max_iterations`` — a long chain component
+    (diameter > rounds) would otherwise return one cluster split under
+    several labels, and apply_neardup_dedup would silently keep
+    multiple 'canonical' near-duplicates. Raise rather than guess; the
+    caller bumps max_iterations (cost is O(diameter), not O(n)).
     """
+    if driver_edge_limit:
+        # ONE evaluation of the (expensive) pairs plan answers both the
+        # cardinality probe and, when small, supplies the edges
+        head = pairs.select("doc_a", "doc_b").limit(driver_edge_limit + 1).collect()
+        if len(head) <= driver_edge_limit:
+            return _neardup_clusters_unionfind(docs, head, id_col)
     edges = (
         pairs.selectExpr("doc_a as src", "doc_b as dst")
         .unionByName(pairs.selectExpr("doc_b as src", "doc_a as dst"))
@@ -361,6 +375,52 @@ def neardup_clusters(
     # final labels read only the last round's checkpoint
     free_local_checkpoint(edges)
     return labels
+
+
+def _neardup_clusters_unionfind(docs: DataFrame, edge_rows: list, id_col: str) -> DataFrame:
+    """Driver-side exact min-root union-find over the (small, already
+    collected) edge rows; the corpus stays distributed — only the
+    non-trivial (id -> cluster_id) mapping, sized by the number of
+    near-dup documents, ships back and broadcasts onto one labels
+    join."""
+    from pyspark.sql import types as T
+
+    from ..session import local_df
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while x != root:  # path compression
+            nxt = parent[x]
+            parent[x] = root
+            x = nxt
+        return root
+
+    for row in edge_rows:
+        ra, rb = find(row["doc_a"]), find(row["doc_b"])
+        if ra != rb:
+            # min root wins, so every component's root IS its min id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    mapping = [(x, find(x)) for x in list(parent)]
+    mapping = [(x, r) for x, r in mapping if x != r]
+    id_type = docs.schema[id_col].dataType
+    map_df = local_df(
+        docs.sparkSession,
+        mapping,
+        T.StructType(
+            [T.StructField(id_col, id_type), T.StructField("_root", id_type)]
+        ),
+    )
+    return (
+        docs.select(id_col)
+        .join(F.broadcast(map_df), id_col, "left")
+        .select(id_col, F.coalesce("_root", F.col(id_col)).alias("cluster_id"))
+    )
 
 
 def apply_neardup_dedup(

@@ -113,9 +113,9 @@ def test_clusters_unconverged_chain_raises(spark):
     docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
     chain = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        DD.neardup_clusters(docs, chain, max_iterations=3)
+        DD.neardup_clusters(docs, chain, max_iterations=3, driver_edge_limit=0)
     # enough rounds: the whole chain resolves to one cluster
-    got = DD.neardup_clusters(docs, chain, max_iterations=n + 2)
+    got = DD.neardup_clusters(docs, chain, max_iterations=n + 2, driver_edge_limit=0)
     assert {r["cluster_id"] for r in got.collect()} == {0}
 
 
@@ -163,3 +163,16 @@ def test_mixture_rate_zero_for_zero_token_source(spark):
     # and the materialized mix keeps nothing from the empty source
     mixed = S.temperature_mixture_sample(docs, budget_tokens=10)
     assert mixed.filter(F.col("source") == "empty").count() == 0
+
+
+def test_unionfind_and_propagation_regimes_agree(spark):
+    """The driver union-find (small edge sets) and the distributed
+    min-label propagation must produce the IDENTICAL labeling on the
+    real near-dup graph."""
+    docs = spark.table("documents")
+    pairs = DD.minhash_dedup(docs, threshold=0.5)
+    fast = {(r["doc_id"], r["cluster_id"])
+            for r in DD.neardup_clusters(docs, pairs).collect()}
+    slow = {(r["doc_id"], r["cluster_id"])
+            for r in DD.neardup_clusters(docs, pairs, driver_edge_limit=0).collect()}
+    assert fast == slow and len(fast) == docs.count()
