@@ -321,9 +321,11 @@ def contamination_check(
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    doc_sh = (
-        docs.select(id_col, F.explode(word_ngrams(words, n)).alias("shingle"))
-        .distinct()
+    # per-document dedup INSIDE the row (array_distinct) — equivalent
+    # to a global distinct on (id, shingle) but saves that entire
+    # corpus-sized shuffle, the same plan choice as shingle_table
+    doc_sh = docs.select(
+        id_col, F.explode(F.array_distinct(word_ngrams(words, n))).alias("shingle")
     )
     return (
         doc_sh.join(F.broadcast(bench_sh), "shingle", "left")
