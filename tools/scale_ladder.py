@@ -230,8 +230,54 @@ def streaming_ladder(reps: list[int]) -> None:
             shutil.rmtree(stage, ignore_errors=True)
 
 
+def clusters_ladder(rungs: list[int]) -> None:
+    """Connected-components ladder: synthetic near-dup edge sets (90%
+    disjoint pairs + 10% 3-chains — the realistic tiny-component shape)
+    over a corpus 2x the edge count, timing both regimes of
+    neardup_clusters: the driver union-find (default) and the
+    distributed min-label propagation (driver_edge_limit=0). The
+    propagation pays O(rounds) corpus-sized checkpoints regardless of
+    edge count; the union-find pays one edge collect + one broadcast
+    join, so its cost tracks the EDGE count while propagation tracks
+    the CORPUS size."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from datacatalog_tag_engine_spark.pipeline.dedup import neardup_clusters
+
+    spark = get_spark("clusters-ladder")
+    spark.sparkContext.setLogLevel("ERROR")
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    print(f"{'edges':>9} {'docs':>9} {'union-find(s)':>14} {'propagation(s)':>15}")
+    for n_edges in rungs:
+        n_docs = 2 * n_edges + 2
+        docs = spark.range(n_docs, numPartitions=width).withColumnRenamed("id", "doc_id")
+        base = spark.range(n_edges, numPartitions=width)
+        pairs = base.select(
+            (F.col("id") * 2).alias("doc_a"), (F.col("id") * 2 + 1).alias("doc_b")
+        ).unionByName(
+            base.filter(F.col("id") % 10 == 0).select(
+                (F.col("id") * 2 + 1).alias("doc_a"), (F.col("id") * 2 + 2).alias("doc_b")
+            )
+        ).localCheckpoint(eager=True)  # time the clustering, not the edge gen
+
+        t0 = time.time()
+        neardup_clusters(docs, pairs).write.mode("overwrite").format("noop").save()
+        uf = time.time() - t0
+        t0 = time.time()
+        neardup_clusters(docs, pairs, driver_edge_limit=0).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        prop = time.time() - t0
+        print(f"{n_edges:>9} {n_docs:>9} {uf:>14.2f} {prop:>15.2f}")
+
+
 def main() -> None:
     argv = sys.argv[1:]
+    if argv and argv[0] == "--clusters":
+        clusters_ladder([int(a) for a in argv[1:]] or [10_000, 100_000, 1_000_000])
+        return
     if argv and argv[0] == "--streaming":
         streaming_ladder([int(a) for a in argv[1:]] or [1, 8, 32])
         return
