@@ -32,6 +32,10 @@ Coverage map (SURVEY.md section 2.10 + training-data operators):
            quantization; dedup apply; fused column profile;
            train/val/test split; incremental corpus delta; end-to-end
            corpus-prep pipeline; per-source token-budget sampling
+  d07      semantic dedup (SemDeDup: cell-local dominance, hot-cell salt)
+  q54-q56  temperature mixture weights + sample; bloom-prefiltered delta
+  s07      product-quantization ADC top-k (codes-only corpus scan)
+  t14      hashed-linear quality scorer (hashing-trick projection)
 """
 
 from __future__ import annotations
@@ -108,6 +112,30 @@ INFOTYPE_SELECTION = [
     (["EMAIL_ADDRESS", "PERSON_NAME", "PHONE_NUMBER"], "ALL_PII"),
 ]
 
+# shared sensitive-classification fixture: the q42 AND q44 builders
+# create their DataFrames from these lists, and the q44 oracle renders
+# its findings/sel/cls/tax CTEs from the SAME lists via _sql_values —
+# one source, so the Spark side and its oracle cannot drift
+SENSITIVE_FINDINGS = [
+    ("p/datasets/d/tables/users", "email", "EMAIL_ADDRESS"),
+    ("p/datasets/d/tables/users", "name", "PERSON_NAME"),
+    ("p/datasets/d/tables/public_stuff", "city", "LOCATION"),
+]
+SENSITIVE_SELECTION = [
+    (["EMAIL_ADDRESS"], "EMAIL"),
+    (["PERSON_NAME"], "NAME"),
+    (["LOCATION"], "LOCATION"),
+]
+SENSITIVE_CLASSIFICATION = [
+    (["EMAIL", "NAME"], "Sensitive_Personal_Identifiable_Information"),
+    (["LOCATION"], "Public_Information"),
+    (["EMAIL", "NAME", "LOCATION"], "Sensitive_Personal_Identifiable_Information"),
+]
+SENSITIVE_TAXONOMY = [
+    ("taxonomies/t1/policyTags/pii", "Sensitive_Personal_Identifiable_Information"),
+    ("taxonomies/t1/policyTags/public", "Public_Information"),
+]
+
 # wildcard-expansion asset fixture (FIXTURES.md sections 2, 10)
 URI_ASSETS = [
     ("p", "d", "tbl_a"),
@@ -168,7 +196,17 @@ def _sql_values(rows: list[tuple], quote_cols: set[int] | None = None) -> str:
             elif isinstance(v, bool):
                 cells.append("TRUE" if v else "FALSE")
             elif isinstance(v, list):
-                cells.append("[" + ", ".join(f"'{x}'" for x in v) + "]")
+                # element rendering mirrors the scalar branches: strings
+                # quote-escaped, numbers bare — an apostrophe in an
+                # element or a numeric list must not corrupt the SQL
+                cells.append(
+                    "["
+                    + ", ".join(
+                        "'" + x.replace("'", "''") + "'" if isinstance(x, str) else str(x)
+                        for x in v
+                    )
+                    + "]"
+                )
             else:
                 cells.append(str(v))
         out.append("(" + ", ".join(cells) + ")")
@@ -685,7 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return feats.select(
             "media_id", "kind", "payload_bytes", "width", "height",
             "duration_ms", "n_frames",
-            F.concat_ws(",", F.col("frame_sample_ms")).alias("frame_samples"),
+            F.concat_ws(",", F.col("frame_sample_ms").cast("array<string>")).alias("frame_samples"),
         )
 
     q["m01_multimodal_features"] = m01
@@ -805,19 +843,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ASSETS_SCHEMA,
         )
         findings = spark.createDataFrame(
-            [("p/datasets/d/tables/users", "email", "EMAIL_ADDRESS"),
-             ("p/datasets/d/tables/users", "name", "PERSON_NAME"),
-             ("p/datasets/d/tables/public_stuff", "city", "LOCATION")],
-            "asset_uri string, field string, infotype string",
+            SENSITIVE_FINDINGS, "asset_uri string, field string, infotype string"
         )
         selection = spark.createDataFrame(
-            [(["EMAIL_ADDRESS"], "EMAIL"), (["PERSON_NAME"], "NAME"), (["LOCATION"], "LOCATION")],
-            "field_infotypes array<string>, notable_infotype string",
+            SENSITIVE_SELECTION, "field_infotypes array<string>, notable_infotype string"
         )
         classification = spark.createDataFrame(
-            [(["EMAIL", "NAME"], "Sensitive_Personal_Identifiable_Information"),
-             (["LOCATION"], "Public_Information"),
-             (["EMAIL", "NAME", "LOCATION"], "Sensitive_Personal_Identifiable_Information")],
+            SENSITIVE_CLASSIFICATION,
             "notable_infotypes array<string>, classification_result string",
         )
         cfg = eng.create_config("SENSITIVE_TAG_COLUMN", "data_sensitivity",
@@ -844,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (_dt.datetime(2026, 1, 1, 10), "p/dataset/d/table/a", None, "gov", "f1", "v", "CREATE", None, None, "j1", _dt.date(2026, 1, 1)),
             (_dt.datetime(2026, 1, 1, 11), "p/dataset/d/table/a", None, "gov", "f1", "v2", "UPDATE", None, None, "j2", _dt.date(2026, 1, 1)),
             (_dt.datetime(2026, 1, 1, 11), "p/dataset/d/table/a", None, "gov", "f1", "v2", "UPDATE", None, None, "j2", _dt.date(2026, 1, 1)),  # retry dupe
+            (_dt.datetime(2026, 1, 1, 11, 5), "p/dataset/d/table/a", None, "gov", "f1", "v2", "UPDATE", None, None, "j2", _dt.date(2026, 1, 1)),  # RE-STAMPED retry: same identity, later ts
             (_dt.datetime(2026, 1, 2, 9), "p/dataset/d/table/b", None, "gov", "f1", "v", "CREATE", None, None, "j3", _dt.date(2026, 1, 2)),
             (_dt.datetime(2026, 1, 2, 9), "p/dataset/d/table/b", None, "sec", "f2", "v", "DELETE", None, None, "j3", _dt.date(2026, 1, 2)),
         ]
@@ -878,25 +911,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ASSETS_SCHEMA,
         )
         findings = spark.createDataFrame(
-            [("p/datasets/d/tables/users", "email", "EMAIL_ADDRESS"),
-             ("p/datasets/d/tables/users", "name", "PERSON_NAME"),
-             ("p/datasets/d/tables/public_stuff", "city", "LOCATION")],
-            "asset_uri string, field string, infotype string",
+            SENSITIVE_FINDINGS, "asset_uri string, field string, infotype string"
         )
         selection = spark.createDataFrame(
-            [(["EMAIL_ADDRESS"], "EMAIL"), (["PERSON_NAME"], "NAME"), (["LOCATION"], "LOCATION")],
-            "field_infotypes array<string>, notable_infotype string",
+            SENSITIVE_SELECTION, "field_infotypes array<string>, notable_infotype string"
         )
         classification = spark.createDataFrame(
-            [(["EMAIL", "NAME"], "Sensitive_Personal_Identifiable_Information"),
-             (["LOCATION"], "Public_Information"),
-             (["EMAIL", "NAME", "LOCATION"], "Sensitive_Personal_Identifiable_Information")],
+            SENSITIVE_CLASSIFICATION,
             "notable_infotypes array<string>, classification_result string",
         )
         taxonomy = spark.createDataFrame(
-            [("taxonomies/t1/policyTags/pii", "Sensitive_Personal_Identifiable_Information"),
-             ("taxonomies/t1/policyTags/public", "Public_Information")],
-            "policy_tag_name string, category string",
+            SENSITIVE_TAXONOMY, "policy_tag_name string, category string"
         )
         cfg = eng.create_config("SENSITIVE_TAG_COLUMN", "data_sensitivity",
                                 included_uris="bigquery/project/p/dataset/d/*",
@@ -1337,7 +1362,6 @@ SELECT u.asset_uri, m.* FROM (VALUES {uris_values}) u(asset_uri) CROSS JOIN m
         "TRUE AS has_parent_child, FALSE AS has_parent_nope, FALSE AS has_missing"
     )
 
-    ncols = {t: n for t, n in TESTDATA_NCOLS}
     discovery_parts = [
         f"SELECT '{t}' AS \"table\", (SELECT count(*) FROM {t}) AS num_rows, {n} AS n_columns"
         for t, n in TESTDATA_NCOLS
@@ -1703,21 +1727,12 @@ SELECT query_id, neighbor_id, cosine,
 FROM scored QUALIFY rank <= 5
 """
 
-    o["q44_policy_tags"] = """
-WITH findings(asset_uri, field, infotype) AS (VALUES
-  ('p/datasets/d/tables/users', 'email', 'EMAIL_ADDRESS'),
-  ('p/datasets/d/tables/users', 'name', 'PERSON_NAME'),
-  ('p/datasets/d/tables/public_stuff', 'city', 'LOCATION')),
-sel(field_infotypes, notable_infotype) AS (VALUES
-  (['EMAIL_ADDRESS'], 'EMAIL'), (['PERSON_NAME'], 'NAME'), (['LOCATION'], 'LOCATION')),
-cls(notable_infotypes, classification_result) AS (VALUES
-  (['EMAIL', 'NAME'], 'Sensitive_Personal_Identifiable_Information'),
-  (['LOCATION'], 'Public_Information'),
-  (['EMAIL', 'NAME', 'LOCATION'], 'Sensitive_Personal_Identifiable_Information')),
-tax(policy_tag_name, category) AS (VALUES
-  ('taxonomies/t1/policyTags/pii', 'Sensitive_Personal_Identifiable_Information'),
-  ('taxonomies/t1/policyTags/public', 'Public_Information')),
-cols(asset_uri, col) AS (VALUES
+    o["q44_policy_tags"] = f"""
+WITH findings(asset_uri, field, infotype) AS (VALUES {_sql_values(SENSITIVE_FINDINGS)}),
+sel(field_infotypes, notable_infotype) AS (VALUES {_sql_values(SENSITIVE_SELECTION)}),
+cls(notable_infotypes, classification_result) AS (VALUES {_sql_values(SENSITIVE_CLASSIFICATION)}),
+tax(policy_tag_name, category) AS (VALUES {_sql_values(SENSITIVE_TAXONOMY)}),
+""" + """cols(asset_uri, col) AS (VALUES
   ('p/datasets/d/tables/users', 'email'), ('p/datasets/d/tables/users', 'name'),
   ('p/datasets/d/tables/users', 'age'), ('p/datasets/d/tables/public_stuff', 'city')),
 per_field AS (
@@ -1755,9 +1770,13 @@ WITH h(event_time, asset_name, field_id, action, job_uuid, template_id) AS (VALU
   (TIMESTAMP '2026-01-01 10:00:00', 'p/dataset/d/table/a', 'f1', 'CREATE', 'j1', 'gov'),
   (TIMESTAMP '2026-01-01 11:00:00', 'p/dataset/d/table/a', 'f1', 'UPDATE', 'j2', 'gov'),
   (TIMESTAMP '2026-01-01 11:00:00', 'p/dataset/d/table/a', 'f1', 'UPDATE', 'j2', 'gov'),
+  (TIMESTAMP '2026-01-01 11:05:00', 'p/dataset/d/table/a', 'f1', 'UPDATE', 'j2', 'gov'),
   (TIMESTAMP '2026-01-02 09:00:00', 'p/dataset/d/table/b', 'f1', 'CREATE', 'j3', 'gov'),
   (TIMESTAMP '2026-01-02 09:00:00', 'p/dataset/d/table/b', 'f2', 'DELETE', 'j3', 'sec')),
-d AS (SELECT DISTINCT event_time, asset_name, field_id, action, job_uuid, template_id FROM h)
+d AS (
+  SELECT job_uuid, asset_name, field_id, action, template_id,
+         min(event_time) AS event_time
+  FROM h GROUP BY job_uuid, asset_name, field_id, action, template_id)
 SELECT cast(event_time AS DATE) AS event_date, template_id, action, count(*) AS n
 FROM d GROUP BY event_date, template_id, action
 """

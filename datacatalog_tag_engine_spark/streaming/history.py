@@ -46,9 +46,22 @@ def read_history_stream(spark: SparkSession, path: str) -> DataFrame:
 
 def mutation_counts(history: DataFrame, watermark: str = "1 day") -> DataFrame:
     """Creates/updates/deletes per (day, template) with retry dedup —
-    runs on streaming or static frames."""
-    src = history.withWatermark("event_time", watermark) if history.isStreaming else history
-    deduped = src.dropDuplicates(EVENT_DEDUP_KEYS)
+    runs on streaming or static frames.
+
+    Retry dedup keys on the event identity (EVENT_DEDUP_KEYS). A retry
+    that RE-STAMPS event_time still counts once: the batch form keeps
+    the EARLIEST timestamp per identity deterministically (the original
+    event precedes its retries); the streaming form's dropDuplicates
+    keeps the first delivery within the watermark — same event, and
+    the same day window for any same-day retry."""
+    if history.isStreaming:
+        deduped = history.withWatermark("event_time", watermark).dropDuplicates(
+            EVENT_DEDUP_KEYS
+        )
+    else:
+        deduped = history.groupBy(*EVENT_DEDUP_KEYS, "template_id").agg(
+            F.min("event_time").alias("event_time")
+        )
     return (
         deduped.groupBy(F.window("event_time", "1 day").alias("w"), "template_id", "action")
         .agg(F.count("*").alias("n"))

@@ -176,3 +176,46 @@ def test_unionfind_and_propagation_regimes_agree(spark):
     slow = {(r["doc_id"], r["cluster_id"])
             for r in DD.neardup_clusters(docs, pairs, driver_edge_limit=0).collect()}
     assert fast == slow and len(fast) == docs.count()
+
+
+def test_unionfind_matches_propagation_on_random_graphs(spark):
+    """Property check: on randomized graphs (self-loops, duplicate and
+    reversed edges, chains, isolated docs) the driver union-find and
+    the distributed propagation — two independent implementations —
+    must agree exactly. A pure-Python BFS referee confirms both."""
+    import random
+
+    rng = random.Random(20260814)
+    for trial in range(5):
+        n = rng.randint(5, 40)
+        m = rng.randint(0, 60)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        pairs = spark.createDataFrame(
+            edges or [(0, 0)], "doc_a long, doc_b long"
+        )
+        fast = {r["doc_id"]: r["cluster_id"] for r in DD.neardup_clusters(docs, pairs).collect()}
+        slow = {r["doc_id"]: r["cluster_id"]
+                for r in DD.neardup_clusters(docs, pairs, driver_edge_limit=0,
+                                             max_iterations=n + 2).collect()}
+        # referee: BFS connected components, min-id label
+        adj = {i: set() for i in range(n)}
+        for a, b in (edges or [(0, 0)]):
+            adj[a].add(b)
+            adj[b].add(a)
+        want = {}
+        for start in range(n):
+            if start in want:
+                continue
+            comp, queue = {start}, [start]
+            while queue:
+                x = queue.pop()
+                for y in adj[x]:
+                    if y not in comp:
+                        comp.add(y)
+                        queue.append(y)
+            label = min(comp)
+            for x in comp:
+                want[x] = label
+        assert fast == want, f"trial {trial}: union-find vs BFS"
+        assert slow == want, f"trial {trial}: propagation vs BFS"
