@@ -44,6 +44,15 @@ _REFRESH_UNITS = {"minutes": 60, "hours": 3600, "days": 86400}
 # incremental (changed-assets-only) flag has no meaning for them
 _NON_INCREMENTAL_TYPES = ("TAG_EXPORT", "ENTRY_CREATE", "TAG_IMPORT", "TAG_RESTORE")
 
+# the 9 reference config types (ConfigType.py:4-12) — everything
+# trigger_job can dispatch; validated at create time like the
+# reference's check_config_type (main.py)
+_CONFIG_TYPES = (
+    "DYNAMIC_TAG_TABLE", "DYNAMIC_TAG_COLUMN", "STATIC_TAG_ASSET",
+    "GLOSSARY_TAG_ASSET", "SENSITIVE_TAG_COLUMN", "TAG_IMPORT",
+    "TAG_RESTORE", "TAG_EXPORT", "ENTRY_CREATE",
+)
+
 
 class TagEngine:
     def __init__(self, spark: SparkSession, tags_path: str | None = None, qualify=None):
@@ -104,6 +113,10 @@ class TagEngine:
         # export config stores only target coordinates, main.py:3621);
         # ENTRY_CREATE may tag the created entries, so a template is
         # allowed but not required.
+        if config_type not in _CONFIG_TYPES:
+            raise ValueError(
+                f"unknown config_type {config_type!r}; choose one of {_CONFIG_TYPES}"
+            )
         if config_type == "TAG_EXPORT" and not kw.get("target_path"):
             raise ValueError("TAG_EXPORT config requires target_path")
         if config_type == "ENTRY_CREATE" and not kw.get("directory"):
@@ -829,9 +842,9 @@ class TagEngine:
         import copy
 
         self.settings[doc] = {
-            k: sorted(v)
+            k: sorted(copy.deepcopy(v))
             if isinstance(v, (set, frozenset))
-            else list(v)
+            else copy.deepcopy(list(v))
             if isinstance(v, tuple)
             else copy.deepcopy(v)
             for k, v in values.items()
@@ -928,8 +941,27 @@ class TagEngine:
             per_kw = dict(kw)
             if cfg["config_type"] in _NON_INCREMENTAL_TYPES:
                 per_kw.pop("incremental", None)
+            jobs_before = len(self.jobs)
             try:
                 job_ids.append(self.trigger_job(cfg["config_uuid"], assets, **per_kw))
-            except Exception:
+            except Exception as exc:
                 cfg["scheduling_status"] = "READY"
+                if len(self.jobs) == jobs_before:
+                    # the raise happened before trigger_job's ledger
+                    # writes (validation, bad dispatch): record the
+                    # failure here so no cron failure is ever silent
+                    now_err = datetime.datetime.now(datetime.timezone.utc)
+                    self.jobs.append(
+                        {"job_uuid": self._uuid("job"),
+                         "config_uuid": cfg["config_uuid"],
+                         "config_type": cfg["config_type"],
+                         "job_status": "ERROR", "task_count": 0,
+                         "tasks_ran": 0, "tasks_success": 0,
+                         "tasks_failed": 1, "creation_time": now_err,
+                         "completion_time": now_err}
+                    )
+                    self.job_errors = getattr(self, "job_errors", {})
+                    self.job_errors[self.jobs[-1]["job_uuid"]] = [
+                        ("scheduler", repr(exc))
+                    ]
         return job_ids

@@ -161,7 +161,15 @@ def copy_policy_tags(assets: DataFrame, source_uri: str, target_uri: str) -> Dat
     become an apply_policy_tags request for the target. Columns present
     only on the source miss the map lookup (ignored, like the
     reference's per-field apply); a source with no policy tags is a
-    no-op, like the reference's early return."""
+    no-op, like the reference's early return — including a catalog
+    whose schema structs don't carry a policy_tag field at all (none
+    has ever been applied)."""
+    has_pt = any(
+        f.name == "policy_tag"
+        for f in assets.schema["schema"].dataType.elementType.fields
+    )
+    if not has_pt:
+        return assets
     requests = (
         assets.filter(F.col("asset_uri") == source_uri)
         .select(F.explode("schema").alias("_c"))
@@ -183,10 +191,13 @@ def classify_table(notables: DataFrame, classification: DataFrame) -> DataFrame:
     notables: (field, notable_infotype) from select_notable_infotype().
     classification: (notable_infotypes ARRAY<STRING>, classification_result STRING).
     Returns a 1-row DataFrame (classification_result STRING), or ZERO
-    rows when ``notables`` is empty — a table with no DLP findings has
-    no classification (the unguarded global agg produced have=[], which
-    superset-matches every classification row and mislabeled a clean
-    table with the smallest classification).
+    rows when there is nothing to classify: either ``notables`` is
+    empty — a table with no DLP findings has no classification (the
+    unguarded global agg produced have=[], which superset-matches every
+    classification row and mislabeled a clean table) — or no
+    classification row superset-matches the table's infotype set.
+    Callers must treat the empty frame as "unclassified", not index a
+    guaranteed first row.
     """
     table_set = notables.agg(
         F.array_sort(F.collect_set("notable_infotype")).alias("have")

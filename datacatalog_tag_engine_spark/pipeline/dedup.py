@@ -317,11 +317,21 @@ def neardup_clusters(
     caller bumps max_iterations (cost is O(diameter), not O(n)).
     """
     if driver_edge_limit:
-        # ONE evaluation of the (expensive) pairs plan answers both the
-        # cardinality probe and, when small, supplies the edges
-        head = pairs.select("doc_a", "doc_b").limit(driver_edge_limit + 1).collect()
-        if len(head) <= driver_edge_limit:
-            return _neardup_clusters_unionfind(docs, head, id_col)
+        # materialize the (expensive) pairs plan ONCE; the count and —
+        # when small — the edge collect both read the checkpoint, and
+        # an over-limit edge set never transfers to the driver at all
+        pairs = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
+        if pairs.count() <= driver_edge_limit:
+            try:
+                head = pairs.collect()
+            except Exception:
+                # driver.maxResultSize / driver memory: degrade to the
+                # distributed regime instead of failing the job
+                head = None
+            if head is not None:
+                labels = _neardup_clusters_unionfind(docs, head, id_col)
+                free_local_checkpoint(pairs)
+                return labels
     edges = (
         pairs.selectExpr("doc_a as src", "doc_b as dst")
         .unionByName(pairs.selectExpr("doc_b as src", "doc_a as dst"))

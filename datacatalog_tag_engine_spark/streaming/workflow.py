@@ -44,12 +44,15 @@ def match_events(
     ).dropDuplicates(EVENT_DEDUP_KEYS)
 
 
-def asset_uri_from_name(name: str) -> str:
+def asset_uri_from_name(name: str) -> tuple[str, str | None]:
     """Invert the history row's singularized asset_name (engine.
-    _append_history / reference BigQueryUtils.py:123-128) back to the
-    catalog asset_uri, dropping any /column/ suffix."""
-    base = name.split("/column/")[0]
-    return base.replace("/dataset/", "/datasets/").replace("/table/", "/tables/")
+    _append_history / reference BigQueryUtils.py:123-128) back to
+    (catalog asset_uri, column-or-None) — a column-level tag's event
+    carries a /column/<c> suffix, and the workflow must flip the
+    status on the SAME grain it fired from."""
+    base, _, column = name.partition("/column/")
+    uri = base.replace("/dataset/", "/datasets/").replace("/table/", "/tables/")
+    return uri, (column or None)
 
 
 def run_workflow_batch(
@@ -83,14 +86,17 @@ def run_workflow_batch(
     )
     out: list[dict] = []
     for ev in matched:
-        uri = asset_uri_from_name(ev["asset_name"])
+        uri, column = asset_uri_from_name(ev["asset_name"])
         scoped = assets.filter(F.col("asset_uri") == uri)
         jobs = [engine.trigger_job(cfg, scoped) for cfg in follow_on_configs]
         if status_value is not None:
+            # flip the ORIGINATING tag — same asset AND same column
+            # grain the trigger event fired from; flipping only an
+            # asset-level tag would leave a column-level trigger armed
             engine.update_tag_subset(
                 ev["template_id"],
                 uri,
-                None,
+                column,
                 [
                     {
                         "field_id": trigger_field,
@@ -108,12 +114,18 @@ def workflow_trigger_stream(
     history_stream: DataFrame,
     assets: DataFrame,
     checkpoint: str,
+    trigger: dict | None = None,
     **workflow_kw,
 ):
     """Continuous form: consume the history stream and dispatch the
     workflow per micro-batch. The returned query's checkpoint gives
     exactly-once batch tracking; within a replayed batch the dispatched
-    jobs are idempotent upstream (see module docstring)."""
+    jobs are idempotent upstream (see module docstring).
+
+    ``trigger`` chooses the trigger mode: the default
+    {"availableNow": True} drains what exists and stops (catch-up /
+    test runs); a long-running event-bus deployment passes e.g.
+    {"processingTime": "30 seconds"} to keep consuming new events."""
 
     def _dispatch(batch: DataFrame, _epoch: int) -> None:
         run_workflow_batch(engine, batch, assets, **workflow_kw)
@@ -121,6 +133,6 @@ def workflow_trigger_stream(
     return (
         history_stream.writeStream.foreachBatch(_dispatch)
         .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )

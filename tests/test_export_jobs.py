@@ -254,3 +254,31 @@ def test_cron_cycle_isolates_failures_and_drops_inapplicable_incremental(spark, 
         eng.trigger_job(imp, assets, incremental=True)
     with pytest.raises(ValueError, match="asset catalog"):
         eng.trigger_job(tag_cfg, None, incremental=True)
+
+
+def test_cron_records_pre_dispatch_failures_and_create_validates_type(spark):
+    """No cron failure is silent: a raise BEFORE trigger_job's own
+    ledger writes still produces an ERROR ledger row with the captured
+    exception; and a typo'd config_type fails at create time."""
+    import pytest
+
+    from datacatalog_tag_engine_spark.engine import TagEngine
+
+    eng = TagEngine(spark)
+    eng.create_template("gov", [{"field_id": "domain", "field_type": "string"}])
+    with pytest.raises(ValueError, match="unknown config_type"):
+        eng.create_config("DYNAMIC_TABLE_TAG", "gov")  # transposed typo
+    t0 = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+    cfg = eng.create_config(
+        "STATIC_TAG_ASSET", "gov",
+        included_uris="bigquery/project/p/dataset/d/lineitem",
+        fields=[{"field_id": "domain", "field_value": "X"}],
+        refresh_mode="AUTO", refresh_frequency=1, refresh_unit="hours", next_run=t0,
+    )
+    # incremental with no asset catalog raises before any ledger write
+    jobs = eng.run_ready_configs(None, now=t0, incremental=True)
+    assert jobs == []
+    row = eng.jobs[-1]
+    assert row["config_uuid"] == cfg and row["job_status"] == "ERROR"
+    assert "asset catalog" in eng.job_errors[row["job_uuid"]][0][1]
+    assert eng.configs[cfg]["scheduling_status"] == "READY"

@@ -153,3 +153,21 @@ def test_copy_policy_tags_and_reapply_preserves_existing(spark):
     # apply_policy_tags used to null every column without a request)
     src = by_asset["p/datasets/d/tables/src"]
     assert src["email"] == "pii/email" and src["only_src"] == "pii/other"
+
+
+def test_copy_policy_tags_noop_on_never_tagged_catalog(spark):
+    """Regression: a catalog whose schema structs have no policy_tag
+    field (nothing ever applied) must be a no-op, not an
+    AnalysisException."""
+    from datacatalog_tag_engine_spark.model.schemas import ASSETS_SCHEMA
+
+    assets = spark.createDataFrame(
+        [{"asset_uri": "p/datasets/d/tables/src", "asset_type": "bigquery",
+          "project": "p", "dataset": "d", "table": "src",
+          "schema": [{"name": "email", "type": "STRING", "mode": "NULLABLE",
+                      "subcolumns": None}]}],
+        ASSETS_SCHEMA,
+    )
+    out = S.copy_policy_tags(assets, "p/datasets/d/tables/src", "p/datasets/d/tables/dst")
+    assert out.schema == assets.schema
+    assert out.count() == 1

@@ -124,3 +124,36 @@ def test_retry_duplicate_events_dispatch_once(spark, registration):
         follow_on_configs=[follow_on],
     )
     assert len(results) == 1
+
+
+def test_column_level_trigger_flips_the_column_tag(spark):
+    """Regression: a trigger tag at COLUMN grain must flip on the same
+    column, not spawn a stray asset-level status tag (which would leave
+    the original trigger armed)."""
+    eng = TagEngine(spark)
+    eng.create_template(
+        "data_product",
+        [{"field_id": "data_product_status", "field_type": "enum",
+          "enum_values": ["PENDING", "REVIEW"]}],
+    )
+    assets = spark.createDataFrame(
+        [{"asset_uri": "p/datasets/d/tables/lineitem", "asset_type": "bigquery",
+          "project": "p", "dataset": "d", "table": "lineitem"}],
+        ASSETS_SCHEMA,
+    )
+    # column-grain PENDING tag via direct subset update
+    eng.update_tag_subset(
+        "data_product", "p/datasets/d/tables/lineitem", "l_comment",
+        [{"field_id": "data_product_status", "field_type": "enum", "raw_value": "PENDING"}],
+    )
+    results = W.run_workflow_batch(
+        eng, eng.history(), assets,
+        trigger_field="data_product_status", trigger_value="PENDING",
+        follow_on_configs=[], status_value="REVIEW", status_type="enum",
+    )
+    assert len(results) == 1
+    tags = {(r["asset_uri"], r["column"]): r["field_value_string"]
+            for r in eng.store.all().collect()}
+    assert tags[("p/datasets/d/tables/lineitem", "l_comment")] == "REVIEW"
+    # no stray asset-level tag appeared
+    assert ("p/datasets/d/tables/lineitem", None) not in tags
