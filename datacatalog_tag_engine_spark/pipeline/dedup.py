@@ -611,10 +611,16 @@ def semantic_dedup(
         norm_expr,
     )
 
+    # the cell assignment feeds FOUR consumers (both pair-join sides,
+    # the split counts, and the final labels join) and exchange reuse
+    # does not span them (verified: 0 ReusedExchange in the unmaterialized
+    # plan) — materialize it once so the centroid crossJoin + rank
+    # window runs a single corpus pass instead of four
     assign = (
         _ranked_cells(emb, num_cells, id_col, vec_col, cents=cents)
         .filter(F.col("_rn") == 1)
         .select(F.col(id_col), F.col("v"), F.col("cell"))
+        .localCheckpoint(eager=True)
     )
     # norm once per VECTOR, not per pair: inside the pair join the
     # cosine denominator reuses these columns, cutting the per-pair
