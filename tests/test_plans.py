@@ -112,3 +112,16 @@ def test_static_config_is_a_plan_not_a_collect(spark):
     assert "Range" in p
     assert "BroadcastNestedLoopJoin" in p
     assert df.count() == 700
+
+
+def test_semantic_dedup_assigns_once(spark):
+    """The quantizer assignment is materialized once: the executed plan
+    downstream of the checkpoint carries exactly ONE rank window (the
+    per-vector dominator pick), not the 4x-recomputed centroid
+    assignment windows."""
+    import re
+
+    out = DD.semantic_dedup(spark.table("embeddings"))
+    p = plan_of(out)
+    assert len(re.findall(r"\(\d+\) Window$", p, re.M)) == 1, p
+    assert "CartesianProduct" not in p
