@@ -179,6 +179,40 @@ class TagEngine:
 
     # -- job execution -----------------------------------------------------
 
+    def _record_job(
+        self,
+        job_uuid: str,
+        config_uuid: str,
+        config_type: str,
+        started: datetime.datetime,
+        *,
+        status: str,
+        task_count: int = 0,
+        tasks_success: int = 0,
+        tasks_failed: int = 0,
+        errors: list | None = None,
+    ) -> None:
+        """Append one job-ledger row (the single definition of the row
+        shape — save_state serializes these, jobs_df reads them) and
+        stash per-task errors when present."""
+        self.jobs.append(
+            {
+                "job_uuid": job_uuid,
+                "config_uuid": config_uuid,
+                "config_type": config_type,
+                "job_status": status,
+                "task_count": task_count,
+                "tasks_ran": task_count,
+                "tasks_success": tasks_success,
+                "tasks_failed": tasks_failed,
+                "creation_time": started,
+                "completion_time": datetime.datetime.now(datetime.timezone.utc),
+            }
+        )
+        if errors:
+            self.job_errors = getattr(self, "job_errors", {})
+            self.job_errors[job_uuid] = errors
+
     def trigger_job(self, config_uuid: str, assets: DataFrame | None = None, **kw) -> str:
         cfg = self.configs[config_uuid]
         if cfg["config_status"] != "ACTIVE":
@@ -222,21 +256,18 @@ class TagEngine:
                         cfg.get("entry_dataset"),
                     )
                     n = self._last_entries_created
-            except Exception:
-                self.jobs.append(
-                    {"job_uuid": job_uuid, "config_uuid": config_uuid,
-                     "config_type": cfg["config_type"], "job_status": "ERROR",
-                     "task_count": 0, "tasks_ran": 0, "tasks_success": 0,
-                     "tasks_failed": 1, "creation_time": started,
-                     "completion_time": datetime.datetime.now(datetime.timezone.utc)}
+            except Exception as exc:
+                self._record_job(
+                    job_uuid, config_uuid, cfg["config_type"], started,
+                    status="ERROR", tasks_failed=1,
                 )
+                # explicit contract with run_ready_configs: this raise
+                # already has its ledger row — no scheduler fallback row
+                exc._ledger_recorded = True
                 raise
-            self.jobs.append(
-                {"job_uuid": job_uuid, "config_uuid": config_uuid,
-                 "config_type": cfg["config_type"], "job_status": "SUCCESS",
-                 "task_count": n, "tasks_ran": n, "tasks_success": n,
-                 "tasks_failed": 0, "creation_time": started,
-                 "completion_time": datetime.datetime.now(datetime.timezone.utc)}
+            self._record_job(
+                job_uuid, config_uuid, cfg["config_type"], started,
+                status="SUCCESS", task_count=n, tasks_success=n,
             )
             cfg["scheduling_status"] = "READY"
             return job_uuid
@@ -263,31 +294,17 @@ class TagEngine:
             n = self._append_history(history, job_uuid)
             failed = len(errors)
             status = "ERROR" if failed else "SUCCESS"
-            if errors:
-                self.job_errors = getattr(self, "job_errors", {})
-                self.job_errors[job_uuid] = errors
-        except Exception:
-            self.jobs.append(
-                {"job_uuid": job_uuid, "config_uuid": config_uuid,
-                 "config_type": cfg["config_type"], "job_status": "ERROR",
-                 "task_count": 0, "tasks_ran": 0, "tasks_success": 0,
-                 "tasks_failed": 1, "creation_time": started,
-                 "completion_time": datetime.datetime.now(datetime.timezone.utc)}
+        except Exception as exc:
+            self._record_job(
+                job_uuid, config_uuid, cfg["config_type"], started,
+                status="ERROR", tasks_failed=1,
             )
+            exc._ledger_recorded = True
             raise
-        self.jobs.append(
-            {
-                "job_uuid": job_uuid,
-                "config_uuid": config_uuid,
-                "config_type": cfg["config_type"],
-                "job_status": status,
-                "task_count": n + failed,
-                "tasks_ran": n + failed,
-                "tasks_success": n,
-                "tasks_failed": failed,
-                "creation_time": started,
-                "completion_time": datetime.datetime.now(datetime.timezone.utc),
-            }
+        self._record_job(
+            job_uuid, config_uuid, cfg["config_type"], started,
+            status=status, task_count=n + failed, tasks_success=n,
+            tasks_failed=failed, errors=errors,
         )
         cfg["scheduling_status"] = "READY"
         return job_uuid
@@ -941,27 +958,21 @@ class TagEngine:
             per_kw = dict(kw)
             if cfg["config_type"] in _NON_INCREMENTAL_TYPES:
                 per_kw.pop("incremental", None)
-            jobs_before = len(self.jobs)
             try:
                 job_ids.append(self.trigger_job(cfg["config_uuid"], assets, **per_kw))
             except Exception as exc:
                 cfg["scheduling_status"] = "READY"
-                if len(self.jobs) == jobs_before:
+                if not getattr(exc, "_ledger_recorded", False):
                     # the raise happened before trigger_job's ledger
-                    # writes (validation, bad dispatch): record the
-                    # failure here so no cron failure is ever silent
-                    now_err = datetime.datetime.now(datetime.timezone.utc)
-                    self.jobs.append(
-                        {"job_uuid": self._uuid("job"),
-                         "config_uuid": cfg["config_uuid"],
-                         "config_type": cfg["config_type"],
-                         "job_status": "ERROR", "task_count": 0,
-                         "tasks_ran": 0, "tasks_success": 0,
-                         "tasks_failed": 1, "creation_time": now_err,
-                         "completion_time": now_err}
+                    # writes (validation, bad dispatch — trigger_job
+                    # stamps _ledger_recorded on exceptions whose row it
+                    # already wrote): record the failure here so no cron
+                    # failure is ever silent
+                    self._record_job(
+                        self._uuid("job"), cfg["config_uuid"],
+                        cfg["config_type"],
+                        datetime.datetime.now(datetime.timezone.utc),
+                        status="ERROR", tasks_failed=1,
+                        errors=[("scheduler", repr(exc))],
                     )
-                    self.job_errors = getattr(self, "job_errors", {})
-                    self.job_errors[self.jobs[-1]["job_uuid"]] = [
-                        ("scheduler", repr(exc))
-                    ]
         return job_ids

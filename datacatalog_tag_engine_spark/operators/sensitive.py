@@ -133,10 +133,7 @@ def apply_policy_tags(assets: DataFrame, requests: DataFrame) -> DataFrame:
     # a catalog that has been through this rewrite already carries a
     # policy_tag field — columns without a new request KEEP their
     # existing tag (re-applying must not silently strip the catalog)
-    has_pt = any(
-        f.name == "policy_tag"
-        for f in assets.schema["schema"].dataType.elementType.fields
-    )
+    has_pt = _has_policy_tag(assets)
     new_schema = F.transform(
         "schema",
         lambda c: F.struct(
@@ -153,6 +150,16 @@ def apply_policy_tags(assets: DataFrame, requests: DataFrame) -> DataFrame:
     return joined.withColumn("schema", new_schema).drop("_ptmap")
 
 
+def _has_policy_tag(assets: DataFrame) -> bool:
+    """Whether the asset catalog's schema structs already carry a
+    policy_tag field (i.e. the catalog has been through
+    apply_policy_tags at least once)."""
+    return any(
+        f.name == "policy_tag"
+        for f in assets.schema["schema"].dataType.elementType.fields
+    )
+
+
 def copy_policy_tags(assets: DataFrame, source_uri: str, target_uri: str) -> DataFrame:
     """Copy the source asset's column policy tags onto the target's
     matching columns (reference copy_policy_tags,
@@ -164,11 +171,7 @@ def copy_policy_tags(assets: DataFrame, source_uri: str, target_uri: str) -> Dat
     no-op, like the reference's early return — including a catalog
     whose schema structs don't carry a policy_tag field at all (none
     has ever been applied)."""
-    has_pt = any(
-        f.name == "policy_tag"
-        for f in assets.schema["schema"].dataType.elementType.fields
-    )
-    if not has_pt:
+    if not _has_policy_tag(assets):
         return assets
     requests = (
         assets.filter(F.col("asset_uri") == source_uri)

@@ -338,6 +338,11 @@ def neardup_clusters(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if driver_edge_limit:
+        # the pairs checkpoint is dead once edges (itself eager) exists;
+        # without this the over-limit / collect-failure path pins an
+        # edge-list-sized generation for the session's lifetime
+        free_local_checkpoint(pairs)
     labels = docs.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
     prev_ckpt = None
     converged = False
@@ -614,13 +619,17 @@ def semantic_dedup(
     # the cell assignment feeds FOUR consumers (both pair-join sides,
     # the split counts, and the final labels join) and exchange reuse
     # does not span them (verified: 0 ReusedExchange in the unmaterialized
-    # plan) — materialize it once so the centroid crossJoin + rank
-    # window runs a single corpus pass instead of four
+    # plan) — persist() it so the centroid crossJoin + rank window runs
+    # one corpus pass instead of four. persist, not localCheckpoint: it
+    # is lazy (no job at plan-construction time), its blocks are
+    # LRU-evictable and recomputable from lineage (a checkpoint pins
+    # non-evictable blocks with no caller-visible release path), and it
+    # measures faster warm (1.3s vs 2.4s at sf0.1)
     assign = (
         _ranked_cells(emb, num_cells, id_col, vec_col, cents=cents)
         .filter(F.col("_rn") == 1)
         .select(F.col(id_col), F.col("v"), F.col("cell"))
-        .localCheckpoint(eager=True)
+        .persist()
     )
     # norm once per VECTOR, not per pair: inside the pair join the
     # cosine denominator reuses these columns, cutting the per-pair

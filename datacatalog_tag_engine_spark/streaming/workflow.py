@@ -125,14 +125,20 @@ def workflow_trigger_stream(
     ``trigger`` chooses the trigger mode: the default
     {"availableNow": True} drains what exists and stops (catch-up /
     test runs); a long-running event-bus deployment passes e.g.
-    {"processingTime": "30 seconds"} to keep consuming new events."""
+    {"processingTime": "30 seconds"} to keep consuming new events, and
+    an explicit {} requests Spark's default ASAP micro-batch mode (no
+    .trigger() call) — only None means "use the availableNow
+    default"."""
 
     def _dispatch(batch: DataFrame, _epoch: int) -> None:
         run_workflow_batch(engine, batch, assets, **workflow_kw)
 
-    return (
+    writer = (
         history_stream.writeStream.foreachBatch(_dispatch)
         .option("checkpointLocation", checkpoint)
-        .trigger(**(trigger or {"availableNow": True}))
-        .start()
     )
+    if trigger is None:
+        trigger = {"availableNow": True}
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -241,8 +241,10 @@ def test_cron_cycle_isolates_failures_and_drops_inapplicable_incremental(spark, 
     assert len(jobs) == 1
     good_job = next(j for j in eng.jobs if j["job_uuid"] == jobs[0])
     assert good_job["config_uuid"] == good_export and good_job["job_status"] == "SUCCESS"
-    # the failure got its ERROR ledger row and stays schedulable
-    assert any(j["config_uuid"] == bad and j["job_status"] == "ERROR" for j in eng.jobs)
+    # the failure got its ERROR ledger row and stays schedulable —
+    # exactly ONE row: trigger_job wrote it and stamped the exception
+    # _ledger_recorded, so the scheduler adds no duplicate fallback row
+    assert [j["job_status"] for j in eng.jobs if j["config_uuid"] == bad] == ["ERROR"]
     assert eng.configs[bad]["scheduling_status"] == "READY"
     # direct calls keep the loud contract
     import pytest

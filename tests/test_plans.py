@@ -115,13 +115,25 @@ def test_static_config_is_a_plan_not_a_collect(spark):
 
 
 def test_semantic_dedup_assigns_once(spark):
-    """The quantizer assignment is materialized once: the executed plan
-    downstream of the checkpoint carries exactly ONE rank window (the
-    per-vector dominator pick), not the 4x-recomputed centroid
-    assignment windows."""
+    """The quantizer assignment is computed once: it lives behind a
+    persist() (InMemoryRelation), so the executed plan carries exactly
+    TWO distinct Window nodes — the cached centroid-assignment rank
+    (printed once per InMemoryTableScan but computed once) and the
+    per-vector dominator pick — not 4x-recomputed assignment windows.
+    The formatted explain repeats the cached relation's body verbatim
+    per consumer with the SAME node ids, so distinct ids are the
+    compute count."""
     import re
 
+    # earlier tests' still-registered persist() entries get substituted
+    # into equal plan fragments here (correct — equal plan means equal
+    # data — but it nests their InMemoryRelation bodies into the
+    # formatted text); clear the cache so the audit sees THIS call's
+    # plan shape
+    spark.catalog.clearCache()
     out = DD.semantic_dedup(spark.table("embeddings"))
     p = plan_of(out)
-    assert len(re.findall(r"\(\d+\) Window$", p, re.M)) == 1, p
+    window_ids = set(re.findall(r"\((\d+)\) Window$", p, re.M))
+    assert len(window_ids) == 2, p
+    assert "InMemoryRelation" in p, p
     assert "CartesianProduct" not in p
