@@ -105,6 +105,39 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 8, id_col: str = "
     return shingles.groupBy(id_col).agg(*aggs)
 
 
+def tune_lsh_params(
+    threshold: float, num_hashes: int = 8, fp_weight: float = 0.5
+) -> tuple[int, int]:
+    """Pick (bands, rows_per_band) with bands * rows <= num_hashes
+    minimizing the weighted false-positive + false-negative area of the
+    LSH S-curve P(candidate | s) = 1 - (1 - s^rows)^bands around
+    ``threshold`` — the same grid optimization as the public datasketch
+    MinHashLSH optimal-param search. Feed the result straight into
+    ``lsh_candidate_pairs(bands=...)`` / ``minhash_dedup(bands=...)``
+    (both slice the signature as bands x rows_per_band).
+
+    ``fp_weight`` trades candidate-set size (false positives cost
+    verification compute at 100 TB) against recall (false negatives are
+    missed near-dups); 0.5 weighs them equally."""
+    if not 0 < threshold < 1:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+
+    def _area(f, lo, hi, n=100):
+        h = (hi - lo) / n
+        return sum(f(lo + h * (i + 0.5)) for i in range(n)) * h
+
+    best = None
+    for rows in range(1, num_hashes + 1):
+        bands = num_hashes // rows
+        prob = lambda s: 1.0 - (1.0 - s**rows) ** bands
+        fp = _area(prob, 0.0, threshold)
+        fn = _area(lambda s: 1.0 - prob(s), threshold, 1.0)
+        err = fp_weight * fp + (1.0 - fp_weight) * fn
+        if best is None or err < best[0]:
+            best = (err, bands, rows)
+    return best[1], best[2]
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     num_hashes: int = 8,

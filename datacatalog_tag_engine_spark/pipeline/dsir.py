@@ -1,0 +1,179 @@
+"""DSIR-style importance resampling for training-data selection.
+
+Implements the hashed n-gram importance-weight scheme of Xie et al.,
+"Data Selection for Language Models via Importance Resampling"
+(arXiv:2302.03169, public): the raw and target corpora are summarized
+as bag-of-hashed-ngram (unigram + bigram) bucket distributions; every
+raw document is scored by its log-likelihood ratio under the target vs
+raw bucket models; selection draws a Gumbel-top-k sample, equivalent to
+sampling-without-replacement proportional to softmax(score/temperature).
+
+Everything is engine-portable and deterministic, matching the repo's
+sampling conventions: bucketing uses the md5 bucket from
+``pipeline.sampling.hash_bucket`` (no JVM-specific hash), per-bucket
+log-ratios round to 6 decimals BEFORE the per-document sum (so the sum
+replays exactly from the rounded table), and the Gumbel noise derives
+from an md5 uniform — the selected set replays exactly on any engine,
+partitioning, or cluster size.
+
+Scale shape (100 TB): the bucket table is ``buckets`` rows regardless
+of corpus size — it broadcasts. The raw corpus explodes once into
+(doc, bucket) pairs and aggregates on the uniform doc_id key (one
+shuffle). The target corpus (a quality exemplar set — orders of
+magnitude smaller) costs one extra pass. No driver-side collects.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import hash_bucket
+from .text import word_ngrams
+
+BUCKETS = 10_000
+
+
+def _gram_buckets(text_col: Column, buckets: int) -> Column:
+    """Array of hashed-ngram bucket ids (with multiplicity) for one
+    document: lowercase whitespace words, unigrams + bigrams — the
+    multiplicity IS the bag-of-ngrams likelihood's term count."""
+    words = F.filter(
+        F.split(F.lower(text_col), r"\s+"), lambda w: F.length(w) > 0
+    )
+    grams = F.concat(words, word_ngrams(words, 2))
+    return F.transform(grams, lambda g: hash_bucket(g, buckets))
+
+
+def _bucket_counts(
+    docs: DataFrame, text_col: str, buckets: int
+) -> DataFrame:
+    """(bucket, cnt): corpus-wide hashed-ngram occurrence counts."""
+    return (
+        docs.select(
+            F.explode(_gram_buckets(F.col(text_col), buckets)).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def dsir_logratio(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    buckets: int = BUCKETS,
+) -> tuple[DataFrame, float]:
+    """Per-bucket importance log-ratio table.
+
+    Returns ``(table, default)`` where ``table`` is (bucket, logratio)
+    for every bucket observed in either corpus and ``default`` is the
+    ratio for never-observed buckets — both with add-one smoothing over
+    the ``buckets``-sized vocabulary:
+
+        logratio(b) = ln((c_t(b)+1)/(N_t+B)) - ln((c_r(b)+1)/(N_r+B))
+
+    rounded to 6 decimals so downstream sums replay exactly from the
+    rounded table on any engine. The two corpus totals are the only
+    driver-side values (two scalar aggregates)."""
+    raw_c = _bucket_counts(raw, text_col, buckets)
+    tgt_c = _bucket_counts(target, text_col, buckets)
+    # two scalar totals — dimension-sized driver reads, not collects
+    n_raw = raw_c.agg(F.sum("cnt")).first()[0] or 0
+    n_tgt = tgt_c.agg(F.sum("cnt")).first()[0] or 0
+    denom_t = float(n_tgt + buckets)
+    denom_r = float(n_raw + buckets)
+    table = (
+        raw_c.withColumnRenamed("cnt", "cnt_raw")
+        .join(tgt_c.withColumnRenamed("cnt", "cnt_tgt"), "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.round(
+                F.log((F.coalesce(F.col("cnt_tgt"), F.lit(0)) + 1) / F.lit(denom_t))
+                - F.log((F.coalesce(F.col("cnt_raw"), F.lit(0)) + 1) / F.lit(denom_r)),
+                6,
+            ).alias("logratio"),
+        )
+    )
+    default = round(math.log(1.0 / denom_t) - math.log(1.0 / denom_r), 6)
+    return table, default
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """(doc_id, n_grams, dsir_score) for every raw document: the
+    bag-of-hashed-ngrams log-likelihood ratio of target vs raw, the
+    DSIR importance weight in log space. Documents with no grams score
+    0.0 (empty product — kept, so downstream selection sees the whole
+    corpus). Score rounds to 4 decimals at the output grain.
+
+    Plan: bucket table broadcasts (``buckets`` rows), corpus explodes
+    once, one shuffle on the uniform doc_id key."""
+    table, default = dsir_logratio(raw, target, text_col, buckets)
+    feats = raw.select(
+        F.col(id_col),
+        F.explode_outer(_gram_buckets(F.col(text_col), buckets)).alias("bucket"),
+    )
+    # the explode_outer NULL-bucket row (a doc with no grams at all)
+    # must contribute 0, not the unseen-bucket default — only real
+    # grams whose bucket missed the table take the smoothed default
+    term = F.when(F.col("bucket").isNull(), F.lit(0.0)).otherwise(
+        F.coalesce(F.col("logratio"), F.lit(default))
+    )
+    return (
+        feats.join(F.broadcast(table), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("bucket").alias("n_grams"),
+            F.round(F.coalesce(F.sum(term), F.lit(0.0)), 4).alias("dsir_score"),
+        )
+    )
+
+
+def dsir_sample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    temperature: float | None = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Select ``k`` raw documents by DSIR importance: Gumbel-top-k over
+    ``dsir_score / temperature``, which samples without replacement
+    with probability proportional to softmax of the tempered scores —
+    the paper's resampling step. ``temperature=None`` (or 0) disables
+    the noise: pure deterministic top-k by score.
+
+    The Gumbel noise is hash-derived (md5 uniform, same construction as
+    ``pipeline.sampling``), so the selected set is deterministic and
+    engine-replayable; ties break on doc_id. Returns (doc_id, n_grams,
+    dsir_score, selection_key) sorted by selection_key descending —
+    a distributed top-k (TakeOrdered), never a full sort at the sink."""
+    if temperature is not None and temperature < 0:
+        raise ValueError(f"temperature must be >= 0, got {temperature}")
+    w = dsir_weights(raw, target, id_col, text_col, buckets)
+    if temperature:
+        # u in (0,1): (md5_32(id)+0.5)/2^32 — never exactly 0 or 1, so
+        # -ln(-ln(u)) is always finite
+        u = (
+            F.conv(F.substring(F.md5(F.concat(F.lit("dsir:"), F.col(id_col).cast("string"))), 1, 8), 16, 10)
+            .cast("long")
+            .cast("double")
+            + 0.5
+        ) / F.lit(4294967296.0)
+        key = F.col("dsir_score") / F.lit(float(temperature)) - F.log(-F.log(u))
+    else:
+        key = F.col("dsir_score").cast("double")
+    return (
+        w.withColumn("selection_key", F.round(key, 6))
+        .orderBy(F.desc("selection_key"), F.asc(id_col))
+        .limit(k)
+    )

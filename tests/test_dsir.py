@@ -1,0 +1,140 @@
+"""DSIR importance resampling (pipeline/dsir.py): directional scoring,
+determinism under re-partitioning, empty-doc handling, and Gumbel-top-k
+selection semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datacatalog_tag_engine_spark.pipeline import dsir
+
+
+def _corpus(spark):
+    # raw corpus: half the docs carry the target-distinctive token
+    rows = []
+    for i in range(40):
+        base = f"common words shared by every document number {i}"
+        if i % 2 == 0:
+            rows.append({"doc_id": i, "text": base + " quantum quantum physics"})
+        else:
+            rows.append({"doc_id": i, "text": base + " ordinary filler content"})
+    return spark.createDataFrame(rows)
+
+
+def _target(spark):
+    # exemplar set dominated by the distinctive token
+    return spark.createDataFrame(
+        [{"doc_id": 1000 + i, "text": "quantum physics papers about quantum theory"} for i in range(5)]
+    )
+
+
+def test_weights_are_directional(spark):
+    w = dsir.dsir_weights(_corpus(spark), _target(spark)).collect()
+    scores = {r["doc_id"]: r["dsir_score"] for r in w}
+    assert len(scores) == 40
+    quantum = [scores[i] for i in range(0, 40, 2)]
+    plain = [scores[i] for i in range(1, 40, 2)]
+    # every target-like doc outranks every non-target doc
+    assert min(quantum) > max(plain)
+
+
+def test_weights_deterministic_across_partitionings(spark):
+    raw, tgt = _corpus(spark), _target(spark)
+    a = sorted(map(tuple, dsir.dsir_weights(raw, tgt).collect()))
+    b = sorted(
+        map(
+            tuple,
+            dsir.dsir_weights(raw.repartition(13), tgt.repartition(3)).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_empty_doc_scores_zero(spark):
+    raw = spark.createDataFrame(
+        [{"doc_id": 1, "text": "quantum things"}, {"doc_id": 2, "text": "   "}]
+    )
+    w = {r["doc_id"]: r for r in dsir.dsir_weights(raw, _target(spark)).collect()}
+    assert set(w) == {1, 2}
+    assert w[2]["n_grams"] == 0
+    assert w[2]["dsir_score"] == 0.0
+
+
+def test_smoothing_covers_unseen_buckets(spark):
+    # target shares NO vocabulary with raw: scores are finite (add-one
+    # smoothing), uniformly negative (every raw gram is target-unseen)
+    raw = spark.createDataFrame([{"doc_id": i, "text": f"alpha beta gamma {i}"} for i in range(5)])
+    tgt = spark.createDataFrame([{"doc_id": 99, "text": "zeta eta theta"}])
+    rows = dsir.dsir_weights(raw, tgt).collect()
+    assert all(r["dsir_score"] < 0 for r in rows)
+    assert all(abs(r["dsir_score"]) < 1e6 for r in rows)
+
+
+def test_topk_mode_is_pure_score_order(spark):
+    raw, tgt = _corpus(spark), _target(spark)
+    sel = dsir.dsir_sample(raw, tgt, k=10, temperature=None).collect()
+    assert len(sel) == 10
+    # temperature off: selection_key == score, and the 10 winners are
+    # exactly 10 target-like docs (they all outrank the plain half)
+    assert all(r["doc_id"] % 2 == 0 for r in sel)
+    keys = [r["selection_key"] for r in sel]
+    assert keys == sorted(keys, reverse=True)
+
+
+def test_gumbel_sample_deterministic_and_tempered(spark):
+    raw, tgt = _corpus(spark), _target(spark)
+    s1 = [r["doc_id"] for r in dsir.dsir_sample(raw, tgt, k=10, temperature=1.0).collect()]
+    s2 = [r["doc_id"] for r in dsir.dsir_sample(raw.repartition(7), tgt, k=10, temperature=1.0).collect()]
+    assert s1 == s2  # hash-derived noise: replayable anywhere
+    # low temperature sharpens toward pure top-k: the target-like half
+    # must dominate the selection
+    cold = [r["doc_id"] for r in dsir.dsir_sample(raw, tgt, k=10, temperature=0.01).collect()]
+    assert sum(1 for d in cold if d % 2 == 0) == 10
+    with pytest.raises(ValueError, match="temperature"):
+        dsir.dsir_sample(raw, tgt, k=5, temperature=-1.0)
+
+
+def test_logratio_table_is_bucket_sized_and_broadcast(spark):
+    raw, tgt = _corpus(spark), _target(spark)
+    table, default = dsir.dsir_logratio(raw, tgt, buckets=128)
+    assert table.count() <= 128
+    # default = ln((N_raw+B)/(N_tgt+B)): positive here because the raw
+    # corpus is larger — the smoothed never-seen bucket is relatively
+    # MORE probable under the smaller target model
+    assert isinstance(default, float) and default > 0
+    # the scoring join must broadcast the bucket table, never shuffle
+    # the corpus side on bucket, and never cartesian
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        dsir.dsir_weights(raw, tgt).explain("formatted")
+    p = buf.getvalue()
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_tune_lsh_params_properties():
+    """S-curve steepness: a higher similarity threshold prefers more
+    rows per band (sharper AND within a band); the returned shape
+    always fits the signature; recall-heavy weighting never picks more
+    rows than the balanced choice."""
+    from datacatalog_tag_engine_spark.pipeline.dedup import tune_lsh_params
+
+    for num_hashes in (8, 16, 128):
+        b_lo, r_lo = tune_lsh_params(0.2, num_hashes)
+        b_hi, r_hi = tune_lsh_params(0.9, num_hashes)
+        assert b_lo * r_lo <= num_hashes and b_hi * r_hi <= num_hashes
+        assert r_hi >= r_lo
+    # datasketch's canonical regime: threshold 0.5, 128 perms lands in
+    # a balanced middle (not degenerate 1-band or 1-row)
+    b, r = tune_lsh_params(0.5, 128)
+    assert b > 1 and r > 1
+    import pytest
+
+    with pytest.raises(ValueError, match="threshold"):
+        tune_lsh_params(1.5)
+    # penalizing false negatives more pulls toward fewer rows (catch
+    # more candidates)
+    b_recall, r_recall = tune_lsh_params(0.5, 128, fp_weight=0.1)
+    assert r_recall <= r
