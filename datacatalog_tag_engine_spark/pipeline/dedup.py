@@ -108,13 +108,18 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 8, id_col: str = "
 def tune_lsh_params(
     threshold: float, num_hashes: int = 8, fp_weight: float = 0.5
 ) -> tuple[int, int]:
-    """Pick (bands, rows_per_band) with bands * rows <= num_hashes
+    """Pick (bands, rows_per_band) with bands * rows == num_hashes
     minimizing the weighted false-positive + false-negative area of the
     LSH S-curve P(candidate | s) = 1 - (1 - s^rows)^bands around
     ``threshold`` — the same grid optimization as the public datasketch
     MinHashLSH optimal-param search. Feed the result straight into
     ``lsh_candidate_pairs(bands=...)`` / ``minhash_dedup(bands=...)``
     (both slice the signature as bands x rows_per_band).
+
+    The grid is restricted to DIVISORS of num_hashes: the consumers
+    recompute rows = num_hashes // bands from bands alone, so a
+    non-divisor (bands, rows) would silently run a different S-curve
+    than the one whose error areas were minimized here.
 
     ``fp_weight`` trades candidate-set size (false positives cost
     verification compute at 100 TB) against recall (false negatives are
@@ -128,6 +133,8 @@ def tune_lsh_params(
 
     best = None
     for rows in range(1, num_hashes + 1):
+        if num_hashes % rows:
+            continue
         bands = num_hashes // rows
         prob = lambda s: 1.0 - (1.0 - s**rows) ** bands
         fp = _area(prob, 0.0, threshold)
@@ -268,11 +275,18 @@ def minhash_dedup(
     text_col: str = "text",
     k: int = 3,
     num_hashes: int = 8,
-    bands: int = 4,
+    bands: int | None = 4,
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: returns verified pairs
-    (doc_a, doc_b, jaccard >= threshold) found via banded LSH."""
+    (doc_a, doc_b, jaccard >= threshold) found via banded LSH.
+
+    ``bands=None`` derives the banding from ``threshold`` via
+    ``tune_lsh_params`` (datasketch-style S-curve optimization), so the
+    candidate S-curve is centered on the verify threshold instead of
+    whatever the fixed default implies."""
+    if bands is None:
+        bands, _ = tune_lsh_params(threshold, num_hashes)
     # the shingle table feeds both the signature and the verify branch
     # of one action — materialize it once (eager local checkpoint)
     # instead of recomputing the explode in both subtrees
@@ -347,7 +361,11 @@ def neardup_clusters(
     (diameter > rounds) would otherwise return one cluster split under
     several labels, and apply_neardup_dedup would silently keep
     multiple 'canonical' near-duplicates. Raise rather than guess; the
-    caller bumps max_iterations (cost is O(diameter), not O(n)).
+    caller bumps max_iterations (cost is O(diameter), not O(n)). The
+    loop runs ``max_iterations`` propagation rounds plus one final
+    verification round, so a component that reaches its fixed point
+    exactly on the last allowed round (the verification round's
+    propagation is then a no-op) still returns instead of raising.
     """
     if driver_edge_limit:
         # materialize the (expensive) pairs plan ONCE; the count and —
@@ -379,7 +397,10 @@ def neardup_clusters(
     labels = docs.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
     prev_ckpt = None
     converged = False
-    for it in range(max_iterations):
+    # max_iterations propagation rounds + 1 verification round: when
+    # the fixed point lands exactly on round max_iterations, the extra
+    # round observes changed == 0 and converges rather than raising
+    for it in range(max_iterations + 1):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels[id_col])
             .groupBy("src")
@@ -406,9 +427,10 @@ def neardup_clusters(
         prev_ckpt = updated
         labels = updated.select(F.col(id_col), F.col("new_cluster_id").alias("cluster_id"))
         # round 1 changes whenever any edge exists — skip its
-        # convergence count (one full job); if the edge set is empty the
-        # round-2 count returns 0 and exits
-        if it > 0:
+        # convergence count (one full job) unless it is ALSO the
+        # verification round; if the edge set is empty the next count
+        # returns 0 and exits
+        if it > 0 or max_iterations == 0:
             changed = updated.filter(F.col("new_cluster_id") != F.col("cluster_id")).count()
             if changed == 0:
                 converged = True

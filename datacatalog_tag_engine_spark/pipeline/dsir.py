@@ -9,12 +9,14 @@ raw bucket models; selection draws a Gumbel-top-k sample, equivalent to
 sampling-without-replacement proportional to softmax(score/temperature).
 
 Everything is engine-portable and deterministic, matching the repo's
-sampling conventions: bucketing uses the md5 bucket from
+exact-replay conventions (unigram_logprob's lp6 micro-log-probs, PQ's
+micro-unit distances): bucketing uses the md5 bucket from
 ``pipeline.sampling.hash_bucket`` (no JVM-specific hash), per-bucket
-log-ratios round to 6 decimals BEFORE the per-document sum (so the sum
-replays exactly from the rounded table), and the Gumbel noise derives
-from an md5 uniform — the selected set replays exactly on any engine,
-partitioning, or cluster size.
+log-ratios quantize to integer micro-units (round(lr * 1e6) as long)
+BEFORE the per-document sum — long addition is associative and exact,
+so the sum is identical under any partitioning or engine, unlike a
+float sum of rounded doubles — and the Gumbel noise derives from an
+md5 uniform. The selected set replays exactly anywhere.
 
 Scale shape (100 TB): the bucket table is ``buckets`` rows regardless
 of corpus size — it broadcasts. The raw corpus explodes once into
@@ -65,19 +67,21 @@ def dsir_logratio(
     target: DataFrame,
     text_col: str = "text",
     buckets: int = BUCKETS,
-) -> tuple[DataFrame, float]:
-    """Per-bucket importance log-ratio table.
+) -> tuple[DataFrame, int]:
+    """Per-bucket importance log-ratio table in integer micro-units.
 
-    Returns ``(table, default)`` where ``table`` is (bucket, logratio)
-    for every bucket observed in either corpus and ``default`` is the
-    ratio for never-observed buckets — both with add-one smoothing over
-    the ``buckets``-sized vocabulary:
+    Returns ``(table, default)`` where ``table`` is (bucket, lr6) for
+    every bucket observed in either corpus and ``default`` is the value
+    for never-observed buckets — both with add-one smoothing over the
+    ``buckets``-sized vocabulary:
 
-        logratio(b) = ln((c_t(b)+1)/(N_t+B)) - ln((c_r(b)+1)/(N_r+B))
+        lr6(b) = round((ln((c_t(b)+1)/(N_t+B)) - ln((c_r(b)+1)/(N_r+B))) * 1e6)
 
-    rounded to 6 decimals so downstream sums replay exactly from the
-    rounded table on any engine. The two corpus totals are the only
-    driver-side values (two scalar aggregates)."""
+    as a long. Quantizing BEFORE the per-document sum makes the sum an
+    exact integer — associative, so it replays identically on any
+    engine or partitioning (a float sum of rounded doubles is
+    order-dependent). The two corpus totals are the only driver-side
+    values (two scalar aggregates)."""
     raw_c = _bucket_counts(raw, text_col, buckets)
     tgt_c = _bucket_counts(target, text_col, buckets)
     # two scalar totals — dimension-sized driver reads, not collects
@@ -91,13 +95,17 @@ def dsir_logratio(
         .select(
             "bucket",
             F.round(
-                F.log((F.coalesce(F.col("cnt_tgt"), F.lit(0)) + 1) / F.lit(denom_t))
-                - F.log((F.coalesce(F.col("cnt_raw"), F.lit(0)) + 1) / F.lit(denom_r)),
-                6,
-            ).alias("logratio"),
+                (
+                    F.log((F.coalesce(F.col("cnt_tgt"), F.lit(0)) + 1) / F.lit(denom_t))
+                    - F.log((F.coalesce(F.col("cnt_raw"), F.lit(0)) + 1) / F.lit(denom_r))
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("lr6"),
         )
     )
-    default = round(math.log(1.0 / denom_t) - math.log(1.0 / denom_r), 6)
+    default = int(round((math.log(1.0 / denom_t) - math.log(1.0 / denom_r)) * 1_000_000))
     return table, default
 
 
@@ -112,7 +120,10 @@ def dsir_weights(
     bag-of-hashed-ngrams log-likelihood ratio of target vs raw, the
     DSIR importance weight in log space. Documents with no grams score
     0.0 (empty product — kept, so downstream selection sees the whole
-    corpus). Score rounds to 4 decimals at the output grain.
+    corpus). The score is an exact integer micro-unit sum divided by
+    1e6 at the output grain — one IEEE division of the same integer,
+    bit-identical on every engine (no float-order drift, no rounding
+    boundary to disagree on).
 
     Plan: bucket table broadcasts (``buckets`` rows), corpus explodes
     once, one shuffle on the uniform doc_id key."""
@@ -124,15 +135,17 @@ def dsir_weights(
     # the explode_outer NULL-bucket row (a doc with no grams at all)
     # must contribute 0, not the unseen-bucket default — only real
     # grams whose bucket missed the table take the smoothed default
-    term = F.when(F.col("bucket").isNull(), F.lit(0.0)).otherwise(
-        F.coalesce(F.col("logratio"), F.lit(default))
+    term = F.when(F.col("bucket").isNull(), F.lit(0).cast("long")).otherwise(
+        F.coalesce(F.col("lr6"), F.lit(default).cast("long"))
     )
     return (
         feats.join(F.broadcast(table), "bucket", "left")
         .groupBy(id_col)
         .agg(
             F.count("bucket").alias("n_grams"),
-            F.round(F.coalesce(F.sum(term), F.lit(0.0)), 4).alias("dsir_score"),
+            (F.coalesce(F.sum(term), F.lit(0).cast("long")) / F.lit(1e6)).alias(
+                "dsir_score"
+            ),
         )
     )
 

@@ -510,9 +510,12 @@ def unigram_logprob(
     # the vocabulary aggregation feeds THREE consumers — the total
     # action below, the broadcast model, and (via words) the scoring
     # join — across two separate actions, which exchange reuse cannot
-    # span. Materialize it once (it is vocabulary-sized, tiny next to
-    # the corpus) so the corpus explode+groupBy runs a single time.
-    vocab = words.groupBy("word").agg(F.count("*").alias("c")).localCheckpoint(eager=True)
+    # span. persist(), not an eager localCheckpoint: the returned plan
+    # references this node, so a checkpoint could never be freed and
+    # would pin non-evictable storage per call for the session's
+    # lifetime; persisted blocks are LRU-evictable and recomputable
+    # (the same rationale as semantic_dedup's cell assignment).
+    vocab = words.groupBy("word").agg(F.count("*").alias("c")).persist()
     total = vocab.agg(F.sum("c")).first()[0]
     lp_micro = F.round(F.log(F.col("c") / F.lit(float(total))) * 1_000_000).cast("long")
     model = vocab.select("word", lp_micro.alias("lp6"))

@@ -97,10 +97,10 @@ def test_logratio_table_is_bucket_sized_and_broadcast(spark):
     raw, tgt = _corpus(spark), _target(spark)
     table, default = dsir.dsir_logratio(raw, tgt, buckets=128)
     assert table.count() <= 128
-    # default = ln((N_raw+B)/(N_tgt+B)): positive here because the raw
-    # corpus is larger — the smoothed never-seen bucket is relatively
-    # MORE probable under the smaller target model
-    assert isinstance(default, float) and default > 0
+    # default = round(ln((N_raw+B)/(N_tgt+B)) * 1e6): positive here
+    # because the raw corpus is larger — the smoothed never-seen bucket
+    # is relatively MORE probable under the smaller target model
+    assert isinstance(default, int) and default > 0
     # the scoring join must broadcast the bucket table, never shuffle
     # the corpus side on bucket, and never cartesian
     import io
