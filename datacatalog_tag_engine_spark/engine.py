@@ -379,23 +379,14 @@ class TagEngine:
         catalogs."""
         from concurrent.futures import ThreadPoolExecutor
 
-        uris = self._matched_uris(cfg, assets)
+        matched = URI.expand_included_excluded(
+            assets, cfg["included_uris"], cfg.get("excluded_uris")
+        )
+        uris = [r["asset_uri"] for r in matched.select("asset_uri").collect()]
         tasks: list[tuple[str, str]] = []
         fused_parts = []
 
-        # column discovery runs through the same thread pool as
-        # execution: each asset's included_columns_query is independent
-        # user SQL, so at the reference's 500-asset column ladder a
-        # serial loop would schedule 500 tiny Spark jobs back to back
-        # before any tagging work starts
-        def discover(uri):
-            cols_q = parse_query_expression(
-                uri, cfg["included_columns_query"], None, self.qualify
-            )
-            return uri, [c for c in self.spark.sql(cols_q).first() if c]
-
-        with ThreadPoolExecutor(max_workers=8) as pool:
-            discovered = dict(pool.map(discover, uris))
+        discovered = self._discover_columns(cfg, matched, uris)
         for uri in uris:
             columns = discovered[uri]
             if cfg.get("fuse_columns"):
@@ -427,6 +418,61 @@ class TagEngine:
         for part in fused_parts:
             out = out.unionByName(part)
         return out
+
+    def _discover_columns(
+        self, cfg: dict, matched: DataFrame, uris: list[str]
+    ) -> dict[str, list[str]]:
+        """uri -> ordered column list from ``included_columns_query``.
+
+        Single-pass where the query shape allows it:
+
+        - ``schema`` (SELECT column_name over INFORMATION_SCHEMA.COLUMNS
+          — the reference's own example configs): ONE distributed plan
+          over the matched inventory's ``schema`` column covers every
+          asset; zero per-asset Spark jobs. The collect back is
+          dimension-sized (one row per matched asset), the same shape
+          the execution loop already iterates.
+        - ``constant`` (no substitution variables): asset-independent —
+          evaluated once, shared by every asset.
+        - ``opaque``: arbitrary per-asset user SQL; thread-pooled, the
+          reference's per-asset semantics (the measured fallback).
+
+        Every regime reads ALL rows x cells of the query result —
+        reference DataCatalogController.py:380-384 (a first-row-only
+        read would see one column of a one-column-per-row query).
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        query = cfg["included_columns_query"]
+        kind = DYN.classify_columns_query(query)
+        if kind == "schema":
+            pairs = (
+                DYN.discover_columns_schema(matched, query)
+                .groupBy("asset_uri")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "column"))),
+                        lambda s: s["column"],
+                    ).alias("cols")
+                )
+                .collect()
+            )
+            found = {r["asset_uri"]: list(r["cols"]) for r in pairs}
+            return {u: found.get(u, []) for u in uris}
+        if kind == "constant":
+            cols = [
+                c for row in self.spark.sql(query).collect() for c in row if c
+            ]
+            return {u: list(cols) for u in uris}
+
+        def discover(uri):
+            cols_q = parse_query_expression(uri, query, None, self.qualify)
+            return uri, [
+                c for row in self.spark.sql(cols_q).collect() for c in row if c
+            ]
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            return dict(pool.map(discover, uris))
 
     def _run_static(self, cfg, assets, **kw):
         """Static tags = matched assets x config fields, entirely as a

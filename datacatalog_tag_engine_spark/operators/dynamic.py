@@ -416,3 +416,86 @@ def run_config_fused(
         type_map[F.col("field_id")].alias("field_type"),
         "raw_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# column discovery (DYNAMIC_TAG_COLUMN configs)
+
+# "select column_name from <...>information_schema.columns [where ...]"
+# — the BigQuery idiom the reference's dynamic-column configs run per
+# asset (examples/configs/dynamic_column/*.json; evaluation loop
+# DataCatalogController.py:374-384)
+_INFOSCHEMA_COLUMNS_RE = re.compile(
+    r"^\s*select\s+(?:distinct\s+)?column_name\s+"
+    r"from\s+[`\"]?\S*information_schema\.columns[`\"]?\s*"
+    r"(?:where\s+(?P<pred>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_SUBST_VAR_RE = re.compile(r"\$(table|project|dataset|column)\b")
+
+
+def classify_columns_query(query: str) -> str:
+    """Shape of an ``included_columns_query``:
+
+    - ``schema``: a SELECT column_name over INFORMATION_SCHEMA.COLUMNS —
+      answerable from the assets inventory's ``schema`` column as ONE
+      distributed plan for every matched asset (zero per-asset jobs).
+    - ``constant``: no substitution variables — asset-independent, so
+      one evaluation serves every asset.
+    - ``opaque``: arbitrary per-asset user SQL (the fallback; evaluated
+      per asset exactly like the reference).
+    """
+    if _INFOSCHEMA_COLUMNS_RE.match(query):
+        return "schema"
+    if not _SUBST_VAR_RE.search(query):
+        return "constant"
+    return "opaque"
+
+
+def discover_columns_schema(matched_assets: DataFrame, query: str) -> DataFrame:
+    """Single-pass column discovery for a schema-shaped query: evaluate
+    the user's INFORMATION_SCHEMA.COLUMNS predicate against the assets
+    inventory's ``schema`` column for ALL matched assets at once.
+
+    The per-asset substitution variables rewrite to the inventory's own
+    columns ($table -> table_name, $dataset -> table_schema, $project ->
+    table_catalog), so a predicate like ``table_name = '$table'``
+    becomes row-wise true exactly for the asset that owns the row —
+    identical semantics to the reference's N per-asset query jobs
+    (DataCatalogController.py:374-384), as one job. Returns
+    (asset_uri, pos, column) with ``pos`` the schema position, so
+    callers can preserve the reference's column order.
+
+    100 TB shape: a projection + explode + filter over the inventory —
+    no shuffle, no per-asset scheduling; scales to the reference's
+    1M-asset ladder as a fraction of one scan."""
+    m = _INFOSCHEMA_COLUMNS_RE.match(query)
+    if m is None:
+        raise ValueError(f"not a schema-shaped columns query: {query!r}")
+    cols = matched_assets.select(
+        "asset_uri",
+        F.col("project").alias("table_catalog"),
+        F.col("dataset").alias("table_schema"),
+        F.col("table").alias("table_name"),
+        F.posexplode("schema").alias("pos", "_c"),
+    ).select(
+        "asset_uri",
+        "table_catalog",
+        "table_schema",
+        "table_name",
+        "pos",
+        F.col("_c.name").alias("column_name"),
+        F.col("_c.type").alias("data_type"),
+        F.col("_c.mode").alias("mode"),
+    )
+    pred = m.group("pred")
+    if pred:
+        for var, col in (
+            ("$table", "table_name"),
+            ("$dataset", "table_schema"),
+            ("$project", "table_catalog"),
+        ):
+            pred = pred.replace(f"'{var}'", col).replace(var, col)
+        cols = cols.filter(F.expr(pred))
+    return cols.select("asset_uri", "pos", F.col("column_name").alias("column"))

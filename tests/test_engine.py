@@ -463,3 +463,80 @@ def test_settings_snapshot_semantics(spark, engine, assets):
     # configured-but-EMPTY project list means an empty report, not all
     engine.set_settings("coverage_report", included_projects=[])
     assert engine.coverage_report(assets).count() == 0
+
+
+def test_dynamic_column_schema_discovery(spark, engine):
+    # the reference's INFORMATION_SCHEMA.COLUMNS idiom
+    # (examples/configs/dynamic_column/*.json): answered from the
+    # inventory's schema column as ONE distributed plan — tags land
+    # only on the predicate-matched columns of each asset
+    rows = [
+        {
+            "asset_uri": "p/datasets/d/tables/lineitem",
+            "asset_type": "bigquery", "project": "p", "dataset": "d",
+            "table": "lineitem",
+            "schema": [
+                {"name": "l_returnflag", "type": "STRING", "mode": "NULLABLE", "subcolumns": None},
+                {"name": "l_orderkey", "type": "INT64", "mode": "NULLABLE", "subcolumns": None},
+                {"name": "l_linestatus", "type": "STRING", "mode": "NULLABLE", "subcolumns": None},
+            ],
+        },
+        {
+            "asset_uri": "p/datasets/d/tables/orders",
+            "asset_type": "bigquery", "project": "p", "dataset": "d",
+            "table": "orders",
+            "schema": [
+                {"name": "o_orderkey", "type": "INT64", "mode": "NULLABLE", "subcolumns": None},
+                {"name": "o_orderstatus", "type": "STRING", "mode": "NULLABLE", "subcolumns": None},
+            ],
+        },
+    ]
+    assets = spark.createDataFrame(rows, ASSETS_SCHEMA)
+    cfg = engine.create_config(
+        "DYNAMIC_TAG_COLUMN",
+        "data_governance",
+        included_uris="bigquery/project/p/dataset/d/*",
+        included_columns_query=(
+            "select column_name from $project.$dataset.INFORMATION_SCHEMA.COLUMNS "
+            "where table_name = '$table' and data_type = 'STRING'"
+        ),
+        fields=[
+            {"field_id": "row_count", "query_expression": "select count($column) from $table"},
+        ],
+    )
+    engine.trigger_job(cfg, assets)
+    tagged = {
+        (r["asset_uri"], r["column"])
+        for r in engine.store.all().select("asset_uri", "column").collect()
+    }
+    assert tagged == {
+        ("p/datasets/d/tables/lineitem", "l_returnflag"),
+        ("p/datasets/d/tables/lineitem", "l_linestatus"),
+        ("p/datasets/d/tables/orders", "o_orderstatus"),
+    }
+
+
+def test_dynamic_column_query_reads_all_rows(spark, engine, assets):
+    # reference parity (DataCatalogController.py:380-384): the columns
+    # query result is ALL rows x cells — a one-column-per-ROW result
+    # (the dynamic_column_auto.json example shape) must not truncate to
+    # the first row
+    spark.createDataFrame(
+        [("lineitem", "l_orderkey"), ("lineitem", "l_partkey")],
+        "t string, c string",
+    ).createOrReplaceTempView("governed_columns")
+    cfg = engine.create_config(
+        "DYNAMIC_TAG_COLUMN",
+        "data_governance",
+        included_uris="bigquery/project/p/dataset/d/lineitem",
+        included_columns_query="select c from governed_columns where t = '$table'",
+        fields=[
+            {"field_id": "row_count", "query_expression": "select count($column) from $table"},
+        ],
+    )
+    engine.trigger_job(cfg, assets)
+    cols = {
+        r["column"]
+        for r in engine.store.all().select("column").collect()
+    }
+    assert cols == {"l_orderkey", "l_partkey"}

@@ -131,6 +131,72 @@ def columns_ladder(rungs: list[int]) -> None:
         print(f"{n:>8} {time.time() - t0:>11.2f}")
 
 
+def discovery_ladder(rungs: list[int]) -> None:
+    """Column-DISCOVERY ladder: the schema-shaped single pass (one
+    distributed plan over the inventory's schema column — ZERO per-asset
+    Spark jobs, engine._discover_columns 'schema' regime) against the
+    opaque per-asset thread pool (one spark.sql job per asset, 8
+    workers — the reference's own per-asset semantics, capped at 1000
+    rungs here). The schema path's cost tracks inventory SIZE (one
+    explode+filter+groupBy job); the pooled path tracks ASSET COUNT
+    (driver job-scheduling bound) — the same cliff the static ladder
+    demonstrates for tagging, now removed from discovery too."""
+    from pyspark.sql import functions as F
+
+    from datacatalog_tag_engine_spark.engine import TagEngine
+    from datacatalog_tag_engine_spark.model.schemas import SUBCOLUMN_SCHEMA
+    from pyspark.sql import types as T
+
+    spark = get_spark("scale-ladder-discovery")
+    spark.sparkContext.setLogLevel("ERROR")
+    register_testdata(spark, SF_DIR)
+    spark.table("lineitem").count()  # warm
+    eng = TagEngine(spark, qualify=lambda p, d, t: "lineitem")
+    sub_t = T.ArrayType(SUBCOLUMN_SCHEMA)
+    col_struct = lambda name, typ: F.struct(
+        F.lit(name).alias("name"),
+        F.lit(typ).alias("type"),
+        F.lit("NULLABLE").alias("mode"),
+        F.lit(None).cast(sub_t).alias("subcolumns"),
+    )
+    schema_q = (
+        "select column_name from $project.$dataset.INFORMATION_SCHEMA.COLUMNS "
+        "where table_name = '$table' and data_type = 'STRING'"
+    )
+    # the same two columns via per-asset SQL (a $table reference that is
+    # not information-schema-shaped -> the opaque thread-pool regime)
+    opaque_q = "select 'l_returnflag', 'l_linestatus' from $table limit 1"
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    print(f"{'assets':>9} {'schema-pass(s)':>15} {'per-asset-pool(s)':>18}")
+    for n in rungs:
+        assets = spark.range(0, n, 1, width).select(
+            F.format_string("p/datasets/d/tables/t_%07d", F.col("id")).alias("asset_uri"),
+            F.lit("bigquery").alias("asset_type"),
+            F.lit("p").alias("project"),
+            F.lit("d").alias("dataset"),
+            F.format_string("t_%07d", F.col("id")).alias("table"),
+            F.array(
+                col_struct("l_returnflag", "STRING"),
+                col_struct("l_orderkey", "INT64"),
+                col_struct("l_linestatus", "STRING"),
+            ).alias("schema"),
+        )
+        uris = [f"p/datasets/d/tables/t_{i:07d}" for i in range(n)]
+
+        t0 = time.time()
+        found = eng._discover_columns({"included_columns_query": schema_q}, assets, uris)
+        schema_s = time.time() - t0
+        assert len(found) == n and found[uris[0]] == ["l_returnflag", "l_linestatus"]
+
+        pooled_s = float("nan")
+        if n <= 1000:
+            t0 = time.time()
+            found = eng._discover_columns({"included_columns_query": opaque_q}, assets, uris)
+            pooled_s = time.time() - t0
+            assert len(found) == n
+        print(f"{n:>9} {schema_s:>15.2f} {pooled_s:>18.2f}")
+
+
 def merge_ladder(rungs: list[int]) -> None:
     """Tag-store MERGE ladder: state-size rungs through the DISTRIBUTED
     path (state >> SMALL_STATE_MAX), batch fixed at 10k rows split
@@ -286,6 +352,9 @@ def main() -> None:
         return
     if argv and argv[0] == "--columns":
         columns_ladder([int(a) for a in argv[1:]] or [100, 1000])
+        return
+    if argv and argv[0] == "--discovery":
+        discovery_ladder([int(a) for a in argv[1:]] or [100, 1000, 10_000, 100_000])
         return
     if argv and argv[0] == "--merge":
         merge_ladder([int(a) for a in argv[1:]] or [10_000, 100_000, 1_000_000])
