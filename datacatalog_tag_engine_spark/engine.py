@@ -55,13 +55,31 @@ _CONFIG_TYPES = (
 
 
 class TagEngine:
-    def __init__(self, spark: SparkSession, tags_path: str | None = None, qualify=None):
+    # after this many history appends the lazy union spills to parquet
+    # (_spill_history): each merge otherwise accretes one union branch
+    # plus one pinned tagstore checkpoint generation for the session's
+    # lifetime
+    HISTORY_SPILL_EVERY = 32
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        tags_path: str | None = None,
+        qualify=None,
+        history_spill_every: int | None = None,
+    ):
         self.spark = spark
         self.templates: dict[str, list[dict]] = {}
         self.configs: dict[str, dict] = {}
         self.jobs: list[dict] = []
         self.store = TagStore(spark, path=tags_path)
         self._history = spark.createDataFrame([], TAG_HISTORY_SCHEMA)
+        self._history_base: DataFrame | None = None
+        self._history_spill_dir: str | None = None
+        self._history_appends = 0
+        self.history_spill_every = (
+            history_spill_every if history_spill_every is not None else self.HISTORY_SPILL_EVERY
+        )
         self._seq = 0
         self.qualify = qualify or (lambda p, d, t: t)
         # keyed settings documents, mirroring the reference's
@@ -769,13 +787,45 @@ class TagEngine:
         )
         if self.tag_history_enabled():
             self._history = self._history.unionByName(rows)
+            self._history_appends += 1
+            if self._history_appends >= self.history_spill_every:
+                self._spill_history()
         # a driver-resident merge already knows its event count — the
         # select above is 1:1, so reuse it instead of scheduling a
         # count job per merge in an interactive chain
         known = getattr(events, "_tag_engine_event_count", None)
         return known if known is not None else rows.count()
 
+    def _spill_history(self) -> None:
+        """Bound the history union: write the accumulated in-memory
+        branches to a day-partitioned parquet directory (the reference's
+        day-partitioned history table shape, BigQueryUtils.py:344-387),
+        reset the union to a single parquet read, and deterministically
+        release every superseded merge checkpoint
+        (TagStore.release_event_generations — safe precisely now, the
+        spill just materialized the only rows those generations still
+        backed). Keeps a long interactive session at O(1) checkpoint
+        generations and O(1) plan depth instead of one pinned generation
+        plus one union branch per merge."""
+        import tempfile
+
+        if self._history_spill_dir is None:
+            self._history_spill_dir = tempfile.mkdtemp(prefix="tag_engine_history_")
+        self._history.write.mode("append").partitionBy("event_date").parquet(
+            self._history_spill_dir
+        )
+        # restore field order and exact types (partition-column
+        # inference reads event_date back from the directory names)
+        self._history_base = self.spark.read.parquet(self._history_spill_dir).select(
+            *[F.col(f.name).cast(f.dataType) for f in TAG_HISTORY_SCHEMA.fields]
+        )
+        self._history = self.spark.createDataFrame([], TAG_HISTORY_SCHEMA)
+        self._history_appends = 0
+        self.store.release_event_generations()
+
     def history(self) -> DataFrame:
+        if self._history_base is not None:
+            return self._history_base.unionByName(self._history)
         return self._history
 
     # -- persistence --------------------------------------------------------
@@ -808,7 +858,7 @@ class TagEngine:
         with open(os.path.join(base_path, "meta.json"), "w") as f:
             json.dump(meta, f, default=default)
         self.store._df.write.mode("overwrite").parquet(os.path.join(base_path, "tags"))
-        self._history.write.mode("overwrite").parquet(os.path.join(base_path, "history"))
+        self.history().write.mode("overwrite").parquet(os.path.join(base_path, "history"))
 
     @classmethod
     def load_state(cls, spark: SparkSession, base_path: str, qualify=None) -> "TagEngine":

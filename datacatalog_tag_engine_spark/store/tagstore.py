@@ -259,19 +259,39 @@ class TagStore:
         # reads every past generation's event filter, and a freed
         # local checkpoint cannot recompute (lineage is truncated) — an
         # eager free here breaks any history read after 2+ distributed
-        # merges (regression-tested). So only DROP the reference; the
-        # ContextCleaner frees each generation's blocks once nothing
-        # (history reads, persisted rollups) can reach it. Long merge
-        # chains that never consume history should checkpoint or write
-        # out the event stream (streaming/history.py) to release
-        # generations early.
+        # merges (regression-tested). So the superseded generation is
+        # only TRACKED here; it is freed either by the ContextCleaner
+        # once unreachable, or deterministically by
+        # release_event_generations() when the engine spills its
+        # history union to parquet (engine._spill_history) and the
+        # event rows are provably materialized elsewhere.
         self._ckpt = combined
+        if prev_ckpt is not None:
+            self._event_generations = getattr(self, "_event_generations", [])
+            self._event_generations.append(prev_ckpt)
         del prev_ckpt
         self._df = combined.filter(F.col("_role") == "state").drop("_role", "action")
         if self.path:
             self._persist()
 
         return combined.filter(F.col("_role") == "event").drop("_role")
+
+    def release_event_generations(self) -> int:
+        """Deterministically free every SUPERSEDED merge checkpoint.
+
+        Safe ONLY once every past merge's event rows are materialized
+        somewhere durable (the engine calls this right after spilling
+        its history union to parquet): a freed localCheckpoint cannot
+        recompute, so any still-lazy plan over those events would fail.
+        The CURRENT checkpoint — the one backing live state — is never
+        freed. Returns the number of generations released."""
+        from ..session import free_local_checkpoint
+
+        gens = getattr(self, "_event_generations", [])
+        for g in gens:
+            free_local_checkpoint(g)
+        self._event_generations = []
+        return len(gens)
 
     def _persist(self) -> None:
         tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"

@@ -236,3 +236,45 @@ def test_persistence_reload_stays_distributed_past_threshold(spark, tmp_path):
     assert [h["action"] for h in hist] == ["UPDATE"]
     assert state(reloaded)[("a3", None, "t", "owner")] == "new"
     assert reloaded.all().count() == 8
+
+
+def test_history_auto_spill_bounds_generations(spark):
+    """A long interactive merge chain stays O(1): past the spill
+    threshold the engine writes its lazy history union to parquet,
+    resets the union, and deterministically frees every superseded
+    merge checkpoint — yet history reads still return every event
+    (r4 verdict item 3)."""
+    from datacatalog_tag_engine_spark.engine import TagEngine
+
+    eng = TagEngine(spark, history_spill_every=5)
+    eng.store.SMALL_STATE_MAX = 0  # force the distributed MERGE path
+    n_merges = 23
+    for i in range(n_merges):
+        ev = eng.store.merge(mk(spark, [tag_row("a", "owner", f"v{i}")]))
+        eng._append_history(ev, f"job{i}")
+
+    # generations released at every spill: never more than one
+    # spill-window's worth pinned, regardless of chain length
+    assert len(getattr(eng.store, "_event_generations", [])) < 5
+    # union depth bounded the same way
+    assert eng._history_appends < 5
+    assert eng._history_base is not None
+
+    # every event of every generation still readable, exactly once
+    rows = eng.history().collect()
+    assert len(rows) == n_merges
+    assert {r["field_value"] for r in rows} == {f"v{i}" for i in range(n_merges)}
+    assert [r["action"] for r in sorted(rows, key=lambda r: r["field_value"])][0] == "CREATE"
+    assert {r["job_uuid"] for r in rows} == {f"job{i}" for i in range(n_merges)}
+
+
+def test_history_spill_threshold_not_reached_is_noop(spark):
+    from datacatalog_tag_engine_spark.engine import TagEngine
+
+    eng = TagEngine(spark, history_spill_every=50)
+    eng.store.SMALL_STATE_MAX = 0
+    for i in range(3):
+        ev = eng.store.merge(mk(spark, [tag_row("a", "owner", f"v{i}")]))
+        eng._append_history(ev, f"job{i}")
+    assert eng._history_base is None and eng._history_spill_dir is None
+    assert eng.history().count() == 3
