@@ -74,6 +74,7 @@ class TagEngine:
         self.jobs: list[dict] = []
         self.store = TagStore(spark, path=tags_path)
         self._history = spark.createDataFrame([], TAG_HISTORY_SCHEMA)
+        self._job_metadata: list[dict] = []
         self._history_base: DataFrame | None = None
         self._history_spill_dir: str | None = None
         self._history_appends = 0
@@ -255,6 +256,10 @@ class TagEngine:
             assets = stale_assets(assets, self.store.all(), cfg["template_id"])
         job_uuid = self._uuid("job")
         started = datetime.datetime.now(datetime.timezone.utc)
+        # caller-supplied workflow metadata records at job CREATION like
+        # the reference (main.py:2999-3017), independent of the job's
+        # outcome, gated on the job_metadata settings doc
+        self._record_job_metadata(job_uuid, kw.pop("job_metadata", None), started)
         # side-effect config types: all 9 reference config types route
         # through the job machinery (ConfigType.py:4-12, main.py:
         # 3597-3628), so exports and entry syncs get the job ledger and
@@ -730,7 +735,10 @@ class TagEngine:
     def export_reports(self, base_path: str, truncate: bool = False) -> dict[str, int]:
         """TAG_EXPORT (reference export path, BigQueryUtils.py:234-313):
         write the three report grains under base_path; returns row
-        counts."""
+        counts. When the job_metadata settings doc is enabled and rows
+        exist, the job-metadata table (reference BigQueryUtils.py:
+        504-521) exports alongside, day-partitioned on event_time's
+        date like the reference table."""
         from .operators import export as EXP
 
         out = {}
@@ -742,7 +750,62 @@ class TagEngine:
             out[name] = df.count()
             if out[name]:
                 EXP.write_report(df, f"{base_path}/{name}", truncate=truncate)
+        if self.job_metadata_enabled() and self._job_metadata:
+            md = self.job_metadata_df()
+            out["job_metadata"] = md.count()
+            (
+                md.withColumn("event_date", F.to_date("event_time"))
+                .write.mode("overwrite" if truncate else "append")
+                .partitionBy("event_date")
+                .parquet(f"{base_path}/job_metadata")
+            )
         return out
+
+    # -- job metadata --------------------------------------------------------
+
+    def job_metadata_enabled(self) -> bool:
+        """Gate on job-metadata recording — OFF until configured, the
+        reference default (ENABLE_JOB_METADATA in tagengine.ini,
+        main.py:178-190; settings doc TagEngineStoreHandler.py:153-165)."""
+        return bool(self.settings.get("job_metadata", {}).get("enabled"))
+
+    def _record_job_metadata(self, job_uuid: str, metadata, event_time) -> None:
+        """One (event_time, job_uuid, metadata JSON, tag_creator_sa,
+        tag_invoker_sa) row per job that supplied metadata — reference
+        write_job_metadata (BigQueryUtils.py:196-209, row schema
+        :504-521). Non-dict metadata and disabled settings are ignored
+        with the reference's warning semantics (main.py:3003-3009); the
+        service accounts come from the settings doc (the engine has no
+        auth layer — SURVEY scopes out F13/JWT)."""
+        import json
+        import warnings
+
+        if metadata is None:
+            return
+        if not isinstance(metadata, dict):
+            warnings.warn(f"job metadata ignored: {type(metadata).__name__} is not a dict")
+            return
+        if not self.job_metadata_enabled():
+            warnings.warn("job metadata ignored: job_metadata settings doc not enabled")
+            return
+        doc = self.settings.get("job_metadata", {})
+        self._job_metadata.append(
+            {
+                "event_time": event_time,
+                "job_uuid": job_uuid,
+                "metadata": json.dumps(metadata, sort_keys=True),
+                "tag_creator_sa": doc.get("tag_creator_sa", "local"),
+                "tag_invoker_sa": doc.get("tag_invoker_sa", "local"),
+            }
+        )
+
+    def job_metadata_df(self) -> DataFrame:
+        """The job-metadata table in the reference's exact column order
+        (BigQueryUtils.py:504-521); dimension-sized like the jobs
+        ledger."""
+        from .model.schemas import JOB_METADATA_SCHEMA
+
+        return local_df(self.spark, self._job_metadata, JOB_METADATA_SCHEMA)
 
     # -- history / scheduling ----------------------------------------------
 
@@ -852,6 +915,7 @@ class TagEngine:
             "templates": self.templates,
             "configs": self.configs,
             "jobs": self.jobs,
+            "job_metadata": self._job_metadata,
             "seq": self._seq,
             "settings": self.settings,
         }
@@ -876,6 +940,7 @@ class TagEngine:
         eng.templates = meta["templates"]
         eng.configs = meta["configs"]
         eng.jobs = meta["jobs"]
+        eng._job_metadata = meta.get("job_metadata", [])
         eng._seq = meta["seq"]
         # older snapshots predate the settings store: keep the
         # constructor default (tag_history enabled)

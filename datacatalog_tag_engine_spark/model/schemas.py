@@ -175,3 +175,16 @@ JOBS_SCHEMA = T.StructType(
         T.StructField("completion_time", T.TimestampType(), True),
     ]
 )
+
+# Job metadata (reference BigQueryUtils.py:504-521): one row per job
+# carrying caller-supplied workflow metadata as a JSON string,
+# day-partitioned on event_time in the reference
+JOB_METADATA_SCHEMA = T.StructType(
+    [
+        T.StructField("event_time", T.TimestampType(), False),
+        T.StructField("job_uuid", T.StringType(), False),
+        T.StructField("metadata", T.StringType(), False),
+        T.StructField("tag_creator_sa", T.StringType(), False),
+        T.StructField("tag_invoker_sa", T.StringType(), False),
+    ]
+)

@@ -284,3 +284,68 @@ def test_cron_records_pre_dispatch_failures_and_create_validates_type(spark):
     assert row["config_uuid"] == cfg and row["job_status"] == "ERROR"
     assert "asset catalog" in eng.job_errors[row["job_uuid"]][0][1]
     assert eng.configs[cfg]["scheduling_status"] == "READY"
+
+
+def test_job_metadata_table(spark, tmp_path):
+    """Reference job-metadata table (BigQueryUtils.py:504-521, SURVEY
+    section 1.4): rows record at job creation when the settings doc is
+    enabled; off by default; exact schema; exported alongside the
+    report tables, day-partitioned."""
+    import warnings
+
+    from datacatalog_tag_engine_spark.engine import TagEngine
+    from datacatalog_tag_engine_spark.model.schemas import ASSETS_SCHEMA
+
+    eng = TagEngine(spark)
+    eng.create_template("t", [{"field_id": "owner", "field_type": "string"}])
+    assets = spark.createDataFrame(
+        [{"asset_uri": "p/datasets/d/tables/x", "asset_type": "bigquery",
+          "project": "p", "dataset": "d", "table": "x"}],
+        ASSETS_SCHEMA,
+    )
+    cfg = eng.create_config(
+        "STATIC_TAG_ASSET", "t", included_uris="bigquery/project/p/dataset/d/*",
+        fields=[{"field_id": "owner", "field_value": "gov"}],
+    )
+
+    # OFF by default (the reference's ENABLE_JOB_METADATA default):
+    # metadata is ignored with a warning, no row recorded
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        eng.trigger_job(cfg, assets, job_metadata={"source": "airflow"})
+    assert any("not enabled" in str(x.message) for x in w)
+    assert eng.job_metadata_df().count() == 0
+
+    # enabled: one row per job that supplies metadata, section 1.4 shape
+    eng.set_settings("job_metadata", enabled=True, tag_creator_sa="creator@sa", tag_invoker_sa="invoker@sa")
+    job2 = eng.trigger_job(cfg, assets, job_metadata={"dag": "nightly", "run": 7})
+    eng.trigger_job(cfg, assets)  # no metadata supplied -> no row
+    # non-dict metadata: warned and ignored (reference main.py:3003-3004)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        eng.trigger_job(cfg, assets, job_metadata="not-a-dict")
+    assert any("not a dict" in str(x.message) for x in w)
+
+    md = eng.job_metadata_df()
+    assert [f.name for f in md.schema.fields] == [
+        "event_time", "job_uuid", "metadata", "tag_creator_sa", "tag_invoker_sa"
+    ]
+    rows = md.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["job_uuid"] == job2
+    assert r["tag_creator_sa"] == "creator@sa" and r["tag_invoker_sa"] == "invoker@sa"
+    import json as _json
+
+    assert _json.loads(r["metadata"]) == {"dag": "nightly", "run": 7}
+
+    # exports alongside the report tables, day-partitioned on event_date
+    out = eng.export_reports(str(tmp_path / "reports"))
+    assert out["job_metadata"] == 1
+    back = spark.read.parquet(str(tmp_path / "reports" / "job_metadata"))
+    assert back.count() == 1 and "event_date" in back.columns
+
+    # survives a save/load round trip
+    eng.save_state(str(tmp_path / "state"))
+    loaded = TagEngine.load_state(spark, str(tmp_path / "state"))
+    assert loaded.job_metadata_df().count() == 1
