@@ -806,7 +806,11 @@ def incremental_delta_bloom(
     duplicated id would collapse here while the exact form keeps it).
     """
     fp_b = batch.select(id_col, bow_fingerprint(F.col(text_col)).alias("fingerprint"))
-    fp_p = prior.select(bow_fingerprint(F.col(text_col)).alias("fingerprint")).distinct()
+    # persist() the prior fingerprint set: the bitmap build AND the
+    # verification anti-join both read it, so the prior corpus is
+    # scanned (and fingerprinted) ONCE per run, not once per consumer —
+    # fingerprint-only rows, LRU-evictable, recomputable
+    fp_p = prior.select(bow_fingerprint(F.col(text_col)).alias("fingerprint")).distinct().persist()
 
     def positions(df: DataFrame) -> Column:
         return F.explode(
@@ -838,9 +842,12 @@ def incremental_delta_bloom(
         "fingerprint",
         (F.col("bits").isNotNull() & (F.col("bits").bitwiseAND(F.col("b")) == F.col("b"))).alias("_hit"),
     )
+    # persist(): both union branches below read flags — without this the
+    # whole probe (explode + broadcast join + aggregate) computes once
+    # per branch
     flags = probed.groupBy(id_col, "fingerprint").agg(
         (F.min(F.col("_hit").cast("int")) == 1).alias("_all_hit")
-    )
+    ).persist()
     definitely_new = flags.filter(~F.col("_all_hit")).select(id_col, "fingerprint")
     candidates = flags.filter(F.col("_all_hit")).select(id_col, "fingerprint")
     verified_new = candidates.join(fp_p, "fingerprint", "left_anti").select(id_col, "fingerprint")

@@ -82,8 +82,12 @@ def dsir_logratio(
     engine or partitioning (a float sum of rounded doubles is
     order-dependent). The two corpus totals are the only driver-side
     values (two scalar aggregates)."""
-    raw_c = _bucket_counts(raw, text_col, buckets)
-    tgt_c = _bucket_counts(target, text_col, buckets)
+    # persist() the bucket-grain count tables (<= ``buckets`` rows each,
+    # LRU-evictable): the totals action below and the returned table
+    # plan both read them, so each corpus pays ONE explode+aggregate for
+    # the model — not one per consumer action
+    raw_c = _bucket_counts(raw, text_col, buckets).persist()
+    tgt_c = _bucket_counts(target, text_col, buckets).persist()
     # two scalar totals — dimension-sized driver reads, not collects
     n_raw = raw_c.agg(F.sum("cnt")).first()[0] or 0
     n_tgt = tgt_c.agg(F.sum("cnt")).first()[0] or 0

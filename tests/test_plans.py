@@ -137,3 +137,58 @@ def test_semantic_dedup_assigns_once(spark):
     assert len(window_ids) == 2, p
     assert "InMemoryRelation" in p, p
     assert "CartesianProduct" not in p
+
+
+def test_dsir_single_corpus_shuffle(spark):
+    """DSIR weights (pipeline/dsir.py): the corpus explode reaches the
+    model join with NO shuffle (the bucket table broadcasts), and the
+    only corpus-side Exchange is the final doc-keyed aggregation. The
+    bucket count tables sit behind persist() so the model computes once
+    across the totals action and the table plan."""
+    import re
+
+    from datacatalog_tag_engine_spark.pipeline import dsir as DSIR
+
+    spark.catalog.clearCache()
+    docs = spark.table("documents")
+    w = DSIR.dsir_weights(
+        docs.filter(F.col("doc_id") % 17 != 0), docs.filter(F.col("doc_id") % 17 == 0)
+    )
+    p = plan_of(w)
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
+    assert "InMemoryRelation" in p  # bucket model computed once
+    nodes = [(int(i), n) for i, n in re.findall(r"^\s*\((\d+)\) (\w+)", p, re.M)]
+    bhj = max(i for i, n in nodes if n == "BroadcastHashJoin")
+    # exactly ONE Exchange downstream of the broadcast join: the
+    # doc-keyed groupBy — the single corpus-side shuffle
+    assert [i for i, n in nodes if n == "Exchange" and i > bhj] != []
+    assert len([i for i, n in nodes if n == "Exchange" and i > bhj]) == 1, p
+    # the feats subtree (corpus scan + explode, printed first) reaches
+    # the join shuffle-free: no Exchange before the first cached scan
+    first_cached = min(i for i, n in nodes if n == "InMemoryTableScan")
+    assert [i for i, n in nodes if n == "Exchange" and i < first_cached] == [], p
+
+
+def test_bloom_delta_broadcasts_bitmap_and_scans_prior_once(spark):
+    """Bloom-prefiltered delta (pipeline/dedup.py
+    incremental_delta_bloom): the bitmap probe joins on the broadcast
+    word index `w` (the bitmap is constant-size no matter how large the
+    prior grows), and the prior fingerprint set sits behind ONE
+    persist() read by both the bitmap build and the verification
+    anti-join — the prior corpus is scanned once per run."""
+    import re
+
+    spark.catalog.clearCache()
+    docs = spark.table("documents")
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    prior = docs.filter(F.col("doc_id") % 3 != 0)
+    out = DD.incremental_delta_bloom(batch, prior)
+    p = plan_of(out)
+    assert "CartesianProduct" not in p
+    # bitmap probe: a LeftOuter broadcast join keyed on the word index
+    m = re.search(r"\((\d+)\) BroadcastHashJoin\nLeft keys \[1\]: \[w#\d+", p)
+    assert m, p
+    assert "InMemoryRelation" in p  # prior fingerprints + probe flags cached
+    # the probe flags are persisted: the two union branches read ONE
+    # cached aggregation, so the probe plan computes once
+    assert out.count() == DD.incremental_delta(batch, prior).count()
