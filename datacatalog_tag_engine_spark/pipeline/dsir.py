@@ -32,6 +32,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import _repartition_for_explode
 from .sampling import hash_bucket
 from .text import word_ngrams
 
@@ -52,11 +53,13 @@ def _gram_buckets(text_col: Column, buckets: int) -> Column:
 def _bucket_counts(
     docs: DataFrame, text_col: str, buckets: int
 ) -> DataFrame:
-    """(bucket, cnt): corpus-wide hashed-ngram occurrence counts."""
+    """(bucket, cnt): corpus-wide hashed-ngram occurrence counts. The
+    pre-explode repartition spreads the CPU-heavy gram hashing across
+    the cluster — corpora often arrive as few large files, and without
+    it the explode runs on as many cores as input splits."""
     return (
-        docs.select(
-            F.explode(_gram_buckets(F.col(text_col), buckets)).alias("bucket")
-        )
+        _repartition_for_explode(docs.select(text_col), text_col)
+        .select(F.explode(_gram_buckets(F.col(text_col), buckets)).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("cnt"))
     )
@@ -132,7 +135,7 @@ def dsir_weights(
     Plan: bucket table broadcasts (``buckets`` rows), corpus explodes
     once, one shuffle on the uniform doc_id key."""
     table, default = dsir_logratio(raw, target, text_col, buckets)
-    feats = raw.select(
+    feats = _repartition_for_explode(raw.select(id_col, text_col), id_col).select(
         F.col(id_col),
         F.explode_outer(_gram_buckets(F.col(text_col), buckets)).alias("bucket"),
     )

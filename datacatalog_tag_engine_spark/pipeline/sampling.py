@@ -173,3 +173,34 @@ def histogram(
         .agg(F.count("*").alias("n"))
         .select("bucket", (F.col("bucket") * F.lit(float(bucket_width))).alias("lo"), "n")
     )
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    k: int,
+    key_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Exactly min(k, group size) rows per group, chosen by a
+    deterministic pseudo-random order (md5 of the key — the same
+    reproducibility contract as deterministic_sample: re-running on any
+    engine, partitioning, or cluster width selects the SAME rows, which
+    hash-threshold sampling cannot promise when you need an exact count
+    per group).
+
+    One shuffle on the group key; the per-group window is
+    WindowGroupLimit-pruned (rank <= k cuts rows inside the window
+    operator before any downstream work). The md5 order also makes the
+    selection stable under corpus append: a new document displaces at
+    most one prior selection per group, never reshuffles the set.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -623,3 +623,40 @@ def hashed_linear_score(
     mean = F.col("_s6") / F.col("n_words") / F.lit(1e6)
     sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-mean))
     return scored.select(id_col, "n_words", F.round(sig, 4).alias("score"))
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    boundaries: tuple[float, float] = (1 / 3, 2 / 3),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al., arXiv:1911.00359,
+    public): score every document with the corpus-trained unigram LM
+    (``unigram_logprob``) and split the corpus into head/middle/tail at
+    the given cumulative-fraction boundaries of the score distribution
+    — the standard "keep head+middle, drop tail" pre-training filter.
+
+    The cutoffs are exact percentiles of the per-document average
+    log-prob (two scalar driver values — at 100 TB swap in
+    approx_percentile with this exact form as its oracle, the same
+    ladder as length_percentiles). Returns (doc_id, n_words,
+    avg_logprob, bucket) with bucket in {'head','middle','tail'};
+    higher avg_logprob = more LM-typical = head.
+    """
+    scored = unigram_logprob(docs, id_col, text_col)
+    lo, hi = (float(b) for b in boundaries)
+    if not 0 < lo < hi < 1:
+        raise ValueError(f"boundaries must satisfy 0 < lo < hi < 1, got {boundaries}")
+    # exact distribution cutoffs; percentile_cont over ONE aggregated
+    # pass of the (already doc-grain) score table
+    cuts = scored.agg(
+        F.expr(f"percentile(avg_logprob, {1 - lo})").alias("head_min"),
+        F.expr(f"percentile(avg_logprob, {1 - hi})").alias("mid_min"),
+    ).first()
+    bucket = (
+        F.when(F.col("avg_logprob") >= cuts["head_min"], "head")
+        .when(F.col("avg_logprob") >= cuts["mid_min"], "middle")
+        .otherwise("tail")
+    )
+    return scored.withColumn("bucket", bucket)

@@ -219,3 +219,56 @@ def test_unionfind_matches_propagation_on_random_graphs(spark):
                 want[x] = label
         assert fast == want, f"trial {trial}: union-find vs BFS"
         assert slow == want, f"trial {trial}: propagation vs BFS"
+
+
+def test_sample_k_per_group_exact_counts_and_determinism(spark):
+    from datacatalog_tag_engine_spark.pipeline.sampling import sample_k_per_group
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(100)], "doc_id long, source string"
+    )
+    out = sample_k_per_group(docs, k=7)
+    per = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per == {"src0": 7, "src1": 7, "src2": 7}
+    # groups smaller than k keep everything
+    small = docs.filter(F.col("doc_id") < 4)
+    assert sample_k_per_group(small, k=7).count() == 4
+    # deterministic under repartitioning: same rows selected anywhere
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in sample_k_per_group(docs.repartition(13), k=7).collect())
+    assert a == b
+    # append stability: adding one new doc displaces at most one prior
+    # selection per group
+    grown = docs.unionByName(spark.createDataFrame([(1000, "src0")], "doc_id long, source string"))
+    c = set(r["doc_id"] for r in sample_k_per_group(grown, k=7).collect())
+    assert len(set(a) - c) <= 3  # at most one displacement per group
+
+
+def test_perplexity_buckets_split_and_ordering(spark):
+    from datacatalog_tag_engine_spark.pipeline.text import perplexity_buckets
+
+    # 30 docs with a varying mix of common vs one-off vocabulary (a
+    # continuous score spread), 10 of purely rare vocabulary: rare-word
+    # docs score lowest (least LM-typical) and land in the tail
+    rows = [(i, ("the common words appear often " * (i + 1)) + f"once{i}") for i in range(30)]
+    rows += [(100 + i, f"zxqv{i} wkjy{i} qqzz{i}") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = perplexity_buckets(docs).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    # every rare-vocab doc lands in the tail (the tail is the bottom
+    # third of 40 docs, so it also picks up the lowest common docs)
+    assert all(r["bucket"] == "tail" for r in out if r["doc_id"] >= 100)
+    # bucket score ordering is total: min(head) >= max(middle) >= ...
+    assert min(r["avg_logprob"] for r in by_bucket["head"]) >= max(
+        r["avg_logprob"] for r in by_bucket["middle"]
+    )
+    assert min(r["avg_logprob"] for r in by_bucket["middle"]) >= max(
+        r["avg_logprob"] for r in by_bucket["tail"]
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="boundaries"):
+        perplexity_buckets(docs, boundaries=(0.9, 0.1))

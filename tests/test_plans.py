@@ -140,11 +140,12 @@ def test_semantic_dedup_assigns_once(spark):
 
 
 def test_dsir_single_corpus_shuffle(spark):
-    """DSIR weights (pipeline/dsir.py): the corpus explode reaches the
-    model join with NO shuffle (the bucket table broadcasts), and the
-    only corpus-side Exchange is the final doc-keyed aggregation. The
-    bucket count tables sit behind persist() so the model computes once
-    across the totals action and the table plan."""
+    """DSIR weights (pipeline/dsir.py): ONE corpus-side shuffle total —
+    the pre-explode repartition on doc_id (spreads the CPU-heavy gram
+    hashing across the cluster), whose partitioning the final doc-keyed
+    aggregation then REUSES: zero exchanges after the broadcast model
+    join. The bucket count tables sit behind persist() so the model
+    computes once across the totals action and the table plan."""
     import re
 
     from datacatalog_tag_engine_spark.pipeline import dsir as DSIR
@@ -159,14 +160,13 @@ def test_dsir_single_corpus_shuffle(spark):
     assert "InMemoryRelation" in p  # bucket model computed once
     nodes = [(int(i), n) for i, n in re.findall(r"^\s*\((\d+)\) (\w+)", p, re.M)]
     bhj = max(i for i, n in nodes if n == "BroadcastHashJoin")
-    # exactly ONE Exchange downstream of the broadcast join: the
-    # doc-keyed groupBy — the single corpus-side shuffle
-    assert [i for i, n in nodes if n == "Exchange" and i > bhj] != []
-    assert len([i for i, n in nodes if n == "Exchange" and i > bhj]) == 1, p
-    # the feats subtree (corpus scan + explode, printed first) reaches
-    # the join shuffle-free: no Exchange before the first cached scan
+    # ZERO exchanges downstream of the broadcast join: the doc-keyed
+    # groupBy reuses the pre-explode repartition's hash partitioning
+    assert [i for i, n in nodes if n == "Exchange" and i > bhj] == [], p
+    # the feats subtree (corpus scan, printed first) carries exactly ONE
+    # Exchange — the pre-explode repartition, the single corpus shuffle
     first_cached = min(i for i, n in nodes if n == "InMemoryTableScan")
-    assert [i for i, n in nodes if n == "Exchange" and i < first_cached] == [], p
+    assert len([i for i, n in nodes if n == "Exchange" and i < first_cached]) == 1, p
 
 
 def test_bloom_delta_broadcasts_bitmap_and_scans_prior_once(spark):
