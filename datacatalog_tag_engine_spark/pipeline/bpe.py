@@ -1,0 +1,222 @@
+"""Distributed BPE tokenizer training (Sennrich et al.,
+"Neural Machine Translation of Rare Words with Subword Units",
+arXiv:1508.07909 — the public byte-pair-encoding algorithm used by
+GPT-2/RoBERTa-style tokenizers).
+
+Scale shape — the part that matters at 100 TB: classic BPE never needs
+the corpus during training, only the WORD FREQUENCY table. The corpus
+pays exactly ONE explode+aggregate pass into (word, count); every merge
+round then runs on that vocabulary-sized table (pair-count aggregate +
+one argmax + one symbol-array rewrite). Corpus size sets the cost of
+one pass; vocabulary size sets the cost of a round — a 100 TB corpus
+with a 50M-word vocabulary trains 32k merges over 50M-row stages, not
+corpus-sized ones.
+
+Determinism: the argmax pair breaks ties lexicographically, the merge
+rewrite is the standard greedy left-to-right scan, and word counts are
+exact longs — the learned merge list replays identically on any
+partitioning or cluster width (pytest proves equality with a pure-
+Python reference implementation and across repartitionings). Training
+is inherently iterative (each merge depends on the last), so this
+family is rows-only territory for the correctness driver, like the
+k-means quantizer (s06).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# marks the end of a word so merges cannot cross word boundaries and
+# word-final subwords stay distinct from word-internal ones ("er</w>"
+# vs "er") — the arXiv:1508.07909 convention
+END = "</w>"
+
+
+def word_counts(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(word, cnt): the one corpus-sized pass of BPE training.
+
+    Lowercased whitespace words — the same normalization as the other
+    text operators. The pre-explode repartition spreads the tokenize
+    across the cluster (single-file corpora otherwise run it on one
+    core)."""
+    from .dedup import _repartition_for_explode
+
+    return (
+        _repartition_for_explode(docs.select(text_col), text_col)
+        .select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _initial_symbols(words: DataFrame) -> DataFrame:
+    """(symbols array<string>, cnt): each word split into characters
+    with the end-of-word marker appended to the LAST character."""
+    w = F.col("word")
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(w)),
+        lambda i: F.when(i == F.length(w), F.concat(F.substring(w, i, 1), F.lit(END))).otherwise(
+            F.substring(w, i, 1)
+        ),
+    )
+    return words.select(chars.alias("symbols"), "cnt")
+
+
+def pair_counts(syms: DataFrame) -> DataFrame:
+    """(a, b, n): corpus-weighted counts of adjacent symbol pairs —
+    one explode+aggregate over the vocabulary-sized symbol table."""
+    s = F.col("symbols")
+    pairs = F.zip_with(
+        F.slice(s, 1, F.greatest(F.size(s) - 1, F.lit(0))),
+        F.slice(s, 2, F.greatest(F.size(s) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    return (
+        syms.select(F.explode(pairs).alias("p"), "cnt")
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("cnt").alias("n"))
+    )
+
+
+def _merge_round(syms: DataFrame, a: str, b: str) -> DataFrame:
+    """Apply one merge (a, b) -> a+b to every symbol array: the
+    standard greedy left-to-right scan (overlapping occurrences merge
+    leftmost-first, so 'x x x' under merge (x, x) becomes ['xx', 'x']).
+    Adjacent-pair rewriting is inherently sequential within a word —
+    the one place Python is unavoidable — so it runs as an
+    Arrow-batched pandas iterator over the vocabulary-sized table,
+    never the corpus."""
+    out_schema = T.StructType(
+        [
+            T.StructField("symbols", T.ArrayType(T.StringType())),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+
+    def apply(batches):
+        merged = a + b
+        for pdf in batches:
+            rows = []
+            for symbols, cnt in zip(pdf["symbols"], pdf["cnt"]):
+                out, i, n = [], 0, len(symbols)
+                while i < n:
+                    if i + 1 < n and symbols[i] == a and symbols[i + 1] == b:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(symbols[i])
+                        i += 1
+                rows.append((out, cnt))
+            yield pd.DataFrame(rows, columns=["symbols", "cnt"])
+
+    return syms.mapInPandas(apply, out_schema)
+
+
+def bpe_train(
+    docs: DataFrame,
+    num_merges: int = 32,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Learn ``num_merges`` BPE merges from the corpus; returns
+    ``(merges, vocab)`` where ``merges`` is the ordered merge list and
+    ``vocab`` the final (symbol, cnt) subword table.
+
+    Each round: pair-count aggregate over the symbol table, ONE
+    driver-side argmax row (ties break on (a, b) lexicographically —
+    deterministic anywhere), one mapInPandas rewrite. The symbol table
+    is localCheckpoint(eager)ed per round to keep lineage flat across
+    iterations — the neardup_clusters pattern — and the superseded
+    generation is freed immediately (provably unreferenced: each round
+    reads only its predecessor). Stops early when the best pair's count
+    drops below ``min_pair_count`` (merging singleton pairs memorizes
+    the corpus)."""
+    from ..session import free_local_checkpoint
+
+    syms = _initial_symbols(word_counts(docs, text_col)).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        best = (
+            pair_counts(syms)
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["n"] < min_pair_count:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        nxt = _merge_round(syms, a, b).localCheckpoint(eager=True)
+        free_local_checkpoint(syms)
+        syms = nxt
+    vocab = (
+        syms.select(F.explode("symbols").alias("symbol"), "cnt")
+        .groupBy("symbol")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return merges, vocab
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize the corpus with a learned merge list: (doc_id, tokens
+    array<string>, n_tokens). The merge list broadcasts inside the
+    Arrow-batched UDF closure (it is num_merges-sized); per-batch word
+    memoization means each distinct word in a batch pays the merge scan
+    once. Row-local — no shuffle; scales as one corpus pass."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, docs.schema[id_col].dataType),
+            T.StructField("tokens", T.ArrayType(T.StringType())),
+            T.StructField("n_tokens", T.IntegerType()),
+        ]
+    )
+
+    def encode_word(word: str, cache: dict) -> list[str]:
+        got = cache.get(word)
+        if got is not None:
+            return got
+        symbols = [*word[:-1], word[-1] + END] if word else []
+        # apply merges in learned order: repeatedly merge the
+        # lowest-rank adjacent pair (the standard BPE encode loop)
+        while len(symbols) > 1:
+            best_rank, best_i = None, None
+            for i in range(len(symbols) - 1):
+                r = ranks.get((symbols[i], symbols[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_i is None:
+                break
+            symbols[best_i : best_i + 2] = [symbols[best_i] + symbols[best_i + 1]]
+        cache[word] = symbols
+        return symbols
+
+    def apply(batches):
+        cache: dict = {}
+        for pdf in batches:
+            toks = []
+            for text in pdf[text_col]:
+                out: list[str] = []
+                for w in str(text).lower().split():
+                    out.extend(encode_word(w, cache))
+                toks.append(out)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "tokens": toks, "n_tokens": [len(t) for t in toks]}
+            )
+
+    from .dedup import _repartition_for_explode
+
+    return _repartition_for_explode(docs.select(id_col, text_col), id_col).mapInPandas(
+        apply, out_schema
+    )
