@@ -78,6 +78,11 @@ class TagEngine:
         self._history_base: DataFrame | None = None
         self._history_spill_dir: str | None = None
         self._history_appends = 0
+        # True when history() handed out a lazy plan that references the
+        # CURRENT in-memory union branches — those plans pin the
+        # superseded merge checkpoints, so the next spill must not free
+        # them deterministically (see _spill_history)
+        self._history_handed_out = False
         self.history_spill_every = (
             history_spill_every if history_spill_every is not None else self.HISTORY_SPILL_EVERY
         )
@@ -753,9 +758,13 @@ class TagEngine:
         if self.job_metadata_enabled() and self._job_metadata:
             md = self.job_metadata_df()
             out["job_metadata"] = md.count()
+            # always a full overwrite: job_metadata_df() is the CUMULATIVE
+            # dimension-sized list, and its rows carry no per-export stamp
+            # (unlike the report tables' export_time) — an append would
+            # duplicate every prior row on each re-export
             (
                 md.withColumn("event_date", F.to_date("event_time"))
-                .write.mode("overwrite" if truncate else "append")
+                .write.mode("overwrite")
                 .partitionBy("event_date")
                 .parquet(f"{base_path}/job_metadata")
             )
@@ -788,12 +797,21 @@ class TagEngine:
         if not self.job_metadata_enabled():
             warnings.warn("job metadata ignored: job_metadata settings doc not enabled")
             return
+        try:
+            encoded = json.dumps(metadata, sort_keys=True)
+        except (TypeError, ValueError) as exc:
+            # same warn-and-ignore contract as the non-dict case: bad
+            # metadata must never kill the job it annotates (it would
+            # raise BEFORE the dispatch try-blocks, so the job would die
+            # with no ledger row at all)
+            warnings.warn(f"job metadata ignored: not JSON-serializable ({exc})")
+            return
         doc = self.settings.get("job_metadata", {})
         self._job_metadata.append(
             {
                 "event_time": event_time,
                 "job_uuid": job_uuid,
-                "metadata": json.dumps(metadata, sort_keys=True),
+                "metadata": encoded,
                 "tag_creator_sa": doc.get("tag_creator_sa", "local"),
                 "tag_invoker_sa": doc.get("tag_invoker_sa", "local"),
             }
@@ -884,9 +902,24 @@ class TagEngine:
         )
         self._history = self.spark.createDataFrame([], TAG_HISTORY_SCHEMA)
         self._history_appends = 0
-        self.store.release_event_generations()
+        if self._history_handed_out:
+            # a caller still holds a lazy history() plan over the union
+            # branches just spilled; freeing their merge checkpoints
+            # would truncate lineage underneath it (a freed
+            # localCheckpoint cannot recompute). Drop the engine's own
+            # references instead — the JVM ContextCleaner reclaims each
+            # checkpoint's blocks once the caller's plans are garbage.
+            self.store.drop_event_generations()
+        else:
+            self.store.release_event_generations()
+        self._history_handed_out = False
 
     def history(self) -> DataFrame:
+        # a handed-out plan pins the current in-memory branches (and,
+        # through them, the superseded merge checkpoints) — record that
+        # so the next spill takes the GC-safe path instead of freeing
+        if self._history_appends > 0:
+            self._history_handed_out = True
         if self._history_base is not None:
             return self._history_base.unionByName(self._history)
         return self._history

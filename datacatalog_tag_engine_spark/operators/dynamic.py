@@ -434,20 +434,74 @@ _INFOSCHEMA_COLUMNS_RE = re.compile(
 
 _SUBST_VAR_RE = re.compile(r"\$(table|project|dataset|column)\b")
 
+# the scoping conjunct that makes per-asset schema evaluation valid:
+# without ``table_name = '$table'`` the reference's per-asset query
+# ranges over EVERY table in the dataset's INFORMATION_SCHEMA, which
+# the asset's own schema column cannot answer
+_TABLE_SCOPE_RE = re.compile(r"table_name\s*=\s*'\$table'", re.IGNORECASE)
+
+# INFORMATION_SCHEMA.COLUMNS columns the schema regime can answer
+# (projected in discover_columns_schema), plus the SQL tokens a simple
+# predicate may use. Anything outside this closed set — unknown
+# identifiers, double-quoted strings, OR (which would unscope the
+# table_name conjunct), leftover $vars — routes to the opaque per-asset
+# fallback instead of silently mis-answering.
+_SCHEMA_PRED_COLUMNS = frozenset(
+    {"table_name", "table_schema", "table_catalog", "column_name",
+     "data_type", "mode", "is_nullable", "ordinal_position"}
+)
+_SCHEMA_PRED_KEYWORDS = frozenset(
+    {"and", "not", "in", "like", "rlike", "is", "null", "between",
+     "true", "false", "lower", "upper", "trim", "substr", "substring",
+     "concat", "length", "starts_with", "endswith"}
+)
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_.$]*")
+
+
+def _schema_predicate_safe(pred: str) -> bool:
+    """True iff a WHERE predicate is provably answerable row-wise
+    against one asset's own schema: scoped to ``table_name = '$table'``,
+    no OR (which would escape that scope), no double-quoted strings
+    (ambiguous literal/identifier), and every identifier drawn from the
+    projected INFORMATION_SCHEMA.COLUMNS column set or a small SQL
+    keyword allowlist."""
+    if not _TABLE_SCOPE_RE.search(pred):
+        return False
+    if '"' in pred:
+        return False
+    stripped = re.sub(r"'[^']*'", "", pred)  # drop string literals
+    if "$" in stripped:
+        return False
+    for tok in _IDENT_RE.findall(stripped):
+        t = tok.lower()
+        if t == "or":
+            return False
+        if t not in _SCHEMA_PRED_COLUMNS and t not in _SCHEMA_PRED_KEYWORDS:
+            return False
+    return True
+
 
 def classify_columns_query(query: str) -> str:
     """Shape of an ``included_columns_query``:
 
-    - ``schema``: a SELECT column_name over INFORMATION_SCHEMA.COLUMNS —
-      answerable from the assets inventory's ``schema`` column as ONE
-      distributed plan for every matched asset (zero per-asset jobs).
+    - ``schema``: a SELECT column_name over INFORMATION_SCHEMA.COLUMNS,
+      scoped to the asset's own table with a predicate the schema
+      regime provably answers (_schema_predicate_safe) — answerable
+      from the assets inventory's ``schema`` column as ONE distributed
+      plan for every matched asset (zero per-asset jobs).
     - ``constant``: no substitution variables — asset-independent, so
       one evaluation serves every asset.
     - ``opaque``: arbitrary per-asset user SQL (the fallback; evaluated
-      per asset exactly like the reference).
+      per asset exactly like the reference — including
+      INFORMATION_SCHEMA queries whose predicate falls outside the
+      provable idiom, e.g. unscoped/OR'd/unknown-column predicates).
     """
-    if _INFOSCHEMA_COLUMNS_RE.match(query):
-        return "schema"
+    m = _INFOSCHEMA_COLUMNS_RE.match(query)
+    if m is not None:
+        pred = m.group("pred")
+        if pred and _schema_predicate_safe(pred):
+            return "schema"
+        return "opaque" if _SUBST_VAR_RE.search(query) else "constant"
     if not _SUBST_VAR_RE.search(query):
         return "constant"
     return "opaque"
@@ -473,6 +527,14 @@ def discover_columns_schema(matched_assets: DataFrame, query: str) -> DataFrame:
     m = _INFOSCHEMA_COLUMNS_RE.match(query)
     if m is None:
         raise ValueError(f"not a schema-shaped columns query: {query!r}")
+    pred = m.group("pred")
+    if not pred or not _schema_predicate_safe(pred):
+        # classify_columns_query routes these to the opaque per-asset
+        # path; reaching here means a caller skipped classification
+        raise ValueError(
+            f"predicate not provably schema-answerable (unscoped, OR'd, "
+            f"or non-INFORMATION_SCHEMA identifiers): {query!r}"
+        )
     cols = matched_assets.select(
         "asset_uri",
         F.col("project").alias("table_catalog"),
@@ -488,14 +550,20 @@ def discover_columns_schema(matched_assets: DataFrame, query: str) -> DataFrame:
         F.col("_c.name").alias("column_name"),
         F.col("_c.type").alias("data_type"),
         F.col("_c.mode").alias("mode"),
+        # the remaining INFORMATION_SCHEMA.COLUMNS columns the predicate
+        # allowlist admits, derived from the inventory schema struct
+        F.when(F.col("_c.mode") == "REQUIRED", F.lit("NO"))
+        .otherwise(F.lit("YES"))
+        .alias("is_nullable"),
+        (F.col("pos") + 1).alias("ordinal_position"),
     )
-    pred = m.group("pred")
-    if pred:
-        for var, col in (
-            ("$table", "table_name"),
-            ("$dataset", "table_schema"),
-            ("$project", "table_catalog"),
-        ):
-            pred = pred.replace(f"'{var}'", col).replace(var, col)
-        cols = cols.filter(F.expr(pred))
+    # only quoted substitution forms can appear ( _schema_predicate_safe
+    # rejects bare $vars outside string literals )
+    for var, col in (
+        ("$table", "table_name"),
+        ("$dataset", "table_schema"),
+        ("$project", "table_catalog"),
+    ):
+        pred = pred.replace(f"'{var}'", col)
+    cols = cols.filter(F.expr(pred))
     return cols.select("asset_uri", "pos", F.col("column_name").alias("column"))

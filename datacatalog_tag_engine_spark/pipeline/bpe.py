@@ -24,6 +24,8 @@ k-means quantizer (s06).
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -43,11 +45,14 @@ def word_counts(
     Lowercased whitespace words — the same normalization as the other
     text operators. The pre-explode repartition spreads the tokenize
     across the cluster (single-file corpora otherwise run it on one
-    core)."""
-    from .dedup import _repartition_for_explode
-
+    core); it is KEYLESS round-robin — the downstream groupBy is on
+    word, not doc, so there is no co-location to keep, and hashing
+    document bodies as shuffle keys would pile every exact-duplicate
+    doc onto one partition."""
+    width = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return (
-        _repartition_for_explode(docs.select(text_col), text_col)
+        docs.select(text_col)
+        .repartition(width)
         .select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"))
         .filter(F.length("word") > 0)
         .groupBy("word")
@@ -207,9 +212,19 @@ def bpe_apply(
         for pdf in batches:
             toks = []
             for text in pdf[text_col]:
+                # mirror training's tokenization EXACTLY: nulls drop out
+                # (F.split(NULL) -> NULL, explode drops — str(None) would
+                # mint a phantom 'none' token), and the split is ASCII
+                # \s+ (re.ASCII == Java regex \s), not Python's default
+                # unicode-whitespace split — otherwise learned merges get
+                # applied at word boundaries training never saw
+                if not isinstance(text, str):
+                    toks.append([])
+                    continue
                 out: list[str] = []
-                for w in str(text).lower().split():
-                    out.extend(encode_word(w, cache))
+                for w in re.split(r"\s+", text.lower(), flags=re.ASCII):
+                    if w:
+                        out.extend(encode_word(w, cache))
                 toks.append(out)
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "tokens": toks, "n_tokens": [len(t) for t in toks]}

@@ -56,9 +56,16 @@ def _bucket_counts(
     """(bucket, cnt): corpus-wide hashed-ngram occurrence counts. The
     pre-explode repartition spreads the CPU-heavy gram hashing across
     the cluster — corpora often arrive as few large files, and without
-    it the explode runs on as many cores as input splits."""
+    it the explode runs on as many cores as input splits. It is
+    KEYLESS round-robin, not hash-by-text: the downstream groupBy is
+    on bucket (not doc), so there is no co-location to preserve, and
+    hashing full document bodies as shuffle keys would both serialize
+    megabyte keys and send every exact-duplicate document (boilerplate
+    is the norm pre-dedup) to one partition."""
+    width = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return (
-        _repartition_for_explode(docs.select(text_col), text_col)
+        docs.select(text_col)
+        .repartition(width)
         .select(F.explode(_gram_buckets(F.col(text_col), buckets)).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("cnt"))

@@ -280,16 +280,31 @@ class TagStore:
         """Deterministically free every SUPERSEDED merge checkpoint.
 
         Safe ONLY once every past merge's event rows are materialized
-        somewhere durable (the engine calls this right after spilling
-        its history union to parquet): a freed localCheckpoint cannot
-        recompute, so any still-lazy plan over those events would fail.
-        The CURRENT checkpoint — the one backing live state — is never
-        freed. Returns the number of generations released."""
+        somewhere durable AND no caller still holds a lazy plan over
+        them (the engine calls this right after spilling its history
+        union to parquet, and only when no history() handout references
+        the spilled branches — see engine._spill_history): a freed
+        localCheckpoint cannot recompute, so any still-lazy plan over
+        those events would fail. Direct store users who keep the event
+        DataFrames merge() returns must use drop_event_generations()
+        instead. The CURRENT checkpoint — the one backing live state —
+        is never freed. Returns the number of generations released."""
         from ..session import free_local_checkpoint
 
         gens = getattr(self, "_event_generations", [])
         for g in gens:
             free_local_checkpoint(g)
+        self._event_generations = []
+        return len(gens)
+
+    def drop_event_generations(self) -> int:
+        """Drop references to superseded merge checkpoints WITHOUT
+        freeing their blocks — the GC-safe sibling of
+        release_event_generations for when lazy plans over those events
+        may still be held externally. The JVM ContextCleaner unpersists
+        each checkpoint once the last plan referencing it is collected.
+        Returns the number of generations dropped."""
+        gens = getattr(self, "_event_generations", [])
         self._event_generations = []
         return len(gens)
 

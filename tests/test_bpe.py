@@ -118,3 +118,24 @@ def test_pair_counts_are_corpus_weighted(spark):
     pc = {(r["a"], r["b"]): r["n"] for r in bpe.pair_counts(syms).collect()}
     # one distinct word with count 3: the pair (a, a</w>) counts 3
     assert pc == {("a", "a" + END): 3}
+
+
+def test_bpe_apply_matches_training_tokenization(spark):
+    """Encode-side tokenization mirrors training exactly (code-review
+    r5): a NULL text encodes to zero tokens (training's F.split drops
+    nulls — str(None) must not mint a phantom 'none' word), and
+    unicode whitespace does NOT split (training's Java-regex \\s+ is
+    ASCII-only, so 'foo\\u00a0bar' is ONE word on both sides)."""
+    merges = [("l", "o"), ("lo", "w</w>")]
+    docs = spark.createDataFrame(
+        [(1, None), (2, "foo\u00a0bar"), (3, "low")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (list(r["tokens"]), r["n_tokens"])
+        for r in bpe.bpe_apply(docs, merges).collect()
+    }
+    assert got[1] == ([], 0)
+    assert got[3] == (["low</w>"], 1)
+    # exactly one word: a single end-of-word marker in the whole doc
+    assert sum(t.endswith(END) for t in got[2][0]) == 1

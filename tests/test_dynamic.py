@@ -173,3 +173,74 @@ def test_richtext_collects_all_rows(spark):
     ]
     raw = D.run_config_per_asset(spark, fields, [URI], "t", short_name)
     assert raw[0]["raw_value"] == "A<br>N<br>R"
+
+
+# --- schema-regime safety (code-review r5: the naive predicate rewrite
+# silently changed semantics outside the table_name='$table' idiom) ----
+
+_IS = "select column_name from p.d.INFORMATION_SCHEMA.COLUMNS where "
+
+
+def test_classify_columns_schema_requires_scoped_predicate():
+    # the reference idiom: scoped to the asset's own table — provably
+    # answerable from the asset's schema column
+    assert D.classify_columns_query(
+        _IS + "table_name = '$table' and data_type = 'STRING'"
+    ) == "schema"
+    # unscoped: reference semantics range over EVERY table in the
+    # dataset's INFORMATION_SCHEMA — never the schema regime
+    assert D.classify_columns_query(_IS + "data_type = 'STRING'") == "constant"
+    assert D.classify_columns_query(
+        "select column_name from $project.$dataset.INFORMATION_SCHEMA.COLUMNS "
+        "where data_type = 'STRING'"
+    ) == "opaque"
+    # OR escapes the table_name scope
+    assert D.classify_columns_query(
+        _IS + "table_name = '$table' or data_type = 'STRING'"
+    ) == "opaque"
+    # double-quoted "$table" is a string literal in non-ANSI Spark SQL
+    # (always-false comparison) — must not reach the rewrite
+    assert D.classify_columns_query(_IS + 'table_name = "$table"') == "opaque"
+    # identifiers outside INFORMATION_SCHEMA.COLUMNS
+    assert D.classify_columns_query(
+        _IS + "table_name = '$table' and weird_col = 1"
+    ) == "opaque"
+    # bare (unquoted) $var outside a string literal
+    assert D.classify_columns_query(
+        _IS + "table_name = $table"
+    ) == "opaque"
+
+
+def test_discover_columns_schema_is_nullable_ordinal(spark):
+    from datacatalog_tag_engine_spark.model.schemas import ASSETS_SCHEMA
+
+    assets = spark.createDataFrame(
+        [{
+            "asset_uri": "p/datasets/d/tables/t1",
+            "asset_type": "bigquery", "project": "p", "dataset": "d",
+            "table": "t1",
+            "schema": [
+                {"name": "a", "type": "STRING", "mode": "REQUIRED", "subcolumns": None},
+                {"name": "b", "type": "INT64", "mode": "NULLABLE", "subcolumns": None},
+                {"name": "c", "type": "STRING", "mode": "NULLABLE", "subcolumns": None},
+            ],
+        }],
+        ASSETS_SCHEMA,
+    )
+    got = {
+        r["column"]
+        for r in D.discover_columns_schema(
+            assets,
+            _IS + "table_name = '$table' and is_nullable = 'YES' "
+                  "and ordinal_position > 1",
+        ).collect()
+    }
+    assert got == {"b", "c"}
+
+
+def test_discover_columns_schema_rejects_unsafe(spark):
+    from datacatalog_tag_engine_spark.model.schemas import ASSETS_SCHEMA
+
+    assets = spark.createDataFrame([], ASSETS_SCHEMA)
+    with pytest.raises(ValueError, match="not provably schema-answerable"):
+        D.discover_columns_schema(assets, _IS + "data_type = 'STRING'")

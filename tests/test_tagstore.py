@@ -278,3 +278,31 @@ def test_history_spill_threshold_not_reached_is_noop(spark):
         eng._append_history(ev, f"job{i}")
     assert eng._history_base is None and eng._history_spill_dir is None
     assert eng.history().count() == 3
+
+
+def test_history_spill_with_held_handout_stays_readable(spark):
+    """A lazily-held history() plan must survive later auto-spills
+    (code-review r5): the engine tracks the handout and DROPS the
+    superseded merge checkpoints (JVM ContextCleaner reclaims them once
+    the caller's plans are garbage) instead of freeing blocks a held
+    plan still needs."""
+    from datacatalog_tag_engine_spark.engine import TagEngine
+
+    eng = TagEngine(spark, history_spill_every=4)
+    eng.store.SMALL_STATE_MAX = 0  # force the distributed MERGE path
+    for i in range(2):
+        ev = eng.store.merge(mk(spark, [tag_row("a", "owner", f"v{i}")]))
+        eng._append_history(ev, f"job{i}")
+    held = eng.history()  # pins the two in-memory union branches
+    for i in range(2, 9):  # crosses the spill threshold twice
+        ev = eng.store.merge(mk(spark, [tag_row("a", "owner", f"v{i}")]))
+        eng._append_history(ev, f"job{i}")
+    # the held snapshot still reads — nothing was freed underneath it
+    assert {r["field_value"] for r in held.collect()} == {"v0", "v1"}
+    # the engine's own view has every event, exactly once
+    rows = eng.history().collect()
+    assert {r["field_value"] for r in rows} == {f"v{i}" for i in range(9)}
+    assert len(rows) == 9
+    # and with no handout the second spill still freed deterministically
+    # (the union stayed bounded either way)
+    assert eng._history_appends < 4
