@@ -915,3 +915,100 @@ def repeated_spans(
             F.round(F.col("n_repeated") / F.col("n_shingles"), 4).alias("repeat_ratio"),
         )
     )
+
+
+def remove_repeated_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The APPLY step for cross-document repeated spans: rewrite every
+    document with the words covered by any repeated n-gram cut out —
+    the distributed form of exact-substring training-data dedup
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499, at word-n-gram granularity; the
+    detection side is ``repeated_spans``).
+
+    A gram "repeats" when it occurs in >= ``min_docs`` DISTINCT
+    documents (same rule, same lowercased gram space, and same
+    short-doc whole-text shingle convention as ``repeated_spans``, so
+    detect and apply agree on what is boilerplate — a doc shorter than
+    ``n`` words that repeats verbatim elsewhere is removed entirely).
+
+    Returns (id_col, text_col, n_words, n_removed) for EVERY input
+    document: ``text_col`` is the rebuilt text — surviving words joined
+    by single spaces (whitespace-normalized; word case preserved) —
+    ``n_words`` the original whitespace word count, ``n_removed`` how
+    many words were cut.
+
+    Scale shape: positional gram hashes are one projection over the
+    corpus (the O(log n) doubling n-gram constructor, hashed to 8-byte
+    longs before anything shuffles); the persisted gram table feeds
+    both the document-frequency aggregate and the membership join, so
+    the gram subtree runs once; the ``df >= min_docs`` filter lands
+    before the join, so singleton grams — the overwhelming majority —
+    never enter it. Two shuffles total (df-count, per-doc start
+    collect), both on 8-byte or id keys. The rebuild is row-local
+    array math: covered = union of [start, start+n) intervals, kept =
+    index filter — O(words x covered) per doc, bounded by n x starts,
+    with zero Python in the row path.
+    """
+    from .text import ngram_array
+
+    words_lc = F.split(F.lower(F.col(text_col)), r"\s+")
+    n_words = F.size(words_lc)
+    # positional grams: entry i (0-based) covers words [i, i+n); docs
+    # shorter than n words contribute ONE whole-text gram at start 0
+    # (the word_shingles convention, so df counts match repeated_spans)
+    full = F.slice(ngram_array(words_lc, n), 1, F.greatest(n_words - F.lit(n - 1), F.lit(0)))
+    grams = F.when(n_words >= n, full).otherwise(F.array(F.concat_ws(" ", words_lc)))
+    pos_grams = (
+        _repartition_for_explode(docs.select(id_col, text_col), id_col)
+        .select(id_col, F.posexplode(grams).alias("start", "_g"))
+        .select(id_col, "start", F.xxhash64("_g").alias("_h"))
+        .persist()  # feeds BOTH the df-count and the membership join
+    )
+    repeated = (
+        pos_grams.groupBy("_h")
+        .agg(F.count_distinct(id_col).alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("_h")
+    )
+    starts = (
+        pos_grams.join(repeated, "_h")
+        .groupBy(id_col)
+        .agg(F.collect_set("start").alias("_starts"))
+    )
+    words_orig = F.split(F.col(text_col), r"\s+")  # same positions: lower() keeps whitespace
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce(F.col("_starts"), F.array().cast("array<int>")),
+                lambda s: F.sequence(s, F.least(s + F.lit(n - 1), F.size(words_orig) - 1)),
+            )
+        )
+    )
+    kept = F.filter(
+        F.sequence(F.lit(0), F.size(words_orig) - 1),
+        lambda j: ~F.array_contains(covered, j),
+    )
+    # the rebuilt text gets a TEMP name first: aliasing it straight to
+    # text_col makes Spark's lateral-column-alias resolution capture the
+    # F.col(text_col) references inside the LATER columns' higher-order
+    # lambdas against the rebuilt text instead of the input column
+    # (observed on 4.1: n_removed silently computed over the cleaned
+    # text), so the rename happens in a second projection
+    return (
+        docs.join(starts, id_col, "left")
+        .select(
+            id_col,
+            F.size(words_orig).alias("n_words"),
+            F.size(covered).alias("n_removed"),
+            F.concat_ws(
+                " ", F.transform(kept, lambda j: F.element_at(words_orig, j + 1))
+            ).alias("_clean_text"),
+        )
+        .select(id_col, F.col("_clean_text").alias(text_col), "n_words", "n_removed")
+    )

@@ -644,10 +644,14 @@ def perplexity_buckets(
     avg_logprob, bucket) with bucket in {'head','middle','tail'};
     higher avg_logprob = more LM-typical = head.
     """
-    scored = unigram_logprob(docs, id_col, text_col)
     lo, hi = (float(b) for b in boundaries)
     if not 0 < lo < hi < 1:
         raise ValueError(f"boundaries must satisfy 0 < lo < hi < 1, got {boundaries}")
+    # persist(): the percentile action below AND the returned plan both
+    # read the doc-grain score table — without this every consumer pays
+    # the corpus explode + scoring join twice (the dsir_logratio /
+    # incremental_delta_bloom dual-consumer pattern)
+    scored = unigram_logprob(docs, id_col, text_col).persist()
     # exact distribution cutoffs; percentile_cont over ONE aggregated
     # pass of the (already doc-grain) score table
     cuts = scored.agg(
@@ -660,3 +664,117 @@ def perplexity_buckets(
         .otherwise("tail")
     )
     return scored.withColumn("bucket", bucket)
+
+
+# the Gopher rules' required stopword set (Rae et al., arXiv:2112.11446
+# Table A1: "contains at least 2 of ..."), distinct from the general
+# STOPWORDS list above
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    max_dup_word_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.18,
+) -> DataFrame:
+    """The Gopher quality-filter rule set (Rae et al., "Scaling
+    Language Models: ... Gopher", arXiv:2112.11446 Table A1) as one
+    scan projection: per document, every rule's feature, the sorted
+    list of failed rule names, and ``keep``.
+
+    Defaults are the paper's published thresholds. Rules:
+
+    * ``word_count``      — ``min_words <= n_words <= max_words``
+    * ``mean_word_len``   — mean word length in [min, max]
+    * ``symbol_ratio``    — (# of '#' + # of '...') / words <= max
+    * ``bullet_lines``    — fraction of lines starting with a bullet
+    * ``ellipsis_lines``  — fraction of lines ending with an ellipsis
+    * ``alpha_words``     — fraction of words containing a letter
+    * ``stopword_hits``   — distinct GOPHER_STOPWORDS present >= min
+    * ``dup_words``       — 1 - distinct/total words <= max (proxy for
+      the paper's duplicate line/paragraph fractions at word grain)
+    * ``top_bigram``      — modal bigram frequency <= max
+
+    The two repetition rules need >= 2 words to be measurable; on
+    shorter docs they pass vacuously (word_count already fails them).
+    Features are rounded to 4 for cross-engine comparability; rule
+    PREDICATES compare the unrounded values. Everything is row-local
+    JVM array/regexp math — zero shuffles, zero Python, a pure scan
+    projection at 100 TB.
+    """
+    t = F.col(text_col)
+    words = F.split(t, r"\s+")
+    words_lc = F.split(F.lower(t), r"\s+")
+    n_words = F.size(words)
+    n_chars = F.length(t)
+    mean_word_len = (n_chars - (n_words - 1)) / n_words
+    n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_word_frac = n_alpha_words / n_words
+    n_symbols = F.size(F.regexp_extract_all(t, F.lit(r"#|\.\.\."), 0))
+    symbol_word_ratio = n_symbols / n_words
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(words_lc, s),
+        )
+    )
+    lines = F.split(t, r"\n")
+    n_lines = F.size(lines)
+    bullet_line_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*(\*|-|•)\s")))
+        / n_lines
+    )
+    ellipsis_line_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))) / n_lines
+    )
+    dup_word_frac = F.lit(1.0) - F.size(F.array_distinct(words_lc)) / n_words
+    bigrams = word_ngrams(words_lc, 2)
+    top_bigram_frac = F.when(
+        n_words >= 2, _max_run_expr(F.array_sort(bigrams)) / F.size(bigrams)
+    )  # else NULL: not measurable
+
+    rules = [
+        ("word_count", (n_words < min_words) | (n_words > max_words)),
+        ("mean_word_len",
+         (mean_word_len < min_mean_word_len) | (mean_word_len > max_mean_word_len)),
+        ("symbol_ratio", symbol_word_ratio > max_symbol_word_ratio),
+        ("bullet_lines", bullet_line_frac > max_bullet_line_frac),
+        ("ellipsis_lines", ellipsis_line_frac > max_ellipsis_line_frac),
+        ("alpha_words", alpha_word_frac < min_alpha_word_frac),
+        ("stopword_hits", stop_hits < min_stopword_hits),
+        ("dup_words", (n_words >= 2) & (dup_word_frac > max_dup_word_frac)),
+        ("top_bigram",
+         (n_words >= 2) & (top_bigram_frac > max_top_bigram_frac)),
+    ]
+    fail_reasons = F.array_sort(
+        F.filter(
+            F.array(*[F.when(cond, F.lit(name)) for name, cond in rules]),
+            lambda x: x.isNotNull(),
+        )
+    )
+    return docs.select(
+        id_col,
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(symbol_word_ratio, 4).alias("symbol_word_ratio"),
+        F.round(bullet_line_frac, 4).alias("bullet_line_frac"),
+        F.round(ellipsis_line_frac, 4).alias("ellipsis_line_frac"),
+        F.round(alpha_word_frac, 4).alias("alpha_word_frac"),
+        stop_hits.alias("stopword_hits"),
+        F.round(dup_word_frac, 4).alias("dup_word_frac"),
+        F.round(top_bigram_frac, 4).alias("top_bigram_frac"),
+        fail_reasons.alias("fail_reasons"),
+        (F.size(fail_reasons) == 0).alias("keep"),
+    )

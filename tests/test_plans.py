@@ -192,3 +192,20 @@ def test_bloom_delta_broadcasts_bitmap_and_scans_prior_once(spark):
     # the probe flags are persisted: the two union branches read ONE
     # cached aggregation, so the probe plan computes once
     assert out.count() == DD.incremental_delta(batch, prior).count()
+
+
+def test_remove_repeated_spans_persists_gram_table(spark):
+    """Span removal (pipeline/dedup.py remove_repeated_spans): the
+    positional gram table is persisted so the df-count aggregate and
+    the membership join share ONE gram-hashing pass; no cartesian or
+    nested-loop join anywhere; bounded exchange count (pre-explode
+    repartition, df-count, start-collect, final id join)."""
+    import re
+
+    spark.catalog.clearCache()
+    docs = spark.table("documents")
+    p = plan_of(DD.remove_repeated_spans(docs))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "InMemoryRelation" in p  # gram table computed once
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", p))
+    assert n_exchange <= 5, p

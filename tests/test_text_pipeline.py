@@ -250,3 +250,48 @@ def test_token_budget_sample(spark):
     # deterministic: same membership on rerun
     again = {(r["doc_id"]) for r in TXT.token_budget_sample(docs, budget_tokens=35).collect()}
     assert {r["doc_id"] for r in out} == again
+
+
+# --- gopher_filter (Rae et al. arXiv:2112.11446 Table A1) -------------
+
+def test_gopher_filter_rules(spark):
+    from datacatalog_tag_engine_spark.pipeline.text import gopher_filter
+
+    good = ("the quick brown fox jumps over that lazy dog and then runs away "
+            "with great speed to have some fun in the field of golden wheat "
+            "where many other animals also like to play games during long "
+            "summer days and everyone is happy to be part of this fine story "
+            "that keeps going on and on with more words being added here")
+    docs = spark.createDataFrame(
+        [
+            (1, good),                                    # passes everything
+            (2, "too short"),                             # word_count
+            (3, " ".join(["zzzz"] * 80)),                 # dup/stopwords/top_bigram
+            (4, good + " " + "#" * 1 + " ###### " + "... ... ... ... ... ... ..."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_filter(docs).collect()}
+    assert out[1]["keep"] and out[1]["fail_reasons"] == []
+    assert not out[2]["keep"] and "word_count" in out[2]["fail_reasons"]
+    # repetition rules only measurable with >= 2 words; doc 3 fails many
+    assert set(out[3]["fail_reasons"]) >= {"stopword_hits", "dup_words", "top_bigram"}
+    assert not out[4]["keep"] and "symbol_ratio" in out[4]["fail_reasons"]
+    # fail_reasons is sorted (deterministic for a future SQL oracle)
+    for r in out.values():
+        assert list(r["fail_reasons"]) == sorted(r["fail_reasons"])
+
+
+def test_gopher_filter_line_rules(spark):
+    from datacatalog_tag_engine_spark.pipeline.text import gopher_filter
+
+    filler = ("the and that with to of be have good plain words " * 6).strip()
+    bullets = "\n".join(f"* item {i} " + filler[:40] for i in range(10))
+    dots = "\n".join(f"line {i} trails off..." for i in range(10)) + "\n" + filler
+    docs = spark.createDataFrame(
+        [(1, bullets), (2, dots)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in gopher_filter(docs, min_words=5).collect()}
+    assert "bullet_lines" in out[1]["fail_reasons"]
+    assert out[1]["bullet_line_frac"] == 1.0
+    assert "ellipsis_lines" in out[2]["fail_reasons"]
