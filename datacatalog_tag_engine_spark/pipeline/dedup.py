@@ -1012,3 +1012,80 @@ def remove_repeated_spans(
         )
         .select(id_col, F.col("_clean_text").alias(text_col), "n_words", "n_removed")
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    min_len: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide paragraph-grain exact dedup, keep-first (the CCNet
+    preprocessing step — Wenzek et al., "CCNet: Extracting High Quality
+    Monolingual Datasets from Web Crawl Data", arXiv:1911.00359: web
+    text repeats at PARAGRAPH grain — headers, nav, license blocks —
+    long before whole documents repeat).
+
+    Paragraphs split on blank-line runs; matching is on the
+    whitespace-collapsed lowercase form (layout and case do not make a
+    paragraph novel), hashed to a 64-bit key. The FIRST occurrence in
+    (doc_id, position) order survives; every later identical paragraph
+    is cut. Paragraphs shorter than ``min_len`` characters (normalized)
+    are exempt — never counted as duplicates, always kept — so "Yes."
+    does not get deduplicated out of a QA corpus.
+
+    Returns (id_col, text_col, n_paragraphs, n_removed) for EVERY
+    input document; text is the surviving paragraphs rejoined with
+    blank lines, in original order.
+
+    Scale shape: one explode (after the pre-explode repartition), ONE
+    shuffle on the uniform 8-byte paragraph hash for the keep-first
+    window — the paragraph text rides that shuffle once, which beats a
+    second (id, pos) join shuffle of the same payload — and one
+    doc-keyed shuffle to rebuild. Keep-first is deterministic under
+    any partitioning (row_number over an explicit total order).
+    """
+    paras = F.filter(
+        F.split(F.col(text_col), r"\n\s*\n"), lambda p: F.length(F.trim(p)) > 0
+    )
+    norm = F.lower(F.regexp_replace(F.trim(F.col("_para")), r"\s+", " "))
+    exploded = (
+        _repartition_for_explode(docs.select(id_col, text_col), id_col)
+        .select(id_col, F.posexplode(paras).alias("pos", "_para"))
+        .withColumn("_n", norm)
+        .withColumn(
+            "_h",
+            # exempt short paragraphs by giving them a per-(doc,pos)
+            # unique key: they form singleton groups, always rank 1
+            F.when(
+                F.length("_n") >= min_len, F.xxhash64("_n")
+            ).otherwise(F.xxhash64(F.col(id_col), F.col("pos"), F.lit("short"))),
+        )
+    )
+    w = Window.partitionBy("_h").orderBy(F.asc(id_col), F.asc("pos"))
+    kept = exploded.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "_para"))),
+                lambda s: s["_para"],
+            ),
+        ).alias("_clean_text"),
+        F.count("*").alias("_n_kept"),
+    )
+    # n_paragraphs comes from the DOC side (a row-local recount of the
+    # same split): a doc whose every paragraph lost keep-first has no
+    # kept rows at all, and must still report its full removal count
+    return (
+        docs.select(id_col, F.size(paras).alias("n_paragraphs"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_clean_text"), F.lit("")).alias(text_col),
+            "n_paragraphs",
+            (
+                F.col("n_paragraphs") - F.coalesce(F.col("_n_kept"), F.lit(0))
+            ).alias("n_removed"),
+        )
+    )

@@ -1,0 +1,71 @@
+"""Training-data export: deterministic sharded parquet with a manifest.
+
+The last mile of a training-data pipeline: the cleaned/sampled corpus
+leaves Spark as a fixed set of shards a training job can map to data-
+loader workers. Shard assignment is the engine-portable md5 bucket
+(``pipeline.sampling.hash_bucket``), NOT Spark's task partitioning —
+the same corpus shards identically on any cluster width, engine, or
+rerun, so resumable training sees a stable world.
+
+Scale shape (100 TB): one shuffle — ``repartition(num_shards, shard)``
+— then a partitioned write; rows are sorted by id within each task so
+file contents are byte-deterministic. The manifest is a shard-grain
+aggregate (num_shards rows) computed in the same pass's lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import hash_bucket
+
+MANIFEST_DIR = "_manifest"
+
+
+def shard_assignments(
+    df: DataFrame, num_shards: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Input plus a ``shard`` column in [0, num_shards): the md5 hash
+    bucket of the id — uniform, deterministic, engine-portable."""
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    return df.withColumn("shard", hash_bucket(F.col(id_col), num_shards).cast("int"))
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    num_shards: int,
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+) -> DataFrame:
+    """Write ``df`` as ``path/shard=K/`` parquet, one directory per
+    shard, rows id-sorted within files, plus a manifest at
+    ``path/_manifest`` with (shard, n_docs[, n_tokens]) — and return
+    the manifest re-read from disk (so callers validate what was
+    actually written, not the plan).
+
+    ``token_col``, when given, is summed into the manifest's
+    ``n_tokens`` so data-loader schedulers can weight shards.
+    """
+    sharded = shard_assignments(df, num_shards, id_col)
+    (
+        sharded.repartition(num_shards, "shard")
+        .sortWithinPartitions("shard", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    aggs = [F.count("*").alias("n_docs")]
+    if token_col is not None:
+        aggs.append(F.sum(token_col).cast("long").alias("n_tokens"))
+    spark = df.sparkSession
+    # aggregate over what landed on disk — the write is the source of
+    # truth; the read-back costs a footer-only count per shard (plus a
+    # single-column scan when token_col is requested)
+    written = spark.read.parquet(path)
+    written.groupBy("shard").agg(*aggs).write.mode("overwrite").parquet(
+        f"{path}/{MANIFEST_DIR}"
+    )
+    return spark.read.parquet(f"{path}/{MANIFEST_DIR}")

@@ -63,3 +63,53 @@ def test_remove_repeated_spans_agrees_with_detection(spark):
     out = {r["doc_id"]: r for r in dedup.remove_repeated_spans(docs, n=8).collect()}
     for d, r in out.items():
         assert (r["n_removed"] > 0) == (d in flagged), d
+
+
+# --- paragraph_dedup (CCNet paragraph-grain dedup, arXiv:1911.00359) --
+
+def test_paragraph_dedup_keep_first(spark):
+    nav = "Home | About | Contact"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{nav}\n\nFirst unique body paragraph."),
+            (2, f"{nav}\n\nSecond, different body text.\n\n{nav}"),
+            (3, "Entirely novel document with one paragraph."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.paragraph_dedup(docs).collect()}
+    # doc 1 (lowest id, position 0) keeps the nav block; later copies cut
+    assert out[1]["text"].startswith(nav) and out[1]["n_removed"] == 0
+    assert out[2]["text"] == "Second, different body text."
+    assert out[2]["n_paragraphs"] == 3 and out[2]["n_removed"] == 2
+    assert out[3]["n_removed"] == 0
+    assert out[3]["text"] == "Entirely novel document with one paragraph."
+
+
+def test_paragraph_dedup_normalized_matching_and_min_len(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Shared   Paragraph Here\n\nYes."),
+            (2, "shared paragraph  here\n\nYes."),
+        ],
+        "doc_id long, text string",
+    )
+    # case/whitespace variants are the same paragraph -> doc 2 loses it;
+    # with min_len, the short "Yes." is exempt and kept everywhere
+    out = {r["doc_id"]: r for r in dedup.paragraph_dedup(docs, min_len=10).collect()}
+    assert out[1]["n_removed"] == 0
+    assert out[2]["text"] == "Yes." and out[2]["n_removed"] == 1
+    # without the exemption the second "Yes." is cut too
+    out0 = {r["doc_id"]: r for r in dedup.paragraph_dedup(docs).collect()}
+    assert out0[2]["text"] == "" and out0[2]["n_removed"] == 2
+
+
+def test_paragraph_dedup_all_docs_survive(spark):
+    docs = spark.createDataFrame(
+        [(1, "same\n\nsame"), (2, "same")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in dedup.paragraph_dedup(docs).collect()}
+    # within-doc repeats dedup too (pos order); doc 2 fully emptied but
+    # still present in the output
+    assert out[1]["text"] == "same" and out[1]["n_removed"] == 1
+    assert out[2]["text"] == "" and out[2]["n_removed"] == 1

@@ -1,0 +1,46 @@
+"""Training-shard export (pipeline/export.py): deterministic shard
+assignment, manifest accounting, and read-back round-trip."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datacatalog_tag_engine_spark.pipeline import export as EX
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    docs = spark.table("documents").select("doc_id", "text").withColumn(
+        "n_tokens", F.size(F.split("text", r"\s+"))
+    )
+    path = str(tmp_path / "shards")
+    manifest = EX.write_training_shards(docs, path, num_shards=4, token_col="n_tokens")
+    rows = {r["shard"]: r for r in manifest.collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert sum(r["n_docs"] for r in rows.values()) == docs.count()
+    assert sum(r["n_tokens"] for r in rows.values()) == (
+        docs.agg(F.sum("n_tokens")).first()[0]
+    )
+    # written data reads back complete; the _manifest dir is invisible
+    # to the data read (leading underscore)
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    assert set(back.columns) == {"doc_id", "text", "n_tokens", "shard"}
+
+
+def test_shard_assignment_deterministic(spark):
+    docs = spark.table("documents").select("doc_id")
+    a = {r["doc_id"]: r["shard"] for r in EX.shard_assignments(docs, 8).collect()}
+    b = {
+        r["doc_id"]: r["shard"]
+        for r in EX.shard_assignments(docs.repartition(13), 8).collect()
+    }
+    assert a == b
+    # md5 buckets spread roughly uniformly
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert len(c) == 8 and max(c.values()) < 3 * min(c.values())
+
+
+def test_write_training_shards_rejects_bad_count(spark, tmp_path):
+    with pytest.raises(ValueError, match="num_shards"):
+        EX.shard_assignments(spark.table("documents"), 0)
