@@ -524,3 +524,60 @@ def pq_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adist_micro"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def mine_hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    k: int = 5,
+    search_k: int | None = None,
+    max_cosine: float | None = None,
+    method: str = "brute",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **search_kwargs,
+) -> DataFrame:
+    """Hard-negative mining for embedding-model training (the DPR /
+    contrastive-retrieval recipe, Karpukhin et al. arXiv:2004.04906):
+    for each query, the top-ranked corpus vectors that are NOT known
+    positives — the negatives the current embedding space finds most
+    confusable, which is what contrastive training needs.
+
+    ``positives`` is (query_id, positive_id). Candidates come from the
+    existing ANN surface (``method`` = 'brute' exact or 'ivf'
+    partition-pruned; extra kwargs pass through, e.g. num_cells /
+    nprobe / cents), over-fetched at ``search_k`` (default 3k) so the
+    positive exclusion and the optional ``max_cosine`` ceiling (drop
+    candidates TOO close — likely unlabeled positives, the standard
+    false-negative guard) still leave k survivors; queries whose
+    exclusions bite harder return fewer rows rather than wrong ones.
+
+    Returns (query_id, neighbor_id, cosine, rank) with rank re-dense
+    after filtering, rank <= k. Deterministic: inherits the ANN tie
+    rule (cosine desc, neighbor_id asc).
+
+    Scale shape: one ANN pass (query side broadcast, corpus scanned
+    once or cell-pruned) + one join against the positives table keyed
+    on (query_id, neighbor_id) — positives are labeled-data-sized, so
+    AQE broadcasts them. Nothing new shuffles at corpus grain."""
+    if method == "brute":
+        search = brute_force_topk
+    elif method == "ivf":
+        search = ivf_topk
+    else:
+        raise ValueError(f"method must be 'brute' or 'ivf', got {method!r}")
+    sk = search_k if search_k is not None else 3 * k
+    cands = search(corpus, queries, k=sk, id_col=id_col, vec_col=vec_col, **search_kwargs)
+    pos = positives.select(
+        F.col("query_id"), F.col("positive_id").alias("neighbor_id")
+    )
+    out = cands.join(pos, ["query_id", "neighbor_id"], "left_anti")
+    if max_cosine is not None:
+        out = out.filter(F.col("cosine") <= max_cosine)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        out.drop("rank")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -334,3 +334,55 @@ def test_tuned_lsh_bands_recall_and_wiring(spark, docs):
     # output is a superset of the default banding's
     default_verified = {(r["doc_a"], r["doc_b"]) for r in DD.minhash_dedup(docs, threshold=th).collect()}
     assert auto >= default_verified
+
+
+# --- mine_hard_negatives (DPR-style, arXiv:2004.04906) ----------------
+
+def test_mine_hard_negatives_excludes_positives(spark):
+    from datacatalog_tag_engine_spark.pipeline.similarity import (
+        brute_force_topk,
+        mine_hard_negatives,
+    )
+
+    emb = spark.table("embeddings")
+    queries = emb.limit(5)
+    positives = brute_force_topk(emb, queries, k=2).select(
+        "query_id", F.col("neighbor_id").alias("positive_id")
+    )
+    negs = mine_hard_negatives(emb, queries, positives, k=3)
+    rows = negs.collect()
+    # k per query, no positive leaks, ranks dense from 1
+    pos = {(r["query_id"], r["positive_id"]) for r in positives.collect()}
+    by_q = {}
+    for r in rows:
+        assert (r["query_id"], r["neighbor_id"]) not in pos
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+    assert all(len(v) == 3 for v in by_q.values())
+    # the negatives are exactly the best non-positive candidates: ranks
+    # 3..5 of the raw top-k (the top-2 were declared positive)
+    raw = brute_force_topk(emb, queries, k=5)
+    expected = {
+        (r["query_id"], r["neighbor_id"]) for r in raw.collect() if r["rank"] > 2
+    }
+    assert {(r["query_id"], r["neighbor_id"]) for r in rows} == expected
+
+
+def test_mine_hard_negatives_max_cosine_and_ivf(spark):
+    from datacatalog_tag_engine_spark.pipeline.similarity import mine_hard_negatives
+
+    emb = spark.table("embeddings")
+    queries = emb.limit(3)
+    empty_pos = spark.createDataFrame([], "query_id long, positive_id long")
+    capped = mine_hard_negatives(emb, queries, empty_pos, k=3, max_cosine=0.5)
+    assert capped.filter(F.col("cosine") > 0.5).count() == 0
+    ivf = mine_hard_negatives(
+        emb, queries, empty_pos, k=3, method="ivf", num_cells=4, nprobe=4
+    )
+    # nprobe == num_cells degenerates to exact: agrees with brute force
+    brute = mine_hard_negatives(emb, queries, empty_pos, k=3, method="brute")
+    assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, brute.collect()))
+    import pytest as _p
+
+    with _p.raises(ValueError, match="method"):
+        mine_hard_negatives(emb, queries, empty_pos, k=3, method="nope")
