@@ -778,3 +778,131 @@ def gopher_filter(
         fail_reasons.alias("fail_reasons"),
         (F.size(fail_reasons) == 0).alias("keep"),
     )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    train: DataFrame | None = None,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Interpolated bigram language-model score per document — the
+    stronger form of ``unigram_logprob``'s perplexity-style quality
+    signal (a real LM filter in the CCNet mold, arXiv:1911.00359,
+    built from corpus statistics instead of an external model):
+
+        P(w2 | w1) = lam * c(w1 w2)/c(w1)  +  (1-lam) * (c(w2)+1)/(N+V)
+
+    averaged over every transition (docs need >= 2 words; shorter docs
+    score 0.0 with n_transitions 0 — kept, like unigram's empty case).
+    ``train`` defaults to ``docs`` (self-scoring); pass a reference
+    corpus to measure cross-corpus typicality — unseen bigrams then
+    back off to the smoothed unigram term alone.
+
+    Determinism: per-transition log-probs quantize to micro-units
+    (round(lp*1e6) as long) BEFORE the per-document sum — associative,
+    exact on any engine or partitioning (the unigram_logprob / DSIR
+    convention). The interpolation itself is a fixed row-local double
+    expression, identical everywhere.
+
+    Scale shape (the part that differs from unigram): the BIGRAM model
+    is corpus-vocabulary-squared-ish — NOT broadcastable — so both the
+    model build and the scoring join key on the 8-byte xxhash64 of the
+    bigram; the transition table persists and feeds both (one gram
+    pass). The unigram model stays broadcast. One doc-keyed aggregate
+    at the end.
+
+    Returns (doc_id, n_transitions, avg_logprob).
+    """
+    train = docs if train is None else train
+
+    def _pairs(df):
+        words = F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: F.length(w) > 0
+        )
+        n = F.size(words)
+        pair = F.zip_with(
+            F.slice(words, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+        from .dedup import _repartition_for_explode
+
+        return (
+            _repartition_for_explode(df.select(id_col, text_col), id_col)
+            .select(id_col, F.explode(pair).alias("p"))
+            .select(
+                id_col,
+                F.col("p.w1").alias("w1"),
+                F.col("p.w2").alias("w2"),
+                F.xxhash64(F.concat_ws(" ", "p.w1", "p.w2")).alias("bh"),
+            )
+        )
+
+    def _words(df):
+        return df.select(
+            id_col,
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda w: F.length(w) > 0,
+                )
+            ).alias("word"),
+        )
+
+    # model: unigram counts (broadcastable) + hashed bigram counts
+    uni = _words(train).groupBy("word").agg(F.count("*").alias("c1")).persist()
+    row = uni.agg(F.sum("c1"), F.count("*")).first()
+    total, vsize = (row[0] or 0), row[1]
+    train_pairs = _pairs(train)
+    if train is docs:
+        # self-scoring: ONE persisted transition table feeds both the
+        # model aggregate and the scoring join (the dsir_logratio
+        # shared-subtree pattern)
+        train_pairs = train_pairs.persist()
+        scored = train_pairs
+    else:
+        scored = _pairs(docs)
+    bi = train_pairs.groupBy("bh").agg(F.count("*").alias("c2"))
+    p_bi = F.coalesce(F.col("c2"), F.lit(0)) / F.col("c1_prev")
+    p_uni = (F.coalesce(F.col("c1_cur"), F.lit(0)) + 1) / F.lit(float(total + vsize))
+    # a w1 unseen in train has no c1_prev: the bigram term is undefined
+    # there, so the smoothed unigram term carries the whole estimate
+    p = F.when(
+        F.col("c1_prev").isNotNull(), F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni
+    ).otherwise(p_uni)
+    lp6 = F.round(F.log(p) * 1_000_000).cast("long")
+    prev_m = F.broadcast(uni.select(F.col("word").alias("w1"), F.col("c1").alias("c1_prev")))
+    cur_m = F.broadcast(uni.select(F.col("word").alias("w2"), F.col("c1").alias("c1_cur")))
+    return (
+        scored.join(bi, "bh", "left")
+        .join(prev_m, "w1", "left")
+        .join(cur_m, "w2", "left")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_transitions"), F.sum(lp6).alias("_s"))
+        .select(
+            id_col,
+            "n_transitions",
+            F.round(F.col("_s") / F.col("n_transitions") / 1e6, 4).alias("avg_logprob"),
+        )
+        .unionByName(
+            # docs with < 2 words have no transition rows at all — a
+            # row-local word count finds them without a third gram pass
+            docs.select(
+                id_col,
+                F.size(
+                    F.filter(
+                        F.split(F.lower(F.col(text_col)), r"\s+"),
+                        lambda w: F.length(w) > 0,
+                    )
+                ).alias("_nw"),
+            )
+            .filter(F.col("_nw") < 2)
+            .select(
+                F.col(id_col),
+                F.lit(0).alias("n_transitions"),
+                F.lit(0.0).alias("avg_logprob"),
+            )
+        )
+    )

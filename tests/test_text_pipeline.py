@@ -295,3 +295,73 @@ def test_gopher_filter_line_rules(spark):
     assert "bullet_lines" in out[1]["fail_reasons"]
     assert out[1]["bullet_line_frac"] == 1.0
     assert "ellipsis_lines" in out[2]["fail_reasons"]
+
+
+# --- bigram_logprob (interpolated bigram LM quality score) ------------
+
+def _bigram_reference(texts, lam=0.7):
+    """Pure-Python mirror of bigram_logprob's math (micro-unit sums)."""
+    import math
+    from collections import Counter
+
+    toks = {i: t.lower().split() for i, t in texts}
+    uni, bi = Counter(), Counter()
+    for ws in toks.values():
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    total, vsize = sum(uni.values()), len(uni)
+    out = {}
+    for i, ws in toks.items():
+        trans = list(zip(ws, ws[1:]))
+        if not trans:
+            out[i] = (0, 0.0)
+            continue
+        s = 0
+        for w1, w2 in trans:
+            p_uni = (uni[w2] + 1) / (total + vsize)
+            p = lam * bi[(w1, w2)] / uni[w1] + (1 - lam) * p_uni
+            s += round(math.log(p) * 1_000_000)
+        out[i] = (len(trans), round(s / len(trans) / 1e6, 4))
+    return out
+
+
+def test_bigram_logprob_matches_reference(spark):
+    from datacatalog_tag_engine_spark.pipeline.text import bigram_logprob
+
+    texts = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the cat"),
+        (3, "dog runs fast dog runs slow"),
+        (4, "singleton"),
+        (5, "the dog sat on a rug"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_transitions"], r["avg_logprob"])
+        for r in bigram_logprob(docs).collect()
+    }
+    assert got == _bigram_reference(texts)
+    # typical text (repeated common transitions) outscores rare text
+    assert got[2][1] > got[3][1] or got[1][1] > got[3][1]
+
+
+def test_bigram_logprob_cross_corpus_and_determinism(spark):
+    from datacatalog_tag_engine_spark.pipeline.text import bigram_logprob
+
+    train = spark.createDataFrame(
+        [(10, "the cat sat on the mat"), (11, "the dog sat on the rug")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "zebra quantum flux")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bigram_logprob(docs, train=train).collect()}
+    # in-domain text scores far higher than fully out-of-vocabulary text
+    assert got[1]["avg_logprob"] > got[2]["avg_logprob"]
+    # exact replay under repartitioning (micro-unit long sums)
+    a = sorted(map(tuple, bigram_logprob(docs, train=train).collect()))
+    b = sorted(
+        map(tuple, bigram_logprob(docs.repartition(7), train=train.repartition(3)).collect())
+    )
+    assert a == b
