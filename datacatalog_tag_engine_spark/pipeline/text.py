@@ -688,11 +688,15 @@ def gopher_filter(
     min_stopword_hits: int = 2,
     max_dup_word_frac: float = 0.3,
     max_top_bigram_frac: float = 0.18,
+    passthrough: bool = False,
 ) -> DataFrame:
     """The Gopher quality-filter rule set (Rae et al., "Scaling
     Language Models: ... Gopher", arXiv:2112.11446 Table A1) as one
     scan projection: per document, every rule's feature, the sorted
-    list of failed rule names, and ``keep``.
+    list of failed rule names, and ``keep``. With ``passthrough`` the
+    input columns ride along ahead of the features (the composition
+    form: ``gopher_filter(docs, passthrough=True).filter("keep")``
+    keeps working on the full rows — streaming-safe, still stateless).
 
     Defaults are the paper's published thresholds. Rules:
 
@@ -764,8 +768,9 @@ def gopher_filter(
             lambda x: x.isNotNull(),
         )
     )
+    lead = [F.col("*")] if passthrough else [F.col(id_col)]
     return docs.select(
-        id_col,
+        *lead,
         n_words.alias("n_words"),
         F.round(mean_word_len, 4).alias("mean_word_len"),
         F.round(symbol_word_ratio, 4).alias("symbol_word_ratio"),

@@ -38,3 +38,36 @@ def dedup_stream(
     return with_fp.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["fingerprint"]
     )
+
+
+def clean_ingest_stream(
+    docs: DataFrame,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **gopher_kwargs,
+) -> DataFrame:
+    """Continuous corpus ingest = quality gate -> dedup, as one stream:
+    documents failing the Gopher rules drop immediately (stateless scan
+    projection — no state, no watermark interaction), then surviving
+    re-deliveries/re-crawls dedup within the watermark horizon
+    (``dedup_stream``'s one-state-row-per-fingerprint).
+
+    The gate runs FIRST deliberately: junk documents never enter the
+    dedup state store, so state size tracks the CLEAN ingest volume.
+    Works on static frames too (the batch oracle replays it: same
+    filter, plain dropDuplicates).
+
+    ``gopher_kwargs`` pass through to ``pipeline.text.gopher_filter``
+    (thresholds). Output = the surviving documents' original columns
+    plus the content fingerprint.
+    """
+    from ..pipeline.text import gopher_filter
+
+    gated = (
+        gopher_filter(docs, id_col=id_col, text_col=text_col, passthrough=True, **gopher_kwargs)
+        .filter("keep")
+        .select(*docs.columns)
+    )
+    return dedup_stream(gated, watermark=watermark, ts_col=ts_col, text_col=text_col)

@@ -189,3 +189,52 @@ def test_events_stream_unsniffable_raises(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError, match="no file matches"):
         U.read_events_stream(spark, str(tmp_path))
+
+
+def test_clean_ingest_stream_matches_batch(spark, tmp_path):
+    """Quality gate + dedup as one continuous ingest: the streaming
+    result equals the batch replay, junk never reaches the dedup
+    state, and re-crawls converge to one row."""
+    import datetime
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    from datacatalog_tag_engine_spark.streaming.dedup import clean_ingest_stream
+
+    src = str(tmp_path / "crawl")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    good = ("the quick brown fox jumps over that lazy dog and runs far away "
+            "with great speed to have fun in the wide field of golden wheat today")
+    rows = [
+        (1, good, "2024-01-01 00:00:00"),
+        (2, good, "2024-01-01 00:01:00"),           # re-crawl -> dedup
+        (3, "spam spam spam", "2024-01-01 00:02:00"),  # fails the gate
+        (4, good + " extra trailing clause for this one variant here now",
+         "2024-01-01 00:03:00"),
+    ]
+    spark.createDataFrame(
+        [(i, t, datetime.datetime.fromisoformat(ts)) for i, t, ts in rows], schema
+    ).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        clean_ingest_stream(stream, watermark="10 minutes", min_words=10)
+        .writeStream.format("memory")
+        .queryName("ingest_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.table("ingest_sink").collect()}
+    assert got == {1, 4}
+    # batch replay agrees exactly
+    batch = clean_ingest_stream(spark.read.parquet(src), min_words=10)
+    assert {r["doc_id"] for r in batch.collect()} == got
