@@ -235,3 +235,79 @@ def test_oracle_draft_remove_repeated_spans(spark, ddb):
 
     got = _rows(remove_repeated_spans(spark.table("documents"), n=8, min_docs=2))
     assert got == _sql_rows(ddb, SPAN_SQL)
+
+
+GOPHER_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(text, '\s+') AS w,
+         regexp_split_to_array(lower(text), '\s+') AS wl,
+         regexp_split_to_array(text, '\n') AS lines
+  FROM documents),
+bg AS (   -- modal bigram count per doc (docs with >= 2 words)
+  SELECT doc_id, max(c) AS top_bg
+  FROM (
+    SELECT doc_id, bigram, count(*) AS c
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(len(wl) - 1),
+                                   i -> wl[i+1] || ' ' || wl[i+2])) AS bigram
+      FROM base WHERE len(wl) >= 2)
+    GROUP BY doc_id, bigram)
+  GROUP BY doc_id),
+f AS (
+  SELECT b.doc_id,
+         len(b.w) AS n_words,
+         (length(b.text) - (len(b.w) - 1)) / len(b.w) AS mean_word_len,
+         len(regexp_extract_all(b.text, '#|\.\.\.')) / len(b.w) AS symbol_word_ratio,
+         len(list_filter(b.lines, l -> regexp_matches(l, '^\s*(\*|-|•)\s')))
+           / len(b.lines) AS bullet_line_frac,
+         len(list_filter(b.lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))
+           / len(b.lines) AS ellipsis_line_frac,
+         len(list_filter(b.w, x -> regexp_matches(x, '[A-Za-z]')))
+           / len(b.w) AS alpha_word_frac,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+                         s -> list_contains(b.wl, s))) AS stopword_hits,
+         1.0 - len(list_distinct(b.wl)) / len(b.wl) AS dup_word_frac,
+         CASE WHEN len(b.wl) >= 2
+              THEN bg.top_bg / (len(b.wl) - 1) END AS top_bigram_frac
+  FROM base b LEFT JOIN bg USING (doc_id)),
+r AS (
+  SELECT *,
+         list_sort(list_filter([
+           CASE WHEN n_words < 50 OR n_words > 100000 THEN 'word_count' END,
+           CASE WHEN mean_word_len < 3.0 OR mean_word_len > 10.0 THEN 'mean_word_len' END,
+           CASE WHEN symbol_word_ratio > 0.1 THEN 'symbol_ratio' END,
+           CASE WHEN bullet_line_frac > 0.9 THEN 'bullet_lines' END,
+           CASE WHEN ellipsis_line_frac > 0.3 THEN 'ellipsis_lines' END,
+           CASE WHEN alpha_word_frac < 0.8 THEN 'alpha_words' END,
+           CASE WHEN stopword_hits < 2 THEN 'stopword_hits' END,
+           CASE WHEN n_words >= 2 AND dup_word_frac > 0.3 THEN 'dup_words' END,
+           CASE WHEN n_words >= 2 AND top_bigram_frac > 0.18 THEN 'top_bigram' END
+         ], x -> x IS NOT NULL)) AS fails
+  FROM f)
+SELECT doc_id,
+       n_words::INT AS n_words,
+       round(mean_word_len, 4) AS mean_word_len,
+       round(symbol_word_ratio, 4) AS symbol_word_ratio,
+       round(bullet_line_frac, 4) AS bullet_line_frac,
+       round(ellipsis_line_frac, 4) AS ellipsis_line_frac,
+       round(alpha_word_frac, 4) AS alpha_word_frac,
+       stopword_hits::INT AS stopword_hits,
+       round(dup_word_frac, 4) AS dup_word_frac,
+       round(top_bigram_frac, 4) AS top_bigram_frac,
+       array_to_string(fails, ',') AS fail_reasons,
+       (len(fails) = 0) AS keep
+FROM r
+"""
+
+
+def test_oracle_draft_gopher_filter(spark, ddb):
+    from datacatalog_tag_engine_spark.pipeline.text import gopher_filter
+
+    got = _rows(
+        gopher_filter(spark.table("documents")).withColumn(
+            "fail_reasons", F.concat_ws(",", "fail_reasons")
+        )
+    )
+    assert got == _sql_rows(ddb, GOPHER_SQL)
