@@ -1062,8 +1062,25 @@ def paragraph_dedup(
             ).otherwise(F.xxhash64(F.col(id_col), F.col("pos"), F.lit("short"))),
         )
     )
-    w = Window.partitionBy("_h").orderBy(F.asc(id_col), F.asc("pos"))
-    kept = exploded.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    # keep-first = the MIN (doc_id, pos) member of each hash group —
+    # expressed as a min_by AGGREGATE, not a row_number window: an
+    # aggregate gets map-side partial combine, so a paragraph duplicated
+    # 100M times ("Thanks!", nav blocks) collapses to one candidate per
+    # map task before the shuffle, where a window would pile every copy
+    # onto the single reducer owning that hash
+    kept = (
+        exploded.groupBy("_h")
+        .agg(
+            F.min_by(
+                F.struct(id_col, "pos", "_para"), F.struct(id_col, "pos")
+            ).alias("_w")
+        )
+        .select(
+            F.col(f"_w.{id_col}").alias(id_col),
+            F.col("_w.pos").alias("pos"),
+            F.col("_w._para").alias("_para"),
+        )
+    )
     rebuilt = kept.groupBy(id_col).agg(
         F.concat_ws(
             "\n\n",

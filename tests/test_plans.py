@@ -209,3 +209,14 @@ def test_remove_repeated_spans_persists_gram_table(spark):
     assert "InMemoryRelation" in p  # gram table computed once
     n_exchange = len(re.findall(r"\(\d+\) Exchange", p))
     assert n_exchange <= 5, p
+
+
+def test_paragraph_dedup_uses_partial_aggregate_not_window(spark):
+    """paragraph_dedup's keep-first must be a min_by AGGREGATE (map-side
+    partial combine collapses hot duplicate paragraphs per task) — a
+    row_number window would pile every copy of a viral paragraph onto
+    one reducer."""
+    docs = spark.table("documents")
+    p = plan_of(DD.paragraph_dedup(docs))
+    assert "Window" not in p, p
+    assert "min_by" in p or "minby" in p.lower()
