@@ -1,0 +1,96 @@
+"""End-to-end training-corpus preparation walkthrough: the cleaning,
+dedup, selection, and export operators chained the way a pretraining
+data pipeline would run them, against the driver's sf0.001 testdata.
+
+Stages (each prints its accounting):
+
+1. quality gate        gopher_filter (arXiv:2112.11446 rules)
+2. paragraph dedup     paragraph_dedup (CCNet, arXiv:1911.00359)
+3. span removal        remove_repeated_spans (arXiv:2107.06499)
+4. exact dedup         exact_dedup keep-canonical
+5. LM quality score    bigram_logprob (interpolated bigram)
+6. data selection      dsir_sample (arXiv:2302.03169)
+7. sharded export      write_training_shards + manifest
+
+Run: python examples/corpus_prep.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from datacatalog_tag_engine_spark.pipeline.dedup import (
+    exact_dedup,
+    paragraph_dedup,
+    remove_repeated_spans,
+)
+from datacatalog_tag_engine_spark.pipeline.dsir import dsir_sample
+from datacatalog_tag_engine_spark.pipeline.export import write_training_shards
+from datacatalog_tag_engine_spark.pipeline.text import bigram_logprob, gopher_filter
+from datacatalog_tag_engine_spark.session import get_spark, load_parquet
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def main() -> None:
+    spark = get_spark("corpus_prep")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_parquet(spark, f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    n0 = docs.count()
+    print(f"input corpus: {n0} docs")
+
+    # 1. quality gate — thresholds loosened for the synthetic corpus
+    # (word-salad testdata has no natural stopword density; on real web
+    # text the published defaults apply)
+    gated = docs.join(
+        gopher_filter(
+            docs, min_words=10, min_stopword_hits=0,
+            max_dup_word_frac=1.0, max_top_bigram_frac=1.0,
+        ).filter("keep").select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    print(f"1. gopher gate: {gated.count()} kept")
+
+    # 2. paragraph-grain dedup (keep-first)
+    paras = paragraph_dedup(gated)
+    print(f"2. paragraph dedup: cut {paras.agg(F.sum('n_removed')).first()[0]} paragraphs")
+
+    # 3. cross-document repeated-span removal
+    spans = remove_repeated_spans(paras, n=8, min_docs=3)
+    print(f"3. span removal: cut {spans.agg(F.sum('n_removed')).first()[0]} words")
+
+    # 4. exact dedup, keep canonical
+    canon = spans.join(
+        exact_dedup(spans).filter("is_canonical").select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    print(f"4. exact dedup: {canon.count()} canonical docs")
+
+    # 5 + 6. DSIR selection toward an in-domain target (here: the
+    # highest-LM-scoring decile stands in for a curated exemplar set)
+    scored = bigram_logprob(canon).join(canon, "doc_id")
+    cut = scored.agg(F.expr("percentile(avg_logprob, 0.9)")).first()[0]
+    target = scored.filter(F.col("avg_logprob") >= cut).select("doc_id", "text")
+    selected = dsir_sample(canon, target, k=min(100, canon.count()))
+    print(f"5/6. DSIR selection: {selected.count()} docs toward {target.count()}-doc target")
+
+    # 7. sharded export with manifest
+    keep = canon.join(selected.select("doc_id"), "doc_id", "left_semi").withColumn(
+        "n_tokens", F.size(F.split("text", r"\s+"))
+    )
+    with tempfile.TemporaryDirectory() as d:
+        manifest = write_training_shards(keep, f"{d}/shards", num_shards=4, token_col="n_tokens")
+        rows = sorted((r["shard"], r["n_docs"], r["n_tokens"]) for r in manifest.collect())
+        print("7. export manifest (shard, docs, tokens):", rows)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
