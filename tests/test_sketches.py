@@ -196,3 +196,27 @@ def test_pq_encode_valid_above_100_codes(spark):
     own = {(r["vec_id"], r["m"]): r["code"] for r in rows}
     for c, vid in enumerate(cb_ids[:25]):
         assert own[(vid, 0)] == c and own[(vid, 1)] == c
+
+
+def test_hll_sketch_family_accuracy_and_merge(spark):
+    from datacatalog_tag_engine_spark.pipeline.sketches import (
+        hll_estimate,
+        hll_sketch_by_group,
+    )
+
+    li = spark.table("lineitem")
+    sk = hll_sketch_by_group(li, "l_returnflag", "l_orderkey")
+    per = {r["l_returnflag"]: r["estimate"] for r in hll_estimate(sk, "l_returnflag").collect()}
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    for flag, n in exact.items():
+        assert abs(per[flag] - n) / n < 0.05, (flag, per[flag], n)
+    # merged rollup ~= global distinct (per-group sketches union away
+    # cross-group overlap, unlike summing the estimates)
+    merged = hll_estimate(sk).first()["estimate"]
+    g = li.select("l_orderkey").distinct().count()
+    assert abs(merged - g) / g < 0.05, (merged, g)
