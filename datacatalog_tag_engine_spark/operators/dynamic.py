@@ -450,8 +450,13 @@ _SCHEMA_PRED_COLUMNS = frozenset(
     {"table_name", "table_schema", "table_catalog", "column_name",
      "data_type", "mode", "is_nullable", "ordinal_position"}
 )
+# NOTE: no "not" and no "or" — either can invert/escape the
+# table_name='$table' scoping conjunct (e.g. ``not (table_name =
+# '$table' and ...)`` ranges over OTHER tables), and without a real
+# parser we cannot tell a scope-preserving negation from a
+# scope-escaping one, so any negation routes to the opaque fallback
 _SCHEMA_PRED_KEYWORDS = frozenset(
-    {"and", "not", "in", "like", "rlike", "is", "null", "between",
+    {"and", "in", "like", "rlike", "is", "null", "between",
      "true", "false", "lower", "upper", "trim", "substr", "substring",
      "concat", "length", "starts_with", "endswith"}
 )
@@ -472,9 +477,14 @@ def _schema_predicate_safe(pred: str) -> bool:
     stripped = re.sub(r"'[^']*'", "", pred)  # drop string literals
     if "$" in stripped:
         return False
+    # postfix negations are AND-conjunct-local (they negate one operand,
+    # never the scoping conjunct) — normalize them away so the token
+    # scan only sees the dangerous PREFIX ``not``
+    stripped = re.sub(r"(?i)\bis\s+not\s+null\b", " is null ", stripped)
+    stripped = re.sub(r"(?i)\bnot\s+(in|like|rlike|between)\b", r" \1 ", stripped)
     for tok in _IDENT_RE.findall(stripped):
         t = tok.lower()
-        if t == "or":
+        if t in ("or", "not"):
             return False
         if t not in _SCHEMA_PRED_COLUMNS and t not in _SCHEMA_PRED_KEYWORDS:
             return False

@@ -45,14 +45,12 @@ def word_counts(
     Lowercased whitespace words — the same normalization as the other
     text operators. The pre-explode repartition spreads the tokenize
     across the cluster (single-file corpora otherwise run it on one
-    core); it is KEYLESS round-robin — the downstream groupBy is on
-    word, not doc, so there is no co-location to keep, and hashing
-    document bodies as shuffle keys would pile every exact-duplicate
-    doc onto one partition."""
-    width = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    core); keyless round-robin because the downstream groupBy is on
+    word, not doc (see _repartition_round_robin)."""
+    from .dedup import _repartition_round_robin
+
     return (
-        docs.select(text_col)
-        .repartition(width)
+        _repartition_round_robin(docs.select(text_col))
         .select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"))
         .filter(F.length("word") > 0)
         .groupBy("word")

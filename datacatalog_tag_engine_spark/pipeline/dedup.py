@@ -80,6 +80,17 @@ def _repartition_for_explode(df: DataFrame, id_col: str) -> DataFrame:
     return df.repartition(width, id_col)
 
 
+def _repartition_round_robin(df: DataFrame) -> DataFrame:
+    """The KEYLESS sibling of _repartition_for_explode, for CPU-heavy
+    corpus passes whose downstream groupBy is NOT doc-keyed (bucket /
+    word / gram aggregates): round-robin gives uniform spread with no
+    shuffle keys at all — hashing document bodies as keys would both
+    serialize megabyte keys and pile every exact-duplicate document
+    (boilerplate is the norm pre-dedup) onto one partition."""
+    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(width)
+
+
 def shingle_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
     """(doc_id, shingle) distinct rows — the shared base of the minhash
     and ngram paths.

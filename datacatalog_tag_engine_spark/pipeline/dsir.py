@@ -56,16 +56,13 @@ def _bucket_counts(
     """(bucket, cnt): corpus-wide hashed-ngram occurrence counts. The
     pre-explode repartition spreads the CPU-heavy gram hashing across
     the cluster — corpora often arrive as few large files, and without
-    it the explode runs on as many cores as input splits. It is
-    KEYLESS round-robin, not hash-by-text: the downstream groupBy is
-    on bucket (not doc), so there is no co-location to preserve, and
-    hashing full document bodies as shuffle keys would both serialize
-    megabyte keys and send every exact-duplicate document (boilerplate
-    is the norm pre-dedup) to one partition."""
-    width = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    it the explode runs on as many cores as input splits; keyless
+    round-robin because the downstream groupBy is on bucket, not doc
+    (see dedup._repartition_round_robin)."""
+    from .dedup import _repartition_round_robin
+
     return (
-        docs.select(text_col)
-        .repartition(width)
+        _repartition_round_robin(docs.select(text_col))
         .select(F.explode(_gram_buckets(F.col(text_col), buckets)).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("cnt"))

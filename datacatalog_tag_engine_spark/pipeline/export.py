@@ -40,11 +40,13 @@ def write_training_shards(
     id_col: str = "doc_id",
     token_col: str | None = None,
 ) -> DataFrame:
-    """Write ``df`` as ``path/shard=K/`` parquet, one directory per
-    shard, rows id-sorted within files, plus a manifest at
-    ``path/_manifest`` with (shard, n_docs[, n_tokens]) — and return
-    the manifest re-read from disk (so callers validate what was
-    actually written, not the plan).
+    """Write ``df`` as ``path/shard=K/`` parquet, rows id-sorted within
+    files, plus a manifest at ``path/_manifest`` with EXACTLY
+    ``num_shards`` rows (shard, n_docs[, n_tokens]) — and return the
+    manifest re-read from disk (so callers validate what was actually
+    written, not the plan). A shard that received zero documents keeps
+    its manifest row with n_docs 0; its data directory is absent, so
+    data loaders must drive from the manifest, not a directory listing.
 
     ``token_col``, when given, is summed into the manifest's
     ``n_tokens`` so data-loader schedulers can weight shards.
@@ -57,15 +59,26 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
-    aggs = [F.count("*").alias("n_docs")]
+    aggs = [F.coalesce(F.count(id_col), F.lit(0)).alias("n_docs")]
     if token_col is not None:
-        aggs.append(F.sum(token_col).cast("long").alias("n_tokens"))
+        aggs.append(
+            F.coalesce(F.sum(token_col), F.lit(0)).cast("long").alias("n_tokens")
+        )
     spark = df.sparkSession
     # aggregate over what landed on disk — the write is the source of
     # truth; the read-back costs a footer-only count per shard (plus a
-    # single-column scan when token_col is requested)
+    # single-column scan when token_col is requested). The outer join
+    # against range(num_shards) keeps EMPTY shards in the manifest: a
+    # bucket that received no documents still belongs to the fixed
+    # shard set (its directory is absent — the manifest, not a
+    # directory listing, is the authoritative shard map).
     written = spark.read.parquet(path)
-    written.groupBy("shard").agg(*aggs).write.mode("overwrite").parquet(
-        f"{path}/{MANIFEST_DIR}"
+    all_shards = spark.range(num_shards).select(F.col("id").cast("int").alias("shard"))
+    (
+        all_shards.join(written, "shard", "left")
+        .groupBy("shard")
+        .agg(*aggs)
+        .write.mode("overwrite")
+        .parquet(f"{path}/{MANIFEST_DIR}")
     )
     return spark.read.parquet(f"{path}/{MANIFEST_DIR}")

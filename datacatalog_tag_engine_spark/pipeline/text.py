@@ -702,7 +702,7 @@ def gopher_filter(
 
     * ``word_count``      — ``min_words <= n_words <= max_words``
     * ``mean_word_len``   — mean word length in [min, max]
-    * ``symbol_ratio``    — (# of '#' + # of '...') / words <= max
+    * ``symbol_ratio``    — (# of '#' + '...' + '…') / words <= max
     * ``bullet_lines``    — fraction of lines starting with a bullet
     * ``ellipsis_lines``  — fraction of lines ending with an ellipsis
     * ``alpha_words``     — fraction of words containing a letter
@@ -719,14 +719,22 @@ def gopher_filter(
     projection at 100 TB.
     """
     t = F.col(text_col)
-    words = F.split(t, r"\s+")
-    words_lc = F.split(F.lower(t), r"\s+")
+    # empty tokens (leading/trailing whitespace artifacts of split) are
+    # NOT words — counting them inflates n_words and deflates every
+    # per-word fraction against the paper's thresholds
+    words = F.filter(F.split(t, r"\s+"), lambda w: F.length(w) > 0)
+    words_lc = F.filter(F.split(F.lower(t), r"\s+"), lambda w: F.length(w) > 0)
     n_words = F.size(words)
-    n_chars = F.length(t)
-    mean_word_len = (n_chars - (n_words - 1)) / n_words
+    # TRUE mean word length (sum of word lengths / words) — the
+    # char-count shortcut (n_chars - separators)/n charges indentation
+    # and blank lines to the words and misclassifies formatted text
+    mean_word_len = (
+        F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w)) / n_words
+    )
     n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
     alpha_word_frac = n_alpha_words / n_words
-    n_symbols = F.size(F.regexp_extract_all(t, F.lit(r"#|\.\.\."), 0))
+    # '…' IS an ellipsis here exactly as in the ellipsis_lines rule
+    n_symbols = F.size(F.regexp_extract_all(t, F.lit(r"#|\.\.\.|…"), 0))
     symbol_word_ratio = n_symbols / n_words
     stop_hits = F.size(
         F.filter(
@@ -734,7 +742,9 @@ def gopher_filter(
             lambda s: F.array_contains(words_lc, s),
         )
     )
-    lines = F.split(t, r"\n")
+    # blank lines are layout, not content — they must not dilute the
+    # bullet/ellipsis fractions
+    lines = F.filter(F.split(t, r"\n"), lambda l: F.length(F.trim(l)) > 0)
     n_lines = F.size(lines)
     bullet_line_frac = (
         F.size(F.filter(lines, lambda l: l.rlike(r"^\s*(\*|-|•)\s")))

@@ -244,3 +244,23 @@ def test_discover_columns_schema_rejects_unsafe(spark):
     assets = spark.createDataFrame([], ASSETS_SCHEMA)
     with pytest.raises(ValueError, match="not provably schema-answerable"):
         D.discover_columns_schema(assets, _IS + "data_type = 'STRING'")
+
+
+def test_classify_columns_schema_rejects_prefix_not():
+    # prefix NOT can invert the scoping conjunct -> opaque; postfix
+    # negations (is not null, not in/like) are conjunct-local -> safe
+    assert D.classify_columns_query(
+        _IS + "not (table_name = '$table' and data_type = 'STRING')"
+    ) == "opaque"
+    assert D.classify_columns_query(
+        _IS + "not table_name = '$table'"
+    ) == "opaque"
+    assert D.classify_columns_query(
+        _IS + "table_name = '$table' and is_nullable is not null"
+    ) == "schema"
+    assert D.classify_columns_query(
+        _IS + "table_name = '$table' and data_type not in ('GEOGRAPHY')"
+    ) == "schema"
+    assert D.classify_columns_query(
+        _IS + "table_name = '$table' and not data_type = 'STRING'"
+    ) == "opaque"

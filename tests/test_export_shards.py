@@ -44,3 +44,20 @@ def test_shard_assignment_deterministic(spark):
 def test_write_training_shards_rejects_bad_count(spark, tmp_path):
     with pytest.raises(ValueError, match="num_shards"):
         EX.shard_assignments(spark.table("documents"), 0)
+
+
+def test_manifest_keeps_empty_shards(spark, tmp_path):
+    # 3 docs into 16 shards: most buckets receive nothing, but the
+    # manifest must still enumerate the full fixed shard set
+    docs = spark.table("documents").select("doc_id", "text").limit(3).withColumn(
+        "n_tokens", F.size(F.split("text", r"\s+"))
+    )
+    manifest = EX.write_training_shards(
+        docs, str(tmp_path / "s"), num_shards=16, token_col="n_tokens"
+    )
+    rows = {r["shard"]: r for r in manifest.collect()}
+    assert set(rows) == set(range(16))
+    assert sum(r["n_docs"] for r in rows.values()) == 3
+    empty = [s for s, r in rows.items() if r["n_docs"] == 0]
+    assert len(empty) >= 13
+    assert all(rows[s]["n_tokens"] == 0 for s in empty)

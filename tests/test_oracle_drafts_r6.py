@@ -240,9 +240,12 @@ def test_oracle_draft_remove_repeated_spans(spark, ddb):
 GOPHER_SQL = r"""
 WITH base AS (
   SELECT doc_id, text,
-         regexp_split_to_array(text, '\s+') AS w,
-         regexp_split_to_array(lower(text), '\s+') AS wl,
-         regexp_split_to_array(text, '\n') AS lines
+         list_filter(regexp_split_to_array(text, '\s+'),
+                     x -> length(x) > 0) AS w,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> length(x) > 0) AS wl,
+         list_filter(regexp_split_to_array(text, '\n'),
+                     l -> length(trim(l)) > 0) AS lines
   FROM documents),
 bg AS (   -- modal bigram count per doc (docs with >= 2 words)
   SELECT doc_id, max(c) AS top_bg
@@ -258,8 +261,8 @@ bg AS (   -- modal bigram count per doc (docs with >= 2 words)
 f AS (
   SELECT b.doc_id,
          len(b.w) AS n_words,
-         (length(b.text) - (len(b.w) - 1)) / len(b.w) AS mean_word_len,
-         len(regexp_extract_all(b.text, '#|\.\.\.')) / len(b.w) AS symbol_word_ratio,
+         list_sum(list_transform(b.w, x -> length(x))) / len(b.w) AS mean_word_len,
+         len(regexp_extract_all(b.text, '#|\.\.\.|…')) / len(b.w) AS symbol_word_ratio,
          len(list_filter(b.lines, l -> regexp_matches(l, '^\s*(\*|-|•)\s')))
            / len(b.lines) AS bullet_line_frac,
          len(list_filter(b.lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))

@@ -208,7 +208,7 @@ def test_remove_repeated_spans_persists_gram_table(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "InMemoryRelation" in p  # gram table computed once
     n_exchange = len(re.findall(r"\(\d+\) Exchange", p))
-    assert n_exchange <= 5, p
+    assert n_exchange <= 4, p  # the bound SCALE.md documents
 
 
 def test_paragraph_dedup_uses_partial_aggregate_not_window(spark):

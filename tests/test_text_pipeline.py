@@ -365,3 +365,27 @@ def test_bigram_logprob_cross_corpus_and_determinism(spark):
         map(tuple, bigram_logprob(docs.repartition(7), train=train.repartition(3)).collect())
     )
     assert a == b
+
+
+def test_gopher_filter_whitespace_robustness(spark):
+    from datacatalog_tag_engine_spark.pipeline.text import gopher_filter
+
+    filler = ("the and that with to of be have plain good simple words here "
+              * 5).strip()
+    docs = spark.createDataFrame(
+        [
+            (1, "  " + filler + "  "),          # padded: same words
+            (2, filler),
+            (3, filler.replace(" ", "\n      ")),  # one word per indented line
+            (4, filler + " wow… amazing…  truly…"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_filter(docs, min_words=10).collect()}
+    # padding must not change any word feature
+    for k in ("n_words", "mean_word_len", "alpha_word_frac", "dup_word_frac"):
+        assert out[1][k] == out[2][k], k
+    # indentation is layout: mean word length unchanged by reformatting
+    assert out[3]["mean_word_len"] == out[2]["mean_word_len"]
+    # unicode ellipsis counts as a symbol like '...'
+    assert out[4]["symbol_word_ratio"] > out[2]["symbol_word_ratio"]
