@@ -974,7 +974,14 @@ def remove_repeated_spans(
     # shorter than n words contribute ONE whole-text gram at start 0
     # (the word_shingles convention, so df counts match repeated_spans)
     full = F.slice(ngram_array(words_lc, n), 1, F.greatest(n_words - F.lit(n - 1), F.lit(0)))
-    grams = F.when(n_words >= n, full).otherwise(F.array(F.concat_ws(" ", words_lc)))
+    # an all-whitespace/empty doc yields NO grams (not an empty-string
+    # whole-text shingle): otherwise any two empty docs "dedup" each
+    # other on every pass and the operator is never a fixed point
+    grams = (
+        F.when(F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>"))
+        .when(n_words >= n, full)
+        .otherwise(F.array(F.concat_ws(" ", words_lc)))
+    )
     pos_grams = (
         _repartition_for_explode(docs.select(id_col, text_col), id_col)
         .select(id_col, F.posexplode(grams).alias("start", "_g"))

@@ -189,13 +189,15 @@ def test_oracle_draft_hard_negatives(spark, ddb):
 
 SPAN_SQL = r"""
 WITH d AS (
-  SELECT doc_id,
+  SELECT doc_id, text,
          regexp_split_to_array(lower(text), '\s+') AS wl,
          regexp_split_to_array(text, '\s+') AS wo
   FROM documents),
 g AS (
   SELECT doc_id,
-         CASE WHEN len(wl) >= 8
+         CASE WHEN length(trim(text)) = 0
+              THEN []::STRUCT("start" BIGINT, gram VARCHAR)[]
+              WHEN len(wl) >= 8
               THEN list_transform(range(len(wl) - 7),
                                   i -> {'start': i,
                                         'gram': array_to_string(wl[i+1:i+8], ' ')})
