@@ -921,3 +921,116 @@ def bigram_logprob(
             )
         )
     )
+
+
+def train_quality_classifier(
+    positive: DataFrame,
+    negative: DataFrame,
+    num_buckets: int = 1024,
+    iterations: int = 20,
+    lr: float = 2.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train the fastText-style linear quality classifier that
+    ``hashed_linear_score`` serves: logistic regression on mean-pooled
+    hashing-trick features, positive = curated/in-domain exemplars
+    (wiki/books), negative = random crawl — the CCNet / GPT-3 quality
+    filter recipe (arXiv:1911.00359 §4.3). Returns the (bucket, w)
+    weight table, feed it straight to ``hashed_linear_score`` (the
+    feature map here is EXACTLY the scorer's: same md5 bucket, same
+    mean pooling, so train and serve cannot drift).
+
+    Training is full-batch gradient descent with every cross-partition
+    sum quantized to integer micro-units first (margins AND gradients)
+    — long sums are associative, so the learned weights are
+    bit-identical on any partitioning, engine, or cluster width: the
+    trained MODEL replays exactly, unlike seeded MLlib fits (s06).
+
+    Scale shape: the labeled set (thousands to millions of docs — a
+    SAMPLE, never the corpus) pays one tokenize+hash pass into a
+    persisted (doc, bucket, x) feature table partitioned by doc; each
+    iteration is one margin aggregate on that partitioning (no
+    re-shuffle), one co-partitioned residual join, and one
+    ``num_buckets``-row gradient aggregate collected to the driver —
+    gradient state is MODEL-sized, the corpus never moves again.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import _repartition_for_explode
+
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    labeled = positive.select(
+        F.concat(F.lit("p:"), F.col(id_col).cast("string")).alias("_k"),
+        F.lit(1.0).alias("_y"),
+        F.col(text_col),
+    ).unionByName(
+        negative.select(
+            F.concat(F.lit("n:"), F.col(id_col).cast("string")).alias("_k"),
+            F.lit(0.0).alias("_y"),
+            F.col(text_col),
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("word")), 1, 8), 16, 10).cast("long")
+        % num_buckets
+    ).cast("int")
+    toks = (
+        _repartition_for_explode(labeled, "_k")
+        .select(
+            "_k",
+            "_y",
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda w: F.length(w) > 0,
+                )
+            ).alias("word"),
+        )
+        .select("_k", "_y", bucket.alias("bucket"))
+    )
+    # mean pooling: x = cnt/n_words per (doc, bucket); persisted — the
+    # only corpus-sized table, partitioned by _k for every later join
+    nw = Window.partitionBy("_k")
+    feats = (
+        toks.groupBy("_k", "_y", "bucket")
+        .agg(F.count("*").alias("_c"))
+        .withColumn("_x", F.col("_c") / F.sum("_c").over(nw))
+        .drop("_c")
+        .persist()
+    )
+    n_docs = feats.select("_k").distinct().count()
+    spark = positive.sparkSession
+    w = [0.0] * num_buckets
+    for _ in range(iterations):
+        wdf = spark.createDataFrame(
+            [(b, wb) for b, wb in enumerate(w)], "bucket int, w double"
+        )
+        # margin6 = sum of micro-unit contributions — exact long sum
+        margins = (
+            feats.join(F.broadcast(wdf), "bucket")
+            .withColumn("_c6", F.round(F.col("_x") * F.col("w") * 1e6).cast("long"))
+            .groupBy("_k", "_y")
+            .agg(F.sum("_c6").alias("_m6"))
+            .select(
+                "_k",
+                (
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_m6") / F.lit(1e6)))
+                    - F.col("_y")
+                ).alias("_r"),
+            )
+        )
+        grad_rows = (
+            feats.join(margins, "_k")  # co-partitioned on _k
+            .withColumn("_g6", F.round(F.col("_r") * F.col("_x") * 1e6).cast("long"))
+            .groupBy("bucket")
+            .agg(F.sum("_g6").alias("_s6"))
+            .collect()
+        )
+        for r in grad_rows:
+            w[r["bucket"]] -= lr * (r["_s6"] / 1e6) / n_docs
+    feats.unpersist()
+    return spark.createDataFrame(
+        [(b, wb) for b, wb in enumerate(w)], "bucket int, w double"
+    )

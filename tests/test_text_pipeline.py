@@ -389,3 +389,59 @@ def test_gopher_filter_whitespace_robustness(spark):
     assert out[3]["mean_word_len"] == out[2]["mean_word_len"]
     # unicode ellipsis counts as a symbol like '...'
     assert out[4]["symbol_word_ratio"] > out[2]["symbol_word_ratio"]
+
+
+# --- train_quality_classifier (CCNet/GPT-3 quality filter training) ---
+
+def test_quality_classifier_separates_domains(spark):
+    from datacatalog_tag_engine_spark.pipeline.text import (
+        hashed_linear_score,
+        train_quality_classifier,
+    )
+
+    pos = spark.createDataFrame(
+        [(i, "the quality of this fine article is clear and the prose flows well")
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    neg = spark.createDataFrame(
+        [(i, "click here buy now cheap deal spam winner prize casino jackpot")
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    w = train_quality_classifier(pos, neg, num_buckets=256, iterations=30)
+    assert w.count() == 256
+    test = spark.createDataFrame(
+        [(1, "a fine article with clear prose"), (2, "cheap casino spam prize")],
+        "doc_id long, text string",
+    )
+    s = {r["doc_id"]: r["score"] for r in hashed_linear_score(test, weights=w, num_buckets=256).collect()}
+    assert s[1] > 0.5 > s[2], s
+
+
+def test_quality_classifier_training_deterministic(spark):
+    from datacatalog_tag_engine_spark.pipeline.text import train_quality_classifier
+
+    pos = spark.createDataFrame(
+        [(i, f"good clean educational prose sample number {i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    neg = spark.createDataFrame(
+        [(i, f"garbage spam noise tokens blob {i * 3}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, train_quality_classifier(pos, neg, num_buckets=64, iterations=5).collect()))
+    b = sorted(
+        map(
+            tuple,
+            train_quality_classifier(
+                pos.repartition(7), neg.repartition(3), num_buckets=64, iterations=5
+            ).collect(),
+        )
+    )
+    # micro-unit quantized sums: the learned MODEL replays bit-equal
+    assert a == b
+    import pytest as _p
+
+    with _p.raises(ValueError, match="iterations"):
+        train_quality_classifier(pos, neg, iterations=0)
