@@ -2106,7 +2106,8 @@ FROM canon
     # d06: 8-gram repeated spans (short docs fall back to one whole-text
     # shingle, mirroring dedup.word_shingles); df counts distinct docs
     o["d06_repeated_spans"] = r"""
-WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws FROM documents),
+WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws
+           FROM documents WHERE length(trim(text)) > 0),
 sh AS (
   SELECT doc_id,
          CASE WHEN len(ws) >= 8 THEN len(ws) - 7 ELSE 1 END AS n_shingles,
@@ -2222,7 +2223,8 @@ WITH wt AS (
          cast(round(((('0x' || substr(md5('w:' || i::VARCHAR), 1, 8))::BIGINT / 4294967296.0) * 2 - 1) * 1000000) AS BIGINT) AS w6
   FROM range(1024) t(i)),
 tok AS (
-  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS word FROM documents),
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                    w -> len(w) > 0)) AS word FROM documents),
 b AS (
   SELECT doc_id, (('0x' || substr(md5(word), 1, 8))::BIGINT % 1024)::INT AS bucket FROM tok),
 agg AS (

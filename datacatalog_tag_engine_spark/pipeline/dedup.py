@@ -899,7 +899,12 @@ def repeated_spans(
     it; at 100 TB the same filter is what a bloom/count-min prefilter
     approximates, and this is its exact form.
     """
-    words_sh = word_shingles(F.lower(F.col(text_col)), n)  # same builder as the LSH path
+    # same builder as the LSH path; empty/whitespace-only docs yield NO
+    # shingles (not an empty-string whole-text shingle) — the same rule
+    # as remove_repeated_spans, so detect and apply agree on every doc
+    words_sh = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")
+    ).otherwise(word_shingles(F.lower(F.col(text_col)), n))
     grams = (
         _repartition_for_explode(docs, id_col)
         .select(id_col, words_sh.alias("_grams"))

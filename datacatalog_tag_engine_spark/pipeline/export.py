@@ -51,6 +51,11 @@ def write_training_shards(
     ``token_col``, when given, is summed into the manifest's
     ``n_tokens`` so data-loader schedulers can weight shards.
     """
+    # a NULL id has no md5 bucket: its rows would land in the Hive
+    # default partition, invisible to the shard map — reject up front
+    # (limit(1) short-circuits; the scan is id-column-pruned)
+    if df.filter(F.col(id_col).isNull()).limit(1).count() > 0:
+        raise ValueError(f"{id_col} contains NULL — every row needs a shardable id")
     sharded = shard_assignments(df, num_shards, id_col)
     (
         sharded.repartition(num_shards, "shard")
@@ -59,7 +64,7 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
-    aggs = [F.coalesce(F.count(id_col), F.lit(0)).alias("n_docs")]
+    aggs = [F.count(id_col).alias("n_docs")]
     if token_col is not None:
         aggs.append(
             F.coalesce(F.sum(token_col), F.lit(0)).cast("long").alias("n_tokens")
@@ -72,7 +77,10 @@ def write_training_shards(
     # bucket that received no documents still belongs to the fixed
     # shard set (its directory is absent — the manifest, not a
     # directory listing, is the authoritative shard map).
-    written = spark.read.parquet(path)
+    # explicit schema: an all-empty write leaves only _SUCCESS behind,
+    # and a schema-less read of it cannot infer — the manifest must
+    # still come out as num_shards zero rows
+    written = spark.read.schema(sharded.schema).parquet(path)
     all_shards = spark.range(num_shards).select(F.col("id").cast("int").alias("shard"))
     (
         all_shards.join(written, "shard", "left")

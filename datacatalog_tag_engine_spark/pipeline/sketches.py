@@ -95,11 +95,13 @@ def hll_sketch_by_group(
 
 def hll_estimate(sketches: DataFrame, group_col: str | None = None) -> DataFrame:
     """Estimates from sketch partials. With ``group_col``: per-group
-    (group, estimate). Without: ONE row — the union of every sketch
-    (cross-partition / cross-day rollup), exercising the merge path."""
+    (group, estimate), MERGING multiple partials per group first — so a
+    union of daily sketch tables rolls up to one row per group, the
+    advertised no-rescan pattern. Without: ONE row, the union of every
+    sketch (the global rollup)."""
     if group_col is not None:
-        return sketches.select(
-            group_col, F.hll_sketch_estimate("sketch").alias("estimate")
+        return sketches.groupBy(group_col).agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("estimate")
         )
     return sketches.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("estimate")

@@ -607,8 +607,18 @@ def hashed_linear_score(
     w6 = weights.select(
         "bucket", F.round(F.col("w") * 1_000_000).cast("long").alias("w6")
     )
+    # empty split tokens are NOT features: they would add md5('')
+    # bucket contributions for every run of ragged whitespace, and the
+    # trainer (train_quality_classifier) must see the IDENTICAL feature
+    # map — train and serve share this tokenization by contract
     toks = docs.select(
-        id_col, F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
+        id_col,
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda w: F.length(w) > 0,
+            )
+        ).alias("word"),
     )
     bucket = (
         F.conv(F.substring(F.md5(F.col("word")), 1, 8), 16, 10).cast("long")
@@ -778,6 +788,20 @@ def gopher_filter(
             lambda x: x.isNotNull(),
         )
     )
+    if passthrough:
+        clash = (set(docs.columns) - {id_col}) & {
+            "n_words", "mean_word_len", "symbol_word_ratio",
+            "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+            "stopword_hits", "dup_word_frac", "top_bigram_frac",
+            "fail_reasons", "keep",
+        }
+        if clash:
+            # a duplicate name would make every later by-name reference
+            # AMBIGUOUS_REFERENCE — fail loudly at plan time instead
+            raise ValueError(
+                f"passthrough input columns collide with gopher feature "
+                f"names: {sorted(clash)} — rename or drop them first"
+            )
     lead = [F.col("*")] if passthrough else [F.col(id_col)]
     return docs.select(
         *lead,
@@ -830,6 +854,11 @@ def bigram_logprob(
 
     Returns (doc_id, n_transitions, avg_logprob).
     """
+    if not 0 <= lam < 1:
+        # lam = 1 drops the smoothing floor: an unseen bigram (always
+        # possible with an external train corpus) gives p = 0 and a
+        # NULL log that would silently vanish from the average
+        raise ValueError(f"lam must be in [0, 1), got {lam}")
     train = docs if train is None else train
 
     def _pairs(df):

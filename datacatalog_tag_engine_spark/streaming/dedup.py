@@ -30,11 +30,18 @@ def dedup_stream(
 ) -> DataFrame:
     """Append-mode stream of first-seen documents: later deliveries with
     the same bag-of-words fingerprint inside the watermark horizon drop.
-    Works on static frames too (plain dropDuplicates) so the batch
-    oracle can replay it."""
+    Works on static frames too, where "first-seen" is DETERMINISTIC:
+    the earliest ``ts_col`` row per fingerprint wins (a min_by
+    aggregate — plain dropDuplicates keeps whichever row a task sees
+    first, which varies with partitioning and would make the batch
+    replay of a stream flaky)."""
     with_fp = docs.withColumn("fingerprint", bow_fingerprint(F.col(text_col)))
     if not docs.isStreaming:
-        return with_fp.dropDuplicates(["fingerprint"])
+        return (
+            with_fp.groupBy("fingerprint")
+            .agg(F.min_by(F.struct(*with_fp.columns), F.col(ts_col)).alias("_r"))
+            .select("_r.*")
+        )
     return with_fp.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["fingerprint"]
     )

@@ -61,3 +61,18 @@ def test_manifest_keeps_empty_shards(spark, tmp_path):
     empty = [s for s, r in rows.items() if r["n_docs"] == 0]
     assert len(empty) >= 13
     assert all(rows[s]["n_tokens"] == 0 for s in empty)
+
+
+def test_empty_input_manifest_all_zero(spark, tmp_path):
+    docs = spark.table("documents").select("doc_id", "text").filter("doc_id < 0")
+    manifest = EX.write_training_shards(docs, str(tmp_path / "e"), num_shards=4)
+    rows = {r["shard"]: r["n_docs"] for r in manifest.collect()}
+    assert rows == {0: 0, 1: 0, 2: 0, 3: 0}
+
+
+def test_null_ids_rejected(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "a"), (None, "b")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        EX.write_training_shards(docs, str(tmp_path / "n"), num_shards=2)

@@ -220,3 +220,25 @@ def test_hll_sketch_family_accuracy_and_merge(spark):
     merged = hll_estimate(sk).first()["estimate"]
     g = li.select("l_orderkey").distinct().count()
     assert abs(merged - g) / g < 0.05, (merged, g)
+
+
+def test_hll_estimate_merges_partials_per_group(spark):
+    from datacatalog_tag_engine_spark.pipeline.sketches import (
+        hll_estimate,
+        hll_sketch_by_group,
+    )
+
+    li = spark.table("lineitem")
+    # two "daily" partials per group, unioned — must roll up to ONE row
+    # per group covering the union of both days
+    day1 = hll_sketch_by_group(li.filter("l_orderkey % 2 = 0"), "l_returnflag", "l_orderkey")
+    day2 = hll_sketch_by_group(li.filter("l_orderkey % 2 = 1"), "l_returnflag", "l_orderkey")
+    merged = hll_estimate(day1.unionByName(day2), "l_returnflag")
+    rows = merged.collect()
+    assert len(rows) == li.select("l_returnflag").distinct().count()
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag").agg(F.countDistinct("l_orderkey").alias("n")).collect()
+    }
+    for r in rows:
+        assert abs(r["estimate"] - exact[r["l_returnflag"]]) / exact[r["l_returnflag"]] < 0.05

@@ -238,3 +238,19 @@ def test_clean_ingest_stream_matches_batch(spark, tmp_path):
     # batch replay agrees exactly
     batch = clean_ingest_stream(spark.read.parquet(src), min_words=10)
     assert {r["doc_id"] for r in batch.collect()} == got
+
+
+def test_batch_dedup_stream_keeps_earliest_deterministically(spark):
+    import datetime
+
+    from datacatalog_tag_engine_spark.streaming.dedup import dedup_stream
+
+    rows = [
+        (2, "alpha beta", datetime.datetime(2024, 1, 1, 0, 5)),
+        (1, "beta alpha", datetime.datetime(2024, 1, 1, 0, 1)),  # same bow, earlier
+        (3, "gamma delta", datetime.datetime(2024, 1, 1, 0, 2)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    for frame in (docs, docs.repartition(7)):
+        got = {r["doc_id"] for r in dedup_stream(frame).collect()}
+        assert got == {1, 3}

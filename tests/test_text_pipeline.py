@@ -445,3 +445,37 @@ def test_quality_classifier_training_deterministic(spark):
 
     with _p.raises(ValueError, match="iterations"):
         train_quality_classifier(pos, neg, iterations=0)
+
+
+def test_bigram_logprob_rejects_bad_lam(spark):
+    from datacatalog_tag_engine_spark.pipeline.text import bigram_logprob
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    import pytest as _p
+
+    for lam in (1.0, -0.1, 2.0):
+        with _p.raises(ValueError, match="lam"):
+            bigram_logprob(docs, lam=lam)
+
+
+def test_gopher_passthrough_name_clash_raises(spark):
+    from datacatalog_tag_engine_spark.pipeline.text import gopher_filter
+
+    docs = spark.createDataFrame(
+        [(1, "some text", 5)], "doc_id long, text string, n_words int"
+    )
+    import pytest as _p
+
+    with _p.raises(ValueError, match="collide"):
+        gopher_filter(docs, passthrough=True)
+
+
+def test_hashed_linear_score_ignores_ragged_whitespace(spark):
+    from datacatalog_tag_engine_spark.pipeline.text import hashed_linear_score
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "  hello   world  ")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_words"], r["score"]) for r in hashed_linear_score(docs).collect()}
+    assert got[1] == got[2]
