@@ -581,3 +581,95 @@ def mine_hard_negatives(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+CENTROIDS_DIR = "_centroids"
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    num_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """Materialize the IVF layout ``ivf_topk`` promises: the corpus
+    written to ``path`` PARTITIONED BY cell, centroids beside it at
+    ``path/_centroids``. This is the serving form at 100 TB — a query
+    then touches only its ``nprobe`` cell directories via parquet
+    partition pruning (``ivf_topk_from_index``; plan CI-asserted), not
+    the whole corpus, and the index is built once per corpus version
+    instead of re-assigning per search session.
+
+    ``cents`` plugs in trained k-means centroids; the default is the
+    deterministic first-``num_cells``-by-id seeding (the oracle-checked
+    s03 assignment). Returns the centroid table as written."""
+    if cents is None:
+        cents = corpus.orderBy(id_col).limit(num_cells).select(
+            F.col(id_col).alias("cell"),
+            F.col(vec_col).cast("array<double>").alias("cent_v"),
+        )
+    # pin the centroid table (it is num_cells rows): it drives BOTH the
+    # assignment write and the persisted copy, and a recomputation
+    # between them could not disagree anyway (deterministic), but one
+    # materialization avoids a second corpus-limit job
+    cents = cents.persist()
+    assigned = (
+        _ranked_cells(corpus, num_cells, id_col, vec_col, cents=cents)
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, "cell")
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    cents.write.mode("overwrite").parquet(f"{path}/{CENTROIDS_DIR}")
+    cents.unpersist()
+    return corpus.sparkSession.read.parquet(f"{path}/{CENTROIDS_DIR}")
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search against a ``build_ivf_index`` layout: rank the
+    query's cells against the PERSISTED centroids, then scan ONLY the
+    probed cell partitions (the cell IN (...) filter reaches the
+    parquet source as a PartitionFilter — the fraction of the corpus
+    read is nprobe/num_cells by construction). Same output shape and
+    values as ``ivf_topk`` with the same centroids."""
+    cents = spark.read.parquet(f"{path}/{CENTROIDS_DIR}")
+    num_cells = cents.count()
+    q = (
+        _ranked_cells(queries, num_cells, id_col, vec_col, cents=cents)
+        .filter(F.col("_rn") <= nprobe)
+        .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "cell")
+    )
+    # the probe set is query-sized — collect the distinct cells so the
+    # IN-list lands on the corpus scan as a partition filter (a join
+    # alone would not prune partitions)
+    probed = [r["cell"] for r in q.select("cell").distinct().collect()]
+    c = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probed))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+            "cell",
+        )
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("qv"), F.col("cv")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

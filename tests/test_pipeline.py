@@ -386,3 +386,50 @@ def test_mine_hard_negatives_max_cosine_and_ivf(spark):
 
     with _p.raises(ValueError, match="method"):
         mine_hard_negatives(emb, queries, empty_pos, k=3, method="nope")
+
+
+# --- persisted IVF index (partition-pruned serving path) --------------
+
+def test_ivf_index_matches_inmemory_search(spark, tmp_path):
+    from datacatalog_tag_engine_spark.pipeline.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_from_index,
+    )
+
+    emb = spark.table("embeddings")
+    path = str(tmp_path / "ivf")
+    cents = build_ivf_index(emb, path, num_cells=4)
+    assert cents.count() == 4
+    queries = emb.orderBy("vec_id").limit(5)
+    from_index = ivf_topk_from_index(spark, path, queries, k=5, nprobe=2)
+    in_memory = ivf_topk(emb, queries, k=5, num_cells=4, nprobe=2)
+    assert sorted(map(tuple, from_index.collect())) == sorted(
+        map(tuple, in_memory.collect())
+    )
+
+
+def test_ivf_index_search_prunes_partitions(spark, tmp_path):
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from datacatalog_tag_engine_spark.pipeline.similarity import (
+        build_ivf_index,
+        ivf_topk_from_index,
+    )
+
+    emb = spark.table("embeddings")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, num_cells=4)
+    queries = emb.orderBy("vec_id").limit(2)
+    df = ivf_topk_from_index(spark, path, queries, k=3, nprobe=1)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    # the cell IN-list must reach the corpus scan as a PartitionFilter:
+    # only the probed cell directories are read, nprobe/num_cells of
+    # the corpus by construction
+    m = re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*\]", p)
+    assert m, p
