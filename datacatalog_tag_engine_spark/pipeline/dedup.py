@@ -903,7 +903,7 @@ def repeated_spans(
     # shingles (not an empty-string whole-text shingle) — the same rule
     # as remove_repeated_spans, so detect and apply agree on every doc
     words_sh = F.when(
-        F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")
+        F.coalesce(F.length(F.trim(F.col(text_col))), F.lit(0)) == 0, F.array().cast("array<string>")
     ).otherwise(word_shingles(F.lower(F.col(text_col)), n))
     grams = (
         _repartition_for_explode(docs, id_col)
@@ -973,7 +973,10 @@ def remove_repeated_spans(
     """
     from .text import ngram_array
 
-    words_lc = F.split(F.lower(F.col(text_col)), r"\s+")
+    # NULL text behaves exactly like empty text (zero grams, empty
+    # rebuild) instead of propagating nulls through split/size
+    text_nn = F.coalesce(F.col(text_col), F.lit(""))
+    words_lc = F.split(F.lower(text_nn), r"\s+")
     n_words = F.size(words_lc)
     # positional grams: entry i (0-based) covers words [i, i+n); docs
     # shorter than n words contribute ONE whole-text gram at start 0
@@ -983,7 +986,7 @@ def remove_repeated_spans(
     # whole-text shingle): otherwise any two empty docs "dedup" each
     # other on every pass and the operator is never a fixed point
     grams = (
-        F.when(F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>"))
+        F.when(F.coalesce(F.length(F.trim(F.col(text_col))), F.lit(0)) == 0, F.array().cast("array<string>"))
         .when(n_words >= n, full)
         .otherwise(F.array(F.concat_ws(" ", words_lc)))
     )
@@ -1004,7 +1007,7 @@ def remove_repeated_spans(
         .groupBy(id_col)
         .agg(F.collect_set("start").alias("_starts"))
     )
-    words_orig = F.split(F.col(text_col), r"\s+")  # same positions: lower() keeps whitespace
+    words_orig = F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+")  # same positions: lower() keeps whitespace
     covered = F.array_distinct(
         F.flatten(
             F.transform(

@@ -35,6 +35,39 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def _topk_by_key(q: DataFrame, c: DataFrame, k: int, join_key: str | None) -> DataFrame:
+    """THE shared ANN scoring block: broadcast the query side against
+    the candidate side (joined on ``join_key``, or crossJoin for the
+    exact path), cosine rounded to 4, rank by (cosine desc, neighbor
+    asc), keep ``rank <= k``. Every search surface (brute, LSH, IVF,
+    indexed IVF) routes through this ONE definition — the rounding and
+    tiebreak are the cross-engine determinism contract, and a drift
+    between paths would be a silent correctness bug.
+
+    ``q`` must carry (query_id, qv[, key]); ``c`` (neighbor_id,
+    cv[, key])."""
+    joined = (
+        F.broadcast(q).join(c, join_key) if join_key else F.broadcast(q).crossJoin(c)
+    )
+    scored = joined.filter(F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_expr(F.col("qv"), F.col("cv")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _default_cents(corpus: DataFrame, num_cells: int, id_col: str, vec_col: str) -> DataFrame:
+    """The deterministic IVF centroid seeding (first num_cells corpus
+    vectors by id) — one definition for assignment, search, and index
+    build, so no path can seed differently."""
+    return corpus.orderBy(id_col).limit(num_cells).select(
+        F.col(id_col).alias("cell"),
+        F.col(vec_col).cast("array<double>").alias("cent_v"),
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -55,17 +88,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     )
-    scored = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = scored.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine_expr(F.col("qv"), F.col("cv")), 4).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _topk_by_key(q, c, k, None)
 
 
 def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
@@ -127,9 +150,7 @@ def _ranked_cells(
     seeding with an externally trained (cell, cent_v) table — the
     k-means path."""
     if cents is None:
-        cents = corpus.orderBy(id_col).limit(num_cells).select(
-            F.col(id_col).alias("cell"), F.col(vec_col).cast("array<double>").alias("cent_v")
-        )
+        cents = _default_cents(corpus, num_cells, id_col, vec_col)
     v = corpus.select(F.col(id_col), F.col(vec_col), F.col(vec_col).cast("array<double>").alias("v"))
     scored = v.crossJoin(F.broadcast(cents)).select(
         id_col,
@@ -190,10 +211,7 @@ def ivf_topk(
         # materialize the default seeding from the CORPUS once so the
         # corpus assignment and the query probes share one centroid
         # table — deriving it per-frame would re-seed from the queries
-        cents = corpus.orderBy(id_col).limit(num_cells).select(
-            F.col(id_col).alias("cell"),
-            F.col(vec_col).cast("array<double>").alias("cent_v"),
-        )
+        cents = _default_cents(corpus, num_cells, id_col, vec_col)
     ranked = _ranked_cells(corpus, num_cells, id_col, vec_col, cents=cents)
     c = ranked.filter(F.col("_rn") == 1).select(
         F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), "cell"
@@ -203,18 +221,7 @@ def ivf_topk(
         .filter(F.col("_rn") <= nprobe)
         .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "cell")
     )
-    scored = (
-        F.broadcast(q)
-        .join(c, "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_expr(F.col("qv"), F.col("cv")), 4).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _topk_by_key(q, c, k, "cell")
 
 
 def lsh_topk(
@@ -245,18 +252,7 @@ def lsh_topk(
         F.col(vec_col).cast("array<double>").alias("qv"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
-    scored = (
-        F.broadcast(q)
-        .join(c, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_expr(F.col("qv"), F.col("cv")), 4).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _topk_by_key(q, c, k, "bucket")
 
 
 def kmeans_centroids(
@@ -606,10 +602,7 @@ def build_ivf_index(
     deterministic first-``num_cells``-by-id seeding (the oracle-checked
     s03 assignment). Returns the centroid table as written."""
     if cents is None:
-        cents = corpus.orderBy(id_col).limit(num_cells).select(
-            F.col(id_col).alias("cell"),
-            F.col(vec_col).cast("array<double>").alias("cent_v"),
-        )
+        cents = _default_cents(corpus, num_cells, id_col, vec_col)
     # pin the centroid table (it is num_cells rows): it drives BOTH the
     # assignment write and the persisted copy, and a recomputation
     # between them could not disagree anyway (deterministic), but one
@@ -641,12 +634,19 @@ def ivf_topk_from_index(
     parquet source as a PartitionFilter — the fraction of the corpus
     read is nprobe/num_cells by construction). Same output shape and
     values as ``ivf_topk`` with the same centroids."""
-    cents = spark.read.parquet(f"{path}/{CENTROIDS_DIR}")
+    # persist the num_cells-row centroid table: the count action and
+    # the two broadcast consumers (query ranking, probe list) otherwise
+    # each re-read the parquet
+    cents = spark.read.parquet(f"{path}/{CENTROIDS_DIR}").persist()
     num_cells = cents.count()
+    # persist: the ranked query table feeds BOTH the probe-list collect
+    # and the scoring join — without it the centroid ranking window
+    # runs twice per search call
     q = (
         _ranked_cells(queries, num_cells, id_col, vec_col, cents=cents)
         .filter(F.col("_rn") <= nprobe)
         .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "cell")
+        .persist()
     )
     # the probe set is query-sized — collect the distinct cells so the
     # IN-list lands on the corpus scan as a partition filter (a join
@@ -661,15 +661,4 @@ def ivf_topk_from_index(
             "cell",
         )
     )
-    scored = (
-        F.broadcast(q)
-        .join(c, "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_expr(F.col("qv"), F.col("cv")), 4).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _topk_by_key(q, c, k, "cell")

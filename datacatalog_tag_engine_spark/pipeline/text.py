@@ -681,6 +681,15 @@ def perplexity_buckets(
 # STOPWORDS list above
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
+# gopher_filter's output feature columns — ONE definition drives both
+# the passthrough clash check and the output-shape assertion, so adding
+# a feature cannot silently bypass the guard
+GOPHER_FEATURE_COLUMNS = (
+    "n_words", "mean_word_len", "symbol_word_ratio", "bullet_line_frac",
+    "ellipsis_line_frac", "alpha_word_frac", "stopword_hits",
+    "dup_word_frac", "top_bigram_frac", "fail_reasons", "keep",
+)
+
 
 def gopher_filter(
     docs: DataFrame,
@@ -789,12 +798,7 @@ def gopher_filter(
         )
     )
     if passthrough:
-        clash = (set(docs.columns) - {id_col}) & {
-            "n_words", "mean_word_len", "symbol_word_ratio",
-            "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
-            "stopword_hits", "dup_word_frac", "top_bigram_frac",
-            "fail_reasons", "keep",
-        }
+        clash = (set(docs.columns) - {id_col}) & set(GOPHER_FEATURE_COLUMNS)
         if clash:
             # a duplicate name would make every later by-name reference
             # AMBIGUOUS_REFERENCE — fail loudly at plan time instead
@@ -803,7 +807,7 @@ def gopher_filter(
                 f"names: {sorted(clash)} — rename or drop them first"
             )
     lead = [F.col("*")] if passthrough else [F.col(id_col)]
-    return docs.select(
+    out = docs.select(
         *lead,
         n_words.alias("n_words"),
         F.round(mean_word_len, 4).alias("mean_word_len"),
@@ -817,6 +821,10 @@ def gopher_filter(
         fail_reasons.alias("fail_reasons"),
         (F.size(fail_reasons) == 0).alias("keep"),
     )
+    # keep the guard's name list and the actual output in lockstep
+    missing = set(GOPHER_FEATURE_COLUMNS) - set(out.columns)
+    assert not missing, f"GOPHER_FEATURE_COLUMNS out of sync: {missing}"
+    return out
 
 
 def bigram_logprob(

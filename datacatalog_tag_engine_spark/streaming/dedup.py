@@ -31,15 +31,25 @@ def dedup_stream(
     """Append-mode stream of first-seen documents: later deliveries with
     the same bag-of-words fingerprint inside the watermark horizon drop.
     Works on static frames too, where "first-seen" is DETERMINISTIC:
-    the earliest ``ts_col`` row per fingerprint wins (a min_by
-    aggregate — plain dropDuplicates keeps whichever row a task sees
-    first, which varies with partitioning and would make the batch
-    replay of a stream flaky)."""
+    the earliest ``ts_col`` row per fingerprint wins, ties (and rows
+    with a NULL or absent timestamp) break on the full row's total
+    order — a min_by aggregate; plain dropDuplicates keeps whichever
+    row a task sees first, which varies with partitioning and would
+    make the batch replay of a stream flaky."""
     with_fp = docs.withColumn("fingerprint", bow_fingerprint(F.col(text_col)))
     if not docs.isStreaming:
+        # the ordering key is a STRUCT so min_by never sees a bare NULL
+        # (it skips null ordering values — a group of all-NULL-ts rows
+        # would otherwise collapse to a null row): known timestamps
+        # sort before unknown, then ts, then the whole row as tiebreak.
+        # Static frames without a ts column order purely by row.
+        parts = []
+        if ts_col in with_fp.columns:
+            parts = [F.col(ts_col).isNull(), F.col(ts_col)]
+        order = F.struct(*parts, F.struct(*with_fp.columns))
         return (
             with_fp.groupBy("fingerprint")
-            .agg(F.min_by(F.struct(*with_fp.columns), F.col(ts_col)).alias("_r"))
+            .agg(F.min_by(F.struct(*with_fp.columns), order).alias("_r"))
             .select("_r.*")
         )
     return with_fp.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
@@ -64,7 +74,8 @@ def clean_ingest_stream(
     The gate runs FIRST deliberately: junk documents never enter the
     dedup state store, so state size tracks the CLEAN ingest volume.
     Works on static frames too (the batch oracle replays it: same
-    filter, plain dropDuplicates).
+    filter, then ``dedup_stream``'s deterministic earliest-``ts_col``
+    keep-first).
 
     ``gopher_kwargs`` pass through to ``pipeline.text.gopher_filter``
     (thresholds). Output = the surviving documents' original columns
