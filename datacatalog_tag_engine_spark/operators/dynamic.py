@@ -474,6 +474,17 @@ def _schema_predicate_safe(pred: str) -> bool:
         return False
     if '"' in pred:
         return False
+    # only the three EXACT quoted forms ('$table'/'$dataset'/'$project')
+    # rewrite to inventory columns in discover_columns_schema — a $var
+    # embedded in any OTHER literal (e.g. like '$table%') would survive
+    # unsubstituted and silently match nothing, so those predicates must
+    # route to the opaque per-asset path (which substitutes everywhere,
+    # like the reference's parse_query_expression)
+    no_exact = pred
+    for var in ("$table", "$dataset", "$project"):
+        no_exact = no_exact.replace(f"'{var}'", "")
+    if any("$" in lit for lit in re.findall(r"'[^']*'", no_exact)):
+        return False
     stripped = re.sub(r"'[^']*'", "", pred)  # drop string literals
     if "$" in stripped:
         return False

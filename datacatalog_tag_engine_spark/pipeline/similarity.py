@@ -633,20 +633,24 @@ def ivf_topk_from_index(
     probed cell partitions (the cell IN (...) filter reaches the
     parquet source as a PartitionFilter — the fraction of the corpus
     read is nprobe/num_cells by construction). Same output shape and
-    values as ``ivf_topk`` with the same centroids."""
-    # persist the num_cells-row centroid table: the count action and
-    # the two broadcast consumers (query ranking, probe list) otherwise
-    # each re-read the parquet
-    cents = spark.read.parquet(f"{path}/{CENTROIDS_DIR}").persist()
-    num_cells = cents.count()
-    # persist: the ranked query table feeds BOTH the probe-list collect
-    # and the scoring join — without it the centroid ranking window
-    # runs twice per search call
+    values as ``ivf_topk`` with the same centroids.
+
+    Serving-loop hygiene: this call persists NOTHING — per-call
+    ``persist()`` on a search path pins cache blocks until eviction and
+    accumulates across calls. The centroid table is num_cells rows, so
+    it is collected once and re-distributed as a local DataFrame (one
+    tiny parquet read per call, both consumers share it); the ranked
+    query table is computed twice (probe-list collect + the scoring
+    join) — a query-sized window, the right trade against pinned
+    executor memory."""
+    cent_src = spark.read.parquet(f"{path}/{CENTROIDS_DIR}")
+    cent_rows = cent_src.collect()  # dimension-sized: num_cells rows
+    num_cells = len(cent_rows)
+    cents = spark.createDataFrame(cent_rows, cent_src.schema)
     q = (
         _ranked_cells(queries, num_cells, id_col, vec_col, cents=cents)
         .filter(F.col("_rn") <= nprobe)
         .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "cell")
-        .persist()
     )
     # the probe set is query-sized — collect the distinct cells so the
     # IN-list lands on the corpus scan as a partition filter (a join

@@ -502,10 +502,20 @@ def unigram_logprob(
     corpus, so the scoring join broadcasts the model; the corpus
     explodes once per pass and aggregates on doc_id.
 
-    Returns (doc_id, n_words, avg_logprob).
+    Returns (doc_id, n_words, avg_logprob). Docs with zero non-empty
+    tokens produce no row (exactly like ``hashed_linear_score``).
     """
+    # one module-wide tokenization rule: empty split tokens are NOT
+    # words (the t14/gopher_filter rule) — ragged whitespace must not
+    # inflate n_words or put '' in the vocabulary model
     words = docs.select(
-        id_col, F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
+        id_col,
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda w: F.length(w) > 0,
+            )
+        ).alias("word"),
     )
     # the vocabulary aggregation feeds THREE consumers — the total
     # action below, the broadcast model, and (via words) the scoring
@@ -737,24 +747,33 @@ def gopher_filter(
     JVM array/regexp math — zero shuffles, zero Python, a pure scan
     projection at 100 TB.
     """
-    t = F.col(text_col)
+    # NULL text behaves as empty text: upstream cleaners
+    # (remove_repeated_spans, paragraph_dedup) emit '' for fully-removed
+    # docs and the filter must classify both identically (keep=false via
+    # word_count), never crash
+    t = F.coalesce(F.col(text_col), F.lit(""))
     # empty tokens (leading/trailing whitespace artifacts of split) are
     # NOT words — counting them inflates n_words and deflates every
     # per-word fraction against the paper's thresholds
     words = F.filter(F.split(t, r"\s+"), lambda w: F.length(w) > 0)
     words_lc = F.filter(F.split(F.lower(t), r"\s+"), lambda w: F.length(w) > 0)
     n_words = F.size(words)
+    # every per-word / per-line fraction NULL-guards its denominator:
+    # ANSI mode (the session default) aborts the whole job on x/0, and
+    # empty or whitespace-only docs genuinely occur after span removal —
+    # a NULL feature reads as "not measurable" and fails no rule (the
+    # word_count rule already rejects these docs)
     # TRUE mean word length (sum of word lengths / words) — the
     # char-count shortcut (n_chars - separators)/n charges indentation
     # and blank lines to the words and misclassifies formatted text
-    mean_word_len = (
-        F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w)) / n_words
+    mean_word_len = F.when(
+        n_words > 0, F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w)) / n_words
     )
     n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
-    alpha_word_frac = n_alpha_words / n_words
+    alpha_word_frac = F.when(n_words > 0, n_alpha_words / n_words)
     # '…' IS an ellipsis here exactly as in the ellipsis_lines rule
     n_symbols = F.size(F.regexp_extract_all(t, F.lit(r"#|\.\.\.|…"), 0))
-    symbol_word_ratio = n_symbols / n_words
+    symbol_word_ratio = F.when(n_words > 0, n_symbols / n_words)
     stop_hits = F.size(
         F.filter(
             F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
@@ -765,14 +784,17 @@ def gopher_filter(
     # bullet/ellipsis fractions
     lines = F.filter(F.split(t, r"\n"), lambda l: F.length(F.trim(l)) > 0)
     n_lines = F.size(lines)
-    bullet_line_frac = (
-        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*(\*|-|•)\s")))
-        / n_lines
+    bullet_line_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*(\*|-|•)\s"))) / n_lines,
     )
-    ellipsis_line_frac = (
-        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))) / n_lines
+    ellipsis_line_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))) / n_lines,
     )
-    dup_word_frac = F.lit(1.0) - F.size(F.array_distinct(words_lc)) / n_words
+    dup_word_frac = F.when(
+        n_words > 0, F.lit(1.0) - F.size(F.array_distinct(words_lc)) / n_words
+    )
     bigrams = word_ngrams(words_lc, 2)
     top_bigram_frac = F.when(
         n_words >= 2, _max_run_expr(F.array_sort(bigrams)) / F.size(bigrams)
@@ -867,7 +889,15 @@ def bigram_logprob(
         # possible with an external train corpus) gives p = 0 and a
         # NULL log that would silently vanish from the average
         raise ValueError(f"lam must be in [0, 1), got {lam}")
-    train = docs if train is None else train
+    # NULL text == empty text (the remove_repeated_spans convention):
+    # split(NULL) is NULL, which would drop the doc from BOTH the
+    # transition rows and the size()-based < 2-words fallback — the
+    # docstring contract is "shorter docs score 0.0, kept"
+    self_scoring = train is None or train is docs
+    docs = docs.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+    train = docs if self_scoring else train.withColumn(
+        text_col, F.coalesce(F.col(text_col), F.lit(""))
+    )
 
     def _pairs(df):
         words = F.filter(

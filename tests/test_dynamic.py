@@ -209,6 +209,19 @@ def test_classify_columns_schema_requires_scoped_predicate():
     assert D.classify_columns_query(
         _IS + "table_name = $table"
     ) == "opaque"
+    # a $var EMBEDDED in a longer literal (like '$table%') is not one of
+    # the three exact quoted forms the schema regime rewrites — it would
+    # survive unsubstituted and match nothing, so it must route opaque
+    assert D.classify_columns_query(
+        _IS + "table_name = '$table' and column_name like '$table%'"
+    ) == "opaque"
+    assert D.classify_columns_query(
+        _IS + "table_name = '$table' and column_name like 'id_$dataset'"
+    ) == "opaque"
+    # the exact forms (possibly several) still classify schema-safe
+    assert D.classify_columns_query(
+        _IS + "table_name = '$table' and table_schema = '$dataset'"
+    ) == "schema"
 
 
 def test_discover_columns_schema_is_nullable_ordinal(spark):

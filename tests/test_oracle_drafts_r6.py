@@ -101,7 +101,7 @@ def test_oracle_draft_paragraph_dedup(spark, ddb):
 BIGRAM_SQL = r"""
 WITH w AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\s+'),
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
                      x -> length(x) > 0) AS ws
   FROM documents),
 u AS (
@@ -241,12 +241,12 @@ def test_oracle_draft_remove_repeated_spans(spark, ddb):
 
 GOPHER_SQL = r"""
 WITH base AS (
-  SELECT doc_id, text,
-         list_filter(regexp_split_to_array(text, '\s+'),
+  SELECT doc_id, coalesce(text, '') AS text,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
                      x -> length(x) > 0) AS w,
-         list_filter(regexp_split_to_array(lower(text), '\s+'),
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
                      x -> length(x) > 0) AS wl,
-         list_filter(regexp_split_to_array(text, '\n'),
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\n'),
                      l -> length(trim(l)) > 0) AS lines
   FROM documents),
 bg AS (   -- modal bigram count per doc (docs with >= 2 words)
@@ -261,19 +261,33 @@ bg AS (   -- modal bigram count per doc (docs with >= 2 words)
     GROUP BY doc_id, bigram)
   GROUP BY doc_id),
 f AS (
+  -- zero-word / zero-line docs: every fraction guards its denominator
+  -- (NULL = not measurable, fails no rule; word_count rejects the doc)
   SELECT b.doc_id,
          len(b.w) AS n_words,
-         list_sum(list_transform(b.w, x -> length(x))) / len(b.w) AS mean_word_len,
-         len(regexp_extract_all(b.text, '#|\.\.\.|…')) / len(b.w) AS symbol_word_ratio,
-         len(list_filter(b.lines, l -> regexp_matches(l, '^\s*(\*|-|•)\s')))
-           / len(b.lines) AS bullet_line_frac,
-         len(list_filter(b.lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))
-           / len(b.lines) AS ellipsis_line_frac,
-         len(list_filter(b.w, x -> regexp_matches(x, '[A-Za-z]')))
-           / len(b.w) AS alpha_word_frac,
+         CASE WHEN len(b.w) > 0
+              THEN list_sum(list_transform(b.w, x -> length(x))) / len(b.w)
+         END AS mean_word_len,
+         CASE WHEN len(b.w) > 0
+              THEN len(regexp_extract_all(b.text, '#|\.\.\.|…')) / len(b.w)
+         END AS symbol_word_ratio,
+         CASE WHEN len(b.lines) > 0
+              THEN len(list_filter(b.lines, l -> regexp_matches(l, '^\s*(\*|-|•)\s')))
+                   / len(b.lines)
+         END AS bullet_line_frac,
+         CASE WHEN len(b.lines) > 0
+              THEN len(list_filter(b.lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))
+                   / len(b.lines)
+         END AS ellipsis_line_frac,
+         CASE WHEN len(b.w) > 0
+              THEN len(list_filter(b.w, x -> regexp_matches(x, '[A-Za-z]')))
+                   / len(b.w)
+         END AS alpha_word_frac,
          len(list_filter(['the','be','to','of','and','that','have','with'],
                          s -> list_contains(b.wl, s))) AS stopword_hits,
-         1.0 - len(list_distinct(b.wl)) / len(b.wl) AS dup_word_frac,
+         CASE WHEN len(b.wl) > 0
+              THEN 1.0 - len(list_distinct(b.wl)) / len(b.wl)
+         END AS dup_word_frac,
          CASE WHEN len(b.wl) >= 2
               THEN bg.top_bg / (len(b.wl) - 1) END AS top_bigram_frac
   FROM base b LEFT JOIN bg USING (doc_id)),

@@ -433,3 +433,22 @@ def test_ivf_index_search_prunes_partitions(spark, tmp_path):
     # the corpus by construction
     m = re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*\]", p)
     assert m, p
+
+
+def test_ivf_index_search_pins_no_cache(spark, tmp_path):
+    """A serving loop must not accumulate pinned cache blocks: repeated
+    searches leave the persistent-RDD registry exactly as found."""
+    from datacatalog_tag_engine_spark.pipeline.similarity import (
+        build_ivf_index,
+        ivf_topk_from_index,
+    )
+
+    emb = spark.table("embeddings")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, num_cells=4)
+    queries = emb.orderBy("vec_id").limit(3)
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    for _ in range(3):
+        ivf_topk_from_index(spark, path, queries, k=3, nprobe=2).collect()
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after == before

@@ -220,3 +220,35 @@ def test_paragraph_dedup_uses_partial_aggregate_not_window(spark):
     p = plan_of(DD.paragraph_dedup(docs))
     assert "Window" not in p, p
     assert "min_by" in p or "minby" in p.lower()
+
+
+def test_clean_pipeline_composition_plan(spark):
+    """q59: the composed cleaning pipeline (Gopher gate -> paragraph
+    dedup -> span removal -> emptied-doc drop). The gate itself is a
+    pure scan projection (ZERO exchanges); the composed chain stays
+    JVM-side (no Python eval nodes), never degrades to a cartesian /
+    nested-loop join, and its total shuffle count stays bounded — one
+    pre-explode repartition plus the per-stage hash shuffles, so a
+    regression that doubles shuffles (e.g. losing a persisted shared
+    subtree) fails here before it costs a 100 TB run."""
+    import re
+
+    from datacatalog_tag_engine_spark.pipeline import text as TXT
+
+    spark.catalog.clearCache()
+    docs = spark.table("documents")
+    g = TXT.gopher_filter(
+        docs, min_words=20, min_stopword_hits=0,
+        max_dup_word_frac=1.0, max_top_bigram_frac=1.0,
+    )
+    assert len(re.findall(r"\(\d+\) Exchange", plan_of(g))) == 0
+
+    kept = docs.join(g.filter("keep").select("doc_id"), "doc_id", "left_semi")
+    para = DD.paragraph_dedup(kept).select("doc_id", "text")
+    spans = DD.remove_repeated_spans(para, n=8, min_docs=2).select("doc_id", "text")
+    clean = spans.filter(F.length(F.trim(F.col("text"))) > 0)
+    p = plan_of(clean)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p  # no row-at-a-time or arrow Python
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", p))
+    assert n_exchange <= 10, p

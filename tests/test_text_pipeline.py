@@ -297,6 +297,49 @@ def test_gopher_filter_line_rules(spark):
     assert "ellipsis_lines" in out[2]["fail_reasons"]
 
 
+def test_gopher_filter_empty_and_null_docs(spark):
+    """Empty / whitespace-only / NULL text must classify (keep=false via
+    word_count), never abort with ANSI DIVIDE_BY_ZERO — emptied docs are
+    produced upstream by remove_repeated_spans / paragraph_dedup."""
+    from datacatalog_tag_engine_spark.pipeline.text import gopher_filter
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "\n \n  \n")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_filter(docs).collect()}
+    assert len(out) == 4
+    for r in out.values():
+        assert r["n_words"] == 0
+        assert not r["keep"]
+        assert "word_count" in r["fail_reasons"]
+        # unmeasurable fractions are NULL, and fail no rule
+        for f in ("mean_word_len", "symbol_word_ratio", "bullet_line_frac",
+                  "ellipsis_line_frac", "alpha_word_frac", "dup_word_frac",
+                  "top_bigram_frac"):
+            assert r[f] is None, (r["doc_id"], f)
+
+
+def test_unigram_tokenization_matches_gopher_rule(spark):
+    """ONE module-wide tokenization rule: unigram_logprob, t14's
+    hashed_linear_score, and gopher_filter all count the same non-empty
+    split tokens, even on ragged whitespace."""
+    from datacatalog_tag_engine_spark.pipeline.text import (
+        gopher_filter,
+        hashed_linear_score,
+        unigram_logprob,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "  a  b \n c  "), (2, "x\t\ty  "), (3, "solo")],
+        "doc_id long, text string",
+    )
+    g = {r["doc_id"]: r["n_words"] for r in gopher_filter(docs).collect()}
+    u = {r["doc_id"]: r["n_words"] for r in unigram_logprob(docs).collect()}
+    h = {r["doc_id"]: r["n_words"] for r in hashed_linear_score(docs).collect()}
+    assert g == u == h == {1: 3, 2: 2, 3: 1}
+
+
 # --- bigram_logprob (interpolated bigram LM quality score) ------------
 
 def _bigram_reference(texts, lam=0.7):
@@ -365,6 +408,24 @@ def test_bigram_logprob_cross_corpus_and_determinism(spark):
         map(tuple, bigram_logprob(docs.repartition(7), train=train.repartition(3)).collect())
     )
     assert a == b
+
+
+def test_bigram_logprob_null_and_short_docs_kept(spark):
+    """NULL-text / empty / one-word docs land in the n_transitions=0
+    branch (score 0.0, kept) — the docstring contract, and the
+    remove_repeated_spans NULL==empty convention."""
+    from datacatalog_tag_engine_spark.pipeline.text import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, None), (3, ""), (4, "solo"),
+         (5, "   ")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bigram_logprob(docs).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    for d in (2, 3, 4, 5):
+        assert got[d]["n_transitions"] == 0 and got[d]["avg_logprob"] == 0.0
+    assert got[1]["n_transitions"] == 5
 
 
 def test_gopher_filter_whitespace_robustness(spark):
