@@ -5,12 +5,16 @@ GPT-2/RoBERTa-style tokenizers).
 
 Scale shape — the part that matters at 100 TB: classic BPE never needs
 the corpus during training, only the WORD FREQUENCY table. The corpus
-pays exactly ONE explode+aggregate pass into (word, count); every merge
-round then runs on that vocabulary-sized table (pair-count aggregate +
-one argmax + one symbol-array rewrite). Corpus size sets the cost of
-one pass; vocabulary size sets the cost of a round — a 100 TB corpus
-with a 50M-word vocabulary trains 32k merges over 50M-row stages, not
-corpus-sized ones.
+pays exactly ONE explode+aggregate pass into (word, count); the merge
+loop then runs over that vocabulary-grain table — IN DRIVER MEMORY
+when it fits a configurable budget (the common case, and how
+SentencePiece/HF tokenizer trainers work: a 32k-merge vocabulary
+trains in seconds with incremental pair-count maintenance, instead of
+two Spark jobs per merge), falling back to distributed rounds
+(pair-count aggregate + argmax + symbol rewrite) only when the
+vocabulary itself outgrows the driver. A 100 TB corpus with a 50M-word
+vocabulary still pays corpus cost once; the regime choice only moves
+WHERE the vocabulary-sized loop runs.
 
 Determinism: the argmax pair breaks ties lexicographically, the merge
 rewrite is the standard greedy left-to-right scan, and word counts are
@@ -105,20 +109,91 @@ def _merge_round(syms: DataFrame, a: str, b: str) -> DataFrame:
     def apply(batches):
         merged = a + b
         for pdf in batches:
-            rows = []
-            for symbols, cnt in zip(pdf["symbols"], pdf["cnt"]):
-                out, i, n = [], 0, len(symbols)
-                while i < n:
-                    if i + 1 < n and symbols[i] == a and symbols[i + 1] == b:
-                        out.append(merged)
-                        i += 2
-                    else:
-                        out.append(symbols[i])
-                        i += 1
-                rows.append((out, cnt))
+            rows = [
+                (_greedy_merge(list(symbols), a, b, merged), cnt)
+                for symbols, cnt in zip(pdf["symbols"], pdf["cnt"])
+            ]
             yield pd.DataFrame(rows, columns=["symbols", "cnt"])
 
     return syms.mapInPandas(apply, out_schema)
+
+
+def _greedy_merge(symbols: list, a: str, b: str, merged: str) -> list:
+    """The one merge-rewrite rule, shared verbatim by both training
+    regimes and ``_merge_round``'s distributed form: greedy
+    left-to-right, overlapping occurrences merge leftmost-first."""
+    out, i, n = [], 0, len(symbols)
+    while i < n:
+        if i + 1 < n and symbols[i] == a and symbols[i + 1] == b:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return out
+
+
+def _bpe_train_local(
+    rows, num_merges: int, min_pair_count: int
+) -> tuple[list[tuple[str, str]], list[tuple[str, int]]]:
+    """The in-memory merge loop over a collected (word, cnt) table —
+    how real tokenizer trainers (SentencePiece / HF tokenizers) work:
+    the merge loop never needs the corpus, only the vocabulary.
+
+    Exactly equivalent to the distributed rounds (pytest proves
+    merge-list and vocab equality): the argmax uses the same
+    (n desc, a asc, b asc) order, the rewrite is the same greedy scan,
+    and pair counts update incrementally by subtract-old/add-new per
+    rewritten word — arithmetically identical to a full recount. A
+    pair -> word-index map bounds each round's work to the words that
+    actually contain the best pair, so 30k+ merges cost seconds, not
+    one Spark job each."""
+    from collections import defaultdict
+
+    words: list[list] = []  # [symbols, cnt]
+    for r in rows:
+        w, cnt = r["word"], r["cnt"]
+        words.append([[*w[:-1], w[-1] + END] if w else [], cnt])
+
+    pc: dict = defaultdict(int)  # (a, b) -> corpus-weighted count
+    index: dict = defaultdict(set)  # (a, b) -> indices of words containing it
+    for i, (syms, cnt) in enumerate(words):
+        for p in zip(syms, syms[1:]):
+            pc[p] += cnt
+            index[p].add(i)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        best_pair, best_n = None, None
+        for pair, n in pc.items():
+            if n <= 0:
+                continue
+            if best_n is None or n > best_n or (n == best_n and pair < best_pair):
+                best_pair, best_n = pair, n
+        if best_pair is None or best_n < min_pair_count:
+            break
+        a, b = best_pair
+        merges.append(best_pair)
+        merged = a + b
+        for i in list(index[best_pair]):
+            syms, cnt = words[i]
+            out = _greedy_merge(syms, a, b, merged)
+            for p in zip(syms, syms[1:]):
+                pc[p] -= cnt
+            for p in zip(out, out[1:]):
+                pc[p] += cnt
+            old_pairs, new_pairs = set(zip(syms, syms[1:])), set(zip(out, out[1:]))
+            for p in old_pairs - new_pairs:
+                index[p].discard(i)
+            for p in new_pairs - old_pairs:
+                index[p].add(i)
+            words[i][0] = out
+
+    vocab: dict = defaultdict(int)
+    for syms, cnt in words:
+        for s in syms:
+            vocab[s] += cnt
+    return merges, sorted(vocab.items())
 
 
 def bpe_train(
@@ -126,24 +201,54 @@ def bpe_train(
     num_merges: int = 32,
     text_col: str = "text",
     min_pair_count: int = 2,
+    driver_vocab_limit: int | None = 2_000_000,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Learn ``num_merges`` BPE merges from the corpus; returns
     ``(merges, vocab)`` where ``merges`` is the ordered merge list and
     ``vocab`` the final (symbol, cnt) subword table.
 
-    Each round: pair-count aggregate over the symbol table, ONE
-    driver-side argmax row (ties break on (a, b) lexicographically —
-    deterministic anywhere), one mapInPandas rewrite. The symbol table
-    is localCheckpoint(eager)ed per round to keep lineage flat across
-    iterations — the neardup_clusters pattern — and the superseded
-    generation is freed immediately (provably unreferenced: each round
-    reads only its predecessor). Stops early when the best pair's count
-    drops below ``min_pair_count`` (merging singleton pairs memorizes
-    the corpus)."""
+    Two regimes sharing one corpus pass (the word-count aggregate) and
+    one rewrite rule, chosen by the DISTINCT-WORD count against
+    ``driver_vocab_limit``:
+
+    * **local** (the common case — this is how SentencePiece/HF train):
+      the vocabulary-grain (word, cnt) table collects ONCE to the
+      driver and the whole merge loop runs in local memory with
+      incremental pair-count maintenance — a real 32k-merge vocabulary
+      costs seconds instead of ~64k Spark jobs of scheduler overhead.
+      2M distinct words is ~100 MB of driver heap; raise the limit on a
+      big driver, or pass ``None``/0 to force the distributed rounds.
+    * **distributed** (over-budget fallback): per merge, a pair-count
+      aggregate over the symbol table, ONE driver-side argmax row, one
+      mapInPandas rewrite, with an eager localCheckpoint per round to
+      keep lineage flat (the neardup_clusters pattern) and the
+      superseded generation freed immediately.
+
+    Both regimes produce the identical merge list and vocab (pytest
+    proves it): the argmax breaks ties on (a, b) lexicographically and
+    the rewrite is the same greedy left-to-right scan. Training stops
+    early when the best pair's count drops below ``min_pair_count``
+    (merging singleton pairs memorizes the corpus)."""
     from ..session import free_local_checkpoint
 
-    syms = _initial_symbols(word_counts(docs, text_col)).localCheckpoint(eager=True)
-    merges: list[tuple[str, str]] = []
+    spark = docs.sparkSession
+    wc = word_counts(docs, text_col)
+    if driver_vocab_limit:
+        # the regime probe (count) and the winning regime's read
+        # (collect, or the symbol-init below) share one aggregation
+        wc = wc.persist()
+        if wc.count() <= driver_vocab_limit:
+            rows = wc.collect()
+            wc.unpersist()
+            merges, vocab_rows = _bpe_train_local(rows, num_merges, min_pair_count)
+            return merges, spark.createDataFrame(vocab_rows, "symbol string, cnt long")
+
+    syms = _initial_symbols(wc).localCheckpoint(eager=True)
+    if driver_vocab_limit:
+        # the eager checkpoint just materialized the symbol table — the
+        # word-count cache has no more readers
+        wc.unpersist()
+    merges = []
     for _ in range(num_merges):
         best = (
             pair_counts(syms)

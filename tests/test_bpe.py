@@ -139,3 +139,31 @@ def test_bpe_apply_matches_training_tokenization(spark):
     assert got[3] == (["low</w>"], 1)
     # exactly one word: a single end-of-word marker in the whole doc
     assert sum(t.endswith(END) for t in got[2][0]) == 1
+
+
+def test_bpe_train_local_and_distributed_identical(spark):
+    """The driver-memory merge loop (the default regime) and the
+    distributed-rounds fallback (driver_vocab_limit=0) must produce the
+    IDENTICAL merge list and final vocab — the regime choice is a
+    placement decision, never a semantics one."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    m_local, v_local = bpe.bpe_train(docs, num_merges=10)
+    m_dist, v_dist = bpe.bpe_train(docs, num_merges=10, driver_vocab_limit=0)
+    assert m_local == m_dist
+    assert sorted(map(tuple, v_local.collect())) == sorted(map(tuple, v_dist.collect()))
+    # and both match the pure-Python paper reference
+    assert m_local == reference_bpe(TEXTS, 10)
+
+
+def test_bpe_train_local_early_stop_and_ties(spark):
+    """Early stop (min_pair_count) and lexicographic tie-breaks behave
+    identically in both regimes on a tie-heavy corpus."""
+    texts = ["ab ab cd cd", "ef ef gh gh"]  # all pairs tie at 2
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    m_local, _ = bpe.bpe_train(docs, num_merges=50, min_pair_count=2)
+    m_dist, _ = bpe.bpe_train(docs, num_merges=50, min_pair_count=2, driver_vocab_limit=0)
+    assert m_local == m_dist == reference_bpe(texts, 50)
