@@ -42,15 +42,24 @@ _REFRESH_UNITS = {"minutes": 60, "hours": 3600, "days": 86400}
 
 # config types whose jobs always replay their full input — the
 # incremental (changed-assets-only) flag has no meaning for them
-_NON_INCREMENTAL_TYPES = ("TAG_EXPORT", "ENTRY_CREATE", "TAG_IMPORT", "TAG_RESTORE")
+_NON_INCREMENTAL_TYPES = (
+    "TAG_EXPORT", "ENTRY_CREATE", "TAG_IMPORT", "TAG_RESTORE", "SHARD_EXPORT",
+)
+
+# config types that produce side effects (reports/entries/shards)
+# instead of tag-row merges; no template required at create time
+_SIDE_EFFECT_TYPES = ("TAG_EXPORT", "ENTRY_CREATE", "SHARD_EXPORT")
 
 # the 9 reference config types (ConfigType.py:4-12) — everything
 # trigger_job can dispatch; validated at create time like the
-# reference's check_config_type (main.py)
+# reference's check_config_type (main.py) — plus SHARD_EXPORT, this
+# repo's training-data extension: the corpus pipeline's last mile
+# (pipeline/export.write_training_shards) run with the same scheduling,
+# ledger, and job-metadata accounting as every reference type
 _CONFIG_TYPES = (
     "DYNAMIC_TAG_TABLE", "DYNAMIC_TAG_COLUMN", "STATIC_TAG_ASSET",
     "GLOSSARY_TAG_ASSET", "SENSITIVE_TAG_COLUMN", "TAG_IMPORT",
-    "TAG_RESTORE", "TAG_EXPORT", "ENTRY_CREATE",
+    "TAG_RESTORE", "TAG_EXPORT", "ENTRY_CREATE", "SHARD_EXPORT",
 )
 
 
@@ -145,8 +154,20 @@ class TagEngine:
             raise ValueError("TAG_EXPORT config requires target_path")
         if config_type == "ENTRY_CREATE" and not kw.get("directory"):
             raise ValueError("ENTRY_CREATE config requires directory")
+        if config_type == "SHARD_EXPORT":
+            # validated at create time, not first run: a cron config
+            # that cannot dispatch is a bug at authoring time
+            if not kw.get("target_path"):
+                raise ValueError("SHARD_EXPORT config requires target_path")
+            if not (kw.get("num_shards") or 0) >= 1:
+                raise ValueError("SHARD_EXPORT config requires num_shards >= 1")
+            if bool(kw.get("source_table")) == bool(kw.get("source_path")):
+                raise ValueError(
+                    "SHARD_EXPORT config requires exactly one of source_table "
+                    "(a registered view) or source_path (a parquet directory)"
+                )
         if template_id is None:
-            if config_type not in ("TAG_EXPORT", "ENTRY_CREATE"):
+            if config_type not in _SIDE_EFFECT_TYPES:
                 raise ValueError(f"{config_type} config requires a template_id")
             tfields = {}
         elif template_id not in self.templates:
@@ -169,8 +190,10 @@ class TagEngine:
         # only the side-effect types (which older builds could not
         # persist) extend the key with their target coordinates
         hash_src = f"{config_type}|{template_id}|{kw.get('included_uris', '')}"
-        if config_type in ("TAG_EXPORT", "ENTRY_CREATE"):
+        if config_type in _SIDE_EFFECT_TYPES:
             hash_src += f"|{kw.get('target_path', '')}|{kw.get('directory', '')}"
+        if config_type == "SHARD_EXPORT":
+            hash_src += f"|{kw.get('source_table', '')}|{kw.get('source_path', '')}"
         uris_hash = hashlib.md5(hash_src.encode()).hexdigest()
         for cfg in self.configs.values():
             if cfg["uris_hash"] == uris_hash and cfg["config_status"] == "ACTIVE":
@@ -270,13 +293,34 @@ class TagEngine:
         # 3597-3628), so exports and entry syncs get the job ledger and
         # the scheduled-refresh treatment like every tagging type — they
         # just produce reports/entries instead of tag-row merges.
-        if cfg["config_type"] in ("TAG_EXPORT", "ENTRY_CREATE"):
+        if cfg["config_type"] in _SIDE_EFFECT_TYPES:
             try:
                 if cfg["config_type"] == "TAG_EXPORT":
                     counts = self.export_reports(
                         cfg["target_path"], truncate=cfg.get("truncate", False)
                     )
                     n = sum(1 for c in counts.values() if c)
+                elif cfg["config_type"] == "SHARD_EXPORT":
+                    # the corpus pipeline's last mile with job-ledger
+                    # accounting: task grain = shard (one data-loader
+                    # unit), so task_count mirrors the manifest row
+                    # count — num_shards by write_training_shards'
+                    # contract, empty shards included
+                    from .pipeline.export import write_training_shards
+
+                    corpus = (
+                        self.spark.table(cfg["source_table"])
+                        if cfg.get("source_table")
+                        else self.spark.read.parquet(cfg["source_path"])
+                    )
+                    manifest = write_training_shards(
+                        corpus,
+                        cfg["target_path"],
+                        cfg["num_shards"],
+                        id_col=cfg.get("id_col", "doc_id"),
+                        token_col=cfg.get("token_col"),
+                    )
+                    n = manifest.count()
                 else:
                     self.create_entries(
                         cfg["directory"],

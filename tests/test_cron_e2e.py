@@ -1,9 +1,11 @@
 """One scheduled-pipeline tick through ALL NINE reference config types
-(ConfigType.py:4-12) — the engine-side equivalent of the reference's
+(ConfigType.py:4-12) plus SHARD_EXPORT (this repo's training-data
+extension) — the engine-side equivalent of the reference's
 examples/unit_tests.sh loop as a single cron pass: every config is
 AUTO-scheduled, one run_ready_configs() call dispatches all of them,
 and the assertions check the ledger, the tag store, the history
-stream, the report export, and the entry inventory together."""
+stream, the report export, the entry inventory, and the training-shard
+manifest together."""
 
 import datetime
 import json
@@ -38,7 +40,7 @@ def _assets(spark):
     return spark.createDataFrame(rows, ASSETS_SCHEMA)
 
 
-def test_cron_tick_runs_all_nine_config_types(spark, tmp_path):
+def test_cron_tick_runs_all_ten_config_types(spark, tmp_path):
     eng = TagEngine(spark)
     eng.create_template("data_governance", [
         {"field_id": "data_owner", "field_type": "string"},
@@ -118,6 +120,11 @@ def test_cron_tick_runs_all_nine_config_types(spark, tmp_path):
     pq.write_table(pa.table({"id": list(range(5))}),
                    str(tmp_path / "files" / "part_a.parquet"))
     eng.create_config("ENTRY_CREATE", None, directory=str(tmp_path / "files"), **sched)
+    eng.create_config(
+        "SHARD_EXPORT", None, source_table="documents",
+        target_path=str(tmp_path / "shards"), num_shards=4, token_col="n_chars",
+        **sched,
+    )
 
     # -- shared per-tick inputs (each runner picks what it needs) ----------
     mapping = spark.createDataFrame(
@@ -144,14 +151,14 @@ def test_cron_tick_runs_all_nine_config_types(spark, tmp_path):
         mapping=mapping, findings=findings,
         selection=selection, classification=classification,
     )
-    assert len(job_ids) == 9
+    assert len(job_ids) == 10
 
     # ledger: one SUCCESS row per config type
     by_type = {j["config_type"]: j for j in eng.jobs}
     assert set(by_type) == {
         "DYNAMIC_TAG_TABLE", "DYNAMIC_TAG_COLUMN", "STATIC_TAG_ASSET",
         "GLOSSARY_TAG_ASSET", "SENSITIVE_TAG_COLUMN", "TAG_IMPORT",
-        "TAG_RESTORE", "TAG_EXPORT", "ENTRY_CREATE",
+        "TAG_RESTORE", "TAG_EXPORT", "ENTRY_CREATE", "SHARD_EXPORT",
     }
     assert all(j["job_status"] == "SUCCESS" for j in eng.jobs), eng.jobs
     assert all(j["job_uuid"] in job_ids for j in eng.jobs)
@@ -187,6 +194,18 @@ def test_cron_tick_runs_all_nine_config_types(spark, tmp_path):
 
     # entries: the parquet file landed in the engine inventory
     assert eng.assets.filter(F.col("asset_uri").contains("part_a")).count() == 1
+
+    # shards: the training-data last mile ran with full accounting —
+    # the manifest is the authoritative shard map (num_shards rows,
+    # corpus fully accounted) and the ledger's task grain is the shard
+    manifest = spark.read.parquet(str(tmp_path / "shards" / "_manifest"))
+    n_docs = spark.table("documents").count()
+    assert manifest.count() == 4
+    agg = manifest.agg(F.sum("n_docs"), F.sum("n_tokens")).collect()[0]
+    assert agg[0] == n_docs
+    assert agg[1] == spark.table("documents").agg(F.sum("n_chars")).collect()[0][0]
+    se = by_type["SHARD_EXPORT"]
+    assert se["task_count"] == 4 and se["tasks_success"] == 4
 
     # scheduling: every config advanced one period and is READY again;
     # an immediate second tick at the same `now` has nothing to run

@@ -2,6 +2,8 @@
 
 import datetime
 
+from pyspark.sql import functions as F
+
 from datacatalog_tag_engine_spark.model.schemas import TAGS_SCHEMA
 from datacatalog_tag_engine_spark.operators import export as X
 from datacatalog_tag_engine_spark.store.jobs import rollup_tasks
@@ -349,3 +351,53 @@ def test_job_metadata_table(spark, tmp_path):
     eng.save_state(str(tmp_path / "state"))
     loaded = TagEngine.load_state(spark, str(tmp_path / "state"))
     assert loaded.job_metadata_df().count() == 1
+
+
+def test_shard_export_config_validation_and_source_path(spark, tmp_path):
+    """SHARD_EXPORT: authoring-time validation, the source_path form,
+    error-ledger accounting, and job-metadata parity with TAG_EXPORT."""
+    import pytest
+
+    from datacatalog_tag_engine_spark.engine import TagEngine
+
+    eng = TagEngine(spark)
+    with pytest.raises(ValueError, match="target_path"):
+        eng.create_config("SHARD_EXPORT", None, source_table="documents", num_shards=2)
+    with pytest.raises(ValueError, match="num_shards"):
+        eng.create_config(
+            "SHARD_EXPORT", None, source_table="documents",
+            target_path=str(tmp_path / "s"),
+        )
+    with pytest.raises(ValueError, match="exactly one"):
+        eng.create_config(
+            "SHARD_EXPORT", None, target_path=str(tmp_path / "s"), num_shards=2,
+        )
+    with pytest.raises(ValueError, match="exactly one"):
+        eng.create_config(
+            "SHARD_EXPORT", None, source_table="documents",
+            source_path=str(tmp_path / "src"), target_path=str(tmp_path / "s"),
+            num_shards=2,
+        )
+
+    # source_path form: shard a parquet directory, custom id column
+    src = str(tmp_path / "src")
+    spark.table("embeddings").select("vec_id").write.parquet(src)
+    cfg = eng.create_config(
+        "SHARD_EXPORT", None, source_path=src,
+        target_path=str(tmp_path / "out"), num_shards=3, id_col="vec_id",
+    )
+    job = eng.trigger_job(cfg, job_metadata={"run": 1})
+    led = [j for j in eng.jobs if j["job_uuid"] == job][0]
+    assert led["job_status"] == "SUCCESS" and led["task_count"] == 3
+    assert eng.job_metadata_df().filter(F.col("job_uuid") == job).count() == (
+        1 if eng.settings.get("job_metadata", {}).get("enabled") else 0
+    )
+    manifest = spark.read.parquet(str(tmp_path / "out" / "_manifest"))
+    assert manifest.count() == 3
+    n = spark.read.parquet(src).count()
+    assert manifest.agg(F.sum("n_docs")).collect()[0][0] == n
+
+    # loud-failure policy: the incremental flag has no meaning for a
+    # full-replay shard export
+    with pytest.raises(ValueError, match="incremental"):
+        eng.trigger_job(cfg, incremental=True)
