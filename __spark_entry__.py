@@ -1160,8 +1160,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- round-6 rotation: the post-r5-freeze cleaning/similarity
     # operators, each with a DuckDB oracle proven value-equal in
     # tests/test_oracle_drafts_r6.py before entering the inventory ---
+    # the gate is a pure projection (zero exchanges, plan-asserted) —
+    # parallelism comes from input splits. sf0.1 is ONE parquet file,
+    # so the query spreads the CPU-heavy row math across the session's
+    # width here; a real corpus has thousands of splits and needs no
+    # repartition (4.35 -> ~0.9 s at sf0.1)
     q["t16_gopher_filter"] = lambda spark, sf: TXT.gopher_filter(
-        _docs(spark, sf)
+        _docs(spark, sf).repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions"))
+        )
     ).withColumn("fail_reasons", F.concat_ws(",", "fail_reasons"))
 
     q["d08_span_removal"] = lambda spark, sf: DD.remove_repeated_spans(
@@ -1208,7 +1215,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # between stages that the per-operator rows cannot.
         from datacatalog_tag_engine_spark.pipeline.export import shard_assignments
 
-        docs = _docs(spark, sf)
+        # one-file corpus: spread the gate's row math (see t16)
+        docs = _docs(spark, sf).repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions"))
+        )
         g = TXT.gopher_filter(
             docs,
             min_words=20,
@@ -1217,9 +1227,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             max_top_bigram_frac=1.0,
         )
         kept = docs.join(g.filter("keep").select("doc_id"), "doc_id", "left_semi")
-        para = DD.paragraph_dedup(kept).select("doc_id", "text")
+        # stage barriers: span removal consumes its input twice (starts
+        # + rebuild) and the dedup phase walks `clean` three times
+        # (minhash, clusters, apply) — materializing the two stage
+        # boundaries keeps the gopher->para->spans prefix from
+        # recomputing per consumer (21.4 -> ~10 s at sf0.1). At 100 TB
+        # these boundaries are parquet writes between pipeline stages;
+        # localCheckpoint is the single-session analog.
+        para = (
+            DD.paragraph_dedup(kept)
+            .select("doc_id", "text")
+            .localCheckpoint(eager=True)
+        )
         spans = DD.remove_repeated_spans(para, n=8, min_docs=2).select("doc_id", "text")
-        clean = spans.filter(F.length(F.trim(F.col("text"))) > 0)
+        clean = spans.filter(F.length(F.trim(F.col("text"))) > 0).localCheckpoint(
+            eager=True
+        )
         pairs = DD.minhash_dedup(clean)
         clusters = DD.neardup_clusters(clean, pairs)
         canon = DD.apply_neardup_dedup(clean, clusters)

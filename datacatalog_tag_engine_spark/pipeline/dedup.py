@@ -1002,11 +1002,17 @@ def remove_repeated_spans(
         .filter(F.col("df") >= min_docs)
         .select("_h")
     )
+    # starts is doc-grain (only docs with repeated grams) — materialize
+    # it eagerly so the gram table's cache blocks release NOW instead of
+    # pinning executor memory for the session (serving/bench loops call
+    # this repeatedly; an un-unpersisted gram table per call accumulates)
     starts = (
         pos_grams.join(repeated, "_h")
         .groupBy(id_col)
         .agg(F.collect_set("start").alias("_starts"))
+        .localCheckpoint(eager=True)
     )
+    pos_grams.unpersist()
     words_orig = F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+")  # same positions: lower() keeps whitespace
     covered = F.array_distinct(
         F.flatten(
@@ -1026,8 +1032,14 @@ def remove_repeated_spans(
     # lambdas against the rebuilt text instead of the input column
     # (observed on 4.1: n_removed silently computed over the cleaned
     # text), so the rename happens in a second projection
+    # the rebuild is the most CPU-expensive row-local expression in the
+    # operator (interpreted higher-order functions over every word):
+    # repartition the docs side FIRST, or the whole rebuild inherits the
+    # input's file-split parallelism — a one-file corpus rebuilds on ONE
+    # core (measured 2.3x on the sf0.1 single-file parquet)
     return (
-        docs.join(starts, id_col, "left")
+        _repartition_for_explode(docs, id_col)
+        .join(starts, id_col, "left")
         .select(
             id_col,
             F.size(words_orig).alias("n_words"),
