@@ -522,6 +522,84 @@ def pq_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_cells: int = 8,
+    nprobe: int = 1,
+    num_subspaces: int = 4,
+    num_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: coarse cell pruning composed with PQ asymmetric-distance
+    scoring — the standard billion-vector serving shape (Jegou et al.,
+    "Product Quantization for Nearest Neighbor Search", IEEE TPAMI
+    2011; FAISS ``IVFx,PQy`` with by_residual=False). A query touches
+    only its ``nprobe`` cells AND scores them through 4-byte codes, so
+    the two compression axes multiply: nprobe/num_cells of the corpus,
+    at ~64x less data per vector than raw floats.
+
+    Both halves reuse the certified primitives exactly — cells from
+    ``_ranked_cells`` under the s03 centroid seeding, codes/ADC tables
+    from the s07 codebook and the same integer micro-unit argmin — so
+    the composition is SQL-replayable by construction and can never
+    disagree with ``ivf_topk``/``pq_topk`` on assignment or encoding.
+
+    Returns (query_id, neighbor_id, adist_micro, rank), ascending
+    approximate distance, ties to the lowest neighbor id; sparse cells
+    may return < k rows (IVF semantics).
+
+    Scale shape: the codes table is the only corpus-sized input and it
+    shuffles ONCE (the id-join with its cell assignment — in a
+    persisted index both land pre-joined on disk, see
+    ``build_ivf_index``); the probe set, the codebook, and the
+    per-query distance tables are all broadcast-sized. The candidate
+    join keys on (query_id, m, code) AFTER cell pruning, so unprobed
+    cells never reach the ADC sum."""
+    sub = dim // num_subspaces
+    cents = _default_cents(corpus, num_cells, id_col, vec_col)
+    assigned = (
+        _ranked_cells(corpus, num_cells, id_col, vec_col, cents=cents)
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col), "cell")
+    )
+    cb = pq_codebook(corpus, num_subspaces, num_codes, dim, id_col, vec_col)
+    codes = pq_encode(
+        corpus, num_subspaces, num_codes, dim, id_col, vec_col, codebook=cb
+    )
+    probe = (
+        _ranked_cells(queries, num_cells, id_col, vec_col, cents=cents)
+        .filter(F.col("_rn") <= nprobe)
+        .select(F.col(id_col).alias("query_id"), "cell")
+    )
+    qv = queries.select(F.col(vec_col).cast("array<double>").alias("v"), F.col(id_col))
+    dtab = (
+        _pq_subspaces(qv, id_col, "query_id", num_subspaces, sub)
+        .join(F.broadcast(cb), "m")
+        .select(
+            "query_id",
+            "m",
+            F.col("c").alias("code"),
+            _micro_l2(F.col("sv"), F.col("cv")).alias("d"),
+        )
+    )
+    scored = (
+        codes.join(assigned, id_col)
+        .join(F.broadcast(probe), "cell")
+        .join(F.broadcast(dtab), ["query_id", "m", "code"])
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.sum("d").alias("adist_micro"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist_micro"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def mine_hard_negatives(
     corpus: DataFrame,
     queries: DataFrame,

@@ -346,3 +346,69 @@ def test_oracle_draft_sample_k_per_group(spark, ddb):
         sample_k_per_group(spark.table("documents").select("doc_id", "source"), k=5)
     )
     assert got == _sql_rows(ddb, SAMPLE_K_SQL)
+
+
+# --- 8. IVF-PQ: the s03 cell CTEs composed with the s07 PQ CTEs ------
+#
+# The composition reuses both certified derivations verbatim (same
+# centroid seeding, same integer micro-unit argmin), adding only the
+# cell-pruned candidate join — so the oracle is the s03 SQL's assign/
+# probe CTEs feeding the s07 SQL's codes/ADC CTEs.
+
+def ivfpq_sql(nprobe: int) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cent_v FROM e ORDER BY vec_id LIMIT 8),
+ranked AS (
+  SELECT e.vec_id, e.v, c.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round(list_cosine_similarity(e.v, c.cent_v), 6) DESC, c.cell) AS rn
+  FROM e CROSS JOIN cents c),
+assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+probe AS (SELECT vec_id AS query_id, cell FROM ranked
+          WHERE rn <= {nprobe} AND vec_id < 5),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+  FROM e ORDER BY vec_id LIMIT 16),
+ms AS (SELECT unnest(range(4)) AS m),
+csub AS (SELECT c, m, v[m*16+1 : m*16+16] AS cv FROM cent, ms),
+esub AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS sv FROM e, ms),
+dists AS (
+  SELECT vec_id, m, c,
+         list_sum(list_transform(range(1, 17),
+                  i -> cast(round((sv[i]-cv[i])^2 * 1e6) AS BIGINT))) AS d
+  FROM esub JOIN csub USING (m)),
+codes AS (
+  SELECT vec_id, m, cast(min(d*16 + c) % 16 AS INT) AS code
+  FROM dists GROUP BY vec_id, m),
+dt AS (
+  SELECT es.vec_id AS query_id, es.m, c AS code,
+         list_sum(list_transform(range(1, 17),
+                  i -> cast(round((es.sv[i]-cv[i])^2 * 1e6) AS BIGINT))) AS d
+  FROM esub es JOIN csub USING (m) WHERE es.vec_id < 5),
+scored AS (
+  SELECT dt.query_id, codes.vec_id AS neighbor_id,
+         cast(sum(dt.d) AS BIGINT) AS adist_micro
+  FROM codes
+  JOIN assign ON codes.vec_id = assign.vec_id
+  JOIN probe ON assign.cell = probe.cell
+  JOIN dt ON codes.m = dt.m AND codes.code = dt.code
+         AND dt.query_id = probe.query_id
+  GROUP BY dt.query_id, codes.vec_id)
+SELECT query_id, neighbor_id, adist_micro,
+       cast(row_number() OVER (PARTITION BY query_id
+                               ORDER BY adist_micro, neighbor_id) AS INT) AS rank
+FROM scored WHERE neighbor_id <> query_id
+QUALIFY rank <= 5
+"""
+
+
+@pytest.mark.parametrize("nprobe", [1, 2])
+def test_oracle_draft_ivfpq(spark, ddb, nprobe):
+    from datacatalog_tag_engine_spark.pipeline.similarity import ivfpq_topk
+
+    emb = spark.table("embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    got = _rows(ivfpq_topk(emb, q, k=5, num_cells=8, nprobe=nprobe))
+    assert got == _sql_rows(ddb, ivfpq_sql(nprobe))
+    assert len(got) > 0

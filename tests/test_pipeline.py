@@ -452,3 +452,52 @@ def test_ivf_index_search_pins_no_cache(spark, tmp_path):
         ivf_topk_from_index(spark, path, queries, k=3, nprobe=2).collect()
     after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     assert after == before
+
+
+def test_ivfpq_full_probe_equals_pq_topk(spark):
+    """ivfpq_topk with nprobe=num_cells scores every cell — it must be
+    row-identical to pq_topk (same codebook, same ADC table, same
+    tiebreak), proving the composition adds pruning and nothing else."""
+    from datacatalog_tag_engine_spark.pipeline.similarity import ivfpq_topk, pq_topk
+
+    emb = spark.table("embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    cols = ["query_id", "neighbor_id", "adist_micro", "rank"]
+    got = sorted(
+        ivfpq_topk(emb, q, k=5, num_cells=8, nprobe=8).select(*cols).collect()
+    )
+    want = sorted(pq_topk(emb, q, k=5).select(*cols).collect())
+    assert got == want and len(got) > 0
+
+
+def test_ivfpq_pruned_is_subset_of_full_probe(spark):
+    """At nprobe=1 every returned candidate must live in the query's
+    probed cell (a subset of the full-probe candidate set), and ranks
+    stay dense from 1."""
+    from datacatalog_tag_engine_spark.pipeline.similarity import (
+        ivf_assign_cells,
+        ivfpq_topk,
+    )
+
+    emb = spark.table("embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    res = ivfpq_topk(emb, q, k=5, num_cells=8, nprobe=1)
+    cells = ivf_assign_cells(emb, num_cells=8).select("vec_id", "cell")
+    joined = (
+        res.join(cells.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .withColumnRenamed("cell", "n_cell")
+        .join(
+            cells.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+                "cell", "q_cell"
+            ),
+            "query_id",
+        )
+    )
+    # nprobe=1 probes the query's OWN assignment cell
+    assert joined.filter(F.col("n_cell") != F.col("q_cell")).count() == 0
+    ranks = {
+        (r["query_id"], r["rank"]) for r in res.select("query_id", "rank").collect()
+    }
+    for qid in {k for k, _ in ranks}:
+        rs = sorted(r for q2, r in ranks if q2 == qid)
+        assert rs == list(range(1, len(rs) + 1))
