@@ -1101,3 +1101,67 @@ def train_quality_classifier(
     return spark.createDataFrame(
         [(b, wb) for b, wb in enumerate(w)], "bucket int, w double"
     )
+
+
+def normalize_text(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unicode/whitespace normalization — the stage every web-corpus
+    pipeline runs FIRST (CCNet arXiv:1911.00359 normalizes before
+    paragraph hashing; the Gopher thresholds assume normalized text):
+    line endings unified, control characters stripped, typographic
+    punctuation folded to ASCII, exotic spaces folded to plain spaces,
+    whitespace runs collapsed. Raw crawl text that differs only in
+    curly quotes or NBSP runs hashes apart in every dedup operator —
+    normalizing here is what makes the downstream exact/paragraph/span
+    dedup keys mean "same text".
+
+    Returns (id_col, text_col, n_chars_raw, n_chars, changed) for every
+    input row: ``text_col`` is the normalized text (NULL treated as
+    empty, like the rest of the cleaning family), ``changed`` whether
+    normalization altered the raw text (NULL counts as changed when it
+    becomes '').
+
+    The whole operator is one chain of built-in string expressions —
+    a pure scan projection (zero shuffles, zero Python, whole-stage
+    codegen), and every step replays exactly in ANSI SQL (the DuckDB
+    oracle chains the same translate/replace/regexp_replace calls).
+    """
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    # CRLF / lone CR -> LF first, so CR never hits the control strip
+    t = F.regexp_replace(raw, "\r\n?", "\n")
+    # C0 controls except \t \n, plus DEL — gone
+    t = F.regexp_replace(t, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    # typographic punctuation -> ASCII; exotic spaces -> space;
+    # zero-width space deleted (translate drops unpaired from-chars —
+    # same semantics in Spark and DuckDB/Postgres)
+    t = F.translate(
+        t,
+        "\u2018\u2019\u201a\u201c\u201d\u201e\u2013\u2014\u2212"  # quotes, dashes
+        "\u00a0\u2007\u2009\u200a\u202f\u200b",  # exotic spaces + ZWSP
+        "'''\"\"\"---     ",
+    )
+    t = F.replace(t, F.lit("…"), F.lit("..."))
+    # collapse space/tab runs; strip spaces hugging a newline; cap
+    # blank-line runs at one blank line; trim the ends
+    t = F.regexp_replace(t, "[ \t]+", " ")
+    t = F.regexp_replace(t, " ?\n ?", "\n")
+    t = F.regexp_replace(t, "\n{3,}", "\n\n")
+    t = F.regexp_replace(t, "^[\n ]+|[\n ]+$", "")
+    # temp name first: aliasing the rebuilt text straight to text_col
+    # would let lateral-alias resolution capture later references (the
+    # module-wide rule from remove_repeated_spans)
+    return (
+        docs.select(
+            id_col,
+            F.col(text_col).alias("_raw"),
+            t.alias("_norm"),
+        )
+        .select(
+            id_col,
+            F.col("_norm").alias(text_col),
+            F.coalesce(F.length("_raw"), F.lit(0)).alias("n_chars_raw"),
+            F.length("_norm").alias("n_chars"),
+            (~F.col("_norm").eqNullSafe(F.col("_raw"))).alias("changed"),
+        )
+    )

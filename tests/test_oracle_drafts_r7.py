@@ -412,3 +412,77 @@ def test_oracle_draft_ivfpq(spark, ddb, nprobe):
     got = _rows(ivfpq_topk(emb, q, k=5, num_cells=8, nprobe=nprobe))
     assert got == _sql_rows(ddb, ivfpq_sql(nprobe))
     assert len(got) > 0
+
+
+# --- 9. normalize_text: the same translate/replace/regexp chain ------
+#
+# Every step is a built-in string function with identical semantics in
+# both engines (translate drops unpaired from-chars in Spark and
+# DuckDB/Postgres alike; both regex engines handle the hex classes and
+# {3,} quantifiers the same way on these patterns).
+
+NORMALIZE_SQL = (
+    r"""
+WITH t0 AS (SELECT doc_id, text AS raw, coalesce(text, '') AS t FROM documents),
+n AS (
+  SELECT doc_id, raw,
+    regexp_replace(
+     regexp_replace(
+      regexp_replace(
+       regexp_replace(
+        replace(
+         translate(
+          regexp_replace(
+           regexp_replace(t, '\r\n?', chr(10), 'g'),
+           '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+          '"""
+    + "‘’‚“”„–—−"
+    + "     ​"
+    + r"""', e'\'\'\'"""
+    + '"""'
+    + r"""---     '),
+         '"""
+    + "…"
+    + r"""', '...'),
+        '[ \t]+', ' ', 'g'),
+       ' ?\n ?', chr(10), 'g'),
+      '\n{3,}', chr(10) || chr(10), 'g'),
+     '^[\n ]+|[\n ]+$', '', 'g') AS norm
+  FROM t0)
+SELECT doc_id, norm AS text,
+       coalesce(length(raw), 0) AS n_chars_raw,
+       length(norm) AS n_chars,
+       norm IS DISTINCT FROM raw AS changed
+FROM n
+"""
+)
+
+
+def test_oracle_draft_normalize_text(spark, ddb):
+    from datacatalog_tag_engine_spark.pipeline.text import normalize_text
+
+    got = _rows(normalize_text(spark.table("documents")))
+    assert got == _sql_rows(ddb, NORMALIZE_SQL)
+
+
+def test_oracle_draft_normalize_text_unicode_corpus(spark, ddb):
+    """The smoke corpus is pure ASCII, so the corpus draft exercises
+    only the whitespace rules — this one proves the translate/replace
+    unicode folding agrees cross-engine on the characters it targets."""
+    from datacatalog_tag_engine_spark.pipeline.text import normalize_text
+
+    rows = [
+        (1, "a\r\nb\rc"),
+        (2, "x\x00y\x07z\x7f!"),
+        (3, "‘hi’ “q” — d…"),
+        (4, "a  b​c – e−f"),
+        (5, "  a\t\tb  \n\n\n\n  c  "),
+        (6, None),
+        (7, "clean text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = _rows(normalize_text(df))
+    ddb.execute("CREATE OR REPLACE TABLE _norm_docs (doc_id BIGINT, text VARCHAR)")
+    ddb.executemany("INSERT INTO _norm_docs VALUES (?, ?)", rows)
+    want = _sql_rows(ddb, NORMALIZE_SQL.replace("FROM documents", "FROM _norm_docs"))
+    assert got == want

@@ -540,3 +540,44 @@ def test_hashed_linear_score_ignores_ragged_whitespace(spark):
     )
     got = {r["doc_id"]: (r["n_words"], r["score"]) for r in hashed_linear_score(docs).collect()}
     assert got[1] == got[2]
+
+
+def test_normalize_text_cases(spark):
+    """The tricky inputs: CRLF, controls, curly quotes, NBSP runs,
+    zero-width space, em-dash, ellipsis char, blank-line runs, NULL."""
+    from datacatalog_tag_engine_spark.pipeline.text import normalize_text
+
+    rows = [
+        (1, "a\r\nb\rc"),                       # CRLF + lone CR
+        (2, "x\x00y\x07z\x7f!"),                # controls stripped
+        (3, "‘hi’ “q” — d…"),  # typography
+        (4, "a  b​c"),           # NBSP run + ZWSP
+        (5, "  a\t\tb  \n\n\n\n  c  "),         # whitespace collapse
+        (6, None),                               # NULL -> ''
+        (7, "clean text"),                       # unchanged
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in normalize_text(df).collect()}
+    assert got[1]["text"] == "a\nb\nc"
+    assert got[2]["text"] == "xyz!"
+    assert got[3]["text"] == "'hi' \"q\" - d..."
+    assert got[4]["text"] == "a bc"
+    assert got[5]["text"] == "a b\n\nc"
+    assert got[6]["text"] == "" and got[6]["changed"] is True
+    assert got[6]["n_chars_raw"] == 0
+    assert got[7]["text"] == "clean text" and got[7]["changed"] is False
+    # every row present, stats consistent
+    assert len(got) == 7
+    for r in got.values():
+        assert r["n_chars"] == len(r["text"])
+
+
+def test_normalize_text_is_fixed_point(spark):
+    """Normalizing already-normalized text changes nothing — the
+    operator is idempotent (a pipeline can safely run it twice)."""
+    from datacatalog_tag_engine_spark.pipeline.text import normalize_text
+
+    docs = spark.table("documents")
+    once = normalize_text(docs).select("doc_id", "text")
+    twice = normalize_text(once)
+    assert twice.filter(F.col("changed")).count() == 0
