@@ -1165,3 +1165,81 @@ def normalize_text(
             (~F.col("_norm").eqNullSafe(F.col("_raw"))).alias("changed"),
         )
     )
+
+
+def vocab_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary profile in ONE row — the QA surface a corpus
+    build reads before training a tokenizer or setting filter
+    thresholds: token/type counts, hapax fraction (crawl noise shows
+    up as a hapax explosion), head coverage (what fraction of all
+    tokens the top_k types account for — the broadcast-model and
+    stop-shingle levers depend on this), and the Zipf slope (natural
+    language sits near -1; templated/machine text drifts far off it —
+    Piantadosi, "Zipf's word frequency law in natural language",
+    Psychon Bull Rev 2014).
+
+    The slope is the OLS fit of log(count) on log(rank) over the full
+    vocabulary. Cross-engine determinism: each per-type term (the logs
+    and their product) quantizes to integer micro-units BEFORE the
+    cross-partition sums (the t13 trick), so the regression inputs are
+    exact longs and the only float math is the final closed-form
+    division.
+
+    Scale shape: one corpus explode + word aggregation (the shuffle
+    carries map-side-combined (word, count) partials); everything after
+    is vocabulary-grain. The rank window is a single global sort of the
+    vocabulary — bounded by type count (zipfian, millions at web
+    scale), not corpus size. Returns (n_tokens, n_types, hapax_frac,
+    top{k}_coverage, zipf_slope)."""
+    words = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda w: F.length(w) > 0,
+            )
+        ).alias("word")
+    )
+    from pyspark.sql import Window
+
+    vocab = words.groupBy("word").agg(F.count("*").alias("c"))
+    w = Window.orderBy(F.desc("c"), F.asc("word"))
+    ranked = vocab.select(
+        "c",
+        F.row_number().over(w).alias("rank"),
+    )
+    lx = F.round(F.log(F.col("rank")) * 1_000_000).cast("long")
+    ly = F.round(F.log(F.col("c")) * 1_000_000).cast("long")
+    lxy = F.round(F.log(F.col("rank")) * F.log(F.col("c")) * 1_000_000).cast("long")
+    lxx = F.round(F.log(F.col("rank")) * F.log(F.col("rank")) * 1_000_000).cast("long")
+    agg = ranked.agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("_hapax"),
+        F.sum(F.when(F.col("rank") <= top_k, F.col("c")).otherwise(0)).alias("_top"),
+        F.sum(lx).alias("_sx"),
+        F.sum(ly).alias("_sy"),
+        F.sum(lxy).alias("_sxy"),
+        F.sum(lxx).alias("_sxx"),
+    )
+    n = F.col("n_types").cast("double")
+    sx = F.col("_sx") / 1e6
+    sy = F.col("_sy") / 1e6
+    sxy = F.col("_sxy") / 1e6
+    sxx = F.col("_sxx") / 1e6
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return agg.select(
+        "n_tokens",
+        "n_types",
+        F.round(F.col("_hapax") / F.col("n_types"), 4).alias("hapax_frac"),
+        F.round(F.col("_top") / F.col("n_tokens"), 4).alias(f"top{top_k}_coverage"),
+        # a single-type corpus has no regression (denominator 0):
+        # NULL, not a crash, under ANSI
+        F.round(
+            F.when(F.col("n_types") > 1, slope), 4
+        ).alias("zipf_slope"),
+    )

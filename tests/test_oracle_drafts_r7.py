@@ -486,3 +486,48 @@ def test_oracle_draft_normalize_text_unicode_corpus(spark, ddb):
     ddb.executemany("INSERT INTO _norm_docs VALUES (?, ?)", rows)
     want = _sql_rows(ddb, NORMALIZE_SQL.replace("FROM documents", "FROM _norm_docs"))
     assert got == want
+
+
+# --- 10. vocab_stats: rank window + micro-unit Zipf regression -------
+
+VOCAB_STATS_SQL = r"""
+WITH w AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> length(x) > 0)) AS word
+  FROM documents),
+v AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+r AS (SELECT c, row_number() OVER (ORDER BY c DESC, word) AS rank FROM v),
+a AS (
+  SELECT cast(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
+         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hx,
+         sum(CASE WHEN rank <= 100 THEN c ELSE 0 END) AS tp,
+         sum(cast(round(ln(rank) * 1e6) AS BIGINT)) AS sx6,
+         sum(cast(round(ln(c) * 1e6) AS BIGINT)) AS sy6,
+         sum(cast(round(ln(rank) * ln(c) * 1e6) AS BIGINT)) AS sxy6,
+         sum(cast(round(ln(rank) * ln(rank) * 1e6) AS BIGINT)) AS sxx6
+  FROM r)
+SELECT n_tokens, n_types,
+       round(hx::DOUBLE / n_types, 4) AS hapax_frac,
+       round(tp::DOUBLE / n_tokens, 4) AS top100_coverage,
+       round(CASE WHEN n_types > 1 THEN
+               (n_types * (sxy6/1e6) - (sx6/1e6) * (sy6/1e6))
+             / (n_types * (sxx6/1e6) - (sx6/1e6) * (sx6/1e6)) END,
+             4) AS zipf_slope
+FROM a
+"""
+
+
+def test_oracle_draft_vocab_stats(spark, ddb):
+    from datacatalog_tag_engine_spark.pipeline.text import vocab_stats
+
+    got = _rows(vocab_stats(spark.table("documents")))
+    want = _sql_rows(ddb, VOCAB_STATS_SQL)
+    assert got == want
+    # sanity on the values themselves, not just cross-engine equality
+    (row,) = got
+    by_col = dict(zip(sorted(["n_tokens", "n_types", "hapax_frac",
+                              "top100_coverage", "zipf_slope"]), row))
+    assert by_col["n_tokens"] > by_col["n_types"] > 0
+    assert 0.0 <= by_col["hapax_frac"] <= 1.0
+    assert 0.0 < by_col["top100_coverage"] <= 1.0
+    assert by_col["zipf_slope"] < 0  # frequency falls with rank

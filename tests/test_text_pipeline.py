@@ -581,3 +581,21 @@ def test_normalize_text_is_fixed_point(spark):
     once = normalize_text(docs).select("doc_id", "text")
     twice = normalize_text(once)
     assert twice.filter(F.col("changed")).count() == 0
+
+
+def test_vocab_stats_edge_cases(spark):
+    """Single-type corpus: no regression (NULL slope, not a crash);
+    hapax and coverage still defined. All-empty corpus: zero counts."""
+    from datacatalog_tag_engine_spark.pipeline.text import vocab_stats
+
+    one = spark.createDataFrame([(1, "x x x"), (2, "x")], "doc_id long, text string")
+    (r,) = vocab_stats(one).collect()
+    assert r["n_tokens"] == 4 and r["n_types"] == 1
+    assert r["zipf_slope"] is None
+    assert r["hapax_frac"] == 0.0 and r["top100_coverage"] == 1.0
+
+    empty = spark.createDataFrame([(1, ""), (2, None), (3, "   ")],
+                                  "doc_id long, text string")
+    (r,) = vocab_stats(empty).collect()
+    assert r["n_types"] == 0
+    assert r["n_tokens"] in (None, 0)  # sum over an empty vocab is NULL
