@@ -744,3 +744,114 @@ def ivf_topk_from_index(
         )
     )
     return _topk_by_key(q, c, k, "cell")
+
+
+CODEBOOK_DIR = "_codebook"
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    num_cells: int = 8,
+    num_subspaces: int = 4,
+    num_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Materialize the full IVF-PQ serving layout: the corpus reduced
+    to its PQ codes, written to ``path`` PARTITIONED BY cell, with the
+    centroid table at ``path/_centroids`` and the codebook at
+    ``path/_codebook``. This is the shape a billion-vector index ships
+    in — a search reads nprobe/num_cells of the data, and what it reads
+    is 4-byte codes instead of raw floats (~64x smaller at 4x16), so
+    the two compression axes multiply ON DISK, not just in the plan.
+    Raw vectors are not stored at all; exact re-ranking reads them from
+    the source corpus by id.
+
+    Cells, codes, and codebook come from the same primitives as
+    ``ivfpq_topk``/``pq_encode`` (one definition each), so the
+    persisted index and the in-memory search can never disagree.
+    Returns the centroid table as written."""
+    cents = _default_cents(corpus, num_cells, id_col, vec_col).persist()
+    cb = pq_codebook(corpus, num_subspaces, num_codes, dim, id_col, vec_col)
+    assigned = (
+        _ranked_cells(corpus, num_cells, id_col, vec_col, cents=cents)
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col), "cell")
+    )
+    codes = pq_encode(
+        corpus, num_subspaces, num_codes, dim, id_col, vec_col, codebook=cb
+    )
+    (
+        codes.join(assigned, id_col)
+        .select(id_col, "m", F.col("code").cast("int"), "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    cb.write.mode("overwrite").parquet(f"{path}/{CODEBOOK_DIR}")
+    cents.write.mode("overwrite").parquet(f"{path}/{CENTROIDS_DIR}")
+    cents.unpersist()
+    return corpus.sparkSession.read.parquet(f"{path}/{CENTROIDS_DIR}")
+
+
+def ivfpq_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search against a ``build_ivfpq_index`` layout: rank the
+    query's cells against the persisted centroids, scan ONLY the probed
+    cell partitions of the codes table (the cell IN-list reaches the
+    parquet source as a PartitionFilter), and score through the
+    persisted codebook's per-query ADC tables. Same output shape and
+    values as ``ivfpq_topk`` with the same parameters.
+
+    Serving-loop hygiene (the ``ivf_topk_from_index`` contract): this
+    call persists NOTHING — the centroid and codebook tables are
+    dimension-sized, collected once and re-distributed as local
+    DataFrames, and the probe list is a query-sized collect so the
+    IN-list lands on the scan as a partition filter."""
+    cent_src = spark.read.parquet(f"{path}/{CENTROIDS_DIR}")
+    cent_rows = cent_src.collect()  # dimension-sized: num_cells rows
+    num_cells = len(cent_rows)
+    cents = spark.createDataFrame(cent_rows, cent_src.schema)
+    cb_src = spark.read.parquet(f"{path}/{CODEBOOK_DIR}")
+    cb_rows = cb_src.collect()  # num_subspaces x num_codes rows
+    cb = spark.createDataFrame(cb_rows, cb_src.schema)
+    num_subspaces = 1 + max(r["m"] for r in cb_rows)
+    sub = len(cb_rows[0]["cv"])
+    probe = (
+        _ranked_cells(queries, num_cells, id_col, vec_col, cents=cents)
+        .filter(F.col("_rn") <= nprobe)
+        .select(F.col(id_col).alias("query_id"), "cell")
+    )
+    probed = [r["cell"] for r in probe.select("cell").distinct().collect()]
+    qv = queries.select(F.col(vec_col).cast("array<double>").alias("v"), F.col(id_col))
+    dtab = (
+        _pq_subspaces(qv, id_col, "query_id", num_subspaces, sub)
+        .join(F.broadcast(cb), "m")
+        .select(
+            "query_id",
+            "m",
+            F.col("c").alias("code"),
+            _micro_l2(F.col("sv"), F.col("cv")).alias("d"),
+        )
+    )
+    codes = spark.read.parquet(path).filter(F.col("cell").isin(probed))
+    scored = (
+        codes.join(F.broadcast(probe), "cell")
+        .join(F.broadcast(dtab), ["query_id", "m", "code"])
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.sum("d").alias("adist_micro"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist_micro"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -531,3 +531,22 @@ def test_oracle_draft_vocab_stats(spark, ddb):
     assert 0.0 <= by_col["hapax_frac"] <= 1.0
     assert 0.0 < by_col["top100_coverage"] <= 1.0
     assert by_col["zipf_slope"] < 0  # frequency falls with rank
+
+
+def test_oracle_draft_ivfpq_from_index(spark, ddb, tmp_path):
+    """The persisted IVF-PQ index stores exactly the ivfpq assignment,
+    codes, and codebook, so the partition-pruned serving path replays
+    with the SAME chained s03+s07 SQL the in-memory form is drafted
+    with — hash-checkable, not just equality-vs-ivfpq in pytest."""
+    from datacatalog_tag_engine_spark.pipeline.similarity import (
+        build_ivfpq_index,
+        ivfpq_topk_from_index,
+    )
+
+    emb = spark.table("embeddings")
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, path, num_cells=8)
+    got = _rows(
+        ivfpq_topk_from_index(spark, path, emb.filter(F.col("vec_id") < 5), k=5, nprobe=2)
+    )
+    assert got == _sql_rows(ddb, ivfpq_sql(2))

@@ -501,3 +501,41 @@ def test_ivfpq_pruned_is_subset_of_full_probe(spark):
     for qid in {k for k, _ in ranks}:
         rs = sorted(r for q2, r in ranks if q2 == qid)
         assert rs == list(range(1, len(rs) + 1))
+
+
+def test_ivfpq_index_matches_inmemory_and_prunes(spark, tmp_path):
+    """build_ivfpq_index + ivfpq_topk_from_index: value-identical to
+    the in-memory ivfpq_topk; the probed cell IN-list reaches the codes
+    scan as a PartitionFilter; repeated searches pin no cache blocks."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from datacatalog_tag_engine_spark.pipeline.similarity import (
+        build_ivfpq_index,
+        ivfpq_topk,
+        ivfpq_topk_from_index,
+    )
+
+    emb = spark.table("embeddings")
+    path = str(tmp_path / "ivfpq")
+    cents = build_ivfpq_index(emb, path, num_cells=4)
+    assert cents.count() == 4
+    queries = emb.orderBy("vec_id").limit(5)
+    from_index = ivfpq_topk_from_index(spark, path, queries, k=5, nprobe=2)
+    in_memory = ivfpq_topk(emb, queries, k=5, num_cells=4, nprobe=2)
+    assert sorted(map(tuple, from_index.collect())) == sorted(
+        map(tuple, in_memory.collect())
+    )
+
+    df = ivfpq_topk_from_index(spark, path, queries.limit(2), k=3, nprobe=1)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    m = re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*\]", buf.getvalue())
+    assert m, buf.getvalue()
+
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    for _ in range(2):
+        ivfpq_topk_from_index(spark, path, queries, k=3, nprobe=1).collect()
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == before
