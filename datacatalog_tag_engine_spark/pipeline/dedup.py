@@ -1057,6 +1057,8 @@ def paragraph_dedup(
     min_len: int = 0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    sep_pattern: str = r"\n\s*\n",
+    joiner: str = "\n\n",
 ) -> DataFrame:
     """Corpus-wide paragraph-grain exact dedup, keep-first (the CCNet
     preprocessing step — Wenzek et al., "CCNet: Extracting High Quality
@@ -1084,7 +1086,7 @@ def paragraph_dedup(
     any partitioning (row_number over an explicit total order).
     """
     paras = F.filter(
-        F.split(F.col(text_col), r"\n\s*\n"), lambda p: F.length(F.trim(p)) > 0
+        F.split(F.col(text_col), sep_pattern), lambda p: F.length(F.trim(p)) > 0
     )
     norm = F.lower(F.regexp_replace(F.trim(F.col("_para")), r"\s+", " "))
     exploded = (
@@ -1121,7 +1123,7 @@ def paragraph_dedup(
     )
     rebuilt = kept.groupBy(id_col).agg(
         F.concat_ws(
-            "\n\n",
+            joiner,
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "_para"))),
                 lambda s: s["_para"],
@@ -1143,4 +1145,33 @@ def paragraph_dedup(
                 F.col("n_paragraphs") - F.coalesce(F.col("_n_kept"), F.lit(0))
             ).alias("n_removed"),
         )
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    min_len: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide LINE-grain exact dedup, keep-first — the grain the
+    CCNet reference implementation actually hashes (its "paragraphs"
+    are newline-delimited spans, arXiv:1911.00359 §3.1): navigation
+    items, cookie banners, and footer lines repeat per-LINE across a
+    crawl even inside otherwise-unique paragraphs. Identical machinery,
+    plan shape, and keep-first contract as ``paragraph_dedup`` (one
+    definition — this is that operator parameterized to split on
+    single newlines and rejoin with them); ``min_len`` exempts short
+    lines the same way. Returns (id_col, text_col, n_lines,
+    n_removed)."""
+    return (
+        paragraph_dedup(
+            docs,
+            min_len=min_len,
+            id_col=id_col,
+            text_col=text_col,
+            sep_pattern=r"\n",
+            joiner="\n",
+        )
+        .withColumnRenamed("n_paragraphs", "n_lines")
     )

@@ -550,3 +550,66 @@ def test_oracle_draft_ivfpq_from_index(spark, ddb, tmp_path):
         ivfpq_topk_from_index(spark, path, emb.filter(F.col("vec_id") < 5), k=5, nprobe=2)
     )
     assert got == _sql_rows(ddb, ivfpq_sql(2))
+
+
+# --- 11. line_dedup: the d09 SQL at line grain -----------------------
+
+LINE_DEDUP_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\n'),
+                     s -> length(trim(s)) > 0) AS arr
+  FROM documents),
+p AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(arr)),
+                               i -> {'pos': i, 'para': arr[i+1]}),
+                recursive := true)
+  FROM d),
+n AS (
+  SELECT doc_id, pos, para,
+         lower(regexp_replace(trim(para), '\s+', ' ', 'g')) AS norm
+  FROM p),
+k AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY norm ORDER BY doc_id, pos) AS rn
+  FROM n),
+r AS (
+  SELECT doc_id,
+         string_agg(para, chr(10) ORDER BY pos) AS text,
+         count(*) AS kept
+  FROM k WHERE rn = 1 GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(r.text, '') AS text,
+       len(d.arr)::INT AS n_lines,
+       (len(d.arr) - coalesce(r.kept, 0))::INT AS n_removed
+FROM d LEFT JOIN r USING (doc_id)
+"""
+
+
+def test_oracle_draft_line_dedup(spark, ddb):
+    from datacatalog_tag_engine_spark.pipeline.dedup import line_dedup
+
+    got = _rows(line_dedup(spark.table("documents")))
+    assert got == _sql_rows(ddb, LINE_DEDUP_SQL)
+    # every document comes back (the operator never drops rows); the
+    # smoke corpus has no cross-doc duplicate LINES (verified), so the
+    # dedup rule itself is exercised by the synthetic test below
+    assert len(got) == spark.table("documents").count()
+
+
+def test_line_dedup_removes_cross_doc_lines(spark):
+    from datacatalog_tag_engine_spark.pipeline.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "unique a\nCOOKIE BANNER\nunique b"),
+            (2, "cookie   banner\nunique c"),   # normalized match, later doc
+            (3, "Unique C\nfresh line"),        # case-insensitive match
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    assert got[1]["text"] == "unique a\nCOOKIE BANNER\nunique b"
+    assert got[2]["text"] == "unique c" and got[2]["n_removed"] == 1
+    assert got[3]["text"] == "fresh line" and got[3]["n_removed"] == 1
