@@ -204,3 +204,65 @@ def sample_k_per_group(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def epoch_plan(
+    docs: DataFrame,
+    budget_tokens: int,
+    alpha: float = 0.5,
+    max_epochs: float = 4.0,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """The data-constrained side of the mixing recipe: when a source's
+    temperature-scaled target exceeds what it HAS, a real training mix
+    repeats it — and repetition pays off only so far (Muennighoff et
+    al., "Scaling Data-Constrained Language Models", arXiv:2305.16264:
+    returns decay rapidly past ~4 epochs). ``mixture_weights`` caps
+    rates at 1 (subsampling only); this planner reports the other
+    regime explicitly instead of silently under-delivering the mix.
+
+    Per source: ``target_tokens`` = round(weight x budget), ``epochs``
+    = target/available (round 4), ``planned_tokens`` = min(target,
+    available x max_epochs), ``shortfall_tokens`` = the target tokens
+    that cannot be met within ``max_epochs`` repeats, and
+    ``is_constrained`` when the cap binds. The plan is transparent —
+    shortfall is REPORTED for the caller to re-weight, not silently
+    redistributed, so the emitted mix always matches what the plan
+    says. A zero-token source gets weight 0 (n^alpha = 0), hence target
+    0 and epochs NULL — nothing to repeat, nothing owed.
+
+    Scale shape: rides ``mixture_weights``'s single corpus aggregation;
+    everything here is source-grain arithmetic (a handful of rows)."""
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be > 0, got {budget_tokens}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    base = mixture_weights(docs, alpha, None, strata_col, text_col)
+    target = F.round(F.col("weight") * F.lit(float(budget_tokens))).cast("long")
+    avail = F.col("n_tokens").cast("double")
+    cap = F.round(avail * F.lit(float(max_epochs))).cast("long")
+    planned = F.least(F.col("target_tokens"), cap)
+    return (
+        base.select(
+            strata_col,
+            "n_docs",
+            "n_tokens",
+            "weight",
+            target.alias("target_tokens"),
+        )
+        .select(
+            strata_col,
+            "n_docs",
+            "n_tokens",
+            "weight",
+            "target_tokens",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(F.col("target_tokens") / avail, 4),
+            ).alias("epochs"),
+            planned.alias("planned_tokens"),
+            (F.col("target_tokens") - planned).alias("shortfall_tokens"),
+            (F.col("target_tokens") > cap).alias("is_constrained"),
+        )
+    )

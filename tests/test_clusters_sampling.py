@@ -272,3 +272,41 @@ def test_perplexity_buckets_split_and_ordering(spark):
 
     with pytest.raises(ValueError, match="boundaries"):
         perplexity_buckets(docs, boundaries=(0.9, 0.1))
+
+
+def test_epoch_plan_regimes_and_validation(spark):
+    """Both regimes in one corpus: a tiny source gets constrained (its
+    temperature-boosted target exceeds max_epochs x available) while a
+    large one subsamples; zero-token sources owe nothing; bad
+    parameters fail at call time."""
+    import pytest
+
+    from datacatalog_tag_engine_spark.pipeline.sampling import epoch_plan
+
+    rows = (
+        [(i, "word " * 100, "big") for i in range(50)]
+        + [(100, "tiny doc here", "small")]
+        + [(101, "", "empty")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    plan = {r["source"]: r for r in
+            epoch_plan(docs, budget_tokens=5000, max_epochs=2.0).collect()}
+    small, big, empty = plan["small"], plan["big"], plan["empty"]
+    # tiny source: alpha=0.5 boosts its share far past 2 epochs of data
+    assert small["is_constrained"] and small["shortfall_tokens"] > 0
+    assert small["planned_tokens"] == round(small["n_tokens"] * 2.0)
+    assert small["epochs"] > 2.0
+    # big source: subsampling regime — plan delivers the full target
+    assert not big["is_constrained"] and big["shortfall_tokens"] == 0
+    assert big["planned_tokens"] == big["target_tokens"]
+    # zero tokens -> weight 0, target 0, epochs NULL, nothing owed
+    assert empty["n_tokens"] == 0 and empty["target_tokens"] == 0
+    assert empty["epochs"] is None and not empty["is_constrained"]
+    # totals reconcile: planned + shortfall == target, per source
+    for r in plan.values():
+        assert r["planned_tokens"] + r["shortfall_tokens"] == r["target_tokens"]
+
+    with pytest.raises(ValueError, match="budget_tokens"):
+        epoch_plan(docs, budget_tokens=0)
+    with pytest.raises(ValueError, match="max_epochs"):
+        epoch_plan(docs, budget_tokens=100, max_epochs=0)

@@ -613,3 +613,50 @@ def test_line_dedup_removes_cross_doc_lines(spark):
     assert got[1]["text"] == "unique a\nCOOKIE BANNER\nunique b"
     assert got[2]["text"] == "unique c" and got[2]["n_removed"] == 1
     assert got[3]["text"] == "fresh line" and got[3]["n_removed"] == 1
+
+
+# --- 12. epoch_plan: the q54 mixture CTE + epoch arithmetic ----------
+#
+# budget chosen so at least one source is genuinely constrained at
+# max_epochs=1.5 (the smoke corpus's sources are near-balanced, so a
+# large budget over-asks every source).
+
+EPOCH_PLAN_SQL = r"""
+WITH s AS (
+  SELECT source, count(*) AS n_docs,
+         cast(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+w AS (
+  SELECT source, n_docs, n_tokens,
+         round(pow(n_tokens::DOUBLE, 0.5) / sum(pow(n_tokens::DOUBLE, 0.5)) OVER (), 6) AS weight
+  FROM s),
+t AS (
+  SELECT *, cast(round(weight * 200000) AS BIGINT) AS target_tokens,
+         cast(round(n_tokens * 1.5) AS BIGINT) AS cap
+  FROM w)
+SELECT source, n_docs, n_tokens, weight, target_tokens,
+       CASE WHEN n_tokens > 0
+            THEN round(target_tokens / n_tokens::DOUBLE, 4) END AS epochs,
+       least(target_tokens, cap) AS planned_tokens,
+       target_tokens - least(target_tokens, cap) AS shortfall_tokens,
+       target_tokens > cap AS is_constrained
+FROM t
+"""
+
+
+def test_oracle_draft_epoch_plan(spark, ddb):
+    from datacatalog_tag_engine_spark.pipeline.sampling import epoch_plan
+
+    got = _rows(
+        epoch_plan(spark.table("documents"), budget_tokens=200_000, max_epochs=1.5)
+    )
+    want = _sql_rows(ddb, EPOCH_PLAN_SQL)
+    assert got == want
+    cols = sorted(["source", "n_docs", "n_tokens", "weight", "target_tokens",
+                   "epochs", "planned_tokens", "shortfall_tokens",
+                   "is_constrained"])
+    ic, sf = cols.index("is_constrained"), cols.index("shortfall_tokens")
+    # the budget must actually bind somewhere, and constraint <=> shortfall
+    assert any(r[ic] for r in got)
+    for r in got:
+        assert r[ic] == (r[sf] > 0)
