@@ -1243,3 +1243,37 @@ def vocab_stats(
             F.when(F.col("n_types") > 1, slope), 4
         ).alias("zipf_slope"),
     )
+
+
+def collapse_repeated_lines(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """WITHIN-document cleanup: collapse runs of consecutively repeated
+    lines to their first occurrence (scraped pages duplicate nav items,
+    prompts, and progress lines back-to-back; the Gopher dup_line
+    fraction FLAGS these — this is the repair). Matching is on the
+    trimmed lowercase form; blank lines never match each other (a
+    paragraph break is structure, not repetition). Complements the
+    cross-document ``dedup.line_dedup``: that one needs a corpus-wide
+    shuffle, this one is pure row-local array math — zero shuffles,
+    zero Python, so it composes into any scan for free.
+
+    Returns (id_col, text_col, n_lines, n_removed) for every input
+    document; NULL text behaves as empty."""
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    norm = lambda x: F.lower(F.trim(x))  # noqa: E731 — shared by both lambdas
+    kept = F.filter(
+        lines,
+        lambda x, i: (i == 0)
+        | (F.length(F.trim(x)) == 0)
+        | (norm(x) != norm(F.element_at(lines, i))),  # element_at is 1-based: i = previous
+    )
+    return (
+        docs.select(
+            id_col,
+            F.size(lines).alias("n_lines"),
+            (F.size(lines) - F.size(kept)).alias("n_removed"),
+            F.concat_ws("\n", kept).alias("_clean_text"),
+        )
+        .select(id_col, F.col("_clean_text").alias(text_col), "n_lines", "n_removed")
+    )

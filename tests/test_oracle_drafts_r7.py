@@ -660,3 +660,55 @@ def test_oracle_draft_epoch_plan(spark, ddb):
     assert any(r[ic] for r in got)
     for r in got:
         assert r[ic] == (r[sf] > 0)
+
+
+# --- 13. collapse_repeated_lines: indexed list_filter replay ---------
+#
+# DuckDB's lambda index is 1-based where Spark's is 0-based, so "first
+# line" is i=1 and "previous line" is arr[i-1].
+
+COLLAPSE_LINES_SQL = r"""
+WITH d AS (
+  SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS arr
+  FROM documents),
+k AS (
+  SELECT doc_id, arr,
+         list_filter(arr, (x, i) -> i = 1
+                     OR length(trim(x)) = 0
+                     OR lower(trim(x)) <> lower(trim(arr[i-1]))) AS kept
+  FROM d)
+SELECT doc_id,
+       array_to_string(kept, chr(10)) AS text,
+       len(arr)::INT AS n_lines,
+       (len(arr) - len(kept))::INT AS n_removed
+FROM k
+"""
+
+
+def test_oracle_draft_collapse_repeated_lines(spark, ddb):
+    from datacatalog_tag_engine_spark.pipeline.text import collapse_repeated_lines
+
+    got = _rows(collapse_repeated_lines(spark.table("documents")))
+    assert got == _sql_rows(ddb, COLLAPSE_LINES_SQL)
+
+
+def test_oracle_draft_collapse_repeated_lines_synthetic(spark, ddb):
+    """The corpus may not contain consecutive duplicate lines — pin the
+    collapse rule itself cross-engine on a crafted table."""
+    from datacatalog_tag_engine_spark.pipeline.text import collapse_repeated_lines
+
+    rows = [
+        (1, "a\na\na\nb\nA \nc"),
+        (2, "x\n\n\nx\ny"),
+        (3, None),
+        (4, "next\nNEXT\n next \nok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = _rows(collapse_repeated_lines(df))
+    ddb.execute("CREATE OR REPLACE TABLE _cl_docs (doc_id BIGINT, text VARCHAR)")
+    ddb.executemany("INSERT INTO _cl_docs VALUES (?, ?)", rows)
+    want = _sql_rows(ddb, COLLAPSE_LINES_SQL.replace("FROM documents", "FROM _cl_docs"))
+    assert got == want
+    # sorted columns are (doc_id, n_lines, n_removed, text)
+    by_id = {r[0]: r for r in got}
+    assert by_id[4][3] == "next\nok" and by_id[4][2] == 2
