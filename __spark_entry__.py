@@ -1164,7 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # parallelism comes from input splits. sf0.1 is ONE parquet file,
     # so the query spreads the CPU-heavy row math across the session's
     # width here; a real corpus has thousands of splits and needs no
-    # repartition (4.35 -> ~0.9 s at sf0.1)
+    # repartition (4.35 -> 1.24 s at sf0.1, bench_out.json)
     q["t16_gopher_filter"] = lambda spark, sf: TXT.gopher_filter(
         _docs(spark, sf).repartition(
             int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -1231,7 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + rebuild) and the dedup phase walks `clean` three times
         # (minhash, clusters, apply) — materializing the two stage
         # boundaries keeps the gopher->para->spans prefix from
-        # recomputing per consumer (21.4 -> ~10 s at sf0.1). At 100 TB
+        # recomputing per consumer (21.4 -> 12.6 s at sf0.1, bench_out.json). At 100 TB
         # these boundaries are parquet writes between pipeline stages;
         # localCheckpoint is the single-session analog.
         para = (
@@ -1313,6 +1313,81 @@ sh AS (
                 ELSE [array_to_string(w, ' ')] END) AS shingle
   FROM toks)
 """
+
+
+def _paragraph_cte(src: str, p: str = "") -> str:
+    """CCNet paragraph keep-first dedup over ``src``(doc_id, text) as
+    CTEs {p}d..{p}r — ONE derivation for the d09 per-operator oracle
+    and q59's pd_ stage, so a formula fix propagates to both (the
+    composition oracle previously hand-copied this chain). {p}d carries
+    the split array; {p}r the rejoined kept text + kept count."""
+    return rf"""{p}d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\n\s*\n'),
+                     s -> length(trim(s)) > 0) AS arr
+  FROM {src}),
+{p}p AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(arr)),
+                               i -> {{'pos': i, 'para': arr[i+1]}}),
+                recursive := true)
+  FROM {p}d),
+{p}n AS (
+  SELECT doc_id, pos, para,
+         lower(regexp_replace(trim(para), '\s+', ' ', 'g')) AS norm
+  FROM {p}p),
+{p}k AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY norm ORDER BY doc_id, pos) AS rn
+  FROM {p}n),
+{p}r AS (
+  SELECT doc_id,
+         string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text,
+         count(*) AS kept
+  FROM {p}k WHERE rn = 1 GROUP BY doc_id)"""
+
+
+def _span_cte(src: str, p: str = "") -> str:
+    """Exact-substring span removal (word-8-gram, df >= 2) over
+    ``src``(doc_id, text) as CTEs {p}d..{p}r — ONE derivation for the
+    d08 per-operator oracle and q59's sp_ stage. {p}d carries the
+    lower/original word arrays; {p}cov the covered positions; {p}r the
+    rebuilt text."""
+    return rf"""{p}d AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(lower(text), '\s+') AS wl,
+         regexp_split_to_array(text, '\s+') AS wo
+  FROM {src}),
+{p}g AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0
+              THEN []::STRUCT("start" BIGINT, gram VARCHAR)[]
+              WHEN len(wl) >= 8
+              THEN list_transform(range(len(wl) - 7),
+                                  i -> {{'start': i,
+                                        'gram': array_to_string(wl[i+1:i+8], ' ')}})
+              ELSE [{{'start': 0, 'gram': array_to_string(wl, ' ')}}]
+         END AS grams
+  FROM {p}d),
+{p}pg AS (SELECT doc_id, unnest(grams, recursive := true) FROM {p}g),
+{p}rep AS (SELECT gram FROM {p}pg GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+{p}st AS (SELECT {p}pg.doc_id, {p}pg.start FROM {p}pg JOIN {p}rep USING (gram)),
+{p}cov AS (
+  SELECT DISTINCT {p}st.doc_id,
+         unnest(range({p}st.start, least({p}st.start + 8, len({p}d.wl))))::INT AS j
+  FROM {p}st JOIN {p}d USING (doc_id)),
+{p}words AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(wo)),
+                               j -> {{'j': j, 'word': wo[j+1]}}),
+                recursive := true)
+  FROM {p}d),
+{p}kept AS (
+  SELECT w.doc_id, w.j, w.word
+  FROM {p}words w ANTI JOIN {p}cov c ON w.doc_id = c.doc_id AND w.j = c.j),
+{p}r AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY j) AS text
+  FROM {p}kept GROUP BY doc_id)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2487,42 +2562,8 @@ FROM r
     # d08: exact-substring span removal (arXiv:2107.06499 at word-8-gram
     # grain): any gram in >= 2 docs covers its 8 word positions; covered
     # words are cut and the survivors rejoin with single spaces.
-    o["d08_span_removal"] = r"""
-WITH d AS (
-  SELECT doc_id, text,
-         regexp_split_to_array(lower(text), '\s+') AS wl,
-         regexp_split_to_array(text, '\s+') AS wo
-  FROM documents),
-g AS (
-  SELECT doc_id,
-         CASE WHEN length(trim(text)) = 0
-              THEN []::STRUCT("start" BIGINT, gram VARCHAR)[]
-              WHEN len(wl) >= 8
-              THEN list_transform(range(len(wl) - 7),
-                                  i -> {'start': i,
-                                        'gram': array_to_string(wl[i+1:i+8], ' ')})
-              ELSE [{'start': 0, 'gram': array_to_string(wl, ' ')}]
-         END AS grams
-  FROM d),
-pg AS (SELECT doc_id, unnest(grams, recursive := true) FROM g),
-rep AS (SELECT gram FROM pg GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
-st AS (SELECT pg.doc_id, pg.start FROM pg JOIN rep USING (gram)),
-cov AS (
-  SELECT DISTINCT st.doc_id,
-         unnest(range(st.start, least(st.start + 8, len(d.wl))))::INT AS j
-  FROM st JOIN d USING (doc_id)),
-words AS (
-  SELECT doc_id,
-         unnest(list_transform(range(len(wo)),
-                               j -> {'j': j, 'word': wo[j+1]}),
-                recursive := true)
-  FROM d),
-kept AS (
-  SELECT w.doc_id, w.j, w.word
-  FROM words w ANTI JOIN cov c ON w.doc_id = c.doc_id AND w.j = c.j),
-r AS (
-  SELECT doc_id, string_agg(word, ' ' ORDER BY j) AS text
-  FROM kept GROUP BY doc_id),
+    o["d08_span_removal"] = f"""
+WITH {_span_cte("documents")},
 nrem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
 SELECT d.doc_id,
        coalesce(r.text, '') AS text,
@@ -2533,31 +2574,8 @@ FROM d LEFT JOIN r USING (doc_id) LEFT JOIN nrem USING (doc_id)
 
     # d09: CCNet-style paragraph dedup (arXiv:1911.00359) — keep-first
     # on the whitespace-collapsed lowercase paragraph form.
-    o["d09_paragraph_dedup"] = r"""
-WITH d AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(text, '\n\s*\n'),
-                     s -> length(trim(s)) > 0) AS arr
-  FROM documents),
-p AS (
-  SELECT doc_id,
-         unnest(list_transform(range(len(arr)),
-                               i -> {'pos': i, 'para': arr[i+1]}),
-                recursive := true)
-  FROM d),
-n AS (
-  SELECT doc_id, pos, para,
-         lower(regexp_replace(trim(para), '\s+', ' ', 'g')) AS norm
-  FROM p),
-k AS (
-  SELECT doc_id, pos, para,
-         row_number() OVER (PARTITION BY norm ORDER BY doc_id, pos) AS rn
-  FROM n),
-r AS (
-  SELECT doc_id,
-         string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text,
-         count(*) AS kept
-  FROM k WHERE rn = 1 GROUP BY doc_id)
+    o["d09_paragraph_dedup"] = f"""
+WITH {_paragraph_cte("documents")}
 SELECT d.doc_id,
        coalesce(r.text, '') AS text,
        len(d.arr)::INT AS n_paragraphs,
@@ -2662,66 +2680,11 @@ keep AS (
   WHERE nw BETWEEN 20 AND 100000
     AND mwl BETWEEN 3.0 AND 10.0
     AND sym <= 0.1 AND bullet <= 0.9 AND ell <= 0.3 AND alpha >= 0.8),
-pd_d AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(text, '\\n\\s*\\n'),
-                     s -> length(trim(s)) > 0) AS arr
-  FROM keep),
-pd_p AS (
-  SELECT doc_id,
-         unnest(list_transform(range(len(arr)),
-                               i -> {{'pos': i, 'para': arr[i+1]}}),
-                recursive := true)
-  FROM pd_d),
-pd_n AS (
-  SELECT doc_id, pos, para,
-         lower(regexp_replace(trim(para), '\\s+', ' ', 'g')) AS norm
-  FROM pd_p),
-pd_k AS (
-  SELECT doc_id, pos, para,
-         row_number() OVER (PARTITION BY norm ORDER BY doc_id, pos) AS rn
-  FROM pd_n),
-pd_r AS (
-  SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text
-  FROM pd_k WHERE rn = 1 GROUP BY doc_id),
+{_paragraph_cte("keep", "pd_")},
 para AS (
   SELECT k.doc_id, coalesce(r.text, '') AS text
   FROM pd_d k LEFT JOIN pd_r r USING (doc_id)),
-sp_d AS (
-  SELECT doc_id, text,
-         regexp_split_to_array(lower(text), '\\s+') AS wl,
-         regexp_split_to_array(text, '\\s+') AS wo
-  FROM para),
-sp_g AS (
-  SELECT doc_id,
-         CASE WHEN length(trim(text)) = 0
-              THEN []::STRUCT("start" BIGINT, gram VARCHAR)[]
-              WHEN len(wl) >= 8
-              THEN list_transform(range(len(wl) - 7),
-                                  i -> {{'start': i,
-                                        'gram': array_to_string(wl[i+1:i+8], ' ')}})
-              ELSE [{{'start': 0, 'gram': array_to_string(wl, ' ')}}]
-         END AS grams
-  FROM sp_d),
-sp_pg AS (SELECT doc_id, unnest(grams, recursive := true) FROM sp_g),
-sp_rep AS (SELECT gram FROM sp_pg GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
-sp_st AS (SELECT sp_pg.doc_id, sp_pg.start FROM sp_pg JOIN sp_rep USING (gram)),
-sp_cov AS (
-  SELECT DISTINCT sp_st.doc_id,
-         unnest(range(sp_st.start, least(sp_st.start + 8, len(sp_d.wl))))::INT AS j
-  FROM sp_st JOIN sp_d USING (doc_id)),
-sp_words AS (
-  SELECT doc_id,
-         unnest(list_transform(range(len(wo)),
-                               j -> {{'j': j, 'word': wo[j+1]}}),
-                recursive := true)
-  FROM sp_d),
-sp_kept AS (
-  SELECT w.doc_id, w.j, w.word
-  FROM sp_words w ANTI JOIN sp_cov c ON w.doc_id = c.doc_id AND w.j = c.j),
-sp_r AS (
-  SELECT doc_id, string_agg(word, ' ' ORDER BY j) AS text
-  FROM sp_kept GROUP BY doc_id),
+{_span_cte("para", "sp_")},
 clean AS (
   SELECT d.doc_id, coalesce(r.text, '') AS text
   FROM sp_d d LEFT JOIN sp_r r USING (doc_id)

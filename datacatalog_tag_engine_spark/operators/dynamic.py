@@ -480,12 +480,17 @@ def _schema_predicate_safe(pred: str) -> bool:
     # unsubstituted and silently match nothing, so those predicates must
     # route to the opaque per-asset path (which substitutes everywhere,
     # like the reference's parse_query_expression)
-    no_exact = pred
-    for var in ("$table", "$dataset", "$project"):
-        no_exact = no_exact.replace(f"'{var}'", "")
-    if any("$" in lit for lit in re.findall(r"'[^']*'", no_exact)):
-        return False
-    stripped = re.sub(r"'[^']*'", "", pred)  # drop string literals
+    # literal tokenizer honors SQL quote-escaping ('' inside a literal):
+    # tokenize FIRST, then allow $ only in the three exact forms — a
+    # naive substring removal of '$table' from the escaped literal
+    # '$table''s' (ONE literal whose value is $table's) would leave the
+    # fragment 's' and pass the check on exactly the class it guards
+    literal_re = r"'(?:[^']|'')*'"
+    exact_forms = {"'$table'", "'$dataset'", "'$project'"}
+    for lit in re.findall(literal_re, pred):
+        if "$" in lit and lit not in exact_forms:
+            return False
+    stripped = re.sub(literal_re, "", pred)  # drop string literals
     if "$" in stripped:
         return False
     # postfix negations are AND-conjunct-local (they negate one operand,

@@ -575,6 +575,31 @@ def ivfpq_topk(
         .filter(F.col("_rn") <= nprobe)
         .select(F.col(id_col).alias("query_id"), "cell")
     )
+    cand = codes.join(assigned, id_col).join(F.broadcast(probe), "cell")
+    return _adc_topk(cand, queries, cb, k, num_subspaces, sub, id_col, vec_col)
+
+
+def _adc_topk(
+    cand: DataFrame,
+    queries: DataFrame,
+    cb: DataFrame,
+    k: int,
+    num_subspaces: int,
+    sub: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """THE shared IVF-PQ scoring block (the ``_topk_by_key`` analog for
+    the ADC paths): per-query (m, code) -> micro-distance tables from
+    the codebook, candidate codes summed through them, self excluded,
+    rank by (adist_micro asc, neighbor_id asc), rank <= k. The
+    in-memory ``ivfpq_topk`` and the persisted ``ivfpq_topk_from_index``
+    both route through this ONE definition — the tiebreak, rounding,
+    and self-exclusion are the value-identity contract between the two
+    paths, and a drift would be a silent correctness bug.
+
+    ``cand`` must carry (query_id, <id_col>, m, code) rows already
+    cell-pruned to the probe set."""
     qv = queries.select(F.col(vec_col).cast("array<double>").alias("v"), F.col(id_col))
     dtab = (
         _pq_subspaces(qv, id_col, "query_id", num_subspaces, sub)
@@ -587,9 +612,7 @@ def ivfpq_topk(
         )
     )
     scored = (
-        codes.join(assigned, id_col)
-        .join(F.broadcast(probe), "cell")
-        .join(F.broadcast(dtab), ["query_id", "m", "code"])
+        cand.join(F.broadcast(dtab), ["query_id", "m", "code"])
         .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
         .agg(F.sum("d").alias("adist_micro"))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -721,10 +744,8 @@ def ivf_topk_from_index(
     query table is computed twice (probe-list collect + the scoring
     join) — a query-sized window, the right trade against pinned
     executor memory."""
-    cent_src = spark.read.parquet(f"{path}/{CENTROIDS_DIR}")
-    cent_rows = cent_src.collect()  # dimension-sized: num_cells rows
+    cent_rows, cents = _localize_parquet(spark, f"{path}/{CENTROIDS_DIR}")
     num_cells = len(cent_rows)
-    cents = spark.createDataFrame(cent_rows, cent_src.schema)
     q = (
         _ranked_cells(queries, num_cells, id_col, vec_col, cents=cents)
         .filter(F.col("_rn") <= nprobe)
@@ -747,6 +768,16 @@ def ivf_topk_from_index(
 
 
 CODEBOOK_DIR = "_codebook"
+
+
+def _localize_parquet(spark, path: str):
+    """Collect a DIMENSION-SIZED parquet table (centroids, codebook)
+    and re-distribute it as a local DataFrame: one tiny read per call,
+    nothing persisted — the serving-loop hygiene shared by both indexed
+    search paths. Returns (rows, local_df)."""
+    src = spark.read.parquet(path)
+    rows = src.collect()
+    return rows, spark.createDataFrame(rows, src.schema)
 
 
 def build_ivfpq_index(
@@ -817,13 +848,9 @@ def ivfpq_topk_from_index(
     dimension-sized, collected once and re-distributed as local
     DataFrames, and the probe list is a query-sized collect so the
     IN-list lands on the scan as a partition filter."""
-    cent_src = spark.read.parquet(f"{path}/{CENTROIDS_DIR}")
-    cent_rows = cent_src.collect()  # dimension-sized: num_cells rows
+    cent_rows, cents = _localize_parquet(spark, f"{path}/{CENTROIDS_DIR}")
+    cb_rows, cb = _localize_parquet(spark, f"{path}/{CODEBOOK_DIR}")
     num_cells = len(cent_rows)
-    cents = spark.createDataFrame(cent_rows, cent_src.schema)
-    cb_src = spark.read.parquet(f"{path}/{CODEBOOK_DIR}")
-    cb_rows = cb_src.collect()  # num_subspaces x num_codes rows
-    cb = spark.createDataFrame(cb_rows, cb_src.schema)
     num_subspaces = 1 + max(r["m"] for r in cb_rows)
     sub = len(cb_rows[0]["cv"])
     probe = (
@@ -831,27 +858,11 @@ def ivfpq_topk_from_index(
         .filter(F.col("_rn") <= nprobe)
         .select(F.col(id_col).alias("query_id"), "cell")
     )
+    # the probe set is query-sized — collect the distinct cells so the
+    # IN-list lands on the codes scan as a partition filter (a join
+    # alone would not prune partitions)
     probed = [r["cell"] for r in probe.select("cell").distinct().collect()]
-    qv = queries.select(F.col(vec_col).cast("array<double>").alias("v"), F.col(id_col))
-    dtab = (
-        _pq_subspaces(qv, id_col, "query_id", num_subspaces, sub)
-        .join(F.broadcast(cb), "m")
-        .select(
-            "query_id",
-            "m",
-            F.col("c").alias("code"),
-            _micro_l2(F.col("sv"), F.col("cv")).alias("d"),
-        )
+    cand = spark.read.parquet(path).filter(F.col("cell").isin(probed)).join(
+        F.broadcast(probe), "cell"
     )
-    codes = spark.read.parquet(path).filter(F.col("cell").isin(probed))
-    scored = (
-        codes.join(F.broadcast(probe), "cell")
-        .join(F.broadcast(dtab), ["query_id", "m", "code"])
-        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
-        .agg(F.sum("d").alias("adist_micro"))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("adist_micro"), F.asc("neighbor_id")
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _adc_topk(cand, queries, cb, k, num_subspaces, sub, id_col, vec_col)

@@ -222,6 +222,17 @@ def test_classify_columns_schema_requires_scoped_predicate():
     assert D.classify_columns_query(
         _IS + "table_name = '$table' and table_schema = '$dataset'"
     ) == "schema"
+    # SQL-escaped quote inside a literal: '$table''s' is ONE literal
+    # whose value is $table's — the naive [^']* tokenizer split it into
+    # '$table' + 's' and classified schema-safe (fifth-review finding)
+    assert D.classify_columns_query(
+        _IS + "table_name = '$table''s'"
+    ) == "opaque"
+    # escaped quotes in a $-free literal are harmless and must not
+    # break the exact forms beside them
+    assert D.classify_columns_query(
+        _IS + "table_name = 'it''s' and table_name = '$table'"
+    ) == "schema"
 
 
 def test_discover_columns_schema_is_nullable_ordinal(spark):
