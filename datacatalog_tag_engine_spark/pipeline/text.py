@@ -1104,7 +1104,10 @@ def train_quality_classifier(
 
 
 def normalize_text(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passthrough: bool = False,
 ) -> DataFrame:
     """Unicode/whitespace normalization — the stage every web-corpus
     pipeline runs FIRST (CCNet arXiv:1911.00359 normalizes before
@@ -1120,7 +1123,10 @@ def normalize_text(
     input row: ``text_col`` is the normalized text (NULL treated as
     empty, like the rest of the cleaning family), ``changed`` whether
     normalization altered the raw text (NULL counts as changed when it
-    becomes '').
+    becomes ''). With ``passthrough=True`` it instead returns ALL input
+    columns with ``text_col`` replaced in place and no stat columns —
+    the pipeline-composition form (stream gates, q59-style chains)
+    where the surrounding columns must ride through untouched.
 
     The whole operator is one chain of built-in string expressions —
     a pure scan projection (zero shuffles, zero Python, whole-stage
@@ -1151,6 +1157,11 @@ def normalize_text(
     # temp name first: aliasing the rebuilt text straight to text_col
     # would let lateral-alias resolution capture later references (the
     # module-wide rule from remove_repeated_spans)
+    if passthrough:
+        others = [c for c in docs.columns if c != text_col]
+        return docs.select(*others, t.alias("_norm")).select(
+            *others, F.col("_norm").alias(text_col)
+        )
     return (
         docs.select(
             id_col,

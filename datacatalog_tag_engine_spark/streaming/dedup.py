@@ -63,6 +63,7 @@ def clean_ingest_stream(
     ts_col: str = "ts",
     id_col: str = "doc_id",
     text_col: str = "text",
+    normalize: bool = False,
     **gopher_kwargs,
 ) -> DataFrame:
     """Continuous corpus ingest = quality gate -> dedup, as one stream:
@@ -77,12 +78,20 @@ def clean_ingest_stream(
     filter, then ``dedup_stream``'s deterministic earliest-``ts_col``
     keep-first).
 
+    ``normalize=True`` prepends ``pipeline.text.normalize_text`` (also
+    a stateless projection) so the gate's thresholds and the dedup
+    fingerprint both see normalized text — two re-crawls differing only
+    in curly quotes or NBSP runs dedup to one state row instead of two.
+
     ``gopher_kwargs`` pass through to ``pipeline.text.gopher_filter``
     (thresholds). Output = the surviving documents' original columns
-    plus the content fingerprint.
+    (``text_col`` normalized when requested) plus the content
+    fingerprint.
     """
-    from ..pipeline.text import gopher_filter
+    from ..pipeline.text import gopher_filter, normalize_text
 
+    if normalize:
+        docs = normalize_text(docs, id_col=id_col, text_col=text_col, passthrough=True)
     gated = (
         gopher_filter(docs, id_col=id_col, text_col=text_col, passthrough=True, **gopher_kwargs)
         .filter("keep")

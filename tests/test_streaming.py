@@ -254,3 +254,64 @@ def test_batch_dedup_stream_keeps_earliest_deterministically(spark):
     for frame in (docs, docs.repartition(7)):
         got = {r["doc_id"] for r in dedup_stream(frame).collect()}
         assert got == {1, 3}
+
+
+def test_clean_ingest_stream_normalize_unifies_recrawls(spark, tmp_path):
+    """normalize=True: two re-crawls differing only in exotic
+    whitespace dedup to ONE state row (they fingerprint apart raw),
+    stream == batch, and the surviving text is the normalized form."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from datacatalog_tag_engine_spark.streaming.dedup import clean_ingest_stream
+
+    src = str(tmp_path / "crawl_n")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    base = ("the quick brown fox jumps over that lazy dog and runs far away "
+            "with great speed to have fun in the wide field of golden wheat today")
+    # same words, NBSP + double-space between some of them: the raw
+    # bag-of-words fingerprints DIFFER (the NBSP-joined pair reads as
+    # one "word"), normalized they are identical
+    recrawl = base.replace("lazy dog", "lazy\u00a0dog").replace(
+        "great speed", "great  speed"
+    )
+    rows = [
+        (1, base, datetime.datetime(2024, 1, 1, 0, 0)),
+        (2, recrawl, datetime.datetime(2024, 1, 1, 0, 1)),
+    ]
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(src)
+
+    raw = clean_ingest_stream(spark.read.parquet(src), min_words=10)
+    assert raw.count() == 2  # fingerprints differ without normalization
+    normed = clean_ingest_stream(
+        spark.read.parquet(src), min_words=10, normalize=True
+    )
+    out = normed.collect()
+    assert [r["doc_id"] for r in out] == [1]  # earliest-ts keep-first
+    assert out[0]["text"] == base  # the normalized form survived
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        clean_ingest_stream(
+            stream, watermark="10 minutes", min_words=10, normalize=True
+        )
+        .writeStream.format("memory")
+        .queryName("ingest_norm_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # stream-side "first seen" is delivery order (at-least-once
+    # semantics; only the batch replay is deterministic) — the claim
+    # here is UNIFICATION: one state row, normalized text
+    srows = spark.table("ingest_norm_sink").collect()
+    assert len(srows) == 1
+    assert srows[0]["text"] == base
