@@ -1288,3 +1288,36 @@ def collapse_repeated_lines(
         )
         .select(id_col, F.col("_clean_text").alias(text_col), "n_lines", "n_removed")
     )
+
+
+def apply_decontamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    max_contamination: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The APPLY step for benchmark decontamination: drop every
+    training document whose benchmark n-gram overlap exceeds
+    ``max_contamination`` (default 0.0 — ANY overlapping n-gram
+    disqualifies, the GPT-3 appendix-C rule of removing documents with
+    eval-set collisions). The detect side is ``contamination_check``;
+    this shares its derivation, so detect and apply can never disagree
+    on what counts as an overlap.
+
+    Returns the surviving documents with ALL input columns untouched —
+    documents too short to produce an n-gram have nothing to test and
+    are KEPT (they cannot leak an n-gram they don't contain).
+
+    Scale shape: inherits ``contamination_check``'s plan — the
+    benchmark's distinct shingles broadcast, the corpus explodes once,
+    and the final keep is a broadcast-able left-anti join of the
+    doc-grain flagged set against the corpus (flagged ids <= docs that
+    overlap an eval suite — small by construction)."""
+    flagged = (
+        contamination_check(docs, benchmark, n=n, id_col=id_col, text_col=text_col)
+        .filter(F.col("contamination") > max_contamination)
+        .select(id_col)
+    )
+    return docs.join(flagged, id_col, "left_anti")

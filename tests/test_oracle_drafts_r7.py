@@ -712,3 +712,45 @@ def test_oracle_draft_collapse_repeated_lines_synthetic(spark, ddb):
     # sorted columns are (doc_id, n_lines, n_removed, text)
     by_id = {r[0]: r for r in got}
     assert by_id[4][3] == "next\nok" and by_id[4][2] == 2
+
+
+# --- 14. apply_decontamination: the t10 derivation + anti-join -------
+#
+# Benchmark = every doc with doc_id % 17 == 0 (the DSIR target split —
+# an existing deterministic holdout); the training side is the rest.
+
+DECONTAM_SQL = r"""
+WITH train AS (SELECT * FROM documents WHERE doc_id % 17 <> 0),
+bench AS (SELECT * FROM documents WHERE doc_id % 17 = 0),
+bs AS (
+  SELECT DISTINCT unnest(CASE WHEN len(w) >= 5
+                   THEN list_transform(range(1, len(w) - 3),
+                                       i -> array_to_string(w[i:i+4], ' '))
+                   ELSE [] END) AS shingle
+  FROM (SELECT regexp_split_to_array(lower(text), '\s+') AS w FROM bench)),
+ds AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(w) >= 5
+                 THEN list_transform(range(1, len(w) - 3),
+                                     i -> array_to_string(w[i:i+4], ' '))
+                 ELSE [] END)) AS shingle
+  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w FROM train)),
+flagged AS (
+  SELECT DISTINCT ds.doc_id FROM ds JOIN bs USING (shingle))
+SELECT t.doc_id, t.text, t.lang, t.source, t.n_chars
+FROM train t ANTI JOIN flagged f ON t.doc_id = f.doc_id
+"""
+
+
+def test_oracle_draft_apply_decontamination(spark, ddb):
+    from datacatalog_tag_engine_spark.pipeline.text import apply_decontamination
+
+    docs = spark.table("documents")
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    got = _rows(apply_decontamination(train, bench, n=5))
+    want = _sql_rows(ddb, DECONTAM_SQL)
+    assert got == want
+    # the rule must actually bite on this corpus (bench docs share
+    # 5-grams with training docs) and keep the clean majority
+    assert 0 < len(got) < train.count()
