@@ -754,3 +754,77 @@ def test_oracle_draft_apply_decontamination(spark, ddb):
     # the rule must actually bite on this corpus (bench docs share
     # 5-grams with training docs) and keep the clean majority
     assert 0 < len(got) < train.count()
+
+
+# --- 15. IVF-PQ residual mode: the IVFADC derivation -----------------
+#
+# Residuals are plain double subtractions (IEEE-identical in both
+# engines), then the same micro-unit PQ machinery over the residual
+# space with one ADC table per (query, probed cell).
+
+def ivfpq_residual_sql(nprobe: int) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cent_v FROM e ORDER BY vec_id LIMIT 8),
+ranked AS (
+  SELECT e.vec_id, e.v, c.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round(list_cosine_similarity(e.v, c.cent_v), 6) DESC, c.cell) AS rn
+  FROM e CROSS JOIN cents c),
+assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+resid AS (
+  SELECT a.vec_id, a.cell,
+         list_transform(range(64), i -> e.v[i+1] - c.cent_v[i+1]) AS rv
+  FROM assign a JOIN e ON a.vec_id = e.vec_id JOIN cents c ON a.cell = c.cell),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, rv AS v
+  FROM resid ORDER BY vec_id LIMIT 16),
+ms AS (SELECT unnest(range(4)) AS m),
+csub AS (SELECT c, m, v[m*16+1 : m*16+16] AS cv FROM cent, ms),
+esub AS (SELECT vec_id, m, rv[m*16+1 : m*16+16] AS sv FROM resid, ms),
+dists AS (
+  SELECT vec_id, m, c,
+         list_sum(list_transform(range(1, 17),
+                  i -> cast(round((sv[i]-cv[i])^2 * 1e6) AS BIGINT))) AS d
+  FROM esub JOIN csub USING (m)),
+codes AS (
+  SELECT vec_id, m, cast(min(d*16 + c) % 16 AS INT) AS code
+  FROM dists GROUP BY vec_id, m),
+probe AS (SELECT vec_id AS query_id, cell FROM ranked
+          WHERE rn <= {nprobe} AND vec_id < 5),
+qres AS (
+  SELECT p.query_id, p.cell,
+         list_transform(range(64), i -> e.v[i+1] - c.cent_v[i+1]) AS qr
+  FROM probe p JOIN e ON p.query_id = e.vec_id JOIN cents c ON p.cell = c.cell),
+qsub AS (SELECT query_id, cell, m, qr[m*16+1 : m*16+16] AS sv FROM qres, ms),
+dt AS (
+  SELECT query_id, cell, m, c AS code,
+         list_sum(list_transform(range(1, 17),
+                  i -> cast(round((sv[i]-cv[i])^2 * 1e6) AS BIGINT))) AS d
+  FROM qsub JOIN csub USING (m)),
+scored AS (
+  SELECT dt.query_id, codes.vec_id AS neighbor_id,
+         cast(sum(dt.d) AS BIGINT) AS adist_micro
+  FROM codes
+  JOIN assign ON codes.vec_id = assign.vec_id
+  JOIN dt ON dt.cell = assign.cell AND codes.m = dt.m AND codes.code = dt.code
+  GROUP BY dt.query_id, codes.vec_id)
+SELECT query_id, neighbor_id, adist_micro,
+       cast(row_number() OVER (PARTITION BY query_id
+                               ORDER BY adist_micro, neighbor_id) AS INT) AS rank
+FROM scored WHERE neighbor_id <> query_id
+QUALIFY rank <= 5
+"""
+
+
+@pytest.mark.parametrize("nprobe", [1, 2])
+def test_oracle_draft_ivfpq_residual(spark, ddb, nprobe):
+    from datacatalog_tag_engine_spark.pipeline.similarity import ivfpq_topk
+
+    emb = spark.table("embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    got = _rows(
+        ivfpq_topk(emb, q, k=5, num_cells=8, nprobe=nprobe, by_residual=True)
+    )
+    assert got == _sql_rows(ddb, ivfpq_residual_sql(nprobe))
+    assert len(got) > 0

@@ -551,3 +551,45 @@ def test_ivfpq_index_matches_inmemory_and_prunes(spark, tmp_path):
     for _ in range(2):
         ivfpq_topk_from_index(spark, path, queries, k=3, nprobe=1).collect()
     assert set(_persistent_rdd_ids(spark)) - before == set()
+
+
+def test_ivfpq_residual_translation_invariance(spark):
+    """At num_cells=1 the residual path must be output-identical to the
+    global path: every vector's residual is v - c0, both codebooks
+    shift by the same c0, and L2 is translation-invariant — so every
+    micro-distance (hence every code, ADC table entry, and rank) is
+    equal. A drift here means the residual arithmetic is wrong."""
+    from datacatalog_tag_engine_spark.pipeline.similarity import ivfpq_topk
+
+    emb = spark.table("embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    cols = ["query_id", "neighbor_id", "adist_micro", "rank"]
+    res = sorted(
+        ivfpq_topk(emb, q, k=5, num_cells=1, nprobe=1, by_residual=True)
+        .select(*cols)
+        .collect()
+    )
+    glob = sorted(
+        ivfpq_topk(emb, q, k=5, num_cells=1, nprobe=1, by_residual=False)
+        .select(*cols)
+        .collect()
+    )
+    assert res == glob and len(res) > 0
+
+
+def test_ivfpq_residual_multicell_shape(spark):
+    """Residual mode at several cells: same output shape and candidate
+    discipline as the global path (probed-cell membership, dense
+    ranks, self excluded)."""
+    from datacatalog_tag_engine_spark.pipeline.similarity import ivfpq_topk
+
+    emb = spark.table("embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    res = ivfpq_topk(emb, q, k=5, num_cells=8, nprobe=2, by_residual=True)
+    rows = res.collect()
+    assert rows and all(r["query_id"] != r["neighbor_id"] for r in rows)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
