@@ -319,6 +319,8 @@ class TagEngine:
                         cfg["num_shards"],
                         id_col=cfg.get("id_col", "doc_id"),
                         token_col=cfg.get("token_col"),
+                        data_format=cfg.get("data_format", "parquet"),
+                        compression=cfg.get("compression"),
                     )
                     n = manifest.count()
                 else:

@@ -39,8 +39,10 @@ def write_training_shards(
     num_shards: int,
     id_col: str = "doc_id",
     token_col: str | None = None,
+    data_format: str = "parquet",
+    compression: str | None = None,
 ) -> DataFrame:
-    """Write ``df`` as ``path/shard=K/`` parquet, rows id-sorted within
+    """Write ``df`` as ``path/shard=K/`` files, rows id-sorted within
     files, plus a manifest at ``path/_manifest`` with EXACTLY
     ``num_shards`` rows (shard, n_docs[, n_tokens]) — and return the
     manifest re-read from disk (so callers validate what was actually
@@ -50,20 +52,35 @@ def write_training_shards(
 
     ``token_col``, when given, is summed into the manifest's
     ``n_tokens`` so data-loader schedulers can weight shards.
+
+    ``data_format``: ``parquet`` (default — columnar, footer-count
+    manifest read-back) or ``json`` (JSON Lines, one doc per line —
+    what most training data loaders stream; pair with
+    ``compression='gzip'`` for the conventional ``.jsonl.gz`` shards).
+    The manifest itself is always parquet — it is the machine-read
+    shard map, not loader input. JSON Lines has no column types, so
+    the manifest read-back re-reads with the writer's schema to count
+    what actually landed.
     """
+    if data_format not in ("parquet", "json"):
+        raise ValueError(
+            f"data_format must be 'parquet' or 'json', got {data_format!r}"
+        )
     # a NULL id has no md5 bucket: its rows would land in the Hive
     # default partition, invisible to the shard map — reject up front
     # (limit(1) short-circuits; the scan is id-column-pruned)
     if df.filter(F.col(id_col).isNull()).limit(1).count() > 0:
         raise ValueError(f"{id_col} contains NULL — every row needs a shardable id")
     sharded = shard_assignments(df, num_shards, id_col)
-    (
+    writer = (
         sharded.repartition(num_shards, "shard")
         .sortWithinPartitions("shard", id_col)
         .write.mode("overwrite")
         .partitionBy("shard")
-        .parquet(path)
     )
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    writer.format(data_format).save(path)
     aggs = [F.count(id_col).alias("n_docs")]
     if token_col is not None:
         aggs.append(
@@ -80,7 +97,7 @@ def write_training_shards(
     # explicit schema: an all-empty write leaves only _SUCCESS behind,
     # and a schema-less read of it cannot infer — the manifest must
     # still come out as num_shards zero rows
-    written = spark.read.schema(sharded.schema).parquet(path)
+    written = spark.read.schema(sharded.schema).format(data_format).load(path)
     all_shards = spark.range(num_shards).select(F.col("id").cast("int").alias("shard"))
     (
         all_shards.join(written, "shard", "left")

@@ -76,3 +76,40 @@ def test_null_ids_rejected(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="NULL"):
         EX.write_training_shards(docs, str(tmp_path / "n"), num_shards=2)
+
+
+def test_jsonl_shards_match_parquet_and_stream_as_lines(spark, tmp_path):
+    """data_format='json' + gzip: the conventional .jsonl.gz training
+    shards. Same manifest contract, same deterministic shard
+    membership as parquet; the files are literally one JSON doc per
+    line and a loader-style read round-trips every row."""
+    import gzip
+    import json
+    import os
+
+    from datacatalog_tag_engine_spark.pipeline.export import write_training_shards
+
+    docs = spark.table("documents").select("doc_id", "text", "n_chars")
+    pq = write_training_shards(docs, str(tmp_path / "pq"), 4, token_col="n_chars")
+    jl = write_training_shards(
+        docs, str(tmp_path / "jl"), 4, token_col="n_chars",
+        data_format="json", compression="gzip",
+    )
+    assert sorted(map(tuple, jl.collect())) == sorted(map(tuple, pq.collect()))
+
+    # shard membership identical row-for-row
+    a = spark.read.parquet(str(tmp_path / "pq")).select("doc_id", "shard")
+    b = spark.read.schema(
+        "doc_id long, text string, n_chars long, shard int"
+    ).json(str(tmp_path / "jl")).select("doc_id", "shard")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    # raw loader path: gunzip one file, one JSON object per line
+    shard0 = os.path.join(str(tmp_path / "jl"), "shard=0")
+    fn = next(f for f in os.listdir(shard0) if f.endswith(".json.gz"))
+    with gzip.open(os.path.join(shard0, fn), "rt") as f:
+        lines = [json.loads(line) for line in f]
+    assert lines and all("doc_id" in d and "text" in d for d in lines)
+
+    with __import__("pytest").raises(ValueError, match="data_format"):
+        write_training_shards(docs, str(tmp_path / "bad"), 2, data_format="csv")

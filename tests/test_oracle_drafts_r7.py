@@ -1,15 +1,25 @@
-"""Round-7 rotation prep: DuckDB oracle drafts for the operators that
-entered the package in round 5 but are not yet inventory-certified,
-each proven value-equal to its Spark operator on the smoke corpus HERE
-so next round's queries()/oracle_sql() wiring is mechanical. Runs
-duckdb directly (no driver involvement; the frozen inventory is
-untouched).
+"""Round-7 rotation prep: DuckDB oracle drafts for operators not yet
+inventory-certified, each proven value-equal to its Spark operator on
+the smoke corpus HERE so next round's queries()/oracle_sql() wiring is
+mechanical. Runs duckdb directly (no driver involvement; the frozen
+inventory is untouched).
 
-Covers the seven the r5 verdict listed: BPE apply replay, HLL
-estimate-vs-exact tolerance, perplexity_buckets, classifier trainer
-weights, ivf_topk_from_index (vs the s03 SQL — the persisted index and
-the in-memory search share centroids by construction), the
-clean-ingest batch form, and sample_k_per_group."""
+Fifteen drafts ready for the r7 rotation:
+- the seven round-5 holdouts the r5 verdict listed: BPE apply replay,
+  HLL estimate-vs-exact tolerance, perplexity_buckets, classifier
+  trainer weights, ivf_topk_from_index (vs the s03 SQL), the
+  clean-ingest batch form, sample_k_per_group
+- the round-6 additions: ivfpq_topk (nprobe 1 and 2),
+  ivfpq_topk_from_index (same SQL, partition-pruned path),
+  ivfpq by_residual (full IVFADC), normalize_text (corpus + crafted
+  unicode corpus), vocab_stats (micro-unit Zipf slope), line_dedup
+  (the d09 SQL at line grain), collapse_repeated_lines (corpus +
+  crafted runs), epoch_plan (q54 CTE + epoch arithmetic),
+  apply_decontamination (t10 derivation + anti-join)
+
+r7-rotation note: q59's composition could also grow normalize_text /
+collapse_repeated_lines as stage 0 — that changes certified hashes, so
+it is an inventory edit for a ROUND START, not mid-round."""
 
 import duckdb
 import pytest
