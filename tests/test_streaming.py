@@ -315,3 +315,63 @@ def test_clean_ingest_stream_normalize_unifies_recrawls(spark, tmp_path):
     srows = spark.table("ingest_norm_sink").collect()
     assert len(srows) == 1
     assert srows[0]["text"] == base
+
+
+def test_gate_metrics_stream_matches_batch(spark, tmp_path):
+    """Windowed gate diagnostics: a doc failing N rules counts under
+    each reason, kept docs count once, the mix is per (window, source),
+    and the stream's closed windows equal the batch replay."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from datacatalog_tag_engine_spark.streaming.quality import gate_metrics
+
+    src = str(tmp_path / "gate_src")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    good = ("the quick brown fox jumps over that lazy dog and runs far away "
+            "with great speed to have fun in the wide field of golden wheat today")
+    rows = [
+        (1, good, "web", datetime.datetime(2024, 1, 1, 0, 10)),
+        (2, "spam spam spam", "web", datetime.datetime(2024, 1, 1, 0, 20)),
+        (3, good, "books", datetime.datetime(2024, 1, 1, 1, 10)),  # next window
+        (4, "x y", "web", datetime.datetime(2024, 1, 1, 0, 40)),   # short AND low-stopword
+    ]
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(src)
+
+    batch = gate_metrics(
+        spark.read.parquet(src), window="1 hour", min_words=10
+    )
+    got = {
+        (r["window_start"].hour, r["source"], r["outcome"]): r["n_docs"]
+        for r in batch.collect()
+    }
+    assert got[(0, "web", "kept")] == 1
+    assert got[(1, "books", "kept")] == 1
+    # doc 2 and doc 4 both fail word_count in hour 0; doc 4 adds more
+    assert got[(0, "web", "word_count")] == 2
+    # multi-attribution: doc 4's other failures are also counted
+    assert sum(v for k, v in got.items() if k[0] == 0 and k[1] == "web") > 3
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        gate_metrics(stream, window="1 hour", watermark="2 hours", min_words=10)
+        .writeStream.format("memory")
+        .queryName("gate_metrics_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    sgot = {
+        (r["window_start"].hour, r["source"], r["outcome"]): r["n_docs"]
+        for r in spark.table("gate_metrics_sink").collect()
+    }
+    assert sgot == got
