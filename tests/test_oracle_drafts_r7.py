@@ -838,3 +838,103 @@ def test_oracle_draft_ivfpq_residual(spark, ddb, nprobe):
     )
     assert got == _sql_rows(ddb, ivfpq_residual_sql(nprobe))
     assert len(got) > 0
+
+
+# --- 16. gate_metrics batch form: windowed fail-reason mix -----------
+#
+# documents carries no timestamp; both engines derive the same
+# deterministic one (epoch + doc_id minutes) so the tumbling windows
+# are real. The gate is t16's full-threshold form; outcome explodes to
+# one row per fail reason (kept docs contribute 'kept').
+
+GATE_METRICS_SQL = r"""
+WITH src AS (
+  SELECT doc_id, text, source,
+         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id) MINUTE AS ts
+  FROM documents),
+base AS (
+  SELECT doc_id, source, ts, coalesce(text, '') AS text,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                     x -> length(x) > 0) AS w,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+                     x -> length(x) > 0) AS wl,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\n'),
+                     l -> length(trim(l)) > 0) AS lines
+  FROM src),
+bg AS (
+  SELECT doc_id, max(c) AS top_bg
+  FROM (
+    SELECT doc_id, bigram, count(*) AS c
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(len(wl) - 1),
+                                   i -> wl[i+1] || ' ' || wl[i+2])) AS bigram
+      FROM base WHERE len(wl) >= 2)
+    GROUP BY doc_id, bigram)
+  GROUP BY doc_id),
+f AS (
+  SELECT b.doc_id, b.source, b.ts,
+         len(b.w) AS n_words,
+         CASE WHEN len(b.w) > 0
+              THEN list_sum(list_transform(b.w, x -> length(x))) / len(b.w) END AS mwl,
+         CASE WHEN len(b.w) > 0
+              THEN len(regexp_extract_all(b.text, '#|\.\.\.|…')) / len(b.w) END AS sym,
+         CASE WHEN len(b.lines) > 0
+              THEN len(list_filter(b.lines, l -> regexp_matches(l, '^\s*(\*|-|•)\s')))
+                   / len(b.lines) END AS bullet,
+         CASE WHEN len(b.lines) > 0
+              THEN len(list_filter(b.lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))
+                   / len(b.lines) END AS ell,
+         CASE WHEN len(b.w) > 0
+              THEN len(list_filter(b.w, x -> regexp_matches(x, '[A-Za-z]')))
+                   / len(b.w) END AS alpha,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+                         s -> list_contains(b.wl, s))) AS stop_hits,
+         CASE WHEN len(b.wl) > 0
+              THEN 1.0 - len(list_distinct(b.wl)) / len(b.wl) END AS dupw,
+         CASE WHEN len(b.wl) >= 2 THEN bg.top_bg / (len(b.wl) - 1) END AS topbg
+  FROM base b LEFT JOIN bg USING (doc_id)),
+r AS (
+  SELECT *,
+         list_filter([
+           CASE WHEN n_words < 50 OR n_words > 100000 THEN 'word_count' END,
+           CASE WHEN mwl < 3.0 OR mwl > 10.0 THEN 'mean_word_len' END,
+           CASE WHEN sym > 0.1 THEN 'symbol_ratio' END,
+           CASE WHEN bullet > 0.9 THEN 'bullet_lines' END,
+           CASE WHEN ell > 0.3 THEN 'ellipsis_lines' END,
+           CASE WHEN alpha < 0.8 THEN 'alpha_words' END,
+           CASE WHEN stop_hits < 2 THEN 'stopword_hits' END,
+           CASE WHEN n_words >= 2 AND dupw > 0.3 THEN 'dup_words' END,
+           CASE WHEN n_words >= 2 AND topbg > 0.18 THEN 'top_bigram' END
+         ], x -> x IS NOT NULL) AS fails
+  FROM f),
+oc AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, source,
+         unnest(CASE WHEN len(fails) = 0 THEN ['kept'] ELSE fails END) AS outcome
+  FROM r)
+SELECT window_start,
+       window_start + INTERVAL 1 HOUR AS window_end,
+       source, outcome, count(*) AS n_docs
+FROM oc GROUP BY ALL
+"""
+
+
+def test_oracle_draft_gate_metrics_batch(spark, ddb):
+    from datacatalog_tag_engine_spark.streaming.quality import gate_metrics
+
+    src = spark.table("documents").select(
+        "doc_id",
+        "text",
+        "source",
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(mins=F.col("doc_id").cast("int"))
+        ).alias("ts"),
+    )
+    got = _rows(gate_metrics(src, window="1 hour"))
+    want = _sql_rows(ddb, GATE_METRICS_SQL)
+    assert got == want
+    # sorted columns: (n_docs, outcome, source, window_end, window_start)
+    outcomes = {r[1] for r in got}
+    assert "kept" in outcomes and len(outcomes) > 1  # keeps AND fails present
+    assert len(got) > 2
