@@ -897,15 +897,15 @@ f AS (
 r AS (
   SELECT *,
          list_filter([
-           CASE WHEN n_words < 50 OR n_words > 100000 THEN 'word_count' END,
+           CASE WHEN n_words < 20 OR n_words > 100000 THEN 'word_count' END,
            CASE WHEN mwl < 3.0 OR mwl > 10.0 THEN 'mean_word_len' END,
            CASE WHEN sym > 0.1 THEN 'symbol_ratio' END,
            CASE WHEN bullet > 0.9 THEN 'bullet_lines' END,
            CASE WHEN ell > 0.3 THEN 'ellipsis_lines' END,
            CASE WHEN alpha < 0.8 THEN 'alpha_words' END,
-           CASE WHEN stop_hits < 2 THEN 'stopword_hits' END,
-           CASE WHEN n_words >= 2 AND dupw > 0.3 THEN 'dup_words' END,
-           CASE WHEN n_words >= 2 AND topbg > 0.18 THEN 'top_bigram' END
+           CASE WHEN stop_hits < 0 THEN 'stopword_hits' END,
+           CASE WHEN n_words >= 2 AND dupw > 1.0 THEN 'dup_words' END,
+           CASE WHEN n_words >= 2 AND topbg > 1.0 THEN 'top_bigram' END
          ], x -> x IS NOT NULL) AS fails
   FROM f),
 oc AS (
@@ -931,7 +931,16 @@ def test_oracle_draft_gate_metrics_batch(spark, ddb):
             + F.make_interval(mins=F.col("doc_id").cast("int"))
         ).alias("ts"),
     )
-    got = _rows(gate_metrics(src, window="1 hour"))
+    got = _rows(
+        gate_metrics(
+            src,
+            window="1 hour",
+            min_words=20,
+            min_stopword_hits=0,
+            max_dup_word_frac=1.0,
+            max_top_bigram_frac=1.0,
+        )
+    )
     want = _sql_rows(ddb, GATE_METRICS_SQL)
     assert got == want
     # sorted columns: (n_docs, outcome, source, window_end, window_start)
