@@ -4,13 +4,15 @@ data pipeline would run them, against the driver's sf0.001 testdata.
 
 Stages (each prints its accounting):
 
+0. normalization       normalize_text + collapse_repeated_lines
 1. quality gate        gopher_filter (arXiv:2112.11446 rules)
 2. paragraph dedup     paragraph_dedup (CCNet, arXiv:1911.00359)
 3. span removal        remove_repeated_spans (arXiv:2107.06499)
 4. exact dedup         exact_dedup keep-canonical
 5. LM quality score    bigram_logprob (interpolated bigram)
 6. data selection      dsir_sample (arXiv:2302.03169)
-7. sharded export      write_training_shards + manifest
+6b. decontamination    apply_decontamination (eval-overlap drop)
+7. sharded export      write_training_shards + manifest (.jsonl.gz)
 
 Run: python examples/corpus_prep.py
 """
@@ -32,7 +34,13 @@ from datacatalog_tag_engine_spark.pipeline.dedup import (
 )
 from datacatalog_tag_engine_spark.pipeline.dsir import dsir_sample
 from datacatalog_tag_engine_spark.pipeline.export import write_training_shards
-from datacatalog_tag_engine_spark.pipeline.text import bigram_logprob, gopher_filter
+from datacatalog_tag_engine_spark.pipeline.text import (
+    apply_decontamination,
+    bigram_logprob,
+    collapse_repeated_lines,
+    gopher_filter,
+    normalize_text,
+)
 from datacatalog_tag_engine_spark.session import get_spark, load_parquet
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -44,6 +52,12 @@ def main() -> None:
     docs = load_parquet(spark, f"{SF_DIR}/documents.parquet").select("doc_id", "text")
     n0 = docs.count()
     print(f"input corpus: {n0} docs")
+
+    # 0. normalization: unify whitespace/typography so every downstream
+    # dedup key means "same text"; collapse in-document repeated lines
+    docs = normalize_text(docs, passthrough=True)
+    docs = collapse_repeated_lines(docs).select("doc_id", "text")
+    print("0. normalized + collapsed repeated lines")
 
     # 1. quality gate — thresholds loosened for the synthetic corpus
     # (word-salad testdata has no natural stopword density; on real web
@@ -80,12 +94,19 @@ def main() -> None:
     selected = dsir_sample(canon, target, k=min(100, canon.count()))
     print(f"5/6. DSIR selection: {selected.count()} docs toward {target.count()}-doc target")
 
-    # 7. sharded export with manifest
-    keep = canon.join(selected.select("doc_id"), "doc_id", "left_semi").withColumn(
-        "n_tokens", F.size(F.split("text", r"\s+"))
-    )
+    # 6b. decontamination: no selected doc may share a 5-gram with the
+    # "benchmark" (here: the DSIR target standing in for an eval suite)
+    kept_sel = canon.join(selected.select("doc_id"), "doc_id", "left_semi")
+    decon = apply_decontamination(kept_sel, target, n=5)
+    print(f"6b. decontamination: {decon.count()} of {kept_sel.count()} survive")
+
+    # 7. sharded export with manifest — .jsonl.gz, the loader format
+    keep = decon.withColumn("n_tokens", F.size(F.split("text", r"\s+")))
     with tempfile.TemporaryDirectory() as d:
-        manifest = write_training_shards(keep, f"{d}/shards", num_shards=4, token_col="n_tokens")
+        manifest = write_training_shards(
+            keep, f"{d}/shards", num_shards=4, token_col="n_tokens",
+            data_format="json", compression="gzip",
+        )
         rows = sorted((r["shard"], r["n_docs"], r["n_tokens"]) for r in manifest.collect())
         print("7. export manifest (shard, docs, tokens):", rows)
 
