@@ -266,3 +266,56 @@ def epoch_plan(
             (F.col("target_tokens") > cap).alias("is_constrained"),
         )
     )
+
+
+def materialize_mixture(
+    docs: DataFrame,
+    plan: DataFrame,
+    key_col: str = "doc_id",
+    strata_col: str = "source",
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Emit the corpus an ``epoch_plan`` describes: each source's
+    documents appear ``floor(e)`` times plus a deterministic
+    hash-selected fraction once more, where ``e`` = the plan's
+    ``planned_tokens / n_tokens`` (the max_epochs-capped epochs —
+    subsampling sources have e < 1 and emit a subset, repeated sources
+    have e > 1 and emit full copies plus a remainder). This is the
+    bridge from the PLAN to the corpus a shard export writes: without
+    it, epochs > 1 silently degrades to 1 (a dedup-keyed downstream
+    would also kill repeats — hence the explicit ``epoch`` column, part
+    of the identity of every emitted row).
+
+    Selection is document-grain (a doc is in or out of the remainder
+    whole), so per-source token delivery approximates the plan within
+    one document's tokens times the bucket resolution — exact token
+    packing is ``token_budget_sample``'s job downstream.
+
+    Determinism: copy j of a doc exists iff ``j < floor(e)`` or
+    ``hash(key || ':' || floor(e))`` falls under the remainder rate —
+    the same md5-bucket rule as ``deterministic_sample``, salted with
+    the copy index so the remainder draw is independent of the base
+    copies. Same corpus + plan -> same emitted multiset, any engine,
+    any partitioning.
+
+    Returns the input columns plus ``epoch`` (0-based copy index).
+    Scale shape: the plan is source-grain and broadcasts; the corpus
+    pays one scan + an explode bounded by ceil(e) — no shuffle."""
+    e = F.col("planned_tokens") / F.col("n_tokens")
+    rates = plan.filter(F.col("n_tokens") > 0).select(
+        strata_col,
+        F.floor(e).cast("int").alias("_full"),
+        F.floor((e - F.floor(e)) * buckets + F.lit(0.5)).cast("long").alias("_rem"),
+    )
+    rem_key = F.concat(F.col(key_col).cast("string"), F.lit(":"), F.col("_full"))
+    has_rem = hash_bucket(rem_key, buckets) < F.col("_rem")
+    n_copies = (F.col("_full") + has_rem.cast("int")).alias("_n")
+    return (
+        docs.join(F.broadcast(rates), strata_col)
+        .withColumn("_n", n_copies)
+        .filter(F.col("_n") > 0)
+        .select(
+            *docs.columns,
+            F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("epoch"),
+        )
+    )

@@ -310,3 +310,52 @@ def test_epoch_plan_regimes_and_validation(spark):
         epoch_plan(docs, budget_tokens=0)
     with pytest.raises(ValueError, match="max_epochs"):
         epoch_plan(docs, budget_tokens=100, max_epochs=0)
+
+
+def test_materialize_mixture_delivers_the_plan(spark):
+    """The emitted multiset matches the plan: repeated sources appear
+    floor(e) times plus a hash-selected remainder, subsampled sources
+    appear at most once, epoch indexes are dense per doc, and the mix
+    is layout-independent."""
+    from datacatalog_tag_engine_spark.pipeline.sampling import (
+        epoch_plan,
+        materialize_mixture,
+    )
+
+    rows = (
+        [(i, "word " * 100, "big") for i in range(50)]
+        + [(100 + i, "tiny doc here now", "small") for i in range(4)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    plan = epoch_plan(docs, budget_tokens=5000, max_epochs=3.0)
+    out = materialize_mixture(docs, plan)
+    prows = {r["source"]: r for r in plan.collect()}
+    emitted = out.collect()
+
+    # per-doc copies: epoch indexes dense from 0
+    by_doc = {}
+    for r in emitted:
+        by_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    for eps in by_doc.values():
+        assert sorted(eps) == list(range(len(eps)))
+
+    for src in ("big", "small"):
+        e = prows[src]["planned_tokens"] / prows[src]["n_tokens"]
+        n_src = sum(1 for r in rows if r[2] == src)
+        n_out = sum(1 for r in emitted if r["source"] == src)
+        import math
+
+        lo = math.floor(e) * n_src
+        hi = math.ceil(e) * n_src
+        assert lo <= n_out <= hi, (src, e, n_out)
+    # the constrained source really repeats
+    small_e = prows["small"]["planned_tokens"] / prows["small"]["n_tokens"]
+    assert small_e > 1
+    assert max(len(v) for k, v in by_doc.items() if k >= 100) >= 2
+
+    # layout independence
+    re_emitted = sorted(
+        (r["doc_id"], r["epoch"])
+        for r in materialize_mixture(docs.repartition(7), plan).collect()
+    )
+    assert re_emitted == sorted((r["doc_id"], r["epoch"]) for r in emitted)

@@ -947,3 +947,62 @@ def test_oracle_draft_gate_metrics_batch(spark, ddb):
     outcomes = {r[1] for r in got}
     assert "kept" in outcomes and len(outcomes) > 1  # keeps AND fails present
     assert len(got) > 2
+
+
+# --- 17. materialize_mixture: the epoch plan made corpus -------------
+#
+# Chains the epoch-plan CTE with the copy expansion: floor(e) full
+# copies plus one hash-gated remainder copy, the remainder key salted
+# with floor(e).
+
+MATERIALIZE_SQL = r"""
+WITH s AS (
+  SELECT source, count(*) AS n_docs,
+         cast(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+w AS (
+  SELECT source, n_docs, n_tokens,
+         round(pow(n_tokens::DOUBLE, 0.5) / sum(pow(n_tokens::DOUBLE, 0.5)) OVER (), 6) AS weight
+  FROM s),
+t AS (
+  SELECT source, n_tokens,
+         cast(round(weight * 200000) AS BIGINT) AS target_tokens,
+         cast(round(n_tokens * 1.5) AS BIGINT) AS cap
+  FROM w WHERE n_tokens > 0),
+r AS (
+  SELECT source,
+         least(target_tokens, cap) / n_tokens::DOUBLE AS e
+  FROM t),
+rates AS (
+  SELECT source, cast(floor(e) AS INT) AS nfull,
+         cast(floor((e - floor(e)) * 10000 + 0.5) AS BIGINT) AS rem
+  FROM r),
+j AS (
+  SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, rates.nfull, rates.rem,
+         rates.nfull
+         + CASE WHEN ('0x' || substr(md5(d.doc_id::VARCHAR || ':' || rates.nfull::VARCHAR), 1, 8))::BIGINT % 10000 < rates.rem
+                THEN 1 ELSE 0 END AS n
+  FROM documents d JOIN rates USING (source))
+SELECT doc_id, text, lang, source, n_chars, unnest(range(n))::INT AS epoch
+FROM j WHERE n > 0
+"""
+
+
+def test_oracle_draft_materialize_mixture(spark, ddb):
+    from datacatalog_tag_engine_spark.pipeline.sampling import (
+        epoch_plan,
+        materialize_mixture,
+    )
+
+    docs = spark.table("documents")
+    plan = epoch_plan(docs, budget_tokens=200_000, max_epochs=1.5)
+    got = _rows(
+        materialize_mixture(docs, plan).select(
+            "doc_id", "text", "lang", "source", "n_chars",
+            F.col("epoch").cast("int").alias("epoch"),
+        )
+    )
+    want = _sql_rows(ddb, MATERIALIZE_SQL)
+    assert got == want
+    # at this budget at least one source repeats (epoch 1 rows exist)
+    assert any(r[1] == 1 for r in got)  # sorted cols: doc_id, epoch, ...
