@@ -1321,3 +1321,64 @@ def apply_decontamination(
         .select(id_col)
     )
     return docs.join(flagged, id_col, "left_anti")
+
+
+def chunk_text(
+    docs: DataFrame,
+    chunk_words: int = 200,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window chunking WITH the text: each document yields
+    word-grain windows of ``chunk_words`` every ``stride`` words
+    (default = ``chunk_words``, i.e. disjoint; a smaller stride
+    overlaps adjacent chunks — the retrieval/context-training shape
+    where a fact straddling a boundary must appear whole in SOME
+    chunk). ``chunk_documents`` is the counts-only manifest sibling.
+
+    Chunk count is ``1 + ceil((n_words - chunk_words) / stride)`` when
+    the doc overflows one window, else one chunk — so the final window
+    may be short but every word is covered and no empty trailing
+    window is emitted. Docs with no words (empty/NULL text) yield no
+    rows. Returns (id_col, chunk_id, text_col, n_words, start_word).
+
+    Pure row-local array math (split once, slice per window) — no
+    shuffle, no Python; the explode is bounded by n_words/stride."""
+    if chunk_words < 1:
+        raise ValueError(f"chunk_words must be >= 1, got {chunk_words}")
+    stride = chunk_words if stride is None else stride
+    if not 1 <= stride <= chunk_words:
+        raise ValueError(
+            f"stride must be in [1, chunk_words], got {stride} vs {chunk_words}"
+        )
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    n = F.size(words)
+    n_chunks = F.when(
+        n <= chunk_words, F.lit(1)
+    ).otherwise(F.lit(1) + F.ceil((n - F.lit(chunk_words)) / F.lit(stride)).cast("int"))
+    return (
+        docs.select(id_col, words.alias("_w"), n.alias("_n"), n_chunks.alias("_nc"))
+        .filter(F.col("_n") > 0)
+        .select(
+            id_col,
+            "_w",
+            "_n",
+            F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.concat_ws(
+                " ",
+                F.slice(F.col("_w"), F.col("chunk_id") * stride + 1, chunk_words),
+            ).alias(text_col),
+            F.least(
+                F.lit(chunk_words), F.col("_n") - F.col("chunk_id") * F.lit(stride)
+            ).alias("n_words"),
+            (F.col("chunk_id") * stride).alias("start_word"),
+        )
+    )

@@ -1006,3 +1006,43 @@ def test_oracle_draft_materialize_mixture(spark, ddb):
     assert got == want
     # at this budget at least one source repeats (epoch 1 rows exist)
     assert any(r[1] == 1 for r in got)  # sorted cols: doc_id, epoch, ...
+
+
+# --- 18. chunk_text: sliding windows as slice arithmetic -------------
+
+CHUNK_TEXT_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                     x -> length(x) > 0) AS w
+  FROM documents),
+n AS (
+  SELECT doc_id, w, len(w) AS nw,
+         CASE WHEN len(w) <= 40 THEN 1
+              ELSE 1 + cast(ceil((len(w) - 40) / 30.0) AS INT) END AS nc
+  FROM d WHERE len(w) > 0),
+c AS (SELECT doc_id, w, nw, unnest(range(nc))::INT AS chunk_id FROM n)
+SELECT doc_id, chunk_id,
+       array_to_string(w[chunk_id*30 + 1 : chunk_id*30 + 40], ' ') AS text,
+       least(40, nw - chunk_id*30)::INT AS n_words,
+       (chunk_id * 30)::INT AS start_word
+FROM c
+"""
+
+
+def test_oracle_draft_chunk_text(spark, ddb):
+    from datacatalog_tag_engine_spark.pipeline.text import chunk_text
+
+    got = _rows(
+        chunk_text(spark.table("documents"), chunk_words=40, stride=30).select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            "text",
+            F.col("n_words").cast("int").alias("n_words"),
+            F.col("start_word").cast("int").alias("start_word"),
+        )
+    )
+    want = _sql_rows(ddb, CHUNK_TEXT_SQL)
+    assert got == want
+    # multi-chunk docs with genuine overlap exist on the corpus
+    assert len(got) > spark.table("documents").filter("length(text) > 0").count()

@@ -599,3 +599,41 @@ def test_vocab_stats_edge_cases(spark):
     (r,) = vocab_stats(empty).collect()
     assert r["n_types"] == 0
     assert r["n_tokens"] in (None, 0)  # sum over an empty vocab is NULL
+
+
+def test_chunk_text_overlap_and_coverage(spark):
+    """Sliding windows: every word covered, overlap = chunk - stride,
+    no empty trailing window, empty/NULL docs yield nothing, and
+    stride = chunk is exactly disjoint."""
+    from datacatalog_tag_engine_spark.pipeline.text import chunk_text
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "x"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    got = chunk_text(df, chunk_words=4, stride=3).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2}
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["start_word"] for r in c1] == [0, 3, 6]
+    assert [r["text"] for r in c1] == ["w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9"]
+    # full coverage: the union of [start, start+n_words) is [0, 10)
+    covered = set()
+    for r in c1:
+        covered |= set(range(r["start_word"], r["start_word"] + r["n_words"]))
+    assert covered == set(range(10))
+    # disjoint mode reconstructs the document exactly
+    dis = sorted(
+        chunk_text(df.filter("doc_id = 1"), chunk_words=4).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert " ".join(r["text"] for r in dis) == " ".join(f"w{i}" for i in range(10))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="stride"):
+        chunk_text(df, chunk_words=4, stride=5)
+    with pytest.raises(ValueError, match="chunk_words"):
+        chunk_text(df, chunk_words=0)
