@@ -299,8 +299,20 @@ def materialize_mixture(
     any partitioning.
 
     Returns the input columns plus ``epoch`` (0-based copy index).
+    A document whose source the plan does not cover (or covers with
+    zero tokens) FAILS the job loudly (row-level ``raise_error`` — no
+    validation pre-pass, no extra job): a plan computed on yesterday's
+    snapshot silently dropping today's new source would ship an
+    undercounted mix with nobody told.
+
     Scale shape: the plan is source-grain and broadcasts; the corpus
     pays one scan + an explode bounded by ceil(e) — no shuffle."""
+    for reserved in ("epoch", "_n", "_full", "_rem"):
+        if reserved in docs.columns:
+            raise ValueError(
+                f"input already has a {reserved!r} column — rename it "
+                "before materialize_mixture"
+            )
     e = F.col("planned_tokens") / F.col("n_tokens")
     rates = plan.filter(F.col("n_tokens") > 0).select(
         strata_col,
@@ -309,9 +321,17 @@ def materialize_mixture(
     )
     rem_key = F.concat(F.col(key_col).cast("string"), F.lit(":"), F.col("_full"))
     has_rem = hash_bucket(rem_key, buckets) < F.col("_rem")
-    n_copies = (F.col("_full") + has_rem.cast("int")).alias("_n")
+    n_copies = F.when(
+        F.col("_full").isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("materialize_mixture: source not in plan (or zero tokens): "),
+                F.col(strata_col),
+            )
+        ).cast("int"),
+    ).otherwise(F.col("_full") + has_rem.cast("int"))
     return (
-        docs.join(F.broadcast(rates), strata_col)
+        docs.join(F.broadcast(rates), strata_col, "left")
         .withColumn("_n", n_copies)
         .filter(F.col("_n") > 0)
         .select(

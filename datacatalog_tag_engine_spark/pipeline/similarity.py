@@ -408,18 +408,29 @@ def _micro_l2(a: Column, b: Column) -> Column:
     return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, t: acc + t)
 
 
-def _pq_subspaces(df: DataFrame, id_col: str, id_alias: str, num_subspaces: int, sub: int) -> DataFrame:
-    """Explode (id, v) into (id_alias, m, sv): one row per subspace
-    slice of the ``v`` column."""
+def _pq_subspaces(
+    df: DataFrame,
+    id_col: str,
+    id_alias: str,
+    num_subspaces: int,
+    sub: int,
+    extra: tuple = (),
+) -> DataFrame:
+    """Explode (id, v) into (id_alias[, *extra], m, sv): one row per
+    subspace slice of the ``v`` column. THE one definition of the
+    (m*sub+1, sub) slicing layout — codebooks, corpus codes, and every
+    ADC table (global and residual) route through it, so a layout
+    change cannot desynchronize encode from search. ``extra`` columns
+    ride through unchanged (the residual path carries ``cell``)."""
     pieces = F.array(
         *[
             F.struct(F.lit(m).alias("m"), F.slice(F.col("v"), m * sub + 1, sub).alias("sv"))
             for m in range(num_subspaces)
         ]
     )
-    return df.select(F.col(id_col).alias(id_alias), F.explode(pieces).alias("p")).select(
-        id_alias, F.col("p.m").alias("m"), F.col("p.sv").alias("sv")
-    )
+    return df.select(
+        F.col(id_col).alias(id_alias), *extra, F.explode(pieces).alias("p")
+    ).select(id_alias, *extra, F.col("p.m").alias("m"), F.col("p.sv").alias("sv"))
 
 
 def pq_codebook(
@@ -604,19 +615,16 @@ def ivfpq_topk(
             )
         )
         # one ADC table per (query, probed cell): the query's RESIDUAL
-        # against that cell's centroid, sliced like the codebook
-        pieces = F.array(
-            *[
-                F.struct(
-                    F.lit(m).alias("m"),
-                    F.slice(F.col("qr"), m * sub + 1, sub).alias("sv"),
-                )
-                for m in range(num_subspaces)
-            ]
-        )
+        # against that cell's centroid, sliced by the shared layout
         dtab = (
-            qresid.select("query_id", "cell", F.explode(pieces).alias("p"))
-            .select("query_id", "cell", F.col("p.m").alias("m"), F.col("p.sv").alias("sv"))
+            _pq_subspaces(
+                qresid.select("query_id", "cell", F.col("qr").alias("v")),
+                "query_id",
+                "query_id",
+                num_subspaces,
+                sub,
+                extra=("cell",),
+            )
             .join(F.broadcast(cb), "m")
             .select(
                 "query_id",

@@ -1158,10 +1158,20 @@ def normalize_text(
     # would let lateral-alias resolution capture later references (the
     # module-wide rule from remove_repeated_spans)
     if passthrough:
-        others = [c for c in docs.columns if c != text_col]
-        return docs.select(*others, t.alias("_norm")).select(
-            *others, F.col("_norm").alias(text_col)
-        )
+        if "_norm" in docs.columns:
+            raise ValueError(
+                "input already has a '_norm' column — rename it before "
+                "normalize_text(passthrough=True)"
+            )
+        # text_col keeps its ORIGINAL position: a consumer doing
+        # positional writes (insertInto, union-by-position) must see the
+        # same schema order with normalization on or off
+        first = [F.col(c) if c != text_col else t.alias("_norm") for c in docs.columns]
+        second = [
+            F.col(c) if c != text_col else F.col("_norm").alias(text_col)
+            for c in docs.columns
+        ]
+        return docs.select(*first).select(*second)
     return (
         docs.select(
             id_col,
@@ -1315,9 +1325,14 @@ def apply_decontamination(
     and the final keep is a broadcast-able left-anti join of the
     doc-grain flagged set against the corpus (flagged ids <= docs that
     overlap an eval suite — small by construction)."""
+    # the drop predicate uses the UNROUNDED ratio (n_matched vs
+    # threshold * n_shingles): contamination_check's 4-decimal display
+    # rounding would let a >20k-shingle doc with one genuine eval
+    # collision round to 0.0000 and ship the leak (the rounded-feature
+    # vs unrounded-predicate rule gopher_filter documents)
     flagged = (
         contamination_check(docs, benchmark, n=n, id_col=id_col, text_col=text_col)
-        .filter(F.col("contamination") > max_contamination)
+        .filter(F.col("n_matched") > F.lit(max_contamination) * F.col("n_shingles"))
         .select(id_col)
     )
     return docs.join(flagged, id_col, "left_anti")
@@ -1335,7 +1350,11 @@ def chunk_text(
     (default = ``chunk_words``, i.e. disjoint; a smaller stride
     overlaps adjacent chunks — the retrieval/context-training shape
     where a fact straddling a boundary must appear whole in SOME
-    chunk). ``chunk_documents`` is the counts-only manifest sibling.
+    chunk). NOT interchangeable with ``chunk_documents``: that one
+    manifests counts at TOKEN_REGEX-token grain (punctuation splits),
+    this one slices at whitespace-WORD grain so the emitted text
+    rejoins exactly — plan capacity from the same grain you
+    materialize with.
 
     Chunk count is ``1 + ceil((n_words - chunk_words) / stride)`` when
     the doc overflows one window, else one chunk — so the final window

@@ -4,7 +4,9 @@ the smoke corpus HERE so next round's queries()/oracle_sql() wiring is
 mechanical. Runs duckdb directly (no driver involvement; the frozen
 inventory is untouched).
 
-Fifteen drafts ready for the r7 rotation:
+Eighteen drafts ready for the r7 rotation (this list IS the rotation
+work-list — every entry needs a queries()/oracle_sql() pair at round
+start):
 - the seven round-5 holdouts the r5 verdict listed: BPE apply replay,
   HLL estimate-vs-exact tolerance, perplexity_buckets, classifier
   trainer weights, ivf_topk_from_index (vs the s03 SQL), the
@@ -15,7 +17,10 @@ Fifteen drafts ready for the r7 rotation:
   unicode corpus), vocab_stats (micro-unit Zipf slope), line_dedup
   (the d09 SQL at line grain), collapse_repeated_lines (corpus +
   crafted runs), epoch_plan (q54 CTE + epoch arithmetic),
-  apply_decontamination (t10 derivation + anti-join)
+  apply_decontamination (t10 derivation + anti-join), gate_metrics
+  batch form (windowed fail-reason mix, relaxed gate),
+  materialize_mixture (epoch plan made corpus, repeats present),
+  chunk_text (sliding windows at 40/30)
 
 r7-rotation note: q59's composition could also grow normalize_text /
 collapse_repeated_lines as stage 0 — that changes certified hashes, so

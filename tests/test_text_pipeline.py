@@ -637,3 +637,20 @@ def test_chunk_text_overlap_and_coverage(spark):
         chunk_text(df, chunk_words=4, stride=5)
     with pytest.raises(ValueError, match="chunk_words"):
         chunk_text(df, chunk_words=0)
+
+
+def test_apply_decontamination_unrounded_predicate(spark):
+    """A >20k-shingle doc with ONE genuine benchmark 5-gram must still
+    drop at max_contamination=0: the display-rounded contamination
+    (round(1/20001, 4) == 0.0) must not gate the drop rule."""
+    from datacatalog_tag_engine_spark.pipeline.text import apply_decontamination
+
+    leak = "leak one two three four"
+    big = " ".join(f"w{i}" for i in range(30_000)) + " " + leak
+    docs = spark.createDataFrame(
+        [(1, big), (2, "totally clean words only here")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, leak)], "doc_id long, text string")
+    kept = [r["doc_id"] for r in apply_decontamination(docs, bench, n=5).collect()]
+    assert kept == [2]
