@@ -1401,3 +1401,65 @@ def chunk_text(
             (F.col("chunk_id") * stride).alias("start_word"),
         )
     )
+
+
+# fixed-order HTML strip rules; RE2/Java-compatible (no lookaround, no
+# backreferences) so a SQL engine replays them exactly. (?is) = dotall
+# + case-insensitive, expressed per-engine-portably as [\s\S] and
+# explicit case classes where needed.
+_HTML_STRIP_RULES = (
+    # script/style/noscript blocks go WITH their contents
+    (r"(?i)<script[\s\S]*?</script\s*>", " "),
+    (r"(?i)<style[\s\S]*?</style\s*>", " "),
+    (r"(?i)<noscript[\s\S]*?</noscript\s*>", " "),
+    (r"<!--[\s\S]*?-->", " "),
+    # block-level closers become line breaks so structure survives as
+    # newlines (paragraph/line dedup downstream depends on it)
+    (r"(?i)</(p|div|li|h[1-6]|tr|table|ul|ol|blockquote|section|article)\s*>", "\n"),
+    (r"(?i)<br\s*/?\s*>", "\n"),
+    # every remaining tag drops
+    (r"<[^>]*>", " "),
+)
+
+# minimal entity set, fixed order; numeric entities handled generically
+_HTML_ENTITIES = (
+    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+)
+
+
+def strip_html(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """HTML -> text, the stage BEFORE normalization in a web pipeline:
+    script/style/noscript/comment blocks drop with their contents,
+    block-element closers and <br> become newlines (so paragraph/line
+    structure survives for the dedup operators), remaining tags drop,
+    and the common named entities decode. This is the regexp-chain
+    form of boilerplate-free extraction — deterministic and
+    SQL-replayable, not a DOM parser; malformed markup degrades to
+    extra whitespace, never to an error. Compose as
+    strip_html -> normalize_text -> (gate, dedup, ...): the
+    normalization pass collapses the whitespace this stage leaves.
+
+    Returns (id_col, text_col, had_markup); NULL text behaves as
+    empty. Pure scan projection: a chain of regexp_replace/replace
+    expressions — zero shuffles, zero Python."""
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    t = raw
+    for pat, repl in _HTML_STRIP_RULES:
+        t = F.regexp_replace(t, pat, repl)
+    for ent, ch in _HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return (
+        docs.select(
+            id_col,
+            raw.alias("_raw"),
+            t.alias("_stripped"),
+        )
+        .select(
+            id_col,
+            F.col("_stripped").alias(text_col),
+            (~F.col("_stripped").eqNullSafe(F.col("_raw"))).alias("had_markup"),
+        )
+    )

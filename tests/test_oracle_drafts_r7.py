@@ -1051,3 +1051,55 @@ def test_oracle_draft_chunk_text(spark, ddb):
     assert got == want
     # multi-chunk docs with genuine overlap exist on the corpus
     assert len(got) > spark.table("documents").filter("length(text) > 0").count()
+
+
+# --- 19. strip_html: the same regexp chain in RE2 --------------------
+#
+# Both engines run RE2-compatible patterns; DuckDB needs the explicit
+# 'g' flag where Spark's regexp_replace is global by default.
+
+def strip_html_sql(src: str) -> str:
+    from datacatalog_tag_engine_spark.pipeline.text import (
+        _HTML_ENTITIES,
+        _HTML_STRIP_RULES,
+    )
+
+    t = "coalesce(text, '')"
+    for pat, repl in _HTML_STRIP_RULES:
+        # DuckDB string literals are NOT C-escaped: the regex pattern
+        # passes through verbatim, only quotes double
+        p = pat.replace("'", "''")
+        r = repl.replace("\n", "' || chr(10) || '")
+        t = f"regexp_replace({t}, '{p}', '{r}', 'g')"
+    for ent, ch in _HTML_ENTITIES:
+        ch_sql = ch.replace("'", "''")
+        t = f"replace({t}, '{ent}', '{ch_sql}')"
+    return f"""
+SELECT doc_id, {t} AS text,
+       {t} IS DISTINCT FROM coalesce(text, '') AS had_markup
+FROM {src}
+"""
+
+
+def test_oracle_draft_strip_html(spark, ddb):
+    from datacatalog_tag_engine_spark.pipeline.text import strip_html
+
+    rows = [
+        (1, "<html><head><style>p{c}</style><SCRIPT>var x;</script></head>"
+            "<body><p>Hello &amp; welcome</p><div>line two</div><br>"
+            "<ul><li>item</li></ul><!-- hidden -->tail&nbsp;end</body></html>"),
+        (2, "plain text stays"),
+        (3, None),
+        (4, "<p>broken <b>markup"),
+        (5, "a &lt; b &gt; c &quot;q&quot; &#39;s&#39;"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ddb.execute("CREATE OR REPLACE TABLE _html_docs (doc_id BIGINT, text VARCHAR)")
+    ddb.executemany("INSERT INTO _html_docs VALUES (?, ?)", rows)
+    got = _rows(strip_html(df))
+    want = _sql_rows(ddb, strip_html_sql("_html_docs"))
+    assert got == want
+    # the corpus passthrough: markup-free docs come back untouched
+    cgot = _rows(strip_html(spark.table("documents")))
+    cwant = _sql_rows(ddb, strip_html_sql("documents"))
+    assert cgot == cwant

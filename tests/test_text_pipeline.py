@@ -654,3 +654,38 @@ def test_apply_decontamination_unrounded_predicate(spark):
     bench = spark.createDataFrame([(100, leak)], "doc_id long, text string")
     kept = [r["doc_id"] for r in apply_decontamination(docs, bench, n=5).collect()]
     assert kept == [2]
+
+
+def test_strip_html_cases(spark):
+    from datacatalog_tag_engine_spark.pipeline.text import normalize_text, strip_html
+
+    df = spark.createDataFrame(
+        [
+            (1, "<html><head><style>p{c}</style><SCRIPT>var x;</script></head>"
+                "<body><p>Hello &amp; welcome</p><div>line two</div><br>"
+                "<ul><li>item</li></ul><!-- hidden -->tail&nbsp;end</body></html>"),
+            (2, "plain text stays"),
+            (3, None),
+            (4, "<p>broken <b>markup"),   # unclosed: degrades, never errors
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in strip_html(df).collect()}
+    assert "Hello & welcome" in got[1]["text"]
+    assert "var x" not in got[1]["text"] and "p{c}" not in got[1]["text"]
+    assert "hidden" not in got[1]["text"]
+    assert got[1]["had_markup"]
+    # block closers became newlines (structure survives for dedup)
+    assert "\n" in got[1]["text"]
+    assert got[2]["text"] == "plain text stays" and not got[2]["had_markup"]
+    assert got[3]["text"] == "" and not got[3]["had_markup"]
+    assert "markup" in got[4]["text"] and "<" not in got[4]["text"]
+
+    # the documented composition: strip -> normalize leaves clean text
+    clean = {
+        r["doc_id"]: r["text"]
+        for r in normalize_text(strip_html(df)).collect()
+    }
+    # adjacent block closers (</div><br>, </li></ul>) leave blank
+    # lines, which normalize caps at one each
+    assert clean[1] == "Hello & welcome\nline two\n\nitem\n\ntail end"
