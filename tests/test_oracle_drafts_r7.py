@@ -4,7 +4,7 @@ the smoke corpus HERE so next round's queries()/oracle_sql() wiring is
 mechanical. Runs duckdb directly (no driver involvement; the frozen
 inventory is untouched).
 
-Eighteen drafts ready for the r7 rotation (this list IS the rotation
+Nineteen drafts ready for the r7 rotation (this list IS the rotation
 work-list — every entry needs a queries()/oracle_sql() pair at round
 start):
 - the seven round-5 holdouts the r5 verdict listed: BPE apply replay,
@@ -20,7 +20,8 @@ start):
   apply_decontamination (t10 derivation + anti-join), gate_metrics
   batch form (windowed fail-reason mix, relaxed gate),
   materialize_mixture (epoch plan made corpus, repeats present),
-  chunk_text (sliding windows at 40/30)
+  chunk_text (sliding windows at 40/30), strip_html (rule-table-built
+  SQL, crafted markup + corpus passthrough)
 
 r7-rotation note: q59's composition could also grow normalize_text /
 collapse_repeated_lines as stage 0 — that changes certified hashes, so
