@@ -1403,28 +1403,37 @@ def chunk_text(
     )
 
 
-# fixed-order HTML strip rules; RE2/Java-compatible (no lookaround, no
-# backreferences) so a SQL engine replays them exactly. (?is) = dotall
-# + case-insensitive, expressed per-engine-portably as [\s\S] and
-# explicit case classes where needed.
+# fixed-order HTML strip rules; RE2/Java-compatible (no lookarounds,
+# no backreferences; \z not $ — Java's $ also matches before a final
+# newline, RE2's does not) so a SQL engine replays them exactly.
 _HTML_STRIP_RULES = (
-    # script/style/noscript blocks go WITH their contents
-    (r"(?i)<script[\s\S]*?</script\s*>", " "),
-    (r"(?i)<style[\s\S]*?</style\s*>", " "),
-    (r"(?i)<noscript[\s\S]*?</noscript\s*>", " "),
-    (r"<!--[\s\S]*?-->", " "),
+    # script/style/noscript blocks go WITH their contents; the \z
+    # alternate bounds an UNCLOSED block (truncated crawl doc) so raw
+    # JS/CSS never leaks into the cleaned text
+    (r"(?i)<script[\s\S]*?(</script\s*>|\z)", " "),
+    (r"(?i)<style[\s\S]*?(</style\s*>|\z)", " "),
+    (r"(?i)<noscript[\s\S]*?(</noscript\s*>|\z)", " "),
+    (r"<!--[\s\S]*?(-->|\z)", " "),
     # block-level closers become line breaks so structure survives as
     # newlines (paragraph/line dedup downstream depends on it)
     (r"(?i)</(p|div|li|h[1-6]|tr|table|ul|ol|blockquote|section|article)\s*>", "\n"),
-    (r"(?i)<br\s*/?\s*>", "\n"),
-    # every remaining tag drops
-    (r"<[^>]*>", " "),
+    (r"(?i)<br\b[^>]*>", "\n"),  # \b + attr tail: <br>, <br/>, <br class=x>
+    # every remaining TAG drops — the name-start class keeps a stray
+    # '<' in prose/code ('if x < 10 and y > 3') from swallowing text
+    (r"</?[A-Za-z!][^>]*>", " "),
 )
 
-# minimal entity set, fixed order; numeric entities handled generically
+# fixed entity table, decoded in declaration order. &amp; is
+# deliberately LAST: decoding it first would turn a double-escaped
+# sample ('&amp;lt;div&amp;gt;') into live '<div>' AFTER tag stripping
+# already ran. Only these literals decode (named + the common numeric
+# forms) — there is no generic &#NNNN; pass.
 _HTML_ENTITIES = (
-    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-    ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+    ("&nbsp;", " "), ("&#160;", " "),
+    ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#34;", '"'),
+    ("&#39;", "'"), ("&#x27;", "'"), ("&apos;", "'"),
+    ("&amp;", "&"),
 )
 
 

@@ -1093,6 +1093,10 @@ def test_oracle_draft_strip_html(spark, ddb):
         (3, None),
         (4, "<p>broken <b>markup"),
         (5, "a &lt; b &gt; c &quot;q&quot; &#39;s&#39;"),
+        (6, "if x < 10 and y > 3: print(y)"),       # prose '<' is not a tag
+        (7, "<p>Intro</p><script>var t = {u: 1};"),  # unclosed block bounded
+        (8, "use &amp;lt;div&amp;gt; to make a box"),  # stays escaped
+        (9, 'one<br class="clear">two &#160;&#8217;x'),  # attr br; raw &#8217 passes through
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     ddb.execute("CREATE OR REPLACE TABLE _html_docs (doc_id BIGINT, text VARCHAR)")

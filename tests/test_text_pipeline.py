@@ -680,6 +680,24 @@ def test_strip_html_cases(spark):
     assert got[2]["text"] == "plain text stays" and not got[2]["had_markup"]
     assert got[3]["text"] == "" and not got[3]["had_markup"]
     assert "markup" in got[4]["text"] and "<" not in got[4]["text"]
+    # seventh-review hardening: prose/code '<' is NOT a tag (name-start
+    # class), unclosed blocks never leak their contents, double-escaped
+    # entities stay escaped text, attributed <br> still breaks lines
+    extra = spark.createDataFrame(
+        [
+            (10, "if x < 10 and y > 3: print(y)"),
+            (11, "<p>Intro</p><script>var tracking = {uid: 1};"),
+            (12, "use &amp;lt;div&amp;gt; to make a box"),
+            (13, 'line one<br class="clear">line two'),
+        ],
+        "doc_id long, text string",
+    )
+    egot = {r["doc_id"]: r for r in strip_html(extra).collect()}
+    assert egot[10]["text"] == "if x < 10 and y > 3: print(y)"
+    assert not egot[10]["had_markup"]
+    assert "tracking" not in egot[11]["text"] and "Intro" in egot[11]["text"]
+    assert egot[12]["text"] == "use &lt;div&gt; to make a box"
+    assert egot[13]["text"] == "line one\nline two"
 
     # the documented composition: strip -> normalize leaves clean text
     clean = {
