@@ -4,7 +4,7 @@ the smoke corpus HERE so next round's queries()/oracle_sql() wiring is
 mechanical. Runs duckdb directly (no driver involvement; the frozen
 inventory is untouched).
 
-Nineteen drafts ready for the r7 rotation (this list IS the rotation
+Twenty drafts ready for the r7 rotation (this list IS the rotation
 work-list — every entry needs a queries()/oracle_sql() pair at round
 start):
 - the seven round-5 holdouts the r5 verdict listed: BPE apply replay,
@@ -21,11 +21,13 @@ start):
   batch form (windowed fail-reason mix, relaxed gate),
   materialize_mixture (epoch plan made corpus, repeats present),
   chunk_text (sliding windows at 40/30), strip_html (rule-table-built
-  SQL, crafted markup + corpus passthrough)
+  SQL, crafted markup + corpus passthrough), and q59v2 — the planned
+  stage-0 q59 upgrade (normalize + collapse prefixed), proven by
+  injecting the cleaned CTE into the CURRENT certified q59 oracle
 
-r7-rotation note: q59's composition could also grow normalize_text /
-collapse_repeated_lines as stage 0 — that changes certified hashes, so
-it is an inventory edit for a ROUND START, not mid-round."""
+r7-rotation note: swapping q59 to the q59v2 stage-0 form changes
+certified hashes, so it is an inventory edit for a ROUND START, not
+mid-round — the draft below already proves the upgraded oracle."""
 
 import duckdb
 import pytest
@@ -1108,3 +1110,106 @@ def test_oracle_draft_strip_html(spark, ddb):
     cgot = _rows(strip_html(spark.table("documents")))
     cwant = _sql_rows(ddb, strip_html_sql("documents"))
     assert cgot == cwant
+
+
+# --- 20. q59v2: the stage-0-extended composition (r7 q59 upgrade) ----
+#
+# Next round's planned q59 edit prepends normalize_text +
+# collapse_repeated_lines; this draft proves the upgraded composition
+# value-equal NOW by injecting a `cleaned` stage-0 CTE into the
+# CURRENT certified q59 oracle (one string surgery on its single
+# `FROM documents`), so the round-7 rotation is again wiring.
+
+def _normalize_expr_sql(col: str) -> str:
+    """The normalize_text chain as one SQL expression over ``col`` —
+    the same steps NORMALIZE_SQL spells out, reusable inside other
+    compositions."""
+    return (
+        r"""regexp_replace(
+     regexp_replace(
+      regexp_replace(
+       regexp_replace(
+        replace(
+         translate(
+          regexp_replace(
+           regexp_replace(coalesce(""" + col + r""", ''), '\r\n?', chr(10), 'g'),
+           '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+          '"""
+        + "‘’‚“”„–—−"
+        + "     ​"
+        + r"""', e'\'\'\'"""
+        + '"""'
+        + r"""---     '),
+         '"""
+        + "…"
+        + r"""', '...'),
+        '[ \t]+', ' ', 'g'),
+       ' ?\n ?', chr(10), 'g'),
+      '\n{3,}', chr(10) || chr(10), 'g'),
+     '^[\n ]+|[\n ]+$', '', 'g')"""
+    )
+
+
+def q59v2_sql() -> str:
+    import __spark_entry__ as E
+
+    base = E.oracle_sql()["q59_clean_pipeline"]
+    assert base.count("FROM documents") == 1
+    stage0 = (
+        "n0 AS (SELECT doc_id, " + _normalize_expr_sql("text") + """ AS text
+  FROM documents),
+c0 AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM n0),
+cleaned AS (
+  SELECT doc_id,
+         array_to_string(list_filter(arr, (x, i) -> i = 1
+                         OR length(trim(x)) = 0
+                         OR lower(trim(x)) <> lower(trim(arr[i-1]))),
+                         chr(10)) AS text
+  FROM c0),"""
+    )
+    # rewrite the BODY's source first, THEN inject stage0 (whose own
+    # n0 must keep reading FROM documents)
+    out = base.replace("FROM documents", "FROM cleaned")
+    return out.replace("WITH RECURSIVE\n", "WITH RECURSIVE\n" + stage0 + "\n", 1)
+
+
+def test_oracle_draft_q59v2_stage0_composition(spark, ddb):
+    import __spark_entry__ as E
+    from datacatalog_tag_engine_spark.pipeline.text import (
+        collapse_repeated_lines,
+        normalize_text,
+    )
+
+    # stage 0 on the Spark side, then the CURRENT certified q59 body
+    # applied to the cleaned corpus via the same queries() code path:
+    # rebuild its chain on a temp view standing in for `documents`
+    docs = spark.table("documents")
+    cleaned = collapse_repeated_lines(
+        normalize_text(docs, passthrough=True)
+    ).select("doc_id", "text")
+    # q59's callable reads _docs(spark, sf) -> table "documents"; rather
+    # than monkeypatch, inline the same chain the entry defines
+    from datacatalog_tag_engine_spark.pipeline import dedup as DD
+    from datacatalog_tag_engine_spark.pipeline import text as TXT
+    from datacatalog_tag_engine_spark.pipeline.export import shard_assignments
+
+    base = cleaned.repartition(8)
+    g = TXT.gopher_filter(
+        base, min_words=20, min_stopword_hits=0,
+        max_dup_word_frac=1.0, max_top_bigram_frac=1.0,
+    )
+    kept = base.join(g.filter("keep").select("doc_id"), "doc_id", "left_semi")
+    para = DD.paragraph_dedup(kept).select("doc_id", "text").localCheckpoint(eager=True)
+    spans = DD.remove_repeated_spans(para, n=8, min_docs=2).select("doc_id", "text")
+    clean = spans.filter(F.length(F.trim(F.col("text"))) > 0).localCheckpoint(eager=True)
+    pairs = DD.minhash_dedup(clean)
+    clusters = DD.neardup_clusters(clean, pairs)
+    canon = DD.apply_neardup_dedup(clean, clusters)
+    nw = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda w: F.length(w) > 0))
+    got = _rows(
+        shard_assignments(canon.select("doc_id", nw.alias("n_words")), 4).select(
+            "doc_id", "shard", "n_words"
+        )
+    )
+    want = _sql_rows(ddb, q59v2_sql())
+    assert got == want and len(got) > 0
