@@ -1193,6 +1193,7 @@ def vocab_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     top_k: int = 100,
+    rank_buckets: int = 1024,
 ) -> DataFrame:
     """Corpus vocabulary profile in ONE row — the QA surface a corpus
     build reads before training a tokenizer or setting filter
@@ -1213,9 +1214,27 @@ def vocab_stats(
 
     Scale shape: one corpus explode + word aggregation (the shuffle
     carries map-side-combined (word, count) partials); everything after
-    is vocabulary-grain. The rank window is a single global sort of the
-    vocabulary — bounded by type count (zipfian, millions at web
-    scale), not corpus size. Returns (n_tokens, n_types, hapax_frac,
+    is vocabulary-grain. Ranking is DISTRIBUTED: no output depends on
+    WHICH type inside a count-tie group gets which rank — the ln/ln²
+    sums depend only on the group's rank RANGE {r0+1..r0+m}, and the
+    top-k cutoff only on how many of those ranks are <= k — so ranks
+    are assigned per (count, hash-bucket) sub-group with analytic
+    offsets instead of one global row_number over the full vocabulary
+    (a raw-crawl whitespace vocabulary runs to billions of types; one
+    task sorting it would BE the job):
+
+        rank = r0(c) + off(c, bucket) + row_number within (c, bucket)
+
+    r0 comes from the count-of-counts histogram (<= ~sqrt(2N) rows for
+    N tokens since distinct count values sum to <= N — a one-task
+    cumulative walk over at most millions of tiny (c, m) rows, not
+    billions of types); off from the (c, bucket) histogram windowed
+    PER COUNT VALUE (partitions of <= rank_buckets rows); the only
+    per-type window is partitioned by (c, bucket), so the largest tie
+    group (hapaxes) splits across rank_buckets tasks. The rank SET per
+    group — hence every emitted value — is bit-identical to the global
+    window form (pytest-proven on tie-heavy corpora incl. a top_k that
+    splits a tie group). Returns (n_tokens, n_types, hapax_frac,
     top{k}_coverage, zipf_slope)."""
     words = docs.select(
         F.explode(
@@ -1228,10 +1247,31 @@ def vocab_stats(
     from pyspark.sql import Window
 
     vocab = words.groupBy("word").agg(F.count("*").alias("c"))
-    w = Window.orderBy(F.desc("c"), F.asc("word"))
-    ranked = vocab.select(
-        "c",
-        F.row_number().over(w).alias("rank"),
+    vb = vocab.select(
+        "word", "c", F.pmod(F.xxhash64("word"), F.lit(rank_buckets)).alias("bucket")
+    )
+    gb = vb.groupBy("c", "bucket").agg(F.count("*").alias("m_cb"))
+    # r0(c): types with a strictly higher count (histogram-grain walk)
+    hc = gb.groupBy("c").agg(F.sum("m_cb").alias("m_c"))
+    w_hist = Window.orderBy(F.desc("c")).rowsBetween(Window.unboundedPreceding, -1)
+    r0 = hc.select("c", F.coalesce(F.sum("m_c").over(w_hist), F.lit(0)).alias("r0"))
+    # off(c, bucket): types of the same count in lower buckets
+    w_off = (
+        Window.partitionBy("c")
+        .orderBy(F.asc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = gb.select(
+        "c", "bucket", F.coalesce(F.sum("m_cb").over(w_off), F.lit(0)).alias("off")
+    )
+    w_rn = Window.partitionBy("c", "bucket").orderBy(F.asc("word"))
+    ranked = (
+        vb.join(off, ["c", "bucket"])
+        .join(r0, "c")
+        .select(
+            "c",
+            (F.col("r0") + F.col("off") + F.row_number().over(w_rn)).alias("rank"),
+        )
     )
     lx = F.round(F.log(F.col("rank")) * 1_000_000).cast("long")
     ly = F.round(F.log(F.col("c")) * 1_000_000).cast("long")
