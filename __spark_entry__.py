@@ -44,9 +44,26 @@ Coverage map (SURVEY.md section 2.10 + training-data operators):
   q58      deterministic training-shard assignment
   t17      interpolated bigram LM score
   s08      hard-negative mining (ANN candidates minus positives)
-  q59      the cleaning pipeline COMPOSED end-to-end: Gopher gate ->
-           paragraph dedup -> span removal -> minhash canonical keep
-           -> shard assignment (one DataFrame chain, one oracle)
+  q59v2    the cleaning pipeline COMPOSED end-to-end (r7 stage-0
+           upgrade of the r6-certified q59): normalize + collapse
+           repeated lines -> Gopher gate -> paragraph dedup -> span
+           removal -> minhash canonical keep -> shard assignment
+           (one DataFrame chain, one oracle)
+  t18      BPE merge-list apply (frozen trained artifact replay)
+  q60      HLL distinct estimate (exact + within-tolerance flag)
+  t19      perplexity buckets (unigram LM + exact percentile cuts)
+  t20      quality-classifier trainer (micro-unit GD, weights replay)
+  s09/s11  persisted IVF / IVF-PQ index serving (partition-pruned,
+           same SQL as the in-memory forms -> hash-checkable)
+  s10/s12  IVF-PQ top-k + residual IVFADC (cell pruning x PQ codes)
+  q61      clean-ingest batch form (gate -> keep-first dedup)
+  q62      deterministic k-per-group sample
+  t21-t23  normalize_text; vocab_stats (distributed Zipf rank);
+           collapse_repeated_lines
+  d10      line-grain corpus dedup (paragraph_dedup parameterization)
+  q63-q65  epoch plan (data-constrained scaling); gate-metrics
+           monitor (batch form); materialized mixture corpus
+  t24-t26  decontamination apply; sliding-window chunking; strip_html
 """
 
 from __future__ import annotations
@@ -1204,19 +1221,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["s08_hard_negatives"] = s08
 
-    def q59(spark, sf):
+    def q59v2(spark, sf):
         # The full cleaning pipeline a real corpus-prep run executes,
-        # composed as ONE DataFrame chain: Gopher quality gate ->
-        # paragraph dedup (CCNet; must run BEFORE span removal, which
-        # whitespace-normalizes away the paragraph structure) ->
-        # exact-substring span removal -> drop emptied docs -> MinHash
-        # near-dup dedup (canonical keep) -> deterministic shard
-        # assignment. Certifying the COMPOSITION catches contract drift
-        # between stages that the per-operator rows cannot.
+        # composed as ONE DataFrame chain — the r7 stage-0 upgrade of
+        # the r6-certified q59 (proven as a draft in
+        # tests/test_oracle_drafts_r7.py before this rotation):
+        # normalize_text + collapse_repeated_lines (stage 0, raw-crawl
+        # hygiene BEFORE any content rule sees the text) -> Gopher
+        # quality gate -> paragraph dedup (CCNet; must run BEFORE span
+        # removal, which whitespace-normalizes away the paragraph
+        # structure) -> exact-substring span removal -> drop emptied
+        # docs -> MinHash near-dup dedup (canonical keep) ->
+        # deterministic shard assignment. Certifying the COMPOSITION
+        # catches contract drift between stages that the per-operator
+        # rows cannot.
         from datacatalog_tag_engine_spark.pipeline.export import shard_assignments
 
+        cleaned = TXT.collapse_repeated_lines(
+            TXT.normalize_text(_docs(spark, sf), passthrough=True)
+        ).select("doc_id", "text")
         # one-file corpus: spread the gate's row math (see t16)
-        docs = _docs(spark, sf).repartition(
+        docs = cleaned.repartition(
             int(spark.conf.get("spark.sql.shuffle.partitions"))
         )
         g = TXT.gopher_filter(
@@ -1251,43 +1276,247 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "shard", "n_words"
         )
 
-    q["q59_clean_pipeline"] = q59
+    q["q59v2_clean_pipeline"] = q59v2
+
+    # --- round-7 rotation: the twenty operators drafted AND proven
+    # value-equal against DuckDB in tests/test_oracle_drafts_r7.py last
+    # round enter the inventory; the oracle strings are the proven
+    # drafts verbatim (module-level constants above, which the drafts
+    # file now imports — one copy, no drift) ---
+
+    def t18(spark, sf):
+        # BPE merge-list replay: the inventory query APPLIES the frozen
+        # trained artifact (BPE_MERGES) — the t14 placeholder-weights
+        # pattern — so the encode loop is hash-checkable at any SF
+        from datacatalog_tag_engine_spark.pipeline import bpe
+
+        return bpe.bpe_apply(_docs(spark, sf), BPE_MERGES).select(
+            "doc_id", F.concat_ws("|", "tokens").alias("tokens"), "n_tokens"
+        )
+
+    q["t18_bpe_apply"] = t18
+
+    def q60(spark, sf):
+        # HLL estimate certified the s05-recall way: the hash-checked
+        # output is the exact distinct + a within-tolerance flag (the
+        # sketch binary itself is not SQL-replayable)
+        from datacatalog_tag_engine_spark.pipeline.sketches import (
+            hll_estimate,
+            hll_sketch_by_group,
+        )
+
+        docs = _docs(spark, sf)
+        est = hll_estimate(hll_sketch_by_group(docs, "source", "doc_id"), "source")
+        exact = docs.groupBy("source").agg(F.countDistinct("doc_id").alias("exact"))
+        return est.join(exact, "source").select(
+            "source",
+            "exact",
+            (F.abs(F.col("estimate") - F.col("exact")) / F.col("exact") <= 0.02).alias(
+                "within_2pct"
+            ),
+        )
+
+    q["q60_hll_tolerance"] = q60
+
+    q["t19_perplexity_buckets"] = lambda spark, sf: TXT.perplexity_buckets(
+        _docs(spark, sf)
+    )
+
+    def t20(spark, sf):
+        # logistic-regression trainer: micro-unit margins/gradients
+        # make every GD iteration exact, so the weights hash-match the
+        # unrolled CTE chain
+        docs = _docs(spark, sf)
+        pos = docs.filter(F.col("doc_id") % 2 == 0)
+        neg = docs.filter(F.col("doc_id") % 2 != 0)
+        return TXT.train_quality_classifier(
+            pos, neg, num_buckets=64, iterations=3
+        ).select("bucket", F.round("w", 6).alias("w"))
+
+    q["t20_classifier_weights"] = t20
+
+    def s09(spark, sf):
+        # persisted-IVF serving path: build the index, search through
+        # the partition-pruned reader; the index stores exactly the s03
+        # assignment so the oracle IS the s03 SQL
+        import tempfile
+
+        emb = _emb(spark, sf)
+        path = tempfile.mkdtemp(prefix="spark_graft_ivf_")
+        SIM.build_ivf_index(emb, path, num_cells=8)
+        return SIM.ivf_topk_from_index(
+            spark, path, emb.filter(F.col("vec_id") < 5), k=5, nprobe=1
+        )
+
+    q["s09_ivf_from_index"] = s09
+
+    def q61(spark, sf):
+        # the streaming clean-ingest path's batch replay (relaxed
+        # Gopher gate -> keep-first fingerprint dedup)
+        from datacatalog_tag_engine_spark.streaming.dedup import clean_ingest_stream
+
+        return clean_ingest_stream(
+            _docs(spark, sf),
+            min_words=20,
+            min_stopword_hits=0,
+            max_dup_word_frac=1.0,
+            max_top_bigram_frac=1.0,
+        )
+
+    q["q61_clean_ingest"] = q61
+
+    q["q62_sample_k_per_group"] = lambda spark, sf: SAMP.sample_k_per_group(
+        _docs(spark, sf).select("doc_id", "source"), k=5
+    )
+
+    def s10(spark, sf):
+        emb = _emb(spark, sf)
+        return SIM.ivfpq_topk(
+            emb, emb.filter(F.col("vec_id") < 5), k=5, num_cells=8, nprobe=2
+        )
+
+    q["s10_ivfpq_topk"] = s10
+
+    def s11(spark, sf):
+        # persisted IVF-PQ: 4-byte codes partitioned by cell on disk;
+        # same chained s03+s07 derivation as the in-memory form
+        import tempfile
+
+        emb = _emb(spark, sf)
+        path = tempfile.mkdtemp(prefix="spark_graft_ivfpq_")
+        SIM.build_ivfpq_index(emb, path, num_cells=8)
+        return SIM.ivfpq_topk_from_index(
+            spark, path, emb.filter(F.col("vec_id") < 5), k=5, nprobe=2
+        )
+
+    q["s11_ivfpq_from_index"] = s11
+
+    def s12(spark, sf):
+        # IVFADC: PQ over residuals to the coarse centroid (Jegou et
+        # al., TPAMI 2011), one ADC table per (query, probed cell)
+        emb = _emb(spark, sf)
+        return SIM.ivfpq_topk(
+            emb,
+            emb.filter(F.col("vec_id") < 5),
+            k=5,
+            num_cells=8,
+            nprobe=2,
+            by_residual=True,
+        )
+
+    q["s12_ivfpq_residual"] = s12
+
+    q["t21_normalize_text"] = lambda spark, sf: TXT.normalize_text(_docs(spark, sf))
+    q["t22_vocab_stats"] = lambda spark, sf: TXT.vocab_stats(_docs(spark, sf))
+    q["d10_line_dedup"] = lambda spark, sf: DD.line_dedup(_docs(spark, sf))
+    q["t23_collapse_lines"] = lambda spark, sf: TXT.collapse_repeated_lines(
+        _docs(spark, sf)
+    )
+    q["q63_epoch_plan"] = lambda spark, sf: SAMP.epoch_plan(
+        _docs(spark, sf), budget_tokens=200_000, max_epochs=1.5
+    )
+
+    def t24(spark, sf):
+        # decontamination APPLY (GPT-3 appendix-C rule): benchmark =
+        # the DSIR target split (doc_id % 17 == 0), training = the rest
+        docs = _docs(spark, sf)
+        train = docs.filter(F.col("doc_id") % 17 != 0)
+        bench = docs.filter(F.col("doc_id") % 17 == 0)
+        return TXT.apply_decontamination(train, bench, n=5)
+
+    q["t24_decontamination"] = t24
+
+    def q64(spark, sf):
+        # gate-metrics monitor, batch form (documents carries no ts:
+        # both engines derive the same deterministic epoch+doc_id one,
+        # so the tumbling windows are real)
+        from datacatalog_tag_engine_spark.streaming.quality import gate_metrics
+
+        src = _docs(spark, sf).select(
+            "doc_id",
+            "text",
+            "source",
+            (
+                F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                + F.make_interval(mins=F.col("doc_id").cast("int"))
+            ).alias("ts"),
+        )
+        return gate_metrics(
+            src,
+            window="1 hour",
+            min_words=20,
+            min_stopword_hits=0,
+            max_dup_word_frac=1.0,
+            max_top_bigram_frac=1.0,
+        )
+
+    q["q64_gate_metrics"] = q64
+
+    def q65(spark, sf):
+        # the epoch plan made corpus: floor(e) full copies + one
+        # hash-gated remainder copy per doc
+        docs = _docs(spark, sf)
+        plan = SAMP.epoch_plan(docs, budget_tokens=200_000, max_epochs=1.5)
+        return SAMP.materialize_mixture(docs, plan).select(
+            "doc_id",
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+            F.col("epoch").cast("int").alias("epoch"),
+        )
+
+    q["q65_materialize_mixture"] = q65
+
+    q["t25_chunk_text"] = lambda spark, sf: TXT.chunk_text(
+        _docs(spark, sf), chunk_words=40, stride=30
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        "text",
+        F.col("n_words").cast("int").alias("n_words"),
+        F.col("start_word").cast("int").alias("start_word"),
+    )
+    q["t26_strip_html"] = lambda spark, sf: TXT.strip_html(_docs(spark, sf))
 
     # ---- driver CORRECTNESS window ordering ------------------------------
     # The driver records correctness rows for the FIRST 50 insertion-
-    # ordered entries only. Round-6 round-start rotation (the inventory
-    # grows 87 -> 94: the six post-r5-freeze operators whose oracle
-    # drafts were proven value-equal in tests/test_oracle_drafts_r6.py
-    # last round, plus the q59 cleaning-pipeline composition — then
-    # freezes): the seven most-stable fillers (q04-q08/q10/q14: trivial
-    # expression-corpus queries, hash-green in r2, r4 AND r5) swap out
-    # for the seven new entries, exactly as the r5 verdict prescribes.
-    # No other inventory or ordering changes this round. All verified
-    # against the local DuckDB oracle (tools/check_oracle.py); the
+    # ordered entries only. Round-7 round-start rotation (the inventory
+    # grows 94 -> 114, then freezes): the twenty operators whose oracle
+    # drafts were proven value-equal in tests/test_oracle_drafts_r7.py
+    # last round enter the window for their first driver rows; q59
+    # swaps for the proven stage-0-extended q59v2 composition (an
+    # inventory edit legal ONLY at round start — it changes certified
+    # hashes); and t13 rotates back in to re-certify the round-6
+    # tokenization realignment (the one query whose code changed after
+    # its last driver row — the r6 verdict's "window honesty" item).
+    # The 22 displaced fillers all carry multi-round green history
+    # (every one hash-green in r6; most also r5). No other inventory or
+    # ordering changes this round. All 50 verified against the local
+    # DuckDB oracle (tools/check_oracle.py) before the freeze; the
     # driver row is the hard signal. Every entry still runs in bench.py
     # regardless of position.
     window = [
-        # round-6 rotation: first driver rows for the r5 additions
+        # round-7 rotation: first driver rows for the r6-drafted ops
+        "t18_bpe_apply", "q60_hll_tolerance", "t19_perplexity_buckets",
+        "t20_classifier_weights", "s09_ivf_from_index", "q61_clean_ingest",
+        "q62_sample_k_per_group", "s10_ivfpq_topk", "s11_ivfpq_from_index",
+        "s12_ivfpq_residual", "t21_normalize_text", "t22_vocab_stats",
+        "d10_line_dedup", "t23_collapse_lines", "q63_epoch_plan",
+        "t24_decontamination", "q64_gate_metrics", "q65_materialize_mixture",
+        "t25_chunk_text", "t26_strip_html",
+        # certified-hash changes: the q59 stage-0 upgrade + the t13
+        # tokenization realignment re-certification
+        "q59v2_clean_pipeline", "t13_unigram_logprob",
+        # r6-green fillers kept for re-verification (newest rows first:
+        # the r6 first-timers, then the operator families most coupled
+        # to this round's additions — s03 doubles as s09's oracle)
         "t16_gopher_filter", "d08_span_removal", "d09_paragraph_dedup",
         "q58_shard_assignments", "t17_bigram_logprob", "s08_hard_negatives",
-        "q59_clean_pipeline",
-        # r5-green remainder of the r5 window (unchanged)
         "t15_dsir_weights", "q57_dsir_sample",
-        "q09_current_timestamp",
-        "q15_uri_algebra", "q16_column_distinct",
-        "q17_combined", "q18_delete_when_empty", "q22_usage_daily",
-        "q23_event_stats", "q25_restore", "q27_column_exists",
-        "q33_dataset_tag", "q35_deterministic_sample", "q36_token_histogram",
-        "q37_kmv_sketch", "q38_join_profile", "q39_window_running",
-        "q49_column_profile_fused", "d03_simhash",
-        "s02_ann_lsh", "s03_ann_ivf", "s04_ann_ivf_nprobe",
+        "q37_kmv_sketch", "q49_column_profile_fused",
+        "s03_ann_ivf", "s04_ann_ivf_nprobe", "s07_pq_adc",
         "m01_multimodal_features",
-        # round-3-late additions: first driver row ever
-        "q54_mixture_weights", "q55_mixture_sample", "q56_delta_bloom",
-        "s07_pq_adc", "t14_hashed_linear",
-        # red in r03 (harness array canonicalizer; output now stringified)
-        "q47_embedding_quantize",
-        # implementation changed in round 4 — re-record
         "q26_tag_copy", "t12_packing", "q51_corpus_delta",
         "q40_asof_join", "q41_range_join", "q42_sensitive_e2e",
         "q44_policy_tags", "q30_numeric_profile", "q46_mixture_sample",
@@ -1388,6 +1617,634 @@ def _span_cte(src: str, p: str = "") -> str:
 {p}r AS (
   SELECT doc_id, string_agg(word, ' ' ORDER BY j) AS text
   FROM {p}kept GROUP BY doc_id)"""
+
+
+# ---------------------------------------------------------------------------
+# round-7 oracle machinery: the DuckDB derivations proven value-equal in
+# tests/test_oracle_drafts_r7.py before entering the inventory. The
+# constants/generators live HERE (the wired copy) and the drafts file
+# imports them, so the proof tests exercise the exact strings the driver
+# runs — no duplicated SQL to drift.
+
+# BPE merge list frozen from bpe_train(documents@sf0.001, num_merges=16)
+# — the t14 placeholder-weights pattern: the inventory query APPLIES a
+# trained artifact, it does not retrain per scale factor (the drafts
+# file asserts this literal still equals a fresh train on the smoke
+# corpus, so drift in bpe_train would be caught there).
+BPE_MERGES = [
+    ("e", "r</w>"), ("o", "w</w>"), ("o", "r"), ("l", "u"),
+    ("i", "n"), ("a", "r"), ("p", "ar"), ("e", "r"),
+    ("a", "s"), ("t", "o"), ("a", "t"), ("a", "n</w>"),
+    ("c", "an</w>"), ("s", "can</w>"), ("c", "o"), ("co", "lu"),
+]
+
+_BPE_SEP = "\x1f"  # unit separator: cannot appear in whitespace-split words
+
+
+def bpe_apply_sql(merges) -> str:
+    """Merge-list replay via chained greedy replaces: SQL's replace()
+    substitutes non-overlapping occurrences left-to-right — exactly the
+    greedy scan bpe_apply's encoder implements — so applying the merges
+    IN ORDER over a separator-joined symbol string replays the
+    rank-priority encode loop."""
+    sep = _BPE_SEP
+    init = (
+        "'" + sep + "' || array_to_string(list_transform("
+        "range(1, length(word) + 1), "
+        "i -> CASE WHEN i = length(word) THEN word[i] || '</w>' "
+        "ELSE word[i] END), '" + sep + "') || '" + sep + "'"
+    )
+    enc = init
+    for a, b in merges:
+        pat = (sep + a + sep + b + sep).replace("'", "''")
+        rep = (sep + a + b + sep).replace("'", "''")
+        enc = f"replace({enc}, '{pat}', '{rep}')"
+    return rf"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(coalesce(text, '')), '\s+') AS ws
+  FROM documents),
+tok AS (
+  SELECT doc_id, i, ws[i+1] AS word
+  FROM w, unnest(range(len(ws))) t(i)
+  WHERE length(ws[i+1]) > 0),
+enc AS (
+  SELECT doc_id, i,
+         list_filter(regexp_split_to_array({enc}, chr(31)),
+                     x -> length(x) > 0) AS toks
+  FROM tok),
+agg AS (
+  SELECT doc_id,
+         string_agg(array_to_string(toks, '|'), '|' ORDER BY i) AS tokens,
+         sum(len(toks)) AS n
+  FROM enc GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.tokens, '') AS tokens,
+       coalesce(a.n, 0)::INT AS n_tokens
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+PERPLEXITY_SQL = r"""
+WITH w AS (SELECT doc_id,
+                  unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                     x -> length(x) > 0)) AS word
+           FROM documents),
+v AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+t AS (SELECT sum(c)::DOUBLE AS total FROM v),
+m AS (SELECT word, cast(round(ln(c / total) * 1000000) AS BIGINT) AS lp6 FROM v, t),
+sc AS (
+  SELECT doc_id, count(*) AS n_words,
+         round(sum(lp6) / count(*) / 1e6, 4) AS avg_logprob
+  FROM w JOIN m USING (word) GROUP BY doc_id),
+cuts AS (
+  SELECT quantile_cont(avg_logprob, 1 - 1.0/3) AS head_min,
+         quantile_cont(avg_logprob, 1 - 2.0/3) AS mid_min
+  FROM sc)
+SELECT doc_id, n_words, avg_logprob,
+       CASE WHEN avg_logprob >= head_min THEN 'head'
+            WHEN avg_logprob >= mid_min THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM sc, cuts
+"""
+
+
+def classifier_sql(iterations: int, num_buckets: int, lr: float) -> str:
+    """GD iterations unrolled as chained CTEs: every cross-partition
+    sum quantizes to integer micro-units, so each iteration's margins/
+    gradients are exact longs and the whole train replays as one SQL
+    chain (one CTE pair per iteration). Positive = even doc_ids."""
+    parts = [rf"""
+WITH lab AS (
+  SELECT 'p:' || doc_id::VARCHAR AS k, 1.0 AS y, text
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT 'n:' || doc_id::VARCHAR, 0.0, text
+  FROM documents WHERE doc_id % 2 <> 0),
+tok AS (
+  SELECT k, y,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> length(x) > 0)) AS word
+  FROM lab),
+tb AS (
+  SELECT k, y,
+         (('0x' || substr(md5(word), 1, 8))::BIGINT % {num_buckets})::INT AS bucket
+  FROM tok),
+feats AS (
+  SELECT k, y, bucket,
+         count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY k) AS x
+  FROM tb GROUP BY k, y, bucket),
+nd AS (SELECT count(DISTINCT k) AS n FROM feats),
+w0 AS (SELECT i::INT AS bucket, 0.0 AS w FROM range({num_buckets}) t(i))"""]
+    for i in range(iterations):
+        parts.append(f""",
+m{i} AS (
+  SELECT f.k, f.y,
+         1.0 / (1.0 + exp(-(sum(round(f.x * w{i}.w * 1e6)::BIGINT) / 1e6))) - f.y AS r
+  FROM feats f JOIN w{i} ON f.bucket = w{i}.bucket
+  GROUP BY f.k, f.y),
+g{i} AS (
+  SELECT f.bucket, sum(round(m{i}.r * f.x * 1e6)::BIGINT) AS s6
+  FROM feats f JOIN m{i} ON f.k = m{i}.k
+  GROUP BY f.bucket),
+w{i + 1} AS (
+  SELECT w{i}.bucket,
+         w{i}.w - ({lr} * (coalesce(g{i}.s6, 0) / 1e6)) / nd.n AS w
+  FROM w{i} LEFT JOIN g{i} USING (bucket), nd)""")
+    parts.append(f"\nSELECT bucket, round(w, 6) AS w FROM w{iterations}")
+    return "".join(parts)
+
+
+CLEAN_INGEST_SQL = r"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS text, lang, source, n_chars,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                     x -> length(x) > 0) AS w,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\n'),
+                     l -> length(trim(l)) > 0) AS lines
+  FROM documents),
+gf AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         len(w) AS nw,
+         list_sum(list_transform(w, x -> length(x))) / len(w) AS mwl,
+         len(regexp_extract_all(text, '#|\.\.\.|…')) / len(w) AS sym,
+         len(list_filter(lines, l -> regexp_matches(l, '^\s*(\*|-|•)\s')))
+           / len(lines) AS bullet,
+         len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))
+           / len(lines) AS ell,
+         len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) / len(w) AS alpha
+  FROM base WHERE len(w) > 0 AND len(lines) > 0),
+keep AS (
+  SELECT doc_id, text, lang, source, n_chars FROM gf
+  WHERE nw BETWEEN 20 AND 100000
+    AND mwl BETWEEN 3.0 AND 10.0
+    AND sym <= 0.1 AND bullet <= 0.9 AND ell <= 0.3 AND alpha >= 0.8),
+fp AS (
+  SELECT *,
+         md5(array_to_string(list_sort(list_distinct(
+             regexp_split_to_array(lower(text), '\s+'))), ' ')) AS fingerprint
+  FROM keep)
+SELECT doc_id, text, lang, source, n_chars, fingerprint
+FROM fp
+QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+"""
+
+
+SAMPLE_K_SQL = """
+SELECT doc_id, source FROM documents
+QUALIFY row_number() OVER (PARTITION BY source
+                           ORDER BY md5(doc_id::VARCHAR), doc_id) <= 5
+"""
+
+
+def ivfpq_sql(nprobe: int) -> str:
+    """IVF-PQ: the s03 cell CTEs (deterministic first-8-by-id coarse
+    centroids) composed with the s07 PQ CTEs (4x16 codebook, integer
+    micro-unit argmin), plus the cell-pruned candidate join."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cent_v FROM e ORDER BY vec_id LIMIT 8),
+ranked AS (
+  SELECT e.vec_id, e.v, c.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round(list_cosine_similarity(e.v, c.cent_v), 6) DESC, c.cell) AS rn
+  FROM e CROSS JOIN cents c),
+assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+probe AS (SELECT vec_id AS query_id, cell FROM ranked
+          WHERE rn <= {nprobe} AND vec_id < 5),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+  FROM e ORDER BY vec_id LIMIT 16),
+ms AS (SELECT unnest(range(4)) AS m),
+csub AS (SELECT c, m, v[m*16+1 : m*16+16] AS cv FROM cent, ms),
+esub AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS sv FROM e, ms),
+dists AS (
+  SELECT vec_id, m, c,
+         list_sum(list_transform(range(1, 17),
+                  i -> cast(round((sv[i]-cv[i])^2 * 1e6) AS BIGINT))) AS d
+  FROM esub JOIN csub USING (m)),
+codes AS (
+  SELECT vec_id, m, cast(min(d*16 + c) % 16 AS INT) AS code
+  FROM dists GROUP BY vec_id, m),
+dt AS (
+  SELECT es.vec_id AS query_id, es.m, c AS code,
+         list_sum(list_transform(range(1, 17),
+                  i -> cast(round((es.sv[i]-cv[i])^2 * 1e6) AS BIGINT))) AS d
+  FROM esub es JOIN csub USING (m) WHERE es.vec_id < 5),
+scored AS (
+  SELECT dt.query_id, codes.vec_id AS neighbor_id,
+         cast(sum(dt.d) AS BIGINT) AS adist_micro
+  FROM codes
+  JOIN assign ON codes.vec_id = assign.vec_id
+  JOIN probe ON assign.cell = probe.cell
+  JOIN dt ON codes.m = dt.m AND codes.code = dt.code
+         AND dt.query_id = probe.query_id
+  GROUP BY dt.query_id, codes.vec_id)
+SELECT query_id, neighbor_id, adist_micro,
+       cast(row_number() OVER (PARTITION BY query_id
+                               ORDER BY adist_micro, neighbor_id) AS INT) AS rank
+FROM scored WHERE neighbor_id <> query_id
+QUALIFY rank <= 5
+"""
+
+
+def ivfpq_residual_sql(nprobe: int) -> str:
+    """IVFADC: residuals are plain double subtractions (IEEE-identical
+    in both engines), then the same micro-unit PQ machinery over the
+    residual space with one ADC table per (query, probed cell)."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cent_v FROM e ORDER BY vec_id LIMIT 8),
+ranked AS (
+  SELECT e.vec_id, e.v, c.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round(list_cosine_similarity(e.v, c.cent_v), 6) DESC, c.cell) AS rn
+  FROM e CROSS JOIN cents c),
+assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+resid AS (
+  SELECT a.vec_id, a.cell,
+         list_transform(range(64), i -> e.v[i+1] - c.cent_v[i+1]) AS rv
+  FROM assign a JOIN e ON a.vec_id = e.vec_id JOIN cents c ON a.cell = c.cell),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, rv AS v
+  FROM resid ORDER BY vec_id LIMIT 16),
+ms AS (SELECT unnest(range(4)) AS m),
+csub AS (SELECT c, m, v[m*16+1 : m*16+16] AS cv FROM cent, ms),
+esub AS (SELECT vec_id, m, rv[m*16+1 : m*16+16] AS sv FROM resid, ms),
+dists AS (
+  SELECT vec_id, m, c,
+         list_sum(list_transform(range(1, 17),
+                  i -> cast(round((sv[i]-cv[i])^2 * 1e6) AS BIGINT))) AS d
+  FROM esub JOIN csub USING (m)),
+codes AS (
+  SELECT vec_id, m, cast(min(d*16 + c) % 16 AS INT) AS code
+  FROM dists GROUP BY vec_id, m),
+probe AS (SELECT vec_id AS query_id, cell FROM ranked
+          WHERE rn <= {nprobe} AND vec_id < 5),
+qres AS (
+  SELECT p.query_id, p.cell,
+         list_transform(range(64), i -> e.v[i+1] - c.cent_v[i+1]) AS qr
+  FROM probe p JOIN e ON p.query_id = e.vec_id JOIN cents c ON p.cell = c.cell),
+qsub AS (SELECT query_id, cell, m, qr[m*16+1 : m*16+16] AS sv FROM qres, ms),
+dt AS (
+  SELECT query_id, cell, m, c AS code,
+         list_sum(list_transform(range(1, 17),
+                  i -> cast(round((sv[i]-cv[i])^2 * 1e6) AS BIGINT))) AS d
+  FROM qsub JOIN csub USING (m)),
+scored AS (
+  SELECT dt.query_id, codes.vec_id AS neighbor_id,
+         cast(sum(dt.d) AS BIGINT) AS adist_micro
+  FROM codes
+  JOIN assign ON codes.vec_id = assign.vec_id
+  JOIN dt ON dt.cell = assign.cell AND codes.m = dt.m AND codes.code = dt.code
+  GROUP BY dt.query_id, codes.vec_id)
+SELECT query_id, neighbor_id, adist_micro,
+       cast(row_number() OVER (PARTITION BY query_id
+                               ORDER BY adist_micro, neighbor_id) AS INT) AS rank
+FROM scored WHERE neighbor_id <> query_id
+QUALIFY rank <= 5
+"""
+
+
+NORMALIZE_SQL = (
+    r"""
+WITH t0 AS (SELECT doc_id, text AS raw, coalesce(text, '') AS t FROM documents),
+n AS (
+  SELECT doc_id, raw,
+    regexp_replace(
+     regexp_replace(
+      regexp_replace(
+       regexp_replace(
+        replace(
+         translate(
+          regexp_replace(
+           regexp_replace(t, '\r\n?', chr(10), 'g'),
+           '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+          '"""
+    + "‘’‚“”„–—−"
+    + "     ​"
+    + r"""', e'\'\'\'"""
+    + '"""'
+    + r"""---     '),
+         '"""
+    + "…"
+    + r"""', '...'),
+        '[ \t]+', ' ', 'g'),
+       ' ?\n ?', chr(10), 'g'),
+      '\n{3,}', chr(10) || chr(10), 'g'),
+     '^[\n ]+|[\n ]+$', '', 'g') AS norm
+  FROM t0)
+SELECT doc_id, norm AS text,
+       coalesce(length(raw), 0) AS n_chars_raw,
+       length(norm) AS n_chars,
+       norm IS DISTINCT FROM raw AS changed
+FROM n
+"""
+)
+
+
+VOCAB_STATS_SQL = r"""
+WITH w AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> length(x) > 0)) AS word
+  FROM documents),
+v AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+r AS (SELECT c, row_number() OVER (ORDER BY c DESC, word) AS rank FROM v),
+a AS (
+  SELECT cast(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
+         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hx,
+         sum(CASE WHEN rank <= 100 THEN c ELSE 0 END) AS tp,
+         sum(cast(round(ln(rank) * 1e6) AS BIGINT)) AS sx6,
+         sum(cast(round(ln(c) * 1e6) AS BIGINT)) AS sy6,
+         sum(cast(round(ln(rank) * ln(c) * 1e6) AS BIGINT)) AS sxy6,
+         sum(cast(round(ln(rank) * ln(rank) * 1e6) AS BIGINT)) AS sxx6
+  FROM r)
+SELECT n_tokens, n_types,
+       round(hx::DOUBLE / n_types, 4) AS hapax_frac,
+       round(tp::DOUBLE / n_tokens, 4) AS top100_coverage,
+       round(CASE WHEN n_types > 1 THEN
+               (n_types * (sxy6/1e6) - (sx6/1e6) * (sy6/1e6))
+             / (n_types * (sxx6/1e6) - (sx6/1e6) * (sx6/1e6)) END,
+             4) AS zipf_slope
+FROM a
+"""
+
+
+LINE_DEDUP_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\n'),
+                     s -> length(trim(s)) > 0) AS arr
+  FROM documents),
+p AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(arr)),
+                               i -> {'pos': i, 'para': arr[i+1]}),
+                recursive := true)
+  FROM d),
+n AS (
+  SELECT doc_id, pos, para,
+         lower(regexp_replace(trim(para), '\s+', ' ', 'g')) AS norm
+  FROM p),
+k AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY norm ORDER BY doc_id, pos) AS rn
+  FROM n),
+r AS (
+  SELECT doc_id,
+         string_agg(para, chr(10) ORDER BY pos) AS text,
+         count(*) AS kept
+  FROM k WHERE rn = 1 GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(r.text, '') AS text,
+       len(d.arr)::INT AS n_lines,
+       (len(d.arr) - coalesce(r.kept, 0))::INT AS n_removed
+FROM d LEFT JOIN r USING (doc_id)
+"""
+
+
+COLLAPSE_LINES_SQL = r"""
+WITH d AS (
+  SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS arr
+  FROM documents),
+k AS (
+  SELECT doc_id, arr,
+         list_filter(arr, (x, i) -> i = 1
+                     OR length(trim(x)) = 0
+                     OR lower(trim(x)) <> lower(trim(arr[i-1]))) AS kept
+  FROM d)
+SELECT doc_id,
+       array_to_string(kept, chr(10)) AS text,
+       len(arr)::INT AS n_lines,
+       (len(arr) - len(kept))::INT AS n_removed
+FROM k
+"""
+
+
+EPOCH_PLAN_SQL = r"""
+WITH s AS (
+  SELECT source, count(*) AS n_docs,
+         cast(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+w AS (
+  SELECT source, n_docs, n_tokens,
+         round(pow(n_tokens::DOUBLE, 0.5) / sum(pow(n_tokens::DOUBLE, 0.5)) OVER (), 6) AS weight
+  FROM s),
+t AS (
+  SELECT *, cast(round(weight * 200000) AS BIGINT) AS target_tokens,
+         cast(round(n_tokens * 1.5) AS BIGINT) AS cap
+  FROM w)
+SELECT source, n_docs, n_tokens, weight, target_tokens,
+       CASE WHEN n_tokens > 0
+            THEN round(target_tokens / n_tokens::DOUBLE, 4) END AS epochs,
+       least(target_tokens, cap) AS planned_tokens,
+       target_tokens - least(target_tokens, cap) AS shortfall_tokens,
+       target_tokens > cap AS is_constrained
+FROM t
+"""
+
+
+DECONTAM_SQL = r"""
+WITH train AS (SELECT * FROM documents WHERE doc_id % 17 <> 0),
+bench AS (SELECT * FROM documents WHERE doc_id % 17 = 0),
+bs AS (
+  SELECT DISTINCT unnest(CASE WHEN len(w) >= 5
+                   THEN list_transform(range(1, len(w) - 3),
+                                       i -> array_to_string(w[i:i+4], ' '))
+                   ELSE [] END) AS shingle
+  FROM (SELECT regexp_split_to_array(lower(text), '\s+') AS w FROM bench)),
+ds AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(w) >= 5
+                 THEN list_transform(range(1, len(w) - 3),
+                                     i -> array_to_string(w[i:i+4], ' '))
+                 ELSE [] END)) AS shingle
+  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w FROM train)),
+flagged AS (
+  SELECT DISTINCT ds.doc_id FROM ds JOIN bs USING (shingle))
+SELECT t.doc_id, t.text, t.lang, t.source, t.n_chars
+FROM train t ANTI JOIN flagged f ON t.doc_id = f.doc_id
+"""
+
+
+GATE_METRICS_SQL = r"""
+WITH src AS (
+  SELECT doc_id, text, source,
+         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id) MINUTE AS ts
+  FROM documents),
+base AS (
+  SELECT doc_id, source, ts, coalesce(text, '') AS text,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                     x -> length(x) > 0) AS w,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+                     x -> length(x) > 0) AS wl,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\n'),
+                     l -> length(trim(l)) > 0) AS lines
+  FROM src),
+bg AS (
+  SELECT doc_id, max(c) AS top_bg
+  FROM (
+    SELECT doc_id, bigram, count(*) AS c
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(len(wl) - 1),
+                                   i -> wl[i+1] || ' ' || wl[i+2])) AS bigram
+      FROM base WHERE len(wl) >= 2)
+    GROUP BY doc_id, bigram)
+  GROUP BY doc_id),
+f AS (
+  SELECT b.doc_id, b.source, b.ts,
+         len(b.w) AS n_words,
+         CASE WHEN len(b.w) > 0
+              THEN list_sum(list_transform(b.w, x -> length(x))) / len(b.w) END AS mwl,
+         CASE WHEN len(b.w) > 0
+              THEN len(regexp_extract_all(b.text, '#|\.\.\.|…')) / len(b.w) END AS sym,
+         CASE WHEN len(b.lines) > 0
+              THEN len(list_filter(b.lines, l -> regexp_matches(l, '^\s*(\*|-|•)\s')))
+                   / len(b.lines) END AS bullet,
+         CASE WHEN len(b.lines) > 0
+              THEN len(list_filter(b.lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))
+                   / len(b.lines) END AS ell,
+         CASE WHEN len(b.w) > 0
+              THEN len(list_filter(b.w, x -> regexp_matches(x, '[A-Za-z]')))
+                   / len(b.w) END AS alpha,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+                         s -> list_contains(b.wl, s))) AS stop_hits,
+         CASE WHEN len(b.wl) > 0
+              THEN 1.0 - len(list_distinct(b.wl)) / len(b.wl) END AS dupw,
+         CASE WHEN len(b.wl) >= 2 THEN bg.top_bg / (len(b.wl) - 1) END AS topbg
+  FROM base b LEFT JOIN bg USING (doc_id)),
+r AS (
+  SELECT *,
+         list_filter([
+           CASE WHEN n_words < 20 OR n_words > 100000 THEN 'word_count' END,
+           CASE WHEN mwl < 3.0 OR mwl > 10.0 THEN 'mean_word_len' END,
+           CASE WHEN sym > 0.1 THEN 'symbol_ratio' END,
+           CASE WHEN bullet > 0.9 THEN 'bullet_lines' END,
+           CASE WHEN ell > 0.3 THEN 'ellipsis_lines' END,
+           CASE WHEN alpha < 0.8 THEN 'alpha_words' END,
+           CASE WHEN stop_hits < 0 THEN 'stopword_hits' END,
+           CASE WHEN n_words >= 2 AND dupw > 1.0 THEN 'dup_words' END,
+           CASE WHEN n_words >= 2 AND topbg > 1.0 THEN 'top_bigram' END
+         ], x -> x IS NOT NULL) AS fails
+  FROM f),
+oc AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, source,
+         unnest(CASE WHEN len(fails) = 0 THEN ['kept'] ELSE fails END) AS outcome
+  FROM r)
+SELECT window_start,
+       window_start + INTERVAL 1 HOUR AS window_end,
+       source, outcome, count(*) AS n_docs
+FROM oc GROUP BY ALL
+"""
+
+
+MATERIALIZE_SQL = r"""
+WITH s AS (
+  SELECT source, count(*) AS n_docs,
+         cast(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+w AS (
+  SELECT source, n_docs, n_tokens,
+         round(pow(n_tokens::DOUBLE, 0.5) / sum(pow(n_tokens::DOUBLE, 0.5)) OVER (), 6) AS weight
+  FROM s),
+t AS (
+  SELECT source, n_tokens,
+         cast(round(weight * 200000) AS BIGINT) AS target_tokens,
+         cast(round(n_tokens * 1.5) AS BIGINT) AS cap
+  FROM w WHERE n_tokens > 0),
+r AS (
+  SELECT source,
+         least(target_tokens, cap) / n_tokens::DOUBLE AS e
+  FROM t),
+rates AS (
+  SELECT source, cast(floor(e) AS INT) AS nfull,
+         cast(floor((e - floor(e)) * 10000 + 0.5) AS BIGINT) AS rem
+  FROM r),
+j AS (
+  SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, rates.nfull, rates.rem,
+         rates.nfull
+         + CASE WHEN ('0x' || substr(md5(d.doc_id::VARCHAR || ':' || rates.nfull::VARCHAR), 1, 8))::BIGINT % 10000 < rates.rem
+                THEN 1 ELSE 0 END AS n
+  FROM documents d JOIN rates USING (source))
+SELECT doc_id, text, lang, source, n_chars, unnest(range(n))::INT AS epoch
+FROM j WHERE n > 0
+"""
+
+
+CHUNK_TEXT_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                     x -> length(x) > 0) AS w
+  FROM documents),
+n AS (
+  SELECT doc_id, w, len(w) AS nw,
+         CASE WHEN len(w) <= 40 THEN 1
+              ELSE 1 + cast(ceil((len(w) - 40) / 30.0) AS INT) END AS nc
+  FROM d WHERE len(w) > 0),
+c AS (SELECT doc_id, w, nw, unnest(range(nc))::INT AS chunk_id FROM n)
+SELECT doc_id, chunk_id,
+       array_to_string(w[chunk_id*30 + 1 : chunk_id*30 + 40], ' ') AS text,
+       least(40, nw - chunk_id*30)::INT AS n_words,
+       (chunk_id * 30)::INT AS start_word
+FROM c
+"""
+
+
+def strip_html_sql(src: str) -> str:
+    """The strip_html rule chain rebuilt as DuckDB SQL from the SAME
+    rule tables the operator runs (RE2-compatible patterns; DuckDB
+    needs the explicit 'g' flag where Spark's regexp_replace is global
+    by default; string literals are not C-escaped so patterns pass
+    through verbatim, only quotes double)."""
+    from datacatalog_tag_engine_spark.pipeline.text import (
+        _HTML_ENTITIES,
+        _HTML_STRIP_RULES,
+    )
+
+    t = "coalesce(text, '')"
+    for pat, repl in _HTML_STRIP_RULES:
+        p = pat.replace("'", "''")
+        r = repl.replace("\n", "' || chr(10) || '")
+        t = f"regexp_replace({t}, '{p}', '{r}', 'g')"
+    for ent, ch in _HTML_ENTITIES:
+        ch_sql = ch.replace("'", "''")
+        t = f"replace({t}, '{ent}', '{ch_sql}')"
+    return f"""
+SELECT doc_id, {t} AS text,
+       {t} IS DISTINCT FROM coalesce(text, '') AS had_markup
+FROM {src}
+"""
+
+
+def normalize_expr_sql(col: str) -> str:
+    """The normalize_text chain as one SQL expression over ``col`` —
+    the same steps NORMALIZE_SQL spells out, reusable inside other
+    compositions (q59v2's stage 0)."""
+    return (
+        r"""regexp_replace(
+     regexp_replace(
+      regexp_replace(
+       regexp_replace(
+        replace(
+         translate(
+          regexp_replace(
+           regexp_replace(coalesce(""" + col + r""", ''), '\r\n?', chr(10), 'g'),
+           '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+          '"""
+        + "‘’‚“”„–—−"
+        + "     ​"
+        + r"""', e'\'\'\'"""
+        + '"""'
+        + r"""---     '),
+         '"""
+        + "…"
+        + r"""', '...'),
+        '[ \t]+', ' ', 'g'),
+       ' ?\n ?', chr(10), 'g'),
+      '\n{3,}', chr(10) || chr(10), 'g'),
+     '^[\n ]+|[\n ]+$', '', 'g')"""
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2650,12 +3507,16 @@ SELECT query_id, neighbor_id, cosine,
 FROM neg QUALIFY rank <= 5
 """
 
-    # q59: the cleaning pipeline composed end-to-end — relaxed Gopher
-    # gate (min_words=20, repetition/stopword rules off), paragraph
-    # dedup, span removal, emptied-doc drop, minhash canonical keep,
-    # md5 shard assignment. Each stage is the already-proven per-
-    # operator derivation re-sourced from the previous stage's CTE.
-    o["q59_clean_pipeline"] = f"""
+    # q59v2: the cleaning pipeline composed end-to-end — stage 0
+    # (normalize + collapse-repeated-lines) prepended to the
+    # r6-certified q59 body: relaxed Gopher gate (min_words=20,
+    # repetition/stopword rules off), paragraph dedup, span removal,
+    # emptied-doc drop, minhash canonical keep, md5 shard assignment.
+    # Each stage is the already-proven per-operator derivation
+    # re-sourced from the previous stage's CTE; the stage-0 injection
+    # (body re-sourced FROM cleaned, stage-0 CTEs prepended) is exactly
+    # the surgery tests/test_oracle_drafts_r7.py proved value-equal.
+    q59_base = f"""
 WITH RECURSIVE
 base AS (
   SELECT doc_id, coalesce(text, '') AS text,
@@ -2696,5 +3557,51 @@ SELECT c.doc_id,
                        x -> length(x) > 0))::INT AS n_words
 FROM clean c JOIN clusters cl ON c.doc_id = cl.doc_id AND cl.doc_id = cl.cluster_id
 """
+    assert q59_base.count("FROM documents") == 1
+    q59_stage0 = (
+        "n0 AS (SELECT doc_id, " + normalize_expr_sql("text") + """ AS text
+  FROM documents),
+c0 AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM n0),
+cleaned AS (
+  SELECT doc_id,
+         array_to_string(list_filter(arr, (x, i) -> i = 1
+                         OR length(trim(x)) = 0
+                         OR lower(trim(x)) <> lower(trim(arr[i-1]))),
+                         chr(10)) AS text
+  FROM c0),"""
+    )
+    # rewrite the BODY's source first, THEN inject stage0 (whose own
+    # n0 must keep reading FROM documents)
+    o["q59v2_clean_pipeline"] = q59_base.replace("FROM documents", "FROM cleaned").replace(
+        "WITH RECURSIVE\n", "WITH RECURSIVE\n" + q59_stage0 + "\n", 1
+    )
+
+    # --- round-7 rotation: the oracle strings proven value-equal in
+    # tests/test_oracle_drafts_r7.py, wired verbatim (the module-level
+    # constants above ARE the proven drafts — the drafts file imports
+    # them back, so there is exactly one copy of each derivation) ---
+    o["t18_bpe_apply"] = bpe_apply_sql(BPE_MERGES)
+    o["q60_hll_tolerance"] = (
+        "SELECT source, count(DISTINCT doc_id) AS exact, TRUE AS within_2pct"
+        " FROM documents GROUP BY source"
+    )
+    o["t19_perplexity_buckets"] = PERPLEXITY_SQL
+    o["t20_classifier_weights"] = classifier_sql(iterations=3, num_buckets=64, lr=2.0)
+    o["s09_ivf_from_index"] = o["s03_ann_ivf"]
+    o["q61_clean_ingest"] = CLEAN_INGEST_SQL
+    o["q62_sample_k_per_group"] = SAMPLE_K_SQL
+    o["s10_ivfpq_topk"] = ivfpq_sql(2)
+    o["s11_ivfpq_from_index"] = ivfpq_sql(2)
+    o["s12_ivfpq_residual"] = ivfpq_residual_sql(2)
+    o["t21_normalize_text"] = NORMALIZE_SQL
+    o["t22_vocab_stats"] = VOCAB_STATS_SQL
+    o["d10_line_dedup"] = LINE_DEDUP_SQL
+    o["t23_collapse_lines"] = COLLAPSE_LINES_SQL
+    o["q63_epoch_plan"] = EPOCH_PLAN_SQL
+    o["t24_decontamination"] = DECONTAM_SQL
+    o["q64_gate_metrics"] = GATE_METRICS_SQL
+    o["q65_materialize_mixture"] = MATERIALIZE_SQL
+    o["t25_chunk_text"] = CHUNK_TEXT_SQL
+    o["t26_strip_html"] = strip_html_sql("documents")
 
     return o

@@ -27,7 +27,14 @@ start):
 
 r7-rotation note: swapping q59 to the q59v2 stage-0 form changes
 certified hashes, so it is an inventory edit for a ROUND START, not
-mid-round — the draft below already proves the upgraded oracle."""
+mid-round — the draft below already proves the upgraded oracle.
+
+ROTATION LANDED (round-7 start): every draft above is now wired as a
+queries()/oracle_sql() pair in __spark_entry__.py; the entry holds the
+single copy of each SQL derivation and
+tests/test_r7_rotation_wiring.py asserts the wired strings are
+byte-identical to what these tests prove (plus that the frozen
+BPE_MERGES literal still equals a fresh train on the smoke corpus)."""
 
 import duckdb
 import pytest
@@ -1151,26 +1158,14 @@ def _normalize_expr_sql(col: str) -> str:
 
 
 def q59v2_sql() -> str:
+    # r7 rotation LANDED: the stage-0 injection this draft proved is
+    # now performed by oracle_sql() itself (q59_base + q59_stage0 in
+    # __spark_entry__.py), so the draft compares against the wired
+    # inventory oracle — the test below remains an independent proof
+    # that the Spark-side chain the entry runs matches it.
     import __spark_entry__ as E
 
-    base = E.oracle_sql()["q59_clean_pipeline"]
-    assert base.count("FROM documents") == 1
-    stage0 = (
-        "n0 AS (SELECT doc_id, " + _normalize_expr_sql("text") + """ AS text
-  FROM documents),
-c0 AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM n0),
-cleaned AS (
-  SELECT doc_id,
-         array_to_string(list_filter(arr, (x, i) -> i = 1
-                         OR length(trim(x)) = 0
-                         OR lower(trim(x)) <> lower(trim(arr[i-1]))),
-                         chr(10)) AS text
-  FROM c0),"""
-    )
-    # rewrite the BODY's source first, THEN inject stage0 (whose own
-    # n0 must keep reading FROM documents)
-    out = base.replace("FROM documents", "FROM cleaned")
-    return out.replace("WITH RECURSIVE\n", "WITH RECURSIVE\n" + stage0 + "\n", 1)
+    return E.oracle_sql()["q59v2_clean_pipeline"]
 
 
 def test_oracle_draft_q59v2_stage0_composition(spark, ddb):
