@@ -459,6 +459,129 @@ def pq_codebook(
     return _pq_subspaces(first, "c", "c", num_subspaces, sub).withColumnRenamed("sv", "cv")
 
 
+def kmeans_pq_codebook(
+    vectors: DataFrame,
+    num_subspaces: int = 4,
+    num_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+) -> DataFrame:
+    """Per-subspace k-means-trained PQ codebook — the production
+    quantizer (FAISS trains exactly this per subspace); ``pq_codebook``'s
+    first-k-by-id seeding stays as the SQL-replayable oracle form.
+
+    Same exact integer-lattice Lloyd as ``kmeans_centroids_exact``
+    (micro-unit quantization, integer argmin with ties to the lowest
+    code, symmetric half-away-from-zero centroid requantization), so
+    the trained codebook is bit-identical on any partitioning. All
+    ``num_subspaces`` codebooks train TOGETHER: each iteration is ONE
+    aggregation over the subspace table (rows keyed by (vector, m)),
+    not a per-subspace job — at 100 TB that is iters corpus passes
+    total, each with a map-side-combined (m, code)-grain shuffle, and
+    the per-iteration collect is codebook-sized (num_subspaces x
+    num_codes rows). Init is the ``pq_codebook`` seeding (slices of the
+    first ``num_codes`` vectors by id), so iters=0 degenerates to the
+    seeded codebook at micro-unit precision (values pass through the
+    round(x*1e6) lattice, so they can differ from the float seeding by
+    up to 5e-7 per dimension).
+
+    Returns (c, m, cv DOUBLE[]) — plug into ``pq_encode`` / ``ivfpq_topk``
+    via their ``codebook`` / ``train_codebook`` hooks."""
+    from ..session import local_df
+
+    spark = vectors.sparkSession
+    sub = dim // num_subspaces
+
+    # init: micro-quantized slices of the first num_codes vectors by id
+    # (identical to pq_codebook's layout via the same _pq_subspaces rule)
+    seed_rows = (
+        vectors.orderBy(id_col)
+        .limit(num_codes)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    cb = {
+        (m, c): [int(round(x * 1e6)) for x in r["v"][m * sub : (m + 1) * sub]]
+        for c, r in enumerate(seed_rows)
+        for m in range(num_subspaces)
+    }
+    if iters <= 0:
+        return local_df(
+            spark,
+            [(c, m, [q / 1e6 for q in qcv]) for (m, c), qcv in sorted(cb.items())],
+            "c int, m int, cv array<double>",
+        )
+
+    v = vectors.select(F.col(vec_col).cast("array<double>").alias("v"), F.col(id_col))
+    qsubs = (
+        _pq_subspaces(v, id_col, "_id", num_subspaces, sub)
+        .select(
+            "_id",
+            "m",
+            F.transform(
+                F.col("sv"), lambda x: F.round(x * F.lit(1e6), 0).cast("long")
+            ).alias("qsv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def requantize(s: int, c: int) -> int:
+        return (2 * s + c) // (2 * c) if s >= 0 else -((2 * (-s) + c) // (2 * c))
+
+    for _ in range(iters):
+        cb_df = local_df(
+            spark,
+            [(m, c, qcv) for (m, c), qcv in sorted(cb.items())],
+            "m int, c int, qcv array<long>",
+        )
+        scored = qsubs.join(F.broadcast(cb_df), "m").select(
+            "_id",
+            "m",
+            "qsv",
+            (_micro_sq_dist(F.col("qsv"), F.col("qcv")) * num_codes + F.col("c")).alias(
+                "_dc"
+            ),
+        )
+        best = scored.groupBy("_id", "m").agg(
+            (F.min("_dc") % num_codes).cast("int").alias("c"),
+            F.first("qsv").alias("qsv"),
+        )
+        stats = (
+            best.groupBy("m", "c")
+            .agg(
+                F.count("*").alias("_n"),
+                *[
+                    F.sum(F.element_at("qsv", i + 1)).alias(f"_s{i}")
+                    for i in range(sub)
+                ],
+            )
+            .collect()
+        )
+        by_key = {(r["m"], r["c"]): r for r in stats}
+        cb = {
+            key: (
+                [
+                    requantize(int(by_key[key][f"_s{i}"]), int(by_key[key]["_n"]))
+                    for i in range(sub)
+                ]
+                if key in by_key
+                else qcv  # empty code keeps its centroid
+            )
+            for key, qcv in cb.items()
+        }
+
+    from ..session import free_local_checkpoint
+
+    free_local_checkpoint(qsubs)
+    return local_df(
+        spark,
+        [(c, m, [q / 1e6 for q in qcv]) for (m, c), qcv in sorted(cb.items())],
+        "c int, m int, cv array<double>",
+    )
+
+
 def pq_encode(
     corpus: DataFrame,
     num_subspaces: int = 4,
@@ -545,6 +668,8 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     by_residual: bool = False,
+    cents: DataFrame | None = None,
+    train_codebook: bool = False,
 ) -> DataFrame:
     """IVF-PQ: coarse cell pruning composed with PQ asymmetric-distance
     scoring — the standard billion-vector serving shape (Jegou et al.,
@@ -571,6 +696,21 @@ def ivfpq_topk(
     structural parity with FAISS and for plugged-in trained
     quantizers, not as a free win.
 
+    ``cents`` plugs in trained coarse centroids (``kmeans_centroids``
+    / ``kmeans_centroids_exact``); ``train_codebook=True`` trains the
+    PQ codebook with per-subspace exact-lattice k-means
+    (``kmeans_pq_codebook``) on whatever vectors get encoded — the raw
+    corpus, or the residuals under ``by_residual``. Measured
+    (tools/recall_table.py; full table in SCALE.md, r8): the trained
+    CODEBOOK is the consistent win on the two larger corpora
+    (recall@5 at sf0.1/2000 vectors: global 0.10 -> 0.18, residual
+    0.09 -> 0.16), while residual-vs-global stays neutral even fully
+    trained (0.16 vs 0.18 at sf0.1; 0.27 vs 0.26 at sf0.01) — on
+    these near-isotropic synthetic embeddings residuals are no more
+    concentrated than the raw vectors, so the flag remains structural
+    parity plus a hook for real-embedding corpora, not a measured win
+    here.
+
     Both halves reuse the certified primitives exactly — cells from
     ``_ranked_cells`` under the s03 centroid seeding, codes/ADC tables
     from the s07 codebook and the same integer micro-unit argmin — so
@@ -589,7 +729,8 @@ def ivfpq_topk(
     join keys on (query_id, m, code) AFTER cell pruning, so unprobed
     cells never reach the ADC sum."""
     sub = dim // num_subspaces
-    cents = _default_cents(corpus, num_cells, id_col, vec_col)
+    if cents is None:
+        cents = _default_cents(corpus, num_cells, id_col, vec_col)
     if by_residual:
         diff = lambda a, b: F.zip_with(a, b, lambda x, y: x - y)  # noqa: E731
         resid = (
@@ -600,7 +741,11 @@ def ivfpq_topk(
                 id_col, "cell", diff(F.col("v"), F.col("cent_v")).alias("resid")
             )
         )
-        cb = pq_codebook(resid, num_subspaces, num_codes, dim, id_col, "resid")
+        cb = (
+            kmeans_pq_codebook(resid, num_subspaces, num_codes, dim, id_col, "resid")
+            if train_codebook
+            else pq_codebook(resid, num_subspaces, num_codes, dim, id_col, "resid")
+        )
         codes = pq_encode(
             resid, num_subspaces, num_codes, dim, id_col, "resid", codebook=cb
         )
@@ -644,7 +789,11 @@ def ivfpq_topk(
         .filter(F.col("_rn") == 1)
         .select(F.col(id_col), "cell")
     )
-    cb = pq_codebook(corpus, num_subspaces, num_codes, dim, id_col, vec_col)
+    cb = (
+        kmeans_pq_codebook(corpus, num_subspaces, num_codes, dim, id_col, vec_col)
+        if train_codebook
+        else pq_codebook(corpus, num_subspaces, num_codes, dim, id_col, vec_col)
+    )
     codes = pq_encode(
         corpus, num_subspaces, num_codes, dim, id_col, vec_col, codebook=cb
     )

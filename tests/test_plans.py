@@ -228,10 +228,13 @@ def test_paragraph_dedup_uses_partial_aggregate_not_window(spark):
 
 
 def test_clean_pipeline_composition_plan(spark):
-    """q59: the composed cleaning pipeline (Gopher gate -> paragraph
-    dedup -> span removal -> emptied-doc drop). The gate itself is a
-    pure scan projection (ZERO exchanges); the composed chain stays
-    JVM-side (no Python eval nodes), never degrades to a cartesian /
+    """q59v2: the composed cleaning pipeline exactly as the certified
+    query chains it (stage 0 normalize + collapse_repeated_lines ->
+    Gopher gate -> paragraph dedup -> span removal -> emptied-doc
+    drop), built WITHOUT the stage barriers so the assertions see the
+    full logical composition. Stage 0 and the gate are pure scan
+    projections (ZERO exchanges); the composed chain stays JVM-side
+    (no Python eval nodes), never degrades to a cartesian /
     nested-loop join, and its total shuffle count stays bounded — one
     pre-explode repartition plus the per-stage hash shuffles, so a
     regression that doubles shuffles (e.g. losing a persisted shared
@@ -241,7 +244,13 @@ def test_clean_pipeline_composition_plan(spark):
     from datacatalog_tag_engine_spark.pipeline import text as TXT
 
     spark.catalog.clearCache()
-    docs = spark.table("documents")
+    raw = spark.table("documents")
+    cleaned = TXT.collapse_repeated_lines(
+        TXT.normalize_text(raw, passthrough=True)
+    ).select("doc_id", "text")
+    # stage 0 is a zero-shuffle scan projection like the gate
+    assert len(re.findall(r"\(\d+\) Exchange", plan_of(cleaned))) == 0
+    docs = cleaned  # the query adds repartition + localCheckpoint here
     g = TXT.gopher_filter(
         docs, min_words=20, min_stopword_hits=0,
         max_dup_word_frac=1.0, max_top_bigram_frac=1.0,
