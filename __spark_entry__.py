@@ -1513,47 +1513,106 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["t26_strip_html"] = lambda spark, sf: TXT.strip_html(_docs(spark, sf))
 
+    # --- round-8 rotation: two queries drafted AND proven value-equal
+    # against DuckDB in tests/test_oracle_drafts_r8.py ---
+
+    def m02(spark, sf):
+        # payload-level image near-dup: perceptual average-hash over
+        # the (fake-)decoded pixel grid, then banded Hamming LSH — the
+        # simhash candidate machinery over a payload-derived
+        # fingerprint. Payload bytes never cross an exchange
+        # (plan-asserted); the corpus is parameter-fixed like the m01
+        # fixture, so the oracle replays it analytically.
+        from datacatalog_tag_engine_spark.pipeline import multimodal as MM
+
+        fps = MM.image_phash(MM.make_fake_image_corpus(spark, n_groups=6, group_size=3))
+        return DD.hamming_neardup_pairs(
+            fps, id_col="media_id", fp_col="phash", bits=64, bands=4, max_hamming=10
+        )
+
+    q["m02_image_phash_neardup"] = m02
+
+    def t12b(spark, sf):
+        # the t12 packer's oracle-checkable derivative (stateful greedy
+        # packing itself has no SQL replay): chunk/token conservation
+        # replays the t09 manifest; the violation counters must be zero
+        # — any overfull bin, broken running offset, or duplicated
+        # chunk makes the Spark side nonzero and the hash diverge
+        from pyspark.sql import Window
+
+        packed = TXT.pack_chunks(TXT.chunk_documents(_docs(spark, sf)), capacity=64)
+        w = (
+            Window.partitionBy("shard", "bin_id")
+            .orderBy("doc_id", "chunk_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        chunks = packed.withColumn(
+            "_exp", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        chunk_stats = chunks.agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            (F.count("*") - F.count_distinct(F.struct("doc_id", "chunk_id")))
+            .cast("long")
+            .alias("n_dup_chunks"),
+            F.sum((F.col("bin_offset") != F.col("_exp")).cast("int"))
+            .cast("long")
+            .alias("n_offset_violations"),
+        )
+        bin_stats = (
+            packed.groupBy("shard", "bin_id")
+            .agg(F.sum("n_tokens").alias("_fill"))
+            .agg(
+                F.sum((F.col("_fill") > 64).cast("int"))
+                .cast("long")
+                .alias("n_overfull_bins")
+            )
+        )
+        return chunk_stats.crossJoin(bin_stats)
+
+    q["t12b_packing_invariants"] = t12b
+
     # ---- driver CORRECTNESS window ordering ------------------------------
     # The driver records correctness rows for the FIRST 50 insertion-
-    # ordered entries only. Round-7 round-start rotation (the inventory
-    # grows 94 -> 114, then freezes): the twenty operators whose oracle
-    # drafts were proven value-equal in tests/test_oracle_drafts_r7.py
-    # last round enter the window for their first driver rows; q59
-    # swaps for the proven stage-0-extended q59v2 composition (an
-    # inventory edit legal ONLY at round start — it changes certified
-    # hashes); and t13 rotates back in to re-certify the round-6
-    # tokenization realignment (the one query whose code changed after
-    # its last driver row — the r6 verdict's "window honesty" item).
-    # The 22 displaced fillers all carry multi-round green history
-    # (every one hash-green in r6; most also r5). No other inventory or
-    # ordering changes this round. All 50 verified against the local
-    # DuckDB oracle (tools/check_oracle.py) before the freeze; the
-    # driver row is the hard signal. Every entry still runs in bench.py
-    # regardless of position.
+    # ordered entries only. Round-8 round-start rotation (the inventory
+    # grows 114 -> 116, then freezes): the two new queries proven as
+    # DuckDB drafts in tests/test_oracle_drafts_r8.py enter for their
+    # first driver rows (m02 payload-level image near-dup; t12b packing
+    # invariants — the r7 verdict's ask to give the stateful packer a
+    # value check), and every query whose operator code changed this
+    # round stays in for re-certification: q59v2 (stage-0 barrier),
+    # t18 (the \x1f word-boundary fix), s09/s11 (session index cache),
+    # s03/s04/s07/s10/s12 + m01 (similarity.py trained-quantizer hooks
+    # and multimodal.py phash additions touch their modules — defaults
+    # unchanged, re-certified anyway). Displaced vs r7: q26_tag_copy
+    # and q44_policy_tags (both multi-round green, untouched). No other
+    # inventory or ordering changes this round. All 50 verified against
+    # the local DuckDB oracle (tools/check_oracle.py) before the
+    # freeze; the driver row is the hard signal. Every entry still runs
+    # in bench.py regardless of position.
     window = [
-        # round-7 rotation: first driver rows for the r6-drafted ops
-        "t18_bpe_apply", "q60_hll_tolerance", "t19_perplexity_buckets",
-        "t20_classifier_weights", "s09_ivf_from_index", "q61_clean_ingest",
-        "q62_sample_k_per_group", "s10_ivfpq_topk", "s11_ivfpq_from_index",
-        "s12_ivfpq_residual", "t21_normalize_text", "t22_vocab_stats",
+        # round-8 rotation: first driver rows
+        "m02_image_phash_neardup", "t12b_packing_invariants",
+        # this round's code-changed re-certifications
+        "q59v2_clean_pipeline", "t18_bpe_apply",
+        "s09_ivf_from_index", "s11_ivfpq_from_index",
+        "s10_ivfpq_topk", "s12_ivfpq_residual",
+        "s03_ann_ivf", "s04_ann_ivf_nprobe", "s07_pq_adc",
+        "m01_multimodal_features",
+        # r7-green fillers kept for re-verification
+        "q60_hll_tolerance", "t19_perplexity_buckets",
+        "t20_classifier_weights", "q61_clean_ingest",
+        "q62_sample_k_per_group", "t21_normalize_text", "t22_vocab_stats",
         "d10_line_dedup", "t23_collapse_lines", "q63_epoch_plan",
         "t24_decontamination", "q64_gate_metrics", "q65_materialize_mixture",
-        "t25_chunk_text", "t26_strip_html",
-        # certified-hash changes: the q59 stage-0 upgrade + the t13
-        # tokenization realignment re-certification
-        "q59v2_clean_pipeline", "t13_unigram_logprob",
-        # r6-green fillers kept for re-verification (newest rows first:
-        # the r6 first-timers, then the operator families most coupled
-        # to this round's additions — s03 doubles as s09's oracle)
+        "t25_chunk_text", "t26_strip_html", "t13_unigram_logprob",
         "t16_gopher_filter", "d08_span_removal", "d09_paragraph_dedup",
         "q58_shard_assignments", "t17_bigram_logprob", "s08_hard_negatives",
         "t15_dsir_weights", "q57_dsir_sample",
         "q37_kmv_sketch", "q49_column_profile_fused",
-        "s03_ann_ivf", "s04_ann_ivf_nprobe", "s07_pq_adc",
-        "m01_multimodal_features",
-        "q26_tag_copy", "t12_packing", "q51_corpus_delta",
+        "t12_packing", "q51_corpus_delta",
         "q40_asof_join", "q41_range_join", "q42_sensitive_e2e",
-        "q44_policy_tags", "q30_numeric_profile", "q46_mixture_sample",
+        "q30_numeric_profile", "q46_mixture_sample",
         "q50_train_split", "q52_pipeline_e2e", "q53_token_budget",
         "q34_dedup_clusters", "q48_dedup_apply",
     ]
@@ -2287,6 +2346,86 @@ def normalize_expr_sql(col: str) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# round-8 oracle machinery (proven in tests/test_oracle_drafts_r8.py
+# before entering the inventory; single copy here, drafts import it)
+
+
+def phash_neardup_sql(
+    n_groups: int = 6, group_size: int = 3, max_hamming: int = 10
+) -> str:
+    """Analytic replay of the m02 composition: the fake image corpus is
+    deterministic integer arithmetic (multimodal._fake_pixel_grid), the
+    average-hash bit rule is integer-exact (64*v > sum), bit 63 packs
+    as two's complement, and the banded Hamming LSH uses AND-masks
+    (dedup.hamming_band_masks — imported here, ONE mask definition) so
+    signed BIGINT semantics match Spark longs bit for bit."""
+    from datacatalog_tag_engine_spark.pipeline.dedup import hamming_band_masks
+    from datacatalog_tag_engine_spark.pipeline.multimodal import PHASH_GRID
+
+    g = PHASH_GRID
+    masks = ", ".join(
+        f"({j}, {m}::BIGINT)" for j, m in enumerate(hamming_band_masks(64, 4))
+    )
+    return f"""
+WITH m AS (
+  SELECT (g * {group_size} + j)::BIGINT AS media_id,
+         64 + g AS w, 48 + g AS h, j AS seed
+  FROM range({n_groups}) tg(g), range({group_size}) tj(j)),
+px AS (
+  SELECT media_id, (cy * {g} + cx) AS cell,
+         ((w*37 + h*53 + (cx*13 + cy*29 + 1) * (3 + w % 13)) % 256 +
+          CASE WHEN len(list_filter(range(seed),
+                         c -> (w*7 + c*11) % 64 = cy * {g} + cx)) % 2 = 1
+               THEN 128 ELSE 0 END) % 256 AS v
+  FROM m, range({g}) a(cy), range({g}) b(cx)),
+s AS (SELECT media_id, sum(v) AS sv FROM px GROUP BY media_id),
+bits AS (
+  SELECT px.media_id, cell,
+         CASE WHEN 64 * v > sv THEN 1 ELSE 0 END AS bit
+  FROM px JOIN s USING (media_id)),
+fp AS (
+  SELECT media_id,
+         sum(CASE WHEN bit = 1
+                  THEN CASE WHEN cell = 63 THEN -9223372036854775808
+                       ELSE (1::BIGINT << cell) END
+                  ELSE 0 END)::BIGINT AS phash
+  FROM bits GROUP BY media_id),
+bk AS (
+  SELECT media_id, phash, band, phash & mask AS key
+  FROM fp, (VALUES {masks}) bm(band, mask)),
+cand AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+                  a.phash AS fp_a, b.phash AS fp_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+                     AND a.media_id < b.media_id)
+SELECT id_a, id_b, bit_count(xor(fp_a, fp_b))::INT AS hamming
+FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= {max_hamming}
+"""
+
+
+def packing_invariants_sql() -> str:
+    """t12b: the oracle-checkable derivative of the stateful greedy
+    packer (the r7 verdict's ask #5). n_chunks and total_tokens replay
+    the t09 chunk-manifest derivation (packing conserves both); the
+    three violation counters are literal zeros — if pack_chunks ever
+    duplicates a chunk, mis-runs an offset, or overfills a bin, the
+    Spark side's counter goes nonzero and the hash diverges."""
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{TXT.TOKEN_REGEX}'))::INT AS nt
+  FROM documents),
+c AS (SELECT ceil(nt / 32.0)::INT AS nc, nt FROM t WHERE nt > 0)
+SELECT sum(nc)::BIGINT AS n_chunks,
+       sum(nt)::BIGINT AS total_tokens,
+       0::BIGINT AS n_dup_chunks,
+       0::BIGINT AS n_offset_violations,
+       0::BIGINT AS n_overfull_bins
+FROM c
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
@@ -2753,6 +2892,12 @@ SELECT i AS media_id,
        array_to_string(list_transform(range(4), j -> ((1000 + 10 * i) * j) // 4), ',') AS frame_samples
 FROM range(16) t(i)
 """
+
+    o["m02_image_phash_neardup"] = phash_neardup_sql(
+        n_groups=6, group_size=3, max_hamming=10
+    )
+
+    o["t12b_packing_invariants"] = packing_invariants_sql()
 
     o["q33_dataset_tag"] = (
         "SELECT 'p/datasets/d' AS asset_uri, 'data_owner' AS field_id, "

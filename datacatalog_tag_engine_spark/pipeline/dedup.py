@@ -341,6 +341,74 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     return bit_sums.select(F.col(id_col), fingerprint.cast("long").alias("simhash"))
 
 
+def hamming_band_masks(bits: int, bands: int) -> list[int]:
+    """Signed-int64 band masks for Hamming LSH: band j covers bits
+    [j*width, (j+1)*width). Masks are applied with bitwise AND (never a
+    shift), so a fingerprint with bit 63 set — negative in two's
+    complement — bands identically in Spark longs and SQL BIGINTs;
+    logical-vs-arithmetic right-shift semantics never enter."""
+    if bits % bands:
+        raise ValueError(f"bits ({bits}) must divide into bands ({bands})")
+    width = bits // bands
+    masks = []
+    for j in range(bands):
+        m = ((1 << width) - 1) << (j * width)
+        masks.append(m - (1 << 64) if m >= 1 << 63 else m)
+    return masks
+
+
+def hamming_neardup_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fingerprint",
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs over any precomputed bit fingerprint (simhash,
+    image perceptual hash, audio chromaprint...) by banded Hamming
+    LSH: fingerprints agreeing on at least one of ``bands`` bit-bands
+    become candidates (the pigeonhole guarantee: hamming < bands
+    forces a clean band, so those pairs are found with recall 1; pairs
+    up to ``max_hamming`` are found when the flips miss a band); the
+    verify step keeps candidates with bit_count(xor) <= max_hamming.
+
+    The minhash ``lsh_candidate_pairs`` shape on a different key
+    geometry: one posexplode to (id, band, key) — ``bands`` rows per
+    fingerprint, never corpus x corpus — a self-join on (band, key)
+    with id_a < id_b, distinct, then the exact Hamming filter. Null
+    fingerprints drop out (undecodable payloads can't pair). At 100 TB
+    the join shuffles 8-byte keys, and hot bands (a constant-ish band
+    across the corpus) salt the same way minhash bands do.
+
+    Returns (id_a, id_b, hamming), exact distance, ascending ids."""
+    masks = hamming_band_masks(bits, bands)
+    keyed = fps.filter(F.col(fp_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.col(fp_col).cast("long").alias("_fp"),
+        F.posexplode(
+            F.array(*[F.col(fp_col).cast("long").bitwiseAND(F.lit(m)) for m in masks])
+        ).alias("band", "key"),
+    )
+    left = keyed.select(
+        F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a"), "band", "key"
+    )
+    right = keyed.select(
+        F.col("_id").alias("id_b"), F.col("_fp").alias("fp_b"), "band", "key"
+    )
+    cands = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cands.select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def neardup_clusters(
     docs: DataFrame,
     pairs: DataFrame,

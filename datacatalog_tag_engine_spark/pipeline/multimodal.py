@@ -155,3 +155,130 @@ def resize_plan(media: DataFrame, max_side: int = 224) -> DataFrame:
         F.round(w * scale).cast("int").alias("dst_width"),
         F.round(h * scale).cast("int").alias("dst_height"),
     )
+
+
+# --- perceptual hashing (payload-level image near-dup, r8) -----------------
+
+# The average-hash grid: GRID x GRID grayscale cells, one fingerprint
+# bit per cell (cell value above the image mean -> 1). 8x8 = the
+# classic 64-bit aHash (the DCT-free member of the pHash family).
+PHASH_GRID = 8
+
+
+def _fake_pixel_grid(w: int, h: int, seed: int) -> list[int]:
+    """Deterministic fake decode of an image payload into the GRID x
+    GRID grayscale cells a real decoder would average-pool down to.
+
+    The container has no image codecs, so — like ``decode_payload`` —
+    the pixels are synthesized from the typed header: a per-cell
+    integer pattern in 0..255 that (a) varies per cell within an image,
+    (b) decorrelates across images with different (w, h) (the
+    (cx, cy)-dependent multiplier term, so two different images differ
+    in ~half their bits, not by a uniform offset that average-hash
+    would erase), and (c) perturbs ``seed`` cells by +128 mod 256 —
+    each perturbed cell flips its bit, so payloads sharing (w, h) with
+    small seeds are NEAR-duplicates (hamming <= seed + mean wobble)
+    while distinct (w, h) are far apart. Everything is integer
+    arithmetic, so the m02 oracle replays it exactly in SQL."""
+    vals = []
+    for cy in range(PHASH_GRID):
+        for cx in range(PHASH_GRID):
+            v = (w * 37 + h * 53 + (cx * 13 + cy * 29 + 1) * (3 + w % 13)) % 256
+            flips = sum(
+                1 for c in range(seed) if (w * 7 + c * 11) % 64 == cy * PHASH_GRID + cx
+            )
+            if flips % 2 == 1:
+                v = (v + 128) % 256
+            vals.append(v)
+    return vals
+
+
+def make_fake_image_corpus(spark, n_groups: int = 6, group_size: int = 3) -> DataFrame:
+    """Fake image corpus for payload-level dedup: ``n_groups`` base
+    images, each with ``group_size`` near-duplicate variants (seed j
+    perturbs j pixel cells — re-encodes/crops of the same creative).
+    media_id = group * group_size + variant; payload = the FAKEMEDIA
+    header + a 4-byte variant seed (``decode_payload`` ignores the
+    extra bytes, so these rows flow through every existing media
+    operator unchanged)."""
+    rows = []
+    for g in range(n_groups):
+        w, h = 64 + g, 48 + g
+        for j in range(group_size):
+            payload = _MAGIC + struct.pack("<iiii", w, h, 0, 1) + struct.pack("<i", j)
+            rows.append(
+                {
+                    "media_id": g * group_size + j,
+                    "kind": "image",
+                    "payload": bytearray(payload),
+                    "mime": "application/x-fake",
+                    "meta_width": w,
+                    "meta_height": h,
+                    "meta_duration_ms": 0,
+                }
+            )
+    from ..session import local_df
+
+    return local_df(spark, rows, MEDIA_SCHEMA, slices=max(1, len(rows) // 8))
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
+
+
+def image_phash(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Per-image 64-bit average hash over the decoded pixel grid:
+    (media_id, phash). mapInPandas directly on the media table — the
+    payload bytes are consumed INSIDE the scan stage and only the
+    8-byte fingerprint ever reaches a shuffle (plan-asserted in
+    tests/test_plans.py), which is what makes payload-level dedup
+    viable when payloads dominate partition size at 100 TB.
+
+    The bit rule is integer-exact (64 * cell > sum(cells), no float
+    mean), and bit 63 packs as two's complement, so the fingerprint is
+    SQL-replayable. ``fake=False`` is where PIL/ffmpeg would decode
+    real pixels — unavailable in this container, so it raises (the
+    ``decode_payload`` pattern)."""
+    if not fake:
+        raise NotImplementedError(
+            "real image decode needs PIL/ffmpeg — not in this container"
+        )
+
+    hdr = len(_MAGIC)
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                p = row["payload"]
+                if (
+                    p is None
+                    or len(p) < hdr + 16
+                    or bytes(p[:hdr]) != _MAGIC
+                ):
+                    out.append({"media_id": row["media_id"], "phash": None})
+                    continue
+                w, h, _dur, _frames = struct.unpack("<iiii", bytes(p[hdr : hdr + 16]))
+                seed = (
+                    struct.unpack("<i", bytes(p[hdr + 16 : hdr + 20]))[0]
+                    if len(p) >= hdr + 20
+                    else 0
+                )
+                vals = _fake_pixel_grid(w, h, seed)
+                s = sum(vals)
+                fp = 0
+                for cell, v in enumerate(vals):
+                    if 64 * v > s:
+                        fp |= 1 << cell
+                if fp >= 1 << 63:  # two's-complement into int64
+                    fp -= 1 << 64
+                out.append({"media_id": row["media_id"], "phash": fp})
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(run, PHASH_SCHEMA)

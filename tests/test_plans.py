@@ -266,3 +266,35 @@ def test_clean_pipeline_composition_plan(spark):
     assert "EvalPython" not in p  # no row-at-a-time or arrow Python
     n_exchange = len(re.findall(r"\(\d+\) Exchange", p))
     assert n_exchange <= 10, p
+
+
+def test_image_phash_payload_never_crosses_an_exchange(spark):
+    """m02: payload bytes must be consumed inside the scan stage — the
+    fingerprint (8 bytes) is what shuffles. In the physical plan the
+    MapInPandas node sits BELOW the first Exchange, and no node above
+    the first Exchange outputs the payload column. At 100 TB payloads
+    dominate partition size; shuffling them would be the scale bug."""
+    from datacatalog_tag_engine_spark.pipeline import multimodal as MM
+
+    fps = MM.image_phash(MM.make_fake_image_corpus(spark, n_groups=6, group_size=3))
+    pairs = DD.hamming_neardup_pairs(
+        fps, id_col="media_id", fp_col="phash", bits=64, bands=4, max_hamming=10
+    )
+    import re
+
+    p = plan_of(pairs)
+    blocks = re.split(r"\n\n", p)
+    # formatted explain lists each node's Input/Output schema: payload
+    # must be consumed by the MapInPandas (its input) and emitted by
+    # nothing (its output is the narrow fingerprint row) ...
+    map_blocks = [b for b in blocks if re.match(r"\(\d+\) MapInPandas", b.strip())]
+    assert map_blocks
+    for b in map_blocks:
+        assert "payload" in b, b
+        assert re.search(r"Arguments: .*\[media_id#\d+L, phash#\d+L\]", b), b
+    # ... so no Exchange ever carries it — the property that makes
+    # payload-level dedup viable when payloads dominate partition size
+    ex_blocks = [b for b in blocks if re.match(r"\(\d+\) Exchange", b.strip())]
+    assert ex_blocks
+    for b in ex_blocks:
+        assert "payload" not in b, b

@@ -47,26 +47,6 @@ def test_frozen_bpe_merges_match_fresh_train(spark):
     assert merges == E.BPE_MERGES
 
 
-def test_window_invariants():
-    """50-slot window, every entry resolvable, every windowed query
-    except the two by-design rows-only ones (q09 out of window this
-    round; t12 stateful packing) has an oracle; inventory is 114."""
-    qs = E.queries()
-    os_ = E.oracle_sql()
-    names = list(qs)
-    assert len(names) == 114
-    window = names[:50]
-    no_oracle = [n for n in window if n not in os_]
-    assert no_oracle == ["t12_packing"]
-    # the 22 must-certify rotations all sit inside the window
-    rotated = {
-        "t18_bpe_apply", "q60_hll_tolerance", "t19_perplexity_buckets",
-        "t20_classifier_weights", "s09_ivf_from_index", "q61_clean_ingest",
-        "q62_sample_k_per_group", "s10_ivfpq_topk", "s11_ivfpq_from_index",
-        "s12_ivfpq_residual", "t21_normalize_text", "t22_vocab_stats",
-        "d10_line_dedup", "t23_collapse_lines", "q63_epoch_plan",
-        "t24_decontamination", "q64_gate_metrics", "q65_materialize_mixture",
-        "t25_chunk_text", "t26_strip_html", "q59v2_clean_pipeline",
-        "t13_unigram_logprob",
-    }
-    assert rotated <= set(window)
+# The r7 window-invariants snapshot moved to tests/test_r8_rotation_
+# wiring.py, which asserts the CURRENT window; the string-pinning tests
+# above stay valid for as long as the r7-rotated oracles are wired.
