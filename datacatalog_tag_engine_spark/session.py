@@ -33,7 +33,10 @@ def get_spark(app_name: str = "tag-engine-spark", shuffle_partitions: int | None
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI off for tests/bench (port + listener overhead); tools that
+        # read per-stage shuffle metrics over the REST API (e.g.
+        # tools/stress_pipeline.py) opt in via SPARK_GRAFT_UI=true
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         # LIMIT/first() probes: CollectLimitExec ramps up from 1
         # partition (x4 per retry), so a first() over a 32-partition
         # relation that doesn't fill the limit in partition 0 pays 3-4
