@@ -64,6 +64,10 @@ Coverage map (SURVEY.md section 2.10 + training-data operators):
   q63-q65  epoch plan (data-constrained scaling); gate-metrics
            monitor (batch form); materialized mixture corpus
   t24-t26  decontamination apply; sliding-window chunking; strip_html
+  m02      payload-level image near-dup (perceptual average hash via
+           mapInPandas + banded Hamming LSH; payload never shuffled)
+  t12b     packing invariants (the t12 packer's oracle-checkable
+           derivative: conservation replayed, violation counters zero)
 """
 
 from __future__ import annotations

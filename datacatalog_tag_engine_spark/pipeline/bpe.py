@@ -346,3 +346,60 @@ def bpe_apply(
     return _repartition_for_explode(docs.select(id_col, text_col), id_col).mapInPandas(
         apply, out_schema
     )
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Tokenizer QA surface (r9 queue): per-``group_col`` fertility of
+    a trained merge list — tokens/word and chars/token are THE numbers
+    a tokenizer review reads (fertility >> 1.3 on a language means the
+    vocabulary under-serves it; chars/token collapsing toward 1 means
+    the merges memorized nothing). Sennrich et al. (arXiv:1508.07909)
+    report exactly these ratios for BPE sizing.
+
+    One encode pass (``bpe_apply``) joined back to row-local word/char
+    counts under the SAME tokenization (word chars sum the split
+    words, so whitespace/sentinels don't count), then a group_col-grain
+    aggregate: integer sums are exact cross-engine, the two divisions
+    round at 6 (the q30 pattern). Returns (group, n_docs, n_words,
+    n_tokens, n_word_chars, tokens_per_word, chars_per_token)."""
+    toks = bpe_apply(docs, merges, id_col=id_col, text_col=text_col).select(
+        id_col, "n_tokens"
+    )
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[\s\x1f]+"), lambda w: F.length(w) > 0
+    )
+    stats = docs.select(
+        id_col,
+        F.col(group_col).alias("grp"),
+        F.size(words).alias("_nw"),
+        F.aggregate(
+            words, F.lit(0), lambda acc, w: acc + F.length(w)
+        ).alias("_nc"),
+    )
+    return (
+        stats.join(toks, id_col)
+        .groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_nw").cast("long").alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("_nc").cast("long").alias("n_word_chars"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_words",
+            "n_tokens",
+            "n_word_chars",
+            F.round(F.col("n_tokens") / F.col("n_words"), 6).alias("tokens_per_word"),
+            F.round(F.col("n_word_chars") / F.col("n_tokens"), 6).alias(
+                "chars_per_token"
+            ),
+        )
+    )

@@ -409,6 +409,65 @@ def hamming_neardup_pairs(
     )
 
 
+def frame_neardup_pairs(
+    frame_fps: DataFrame,
+    id_col: str = "media_id",
+    frame_col: str = "frame_idx",
+    fp_col: str = "phash",
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 8,
+    min_matching_frames: int = 3,
+) -> DataFrame:
+    """Sequence-aware near-dup over per-frame fingerprints (video
+    dedup): two items pair when at least ``min_matching_frames`` of
+    their TEMPORALLY ALIGNED frames are within ``max_hamming`` — a
+    re-encode matches frame-for-frame, while two videos sharing one
+    incidental frame (a black frame, a standard intro card) do not
+    clear the floor.
+
+    ``hamming_neardup_pairs``' banding with the frame index joined
+    into the band key: candidates require (frame, band, key) equality,
+    so banding never pairs frame 0 of one video with frame 3 of
+    another. Per-frame verify is the exact bit_count(xor); the final
+    aggregate counts distinct matched frames per pair. All relations
+    are fingerprint-grain (frames x 8 bytes) — payloads stay in the
+    upstream scan stage exactly as in the single-hash path.
+
+    Returns (id_a, id_b, n_matching_frames), ascending ids."""
+    masks = hamming_band_masks(bits, bands)
+    keyed = frame_fps.filter(F.col(fp_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.col(frame_col).alias("_frame"),
+        F.col(fp_col).cast("long").alias("_fp"),
+        F.posexplode(
+            F.array(*[F.col(fp_col).cast("long").bitwiseAND(F.lit(m)) for m in masks])
+        ).alias("band", "key"),
+    )
+    left = keyed.select(
+        F.col("_id").alias("id_a"), F.col("_frame").alias("frame"),
+        F.col("_fp").alias("fp_a"), "band", "key",
+    )
+    right = keyed.select(
+        F.col("_id").alias("id_b"), F.col("_frame").alias("frame"),
+        F.col("_fp").alias("fp_b"), "band", "key",
+    )
+    cands = (
+        left.join(right, ["frame", "band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "frame", "fp_a", "fp_b")
+        .distinct()
+    )
+    matched = cands.filter(
+        F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))) <= max_hamming
+    )
+    return (
+        matched.groupBy("id_a", "id_b")
+        .agg(F.count_distinct("frame").cast("int").alias("n_matching_frames"))
+        .filter(F.col("n_matching_frames") >= min_matching_frames)
+    )
+
+
 def neardup_clusters(
     docs: DataFrame,
     pairs: DataFrame,

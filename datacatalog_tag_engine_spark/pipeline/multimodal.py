@@ -282,3 +282,201 @@ def image_phash(media: DataFrame, fake: bool = True) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.select("media_id", "payload").mapInPandas(run, PHASH_SCHEMA)
+
+
+# --- audio fingerprinting (chromaprint-shaped, r9 queue) -------------------
+
+AUDIO_FP_FRAMES = 17  # 16 temporal deltas x 4 bands = 64 bits
+AUDIO_FP_BANDS = 4
+
+
+def _fake_band_energy(dur: int, seed: int, t: int, b: int) -> int:
+    """Deterministic fake sub-band energy for frame t, band b of an
+    audio payload — the stand-in for an FFT band sum (no audio libs in
+    this container). Integer arithmetic only, so the SQL oracle replays
+    it; ``seed`` perturbs a few (t, b) cells the same way the image
+    fake perturbs pixels, making same-duration payloads with small
+    seeds NEAR-duplicates under the delta fingerprint."""
+    v = (dur * 31 + (t * 17 + b * 41 + 1) * (5 + dur % 11)) % 1024
+    flips = sum(
+        1
+        for c in range(seed)
+        if (dur * 13 + c * 7) % (AUDIO_FP_FRAMES * AUDIO_FP_BANDS)
+        == t * AUDIO_FP_BANDS + b
+    )
+    if flips % 2 == 1:
+        v = (v + 512) % 1024
+    return v
+
+
+def make_fake_audio_corpus(spark, n_groups: int = 6, group_size: int = 3) -> DataFrame:
+    """Fake audio corpus: ``n_groups`` base clips x ``group_size``
+    re-encode variants (seed j perturbs j energy cells). Payload layout
+    matches the image corpus (header + 4-byte seed)."""
+    rows = []
+    for g in range(n_groups):
+        dur = 30_000 + 700 * g
+        for j in range(group_size):
+            payload = _MAGIC + struct.pack("<iiii", 0, 0, dur, 0) + struct.pack("<i", j)
+            rows.append(
+                {
+                    "media_id": g * group_size + j,
+                    "kind": "audio",
+                    "payload": bytearray(payload),
+                    "mime": "application/x-fake",
+                    "meta_width": 0,
+                    "meta_height": 0,
+                    "meta_duration_ms": dur,
+                }
+            )
+    from ..session import local_df
+
+    return local_df(spark, rows, MEDIA_SCHEMA, slices=max(1, len(rows) // 8))
+
+
+def audio_fingerprint(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Chromaprint-shaped 64-bit audio fingerprint: (media_id, afp).
+    Bit (t, b) is the TEMPORAL DELTA sign energy(t+1, b) > energy(t, b)
+    — the encoding AcoustID's chromaprint uses (delta signs survive
+    volume/codec changes; absolute energies do not). 16 deltas x 4
+    bands pack to one long (bit 63 two's-complement, the image-phash
+    rule), so near-dup detection is `hamming_neardup_pairs` verbatim.
+    Same scan shape as image_phash: payload consumed inside the scan
+    stage, only the 8-byte fingerprint shuffles. ``fake=False`` is the
+    real-decoder seam (librosa/ffmpeg) — unavailable here, raises."""
+    if not fake:
+        raise NotImplementedError(
+            "real audio decode needs librosa/ffmpeg — not in this container"
+        )
+
+    hdr = len(_MAGIC)
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                p = row["payload"]
+                if p is None or len(p) < hdr + 16 or bytes(p[:hdr]) != _MAGIC:
+                    out.append({"media_id": row["media_id"], "afp": None})
+                    continue
+                _w, _h, dur, _fr = struct.unpack("<iiii", bytes(p[hdr : hdr + 16]))
+                seed = (
+                    struct.unpack("<i", bytes(p[hdr + 16 : hdr + 20]))[0]
+                    if len(p) >= hdr + 20
+                    else 0
+                )
+                fp = 0
+                bit = 0
+                for t in range(AUDIO_FP_FRAMES - 1):
+                    for b in range(AUDIO_FP_BANDS):
+                        if _fake_band_energy(dur, seed, t + 1, b) > _fake_band_energy(
+                            dur, seed, t, b
+                        ):
+                            fp |= 1 << bit
+                        bit += 1
+                if fp >= 1 << 63:
+                    fp -= 1 << 64
+                out.append({"media_id": row["media_id"], "afp": fp})
+            yield pd.DataFrame(out)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("afp", T.LongType(), True),
+        ]
+    )
+    return media.select("media_id", "payload").mapInPandas(run, schema)
+
+
+# --- video frame-sequence near-dup (r9 queue) ------------------------------
+
+
+def make_fake_video_corpus(spark, n_groups: int = 4, group_size: int = 3) -> DataFrame:
+    """Fake video corpus: groups share (w, h, duration); variant seed j
+    perturbs every sampled frame's pixel grid in j cells (a re-encode /
+    watermark overlay)."""
+    rows = []
+    for g in range(n_groups):
+        w, h, dur = 128 + g, 72 + g, 60_000 + 900 * g
+        for j in range(group_size):
+            payload = (
+                _MAGIC + struct.pack("<iiii", w, h, dur, 24) + struct.pack("<i", j)
+            )
+            rows.append(
+                {
+                    "media_id": g * group_size + j,
+                    "kind": "video",
+                    "payload": bytearray(payload),
+                    "mime": "application/x-fake",
+                    "meta_width": w,
+                    "meta_height": h,
+                    "meta_duration_ms": dur,
+                }
+            )
+    from ..session import local_df
+
+    return local_df(spark, rows, MEDIA_SCHEMA, slices=max(1, len(rows) // 8))
+
+
+FRAME_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
+
+
+def video_frame_phashes(
+    media: DataFrame, sample_frames: int = 4, fake: bool = True
+) -> DataFrame:
+    """Per-sampled-frame perceptual hash: (media_id, frame_idx, phash).
+    Frames sample evenly across the duration (the extract_features
+    rule); each frame's pixel grid is the image fake with the frame
+    index folded into the pattern (frame t of a re-encode matches
+    frame t of the original — temporal alignment is what makes
+    frame-wise dedup meaningful). One payload decode emits
+    sample_frames narrow rows; the payload itself never leaves the
+    scan stage."""
+    if not fake:
+        raise NotImplementedError(
+            "real video decode needs ffmpeg — not in this container"
+        )
+
+    hdr = len(_MAGIC)
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                p = row["payload"]
+                if p is None or len(p) < hdr + 16 or bytes(p[:hdr]) != _MAGIC:
+                    continue
+                w, h, _dur, _fr = struct.unpack("<iiii", bytes(p[hdr : hdr + 16]))
+                seed = (
+                    struct.unpack("<i", bytes(p[hdr + 16 : hdr + 20]))[0]
+                    if len(p) >= hdr + 20
+                    else 0
+                )
+                for t in range(sample_frames):
+                    # frame content varies by t (h offset keeps the
+                    # arithmetic in the image fake's shape); the variant
+                    # seed perturbs the same cells in every frame
+                    vals = _fake_pixel_grid(w, h + 7 * t, seed)
+                    s = sum(vals)
+                    fp = 0
+                    for cell, v in enumerate(vals):
+                        if 64 * v > s:
+                            fp |= 1 << cell
+                    if fp >= 1 << 63:
+                        fp -= 1 << 64
+                    out.append(
+                        {"media_id": row["media_id"], "frame_idx": t, "phash": fp}
+                    )
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(run, FRAME_PHASH_SCHEMA)
