@@ -1302,3 +1302,45 @@ def line_dedup(
         )
         .withColumnRenamed("n_paragraphs", "n_lines")
     )
+
+
+def source_dup_profile(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    by: str = "source",
+) -> DataFrame:
+    """Per-source duplication profile over exact fingerprints: how
+    much of each source is clones, and how big the worst clone family
+    is — the triage number that decides which sources are worth the
+    expensive near-dup passes (a source that is 40% exact clones gets
+    exact-deduped FIRST; minhash over the raw source wastes bands on
+    copies). Uses the SAME whitespace-normalized lowercase md5 rule
+    as pipeline.text.fingerprints, so this profile predicts exactly
+    what fingerprint-keyed dedup will do.
+
+    One corpus scan into a map-side-combined (source, fingerprint)
+    count shuffle; everything after is fingerprint-grain then
+    source-grain. Returns (source, n_docs, n_distinct, dup_frac,
+    max_clone)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    fams = (
+        docs.select(F.col(by).alias(by), F.md5(norm).alias("fp"))
+        .groupBy(by, "fp")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        fams.groupBy(by)
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.count("*").alias("n_distinct"),
+            F.max("n").alias("max_clone"),
+        )
+        .select(
+            by,
+            "n_docs",
+            "n_distinct",
+            F.round(1.0 - F.col("n_distinct") / F.col("n_docs"), 4).alias("dup_frac"),
+            "max_clone",
+        )
+    )

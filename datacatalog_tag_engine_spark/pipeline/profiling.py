@@ -126,3 +126,109 @@ def sessionize(
             ts_epoch_long(F.col("session_end")) - ts_epoch_long(F.col("session_start")),
         )
     )
+
+
+def length_outliers(
+    docs: DataFrame,
+    by: str = "source",
+    value_col: str = "n_chars",
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier profile over a length-ish measure:
+    exact median and MAD (median absolute deviation), plus how many
+    rows sit more than k MADs from the median — the length-anomaly
+    gate a corpus build runs per source (mean/stddev profiles are
+    themselves dragged by the outliers they should flag; the median/
+    MAD pair is breakdown-resistant — Leys et al., "Detecting
+    outliers: do not use standard deviation around the mean", JESP
+    2013).
+
+    Two corpus passes by nature (the MAD needs the median first); both
+    are group-grain exact percentiles. At 100 TB swap the exact
+    percentile for percentile_approx and document the epsilon — the
+    structure is unchanged. Exact interpolated medians here so the
+    DuckDB oracle (median()) matches bit-for-bit.
+
+    Returns (by, n_docs, median_val, mad_val, n_outliers,
+    outlier_frac)."""
+    med = docs.groupBy(by).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    )
+    dev = docs.join(F.broadcast(med), by).withColumn(
+        "_adev", F.abs(F.col(value_col) - F.col("_med"))
+    )
+    mad = dev.groupBy(by).agg(F.expr("percentile(_adev, 0.5)").alias("_mad"))
+    flagged = dev.join(F.broadcast(mad), by)
+    return (
+        flagged.groupBy(by)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.first("_med").alias("_m"),
+            F.first("_mad").alias("_d"),
+            F.count_if(F.col("_adev") > F.lit(k) * F.col("_mad")).alias("n_outliers"),
+        )
+        .select(
+            by,
+            "n_docs",
+            F.round("_m", 2).alias("median_val"),
+            F.round("_d", 2).alias("mad_val"),
+            "n_outliers",
+            F.round(F.col("n_outliers") / F.col("n_docs"), 4).alias("outlier_frac"),
+        )
+    )
+
+
+def event_funnel(
+    events: DataFrame,
+    steps: list[str],
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel: for each step i, the users who
+    performed step i strictly AFTER their earliest qualifying
+    occurrence of step i-1 (min-timestamp chaining — the standard
+    funnel semantics: a user converts once, re-orderings don't count).
+    Generalizes the engine's sessionize/usage rollups (streaming/
+    usage.py) to multi-step behavioral analytics.
+
+    Each stage is a user-grain aggregate joined to the previous
+    stage's (user, ts) frame — co-partitioned on the user key, so the
+    chain costs len(steps) user-grain shuffles and nothing
+    corpus-grain is ever re-scanned more than once per step. The
+    final conversion window runs over len(steps) rows.
+
+    Returns (step_index, step, n_users, conversion) where conversion
+    is n_users / step-0 users rounded to 4."""
+    from pyspark.sql import Window
+
+    frames = []
+    prev = None
+    for i, s in enumerate(steps):
+        e = events.filter(F.col(type_col) == s)
+        if prev is None:
+            cur = e.groupBy(id_col).agg(F.min(ts_col).alias("_t"))
+        else:
+            cur = (
+                e.join(prev.select(id_col, F.col("_t").alias("_pt")), id_col)
+                .filter(F.col(ts_col) > F.col("_pt"))
+                .groupBy(id_col)
+                .agg(F.min(ts_col).alias("_t"))
+            )
+        frames.append(
+            cur.agg(F.count("*").alias("n_users")).select(
+                F.lit(i).alias("step_index"), F.lit(s).alias("step"), "n_users"
+            )
+        )
+        prev = cur
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    w = Window.orderBy("step_index").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    first_n = F.max(F.when(F.col("step_index") == 0, F.col("n_users"))).over(w)
+    return out.withColumn(
+        "conversion",
+        F.when(first_n > 0, F.round(F.col("n_users") / first_n, 4)).otherwise(F.lit(0.0)),
+    )

@@ -339,3 +339,47 @@ def materialize_mixture(
             F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("epoch"),
         )
     )
+
+
+def holdout_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_bp: int = 1000,
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Leakage-guarded eval holdout: the id's md5 bucket assigns
+    eval membership (same engine-portable rule as
+    train_val_test_split — stable under re-partitioning and corpus
+    appends), and any TRAIN doc whose whitespace-normalized text
+    fingerprint collides with an eval doc is quarantined instead of
+    trained on — id-level splitting alone leaks every exact clone
+    pair that straddles the boundary, which inflates eval scores by
+    exactly the corpus dup rate (the decontamination argument of
+    arXiv:2107.06499 applied to the pipeline's own split).
+
+    One projection pass for the split + fingerprints, then one
+    fingerprint-keyed left join of the train side against the
+    distinct eval fingerprints (eval_bp/buckets of the corpus).
+    Returns (doc_id, split) with split in
+    {'eval', 'train', 'quarantined'}."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    tagged = docs.select(
+        F.col(id_col),
+        F.md5(norm).alias("_fp"),
+        (hash_bucket(F.col(id_col), buckets) < eval_bp).alias("_is_eval"),
+    )
+    eval_fps = tagged.filter("_is_eval").select("_fp").distinct()
+    leaked = F.col("_hit").isNotNull() & ~F.col("_is_eval")
+    return (
+        tagged.join(
+            eval_fps.withColumn("_hit", F.lit(1)), "_fp", "left"
+        )
+        .select(
+            id_col,
+            F.when(F.col("_is_eval"), F.lit("eval"))
+            .when(leaked, F.lit("quarantined"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+    )

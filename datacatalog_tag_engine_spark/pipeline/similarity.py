@@ -1103,3 +1103,42 @@ def ivfpq_topk_from_index(
         F.broadcast(probe), "cell"
     )
     return _adc_topk(cand, queries, cb, k, num_subspaces, sub, id_col, vec_col)
+
+
+def cell_balance(
+    corpus: DataFrame,
+    num_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """IVF cell-occupancy profile: how evenly the coarse quantizer
+    spreads the corpus over cells. THE health check for every
+    partition-pruned ANN surface in this module — a cell holding 10x
+    its share is a straggler partition at 100 TB (the skew the
+    operators/skew.py levers exist for), and nprobe recall math
+    assumes rough balance. Same assignment as ivf_topk (one
+    definition via _ranked_cells), so the profile measures exactly
+    the layout the search surfaces serve from.
+
+    One corpus pass (assignment is a broadcast-centroid projection)
+    into a num_cells-row aggregate; the ratio window runs over
+    num_cells rows. Returns (cell, n_vectors, frac, balance_ratio)
+    — balance_ratio is n/avg, rounded to 4 (1.0 = perfectly even;
+    only over NON-EMPTY cells, so empty cells show as missing rows
+    and a ratio > 1 elsewhere)."""
+    assigned = (
+        _ranked_cells(corpus, num_cells, id_col, vec_col, cents=cents)
+        .filter(F.col("_rn") == 1)
+        .select("cell")
+    )
+    counts = assigned.groupBy("cell").agg(F.count("*").alias("n_vectors"))
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    total = F.sum("n_vectors").over(w)
+    avg = total / F.count("*").over(w)
+    return counts.select(
+        "cell",
+        "n_vectors",
+        F.round(F.col("n_vectors") / total, 6).alias("frac"),
+        F.round(F.col("n_vectors") / avg, 4).alias("balance_ratio"),
+    )

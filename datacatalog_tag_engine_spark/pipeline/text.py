@@ -1512,3 +1512,149 @@ def strip_html(
             (~F.col("_stripped").eqNullSafe(F.col("_raw"))).alias("had_markup"),
         )
     )
+
+
+def corpus_divergence(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    by: str = "source",
+) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram distribution
+    from the whole-corpus distribution — the mixture-QA number a corpus
+    build reads before setting per-source sampling weights (a source
+    whose JSD spikes between snapshots changed character; a near-zero
+    JSD source adds little diversity). Extends the reference's
+    per-asset profile-expression pattern (DataCatalogController.py
+    dynamic tag expressions) to distribution-level corpus QA.
+
+    JSD(P_s || P_corpus) = sum_w [p ln(2p/(p+q)) + q ln(2q/(p+q))]/2
+    over the union vocabulary. Words absent from the source contribute
+    q*ln(2)/2 each, so the absent-word mass folds into the closed form
+    ln(2)/2 * (1 - C_s/N) where C_s is the corpus count-mass of the
+    words PRESENT in the source — only present (source, word) pairs are
+    ever materialized (vocabulary-grain, never |sources| x |vocab|).
+
+    Cross-engine determinism: each present-pair term quantizes to
+    integer nano-units before the cross-partition sum (the t13/t22
+    trick); the absent-mass correction is computed from exact integer
+    counts with an explicit double literal for ln(2), so no libm or
+    summation-order drift can split engines.
+
+    Scale shape: one corpus explode into a map-side-combined
+    (source, word) count shuffle; the global word counts derive from
+    those partials (word-grain aggregation, no second corpus pass); the
+    scoring join is vocabulary-grain. Returns (source, n_tokens,
+    n_types, js_divergence), js rounded to 6.
+    """
+    _LN2 = 0.6931471805599453
+    words = docs.select(
+        F.col(by).alias(by),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda w: F.length(w) > 0,
+            )
+        ).alias("word"),
+    )
+    # consumed by the global-count derivation AND the scoring join —
+    # persist (LRU-evictable), same rationale as unigram_logprob's vocab
+    sc = words.groupBy(by, "word").agg(F.count("*").alias("c_s")).persist()
+    gc = sc.groupBy("word").agg(F.sum("c_s").alias("c_g"))
+    totals = sc.groupBy(by).agg(F.sum("c_s").alias("n_s"))
+    n_total = int(sc.agg(F.sum("c_s")).first()[0])
+    p = F.col("c_s") / F.col("n_s")
+    q = F.col("c_g") / F.lit(float(n_total))
+    term = (
+        p * F.log(F.lit(2.0) * p / (p + q)) + q * F.log(F.lit(2.0) * q / (p + q))
+    ) / F.lit(2.0)
+    pairs = (
+        sc.join(gc, "word")
+        .join(F.broadcast(totals), by)
+        .select(
+            by,
+            F.round(term * 1e9).cast("long").alias("t9"),
+            F.col("c_g").alias("c_g"),
+            F.col("c_s").alias("c_s"),
+        )
+    )
+    return (
+        pairs.groupBy(by)
+        .agg(
+            F.sum("c_s").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.sum("t9").alias("_s9"),
+            F.sum("c_g").alias("_cmass"),
+        )
+        .select(
+            by,
+            "n_tokens",
+            "n_types",
+            F.round(
+                F.col("_s9") / 1e9
+                + F.lit(_LN2 / 2.0) * (F.lit(n_total) - F.col("_cmass")) / F.lit(float(n_total)),
+                6,
+            ).alias("js_divergence"),
+        )
+    )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative distinct types vs
+    cumulative tokens over the corpus in id order, at n_buckets
+    checkpoints (Heaps, "Information Retrieval: Computational and
+    Theoretical Aspects", 1978 — V ~ K*N^beta; a growth curve that
+    bends away from the power law flags templated or exhausted data).
+
+    Buckets are id-RANGE slices (bucket = floor(id * n/(max_id+1))), a
+    pure projection — NOT a global ntile, which would sort the corpus
+    through one task (the t22 lesson). A type's first bucket is
+    min(bucket) over its occurrences, correct because the bucket map is
+    monotone in id. The only windows run over n_buckets rows.
+
+    Returns (bucket, n_docs, n_tokens, new_types, cum_tokens,
+    cum_types) with one row per NON-EMPTY bucket."""
+    from pyspark.sql import Window
+
+    max_id = docs.agg(F.max(id_col)).first()[0]
+    span = int(max_id) + 1
+    bucket = F.least(
+        (F.col(id_col) * n_buckets / F.lit(span)).cast("long"),
+        F.lit(n_buckets - 1),
+    )
+    base = docs.select(F.col(id_col), bucket.alias("bucket"), F.col(text_col))
+    words = base.select(
+        "bucket",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda w: F.length(w) > 0,
+            )
+        ).alias("word"),
+    )
+    tok = words.groupBy("bucket").agg(F.count("*").alias("n_tokens"))
+    first_seen = (
+        words.groupBy("word")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("new_types"))
+    )
+    ndocs = base.groupBy("bucket").agg(F.count("*").alias("n_docs"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ndocs.join(tok, "bucket", "left")
+        .join(first_seen, "bucket", "left")
+        .select(
+            "bucket",
+            "n_docs",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("new_types", F.lit(0)).alias("new_types"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn("cum_types", F.sum("new_types").over(w))
+    )

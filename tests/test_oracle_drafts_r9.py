@@ -16,6 +16,20 @@ pairs:
 - t27_tokenizer_fertility — per-source tokens/word + chars/token of
   the frozen BPE merge list (bpe.tokenizer_fertility); reuses the
   proven t18 encode CTE chain aggregated at source grain.
+- t28_corpus_divergence — per-source unigram JS divergence vs the
+  corpus distribution (text.corpus_divergence); nano-unit terms.
+- t29_vocab_growth — Heaps'-law vocabulary growth curve over
+  id-range buckets (text.vocab_growth).
+- q66_length_outliers — per-source median/MAD outlier profile
+  (profiling.length_outliers).
+- q67_event_funnel — ordered min-ts conversion funnel over events
+  (profiling.event_funnel).
+- s13_cell_balance — IVF cell-occupancy/skew profile
+  (similarity.cell_balance); reuses the s03 assignment CTEs.
+- d11_source_dup_profile — per-source exact-clone triage profile
+  (dedup.source_dup_profile).
+- q68_holdout_split — leakage-guarded eval holdout
+  (sampling.holdout_split); hash-bucket rule replayed as in q58.
 """
 
 import duckdb
@@ -33,6 +47,8 @@ SF = "/root/testdata/sf0.001"
 def ddb():
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'")
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
     yield con
     con.close()
 
@@ -287,3 +303,363 @@ def test_tokenizer_fertility_sanity(spark):
     for r in rows:
         assert r["tokens_per_word"] >= 1.0
         assert 1.0 <= r["chars_per_token"] <= 30.0
+
+
+# --- t28: corpus divergence ------------------------------------------------
+
+
+def corpus_divergence_sql() -> str:
+    """Analytic replay of text.corpus_divergence: present-pair JSD
+    terms quantized to nano-units before the integer sum; absent-word
+    mass via the closed form ln(2)/2 * (1 - C_s/N) from exact counts."""
+    return r"""
+WITH w AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+                            x -> length(x) > 0)) AS word
+  FROM documents),
+sc AS (SELECT source, word, count(*) AS c_s FROM w GROUP BY source, word),
+gc AS (SELECT word, sum(c_s) AS c_g FROM sc GROUP BY word),
+tot AS (SELECT sum(c_s)::DOUBLE AS n FROM sc),
+st AS (SELECT source, sum(c_s)::DOUBLE AS n_s FROM sc GROUP BY source),
+terms AS (
+  SELECT sc.source, sc.c_s, gc.c_g, tot.n,
+         round(((sc.c_s / st.n_s)
+                  * ln(2.0 * (sc.c_s / st.n_s) / (sc.c_s / st.n_s + gc.c_g / tot.n))
+                + (gc.c_g / tot.n)
+                  * ln(2.0 * (gc.c_g / tot.n) / (sc.c_s / st.n_s + gc.c_g / tot.n)))
+               / 2.0 * 1e9)::BIGINT AS t9
+  FROM sc JOIN gc USING (word) JOIN st USING (source), tot)
+SELECT source,
+       sum(c_s)::BIGINT AS n_tokens,
+       count(*)::BIGINT AS n_types,
+       round(sum(t9) / 1e9
+             + (0.6931471805599453 / 2.0) * (max(n) - sum(c_g)) / max(n),
+             6) AS js_divergence
+FROM terms GROUP BY source
+"""
+
+
+def test_oracle_draft_corpus_divergence(spark, ddb):
+    from datacatalog_tag_engine_spark.pipeline import text as TXT
+
+    got = _rows(TXT.corpus_divergence(spark.table("documents")))
+    want = _sql_rows(ddb, corpus_divergence_sql())
+    assert got == want
+    assert len(got) > 1
+
+
+def test_corpus_divergence_bounds(spark):
+    """JSD is bounded by ln(2) and non-negative; a source identical to
+    the corpus scores ~0."""
+    from datacatalog_tag_engine_spark.pipeline import text as TXT
+
+    rows = TXT.corpus_divergence(spark.table("documents")).collect()
+    for r in rows:
+        assert -1e-6 <= r["js_divergence"] <= 0.6931472
+    one = spark.table("documents").withColumn("source", F.lit("all"))
+    solo = TXT.corpus_divergence(one).collect()
+    assert len(solo) == 1 and abs(solo[0]["js_divergence"]) < 1e-6
+
+
+# --- t29: vocab growth (Heaps) ---------------------------------------------
+
+
+def vocab_growth_sql(n_buckets: int = 10) -> str:
+    """Analytic replay of text.vocab_growth: id-range buckets (floor,
+    not round — Spark's cast truncates), first-seen bucket per type,
+    cumulative windows over bucket rows."""
+    return rf"""
+WITH maxid AS (SELECT max(doc_id) + 1 AS span FROM documents),
+b AS (
+  SELECT doc_id,
+         least(floor(doc_id * {n_buckets} / span)::BIGINT, {n_buckets - 1}) AS bucket,
+         text
+  FROM documents, maxid),
+w AS (
+  SELECT bucket,
+         unnest(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+                            x -> length(x) > 0)) AS word
+  FROM b),
+tok AS (SELECT bucket, count(*) AS n_tokens FROM w GROUP BY bucket),
+fs AS (SELECT word, min(bucket) AS bucket FROM w GROUP BY word),
+nt AS (SELECT bucket, count(*) AS new_types FROM fs GROUP BY bucket),
+nd AS (SELECT bucket, count(*) AS n_docs FROM b GROUP BY bucket)
+SELECT nd.bucket,
+       n_docs::BIGINT AS n_docs,
+       coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(new_types, 0)::BIGINT AS new_types,
+       sum(coalesce(n_tokens, 0)) OVER (ORDER BY nd.bucket)::BIGINT AS cum_tokens,
+       sum(coalesce(new_types, 0)) OVER (ORDER BY nd.bucket)::BIGINT AS cum_types
+FROM nd LEFT JOIN tok USING (bucket) LEFT JOIN nt USING (bucket)
+"""
+
+
+def test_oracle_draft_vocab_growth(spark, ddb):
+    from datacatalog_tag_engine_spark.pipeline import text as TXT
+
+    got = _rows(TXT.vocab_growth(spark.table("documents")))
+    want = _sql_rows(ddb, vocab_growth_sql())
+    assert got == want
+    assert len(got) > 1
+
+
+def test_vocab_growth_monotone(spark):
+    """Cumulative curves are non-decreasing and the last cum_types
+    equals the corpus type count."""
+    from datacatalog_tag_engine_spark.pipeline import text as TXT
+
+    rows = sorted(
+        TXT.vocab_growth(spark.table("documents")).collect(), key=lambda r: r["bucket"]
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert b["cum_tokens"] >= a["cum_tokens"]
+        assert b["cum_types"] >= a["cum_types"]
+    n_types = (
+        spark.table("documents")
+        .select(F.explode(F.filter(F.split(F.lower("text"), r"\s+"),
+                                   lambda w: F.length(w) > 0)).alias("w"))
+        .select("w").distinct().count()
+    )
+    assert rows[-1]["cum_types"] == n_types
+
+
+# --- q66: length outliers (median/MAD) -------------------------------------
+
+
+def length_outliers_sql(k: float = 3.0) -> str:
+    return f"""
+WITH med AS (SELECT source, median(n_chars) AS m FROM documents GROUP BY source),
+dev AS (
+  SELECT d.source, d.n_chars, abs(d.n_chars - med.m) AS adev, med.m
+  FROM documents d JOIN med USING (source)),
+mad AS (SELECT source, median(adev) AS md FROM dev GROUP BY source)
+SELECT dev.source,
+       count(*)::BIGINT AS n_docs,
+       round(any_value(m), 2) AS median_val,
+       round(any_value(md), 2) AS mad_val,
+       count(*) FILTER (adev > {k} * md)::BIGINT AS n_outliers,
+       round(count(*) FILTER (adev > {k} * md) / count(*), 4) AS outlier_frac
+FROM dev JOIN mad USING (source) GROUP BY dev.source
+"""
+
+
+def test_oracle_draft_length_outliers(spark, ddb):
+    from datacatalog_tag_engine_spark.pipeline import profiling as PRO
+
+    got = _rows(PRO.length_outliers(spark.table("documents")))
+    want = _sql_rows(ddb, length_outliers_sql())
+    assert got == want
+    assert len(got) > 1
+
+
+def test_length_outliers_flags_planted(spark):
+    """A planted extreme row is flagged; a constant-length group has
+    MAD 0 and flags every deviant."""
+    from datacatalog_tag_engine_spark.pipeline import profiling as PRO
+
+    rows = [(i, "s", 100) for i in range(20)] + [(99, "s", 100000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = PRO.length_outliers(df).collect()
+    assert len(out) == 1
+    assert out[0]["n_outliers"] == 1 and out[0]["mad_val"] == 0.0
+
+
+# --- q67: event funnel -----------------------------------------------------
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def event_funnel_sql(steps=tuple(FUNNEL_STEPS)) -> str:
+    ctes = []
+    for i, s in enumerate(steps):
+        if i == 0:
+            ctes.append(
+                f"s0 AS (SELECT user_id, min(ts) AS t FROM events "
+                f"WHERE event_type = '{s}' GROUP BY user_id)"
+            )
+        else:
+            ctes.append(
+                f"s{i} AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+                f"JOIN s{i-1} p USING (user_id) "
+                f"WHERE e.event_type = '{s}' AND e.ts > p.t GROUP BY e.user_id)"
+            )
+    unions = " UNION ALL ".join(
+        f"SELECT {i} AS step_index, '{s}' AS step, "
+        f"(SELECT count(*) FROM s{i}) AS n_users"
+        for i, s in enumerate(steps)
+    )
+    return f"""
+WITH {', '.join(ctes)},
+u AS ({unions})
+SELECT step_index::INT AS step_index, step, n_users::BIGINT AS n_users,
+       round(CASE WHEN max(CASE WHEN step_index = 0 THEN n_users END) OVER () > 0
+                  THEN n_users / max(CASE WHEN step_index = 0 THEN n_users END) OVER ()
+                  ELSE 0 END, 4) AS conversion
+FROM u
+"""
+
+
+def test_oracle_draft_event_funnel(spark, ddb):
+    from datacatalog_tag_engine_spark.pipeline import profiling as PRO
+
+    got = _rows(PRO.event_funnel(spark.table("events"), FUNNEL_STEPS))
+    want = _sql_rows(ddb, event_funnel_sql())
+    assert got == want
+    assert len(got) == 3
+
+
+def test_event_funnel_ordering_matters(spark):
+    """A user whose purchase precedes every click does NOT convert the
+    final step."""
+    from datacatalog_tag_engine_spark.pipeline import profiling as PRO
+    import datetime as dt
+
+    t = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, t, 7, "view", 0.0, ""),
+        (2, t + dt.timedelta(minutes=1), 7, "purchase", 0.0, ""),
+        (3, t + dt.timedelta(minutes=2), 7, "click", 0.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = {r["step"]: r["n_users"] for r in PRO.event_funnel(df, FUNNEL_STEPS).collect()}
+    assert out == {"view": 1, "click": 1, "purchase": 0}
+
+
+# --- s13: IVF cell balance -------------------------------------------------
+
+
+def cell_balance_sql(num_cells: int = 8) -> str:
+    """Reuses the s03 assignment CTE chain, then the occupancy
+    aggregate + window ratios."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cent_v FROM e ORDER BY vec_id LIMIT {num_cells}),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round(list_cosine_similarity(e.v, c.cent_v), 6) DESC, c.cell) AS rn
+    FROM e CROSS JOIN cents c) WHERE rn = 1),
+counts AS (SELECT cell, count(*) AS n_vectors FROM assign GROUP BY cell)
+SELECT cell,
+       n_vectors::BIGINT AS n_vectors,
+       round(n_vectors / sum(n_vectors) OVER (), 6) AS frac,
+       round(n_vectors / (sum(n_vectors) OVER () / count(*) OVER ()), 4) AS balance_ratio
+FROM counts
+"""
+
+
+def test_oracle_draft_cell_balance(spark, ddb):
+    from datacatalog_tag_engine_spark.pipeline import similarity as SIM
+
+    got = _rows(SIM.cell_balance(spark.table("embeddings")))
+    want = _sql_rows(ddb, cell_balance_sql())
+    assert got == want
+    assert len(got) > 1
+
+
+def test_cell_balance_conserves_mass(spark):
+    from datacatalog_tag_engine_spark.pipeline import similarity as SIM
+
+    emb = spark.table("embeddings")
+    rows = SIM.cell_balance(emb).collect()
+    assert sum(r["n_vectors"] for r in rows) == emb.count()
+    assert abs(sum(r["frac"] for r in rows) - 1.0) < 1e-4
+
+
+# --- d11: source dup profile -----------------------------------------------
+
+
+def source_dup_profile_sql() -> str:
+    return r"""
+WITH fams AS (
+  SELECT source,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+         count(*) AS n
+  FROM documents GROUP BY source, fp)
+SELECT source,
+       sum(n)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_distinct,
+       round(1.0 - count(*) / sum(n), 4) AS dup_frac,
+       max(n)::BIGINT AS max_clone
+FROM fams GROUP BY source
+"""
+
+
+def test_oracle_draft_source_dup_profile(spark, ddb):
+    got = _rows(DD.source_dup_profile(spark.table("documents")))
+    want = _sql_rows(ddb, source_dup_profile_sql())
+    assert got == want
+    assert len(got) > 1
+
+
+def test_source_dup_profile_normalization(spark):
+    """Whitespace-variant copies count as the same family (the
+    fingerprints rule), so dup_frac sees them."""
+    rows = [(1, "a", "hello  world"), (2, "a", "Hello World"), (3, "a", "other")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = DD.source_dup_profile(df).collect()
+    assert out[0]["n_docs"] == 3 and out[0]["n_distinct"] == 2
+    assert out[0]["max_clone"] == 2
+
+
+# --- q68: leakage-guarded holdout split ------------------------------------
+
+
+def holdout_split_sql(eval_bp: int = 1000, buckets: int = 10000) -> str:
+    """hash_bucket replayed as in the q58 oracle; fingerprint collision
+    quarantine via IN over the distinct eval fingerprints."""
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % {buckets}) < {eval_bp} AS is_eval
+  FROM documents),
+ev AS (SELECT DISTINCT fp FROM t WHERE is_eval)
+SELECT doc_id,
+       CASE WHEN is_eval THEN 'eval'
+            WHEN fp IN (SELECT fp FROM ev) THEN 'quarantined'
+            ELSE 'train' END AS split
+FROM t
+"""
+
+
+def test_oracle_draft_holdout_split(spark, ddb):
+    from datacatalog_tag_engine_spark.pipeline import sampling as SMP
+
+    got = _rows(SMP.holdout_split(spark.table("documents")))
+    want = _sql_rows(ddb, holdout_split_sql())
+    assert got == want
+    assert len(got) == spark.table("documents").count()
+
+
+def test_holdout_split_quarantines_clones(spark):
+    """A train-side exact clone of an eval doc is quarantined; the
+    eval doc itself stays eval."""
+    from datacatalog_tag_engine_spark.pipeline import sampling as SMP
+
+    docs = spark.table("documents")
+    out = SMP.holdout_split(docs)
+    splits = {r["split"] for r in out.collect()}
+    assert "eval" in splits and "train" in splits
+    # synthetic clone pair straddling the boundary: find one eval doc,
+    # clone its text onto a fresh high id that buckets to train
+    ev_id = out.filter("split = 'eval'").agg(F.min("doc_id")).first()[0]
+    ev_text = docs.filter(F.col("doc_id") == ev_id).first()["text"]
+    clone_id = None
+    for cand in range(10**6, 10**6 + 200):
+        row = spark.createDataFrame([(cand,)], "doc_id long")
+        from datacatalog_tag_engine_spark.pipeline.sampling import hash_bucket
+        b = row.select(hash_bucket(F.col("doc_id")).alias("b")).first()["b"]
+        if b >= 1000:
+            clone_id = cand
+            break
+    extra = spark.createDataFrame(
+        [(clone_id, ev_text, "xx", "srcX", len(ev_text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out2 = SMP.holdout_split(docs.unionByName(extra))
+    assert out2.filter(F.col("doc_id") == clone_id).first()["split"] == "quarantined"
