@@ -1292,11 +1292,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kept = docs.join(g.filter("keep").select("doc_id"), "doc_id", "left_semi")
         # stage barriers: span removal consumes its input twice (starts
         # + rebuild) and the dedup phase walks `clean` three times
-        # (minhash, clusters, apply) — materializing the two stage
-        # boundaries keeps the gopher->para->spans prefix from
-        # recomputing per consumer (21.4 -> 12.6 s at sf0.1, bench_out.json). At 100 TB
-        # these boundaries are parquet writes between pipeline stages;
-        # localCheckpoint is the single-session analog.
+        # (minhash, clusters, apply) — materializing the stage
+        # boundaries keeps each prefix from recomputing per consumer
+        # (21.4 -> 12.6 s for these two in r6; the r8 stage-0 barrier
+        # above took the composition 18.7 -> 10.3 s, SCALE.md). At
+        # 100 TB these boundaries are parquet writes between pipeline
+        # stages; localCheckpoint is the single-session analog.
         para = (
             DD.paragraph_dedup(kept)
             .select("doc_id", "text")
