@@ -280,6 +280,76 @@ def jaccard_pairs(
     return jac.filter(F.col("jaccard") >= threshold)
 
 
+def containment_pairs(
+    shingles: DataFrame,
+    candidates: DataFrame | None = None,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """N-gram containment for candidate pairs (or every pair sharing a
+    shingle when candidates is None): inter / min(|A|, |B|), rounded
+    to 4. Catches doc-in-doc duplication that symmetric Jaccard
+    misses — a 50-word doc pasted verbatim into a 5000-word doc has
+    containment ~1.0 but Jaccard ~0.01, so a Jaccard-thresholded
+    near-dup pass keeps both copies. Standard containment metric per
+    Broder's "On the resemblance and containment of documents" (1997).
+
+    Same physical shape as ``jaccard_pairs`` (kept separate so the
+    certified d04 path stays untouched): shingles hash to 8-byte
+    xxhash64 join keys, the inverted-index self-join shuffles longs,
+    and ``max_df`` drops stop-shingles from the JOIN side only (sizes
+    still count them — scores shift only for pairs whose sole overlap
+    was stop-shingles). At corpus scale containment is MORE skew-prone
+    than Jaccard: boilerplate headers shared by f docs contribute f^2
+    join rows AND pass the threshold when the header is most of the
+    smaller doc, so set max_df on any real corpus.
+
+    Reference analog: the tag-propagation "same content, different
+    asset" checks (DataCatalogController.py:909-941 pick the smallest
+    adequate match structure); containment is the text-corpus form.
+    """
+    sh_h = shingles.select(id_col, F.xxhash64("shingle").alias("_h"))
+    if candidates is None:
+        sh_h = sh_h.localCheckpoint(eager=True)
+    sizes = sh_h.groupBy(id_col).agg(F.count("*").alias("n"))
+
+    join_side = sh_h
+    if max_df is not None:
+        rare = (
+            sh_h.groupBy("_h")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("_h")
+        )
+        join_side = sh_h.join(F.broadcast(rare), "_h", "left_semi")
+
+    a = join_side.alias("a")
+    b = join_side.alias("b")
+    inter = (
+        a.join(b, (F.col("a._h") == F.col("b._h")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    cont = (
+        inter.join(sa, F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("doc_b") == F.col(f"sb.{id_col}"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / F.least(F.col("sa.n"), F.col("sb.n")), 4
+            ).alias("containment"),
+        )
+    )
+    return cont.filter(F.col("containment") >= threshold)
+
+
 def minhash_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -1342,5 +1412,79 @@ def source_dup_profile(
             "n_distinct",
             F.round(1.0 - F.col("n_distinct") / F.col("n_docs"), 4).alias("dup_frac"),
             "max_clone",
+        )
+    )
+
+
+def cross_source_overlap(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    by: str = "source",
+    unit: str = "shingle",
+) -> DataFrame:
+    """Pairwise cross-source content-overlap matrix: for every
+    unordered source pair (a < b), how many distinct content units
+    appear in BOTH, and what fraction of each side's distinct content
+    that is. This is the between-source complement of
+    ``source_dup_profile`` (within-source): a mixture plan that
+    weights two sources 30%+30% but where one heavily overlaps the
+    other is really sampling the same text twice — the overlap matrix
+    is what the epoch planner should see before weights are chosen.
+
+    ``unit`` picks the grain: ``"shingle"`` (default) counts distinct
+    word 3-shingles — the same shingling as the near-dup family — and
+    measures phrase-level contamination (non-trivial on any real
+    corpus); ``"fingerprint"`` counts whole-document fingerprints
+    (pipeline.text.fingerprints' whitespace-normalized lowercase md5
+    rule) and measures exact clone families spanning sources (often
+    sparse — a hit is actionable).
+
+    Plan shape: one corpus scan to distinct (source, unit) — map-side
+    combined; shingles hash to 8-byte xxhash64 join keys as in
+    jaccard_pairs (counts identical barring a 64-bit collision); the
+    pair join is unit-keyed between rows of the SAME unit only, so
+    join fan-out is bounded by (sources sharing that unit choose 2) —
+    at most #sources^2 per unit, never corpus x corpus; per-source
+    distinct totals broadcast onto the pair rows (source-grain
+    dimension). Returns (source_a, source_b, shared, frac_a, frac_b).
+    """
+    if unit == "shingle":
+        # keyless pre-explode spread: the downstream distinct hashes
+        # (src, shingle), not src, and a by-source repartition would
+        # put each source's whole corpus on one partition
+        sfp = (
+            _repartition_round_robin(docs.select(F.col(by).alias("src"), text_col))
+            .select(
+                "src",
+                F.explode(F.array_distinct(word_shingles(F.col(text_col)))).alias("shingle"),
+            )
+            .select("src", F.xxhash64("shingle").alias("fp"))
+            .distinct()
+        )
+    elif unit == "fingerprint":
+        norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+        sfp = docs.select(F.col(by).alias("src"), F.md5(norm).alias("fp")).distinct()
+    else:
+        raise ValueError(f"unknown unit: {unit!r} (want 'shingle' or 'fingerprint')")
+    sizes = sfp.groupBy("src").agg(F.count("*").alias("n"))
+    a = sfp.alias("a")
+    b = sfp.alias("b")
+    shared = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.src") < F.col("b.src")))
+        .groupBy(F.col("a.src").alias("source_a"), F.col("b.src").alias("source_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        shared.join(F.broadcast(sa), F.col("source_a") == F.col("sa.src"))
+        .join(F.broadcast(sb), F.col("source_b") == F.col("sb.src"))
+        .select(
+            "source_a",
+            "source_b",
+            "shared",
+            F.round(F.col("shared") / F.col("sa.n"), 4).alias("frac_a"),
+            F.round(F.col("shared") / F.col("sb.n"), 4).alias("frac_b"),
         )
     )

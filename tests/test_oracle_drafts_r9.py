@@ -30,6 +30,12 @@ pairs:
   (dedup.source_dup_profile).
 - q68_holdout_split — leakage-guarded eval holdout
   (sampling.holdout_split); hash-bucket rule replayed as in q58.
+- d12_containment — n-gram containment inter/min(|A|,|B|) for
+  doc-in-doc detection Jaccard misses (dedup.containment_pairs);
+  d04's inverted-index derivation with the asymmetric denominator.
+- d13_cross_source_overlap — pairwise source content-overlap matrix
+  at shingle grain (dedup.cross_source_overlap), the between-source
+  complement of d11; fingerprint unit covered by pytest.
 """
 
 import duckdb
@@ -663,3 +669,122 @@ def test_holdout_split_quarantines_clones(spark):
     )
     out2 = SMP.holdout_split(docs.unionByName(extra))
     assert out2.filter(F.col("doc_id") == clone_id).first()["split"] == "quarantined"
+
+
+# --- d12: n-gram containment (doc-in-doc) -----------------------------------
+
+
+def containment_sql(threshold: float = 0.8) -> str:
+    """Same inverted-index derivation as the d04 oracle, with the
+    asymmetric denominator: inter / least(|A|, |B|)."""
+    return f"""
+WITH {E._shingle_cte()},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+SELECT doc_a, doc_b, round(i / least(sa.n, sb.n), 4) AS containment
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(i / least(sa.n, sb.n), 4) >= {threshold}
+"""
+
+
+def test_oracle_draft_containment(spark, ddb):
+    got = _rows(
+        DD.containment_pairs(
+            DD.shingle_table(spark.table("documents")), candidates=None, threshold=0.8
+        )
+    )
+    want = _sql_rows(ddb, containment_sql(0.8))
+    assert got == want
+    assert len(got) > 0  # the corpus has exact clones -> containment 1.0
+
+
+def test_containment_catches_doc_in_doc(spark):
+    """A small doc pasted verbatim into a much larger one: containment
+    1.0, Jaccard far below any useful threshold — the pair d12 exists
+    to catch."""
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " " + " ".join(f"filler{i} word{i} pad{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, small), (2, big)], "doc_id long, text string"
+    )
+    sh = DD.shingle_table(df)
+    cont = DD.containment_pairs(sh, threshold=0.9).collect()
+    assert len(cont) == 1 and cont[0]["containment"] == 1.0
+    jac = DD.jaccard_pairs(sh, threshold=0.5).collect()
+    assert jac == []  # symmetric Jaccard misses the pair
+
+
+def test_containment_max_df_drops_join_side_only(spark):
+    """max_df prunes stop-shingles from the join, not from sizes: a
+    pair whose only overlap is the stop-shingle disappears, while a
+    genuine subset pair keeps its exact score."""
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " " + " ".join(f"filler{i} word{i} pad{i}" for i in range(40))
+    stop = "the common header"
+    rows = [(1, small), (2, big)] + [(10 + i, stop + f" tail{i} x{i} y{i}") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = DD.shingle_table(df)
+    loose = DD.containment_pairs(sh, threshold=0.15)
+    assert loose.filter("doc_a >= 10").count() > 0  # header-only pairs leak through
+    pruned = DD.containment_pairs(sh, threshold=0.15, max_df=3).collect()
+    assert all(r["doc_a"] < 10 for r in pruned)  # stop-shingle pairs gone
+    keep = [r for r in pruned if r["doc_a"] == 1 and r["doc_b"] == 2]
+    assert len(keep) == 1 and keep[0]["containment"] == 1.0  # true pair untouched
+
+
+# --- d13: cross-source clone overlap matrix ---------------------------------
+
+
+def cross_source_overlap_sql() -> str:
+    """Shingle-grain (the queries() default): distinct word 3-shingles
+    per source via the d04 shingle rule; Spark joins on xxhash64 of
+    the shingle, the oracle on the string — counts equal barring a
+    64-bit collision (the d04-certified substitution)."""
+    return r"""
+WITH toks AS (SELECT source, regexp_split_to_array(text, '\s+') w FROM documents),
+sfp AS (
+  SELECT DISTINCT source AS src,
+         unnest(CASE WHEN len(w) >= 3
+                THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+                ELSE [array_to_string(w, ' ')] END) AS fp
+  FROM toks),
+sizes AS (SELECT src, count(*) AS n FROM sfp GROUP BY src),
+shared AS (
+  SELECT a.src AS source_a, b.src AS source_b, count(*) AS shared
+  FROM sfp a JOIN sfp b ON a.fp = b.fp AND a.src < b.src
+  GROUP BY 1, 2)
+SELECT source_a, source_b, shared,
+       round(shared / sa.n, 4) AS frac_a,
+       round(shared / sb.n, 4) AS frac_b
+FROM shared JOIN sizes sa ON sa.src = source_a JOIN sizes sb ON sb.src = source_b
+"""
+
+
+def test_oracle_draft_cross_source_overlap(spark, ddb):
+    got = _rows(DD.cross_source_overlap(spark.table("documents")))
+    want = _sql_rows(ddb, cross_source_overlap_sql())
+    assert got == want
+    assert len(got) > 0  # phrase-level overlap exists at every sf
+
+
+def test_cross_source_overlap_fingerprint_unit(spark):
+    """unit='fingerprint' (exact clone families across sources): A and
+    B share one whitespace-variant clone family, C is disjoint ->
+    exactly one pair row with the right fractions."""
+    rows = [
+        (1, "A", "shared doc body"),
+        (2, "A", "a-only one"),
+        (3, "B", "Shared  Doc Body"),
+        (4, "B", "b-only one"),
+        (5, "B", "b-only two"),
+        (6, "C", "c-only one"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = DD.cross_source_overlap(df, unit="fingerprint").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["source_a"], r["source_b"], r["shared"]) == ("A", "B", 1)
+    assert r["frac_a"] == 0.5 and r["frac_b"] == round(1 / 3, 4)

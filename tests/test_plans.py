@@ -298,3 +298,30 @@ def test_image_phash_payload_never_crosses_an_exchange(spark):
     assert ex_blocks
     for b in ex_blocks:
         assert "payload" not in b, b
+
+
+def test_containment_joins_hashed_longs_no_cartesian(spark):
+    """d12 draft: the containment self-join must ride 8-byte xxhash64
+    keys (never the shingle strings) and stay equi-join — the shuffle
+    payload bound is what makes the inverted index survive 100 TB."""
+    docs = spark.table("documents")
+    df = DD.containment_pairs(DD.shingle_table(docs), threshold=0.8)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # the shingle strings were hashed to the checkpointed long column
+    # _h before the join — the self-join keys are _h, and the raw
+    # shingle string appears nowhere downstream of the checkpoint
+    assert "_h#" in p
+    assert "shingle" not in p
+
+
+def test_cross_source_overlap_broadcasts_sizes(spark):
+    """d13 draft: per-source totals are dimension-sized and must
+    broadcast onto the fp-keyed pair rows; the fp self-join is
+    equi-join only."""
+    docs = spark.table("documents")
+    p = plan_of(DD.cross_source_overlap(docs))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
