@@ -350,6 +350,66 @@ def containment_pairs(
     return cont.filter(F.col("containment") >= threshold)
 
 
+def containment_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    max_df: int | None = None,
+    k: int = 3,
+) -> DataFrame:
+    """Doc-in-doc dedup in the production order the stress rung proved
+    out (SCALE.md round-8 overlap section): exact dedup FIRST, then
+    containment dominance among the canonicals only. Running
+    containment on a raw corpus makes every clone family contribute
+    C(f,2) containment-1.0 pairs and multiplies the inverted-index
+    fan-out by f^2 — measured 8.5x wall / 95x shuffle for a 10-clone
+    corpus — while the deduped corpus pays the 1x price for the same
+    decisions.
+
+    Keep rule, single pass (no iteration): a doc is kept iff it is its
+    exact-fingerprint family's canonical AND no containment pair
+    dominates it. In a pair with containment >= threshold the LOSER is
+    the smaller-shingle-set side (the contained doc); on a size tie —
+    near-identical text that slipped exact dedup via whitespace — the
+    higher doc_id loses (pairs are emitted doc_a < doc_b, so the tie
+    loser is doc_b). A kept doc may dominate a doc that dominated
+    another: dominance is NOT made transitive, matching
+    semantic_dedup's cell-local single-pass rule.
+
+    Returns (doc_id, keep) for EVERY input doc. Non-canonical clones
+    get keep=false (their canonical inherits their fate decisions).
+    """
+    ex = exact_dedup(docs, id_col, text_col)
+    canon = docs.join(
+        ex.filter("is_canonical").select(id_col), id_col, "left_semi"
+    )
+    # one shingle pass feeds sizes AND the pair join
+    sh = shingle_table(canon, id_col, text_col, k).localCheckpoint(eager=True)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    pairs = containment_pairs(sh, None, threshold, id_col, max_df)
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    losers = (
+        pairs.join(sa, F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("doc_b") == F.col(f"sb.{id_col}"))
+        .select(
+            F.when(F.col("sa.n") < F.col("sb.n"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("_loser")
+        )
+        .distinct()
+    )
+    return (
+        ex.select(id_col, "is_canonical")
+        .join(losers, F.col(id_col) == F.col("_loser"), "left")
+        .select(
+            id_col,
+            (F.col("is_canonical") & F.col("_loser").isNull()).alias("keep"),
+        )
+    )
+
+
 def minhash_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -36,6 +36,9 @@ pairs:
 - d13_cross_source_overlap — pairwise source content-overlap matrix
   at shingle grain (dedup.cross_source_overlap), the between-source
   complement of d11; fingerprint unit covered by pytest.
+- d14_containment_dedup — doc-in-doc dedup in the stress-rung-proven
+  production order (dedup.containment_dedup): exact canonicals first,
+  then single-pass containment dominance; (doc_id, keep) verdicts.
 """
 
 import duckdb
@@ -788,3 +791,63 @@ def test_cross_source_overlap_fingerprint_unit(spark):
     r = out[0]
     assert (r["source_a"], r["source_b"], r["shared"]) == ("A", "B", 1)
     assert r["frac_a"] == 0.5 and r["frac_b"] == round(1 / 3, 4)
+
+
+# --- d14: containment dedup (exact-first production order) ------------------
+
+
+def containment_dedup_sql(threshold: float = 0.8) -> str:
+    """Exact-canonical selection (the d01 raw-md5 rule), then the d12
+    containment derivation restricted to canonicals, then the
+    single-pass dominance rule: loser = smaller shingle set, tie ->
+    doc_b (the higher id, since pairs are emitted doc_a < doc_b)."""
+    return f"""
+WITH fpt AS (SELECT doc_id, md5(text) AS fp FROM documents),
+can AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1 AS is_canon
+  FROM fpt),
+cd AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN can ON can.doc_id = d.doc_id AND can.is_canon),
+{E._shingle_cte("cd")},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT doc_a, doc_b, sa.n AS na, sb.n AS nb
+  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(i / least(sa.n, sb.n), 4) >= {threshold}),
+losers AS (
+  SELECT DISTINCT CASE WHEN na < nb THEN doc_a ELSE doc_b END AS doc_id FROM pairs)
+SELECT c.doc_id, c.is_canon AND l.doc_id IS NULL AS keep
+FROM can c LEFT JOIN losers l ON l.doc_id = c.doc_id
+"""
+
+
+def test_oracle_draft_containment_dedup(spark, ddb):
+    got = _rows(DD.containment_dedup(spark.table("documents")))
+    want = _sql_rows(ddb, containment_dedup_sql())
+    assert got == want
+    docs = spark.table("documents")
+    assert len(got) == docs.count()  # a verdict for every input doc
+    assert sum(1 for _, k in got if k) < docs.count()  # and it drops something
+
+
+def test_containment_dedup_semantics(spark):
+    """Exact clone drops as non-canonical; the doc contained in a
+    larger one drops as dominated; the large doc and the unrelated doc
+    keep. Tie pair (same text reordered, same shingle count) drops the
+    higher id."""
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " " + " ".join(f"filler{i} word{i} pad{i}" for i in range(40))
+    rows = [
+        (1, small),
+        (2, big),
+        (3, small),            # exact clone of 1 -> non-canonical
+        (4, "totally different content here okay"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["keep"] for r in DD.containment_dedup(df).collect()}
+    assert out == {1: False, 2: True, 3: False, 4: True}
