@@ -39,6 +39,11 @@ pairs:
 - d14_containment_dedup — doc-in-doc dedup in the stress-rung-proven
   production order (dedup.containment_dedup): exact canonicals first,
   then single-pass containment dominance; (doc_id, keep) verdicts.
+- s14_ivfpq_rerank — IVF-PQ + exact re-rank, the full FAISS serving
+  recipe (similarity.ivfpq_topk_rerank): ADC shortlist, exact cosine
+  on shortlisted rows only, brute-force-compatible output schema; at
+  rotation parameterize E.ivfpq_sql on (nprobe, k) and build the
+  rerank SQL on top of it as the single copy.
 """
 
 import duckdb
@@ -851,3 +856,109 @@ def test_containment_dedup_semantics(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r["keep"] for r in DD.containment_dedup(df).collect()}
     assert out == {1: False, 2: True, 3: False, 4: True}
+
+
+# --- s14: IVF-PQ + exact re-rank --------------------------------------------
+
+
+def ivfpq_rerank_sql(nprobe: int = 2, shortlist: int = 20, k: int = 5) -> str:
+    """The s10 chain (kept textually in sync with E.ivfpq_sql — at the
+    r9 rotation parameterize that generator on (nprobe, k) and build
+    this on top of it as the single copy) with QUALIFY rank <=
+    shortlist, then exact-cosine refinement on the shortlisted ids
+    under the s01 determinism contract (round 4, ties to neighbor
+    asc)."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cent_v FROM e ORDER BY vec_id LIMIT 8),
+ranked AS (
+  SELECT e.vec_id, e.v, c.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round(list_cosine_similarity(e.v, c.cent_v), 6) DESC, c.cell) AS rn
+  FROM e CROSS JOIN cents c),
+assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+probe AS (SELECT vec_id AS query_id, cell FROM ranked
+          WHERE rn <= {nprobe} AND vec_id < 5),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+  FROM e ORDER BY vec_id LIMIT 16),
+ms AS (SELECT unnest(range(4)) AS m),
+csub AS (SELECT c, m, v[m*16+1 : m*16+16] AS cv FROM cent, ms),
+esub AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS sv FROM e, ms),
+dists AS (
+  SELECT vec_id, m, c,
+         list_sum(list_transform(range(1, 17),
+                  i -> cast(round((sv[i]-cv[i])^2 * 1e6) AS BIGINT))) AS d
+  FROM esub JOIN csub USING (m)),
+codes AS (
+  SELECT vec_id, m, cast(min(d*16 + c) % 16 AS INT) AS code
+  FROM dists GROUP BY vec_id, m),
+dt AS (
+  SELECT es.vec_id AS query_id, es.m, c AS code,
+         list_sum(list_transform(range(1, 17),
+                  i -> cast(round((es.sv[i]-cv[i])^2 * 1e6) AS BIGINT))) AS d
+  FROM esub es JOIN csub USING (m) WHERE es.vec_id < 5),
+scored AS (
+  SELECT dt.query_id, codes.vec_id AS neighbor_id,
+         cast(sum(dt.d) AS BIGINT) AS adist_micro
+  FROM codes
+  JOIN assign ON codes.vec_id = assign.vec_id
+  JOIN probe ON assign.cell = probe.cell
+  JOIN dt ON codes.m = dt.m AND codes.code = dt.code
+         AND dt.query_id = probe.query_id
+  GROUP BY dt.query_id, codes.vec_id),
+short AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adist_micro, neighbor_id) AS srank
+  FROM scored WHERE neighbor_id <> query_id
+  QUALIFY srank <= {shortlist}),
+rer AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(list_cosine_similarity(qe.v, ne.v), 4) AS cosine
+  FROM short s
+  JOIN e ne ON ne.vec_id = s.neighbor_id
+  JOIN e qe ON qe.vec_id = s.query_id)
+SELECT query_id, neighbor_id, cosine,
+       cast(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+FROM rer
+QUALIFY rank <= {k}
+"""
+
+
+def _s14(spark):
+    from datacatalog_tag_engine_spark.pipeline import similarity as SIM
+
+    emb = spark.table("embeddings")
+    return SIM.ivfpq_topk_rerank(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, shortlist=20, num_cells=8, nprobe=2
+    )
+
+
+def test_oracle_draft_ivfpq_rerank(spark, ddb):
+    got = _rows(_s14(spark))
+    want = _sql_rows(ddb, ivfpq_rerank_sql(nprobe=2, shortlist=20, k=5))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_rerank_recall_at_least_adc(spark):
+    """Exact refinement can only improve recall vs truth within the
+    same shortlist: recall@5(rerank) >= recall@5(plain ADC ranking)
+    against brute force, on the real sf0.001 corpus."""
+    from datacatalog_tag_engine_spark.pipeline import similarity as SIM
+
+    emb = spark.table("embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.brute_force_topk(emb, qs, k=5).collect()
+    }
+    adc = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.ivfpq_topk(emb, qs, k=5, num_cells=8, nprobe=2).collect()
+    }
+    rer = {(r["query_id"], r["neighbor_id"]) for r in _s14(spark).collect()}
+    assert len(rer & truth) >= len(adc & truth)
+    assert len(rer) > 0
