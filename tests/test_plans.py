@@ -325,3 +325,27 @@ def test_cross_source_overlap_broadcasts_sizes(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_ivfpq_rerank_broadcasts_shortlist(spark):
+    """s14 draft: the exact-refinement joins must broadcast the
+    query-grain shortlist and query vectors onto the corpus scan —
+    never a cartesian over the corpus. (The upstream ADC subtree keeps
+    its 4-row subspace-dimension broadcast cross, the same accepted
+    shape test_pq_scoring_joins_codes_not_vectors audits, so only
+    CartesianProduct is globally forbidden; the refinement joins
+    themselves must be BroadcastHashJoins on neighbor_id/query_id.)"""
+    emb = spark.table("embeddings")
+    df = SIM.ivfpq_topk_rerank(
+        emb, emb.filter(F.col("vec_id") < 3), k=3, shortlist=12, num_cells=8, nprobe=2
+    )
+    p = plan_of(df)
+    assert "CartesianProduct" not in p
+    # the refinement equi-joins broadcast: formatted mode prints each
+    # join's keys on "Left keys" detail lines — both refinement keys
+    # must appear there
+    import re
+    key_lines = " | ".join(re.findall(r"Left keys \[\d+\]: \[[^\]]*\]", p))
+    assert "neighbor_id" in key_lines
+    assert "query_id" in key_lines
+    assert "BroadcastHashJoin" in p
