@@ -107,3 +107,46 @@ def write_training_shards(
         .parquet(f"{path}/{MANIFEST_DIR}")
     )
     return spark.read.parquet(f"{path}/{MANIFEST_DIR}")
+
+
+def shard_balance(
+    df: DataFrame,
+    num_shards: int,
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+) -> DataFrame:
+    """Pre-write shard-balance profile: what the md5 bucket rule WILL
+    do to this corpus, per shard — (shard, n_docs[, n_tokens],
+    doc_skew), where doc_skew = n_docs * num_shards / total_docs
+    (1.0 = perfectly even, rounded to 4). Empty shards keep their row
+    (doc_skew 0.0). At 100 TB a skewed shard is a straggler data-loader
+    worker for the WHOLE training run, so this is the go/no-go check
+    before ``write_training_shards`` — md5 bucketing is uniform on the
+    ids, but id-correlated filtering upstream (range splits, per-source
+    sampling) can still tilt it.
+
+    One map-side-combined groupBy on the shard key (num_shards result
+    rows); the skew normalization is a window over those shard-grain
+    rows, not a second corpus pass."""
+    sharded = shard_assignments(df, num_shards, id_col)
+    aggs = [F.count("*").alias("n_docs")]
+    if token_col is not None:
+        aggs.append(
+            F.coalesce(F.sum(token_col), F.lit(0)).cast("long").alias("n_tokens")
+        )
+    spark = df.sparkSession
+    all_shards = spark.range(num_shards).select(F.col("id").cast("int").alias("shard"))
+    per = (
+        all_shards.join(sharded.groupBy("shard").agg(*aggs), "shard", "left")
+        .withColumn("n_docs", F.coalesce(F.col("n_docs"), F.lit(0)))
+    )
+    if token_col is not None:
+        per = per.withColumn("n_tokens", F.coalesce(F.col("n_tokens"), F.lit(0)))
+    from pyspark.sql.window import Window
+
+    total = F.sum("n_docs").over(Window.partitionBy())
+    cols = ["shard", "n_docs"] + (["n_tokens"] if token_col is not None else [])
+    return per.select(
+        *cols,
+        F.round(F.col("n_docs") * num_shards / total, 4).alias("doc_skew"),
+    )

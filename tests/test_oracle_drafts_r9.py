@@ -44,6 +44,9 @@ pairs:
   on shortlisted rows only, brute-force-compatible output schema; at
   rotation parameterize E.ivfpq_sql on (nprobe, k) and build the
   rerank SQL on top of it as the single copy.
+- q69_shard_balance — pre-write shard-balance/straggler profile
+  (export.shard_balance): the q58 md5 bucket rule at shard grain,
+  empty shards kept, doc_skew normalized to 1.0-is-even.
 """
 
 import duckdb
@@ -962,3 +965,52 @@ def test_rerank_recall_at_least_adc(spark):
     rer = {(r["query_id"], r["neighbor_id"]) for r in _s14(spark).collect()}
     assert len(rer & truth) >= len(adc & truth)
     assert len(rer) > 0
+
+
+# --- q69: shard-balance profile ----------------------------------------------
+
+
+def shard_balance_sql(num_shards: int = 16) -> str:
+    """The q58/q68 md5 bucket rule aggregated at shard grain, empty
+    shards kept via a generated shard axis; skew normalized against
+    the corpus total."""
+    return f"""
+WITH s AS (
+  SELECT (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % {num_shards}) AS shard,
+         n_chars
+  FROM documents),
+per AS (SELECT shard, count(*) AS n_docs, sum(n_chars)::BIGINT AS n_tokens
+        FROM s GROUP BY shard),
+all_shards AS (SELECT unnest(range({num_shards}))::INT AS shard)
+SELECT a.shard,
+       coalesce(n_docs, 0)::BIGINT AS n_docs,
+       coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+       round(coalesce(n_docs, 0) * {num_shards} / (SELECT count(*) FROM documents), 4) AS doc_skew
+FROM all_shards a LEFT JOIN per ON per.shard = a.shard
+"""
+
+
+def test_oracle_draft_shard_balance(spark, ddb):
+    from datacatalog_tag_engine_spark.pipeline.export import shard_balance
+
+    got = _rows(shard_balance(spark.table("documents"), 16, token_col="n_chars"))
+    want = _sql_rows(ddb, shard_balance_sql(16))
+    assert got == want
+    assert len(got) == 16
+
+
+def test_shard_balance_semantics(spark):
+    """Conservation + the empty-shard row + uniform-ish skew on the
+    real corpus; a single-doc corpus puts skew num_shards on its one
+    shard and 0 elsewhere."""
+    from datacatalog_tag_engine_spark.pipeline.export import shard_balance
+
+    docs = spark.table("documents")
+    out = shard_balance(docs, 16).collect()
+    assert sum(r["n_docs"] for r in out) == docs.count()
+    one = spark.createDataFrame([(7, "x")], "doc_id long, text string")
+    rows = shard_balance(one, 4).collect()
+    assert len(rows) == 4 and sum(r["n_docs"] for r in rows) == 1
+    hot = [r for r in rows if r["n_docs"] == 1][0]
+    assert hot["doc_skew"] == 4.0
+    assert all(r["doc_skew"] == 0.0 for r in rows if r["n_docs"] == 0)
