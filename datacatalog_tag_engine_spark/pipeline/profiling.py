@@ -232,3 +232,38 @@ def event_funnel(
         "conversion",
         F.when(first_n > 0, F.round(F.col("n_users") / first_n, 4)).otherwise(F.lit(0.0)),
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity
+    day, counted on each later day they return — (cohort_day,
+    day_offset, n_users), offset 0 being the cohort's own size. The
+    companion view to ``event_funnel`` (which orders steps within a
+    journey; this orders RETURN behavior across days) and to the
+    streaming usage rollups (streaming/usage.py) a usage-stats
+    consumer reads alongside.
+
+    Plan shape: one user-grain aggregate for the cohort day, rejoined
+    on the user key (co-partitioned with the aggregate's output; AQE
+    broadcasts when the user dimension is small), then a distinct at
+    (cohort, offset, user) grain — each user counts once per active
+    day — and a cohort-grain count. Nothing event-grain survives past
+    the distinct, so the result is bounded by users x active-days no
+    matter the event volume."""
+    d = events.select(id_col, F.to_date(ts_col).alias("_d"))
+    cohorts = d.groupBy(id_col).agg(F.min("_d").alias("cohort_day"))
+    return (
+        d.join(cohorts, id_col)
+        .select(
+            "cohort_day",
+            F.datediff(F.col("_d"), F.col("cohort_day")).alias("day_offset"),
+            id_col,
+        )
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -47,6 +47,9 @@ pairs:
 - q69_shard_balance — pre-write shard-balance/straggler profile
   (export.shard_balance): the q58 md5 bucket rule at shard grain,
   empty shards kept, doc_skew normalized to 1.0-is-even.
+- q70_cohort_retention — first-activity cohort x day-offset return
+  matrix over events (profiling.cohort_retention); users count once
+  per active day.
 """
 
 import duckdb
@@ -1014,3 +1017,52 @@ def test_shard_balance_semantics(spark):
     hot = [r for r in rows if r["n_docs"] == 1][0]
     assert hot["doc_skew"] == 4.0
     assert all(r["doc_skew"] == 0.0 for r in rows if r["n_docs"] == 0)
+
+
+# --- q70: cohort retention ---------------------------------------------------
+
+
+def cohort_retention_sql() -> str:
+    return """
+WITH d AS (SELECT user_id, ts::DATE AS d FROM events),
+c AS (SELECT user_id, min(d) AS cohort_day FROM d GROUP BY user_id),
+x AS (
+  SELECT DISTINCT c.cohort_day, date_diff('day', c.cohort_day, d.d) AS day_offset, d.user_id
+  FROM d JOIN c USING (user_id))
+SELECT cohort_day, day_offset::INT AS day_offset, count(*)::BIGINT AS n_users
+FROM x GROUP BY 1, 2
+"""
+
+
+def test_oracle_draft_cohort_retention(spark, ddb):
+    from datacatalog_tag_engine_spark.pipeline.profiling import cohort_retention
+
+    got = _rows(cohort_retention(spark.table("events")))
+    want = _sql_rows(ddb, cohort_retention_sql())
+    assert got == want
+    assert len(got) > 1
+
+
+def test_cohort_retention_semantics(spark):
+    """Two users, staggered starts: offsets anchor to each user's own
+    first day; a user active twice in one day counts once."""
+    from datacatalog_tag_engine_spark.pipeline.profiling import cohort_retention
+
+    rows = [
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-01 11:00:00"),  # same-day dup
+        (1, "2024-01-03 09:00:00"),
+        (2, "2024-01-02 08:00:00"), (2, "2024-01-03 08:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.to_timestamp("ts").alias("ts")
+    )
+    got = {
+        (str(r["cohort_day"]), r["day_offset"]): r["n_users"]
+        for r in cohort_retention(df).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 1,  # user 1 day 0 (once, despite two events)
+        ("2024-01-01", 2): 1,  # user 1 returns on offset 2
+        ("2024-01-02", 0): 1,  # user 2's own cohort starts Jan 2
+        ("2024-01-02", 1): 1,  # user 2 returns next day
+    }
