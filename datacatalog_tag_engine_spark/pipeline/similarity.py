@@ -860,6 +860,25 @@ def ivfpq_topk_rerank(
         cents=cents,
         train_codebook=train_codebook,
     ).select("query_id", "neighbor_id")
+    return _exact_rerank(cand, corpus, queries, k, id_col, vec_col)
+
+
+def _exact_rerank(
+    cand: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """THE shared refinement block: broadcast the query-grain
+    (query_id, neighbor_id) shortlist onto the raw corpus, exact
+    cosine under the ``_topk_by_key`` determinism contract (round 4,
+    rank by cosine desc then neighbor asc), keep rank <= k. The
+    in-memory ``ivfpq_topk_rerank`` and the persisted
+    ``ivfpq_topk_rerank_from_index`` both route through this ONE
+    definition — a drift between the two would be a silent
+    correctness bug (the s10/s11 value-identity pattern)."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
     )
@@ -1176,6 +1195,39 @@ def ivfpq_topk_from_index(
         F.broadcast(probe), "cell"
     )
     return _adc_topk(cand, queries, cb, k, num_subspaces, sub, id_col, vec_col)
+
+
+def ivfpq_topk_rerank_from_index(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int | None = None,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The complete persisted serving path: shortlist from the
+    ``build_ivfpq_index`` layout (partition-pruned codes scan, same
+    values as ``ivfpq_topk_from_index``), then exact re-ranking
+    against the RAW corpus table — the layout a production vector
+    service runs, where the index holds 4-byte codes and the corpus
+    parquet is the refinement store (FAISS keeps the refine vectors
+    inside ``RFlat``; a lakehouse keeps them as the corpus table
+    itself, point-read by the broadcast-semi-joined id list).
+
+    Values identical to ``ivfpq_topk_rerank`` with the same
+    parameters (both route the refinement through ``_exact_rerank``,
+    and the shortlist through the shared ADC machinery). Per-call
+    state hygiene matches ``ivfpq_topk_from_index``: nothing persisted,
+    dimension-sized centroid/codebook localization only."""
+    if shortlist is None:
+        shortlist = 4 * k
+    cand = ivfpq_topk_from_index(
+        spark, path, queries, k=shortlist, nprobe=nprobe, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    return _exact_rerank(cand, corpus, queries, k, id_col, vec_col)
 
 
 def cell_balance(

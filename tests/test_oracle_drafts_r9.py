@@ -50,6 +50,10 @@ pairs:
 - q70_cohort_retention — first-activity cohort x day-offset return
   matrix over events (profiling.cohort_retention); users count once
   per active day.
+- s15_ivfpq_rerank_from_index — the persisted serving path
+  (similarity.ivfpq_topk_rerank_from_index): partition-pruned index
+  shortlist + exact re-rank against the raw corpus table; replays
+  s14's oracle verbatim (the s10/s11 value-identity pattern).
 """
 
 import duckdb
@@ -1066,3 +1070,26 @@ def test_cohort_retention_semantics(spark):
         ("2024-01-02", 0): 1,  # user 2's own cohort starts Jan 2
         ("2024-01-02", 1): 1,  # user 2 returns next day
     }
+
+
+# --- s15: persisted-index rerank (value-identity with s14) -------------------
+
+
+def test_oracle_draft_ivfpq_rerank_from_index(spark, ddb, tmp_path):
+    """The persisted form replays s14's oracle EXACTLY (the s10/s11
+    pattern: index round-trip must not change a single value), so its
+    r9 wiring reuses ivfpq_rerank_sql verbatim."""
+    from datacatalog_tag_engine_spark.pipeline import similarity as SIM
+
+    emb = spark.table("embeddings")
+    path = str(tmp_path / "ivfpq_idx")
+    SIM.build_ivfpq_index(emb, path, num_cells=8)
+    got = _rows(
+        SIM.ivfpq_topk_rerank_from_index(
+            spark, path, emb, emb.filter(F.col("vec_id") < 5),
+            k=5, shortlist=20, nprobe=2,
+        )
+    )
+    want = _sql_rows(ddb, ivfpq_rerank_sql(nprobe=2, shortlist=20, k=5))
+    assert got == want
+    assert got == _rows(_s14(spark))  # in-memory/persisted value identity
