@@ -1093,3 +1093,23 @@ def test_oracle_draft_ivfpq_rerank_from_index(spark, ddb, tmp_path):
     want = _sql_rows(ddb, ivfpq_rerank_sql(nprobe=2, shortlist=20, k=5))
     assert got == want
     assert got == _rows(_s14(spark))  # in-memory/persisted value identity
+
+
+def test_containment_dominates_jaccard_everywhere(spark):
+    """Metric invariant: inter/min(|A|,|B|) >= inter/union on EVERY
+    pair (min <= union always), and both metrics see the same pair
+    set at threshold 0 — a divergence would mean the two operators
+    disagree on the inverted index itself."""
+    pool = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    rows = [
+        (i, " ".join(pool[(i * 3 + j) % len(pool)] for j in range(4 + i % 5)))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = DD.shingle_table(df)
+    jac = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in DD.jaccard_pairs(sh, threshold=0.0).collect()}
+    con = {(r["doc_a"], r["doc_b"]): r["containment"]
+           for r in DD.containment_pairs(sh, threshold=0.0).collect()}
+    assert set(jac) == set(con) and len(jac) > 0
+    assert all(con[p] >= jac[p] for p in jac)
