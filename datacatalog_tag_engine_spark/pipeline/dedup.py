@@ -286,6 +286,7 @@ def containment_pairs(
     threshold: float = 0.8,
     id_col: str = "doc_id",
     max_df: int | None = None,
+    assume_materialized: bool = False,
 ) -> DataFrame:
     """N-gram containment for candidate pairs (or every pair sharing a
     shingle when candidates is None): inter / min(|A|, |B|), rounded
@@ -310,7 +311,13 @@ def containment_pairs(
     adequate match structure); containment is the text-corpus form.
     """
     sh_h = shingles.select(id_col, F.xxhash64("shingle").alias("_h"))
-    if candidates is None:
+    if candidates is None and not assume_materialized:
+        # materialize once: sizes, the join side, and the optional df
+        # filter all re-read this relation. Callers that already hold a
+        # checkpointed shingle table (containment_dedup) pass
+        # assume_materialized=True — re-hashing materialized rows is
+        # cheaper than pinning a second corpus-sized generation in the
+        # block manager.
         sh_h = sh_h.localCheckpoint(eager=True)
     sizes = sh_h.groupBy(id_col).agg(F.count("*").alias("n"))
 
@@ -384,10 +391,18 @@ def containment_dedup(
     canon = docs.join(
         ex.filter("is_canonical").select(id_col), id_col, "left_semi"
     )
-    # one shingle pass feeds sizes AND the pair join
+    # ONE corpus-sized materialization: the shingle checkpoint feeds
+    # sizes AND the pair join; containment_pairs is told not to stack a
+    # second checkpoint on top (assume_materialized). The loser set —
+    # bounded by the duplicate count, tiny next to the shingle table —
+    # is materialized eagerly so the shingle blocks can be freed HERE
+    # instead of pinning block-manager storage for the session (the
+    # pressure bench.py's docstring warns inflates later queries).
     sh = shingle_table(canon, id_col, text_col, k).localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
-    pairs = containment_pairs(sh, None, threshold, id_col, max_df)
+    pairs = containment_pairs(
+        sh, None, threshold, id_col, max_df, assume_materialized=True
+    )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     losers = (
@@ -399,7 +414,9 @@ def containment_dedup(
             .alias("_loser")
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    free_local_checkpoint(sh)
     return (
         ex.select(id_col, "is_canonical")
         .join(losers, F.col(id_col) == F.col("_loser"), "left")

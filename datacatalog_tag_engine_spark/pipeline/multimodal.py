@@ -455,6 +455,13 @@ def video_frame_phashes(
             for _, row in pdf.iterrows():
                 p = row["payload"]
                 if p is None or len(p) < hdr + 16 or bytes(p[:hdr]) != _MAGIC:
+                    # null-phash row (frame_idx -1) instead of skipping:
+                    # an all-invalid pandas batch would otherwise yield a
+                    # zero-column DataFrame that fails Arrow conversion
+                    # (image_phash / audio_fingerprint do the same)
+                    out.append(
+                        {"media_id": row["media_id"], "frame_idx": -1, "phash": None}
+                    )
                     continue
                 w, h, _dur, _fr = struct.unpack("<iiii", bytes(p[hdr : hdr + 16]))
                 seed = (

@@ -495,15 +495,24 @@ def kmeans_pq_codebook(
     sub = dim // num_subspaces
 
     # init: micro-quantized slices of the first num_codes vectors by id
-    # (identical to pq_codebook's layout via the same _pq_subspaces rule)
+    # (identical to pq_codebook's layout via the same _pq_subspaces rule).
+    # Quantize in Spark (F.round: half away from zero) so the seed sits on
+    # the SAME lattice as qsv below — Python round() is half-to-even, and
+    # values landing exactly on a .5 micro-unit boundary would put the seed
+    # off-lattice (the kmeans_centroids_exact seeding pattern).
     seed_rows = (
         vectors.orderBy(id_col)
         .limit(num_codes)
-        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .select(
+            F.transform(
+                F.col(vec_col).cast("array<double>"),
+                lambda x: F.round(x * F.lit(1e6), 0).cast("long"),
+            ).alias("qv")
+        )
         .collect()
     )
     cb = {
-        (m, c): [int(round(x * 1e6)) for x in r["v"][m * sub : (m + 1) * sub]]
+        (m, c): [int(v) for v in r["qv"][m * sub : (m + 1) * sub]]
         for c, r in enumerate(seed_rows)
         for m in range(num_subspaces)
     }

@@ -862,10 +862,16 @@ def test_containment_dedup_semantics(spark):
         (2, big),
         (3, small),            # exact clone of 1 -> non-canonical
         (4, "totally different content here okay"),
+        # tie pair: doc 6 is doc 5 with a doubled space — different md5
+        # (both survive exact dedup) but identical shingle SET (split is
+        # on whitespace runs), so containment = 1.0 with equal sizes;
+        # the tie rule drops the higher id (doc_b of the ascending pair)
+        (5, "omega psi chi phi upsilon tau"),
+        (6, "omega psi chi phi upsilon  tau"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r["keep"] for r in DD.containment_dedup(df).collect()}
-    assert out == {1: False, 2: True, 3: False, 4: True}
+    assert out == {1: False, 2: True, 3: False, 4: True, 5: True, 6: False}
 
 
 # --- s14: IVF-PQ + exact re-rank --------------------------------------------
