@@ -68,6 +68,22 @@ Coverage map (SURVEY.md section 2.10 + training-data operators):
            mapInPandas + banded Hamming LSH; payload never shuffled)
   t12b     packing invariants (the t12 packer's oracle-checkable
            derivative: conservation replayed, violation counters zero)
+  m03/m04  audio fingerprint near-dup (temporal-delta chromaprint
+           shape) + video frame-sequence near-dup (temporally aligned
+           per-frame phashes, matching-frame floor)
+  d11-d14  source dup profile; n-gram containment pairs (doc-in-doc);
+           cross-source overlap matrix; containment dedup in the
+           stress-proven exact-first production order
+  s13-s15  IVF cell-balance profile; IVF-PQ + exact re-rank (the FAISS
+           serving recipe), in-memory and persisted-index forms
+  t27-t29  tokenizer fertility (frozen BPE merges); per-source unigram
+           JS divergence; Heaps'-law vocab growth curve
+  q66-q70  length outliers (median/MAD); event funnel; holdout split
+           (leakage-guarded); shard-balance straggler profile; cohort
+           retention matrix
+  q71      q59v2 extended to the export boundary: minhash canonicals ->
+           containment dedup (d14) -> shard assignment -> shard-balance
+           profile (q69), one chain, one oracle
 """
 
 from __future__ import annotations
@@ -598,6 +614,11 @@ def _docs(spark, sf_dir):
 def _emb(spark, sf_dir):
     register_testdata(spark, sf_dir)
     return spark.table("embeddings")
+
+
+def _events(spark, sf_dir):
+    register_testdata(spark, sf_dir)
+    return spark.table("events")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1252,22 +1273,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["s08_hard_negatives"] = s08
 
-    def q59v2(spark, sf):
-        # The full cleaning pipeline a real corpus-prep run executes,
-        # composed as ONE DataFrame chain — the r7 stage-0 upgrade of
-        # the r6-certified q59 (proven as a draft in
-        # tests/test_oracle_drafts_r7.py before this rotation):
-        # normalize_text + collapse_repeated_lines (stage 0, raw-crawl
-        # hygiene BEFORE any content rule sees the text) -> Gopher
-        # quality gate -> paragraph dedup (CCNet; must run BEFORE span
-        # removal, which whitespace-normalizes away the paragraph
-        # structure) -> exact-substring span removal -> drop emptied
-        # docs -> MinHash near-dup dedup (canonical keep) ->
-        # deterministic shard assignment. Certifying the COMPOSITION
-        # catches contract drift between stages that the per-operator
-        # rows cannot.
-        from datacatalog_tag_engine_spark.pipeline.export import shard_assignments
-
+    def _cleaned_canon(spark, sf):
+        # Stages 0-5 of the full cleaning pipeline a real corpus-prep
+        # run executes, composed as ONE DataFrame chain (shared by
+        # q59v2, which shard-assigns the canonicals, and q71, which
+        # extends the chain through containment dedup to the export
+        # boundary): normalize_text + collapse_repeated_lines (stage 0,
+        # raw-crawl hygiene BEFORE any content rule sees the text) ->
+        # Gopher quality gate -> paragraph dedup (CCNet; must run
+        # BEFORE span removal, which whitespace-normalizes away the
+        # paragraph structure) -> exact-substring span removal -> drop
+        # emptied docs -> MinHash near-dup dedup (canonical keep).
+        # Certifying the COMPOSITION catches contract drift between
+        # stages that the per-operator rows cannot. Returns the
+        # minhash-canonical (doc_id, text) set.
         cleaned = TXT.collapse_repeated_lines(
             TXT.normalize_text(_docs(spark, sf), passthrough=True)
         ).select("doc_id", "text")
@@ -1309,11 +1328,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         pairs = DD.minhash_dedup(clean)
         clusters = DD.neardup_clusters(clean, pairs)
-        canon = DD.apply_neardup_dedup(clean, clusters)
-        nw = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda w: F.length(w) > 0))
-        return shard_assignments(canon.select("doc_id", nw.alias("n_words")), 4).select(
-            "doc_id", "shard", "n_words"
+        return DD.apply_neardup_dedup(clean, clusters)
+
+    def _n_words():
+        # built lazily: Column construction needs an active session
+        return F.size(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda w: F.length(w) > 0)
         )
+
+    def q59v2(spark, sf):
+        from datacatalog_tag_engine_spark.pipeline.export import shard_assignments
+
+        canon = _cleaned_canon(spark, sf)
+        return shard_assignments(
+            canon.select("doc_id", _n_words().alias("n_words")), 4
+        ).select("doc_id", "shard", "n_words")
 
     q["q59v2_clean_pipeline"] = q59v2
 
@@ -1577,49 +1606,209 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["t12b_packing_invariants"] = t12b
 
+    # --- round-9 rotation: the seventeen operators drafted AND proven
+    # value-equal against DuckDB in tests/test_oracle_drafts_r9.py last
+    # round, plus the q71 export-boundary composition (drafted and
+    # proven this round). The oracle strings are the proven drafts
+    # verbatim (module-level generators above, which the drafts file
+    # imports back — one copy, no drift) ---
+
+    def m03(spark, sf):
+        # audio payload near-dup: chromaprint-shaped temporal-delta
+        # fingerprint over the (fake-)decoded band energies, then the
+        # SAME generic Hamming banding m02 certified — one machinery,
+        # three modalities. Payload bytes never cross an exchange.
+        from datacatalog_tag_engine_spark.pipeline import multimodal as MM
+
+        fps = MM.audio_fingerprint(MM.make_fake_audio_corpus(spark, 6, 3))
+        return DD.hamming_neardup_pairs(
+            fps, id_col="media_id", fp_col="afp", bits=64, bands=4, max_hamming=10
+        )
+
+    q["m03_audio_fp_neardup"] = m03
+
+    def m04(spark, sf):
+        # video frame-sequence near-dup: per-sampled-frame perceptual
+        # hashes, banding keyed on (frame, band) so only temporally
+        # aligned frames pair, floor on distinct matching frames
+        from datacatalog_tag_engine_spark.pipeline import multimodal as MM
+
+        vfp = MM.video_frame_phashes(
+            MM.make_fake_video_corpus(spark, 4, 3), sample_frames=4
+        )
+        return DD.frame_neardup_pairs(vfp, min_matching_frames=3, max_hamming=10)
+
+    q["m04_video_frame_neardup"] = m04
+
+    q["d11_source_dup_profile"] = lambda spark, sf: DD.source_dup_profile(
+        _docs(spark, sf)
+    )
+
+    q["d12_containment"] = lambda spark, sf: DD.containment_pairs(
+        DD.shingle_table(_docs(spark, sf)), candidates=None, threshold=0.8
+    )
+
+    q["d13_cross_source_overlap"] = lambda spark, sf: DD.cross_source_overlap(
+        _docs(spark, sf)
+    )
+
+    q["d14_containment_dedup"] = lambda spark, sf: DD.containment_dedup(
+        _docs(spark, sf)
+    )
+
+    def s13(spark, sf):
+        return SIM.cell_balance(_emb(spark, sf))
+
+    q["s13_cell_balance"] = s13
+
+    def s14(spark, sf):
+        # the full FAISS serving recipe: ADC shortlist (cheap, code
+        # domain) -> exact cosine on shortlisted rows only (the
+        # re-rank); output schema is brute-force-compatible
+        emb = _emb(spark, sf)
+        return SIM.ivfpq_topk_rerank(
+            emb, emb.filter(F.col("vec_id") < 5), k=5, shortlist=20,
+            num_cells=8, nprobe=2,
+        )
+
+    q["s14_ivfpq_rerank"] = s14
+
+    def s15(spark, sf):
+        # persisted serving path: partition-pruned index shortlist +
+        # exact re-rank against the raw corpus table; value-identical
+        # to s14 (the s10/s11 pattern), same session-cached index as s11
+        emb = _emb(spark, sf)
+        path = _cached_index(
+            "ivfpq", sf, lambda p: SIM.build_ivfpq_index(emb, p, num_cells=8)
+        )
+        return SIM.ivfpq_topk_rerank_from_index(
+            spark, path, emb, emb.filter(F.col("vec_id") < 5),
+            k=5, shortlist=20, nprobe=2,
+        )
+
+    q["s15_ivfpq_rerank_from_index"] = s15
+
+    def t27(spark, sf):
+        from datacatalog_tag_engine_spark.pipeline import bpe
+
+        return bpe.tokenizer_fertility(_docs(spark, sf), BPE_MERGES)
+
+    q["t27_tokenizer_fertility"] = t27
+
+    q["t28_corpus_divergence"] = lambda spark, sf: TXT.corpus_divergence(
+        _docs(spark, sf)
+    )
+    q["t29_vocab_growth"] = lambda spark, sf: TXT.vocab_growth(_docs(spark, sf))
+
+    def q66(spark, sf):
+        from datacatalog_tag_engine_spark.pipeline import profiling as PRO
+
+        return PRO.length_outliers(_docs(spark, sf))
+
+    q["q66_length_outliers"] = q66
+
+    def q67(spark, sf):
+        from datacatalog_tag_engine_spark.pipeline import profiling as PRO
+
+        return PRO.event_funnel(_events(spark, sf), FUNNEL_STEPS)
+
+    q["q67_event_funnel"] = q67
+
+    def q68(spark, sf):
+        return SAMP.holdout_split(_docs(spark, sf))
+
+    q["q68_holdout_split"] = q68
+
+    def q69(spark, sf):
+        from datacatalog_tag_engine_spark.pipeline.export import shard_balance
+
+        return shard_balance(_docs(spark, sf), 16, token_col="n_chars")
+
+    q["q69_shard_balance"] = q69
+
+    def q70(spark, sf):
+        from datacatalog_tag_engine_spark.pipeline.profiling import cohort_retention
+
+        return cohort_retention(_events(spark, sf))
+
+    q["q70_cohort_retention"] = q70
+
+    def q71(spark, sf):
+        # q59v2 extended to the export boundary (the reference's
+        # one-pipeline /_split_work -> /_run_task shape,
+        # main.py:3331-3656): the certified cleaning chain's minhash
+        # canonicals -> containment dedup in the stress-proven
+        # exact-first order (d14) -> shard assignment -> shard-balance
+        # straggler profile (q69). Certifies the contract BETWEEN the
+        # new dedup stage and the export stage, which the per-operator
+        # rows cannot. Output is shard-grain (4 rows of exact counts
+        # that encode every upstream decision).
+        from datacatalog_tag_engine_spark.pipeline.export import shard_balance
+
+        canon = _cleaned_canon(spark, sf)
+        verdict = DD.containment_dedup(canon)
+        surv = canon.join(
+            verdict.filter("keep").select("doc_id"), "doc_id", "left_semi"
+        )
+        return shard_balance(
+            surv.select("doc_id", _n_words().alias("n_words")), 4, token_col="n_words"
+        )
+
+    q["q71_export_pipeline"] = q71
+
     # ---- driver CORRECTNESS window ordering ------------------------------
     # The driver records correctness rows for the FIRST 50 insertion-
-    # ordered entries only. Round-8 round-start rotation (the inventory
-    # grows 114 -> 116, then freezes): the two new queries proven as
-    # DuckDB drafts in tests/test_oracle_drafts_r8.py enter for their
-    # first driver rows (m02 payload-level image near-dup; t12b packing
-    # invariants — the r7 verdict's ask to give the stateful packer a
-    # value check), and every query whose operator code changed this
-    # round stays in for re-certification: q59v2 (stage-0 barrier),
-    # t18 (the \x1f word-boundary fix), s09/s11 (session index cache),
-    # s03/s04/s07/s10/s12 + m01 (similarity.py trained-quantizer hooks
-    # and multimodal.py phash additions touch their modules — defaults
-    # unchanged, re-certified anyway). Displaced vs r7: q26_tag_copy
-    # and q44_policy_tags (both multi-round green, untouched). No other
-    # inventory or ordering changes this round. All 50 verified against
-    # the local DuckDB oracle (tools/check_oracle.py) before the
-    # freeze; the driver row is the hard signal. Every entry still runs
-    # in bench.py regardless of position.
+    # ordered entries only. Round-9 round-start rotation (the inventory
+    # grows 116 -> 134, then freezes): the seventeen queries proven as
+    # DuckDB drafts in tests/test_oracle_drafts_r9.py enter for their
+    # first driver rows, plus q71 (the export-boundary composition the
+    # r8 verdict asked for, drafted and proven this round). Every query
+    # whose operator code changed this round stays in for
+    # re-certification: the whole d-family + q34/q48/q51/q56/q59v2
+    # (dedup.py containment checkpoint-lifecycle fix + the q59v2 ->
+    # _cleaned_canon refactor shared with q71), s03-s12 minus s06's
+    # MLlib path (similarity.py kmeans_pq_codebook seed-lattice fix —
+    # no wired query trains a PQ codebook, re-certified anyway; s01
+    # re-enters as the family baseline; s02/s05/s06 stay out: LSH,
+    # recall-eval and MLlib k-means never touch the changed function
+    # and all have multi-round green rows), m01/m02 (multimodal.py
+    # video null-row fix), q22/q23 (streaming/usage.py gains the
+    # funnel/cohort streaming forms this round). Remaining slots start
+    # the section-2 re-certification drip the r8 verdict asked for:
+    # q11/q13/q24 plus q12/q14/q20, the oldest r5-green rows. d06 is
+    # the one dedup-module query left out (slot pressure; its span
+    # machinery is untouched by the containment fix and d08-certified).
+    # Displaced vs r8: the r7-green fillers (t13/t16/t17/t19-t26,
+    # q30/q37/q40-q42/q46/q49/q50/q52/q53/q57/q58/q60-q65, t12/t12b,
+    # t15, s08, t18) — all green within the last two rounds, none
+    # code-changed this round. All 50 verified against the local
+    # DuckDB oracle (tools/check_oracle.py) before the freeze; the
+    # driver row is the hard signal. Every entry still runs in
+    # bench.py regardless of position.
     window = [
-        # round-8 rotation: first driver rows
-        "m02_image_phash_neardup", "t12b_packing_invariants",
+        # round-9 rotation: first driver rows
+        "m03_audio_fp_neardup", "m04_video_frame_neardup",
+        "d11_source_dup_profile", "d12_containment",
+        "d13_cross_source_overlap", "d14_containment_dedup",
+        "s13_cell_balance", "s14_ivfpq_rerank", "s15_ivfpq_rerank_from_index",
+        "t27_tokenizer_fertility", "t28_corpus_divergence", "t29_vocab_growth",
+        "q66_length_outliers", "q67_event_funnel", "q68_holdout_split",
+        "q69_shard_balance", "q70_cohort_retention", "q71_export_pipeline",
         # this round's code-changed re-certifications
-        "q59v2_clean_pipeline", "t18_bpe_apply",
-        "s09_ivf_from_index", "s11_ivfpq_from_index",
-        "s10_ivfpq_topk", "s12_ivfpq_residual",
-        "s03_ann_ivf", "s04_ann_ivf_nprobe", "s07_pq_adc",
-        "m01_multimodal_features",
-        # r7-green fillers kept for re-verification
-        "q60_hll_tolerance", "t19_perplexity_buckets",
-        "t20_classifier_weights", "q61_clean_ingest",
-        "q62_sample_k_per_group", "t21_normalize_text", "t22_vocab_stats",
-        "d10_line_dedup", "t23_collapse_lines", "q63_epoch_plan",
-        "t24_decontamination", "q64_gate_metrics", "q65_materialize_mixture",
-        "t25_chunk_text", "t26_strip_html", "t13_unigram_logprob",
-        "t16_gopher_filter", "d08_span_removal", "d09_paragraph_dedup",
-        "q58_shard_assignments", "t17_bigram_logprob", "s08_hard_negatives",
-        "t15_dsir_weights", "q57_dsir_sample",
-        "q37_kmv_sketch", "q49_column_profile_fused",
-        "t12_packing", "q51_corpus_delta",
-        "q40_asof_join", "q41_range_join", "q42_sensitive_e2e",
-        "q30_numeric_profile", "q46_mixture_sample",
-        "q50_train_split", "q52_pipeline_e2e", "q53_token_budget",
-        "q34_dedup_clusters", "q48_dedup_apply",
+        "q59v2_clean_pipeline",
+        "d01_dedup_exact", "d02_dedup_minhash", "d03_simhash",
+        "d04_ngram_jaccard", "d05_embedding_neardup", "d07_semantic_dedup",
+        "d08_span_removal", "d09_paragraph_dedup", "d10_line_dedup",
+        "q34_dedup_clusters", "q48_dedup_apply", "q51_corpus_delta",
+        "q56_delta_bloom",
+        "s01_ann_topk", "s03_ann_ivf", "s04_ann_ivf_nprobe", "s07_pq_adc",
+        "s09_ivf_from_index", "s10_ivfpq_topk", "s11_ivfpq_from_index",
+        "s12_ivfpq_residual",
+        "m01_multimodal_features", "m02_image_phash_neardup",
+        "q22_usage_daily", "q23_event_stats",
+        # section-2 re-certification drip (oldest r5-green rows)
+        "q11_glossary", "q13_containment", "q24_import_melt",
+        "q12_infotype_agg", "q14_topk_users", "q20_coverage",
     ]
     assert len(window) == 50 and set(window) <= set(q)
     return {name: q[name] for name in window + [n for n in q if n not in window]}
@@ -1629,16 +1818,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracles
 
 
-def _shingle_cte(src: str = "documents") -> str:
-    # word 3-shingles, distinct per doc — mirrors pipeline.dedup.word_shingles
+def _shingle_cte(src: str = "documents", p: str = "") -> str:
+    # word 3-shingles, distinct per doc — mirrors pipeline.dedup.word_shingles.
+    # `p` prefixes the CTE names so the chain can coexist with another
+    # shingle derivation in one statement (q71 composes it after
+    # _cluster_chain, which owns the bare toks/sh names).
     return f"""
-toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') w FROM {src}),
-sh AS (
+{p}toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') w FROM {src}),
+{p}sh AS (
   SELECT DISTINCT doc_id,
          unnest(CASE WHEN len(w) >= 3
                 THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
                 ELSE [array_to_string(w, ' ')] END) AS shingle
-  FROM toks)
+  FROM {p}toks)
 """
 
 
@@ -1900,10 +2092,13 @@ QUALIFY row_number() OVER (PARTITION BY source
 """
 
 
-def ivfpq_sql(nprobe: int) -> str:
-    """IVF-PQ: the s03 cell CTEs (deterministic first-8-by-id coarse
-    centroids) composed with the s07 PQ CTEs (4x16 codebook, integer
-    micro-unit argmin), plus the cell-pruned candidate join."""
+def _ivfpq_scored_cte(nprobe: int) -> str:
+    """The shared IVF-PQ chain through the ADC `scored` CTE: the s03
+    cell CTEs (deterministic first-8-by-id coarse centroids) composed
+    with the s07 PQ CTEs (4x16 codebook, integer micro-unit argmin),
+    plus the cell-pruned candidate join. ``ivfpq_sql`` ranks it
+    directly (s10/s11); ``ivfpq_rerank_sql`` takes the ADC shortlist
+    and re-ranks with exact cosine (s14/s15) — ONE copy of the chain."""
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cents AS (SELECT vec_id AS cell, v AS cent_v FROM e ORDER BY vec_id LIMIT 8),
@@ -1942,13 +2137,50 @@ scored AS (
   JOIN probe ON assign.cell = probe.cell
   JOIN dt ON codes.m = dt.m AND codes.code = dt.code
          AND dt.query_id = probe.query_id
-  GROUP BY dt.query_id, codes.vec_id)
+  GROUP BY dt.query_id, codes.vec_id)"""
+
+
+def ivfpq_sql(nprobe: int, k: int = 5) -> str:
+    """IVF-PQ ADC top-k (s10/s11): rank the shared scored chain."""
+    return (
+        _ivfpq_scored_cte(nprobe)
+        + f"""
 SELECT query_id, neighbor_id, adist_micro,
        cast(row_number() OVER (PARTITION BY query_id
                                ORDER BY adist_micro, neighbor_id) AS INT) AS rank
 FROM scored WHERE neighbor_id <> query_id
-QUALIFY rank <= 5
+QUALIFY rank <= {k}
 """
+    )
+
+
+def ivfpq_rerank_sql(nprobe: int = 2, shortlist: int = 20, k: int = 5) -> str:
+    """IVF-PQ + exact re-rank (s14; s15 replays it verbatim from the
+    persisted index): QUALIFY the ADC shortlist off the shared scored
+    chain, then exact-cosine refinement on the shortlisted ids under
+    the s01 determinism contract (round 4, ties to neighbor asc)."""
+    return (
+        _ivfpq_scored_cte(nprobe)
+        + f""",
+short AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adist_micro, neighbor_id) AS srank
+  FROM scored WHERE neighbor_id <> query_id
+  QUALIFY srank <= {shortlist}),
+rer AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(list_cosine_similarity(qe.v, ne.v), 4) AS cosine
+  FROM short s
+  JOIN e ne ON ne.vec_id = s.neighbor_id
+  JOIN e qe ON qe.vec_id = s.query_id)
+SELECT query_id, neighbor_id, cosine,
+       cast(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+FROM rer
+QUALIFY rank <= {k}
+"""
+    )
 
 
 def ivfpq_residual_sql(nprobe: int) -> str:
@@ -2428,6 +2660,441 @@ SELECT sum(nc)::BIGINT AS n_chunks,
        0::BIGINT AS n_offset_violations,
        0::BIGINT AS n_overfull_bins
 FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# round-9 oracle machinery (proven in tests/test_oracle_drafts_r9.py
+# before entering the inventory; single copy here, drafts import it)
+
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def _band_values() -> str:
+    from datacatalog_tag_engine_spark.pipeline.dedup import hamming_band_masks
+
+    return ", ".join(
+        f"({j}, {m}::BIGINT)" for j, m in enumerate(hamming_band_masks(64, 4))
+    )
+
+
+def audio_fp_neardup_sql(
+    n_groups: int = 6, group_size: int = 3, max_hamming: int = 10
+) -> str:
+    """Analytic replay of audio_fingerprint + hamming_neardup_pairs:
+    fake band energies are integer arithmetic of (dur, seed, t, b);
+    bit (t, b) is the temporal delta sign; packing and banding are the
+    m02 rules (two's-complement bit 63, AND-mask bands)."""
+    from datacatalog_tag_engine_spark.pipeline import multimodal as MM
+
+    fr, nb = MM.AUDIO_FP_FRAMES, MM.AUDIO_FP_BANDS
+    ncell = fr * nb
+    energy = (
+        "((dur*31 + (t*17 + b*41 + 1) * (5 + dur % 11)) % 1024 + "
+        "CASE WHEN len(list_filter(range(seed), "
+        f"c -> (dur*13 + c*7) % {ncell} = t * {nb} + b)) % 2 = 1 "
+        "THEN 512 ELSE 0 END) % 1024"
+    )
+    return f"""
+WITH m AS (
+  SELECT (g * {group_size} + j)::BIGINT AS media_id,
+         30000 + 700 * g AS dur, j AS seed
+  FROM range({n_groups}) tg(g), range({group_size}) tj(j)),
+e AS (
+  SELECT media_id, t, b, {energy} AS v
+  FROM m, range({fr}) tt(t), range({nb}) tb(b)),
+bits AS (
+  SELECT a.media_id, (a.t * {nb} + a.b) AS bit,
+         CASE WHEN n.v > a.v THEN 1 ELSE 0 END AS s
+  FROM e a JOIN e n ON n.media_id = a.media_id AND n.t = a.t + 1 AND n.b = a.b
+  WHERE a.t < {fr - 1}),
+fp AS (
+  SELECT media_id,
+         sum(CASE WHEN s = 1
+                  THEN CASE WHEN bit = 63 THEN -9223372036854775808
+                       ELSE (1::BIGINT << bit) END
+                  ELSE 0 END)::BIGINT AS afp
+  FROM bits GROUP BY media_id),
+bk AS (
+  SELECT media_id, afp, band, afp & mask AS key
+  FROM fp, (VALUES {_band_values()}) bm(band, mask)),
+cand AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+                  a.afp AS fp_a, b.afp AS fp_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+                     AND a.media_id < b.media_id)
+SELECT id_a, id_b, bit_count(xor(fp_a, fp_b))::INT AS hamming
+FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= {max_hamming}
+"""
+
+
+def video_frame_neardup_sql(
+    n_groups: int = 4,
+    group_size: int = 3,
+    sample_frames: int = 4,
+    max_hamming: int = 10,
+    min_matching_frames: int = 3,
+) -> str:
+    """Analytic replay of video_frame_phashes + frame_neardup_pairs:
+    frame t's grid is the image fake with h+7t; banding joins the frame
+    index into the key (temporal alignment); the pair floor counts
+    distinct matched frames."""
+    from datacatalog_tag_engine_spark.pipeline.multimodal import PHASH_GRID
+
+    g = PHASH_GRID
+    return f"""
+WITH m AS (
+  SELECT (gg * {group_size} + j)::BIGINT AS media_id,
+         128 + gg AS w, 72 + gg AS h, j AS seed
+  FROM range({n_groups}) tg(gg), range({group_size}) tj(j)),
+px AS (
+  SELECT media_id, t, (cy * {g} + cx) AS cell,
+         ((w*37 + (h + 7*t)*53 + (cx*13 + cy*29 + 1) * (3 + w % 13)) % 256 +
+          CASE WHEN len(list_filter(range(seed),
+                         c -> (w*7 + c*11) % 64 = cy * {g} + cx)) % 2 = 1
+               THEN 128 ELSE 0 END) % 256 AS v
+  FROM m, range({sample_frames}) tt(t), range({g}) a(cy), range({g}) b(cx)),
+s AS (SELECT media_id, t, sum(v) AS sv FROM px GROUP BY media_id, t),
+fp AS (
+  SELECT px.media_id, px.t,
+         sum(CASE WHEN 64 * v > sv
+                  THEN CASE WHEN cell = 63 THEN -9223372036854775808
+                       ELSE (1::BIGINT << cell) END
+                  ELSE 0 END)::BIGINT AS phash
+  FROM px JOIN s ON s.media_id = px.media_id AND s.t = px.t
+  GROUP BY px.media_id, px.t),
+bk AS (
+  SELECT media_id, t, phash, band, phash & mask AS key
+  FROM fp, (VALUES {_band_values()}) bm(band, mask)),
+cand AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b, a.t AS frame,
+                  a.phash AS fp_a, b.phash AS fp_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.t = b.t
+                     AND a.media_id < b.media_id),
+matched AS (
+  SELECT id_a, id_b, frame FROM cand
+  WHERE bit_count(xor(fp_a, fp_b)) <= {max_hamming})
+SELECT id_a, id_b, count(DISTINCT frame)::INT AS n_matching_frames
+FROM matched GROUP BY id_a, id_b
+HAVING count(DISTINCT frame) >= {min_matching_frames}
+"""
+
+
+def tokenizer_fertility_sql(merges) -> str:
+    """The t18 encode chain (bpe_apply_sql's CTEs, same separator
+    framing and [\\s\\x1f]+ split) aggregated at source grain, joined
+    with word/char counts under the SAME tokenization."""
+    sep = _BPE_SEP
+    init = (
+        "'" + sep + "' || array_to_string(list_transform("
+        "range(1, length(word) + 1), "
+        "i -> CASE WHEN i = length(word) THEN word[i] || '</w>' "
+        "ELSE word[i] END), '" + sep + "') || '" + sep + "'"
+    )
+    enc = init
+    for a, b in merges:
+        pat = (sep + a + sep + b + sep).replace("'", "''")
+        rep = (sep + a + b + sep).replace("'", "''")
+        enc = f"replace({enc}, '{pat}', '{rep}')"
+    return rf"""
+WITH w AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(lower(coalesce(text, '')), '[\s\x1f]+') AS ws
+  FROM documents),
+tok AS (
+  SELECT doc_id, source, ws[i+1] AS word
+  FROM w, unnest(range(len(ws))) t(i)
+  WHERE length(ws[i+1]) > 0),
+enc AS (
+  SELECT doc_id, source, length(word) AS nc,
+         len(list_filter(regexp_split_to_array({enc}, chr(31)),
+                         x -> length(x) > 0)) AS nt
+  FROM tok),
+per_doc AS (
+  SELECT doc_id, any_value(source) AS source,
+         count(*) AS nw, sum(nt) AS ntok, sum(nc) AS nchars
+  FROM enc GROUP BY doc_id),
+alldocs AS (
+  SELECT d.doc_id, d.source,
+         coalesce(p.nw, 0) AS nw, coalesce(p.ntok, 0) AS ntok,
+         coalesce(p.nchars, 0) AS nchars
+  FROM documents d LEFT JOIN per_doc p USING (doc_id))
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(nw)::BIGINT AS n_words,
+       sum(ntok)::BIGINT AS n_tokens,
+       sum(nchars)::BIGINT AS n_word_chars,
+       round(sum(ntok) / sum(nw), 6) AS tokens_per_word,
+       round(sum(nchars) / sum(ntok), 6) AS chars_per_token
+FROM alldocs GROUP BY source
+"""
+
+
+def corpus_divergence_sql() -> str:
+    """Analytic replay of text.corpus_divergence: present-pair JSD
+    terms quantized to nano-units before the integer sum; absent-word
+    mass via the closed form ln(2)/2 * (1 - C_s/N) from exact counts."""
+    return r"""
+WITH w AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+                            x -> length(x) > 0)) AS word
+  FROM documents),
+sc AS (SELECT source, word, count(*) AS c_s FROM w GROUP BY source, word),
+gc AS (SELECT word, sum(c_s) AS c_g FROM sc GROUP BY word),
+tot AS (SELECT sum(c_s)::DOUBLE AS n FROM sc),
+st AS (SELECT source, sum(c_s)::DOUBLE AS n_s FROM sc GROUP BY source),
+terms AS (
+  SELECT sc.source, sc.c_s, gc.c_g, tot.n,
+         round(((sc.c_s / st.n_s)
+                  * ln(2.0 * (sc.c_s / st.n_s) / (sc.c_s / st.n_s + gc.c_g / tot.n))
+                + (gc.c_g / tot.n)
+                  * ln(2.0 * (gc.c_g / tot.n) / (sc.c_s / st.n_s + gc.c_g / tot.n)))
+               / 2.0 * 1e9)::BIGINT AS t9
+  FROM sc JOIN gc USING (word) JOIN st USING (source), tot)
+SELECT source,
+       sum(c_s)::BIGINT AS n_tokens,
+       count(*)::BIGINT AS n_types,
+       round(sum(t9) / 1e9
+             + (0.6931471805599453 / 2.0) * (max(n) - sum(c_g)) / max(n),
+             6) AS js_divergence
+FROM terms GROUP BY source
+"""
+
+
+def vocab_growth_sql(n_buckets: int = 10) -> str:
+    """Analytic replay of text.vocab_growth: id-range buckets (floor,
+    not round — Spark's cast truncates), first-seen bucket per type,
+    cumulative windows over bucket rows."""
+    return rf"""
+WITH maxid AS (SELECT max(doc_id) + 1 AS span FROM documents),
+b AS (
+  SELECT doc_id,
+         least(floor(doc_id * {n_buckets} / span)::BIGINT, {n_buckets - 1}) AS bucket,
+         text
+  FROM documents, maxid),
+w AS (
+  SELECT bucket,
+         unnest(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+                            x -> length(x) > 0)) AS word
+  FROM b),
+tok AS (SELECT bucket, count(*) AS n_tokens FROM w GROUP BY bucket),
+fs AS (SELECT word, min(bucket) AS bucket FROM w GROUP BY word),
+nt AS (SELECT bucket, count(*) AS new_types FROM fs GROUP BY bucket),
+nd AS (SELECT bucket, count(*) AS n_docs FROM b GROUP BY bucket)
+SELECT nd.bucket,
+       n_docs::BIGINT AS n_docs,
+       coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(new_types, 0)::BIGINT AS new_types,
+       sum(coalesce(n_tokens, 0)) OVER (ORDER BY nd.bucket)::BIGINT AS cum_tokens,
+       sum(coalesce(new_types, 0)) OVER (ORDER BY nd.bucket)::BIGINT AS cum_types
+FROM nd LEFT JOIN tok USING (bucket) LEFT JOIN nt USING (bucket)
+"""
+
+
+def length_outliers_sql(k: float = 3.0) -> str:
+    return f"""
+WITH med AS (SELECT source, median(n_chars) AS m FROM documents GROUP BY source),
+dev AS (
+  SELECT d.source, d.n_chars, abs(d.n_chars - med.m) AS adev, med.m
+  FROM documents d JOIN med USING (source)),
+mad AS (SELECT source, median(adev) AS md FROM dev GROUP BY source)
+SELECT dev.source,
+       count(*)::BIGINT AS n_docs,
+       round(any_value(m), 2) AS median_val,
+       round(any_value(md), 2) AS mad_val,
+       count(*) FILTER (adev > {k} * md)::BIGINT AS n_outliers,
+       round(count(*) FILTER (adev > {k} * md) / count(*), 4) AS outlier_frac
+FROM dev JOIN mad USING (source) GROUP BY dev.source
+"""
+
+
+def event_funnel_sql(steps=tuple(FUNNEL_STEPS)) -> str:
+    ctes = []
+    for i, s in enumerate(steps):
+        if i == 0:
+            ctes.append(
+                f"s0 AS (SELECT user_id, min(ts) AS t FROM events "
+                f"WHERE event_type = '{s}' GROUP BY user_id)"
+            )
+        else:
+            ctes.append(
+                f"s{i} AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+                f"JOIN s{i-1} p USING (user_id) "
+                f"WHERE e.event_type = '{s}' AND e.ts > p.t GROUP BY e.user_id)"
+            )
+    unions = " UNION ALL ".join(
+        f"SELECT {i} AS step_index, '{s}' AS step, "
+        f"(SELECT count(*) FROM s{i}) AS n_users"
+        for i, s in enumerate(steps)
+    )
+    return f"""
+WITH {', '.join(ctes)},
+u AS ({unions})
+SELECT step_index::INT AS step_index, step, n_users::BIGINT AS n_users,
+       round(CASE WHEN max(CASE WHEN step_index = 0 THEN n_users END) OVER () > 0
+                  THEN n_users / max(CASE WHEN step_index = 0 THEN n_users END) OVER ()
+                  ELSE 0 END, 4) AS conversion
+FROM u
+"""
+
+
+def cell_balance_sql(num_cells: int = 8) -> str:
+    """Reuses the s03 assignment CTE chain, then the occupancy
+    aggregate + window ratios."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cent_v FROM e ORDER BY vec_id LIMIT {num_cells}),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round(list_cosine_similarity(e.v, c.cent_v), 6) DESC, c.cell) AS rn
+    FROM e CROSS JOIN cents c) WHERE rn = 1),
+counts AS (SELECT cell, count(*) AS n_vectors FROM assign GROUP BY cell)
+SELECT cell,
+       n_vectors::BIGINT AS n_vectors,
+       round(n_vectors / sum(n_vectors) OVER (), 6) AS frac,
+       round(n_vectors / (sum(n_vectors) OVER () / count(*) OVER ()), 4) AS balance_ratio
+FROM counts
+"""
+
+
+def source_dup_profile_sql() -> str:
+    return r"""
+WITH fams AS (
+  SELECT source,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+         count(*) AS n
+  FROM documents GROUP BY source, fp)
+SELECT source,
+       sum(n)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_distinct,
+       round(1.0 - count(*) / sum(n), 4) AS dup_frac,
+       max(n)::BIGINT AS max_clone
+FROM fams GROUP BY source
+"""
+
+
+def holdout_split_sql(eval_bp: int = 1000, buckets: int = 10000) -> str:
+    """hash_bucket replayed as in the q58 oracle; fingerprint collision
+    quarantine via IN over the distinct eval fingerprints."""
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % {buckets}) < {eval_bp} AS is_eval
+  FROM documents),
+ev AS (SELECT DISTINCT fp FROM t WHERE is_eval)
+SELECT doc_id,
+       CASE WHEN is_eval THEN 'eval'
+            WHEN fp IN (SELECT fp FROM ev) THEN 'quarantined'
+            ELSE 'train' END AS split
+FROM t
+"""
+
+
+def containment_sql(threshold: float = 0.8) -> str:
+    """Same inverted-index derivation as the d04 oracle, with the
+    asymmetric denominator: inter / least(|A|, |B|)."""
+    return f"""
+WITH {_shingle_cte()},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+SELECT doc_a, doc_b, round(i / least(sa.n, sb.n), 4) AS containment
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(i / least(sa.n, sb.n), 4) >= {threshold}
+"""
+
+
+def cross_source_overlap_sql() -> str:
+    """Shingle-grain (the queries() default): distinct word 3-shingles
+    per source via the d04 shingle rule; Spark joins on xxhash64 of
+    the shingle, the oracle on the string — counts equal barring a
+    64-bit collision (the d04-certified substitution)."""
+    return r"""
+WITH toks AS (SELECT source, regexp_split_to_array(text, '\s+') w FROM documents),
+sfp AS (
+  SELECT DISTINCT source AS src,
+         unnest(CASE WHEN len(w) >= 3
+                THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+                ELSE [array_to_string(w, ' ')] END) AS fp
+  FROM toks),
+sizes AS (SELECT src, count(*) AS n FROM sfp GROUP BY src),
+shared AS (
+  SELECT a.src AS source_a, b.src AS source_b, count(*) AS shared
+  FROM sfp a JOIN sfp b ON a.fp = b.fp AND a.src < b.src
+  GROUP BY 1, 2)
+SELECT source_a, source_b, shared,
+       round(shared / sa.n, 4) AS frac_a,
+       round(shared / sb.n, 4) AS frac_b
+FROM shared JOIN sizes sa ON sa.src = source_a JOIN sizes sb ON sb.src = source_b
+"""
+
+
+def containment_dedup_sql(threshold: float = 0.8) -> str:
+    """Exact-canonical selection (the d01 raw-md5 rule), then the d12
+    containment derivation restricted to canonicals, then the
+    single-pass dominance rule: loser = smaller shingle set, tie ->
+    doc_b (the higher id, since pairs are emitted doc_a < doc_b)."""
+    return f"""
+WITH fpt AS (SELECT doc_id, md5(text) AS fp FROM documents),
+can AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1 AS is_canon
+  FROM fpt),
+cd AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN can ON can.doc_id = d.doc_id AND can.is_canon),
+{_shingle_cte("cd")},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT doc_a, doc_b, sa.n AS na, sb.n AS nb
+  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(i / least(sa.n, sb.n), 4) >= {threshold}),
+losers AS (
+  SELECT DISTINCT CASE WHEN na < nb THEN doc_a ELSE doc_b END AS doc_id FROM pairs)
+SELECT c.doc_id, c.is_canon AND l.doc_id IS NULL AS keep
+FROM can c LEFT JOIN losers l ON l.doc_id = c.doc_id
+"""
+
+
+def shard_balance_sql(num_shards: int = 16) -> str:
+    """The q58/q68 md5 bucket rule aggregated at shard grain, empty
+    shards kept via a generated shard axis; skew normalized against
+    the corpus total."""
+    return f"""
+WITH s AS (
+  SELECT (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % {num_shards}) AS shard,
+         n_chars
+  FROM documents),
+per AS (SELECT shard, count(*) AS n_docs, sum(n_chars)::BIGINT AS n_tokens
+        FROM s GROUP BY shard),
+all_shards AS (SELECT unnest(range({num_shards}))::INT AS shard)
+SELECT a.shard,
+       coalesce(n_docs, 0)::BIGINT AS n_docs,
+       coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+       round(coalesce(n_docs, 0) * {num_shards} / (SELECT count(*) FROM documents), 4) AS doc_skew
+FROM all_shards a LEFT JOIN per ON per.shard = a.shard
+"""
+
+
+def cohort_retention_sql() -> str:
+    return """
+WITH d AS (SELECT user_id, ts::DATE AS d FROM events),
+c AS (SELECT user_id, min(d) AS cohort_day FROM d GROUP BY user_id),
+x AS (
+  SELECT DISTINCT c.cohort_day, date_diff('day', c.cohort_day, d.d) AS day_offset, d.user_id
+  FROM d JOIN c USING (user_id))
+SELECT cohort_day, day_offset::INT AS day_offset, count(*)::BIGINT AS n_users
+FROM x GROUP BY 1, 2
 """
 
 
@@ -3706,7 +4373,9 @@ FROM neg QUALIFY rank <= 5
     # re-sourced from the previous stage's CTE; the stage-0 injection
     # (body re-sourced FROM cleaned, stage-0 CTEs prepended) is exactly
     # the surgery tests/test_oracle_drafts_r7.py proved value-equal.
-    q59_base = f"""
+    # The CTE chain through `clusters` (q59_prefix) is shared with the
+    # q71 export-boundary composition below — one copy.
+    q59_prefix = f"""
 WITH RECURSIVE
 base AS (
   SELECT doc_id, coalesce(text, '') AS text,
@@ -3740,7 +4409,8 @@ clean AS (
   SELECT d.doc_id, coalesce(r.text, '') AS text
   FROM sp_d d LEFT JOIN sp_r r USING (doc_id)
   WHERE length(trim(coalesce(r.text, ''))) > 0),
-{_cluster_chain("clean")}
+{_cluster_chain("clean")}"""
+    q59_base = q59_prefix + """
 SELECT c.doc_id,
        (('0x' || substr(md5(c.doc_id::VARCHAR), 1, 8))::BIGINT % 4)::INT AS shard,
        len(list_filter(regexp_split_to_array(c.text, '\\s+'),
@@ -3765,6 +4435,60 @@ cleaned AS (
     o["q59v2_clean_pipeline"] = q59_base.replace("FROM documents", "FROM cleaned").replace(
         "WITH RECURSIVE\n", "WITH RECURSIVE\n" + q59_stage0 + "\n", 1
     )
+
+    # q71: the q59 chain extended to the export boundary — minhash
+    # canonicals -> containment dedup (the d14 derivation, ct_-prefixed
+    # to coexist with _cluster_chain's bare toks/sh) -> shard
+    # assignment -> shard-balance profile (the q69 derivation at
+    # 4 shards with n_words as the token measure). Same stage-0
+    # injection surgery as q59v2. The MATERIALIZED hints are
+    # load-bearing: canon/ccd/surv are each referenced 2-3x downstream,
+    # and without the hint DuckDB re-inlines the whole upstream chain —
+    # including the RECURSIVE reach closure — once per reference
+    # (measured: >15 min vs seconds at sf0.01).
+    q71_tail = f""",
+canon AS MATERIALIZED (
+  SELECT c.doc_id, c.text
+  FROM clean c JOIN clusters cl ON c.doc_id = cl.doc_id AND cl.doc_id = cl.cluster_id),
+cfp AS (SELECT doc_id, md5(text) AS fp FROM canon),
+ccan AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1 AS is_canon
+  FROM cfp),
+ccd AS MATERIALIZED (
+  SELECT d.doc_id, d.text FROM canon d
+  JOIN ccan ON ccan.doc_id = d.doc_id AND ccan.is_canon),
+{_shingle_cte("ccd", "ct_")},
+cinter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM ct_sh a JOIN ct_sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+csizes AS (SELECT doc_id, count(*) AS n FROM ct_sh GROUP BY doc_id),
+cpairs AS (
+  SELECT doc_a, doc_b, sa.n AS na, sb.n AS nb
+  FROM cinter JOIN csizes sa ON sa.doc_id = doc_a JOIN csizes sb ON sb.doc_id = doc_b
+  WHERE round(i / least(sa.n, sb.n), 4) >= 0.8),
+closers AS (
+  SELECT DISTINCT CASE WHEN na < nb THEN doc_a ELSE doc_b END AS doc_id FROM cpairs),
+surv AS MATERIALIZED (
+  SELECT c.doc_id, c.text FROM ccd c
+  ANTI JOIN closers l ON l.doc_id = c.doc_id),
+sb AS (
+  SELECT (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 4) AS shard,
+         len(list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> length(x) > 0)) AS nw
+  FROM surv),
+per AS (SELECT shard, count(*) AS n_docs, sum(nw)::BIGINT AS n_tokens
+        FROM sb GROUP BY shard),
+all_shards AS (SELECT unnest(range(4))::INT AS shard)
+SELECT a.shard,
+       coalesce(n_docs, 0)::BIGINT AS n_docs,
+       coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+       round(coalesce(n_docs, 0) * 4 / (SELECT count(*) FROM surv), 4) AS doc_skew
+FROM all_shards a LEFT JOIN per ON per.shard = a.shard
+"""
+    o["q71_export_pipeline"] = (q59_prefix + q71_tail).replace(
+        "FROM documents", "FROM cleaned"
+    ).replace("WITH RECURSIVE\n", "WITH RECURSIVE\n" + q59_stage0 + "\n", 1)
 
     # --- round-7 rotation: the oracle strings proven value-equal in
     # tests/test_oracle_drafts_r7.py, wired verbatim (the module-level
@@ -3793,5 +4517,29 @@ cleaned AS (
     o["q65_materialize_mixture"] = MATERIALIZE_SQL
     o["t25_chunk_text"] = CHUNK_TEXT_SQL
     o["t26_strip_html"] = strip_html_sql("documents")
+
+    # --- round-9 rotation: the oracle strings proven value-equal in
+    # tests/test_oracle_drafts_r9.py, wired verbatim (the module-level
+    # generators above ARE the proven drafts — the drafts file imports
+    # them back, so there is exactly one copy of each derivation) ---
+    o["m03_audio_fp_neardup"] = audio_fp_neardup_sql()
+    o["m04_video_frame_neardup"] = video_frame_neardup_sql()
+    o["d11_source_dup_profile"] = source_dup_profile_sql()
+    o["d12_containment"] = containment_sql(0.8)
+    o["d13_cross_source_overlap"] = cross_source_overlap_sql()
+    o["d14_containment_dedup"] = containment_dedup_sql()
+    o["s13_cell_balance"] = cell_balance_sql()
+    o["s14_ivfpq_rerank"] = ivfpq_rerank_sql(nprobe=2, shortlist=20, k=5)
+    # the persisted form replays s14's oracle EXACTLY (the s10/s11
+    # value-identity pattern: index round-trip changes no value)
+    o["s15_ivfpq_rerank_from_index"] = o["s14_ivfpq_rerank"]
+    o["t27_tokenizer_fertility"] = tokenizer_fertility_sql(BPE_MERGES)
+    o["t28_corpus_divergence"] = corpus_divergence_sql()
+    o["t29_vocab_growth"] = vocab_growth_sql()
+    o["q66_length_outliers"] = length_outliers_sql()
+    o["q67_event_funnel"] = event_funnel_sql()
+    o["q68_holdout_split"] = holdout_split_sql()
+    o["q69_shard_balance"] = shard_balance_sql(16)
+    o["q70_cohort_retention"] = cohort_retention_sql()
 
     return o

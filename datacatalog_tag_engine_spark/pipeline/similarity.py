@@ -887,7 +887,18 @@ def _exact_rerank(
     in-memory ``ivfpq_topk_rerank`` and the persisted
     ``ivfpq_topk_rerank_from_index`` both route through this ONE
     definition — a drift between the two would be a silent
-    correctness bug (the s10/s11 value-identity pattern)."""
+    correctness bug (the s10/s11 value-identity pattern).
+
+    Measured recall ordering of the serving knobs (r9 sweep,
+    tools/recall_table.py, SCALE.md): once exact re-ranking is on,
+    SHORTLIST dominates — at sf0.1 recall@5 goes 0.10 (shortlist=k)
+    -> 0.26 (4k) -> 0.39 (8k) while nprobe 1 -> 4 moves it <= 0.03 at
+    any shortlist, and a trained codebook is ~masked (seeded 0.26 vs
+    trained 0.30 at sf0.1; the direction flips at sf0.001) because
+    code quality only decides shortlist MEMBERSHIP, never the final
+    ranking. Spend budget on shortlist first, then nprobe for the
+    unreachable-cell tail, and train the codebook only for ADC-ranked
+    (rerank-less) serving, where it is the measured win."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
     )

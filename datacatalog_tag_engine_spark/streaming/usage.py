@@ -126,6 +126,205 @@ def user_activity(events: DataFrame, watermark: str = "1 day") -> DataFrame:
     )
 
 
+def cohort_user_days(events: DataFrame, id_col: str = "user_id", ts_col: str = "ts") -> DataFrame:
+    """Per-user activity summary — the streaming-maintainable state
+    behind the cohort-retention matrix (q70): one row per user holding
+    the first-activity day and the distinct set of active days. ONE
+    aggregation, so it runs as a complete-mode streaming query or a
+    batch job unchanged (Spark's unified API); chaining the finishing
+    aggregation onto the stream would need a second stateful operator,
+    so that half stays a batch query over this (tiny, user-grain)
+    table — the same split a production dashboard uses.
+
+    State: one row per user; the day set is bounded by the tracking
+    horizon (days, not events — a user active 1M times in a day costs
+    one element). At 100 TB/day the state table is |users| rows."""
+    day = F.to_date(F.col(ts_col))
+    return events.groupBy(F.col(id_col).alias(id_col)).agg(
+        F.min(day).alias("cohort_day"),
+        F.collect_set(day).alias("active_days"),
+    )
+
+
+def cohort_retention_finish(user_days: DataFrame, id_col: str = "user_id") -> DataFrame:
+    """Finish the retention matrix from ``cohort_user_days`` output:
+    explode the per-user day sets into (cohort_day, day_offset) cells.
+    Batch-side (the input is user-grain, tiny); composed with the
+    streaming form it produces EXACTLY ``profiling.cohort_retention``'s
+    output — the parity test asserts it."""
+    return (
+        user_days.select(
+            "cohort_day",
+            F.explode("active_days").alias("_d"),
+            F.col(id_col),
+        )
+        .select(
+            "cohort_day",
+            F.datediff(F.col("_d"), F.col("cohort_day")).cast("int").alias("day_offset"),
+            F.col(id_col),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
+def funnel_state_stream(
+    events: DataFrame,
+    steps: list[str],
+    watermark: str = "1 day",
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming form of the ordered conversion funnel (q67): per-user
+    step-completion times maintained as bounded state with
+    ``applyInPandasWithState``.
+
+    The funnel's sequential rule (step i counts only strictly AFTER the
+    user's step i-1 time) is order-sensitive, so out-of-order delivery
+    cannot be folded immediately: a late-arriving early 'view' can
+    retroactively unlock an already-seen 'click'. The stream therefore
+    BUFFERS each user's events until the event-time watermark passes
+    them, then folds the released events in timestamp order — in-order
+    folding makes the greedy rule exact: the first step-0 event sets
+    f0, and a step-i event sets fi when f(i-1) is set, t > f(i-1), and
+    fi is unset. Events beyond the watermark at arrival are handled by
+    Spark's watermark semantics upstream (same contract as
+    gate_metrics).
+
+    State per user: len(steps) timestamps + the pending buffer, which
+    the watermark bounds to the user's events inside the late-data
+    horizon — at 100 TB/day that is (per-user event rate x watermark),
+    not history. Each invocation emits the user's current step times
+    (append mode) with a monotone ``emit_seq``; downstream takes the
+    max-seq row per user (``funnel_counts_finish``). Users holding
+    pending events register an event-time timeout at their earliest
+    pending timestamp, so a user with no further traffic still gets a
+    fold-and-emit pass once the watermark clears their buffer — without
+    it, quiet users' last events would sit unreleased forever (and the
+    availableNow test form would never see their final state).
+
+    Reference analog: the usage-tracking extension's daily event
+    rollups (extensions/usage_tracking/README.md:1-11) — this is the
+    sequential-conversion counterpart."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    step_idx = {s: i for i, s in enumerate(steps)}
+    n = len(steps)
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("emit_seq", T.LongType()),
+            T.StructField("step_ts_micro", T.ArrayType(T.LongType())),
+            T.StructField("n_pending", T.IntegerType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("emit_seq", T.LongType()),
+            T.StructField("steps_micro", T.ArrayType(T.LongType())),
+            T.StructField("pend_ts", T.ArrayType(T.LongType())),
+            T.StructField("pend_step", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def fold(key, pdfs, state):
+        if state.exists:
+            emit_seq, steps_micro, pend_ts, pend_step = state.get
+            steps_micro = list(steps_micro)
+            pend = list(zip(pend_ts, pend_step))
+        else:
+            emit_seq, steps_micro, pend = 0, [-1] * n, []
+        for pdf in pdfs:
+            for ts, et in zip(pdf[ts_col], pdf[type_col]):
+                j = step_idx.get(et)
+                if j is not None and ts is not None and not pd.isna(ts):
+                    pend.append((int(pd.Timestamp(ts).value) // 1000, j))
+        wm_ms = state.getCurrentWatermarkMs()
+        wm = wm_ms * 1000  # micros
+        release = sorted(e for e in pend if e[0] <= wm)
+        pend = [e for e in pend if e[0] > wm]
+        for t, j in release:
+            if j == 0:
+                if steps_micro[0] < 0:
+                    steps_micro[0] = t
+            elif steps_micro[j - 1] >= 0 and t > steps_micro[j - 1] and steps_micro[j] < 0:
+                steps_micro[j] = t
+        emit_seq += 1
+        state.update(
+            (
+                emit_seq,
+                steps_micro,
+                [t for t, _ in pend],
+                [j for _, j in pend],
+            )
+        )
+        if pend:
+            # wake this user when the watermark clears the earliest
+            # buffered event (must be strictly beyond the current wm)
+            state.setTimeoutTimestamp(
+                max(wm_ms + 1, min(t for t, _ in pend) // 1000 + 1)
+            )
+        yield pd.DataFrame(
+            [
+                {
+                    id_col: key[0],
+                    "emit_seq": emit_seq,
+                    "step_ts_micro": steps_micro,
+                    "n_pending": len(pend),
+                }
+            ]
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(id_col)
+        .applyInPandasWithState(
+            fold, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
+def funnel_counts_finish(state_rows: DataFrame, steps: list[str], id_col: str = "user_id") -> DataFrame:
+    """Finish funnel counts from ``funnel_state_stream`` emissions:
+    latest emission per user -> per-step completion counts ->
+    ``profiling.event_funnel``'s exact output shape (step_index, step,
+    n_users, conversion). User-grain input, one tiny aggregation."""
+    from pyspark.sql.window import Window
+
+    latest = (
+        state_rows.groupBy(id_col)
+        .agg(F.max_by("step_ts_micro", "emit_seq").alias("st"))
+    )
+    spark = state_rows.sparkSession
+    axis = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(steps)], "step_index int, step string"
+    )
+    counts = latest.select(
+        F.posexplode("st").alias("step_index", "t")
+    ).groupBy("step_index").agg(
+        F.sum((F.col("t") >= 0).cast("long")).alias("n_users")
+    )
+    base = F.max(F.when(F.col("step_index") == 0, F.col("n_users"))).over(
+        Window.partitionBy()
+    )
+    return (
+        axis.join(counts, "step_index", "left")
+        .withColumn("n_users", F.coalesce(F.col("n_users"), F.lit(0)).cast("long"))
+        .select(
+            "step_index",
+            "step",
+            "n_users",
+            F.round(
+                F.when(base > 0, F.col("n_users") / base).otherwise(F.lit(0.0)), 4
+            ).alias("conversion"),
+        )
+    )
+
+
 def run_available_now(stream_df: DataFrame, sink_name: str):
     """Drain everything currently available into an in-memory sink
     (complete mode) and return the finished query — the test/CI shape of

@@ -54,6 +54,13 @@ pairs:
   (similarity.ivfpq_topk_rerank_from_index): partition-pruned index
   shortlist + exact re-rank against the raw corpus table; replays
   s14's oracle verbatim (the s10/s11 value-identity pattern).
+
+ROTATION LANDED (round-9 start): all seventeen queries are wired as
+queries()/oracle_sql() pairs and the generator functions moved to
+__spark_entry__ (one copy; this file imports them back — E.<name>);
+ivfpq_rerank_sql now builds on the parameterized shared
+_ivfpq_scored_cte chain exactly as planned above.
+tests/test_r9_rotation_wiring.py holds the window invariants.
 """
 
 import duckdb
@@ -94,61 +101,7 @@ def _sql_rows(con, sql):
     return sorted(out)
 
 
-def _band_values() -> str:
-    return ", ".join(
-        f"({j}, {m}::BIGINT)" for j, m in enumerate(DD.hamming_band_masks(64, 4))
-    )
-
-
 # --- m03: audio fingerprint near-dup ---------------------------------------
-
-
-def audio_fp_neardup_sql(
-    n_groups: int = 6, group_size: int = 3, max_hamming: int = 10
-) -> str:
-    """Analytic replay of audio_fingerprint + hamming_neardup_pairs:
-    fake band energies are integer arithmetic of (dur, seed, t, b);
-    bit (t, b) is the temporal delta sign; packing and banding are the
-    m02 rules (two's-complement bit 63, AND-mask bands)."""
-    fr, nb = MM.AUDIO_FP_FRAMES, MM.AUDIO_FP_BANDS
-    ncell = fr * nb
-    energy = (
-        "((dur*31 + (t*17 + b*41 + 1) * (5 + dur % 11)) % 1024 + "
-        "CASE WHEN len(list_filter(range(seed), "
-        f"c -> (dur*13 + c*7) % {ncell} = t * {nb} + b)) % 2 = 1 "
-        "THEN 512 ELSE 0 END) % 1024"
-    )
-    return f"""
-WITH m AS (
-  SELECT (g * {group_size} + j)::BIGINT AS media_id,
-         30000 + 700 * g AS dur, j AS seed
-  FROM range({n_groups}) tg(g), range({group_size}) tj(j)),
-e AS (
-  SELECT media_id, t, b, {energy} AS v
-  FROM m, range({fr}) tt(t), range({nb}) tb(b)),
-bits AS (
-  SELECT a.media_id, (a.t * {nb} + a.b) AS bit,
-         CASE WHEN n.v > a.v THEN 1 ELSE 0 END AS s
-  FROM e a JOIN e n ON n.media_id = a.media_id AND n.t = a.t + 1 AND n.b = a.b
-  WHERE a.t < {fr - 1}),
-fp AS (
-  SELECT media_id,
-         sum(CASE WHEN s = 1
-                  THEN CASE WHEN bit = 63 THEN -9223372036854775808
-                       ELSE (1::BIGINT << bit) END
-                  ELSE 0 END)::BIGINT AS afp
-  FROM bits GROUP BY media_id),
-bk AS (
-  SELECT media_id, afp, band, afp & mask AS key
-  FROM fp, (VALUES {_band_values()}) bm(band, mask)),
-cand AS (
-  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
-                  a.afp AS fp_a, b.afp AS fp_b
-  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
-                     AND a.media_id < b.media_id)
-SELECT id_a, id_b, bit_count(xor(fp_a, fp_b))::INT AS hamming
-FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= {max_hamming}
-"""
 
 
 def _m03(spark):
@@ -160,7 +113,7 @@ def _m03(spark):
 
 def test_oracle_draft_audio_fp_neardup(spark, ddb):
     got = _rows(_m03(spark))
-    want = _sql_rows(ddb, audio_fp_neardup_sql())
+    want = _sql_rows(ddb, E.audio_fp_neardup_sql())
     assert got == want
     assert len(got) > 0
 
@@ -174,56 +127,6 @@ def test_audio_fp_neardup_semantics(spark):
 # --- m04: video frame-sequence near-dup ------------------------------------
 
 
-def video_frame_neardup_sql(
-    n_groups: int = 4,
-    group_size: int = 3,
-    sample_frames: int = 4,
-    max_hamming: int = 10,
-    min_matching_frames: int = 3,
-) -> str:
-    """Analytic replay of video_frame_phashes + frame_neardup_pairs:
-    frame t's grid is the image fake with h+7t; banding joins the frame
-    index into the key (temporal alignment); the pair floor counts
-    distinct matched frames."""
-    g = MM.PHASH_GRID
-    return f"""
-WITH m AS (
-  SELECT (gg * {group_size} + j)::BIGINT AS media_id,
-         128 + gg AS w, 72 + gg AS h, j AS seed
-  FROM range({n_groups}) tg(gg), range({group_size}) tj(j)),
-px AS (
-  SELECT media_id, t, (cy * {g} + cx) AS cell,
-         ((w*37 + (h + 7*t)*53 + (cx*13 + cy*29 + 1) * (3 + w % 13)) % 256 +
-          CASE WHEN len(list_filter(range(seed),
-                         c -> (w*7 + c*11) % 64 = cy * {g} + cx)) % 2 = 1
-               THEN 128 ELSE 0 END) % 256 AS v
-  FROM m, range({sample_frames}) tt(t), range({g}) a(cy), range({g}) b(cx)),
-s AS (SELECT media_id, t, sum(v) AS sv FROM px GROUP BY media_id, t),
-fp AS (
-  SELECT px.media_id, px.t,
-         sum(CASE WHEN 64 * v > sv
-                  THEN CASE WHEN cell = 63 THEN -9223372036854775808
-                       ELSE (1::BIGINT << cell) END
-                  ELSE 0 END)::BIGINT AS phash
-  FROM px JOIN s ON s.media_id = px.media_id AND s.t = px.t
-  GROUP BY px.media_id, px.t),
-bk AS (
-  SELECT media_id, t, phash, band, phash & mask AS key
-  FROM fp, (VALUES {_band_values()}) bm(band, mask)),
-cand AS (
-  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b, a.t AS frame,
-                  a.phash AS fp_a, b.phash AS fp_b
-  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.t = b.t
-                     AND a.media_id < b.media_id),
-matched AS (
-  SELECT id_a, id_b, frame FROM cand
-  WHERE bit_count(xor(fp_a, fp_b)) <= {max_hamming})
-SELECT id_a, id_b, count(DISTINCT frame)::INT AS n_matching_frames
-FROM matched GROUP BY id_a, id_b
-HAVING count(DISTINCT frame) >= {min_matching_frames}
-"""
-
-
 def _m04(spark):
     vfp = MM.video_frame_phashes(MM.make_fake_video_corpus(spark, 4, 3), sample_frames=4)
     return DD.frame_neardup_pairs(
@@ -233,7 +136,7 @@ def _m04(spark):
 
 def test_oracle_draft_video_frame_neardup(spark, ddb):
     got = _rows(_m04(spark))
-    want = _sql_rows(ddb, video_frame_neardup_sql())
+    want = _sql_rows(ddb, E.video_frame_neardup_sql())
     assert got == want
     assert len(got) > 0
 
@@ -257,62 +160,12 @@ def test_frame_floor_rejects_single_frame_coincidence(spark):
 # --- t27: tokenizer fertility ----------------------------------------------
 
 
-def tokenizer_fertility_sql(merges) -> str:
-    """The t18 encode chain (bpe_apply_sql's CTEs, same separator
-    framing and [\\s\\x1f]+ split) aggregated at source grain, joined
-    with word/char counts under the SAME tokenization."""
-    sep = E._BPE_SEP
-    init = (
-        "'" + sep + "' || array_to_string(list_transform("
-        "range(1, length(word) + 1), "
-        "i -> CASE WHEN i = length(word) THEN word[i] || '</w>' "
-        "ELSE word[i] END), '" + sep + "') || '" + sep + "'"
-    )
-    enc = init
-    for a, b in merges:
-        pat = (sep + a + sep + b + sep).replace("'", "''")
-        rep = (sep + a + b + sep).replace("'", "''")
-        enc = f"replace({enc}, '{pat}', '{rep}')"
-    return rf"""
-WITH w AS (
-  SELECT doc_id, source,
-         regexp_split_to_array(lower(coalesce(text, '')), '[\s\x1f]+') AS ws
-  FROM documents),
-tok AS (
-  SELECT doc_id, source, ws[i+1] AS word
-  FROM w, unnest(range(len(ws))) t(i)
-  WHERE length(ws[i+1]) > 0),
-enc AS (
-  SELECT doc_id, source, length(word) AS nc,
-         len(list_filter(regexp_split_to_array({enc}, chr(31)),
-                         x -> length(x) > 0)) AS nt
-  FROM tok),
-per_doc AS (
-  SELECT doc_id, any_value(source) AS source,
-         count(*) AS nw, sum(nt) AS ntok, sum(nc) AS nchars
-  FROM enc GROUP BY doc_id),
-alldocs AS (
-  SELECT d.doc_id, d.source,
-         coalesce(p.nw, 0) AS nw, coalesce(p.ntok, 0) AS ntok,
-         coalesce(p.nchars, 0) AS nchars
-  FROM documents d LEFT JOIN per_doc p USING (doc_id))
-SELECT source,
-       count(*)::BIGINT AS n_docs,
-       sum(nw)::BIGINT AS n_words,
-       sum(ntok)::BIGINT AS n_tokens,
-       sum(nchars)::BIGINT AS n_word_chars,
-       round(sum(ntok) / sum(nw), 6) AS tokens_per_word,
-       round(sum(nchars) / sum(ntok), 6) AS chars_per_token
-FROM alldocs GROUP BY source
-"""
-
-
 def test_oracle_draft_tokenizer_fertility(spark, ddb):
     from datacatalog_tag_engine_spark.pipeline import bpe
 
     docs = spark.table("documents")
     got = _rows(bpe.tokenizer_fertility(docs, E.BPE_MERGES))
-    want = _sql_rows(ddb, tokenizer_fertility_sql(E.BPE_MERGES))
+    want = _sql_rows(ddb, E.tokenizer_fertility_sql(E.BPE_MERGES))
     assert got == want
     assert len(got) > 1  # multiple sources profiled
 
@@ -332,43 +185,11 @@ def test_tokenizer_fertility_sanity(spark):
 # --- t28: corpus divergence ------------------------------------------------
 
 
-def corpus_divergence_sql() -> str:
-    """Analytic replay of text.corpus_divergence: present-pair JSD
-    terms quantized to nano-units before the integer sum; absent-word
-    mass via the closed form ln(2)/2 * (1 - C_s/N) from exact counts."""
-    return r"""
-WITH w AS (
-  SELECT source,
-         unnest(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
-                            x -> length(x) > 0)) AS word
-  FROM documents),
-sc AS (SELECT source, word, count(*) AS c_s FROM w GROUP BY source, word),
-gc AS (SELECT word, sum(c_s) AS c_g FROM sc GROUP BY word),
-tot AS (SELECT sum(c_s)::DOUBLE AS n FROM sc),
-st AS (SELECT source, sum(c_s)::DOUBLE AS n_s FROM sc GROUP BY source),
-terms AS (
-  SELECT sc.source, sc.c_s, gc.c_g, tot.n,
-         round(((sc.c_s / st.n_s)
-                  * ln(2.0 * (sc.c_s / st.n_s) / (sc.c_s / st.n_s + gc.c_g / tot.n))
-                + (gc.c_g / tot.n)
-                  * ln(2.0 * (gc.c_g / tot.n) / (sc.c_s / st.n_s + gc.c_g / tot.n)))
-               / 2.0 * 1e9)::BIGINT AS t9
-  FROM sc JOIN gc USING (word) JOIN st USING (source), tot)
-SELECT source,
-       sum(c_s)::BIGINT AS n_tokens,
-       count(*)::BIGINT AS n_types,
-       round(sum(t9) / 1e9
-             + (0.6931471805599453 / 2.0) * (max(n) - sum(c_g)) / max(n),
-             6) AS js_divergence
-FROM terms GROUP BY source
-"""
-
-
 def test_oracle_draft_corpus_divergence(spark, ddb):
     from datacatalog_tag_engine_spark.pipeline import text as TXT
 
     got = _rows(TXT.corpus_divergence(spark.table("documents")))
-    want = _sql_rows(ddb, corpus_divergence_sql())
+    want = _sql_rows(ddb, E.corpus_divergence_sql())
     assert got == want
     assert len(got) > 1
 
@@ -389,41 +210,11 @@ def test_corpus_divergence_bounds(spark):
 # --- t29: vocab growth (Heaps) ---------------------------------------------
 
 
-def vocab_growth_sql(n_buckets: int = 10) -> str:
-    """Analytic replay of text.vocab_growth: id-range buckets (floor,
-    not round — Spark's cast truncates), first-seen bucket per type,
-    cumulative windows over bucket rows."""
-    return rf"""
-WITH maxid AS (SELECT max(doc_id) + 1 AS span FROM documents),
-b AS (
-  SELECT doc_id,
-         least(floor(doc_id * {n_buckets} / span)::BIGINT, {n_buckets - 1}) AS bucket,
-         text
-  FROM documents, maxid),
-w AS (
-  SELECT bucket,
-         unnest(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
-                            x -> length(x) > 0)) AS word
-  FROM b),
-tok AS (SELECT bucket, count(*) AS n_tokens FROM w GROUP BY bucket),
-fs AS (SELECT word, min(bucket) AS bucket FROM w GROUP BY word),
-nt AS (SELECT bucket, count(*) AS new_types FROM fs GROUP BY bucket),
-nd AS (SELECT bucket, count(*) AS n_docs FROM b GROUP BY bucket)
-SELECT nd.bucket,
-       n_docs::BIGINT AS n_docs,
-       coalesce(n_tokens, 0)::BIGINT AS n_tokens,
-       coalesce(new_types, 0)::BIGINT AS new_types,
-       sum(coalesce(n_tokens, 0)) OVER (ORDER BY nd.bucket)::BIGINT AS cum_tokens,
-       sum(coalesce(new_types, 0)) OVER (ORDER BY nd.bucket)::BIGINT AS cum_types
-FROM nd LEFT JOIN tok USING (bucket) LEFT JOIN nt USING (bucket)
-"""
-
-
 def test_oracle_draft_vocab_growth(spark, ddb):
     from datacatalog_tag_engine_spark.pipeline import text as TXT
 
     got = _rows(TXT.vocab_growth(spark.table("documents")))
-    want = _sql_rows(ddb, vocab_growth_sql())
+    want = _sql_rows(ddb, E.vocab_growth_sql())
     assert got == want
     assert len(got) > 1
 
@@ -451,28 +242,11 @@ def test_vocab_growth_monotone(spark):
 # --- q66: length outliers (median/MAD) -------------------------------------
 
 
-def length_outliers_sql(k: float = 3.0) -> str:
-    return f"""
-WITH med AS (SELECT source, median(n_chars) AS m FROM documents GROUP BY source),
-dev AS (
-  SELECT d.source, d.n_chars, abs(d.n_chars - med.m) AS adev, med.m
-  FROM documents d JOIN med USING (source)),
-mad AS (SELECT source, median(adev) AS md FROM dev GROUP BY source)
-SELECT dev.source,
-       count(*)::BIGINT AS n_docs,
-       round(any_value(m), 2) AS median_val,
-       round(any_value(md), 2) AS mad_val,
-       count(*) FILTER (adev > {k} * md)::BIGINT AS n_outliers,
-       round(count(*) FILTER (adev > {k} * md) / count(*), 4) AS outlier_frac
-FROM dev JOIN mad USING (source) GROUP BY dev.source
-"""
-
-
 def test_oracle_draft_length_outliers(spark, ddb):
     from datacatalog_tag_engine_spark.pipeline import profiling as PRO
 
     got = _rows(PRO.length_outliers(spark.table("documents")))
-    want = _sql_rows(ddb, length_outliers_sql())
+    want = _sql_rows(ddb, E.length_outliers_sql())
     assert got == want
     assert len(got) > 1
 
@@ -491,44 +265,11 @@ def test_length_outliers_flags_planted(spark):
 
 # --- q67: event funnel -----------------------------------------------------
 
-FUNNEL_STEPS = ["view", "click", "purchase"]
-
-
-def event_funnel_sql(steps=tuple(FUNNEL_STEPS)) -> str:
-    ctes = []
-    for i, s in enumerate(steps):
-        if i == 0:
-            ctes.append(
-                f"s0 AS (SELECT user_id, min(ts) AS t FROM events "
-                f"WHERE event_type = '{s}' GROUP BY user_id)"
-            )
-        else:
-            ctes.append(
-                f"s{i} AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
-                f"JOIN s{i-1} p USING (user_id) "
-                f"WHERE e.event_type = '{s}' AND e.ts > p.t GROUP BY e.user_id)"
-            )
-    unions = " UNION ALL ".join(
-        f"SELECT {i} AS step_index, '{s}' AS step, "
-        f"(SELECT count(*) FROM s{i}) AS n_users"
-        for i, s in enumerate(steps)
-    )
-    return f"""
-WITH {', '.join(ctes)},
-u AS ({unions})
-SELECT step_index::INT AS step_index, step, n_users::BIGINT AS n_users,
-       round(CASE WHEN max(CASE WHEN step_index = 0 THEN n_users END) OVER () > 0
-                  THEN n_users / max(CASE WHEN step_index = 0 THEN n_users END) OVER ()
-                  ELSE 0 END, 4) AS conversion
-FROM u
-"""
-
-
 def test_oracle_draft_event_funnel(spark, ddb):
     from datacatalog_tag_engine_spark.pipeline import profiling as PRO
 
-    got = _rows(PRO.event_funnel(spark.table("events"), FUNNEL_STEPS))
-    want = _sql_rows(ddb, event_funnel_sql())
+    got = _rows(PRO.event_funnel(spark.table("events"), E.FUNNEL_STEPS))
+    want = _sql_rows(ddb, E.event_funnel_sql())
     assert got == want
     assert len(got) == 3
 
@@ -548,39 +289,18 @@ def test_event_funnel_ordering_matters(spark):
     df = spark.createDataFrame(
         rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
     )
-    out = {r["step"]: r["n_users"] for r in PRO.event_funnel(df, FUNNEL_STEPS).collect()}
+    out = {r["step"]: r["n_users"] for r in PRO.event_funnel(df, E.FUNNEL_STEPS).collect()}
     assert out == {"view": 1, "click": 1, "purchase": 0}
 
 
 # --- s13: IVF cell balance -------------------------------------------------
 
 
-def cell_balance_sql(num_cells: int = 8) -> str:
-    """Reuses the s03 assignment CTE chain, then the occupancy
-    aggregate + window ratios."""
-    return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cents AS (SELECT vec_id AS cell, v AS cent_v FROM e ORDER BY vec_id LIMIT {num_cells}),
-assign AS (
-  SELECT vec_id, cell FROM (
-    SELECT e.vec_id, c.cell,
-           row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY round(list_cosine_similarity(e.v, c.cent_v), 6) DESC, c.cell) AS rn
-    FROM e CROSS JOIN cents c) WHERE rn = 1),
-counts AS (SELECT cell, count(*) AS n_vectors FROM assign GROUP BY cell)
-SELECT cell,
-       n_vectors::BIGINT AS n_vectors,
-       round(n_vectors / sum(n_vectors) OVER (), 6) AS frac,
-       round(n_vectors / (sum(n_vectors) OVER () / count(*) OVER ()), 4) AS balance_ratio
-FROM counts
-"""
-
-
 def test_oracle_draft_cell_balance(spark, ddb):
     from datacatalog_tag_engine_spark.pipeline import similarity as SIM
 
     got = _rows(SIM.cell_balance(spark.table("embeddings")))
-    want = _sql_rows(ddb, cell_balance_sql())
+    want = _sql_rows(ddb, E.cell_balance_sql())
     assert got == want
     assert len(got) > 1
 
@@ -597,25 +317,9 @@ def test_cell_balance_conserves_mass(spark):
 # --- d11: source dup profile -----------------------------------------------
 
 
-def source_dup_profile_sql() -> str:
-    return r"""
-WITH fams AS (
-  SELECT source,
-         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
-         count(*) AS n
-  FROM documents GROUP BY source, fp)
-SELECT source,
-       sum(n)::BIGINT AS n_docs,
-       count(*)::BIGINT AS n_distinct,
-       round(1.0 - count(*) / sum(n), 4) AS dup_frac,
-       max(n)::BIGINT AS max_clone
-FROM fams GROUP BY source
-"""
-
-
 def test_oracle_draft_source_dup_profile(spark, ddb):
     got = _rows(DD.source_dup_profile(spark.table("documents")))
-    want = _sql_rows(ddb, source_dup_profile_sql())
+    want = _sql_rows(ddb, E.source_dup_profile_sql())
     assert got == want
     assert len(got) > 1
 
@@ -633,29 +337,11 @@ def test_source_dup_profile_normalization(spark):
 # --- q68: leakage-guarded holdout split ------------------------------------
 
 
-def holdout_split_sql(eval_bp: int = 1000, buckets: int = 10000) -> str:
-    """hash_bucket replayed as in the q58 oracle; fingerprint collision
-    quarantine via IN over the distinct eval fingerprints."""
-    return rf"""
-WITH t AS (
-  SELECT doc_id,
-         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
-         (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % {buckets}) < {eval_bp} AS is_eval
-  FROM documents),
-ev AS (SELECT DISTINCT fp FROM t WHERE is_eval)
-SELECT doc_id,
-       CASE WHEN is_eval THEN 'eval'
-            WHEN fp IN (SELECT fp FROM ev) THEN 'quarantined'
-            ELSE 'train' END AS split
-FROM t
-"""
-
-
 def test_oracle_draft_holdout_split(spark, ddb):
     from datacatalog_tag_engine_spark.pipeline import sampling as SMP
 
     got = _rows(SMP.holdout_split(spark.table("documents")))
-    want = _sql_rows(ddb, holdout_split_sql())
+    want = _sql_rows(ddb, E.holdout_split_sql())
     assert got == want
     assert len(got) == spark.table("documents").count()
 
@@ -692,29 +378,13 @@ def test_holdout_split_quarantines_clones(spark):
 # --- d12: n-gram containment (doc-in-doc) -----------------------------------
 
 
-def containment_sql(threshold: float = 0.8) -> str:
-    """Same inverted-index derivation as the d04 oracle, with the
-    asymmetric denominator: inter / least(|A|, |B|)."""
-    return f"""
-WITH {E._shingle_cte()},
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
-SELECT doc_a, doc_b, round(i / least(sa.n, sb.n), 4) AS containment
-FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(i / least(sa.n, sb.n), 4) >= {threshold}
-"""
-
-
 def test_oracle_draft_containment(spark, ddb):
     got = _rows(
         DD.containment_pairs(
             DD.shingle_table(spark.table("documents")), candidates=None, threshold=0.8
         )
     )
-    want = _sql_rows(ddb, containment_sql(0.8))
+    want = _sql_rows(ddb, E.containment_sql(0.8))
     assert got == want
     assert len(got) > 0  # the corpus has exact clones -> containment 1.0
 
@@ -756,34 +426,9 @@ def test_containment_max_df_drops_join_side_only(spark):
 # --- d13: cross-source clone overlap matrix ---------------------------------
 
 
-def cross_source_overlap_sql() -> str:
-    """Shingle-grain (the queries() default): distinct word 3-shingles
-    per source via the d04 shingle rule; Spark joins on xxhash64 of
-    the shingle, the oracle on the string — counts equal barring a
-    64-bit collision (the d04-certified substitution)."""
-    return r"""
-WITH toks AS (SELECT source, regexp_split_to_array(text, '\s+') w FROM documents),
-sfp AS (
-  SELECT DISTINCT source AS src,
-         unnest(CASE WHEN len(w) >= 3
-                THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
-                ELSE [array_to_string(w, ' ')] END) AS fp
-  FROM toks),
-sizes AS (SELECT src, count(*) AS n FROM sfp GROUP BY src),
-shared AS (
-  SELECT a.src AS source_a, b.src AS source_b, count(*) AS shared
-  FROM sfp a JOIN sfp b ON a.fp = b.fp AND a.src < b.src
-  GROUP BY 1, 2)
-SELECT source_a, source_b, shared,
-       round(shared / sa.n, 4) AS frac_a,
-       round(shared / sb.n, 4) AS frac_b
-FROM shared JOIN sizes sa ON sa.src = source_a JOIN sizes sb ON sb.src = source_b
-"""
-
-
 def test_oracle_draft_cross_source_overlap(spark, ddb):
     got = _rows(DD.cross_source_overlap(spark.table("documents")))
-    want = _sql_rows(ddb, cross_source_overlap_sql())
+    want = _sql_rows(ddb, E.cross_source_overlap_sql())
     assert got == want
     assert len(got) > 0  # phrase-level overlap exists at every sf
 
@@ -811,39 +456,9 @@ def test_cross_source_overlap_fingerprint_unit(spark):
 # --- d14: containment dedup (exact-first production order) ------------------
 
 
-def containment_dedup_sql(threshold: float = 0.8) -> str:
-    """Exact-canonical selection (the d01 raw-md5 rule), then the d12
-    containment derivation restricted to canonicals, then the
-    single-pass dominance rule: loser = smaller shingle set, tie ->
-    doc_b (the higher id, since pairs are emitted doc_a < doc_b)."""
-    return f"""
-WITH fpt AS (SELECT doc_id, md5(text) AS fp FROM documents),
-can AS (
-  SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1 AS is_canon
-  FROM fpt),
-cd AS (
-  SELECT d.doc_id, d.text FROM documents d
-  JOIN can ON can.doc_id = d.doc_id AND can.is_canon),
-{E._shingle_cte("cd")},
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-pairs AS (
-  SELECT doc_a, doc_b, sa.n AS na, sb.n AS nb
-  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-  WHERE round(i / least(sa.n, sb.n), 4) >= {threshold}),
-losers AS (
-  SELECT DISTINCT CASE WHEN na < nb THEN doc_a ELSE doc_b END AS doc_id FROM pairs)
-SELECT c.doc_id, c.is_canon AND l.doc_id IS NULL AS keep
-FROM can c LEFT JOIN losers l ON l.doc_id = c.doc_id
-"""
-
-
 def test_oracle_draft_containment_dedup(spark, ddb):
     got = _rows(DD.containment_dedup(spark.table("documents")))
-    want = _sql_rows(ddb, containment_dedup_sql())
+    want = _sql_rows(ddb, E.containment_dedup_sql())
     assert got == want
     docs = spark.table("documents")
     assert len(got) == docs.count()  # a verdict for every input doc
@@ -877,72 +492,6 @@ def test_containment_dedup_semantics(spark):
 # --- s14: IVF-PQ + exact re-rank --------------------------------------------
 
 
-def ivfpq_rerank_sql(nprobe: int = 2, shortlist: int = 20, k: int = 5) -> str:
-    """The s10 chain (kept textually in sync with E.ivfpq_sql — at the
-    r9 rotation parameterize that generator on (nprobe, k) and build
-    this on top of it as the single copy) with QUALIFY rank <=
-    shortlist, then exact-cosine refinement on the shortlisted ids
-    under the s01 determinism contract (round 4, ties to neighbor
-    asc)."""
-    return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cents AS (SELECT vec_id AS cell, v AS cent_v FROM e ORDER BY vec_id LIMIT 8),
-ranked AS (
-  SELECT e.vec_id, e.v, c.cell,
-         row_number() OVER (PARTITION BY e.vec_id
-                            ORDER BY round(list_cosine_similarity(e.v, c.cent_v), 6) DESC, c.cell) AS rn
-  FROM e CROSS JOIN cents c),
-assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
-probe AS (SELECT vec_id AS query_id, cell FROM ranked
-          WHERE rn <= {nprobe} AND vec_id < 5),
-cent AS (
-  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
-  FROM e ORDER BY vec_id LIMIT 16),
-ms AS (SELECT unnest(range(4)) AS m),
-csub AS (SELECT c, m, v[m*16+1 : m*16+16] AS cv FROM cent, ms),
-esub AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS sv FROM e, ms),
-dists AS (
-  SELECT vec_id, m, c,
-         list_sum(list_transform(range(1, 17),
-                  i -> cast(round((sv[i]-cv[i])^2 * 1e6) AS BIGINT))) AS d
-  FROM esub JOIN csub USING (m)),
-codes AS (
-  SELECT vec_id, m, cast(min(d*16 + c) % 16 AS INT) AS code
-  FROM dists GROUP BY vec_id, m),
-dt AS (
-  SELECT es.vec_id AS query_id, es.m, c AS code,
-         list_sum(list_transform(range(1, 17),
-                  i -> cast(round((es.sv[i]-cv[i])^2 * 1e6) AS BIGINT))) AS d
-  FROM esub es JOIN csub USING (m) WHERE es.vec_id < 5),
-scored AS (
-  SELECT dt.query_id, codes.vec_id AS neighbor_id,
-         cast(sum(dt.d) AS BIGINT) AS adist_micro
-  FROM codes
-  JOIN assign ON codes.vec_id = assign.vec_id
-  JOIN probe ON assign.cell = probe.cell
-  JOIN dt ON codes.m = dt.m AND codes.code = dt.code
-         AND dt.query_id = probe.query_id
-  GROUP BY dt.query_id, codes.vec_id),
-short AS (
-  SELECT query_id, neighbor_id,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY adist_micro, neighbor_id) AS srank
-  FROM scored WHERE neighbor_id <> query_id
-  QUALIFY srank <= {shortlist}),
-rer AS (
-  SELECT s.query_id, s.neighbor_id,
-         round(list_cosine_similarity(qe.v, ne.v), 4) AS cosine
-  FROM short s
-  JOIN e ne ON ne.vec_id = s.neighbor_id
-  JOIN e qe ON qe.vec_id = s.query_id)
-SELECT query_id, neighbor_id, cosine,
-       cast(row_number() OVER (PARTITION BY query_id
-                               ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
-FROM rer
-QUALIFY rank <= {k}
-"""
-
-
 def _s14(spark):
     from datacatalog_tag_engine_spark.pipeline import similarity as SIM
 
@@ -954,7 +503,7 @@ def _s14(spark):
 
 def test_oracle_draft_ivfpq_rerank(spark, ddb):
     got = _rows(_s14(spark))
-    want = _sql_rows(ddb, ivfpq_rerank_sql(nprobe=2, shortlist=20, k=5))
+    want = _sql_rows(ddb, E.ivfpq_rerank_sql(nprobe=2, shortlist=20, k=5))
     assert got == want
     assert len(got) > 0
 
@@ -983,31 +532,11 @@ def test_rerank_recall_at_least_adc(spark):
 # --- q69: shard-balance profile ----------------------------------------------
 
 
-def shard_balance_sql(num_shards: int = 16) -> str:
-    """The q58/q68 md5 bucket rule aggregated at shard grain, empty
-    shards kept via a generated shard axis; skew normalized against
-    the corpus total."""
-    return f"""
-WITH s AS (
-  SELECT (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % {num_shards}) AS shard,
-         n_chars
-  FROM documents),
-per AS (SELECT shard, count(*) AS n_docs, sum(n_chars)::BIGINT AS n_tokens
-        FROM s GROUP BY shard),
-all_shards AS (SELECT unnest(range({num_shards}))::INT AS shard)
-SELECT a.shard,
-       coalesce(n_docs, 0)::BIGINT AS n_docs,
-       coalesce(n_tokens, 0)::BIGINT AS n_tokens,
-       round(coalesce(n_docs, 0) * {num_shards} / (SELECT count(*) FROM documents), 4) AS doc_skew
-FROM all_shards a LEFT JOIN per ON per.shard = a.shard
-"""
-
-
 def test_oracle_draft_shard_balance(spark, ddb):
     from datacatalog_tag_engine_spark.pipeline.export import shard_balance
 
     got = _rows(shard_balance(spark.table("documents"), 16, token_col="n_chars"))
-    want = _sql_rows(ddb, shard_balance_sql(16))
+    want = _sql_rows(ddb, E.shard_balance_sql(16))
     assert got == want
     assert len(got) == 16
 
@@ -1032,23 +561,11 @@ def test_shard_balance_semantics(spark):
 # --- q70: cohort retention ---------------------------------------------------
 
 
-def cohort_retention_sql() -> str:
-    return """
-WITH d AS (SELECT user_id, ts::DATE AS d FROM events),
-c AS (SELECT user_id, min(d) AS cohort_day FROM d GROUP BY user_id),
-x AS (
-  SELECT DISTINCT c.cohort_day, date_diff('day', c.cohort_day, d.d) AS day_offset, d.user_id
-  FROM d JOIN c USING (user_id))
-SELECT cohort_day, day_offset::INT AS day_offset, count(*)::BIGINT AS n_users
-FROM x GROUP BY 1, 2
-"""
-
-
 def test_oracle_draft_cohort_retention(spark, ddb):
     from datacatalog_tag_engine_spark.pipeline.profiling import cohort_retention
 
     got = _rows(cohort_retention(spark.table("events")))
-    want = _sql_rows(ddb, cohort_retention_sql())
+    want = _sql_rows(ddb, E.cohort_retention_sql())
     assert got == want
     assert len(got) > 1
 
@@ -1096,7 +613,7 @@ def test_oracle_draft_ivfpq_rerank_from_index(spark, ddb, tmp_path):
             k=5, shortlist=20, nprobe=2,
         )
     )
-    want = _sql_rows(ddb, ivfpq_rerank_sql(nprobe=2, shortlist=20, k=5))
+    want = _sql_rows(ddb, E.ivfpq_rerank_sql(nprobe=2, shortlist=20, k=5))
     assert got == want
     assert got == _rows(_s14(spark))  # in-memory/persisted value identity
 

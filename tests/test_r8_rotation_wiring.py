@@ -1,31 +1,9 @@
-"""Round-8 rotation wiring proof: the current window invariants the
-freeze policy depends on (moved here from test_r7_rotation_wiring when
-the window rotated), plus the r8 oracle wiring pins."""
+"""Round-8 rotation wiring proof: the r8 oracle wiring pins (the
+window-invariants test moved to test_r9_rotation_wiring when the
+window rotated at round-9 start, the same hand-off this file received
+from test_r7_rotation_wiring)."""
 
 import __spark_entry__ as E
-
-
-def test_window_invariants():
-    """50-slot window, every entry resolvable, every windowed query
-    except the by-design rows-only t12 (stateful packing; its t12b
-    derivative IS value-checked) has an oracle; inventory is 116."""
-    qs = E.queries()
-    os_ = E.oracle_sql()
-    names = list(qs)
-    assert len(names) == 116
-    window = names[:50]
-    no_oracle = [n for n in window if n not in os_]
-    assert no_oracle == ["t12_packing"]
-    # this round's must-certify set (new + code-changed) sits inside
-    rotated = {
-        "m02_image_phash_neardup", "t12b_packing_invariants",
-        "q59v2_clean_pipeline", "t18_bpe_apply",
-        "s09_ivf_from_index", "s11_ivfpq_from_index",
-        "s10_ivfpq_topk", "s12_ivfpq_residual",
-        "s03_ann_ivf", "s04_ann_ivf_nprobe", "s07_pq_adc",
-        "m01_multimodal_features",
-    }
-    assert rotated <= set(window)
 
 
 def test_wired_r8_oracles_are_the_proven_generators():

@@ -486,3 +486,78 @@ def test_gate_metrics_append_mode_watermark_semantics(spark, tmp_path):
         if r["window_start"].hour < 3
     }
     assert sgot == bgot
+
+
+def test_cohort_retention_stream_matches_batch(spark):
+    """q70's streaming decomposition: the per-user (cohort_day,
+    active_days) state is ONE aggregation maintained by the stream
+    (complete mode); the batch finishing query over that user-grain
+    table reproduces profiling.cohort_retention EXACTLY."""
+    from datacatalog_tag_engine_spark.pipeline.profiling import cohort_retention
+
+    stream = U.read_events_stream(spark, EVENTS_DIR)
+    U.run_available_now(U.cohort_user_days(stream), "cohort_state_sink")
+    got = {
+        (str(r["cohort_day"]), r["day_offset"]): r["n_users"]
+        for r in U.cohort_retention_finish(spark.table("cohort_state_sink")).collect()
+    }
+    batch = {
+        (str(r["cohort_day"]), r["day_offset"]): r["n_users"]
+        for r in cohort_retention(spark.table("events")).collect()
+    }
+    assert got == batch and len(got) > 1
+
+
+def test_event_funnel_stream_matches_batch(spark, tmp_path):
+    """q67's streaming form: per-user funnel state folded in event-time
+    order behind the watermark (applyInPandasWithState +
+    EventTimeTimeout). The real sf0.001 corpus is re-fed as three
+    micro-batches — two halves plus a far-future flush event — and the
+    finished counts must equal profiling.event_funnel's batch answer."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datacatalog_tag_engine_spark.pipeline.profiling import event_funnel
+
+    import __spark_entry__ as E
+
+    events = spark.table("events")
+    pdf = events.toPandas().sort_values("event_id").reset_index(drop=True)
+    src = str(tmp_path / "funnel_src")
+    os.makedirs(src)
+    half = len(pdf) // 2
+    sentinel = pdf.iloc[:1].copy()
+    sentinel["event_id"] = 10**9
+    sentinel["user_id"] = 10**9
+    sentinel["event_type"] = "flush"  # not a funnel step
+    sentinel["ts"] = pdf["ts"].max() + __import__("pandas").Timedelta(days=2)
+    for i, chunk in enumerate([pdf.iloc[:half], pdf.iloc[half:], sentinel]):
+        path = os.path.join(src, f"f{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False), path)
+        os.utime(path, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    stream = U.read_events_stream(spark, src, glob="*.parquet", max_files_per_trigger=1)
+    q = (
+        U.funnel_state_stream(stream, E.FUNNEL_STEPS, watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("funnel_state_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    finished = U.funnel_counts_finish(
+        spark.table("funnel_state_sink"), E.FUNNEL_STEPS
+    )
+    got = {
+        (r["step_index"], r["step"]): (r["n_users"], r["conversion"])
+        for r in finished.collect()
+    }
+    batch = {
+        (r["step_index"], r["step"]): (r["n_users"], r["conversion"])
+        for r in event_funnel(events, E.FUNNEL_STEPS).collect()
+    }
+    assert got == batch
+    assert got[(0, "view")][0] > 0  # the corpus converts something

@@ -112,6 +112,55 @@ def main() -> None:
         for surface, quant, metric, r in rows:
             print(f"| {surface} | {quant} | {metric} | {r} |")
         out[sf] = {f"{s}/{q}": r for s, q, _, r in rows}
+
+        # --- r9 composition: does exact re-ranking mask codebook
+        # quality? {seeded, trained} x {ADC, rerank}, all against the
+        # serving-relevant truth (brute-force cosine, the contract
+        # rerank shares with s01) ---
+        def rerank(**kw):
+            return SIM.ivfpq_topk_rerank(
+                emb, qs, k=K, shortlist=4 * K, num_cells=NUM_CELLS,
+                nprobe=NPROBE, **kw,
+            )
+
+        comp = [
+            ("ADC ranking", "seeded", recall(ivfpq(), truth_cos)),
+            ("ADC ranking", "trained (cents+codebook)",
+             recall(ivfpq(cents=cents_exact, train_codebook=True), truth_cos)),
+            ("exact rerank", "seeded", recall(rerank(), truth_cos)),
+            ("exact rerank", "trained (cents+codebook)",
+             recall(rerank(cents=cents_exact, train_codebook=True), truth_cos)),
+        ]
+        print(f"\n### rerank x trained-codebook composition at {sf} "
+              f"(truth = brute-force cosine, shortlist={4 * K})\n")
+        print("| ranking | quantizers | recall@5 |")
+        print("|---|---|---|")
+        for surface, quant, r in comp:
+            print(f"| {surface} | {quant} | {r} |")
+        out[sf + "/composition"] = {f"{s}/{q}": r for s, q, r in comp}
+
+        # --- r9 sweep: which knob buys recall — nprobe (more cells in
+        # the shortlist pool) or shortlist (more ADC candidates kept
+        # for exact scoring)? seeded quantizers (the serving default) ---
+        sweep = {}
+        print(f"\n### rerank recall@{K} sweep at {sf} "
+              f"(seeded quantizers, rows=nprobe, cols=shortlist)\n")
+        shortlists = [K, 4 * K, 8 * K]
+        print("| nprobe \\ shortlist | " + " | ".join(str(s) for s in shortlists) + " |")
+        print("|---|" + "---|" * len(shortlists))
+        for np_ in (1, 2, 4):
+            vals = []
+            for sl in shortlists:
+                r = recall(
+                    SIM.ivfpq_topk_rerank(
+                        emb, qs, k=K, shortlist=sl, num_cells=NUM_CELLS, nprobe=np_
+                    ),
+                    truth_cos,
+                )
+                vals.append(r)
+                sweep[f"nprobe={np_}/shortlist={sl}"] = r
+            print(f"| {np_} | " + " | ".join(str(v) for v in vals) + " |")
+        out[sf + "/sweep"] = sweep
     print(json.dumps(out))
 
 
