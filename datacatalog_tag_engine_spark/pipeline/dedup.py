@@ -1565,3 +1565,78 @@ def cross_source_overlap(
             F.round(F.col("shared") / F.col("sb.n"), 4).alias("frac_b"),
         )
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    by: str = "source",
+    k: int = 3,
+) -> DataFrame:
+    """Per-source n-gram novelty — the complement of
+    ``cross_source_overlap``: of each source's distinct word
+    k-shingles, how many appear in NO other source. High novelty =
+    unique content worth its mixture weight; novelty near zero = the
+    source is re-crawled/syndicated content the overlap matrix will
+    attribute pair-by-pair.
+
+    Same shingle rule as the whole d-family (``word_shingles``), with
+    join keys hashed to xxhash64 longs (the d04-certified
+    substitution: counts equal barring a 64-bit collision). One
+    distinct (source, shingle-hash) relation feeds both the per-source
+    sizes and the shingle->n_sources rollup — at 100 TB both are
+    map-side-combined aggregates on the hash, and the output is
+    |sources| rows. Returns (by, n_shingles, n_exclusive,
+    novelty_frac rounded 4)."""
+    sfp = (
+        docs.select(F.col(by).alias("_src"), word_shingles(F.col(text_col), k).alias("_sh"))
+        .select("_src", F.explode("_sh").alias("_s"))
+        .select("_src", F.xxhash64("_s").alias("_h"))
+        .distinct()
+    )
+    spread = sfp.groupBy("_h").agg(F.count("*").alias("_n_sources"))
+    return (
+        sfp.join(spread, "_h")
+        .groupBy(F.col("_src").alias(by))
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum((F.col("_n_sources") == 1).cast("long")).cast("long").alias("n_exclusive"),
+            F.round(
+                F.sum((F.col("_n_sources") == 1).cast("long")) / F.count("*"), 4
+            ).alias("novelty_frac"),
+        )
+    )
+
+
+def cluster_size_profile(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup cluster-size histogram — the dedup QA rollup over
+    ``neardup_clusters`` labels: for each cluster size, how many
+    clusters have it and how many documents they hold. The number a
+    corpus build reads to decide whether near-dup structure is a long
+    tail of pairs (size 2) or a few giant boilerplate families (size
+    10^4) — the two need different handling (canonical-keep vs
+    source-level exclusion), and the mean "dup rate" cannot tell them
+    apart.
+
+    Composes the certified clustering (same labels q34 certifies),
+    then two tiny aggregates: cluster-grain counts, then size-grain
+    rollup — nothing document-grain survives the first groupBy.
+    Returns (cluster_size, n_clusters, n_docs), ascending sizes
+    excluded singletons? No: singletons INCLUDED (cluster_size 1) —
+    the histogram must conserve the corpus (sum(n_docs) = |docs|),
+    or the QA number silently hides the deduped mass."""
+    labels = neardup_clusters(docs, pairs, id_col=id_col)
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            (F.count("*") * F.first("cluster_size")).cast("long").alias("n_docs"),
+        )
+        .select(F.col("cluster_size").cast("long").alias("cluster_size"), "n_clusters", "n_docs")
+    )

@@ -487,3 +487,31 @@ def video_frame_phashes(
             yield pd.DataFrame(out)
 
     return media.select("media_id", "payload").mapInPandas(run, FRAME_PHASH_SCHEMA)
+
+
+def manifest_stats(features: DataFrame, kind_col: str = "kind") -> DataFrame:
+    """Per-kind media-manifest rollup over ``extract_features`` output
+    — the corpus-level answer to "what is actually in this media
+    bucket" (row counts, payload mass, dimension/duration envelope)
+    that a multimodal training-data build publishes next to the text
+    corpus_stats (q31). Typed-metadata-only: the aggregate reads the
+    narrow feature rows, so payload bytes stay in the upstream decode
+    scan exactly as in every other multimodal operator.
+
+    One group-grain aggregate, |kinds| result rows. Width/height
+    aggregate only where present (images/videos), duration only where
+    present (audio/videos) — nulls are skipped by the aggregates and
+    the per-kind counts say how many rows carried each attribute.
+    Returns (kind, n_items, total_payload_bytes, n_with_dims,
+    max_width, max_height, n_with_duration, total_duration_ms,
+    max_frames)."""
+    return features.groupBy(kind_col).agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("payload_bytes").cast("long").alias("total_payload_bytes"),
+        F.count("width").cast("long").alias("n_with_dims"),
+        F.max("width").cast("int").alias("max_width"),
+        F.max("height").cast("int").alias("max_height"),
+        F.count("duration_ms").cast("long").alias("n_with_duration"),
+        F.sum("duration_ms").cast("long").alias("total_duration_ms"),
+        F.max("n_frames").cast("int").alias("max_frames"),
+    )

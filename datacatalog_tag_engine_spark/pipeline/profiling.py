@@ -267,3 +267,119 @@ def cohort_retention(
         .groupBy("cohort_day", "day_offset")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+def percentile_tolerance_profile(
+    docs: DataFrame,
+    by: str = "source",
+    value_col: str = "n_chars",
+    probs: tuple = (0.5, 0.9, 0.99),
+    accuracy: int = 10000,
+    rel_tol: float = 0.05,
+) -> DataFrame:
+    """Sketched percentiles certified the q60-HLL way: the
+    hash-checked output carries the EXACT per-group percentiles (what
+    both engines can agree on) plus a within-tolerance flag for
+    Spark's ``percentile_approx`` sketch against them — the sketch
+    binary itself (Greenwald-Khanna) is not SQL-replayable, the claim
+    "the sketch is within rel_tol of exact at this accuracy" is.
+
+    This is the 100 TB shape for every length/percentile profile in
+    the module: exact ``percentile`` holds all values per group;
+    percentile_approx streams a bounded GK sketch (state ~ accuracy,
+    mergeable map-side). The tolerance flag is the evidence the swap
+    is safe at the declared accuracy. Returns (by, p50_exact,
+    p90_exact, p99_exact, sketch_within_tol)."""
+    disc = [F.expr(f"percentile({value_col}, {p})").alias(f"_e{i}") for i, p in enumerate(probs)]
+    approx = [
+        F.expr(f"percentile_approx({value_col}, {p}, {accuracy})").alias(f"_a{i}")
+        for i, p in enumerate(probs)
+    ]
+    agg = docs.groupBy(by).agg(*disc, *approx)
+    within = F.lit(True)
+    for i in range(len(probs)):
+        e, a = F.col(f"_e{i}"), F.col(f"_a{i}")
+        within = within & (F.abs(a - e) <= rel_tol * F.greatest(F.abs(e), F.lit(1.0)))
+    names = {0.5: "p50", 0.9: "p90", 0.99: "p99"}
+    return agg.select(
+        by,
+        *[
+            F.round(F.col(f"_e{i}"), 2).alias(f"{names.get(p, 'p' + str(int(p * 100)))}_exact")
+            for i, p in enumerate(probs)
+        ],
+        within.alias("sketch_within_tol"),
+    )
+
+
+def session_funnel(
+    events: DataFrame,
+    steps: list[str],
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """The conversion funnel scoped WITHIN sessions: a session
+    converts step i only if it contains a step-i event strictly after
+    its own step-(i-1) time — ``event_funnel``'s ordered-min-ts rule
+    applied per (user, session) instead of per user. The difference
+    is the product question: "do users EVER come back and buy"
+    (event_funnel) vs "does a single visit carry through checkout"
+    (this).
+
+    Sessions come from the same gap rule ``sessionize`` certifies
+    (q32): a new session opens when the gap to the user's previous
+    event exceeds ``gap_minutes`` (the label derivation is repeated
+    here verbatim rather than refactored out of sessionize — the q32
+    path stays byte-untouched; the q32/this pair of driver rows pins
+    both). One user-grain sort window for labels, then len(steps)
+    session-grain min aggregates — nothing event-grain survives the
+    first funnel stage. Returns (step_index, step, n_sessions,
+    conversion) — event_funnel's shape at session grain."""
+    from pyspark.sql import Window
+
+    from ..model.timeutil import ts_epoch_long
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    sec = ts_epoch_long(F.col(ts_col))
+    gap = sec - F.lag(sec).over(w)
+    labeled = events.withColumn(
+        "_new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+    ).withColumn("session_index", F.sum("_new_session").over(w))
+    sess = labeled.select(
+        F.concat_ws("#", F.col(user_col), F.col("session_index")).alias("_sid"),
+        F.col(ts_col).alias("_ts"),
+        F.col(type_col).alias("_et"),
+    )
+    # the event_funnel stage chain, keyed by session id instead of
+    # user id — fully lazy (a union of 1-row aggregates, no driver
+    # loop over counts)
+    frames = []
+    prev = None
+    for i, step in enumerate(steps):
+        stage = sess.filter(F.col("_et") == step)
+        if prev is not None:
+            stage = stage.join(
+                prev.select("_sid", F.col("_t").alias("_pt")), "_sid"
+            ).filter(F.col("_ts") > F.col("_pt"))
+        cur = stage.groupBy("_sid").agg(F.min("_ts").alias("_t"))
+        frames.append(
+            cur.agg(F.count("*").alias("n_sessions")).select(
+                F.lit(i).alias("step_index"), F.lit(step).alias("step"), "n_sessions"
+            )
+        )
+        prev = cur
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    ww = Window.orderBy("step_index").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    first_n = F.max(F.when(F.col("step_index") == 0, F.col("n_sessions"))).over(ww)
+    return out.withColumn(
+        "conversion",
+        F.when(first_n > 0, F.round(F.col("n_sessions") / first_n, 4)).otherwise(
+            F.lit(0.0)
+        ),
+    )

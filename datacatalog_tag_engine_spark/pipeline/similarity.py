@@ -1287,3 +1287,148 @@ def cell_balance(
         F.round(F.col("n_vectors") / total, 6).alias("frac"),
         F.round(F.col("n_vectors") / avg, 4).alias("balance_ratio"),
     )
+
+
+def range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float = 0.8,
+    num_cells: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """Radius search (FAISS ``range_search``): every corpus neighbor
+    with round(cosine, 4) >= ``threshold``, not top-k — the serving
+    shape for "find ALL near-matches" (dedup candidates for a new
+    batch, policy screening against a blocklist of embeddings), where
+    k-NN would silently truncate dense neighborhoods and over-fetch
+    sparse ones.
+
+    Same IVF pruning as ``ivf_topk`` (shared ``_ranked_cells``
+    assignment + probes, broadcast query side, cell-equi join), same
+    cosine rounding as ``_topk_by_key`` — only the final predicate
+    differs: a threshold filter instead of a rank window, so there is
+    no per-query sort at all. At 100 TB a query touches
+    nprobe/num_cells of a cell-partitioned corpus and the output is
+    bounded by true matches; recall has the identical nprobe
+    geometry as ivf_topk (a neighbor outside the probed cells is
+    unreachable — the same trade the top-k surface documents).
+
+    Returns (query_id, neighbor_id, cosine), unranked."""
+    if cents is None:
+        cents = _default_cents(corpus, num_cells, id_col, vec_col)
+    ranked = _ranked_cells(corpus, num_cells, id_col, vec_col, cents=cents)
+    c = ranked.filter(F.col("_rn") == 1).select(
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), "cell"
+    )
+    q = (
+        _ranked_cells(queries, num_cells, id_col, vec_col, cents=cents)
+        .filter(F.col("_rn") <= nprobe)
+        .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "cell")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("qv"), F.col("cv")), 4).alias("cosine"),
+        )
+    )
+    # probing n cells can surface the same neighbor once per shared
+    # cell is impossible (corpus rows live in exactly one cell), so no
+    # distinct is needed — the filter is the whole post-join plan
+    return scored.filter(F.col("cosine") >= threshold)
+
+
+def cell_inertia(
+    corpus: DataFrame,
+    num_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """Per-cell quantization-error profile — the second half of the
+    quantizer health check (``cell_balance`` measures WHERE vectors
+    land, this measures HOW FAR they sit from their centroid): for
+    each cell, the exact integer sum of micro-unit squared-L2 between
+    member vectors and the cell centroid, both on the round(x*1e6)
+    lattice (the s07/PQ trick), so the number is bit-identical in any
+    engine and monotone under k-means training (Lloyd minimizes
+    exactly this objective — ``kmeans_centroids_exact``'s tests prove
+    the monotonicity against this metric).
+
+    One corpus pass (broadcast centroids), num_cells result rows.
+    Returns (cell, n_vectors, inertia_micro, mean_inertia_micro)."""
+    if cents is None:
+        cents = _default_cents(corpus, num_cells, id_col, vec_col)
+    qcents = cents.select(
+        "cell",
+        F.transform(
+            F.col("cent_v"), lambda x: F.round(x * F.lit(1e6), 0).cast("long")
+        ).alias("qc"),
+    )
+    assigned = _ranked_cells(corpus, num_cells, id_col, vec_col, cents=cents).filter(
+        F.col("_rn") == 1
+    )
+    qv = assigned.select(
+        "cell",
+        F.transform(
+            F.col("v"), lambda x: F.round(x * F.lit(1e6), 0).cast("long")
+        ).alias("qsv"),
+    )
+    d = qv.join(F.broadcast(qcents), "cell").select(
+        "cell", _micro_sq_dist(F.col("qsv"), F.col("qc")).alias("d")
+    )
+    return d.groupBy("cell").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum("d").cast("long").alias("inertia_micro"),
+        F.round(F.sum("d") / F.count("*"), 2).alias("mean_inertia_micro"),
+    )
+
+
+def pq_code_histogram(
+    corpus: DataFrame,
+    num_subspaces: int = 4,
+    num_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """PQ code-usage histogram — the codebook-collapse detector: per
+    (subspace, code), how many vectors encode to it and the balance
+    ratio against the uniform share. A code used by 0 vectors is dead
+    capacity (the effective codebook shrinks and ADC error grows); a
+    code absorbing half a subspace means the seeding failed that
+    subspace. Completes the quantizer-health trio: cells
+    (``cell_balance``), centroid fit (``cell_inertia``), codes (this).
+
+    Same encoding as the serving path (``pq_encode``, one definition),
+    one corpus scan into a (num_subspaces x num_codes)-row aggregate;
+    dead codes keep their row via a generated (m, code) axis. Returns
+    (m, code, n_vectors, balance_ratio)."""
+    spark = corpus.sparkSession
+    codes = pq_encode(
+        corpus, num_subspaces, num_codes, dim, id_col, vec_col, codebook=codebook
+    )
+    counts = codes.groupBy("m", "code").agg(F.count("*").alias("n_vectors"))
+    axis = (
+        spark.range(num_subspaces)
+        .select(F.col("id").cast("int").alias("m"))
+        .crossJoin(spark.range(num_codes).select(F.col("id").cast("int").alias("code")))
+    )
+    per = axis.join(counts, ["m", "code"], "left").withColumn(
+        "n_vectors", F.coalesce(F.col("n_vectors"), F.lit(0))
+    )
+    w = Window.partitionBy("m")
+    share = F.sum("n_vectors").over(w) / num_codes
+    return per.select(
+        "m",
+        "code",
+        "n_vectors",
+        F.round(F.col("n_vectors") / share, 4).alias("balance_ratio"),
+    )

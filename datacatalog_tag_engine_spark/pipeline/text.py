@@ -1658,3 +1658,81 @@ def vocab_growth(
         .withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .withColumn("cum_types", F.sum("new_types").over(w))
     )
+
+
+def char_coverage(
+    docs: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    alphabet: str = r"[a-z0-9\s.,;:!?'\"()\-]",
+) -> DataFrame:
+    """Per-group character-coverage profile: how much of each source's
+    text falls outside a declared working alphabet — the pre-tokenizer
+    QA number (a source full of out-of-alphabet bytes either needs a
+    bigger alphabet, transliteration, or exclusion BEFORE the merge
+    list is trained on it; BPE fallback on unseen bytes silently
+    inflates fertility instead of failing).
+
+    Counted by deletion: strip every in-alphabet character from the
+    lowercased text and measure what remains — one regexp_replace per
+    row, a pure projection (no shuffle before the group-grain
+    aggregate), and the same character-class semantics in Spark (Java
+    regex) and DuckDB (RE2) for this ASCII class. Returns (by,
+    n_chars, n_outside, coverage) with coverage rounded to 6."""
+    total = F.length(F.coalesce(F.col(text_col), F.lit("")))
+    outside = F.length(
+        F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))), alphabet, "")
+    )
+    return docs.groupBy(by).agg(
+        F.sum(total).cast("long").alias("n_chars"),
+        F.sum(outside).cast("long").alias("n_outside"),
+        F.round(
+            F.lit(1.0) - F.sum(outside) / F.greatest(F.sum(total), F.lit(1)), 6
+        ).alias("coverage"),
+    )
+
+
+def gate_mixture_drift(
+    docs: DataFrame,
+    by: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **gate_kwargs,
+) -> DataFrame:
+    """What the quality gate does to the corpus MIXTURE: per-source
+    document share before vs after ``gopher_filter``, and the drift.
+    A gate that is globally reasonable can still silently halve one
+    source's share — exactly the number a mixture-weighted training
+    run (q54/q63) needs to see before trusting its pre-gate weights.
+
+    One gate pass (the certified t16 rules) + two group-grain
+    aggregates joined on the group key; the window for shares runs
+    over |sources| rows. Returns (by, n_before, n_after,
+    share_before, share_after, share_drift), shares rounded to 6,
+    drift = share_after - share_before rounded to 6. Sources the gate
+    empties keep their row (n_after = 0)."""
+    from pyspark.sql import Window
+
+    kept = gopher_filter(docs, id_col=id_col, text_col=text_col, **gate_kwargs).filter(
+        "keep"
+    )
+    before = docs.groupBy(by).agg(F.count("*").alias("n_before"))
+    after = (
+        docs.join(kept.select(id_col), id_col, "left_semi")
+        .groupBy(by)
+        .agg(F.count("*").alias("n_after"))
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    joined = before.join(after, by, "left").withColumn(
+        "n_after", F.coalesce(F.col("n_after"), F.lit(0))
+    )
+    sb = F.col("n_before") / F.sum("n_before").over(w)
+    sa = F.col("n_after") / F.greatest(F.sum("n_after").over(w), F.lit(1))
+    return joined.select(
+        by,
+        F.col("n_before").cast("long").alias("n_before"),
+        F.col("n_after").cast("long").alias("n_after"),
+        F.round(sb, 6).alias("share_before"),
+        F.round(sa, 6).alias("share_after"),
+        F.round(sa - sb, 6).alias("share_drift"),
+    )
