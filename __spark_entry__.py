@@ -93,7 +93,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datacatalog_tag_engine_spark.session import register_testdata
+from datacatalog_tag_engine_spark.session import free_local_checkpoint, register_testdata
 from datacatalog_tag_engine_spark.model.schemas import ASSETS_SCHEMA, TAGS_SCHEMA
 from datacatalog_tag_engine_spark.operators import dynamic as DYN
 from datacatalog_tag_engine_spark.operators import export as EXP
@@ -1322,10 +1322,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "text")
             .localCheckpoint(eager=True)
         )
+        # each eager barrier makes the PREVIOUS one dead (its only
+        # consumer is now materialized) — free it, or a q59v2 + q71
+        # bench session pins two corpus-sized generations per call
+        # (the containment_dedup lifecycle fix, applied to the chain)
+        free_local_checkpoint(docs)
         spans = DD.remove_repeated_spans(para, n=8, min_docs=2).select("doc_id", "text")
         clean = spans.filter(F.length(F.trim(F.col("text"))) > 0).localCheckpoint(
             eager=True
         )
+        free_local_checkpoint(para)
         pairs = DD.minhash_dedup(clean)
         clusters = DD.neardup_clusters(clean, pairs)
         return DD.apply_neardup_dedup(clean, clusters)

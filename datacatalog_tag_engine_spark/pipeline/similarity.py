@@ -1277,6 +1277,15 @@ def cell_balance(
         .filter(F.col("_rn") == 1)
         .select("cell")
     )
+    return _occupancy_profile(assigned)
+
+
+def _occupancy_profile(assigned: DataFrame) -> DataFrame:
+    """Shared cell-occupancy rollup behind ``cell_balance`` (live
+    assignment) and ``cell_balance_from_index`` (persisted layout) —
+    one definition, so the two surfaces cannot disagree on the ratio
+    arithmetic (the s10/s11 value-identity pattern applied to the
+    profile)."""
     counts = assigned.groupBy("cell").agg(F.count("*").alias("n_vectors"))
     w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     total = F.sum("n_vectors").over(w)
@@ -1286,6 +1295,56 @@ def cell_balance(
         "n_vectors",
         F.round(F.col("n_vectors") / total, 6).alias("frac"),
         F.round(F.col("n_vectors") / avg, 4).alias("balance_ratio"),
+    )
+
+
+def cell_balance_from_index(spark, path: str) -> DataFrame:
+    """``cell_balance`` read off a persisted IVF/IVF-PQ index instead
+    of a live assignment — the serving-ops health check: it profiles
+    the layout queries ACTUALLY hit (cell = the parquet partition
+    column ``build_ivf_index``/``build_ivfpq_index`` wrote), so drift
+    between the index on disk and a retrained quantizer shows up here
+    first. Column-pruned to the partition column: the scan reads
+    directory metadata plus row counts, never the vectors or codes —
+    at 100 TB this touches no data pages at all. Value-identical to
+    ``cell_balance`` on the same corpus/centroids (shared
+    ``_occupancy_profile``)."""
+    return _occupancy_profile(spark.read.parquet(path).select("cell"))
+
+
+def embedding_stats(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-table health profile: row count, dimensionality
+    spread, zero-vector count, and the norm envelope — the data-QA
+    gate before any ANN/quantizer work (a zero vector breaks cosine;
+    mixed dims break every subspace slice; a collapsed norm range
+    hints at missing normalization).
+
+    Norms quantize to micro-units (round(norm * 1e6) as long — the
+    module's standard lattice) BEFORE the corpus-wide aggregation, so
+    min/max/mean are exact integer arithmetic, identical on any
+    partitioning and replayable in SQL; the mean divides once at the
+    end. One scan, one single-row aggregate. Returns (n_vectors,
+    n_dims_distinct, dim_min, dim_max, n_zero, norm_min_micro,
+    norm_max_micro, mean_norm)."""
+    v = F.col(vec_col).cast("array<double>")
+    norm_micro = F.round(norm_expr(v) * F.lit(1e6), 0).cast("long")
+    d = corpus.select(
+        F.size(v).alias("_dim"),
+        norm_micro.alias("_nm"),
+    )
+    return d.agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.count_distinct("_dim").cast("long").alias("n_dims_distinct"),
+        F.min("_dim").cast("int").alias("dim_min"),
+        F.max("_dim").cast("int").alias("dim_max"),
+        F.sum((F.col("_nm") == 0).cast("long")).cast("long").alias("n_zero"),
+        F.min("_nm").alias("norm_min_micro"),
+        F.max("_nm").alias("norm_max_micro"),
+        F.round(F.sum("_nm") / F.count("*") / F.lit(1e6), 6).alias("mean_norm"),
     )
 
 

@@ -195,14 +195,19 @@ def funnel_state_stream(
     State per user: len(steps) timestamps + the pending buffer, which
     the watermark bounds to the user's events inside the late-data
     horizon — at 100 TB/day that is (per-user event rate x watermark),
-    not history. Each invocation emits the user's current step times
-    (append mode) with a monotone ``emit_seq``; downstream takes the
-    max-seq row per user (``funnel_counts_finish``). Users holding
-    pending events register an event-time timeout at their earliest
-    pending timestamp, so a user with no further traffic still gets a
-    fold-and-emit pass once the watermark clears their buffer — without
-    it, quiet users' last events would sit unreleased forever (and the
-    availableNow test form would never see their final state).
+    not history. Events arriving ALREADY beyond the watermark are
+    dropped and counted (``n_late_dropped`` in every emission) — the
+    same contract the certified gate_metrics stream applies: folding
+    them anyway would violate the in-order guarantee the correctness
+    argument rests on, silently. Each invocation emits the user's
+    current step times (append mode) with a monotone ``emit_seq``;
+    downstream takes the max-seq row per user
+    (``funnel_counts_finish``). Users holding pending events register
+    an event-time timeout at their earliest pending timestamp, so a
+    user with no further traffic still gets a fold-and-emit pass once
+    the watermark clears their buffer — without it, quiet users' last
+    events would sit unreleased forever (and the availableNow test
+    form would never see their final state).
 
     Reference analog: the usage-tracking extension's daily event
     rollups (extensions/usage_tracking/README.md:1-11) — this is the
@@ -220,6 +225,7 @@ def funnel_state_stream(
             T.StructField("emit_seq", T.LongType()),
             T.StructField("step_ts_micro", T.ArrayType(T.LongType())),
             T.StructField("n_pending", T.IntegerType()),
+            T.StructField("n_late_dropped", T.LongType()),
         ]
     )
     state_schema = T.StructType(
@@ -228,23 +234,31 @@ def funnel_state_stream(
             T.StructField("steps_micro", T.ArrayType(T.LongType())),
             T.StructField("pend_ts", T.ArrayType(T.LongType())),
             T.StructField("pend_step", T.ArrayType(T.IntegerType())),
+            T.StructField("n_late_dropped", T.LongType()),
         ]
     )
 
     def fold(key, pdfs, state):
         if state.exists:
-            emit_seq, steps_micro, pend_ts, pend_step = state.get
+            emit_seq, steps_micro, pend_ts, pend_step, n_late = state.get
             steps_micro = list(steps_micro)
             pend = list(zip(pend_ts, pend_step))
         else:
-            emit_seq, steps_micro, pend = 0, [-1] * n, []
+            emit_seq, steps_micro, pend, n_late = 0, [-1] * n, [], 0
+        wm_ms = state.getCurrentWatermarkMs()
+        wm = wm_ms * 1000  # micros
         for pdf in pdfs:
             for ts, et in zip(pdf[ts_col], pdf[type_col]):
                 j = step_idx.get(et)
                 if j is not None and ts is not None and not pd.isna(ts):
-                    pend.append((int(pd.Timestamp(ts).value) // 1000, j))
-        wm_ms = state.getCurrentWatermarkMs()
-        wm = wm_ms * 1000  # micros
+                    t = int(pd.Timestamp(ts).value) // 1000
+                    if t <= wm:
+                        # beyond-watermark arrival: the in-order fold
+                        # already passed this point — drop and count
+                        # (the gate_metrics late-data contract)
+                        n_late += 1
+                    else:
+                        pend.append((t, j))
         release = sorted(e for e in pend if e[0] <= wm)
         pend = [e for e in pend if e[0] > wm]
         for t, j in release:
@@ -260,6 +274,7 @@ def funnel_state_stream(
                 steps_micro,
                 [t for t, _ in pend],
                 [j for _, j in pend],
+                n_late,
             )
         )
         if pend:
@@ -275,6 +290,7 @@ def funnel_state_stream(
                     "emit_seq": emit_seq,
                     "step_ts_micro": steps_micro,
                     "n_pending": len(pend),
+                    "n_late_dropped": n_late,
                 }
             ]
         )

@@ -34,6 +34,14 @@ pairs:
 - m05_manifest_stats — per-kind media-manifest rollup
   (multimodal.manifest_stats); derived from the m01 oracle by
   wrapping it as a subquery — one copy of the feature replay.
+- s19_embedding_stats — embedding-table health profile on the
+  micro-unit norm lattice (similarity.embedding_stats).
+- s20_cell_balance_from_index — the s13 occupancy profile read off
+  the persisted IVF index's partition column only
+  (similarity.cell_balance_from_index, shared _occupancy_profile);
+  oracle = E.cell_balance_sql verbatim (the s10/s11 value-identity
+  pattern) and the scan is plan-asserted to read struct<> (no data
+  pages).
 """
 
 import duckdb
@@ -605,3 +613,76 @@ def test_manifest_stats_handles_missing_attrs(spark):
     total = sum(r["n_items"] for r in out)
     with_dims = sum(r["n_with_dims"] for r in out)
     assert total == 6 and with_dims == 5
+
+
+# --- s19: embedding-table stats ----------------------------------------------
+
+
+def embedding_stats_sql() -> str:
+    """Micro-lattice norm envelope: per-vector norms quantize to
+    longs before the single-row aggregate, so every statistic is
+    exact integer arithmetic (the mean divides once at the end)."""
+    return """
+WITH n AS (
+  SELECT len(embedding) AS dim,
+         round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) * 1e6)::BIGINT AS nm
+  FROM embeddings)
+SELECT count(*)::BIGINT AS n_vectors,
+       count(DISTINCT dim)::BIGINT AS n_dims_distinct,
+       min(dim)::INT AS dim_min,
+       max(dim)::INT AS dim_max,
+       sum((nm = 0)::INT)::BIGINT AS n_zero,
+       min(nm)::BIGINT AS norm_min_micro,
+       max(nm)::BIGINT AS norm_max_micro,
+       round(sum(nm) / count(*) / 1e6, 6) AS mean_norm
+FROM n
+"""
+
+
+def test_oracle_draft_embedding_stats(spark, ddb):
+    got = _rows(SIM.embedding_stats(spark.table("embeddings")))
+    want = _sql_rows(ddb, embedding_stats_sql())
+    assert got == want
+    assert len(got) == 1
+
+
+def test_embedding_stats_flags_zero_and_mixed_dims(spark):
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [3.0, 4.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    r = SIM.embedding_stats(df).collect()[0]
+    assert r["n_zero"] == 1
+    assert r["norm_max_micro"] == 5_000_000  # |(3,4)| = 5 exactly
+    assert r["n_dims_distinct"] == 1 and r["dim_min"] == r["dim_max"] == 2
+
+
+# --- s20: cell balance from the persisted index ------------------------------
+
+
+def test_oracle_draft_cell_balance_from_index(spark, ddb, tmp_path):
+    """The persisted-layout profile replays s13's oracle EXACTLY (the
+    s10/s11 value-identity pattern: the index write must not change a
+    single occupancy number), so its r10 wiring reuses
+    cell_balance_sql — already moved to E at the r9 rotation."""
+    emb = spark.table("embeddings")
+    path = str(tmp_path / "ivf_idx")
+    SIM.build_ivf_index(emb, path, num_cells=8)
+    got = _rows(SIM.cell_balance_from_index(spark, path))
+    want = _sql_rows(ddb, E.cell_balance_sql(8))
+    assert got == want
+    assert got == _rows(SIM.cell_balance(emb))  # live/persisted identity
+
+
+def test_cell_balance_from_index_prunes_to_partition_column(spark, tmp_path):
+    """The profile scan must read ONLY the partition column — an
+    index profile that reads the vectors would be a corpus-sized scan
+    at serving time."""
+    emb = spark.table("embeddings")
+    path = str(tmp_path / "ivf_idx2")
+    SIM.build_ivf_index(emb, path, num_cells=8)
+    plan = (
+        SIM.cell_balance_from_index(spark, path)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ReadSchema: struct<>" in plan  # nothing but the partition col

@@ -561,3 +561,54 @@ def test_event_funnel_stream_matches_batch(spark, tmp_path):
     }
     assert got == batch
     assert got[(0, "view")][0] > 0  # the corpus converts something
+
+
+def test_funnel_stream_drops_and_counts_beyond_watermark(spark, tmp_path):
+    """The late-data contract: an event arriving AFTER the watermark
+    passed its timestamp is dropped and counted (n_late_dropped), not
+    folded out of order — gate_metrics' rule applied to the funnel."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pandas as pd
+
+    import __spark_entry__ as E
+
+    t = dt.datetime(2026, 1, 1)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    f1 = pd.DataFrame(
+        [(1, t, 7, "view", 0.0, ""), (2, t + dt.timedelta(hours=1), 7, "click", 0.0, "")],
+        columns=cols,
+    )
+    # batch 2: watermark is now t+1h; this event sits at t+10min — late
+    f2 = pd.DataFrame(
+        [(3, t + dt.timedelta(minutes=10), 7, "purchase", 0.0, "")], columns=cols
+    )
+    f3 = pd.DataFrame(
+        [(4, t + dt.timedelta(days=2), 99, "flush", 0.0, "")], columns=cols
+    )
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    for i, chunk in enumerate([f1, f2, f3]):
+        path = os.path.join(src, f"f{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False), path)
+        os.utime(path, (1_700_000_000 + i * 60,) * 2)
+
+    stream = U.read_events_stream(spark, src, glob="*.parquet", max_files_per_trigger=1)
+    q = (
+        U.funnel_state_stream(stream, E.FUNNEL_STEPS, watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("late_funnel_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("late_funnel_sink").filter("user_id = 7").collect()
+    last = max(rows, key=lambda r: r["emit_seq"])
+    assert last["n_late_dropped"] == 1            # the stale purchase
+    assert last["step_ts_micro"][0] >= 0          # view folded
+    assert last["step_ts_micro"][1] >= 0          # click folded
+    assert last["step_ts_micro"][2] == -1         # purchase NOT retro-folded
