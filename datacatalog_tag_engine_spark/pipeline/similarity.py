@@ -1491,3 +1491,44 @@ def pq_code_histogram(
         "n_vectors",
         F.round(F.col("n_vectors") / share, 4).alias("balance_ratio"),
     )
+
+
+def append_to_ivf_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental index growth — the FAISS ``add()`` analog for the
+    persisted layout: assign ONLY the new vectors against the index's
+    stored centroids and append them into the existing cell
+    partitions. No rebuild, no read of the resident vectors: the write
+    is `mode=append` + `partitionBy(cell)`, so each new row lands as
+    fresh parquet files inside its cell directory and every
+    already-served partition file is untouched (readers see an atomic
+    directory listing; a search concurrent with the append sees either
+    the old or the new file set, never a torn file).
+
+    This is what makes the IVF layout operable at 100 TB: a daily
+    embedding delta is assignment (one broadcast-centroid projection
+    over the delta only) + an append of delta-sized files — versus a
+    full-corpus rewrite. The quantizer is intentionally FROZEN: new
+    vectors adopt the existing centroids, so search results for a
+    grown index are value-identical to a fresh build over the union
+    corpus under the same centroids (the draft proves it row-for-row).
+    When drift accumulates, ``cell_balance_from_index`` /
+    ``cell_inertia`` say so, and the fix is an offline rebuild with
+    retrained centroids — never an in-place mutation.
+
+    Returns the number of appended rows."""
+    cent_rows, cents = _localize_parquet(spark, f"{path}/{CENTROIDS_DIR}")
+    num_cells = len(cent_rows)
+    assigned = (
+        _ranked_cells(new_vectors, num_cells, id_col, vec_col, cents=cents)
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, "cell")
+    )
+    n = assigned.count()
+    assigned.write.mode("append").partitionBy("cell").parquet(path)
+    return n

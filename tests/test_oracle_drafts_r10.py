@@ -42,6 +42,12 @@ pairs:
   oracle = E.cell_balance_sql verbatim (the s10/s11 value-identity
   pattern) and the scan is plan-asserted to read struct<> (no data
   pages).
+- s21_ivf_append — incremental index growth, the FAISS add() analog
+  (similarity.append_to_ivf_index): delta-only assignment under the
+  frozen stored quantizer, file-additive append into the cell
+  partitions (resident files byte-untouched, asserted); search on
+  the grown index is row-identical to a fresh full rebuild, so the
+  wiring reuses E.oracle_sql()['s04_ann_ivf_nprobe'] verbatim.
 """
 
 import duckdb
@@ -686,3 +692,52 @@ def test_cell_balance_from_index_prunes_to_partition_column(spark, tmp_path):
         .toString()
     )
     assert "ReadSchema: struct<>" in plan  # nothing but the partition col
+
+
+# --- s21: incremental index append -------------------------------------------
+
+
+def test_oracle_draft_ivf_append(spark, ddb, tmp_path):
+    """Grow-vs-rebuild identity: build on the first half, append the
+    rest, search — row-for-row equal to a fresh full build AND to the
+    wired s04 oracle (same centroids: ids 0..7 sit in the first half,
+    so the frozen quantizer equals the full-corpus seeding). The r10
+    wiring therefore reuses E.oracle_sql()['s04_ann_ivf_nprobe']
+    verbatim."""
+    emb = spark.table("embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "ivf_grow")
+    SIM.build_ivf_index(emb.filter(F.col("vec_id") < 100), path, num_cells=8)
+    n = SIM.append_to_ivf_index(spark, path, emb.filter(F.col("vec_id") >= 100))
+    assert n == emb.count() - 100
+    got = _rows(SIM.ivf_topk_from_index(spark, path, qs, k=5, nprobe=2))
+    want = _sql_rows(ddb, E.oracle_sql()["s04_ann_ivf_nprobe"])
+    assert got == want
+    full = str(tmp_path / "ivf_full")
+    SIM.build_ivf_index(emb, full, num_cells=8)
+    assert got == _rows(SIM.ivf_topk_from_index(spark, full, qs, k=5, nprobe=2))
+
+
+def test_ivf_append_leaves_resident_files_untouched(spark, tmp_path):
+    """The append must be file-additive: every parquet file present
+    before the append still exists, byte-identical (mtime+size), after
+    it — the property that makes concurrent serving safe."""
+    import glob
+    import os
+
+    emb = spark.table("embeddings")
+    path = str(tmp_path / "ivf_inc")
+    SIM.build_ivf_index(emb.filter(F.col("vec_id") < 100), path, num_cells=8)
+
+    def snap():
+        return {
+            p: (os.path.getsize(p), os.path.getmtime(p))
+            for p in glob.glob(os.path.join(path, "cell=*", "*.parquet"))
+        }
+
+    before = snap()
+    SIM.append_to_ivf_index(spark, path, emb.filter(F.col("vec_id") >= 100))
+    after = snap()
+    assert set(before) <= set(after)           # nothing deleted
+    assert all(after[p] == before[p] for p in before)  # nothing rewritten
+    assert len(after) > len(before)            # delta files landed
