@@ -177,3 +177,63 @@ def test_word_shingles_matches_naive_definition(spark, words, k):
     else:
         expected = [" ".join(toks)]
     assert got == expected
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+            min_size=1,
+            max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_containment_dedup_invariants(spark, texts):
+    """Random small corpora: (1) every input doc gets exactly one
+    verdict; (2) keep implies exact-canonical; (3) idempotence — for
+    every above-threshold pair one side is dropped, so re-running on
+    the survivors keeps them all."""
+    from datacatalog_tag_engine_spark.pipeline import dedup as DD
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = DD.containment_dedup(df).collect()
+    assert sorted(r["doc_id"] for r in out) == [i for i, _ in rows]
+    kept_ids = {r["doc_id"] for r in out if r["keep"]}
+    canon = {
+        r["doc_id"]
+        for r in DD.exact_dedup(df).collect()
+        if r["is_canonical"]
+    }
+    assert kept_ids <= canon
+    surv = df.join(
+        spark.createDataFrame([(i,) for i in sorted(kept_ids)], "doc_id long"),
+        "doc_id",
+        "left_semi",
+    )
+    again = DD.containment_dedup(surv).collect()
+    assert all(r["keep"] for r in again)
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=30, unique=True),
+    clone_pairs=st.integers(min_value=0, max_value=5),
+)
+@settings(max_examples=15, deadline=None)
+def test_holdout_split_never_leaks(spark, ids, clone_pairs):
+    """Random id sets with planted cross-boundary clones: no
+    fingerprint ever appears in both train and eval (clones of an
+    eval doc land in eval or quarantine, never train)."""
+    from datacatalog_tag_engine_spark.pipeline import sampling as SMP
+
+    rows = [(i, f"text body {i % max(1, len(ids) // 3)}") for i in ids]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = df.join(SMP.holdout_split(df), "doc_id").select("text", "split").collect()
+    by_fp: dict = {}
+    for r in out:
+        by_fp.setdefault(r["text"], set()).add(r["split"])
+    for splits in by_fp.values():
+        assert not ({"train", "eval"} <= splits)
