@@ -383,3 +383,83 @@ def session_funnel(
             F.lit(0.0)
         ),
     )
+
+
+def event_rate_anomaly(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-type event-rate anomaly profile: hourly tumbling counts,
+    then the median/MAD robust-outlier rule (``length_outliers``' own
+    arithmetic) over each type's hourly series — the monitoring
+    number that catches a broken producer (rate cliff) or a replayed
+    backlog (rate spike) without being dragged by the anomaly itself
+    the way mean/stddev is.
+
+    Two shuffles by nature: (type, hour)-grain counts, then two
+    type-grain exact medians (at 100 TB swap for percentile_approx —
+    q74 certifies the tolerance). Only hours WITH events count — a
+    silent gap is a rate-0 hour and needs the event-time axis of the
+    streaming monitor (gate_metrics), not a batch profile. Returns
+    (event_type, n_hours, median_rate, mad_rate, n_anomalous,
+    max_rate)."""
+    hourly = events.groupBy(
+        F.col(type_col).alias("_t"), F.date_trunc("hour", F.col(ts_col)).alias("_h")
+    ).agg(F.count("*").alias("_n"))
+    med = hourly.groupBy("_t").agg(F.expr("percentile(_n, 0.5)").alias("_med"))
+    dev = hourly.join(F.broadcast(med), "_t").withColumn(
+        "_adev", F.abs(F.col("_n") - F.col("_med"))
+    )
+    mad = dev.groupBy("_t").agg(F.expr("percentile(_adev, 0.5)").alias("_mad"))
+    return (
+        dev.join(F.broadcast(mad), "_t")
+        .groupBy(F.col("_t").alias(type_col))
+        .agg(
+            F.count("*").cast("long").alias("n_hours"),
+            F.round(F.first("_med"), 2).alias("median_rate"),
+            F.round(F.first("_mad"), 2).alias("mad_rate"),
+            F.sum(
+                (F.col("_adev") > k * F.greatest(F.col("_mad"), F.lit(1.0))).cast("long")
+            ).cast("long").alias("n_anomalous"),
+            F.max("_n").cast("long").alias("max_rate"),
+        )
+    )
+
+
+def lang_source_profile(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    source_col: str = "source",
+) -> DataFrame:
+    """Language x source contingency profile with independence ratios:
+    observed cell counts against the expected-under-independence count
+    (row_total x col_total / grand_total) — the mixture-QA view that
+    shows WHERE languages concentrate (ratio >> 1: a source is the de
+    facto home of a language; ratio << 1 with big marginals: a gap the
+    sampling weights should know about).
+
+    One (lang, source)-grain aggregate plus two broadcast marginal
+    joins; output is observed cells only (|langs| x |sources| upper
+    bound). Returns (lang, source, n_docs, expected, ratio), expected
+    rounded 2, ratio rounded 4."""
+    cells = docs.groupBy(
+        F.col(lang_col).alias("lang"), F.col(source_col).alias("source")
+    ).agg(F.count("*").alias("n_docs"))
+    lt = cells.groupBy("lang").agg(F.sum("n_docs").alias("_lt"))
+    st = cells.groupBy("source").agg(F.sum("n_docs").alias("_st"))
+    from pyspark.sql import Window
+
+    grand = F.sum("n_docs").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    joined = cells.join(F.broadcast(lt), "lang").join(F.broadcast(st), "source")
+    exp = F.col("_lt") * F.col("_st") / grand
+    return joined.select(
+        "lang",
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(exp, 2).alias("expected"),
+        F.round(F.col("n_docs") / exp, 4).alias("ratio"),
+    )

@@ -1736,3 +1736,51 @@ def gate_mixture_drift(
         F.round(sa, 6).alias("share_after"),
         F.round(sa - sb, 6).alias("share_drift"),
     )
+
+
+def top_ngrams_per_group(
+    docs: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Top-k most frequent word n-grams per group — the corpus
+    inspection surface behind every "what is this source actually
+    full of" question, and the boilerplate detector that feeds
+    max_df/stop-shingle choices in the dedup family (an n-gram
+    dominating a source's top list IS its candidate stop-shingle).
+
+    Deterministic ranking: count desc, then the n-gram ascending —
+    both engines agree on ties. One (group, ngram)-grain map-side-
+    combined count, then a per-group top-k window over the counted
+    rows (never the raw tokens). Returns (by, ngram, n_occurrences,
+    rank)."""
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    # slice off ngram_array's partial tails (docs with < n words
+    # contribute nothing — no whole-text fallback here, unlike
+    # word_shingles: a 1-word "bigram" is not an n-gram count)
+    full = F.slice(
+        ngram_array(toks, n), 1, F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    )
+    grams = docs.select(
+        F.col(by).alias("_g"),
+        F.explode(full).alias("_ng"),
+    )
+    counts = grams.groupBy("_g", "_ng").agg(F.count("*").alias("n_occurrences"))
+    w = Window.partitionBy("_g").orderBy(F.desc("n_occurrences"), F.asc("_ng"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_g").alias(by),
+            F.col("_ng").alias("ngram"),
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -48,6 +48,13 @@ pairs:
   partitions (resident files byte-untouched, asserted); search on
   the grown index is row-identical to a fresh full rebuild, so the
   wiring reuses E.oracle_sql()['s04_ann_ivf_nprobe'] verbatim.
+- q76_event_rate_anomaly — hourly event-rate median/MAD anomaly
+  profile per type (profiling.event_rate_anomaly), MAD floored at 1.
+- q77_lang_source_profile — lang x source contingency with
+  independence ratios (profiling.lang_source_profile).
+- t32_top_ngrams — top-k word n-grams per source with deterministic
+  tie-break, full grams only (text.top_ngrams_per_group) — the
+  boilerplate/stop-shingle inspection surface.
 """
 
 import duckdb
@@ -741,3 +748,147 @@ def test_ivf_append_leaves_resident_files_untouched(spark, tmp_path):
     assert set(before) <= set(after)           # nothing deleted
     assert all(after[p] == before[p] for p in before)  # nothing rewritten
     assert len(after) > len(before)            # delta files landed
+
+
+# --- q76: event-rate anomaly -------------------------------------------------
+
+
+def event_rate_anomaly_sql(k: float = 3.0) -> str:
+    """Hourly tumbling counts per type + the q66 median/MAD rule over
+    each type's hourly series (quantile_cont == Spark percentile);
+    the MAD floor of 1.0 mirrors the Spark greatest(mad, 1.0)."""
+    return f"""
+WITH hourly AS (
+  SELECT event_type AS t, date_trunc('hour', ts) AS h, count(*) AS n
+  FROM events GROUP BY t, h),
+med AS (SELECT t, quantile_cont(n, 0.5) AS m FROM hourly GROUP BY t),
+dev AS (
+  SELECT hourly.t, n, abs(n - med.m) AS adev, med.m
+  FROM hourly JOIN med USING (t)),
+mad AS (SELECT t, quantile_cont(adev, 0.5) AS md FROM dev GROUP BY t)
+SELECT dev.t AS event_type,
+       count(*)::BIGINT AS n_hours,
+       round(any_value(dev.m), 2) AS median_rate,
+       round(any_value(md), 2) AS mad_rate,
+       count(*) FILTER (adev > {k} * greatest(md, 1.0))::BIGINT AS n_anomalous,
+       max(n)::BIGINT AS max_rate
+FROM dev JOIN mad USING (t) GROUP BY dev.t
+"""
+
+
+def test_oracle_draft_event_rate_anomaly(spark, ddb):
+    got = _rows(PRO.event_rate_anomaly(spark.table("events")))
+    want = _sql_rows(ddb, event_rate_anomaly_sql())
+    assert got == want
+    assert len(got) > 1
+
+
+def test_event_rate_anomaly_flags_planted_spike(spark):
+    """A planted 100x-rate hour is the ONLY anomalous hour; the flat
+    series around it scores zero anomalies."""
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(24):
+        burst = 200 if h == 12 else 2
+        for j in range(burst):
+            rows.append(
+                (eid, t0 + dt.timedelta(hours=h, seconds=j), 1, "view", 0.0, "")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = PRO.event_rate_anomaly(df).collect()[0]
+    assert out["n_anomalous"] == 1 and out["max_rate"] == 200
+    assert out["median_rate"] == 2.0
+
+
+# --- q77: lang x source contingency ------------------------------------------
+
+
+def lang_source_profile_sql() -> str:
+    return """
+WITH cells AS (
+  SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source),
+lt AS (SELECT lang, sum(n) AS lt FROM cells GROUP BY lang),
+st AS (SELECT source, sum(n) AS st FROM cells GROUP BY source),
+g AS (SELECT sum(n)::DOUBLE AS total FROM cells)
+SELECT lang, source,
+       n::BIGINT AS n_docs,
+       round(lt * st / total, 2) AS expected,
+       round(n / (lt * st / total), 4) AS ratio
+FROM cells JOIN lt USING (lang) JOIN st USING (source), g
+"""
+
+
+def test_oracle_draft_lang_source_profile(spark, ddb):
+    got = _rows(PRO.lang_source_profile(spark.table("documents")))
+    want = _sql_rows(ddb, lang_source_profile_sql())
+    assert got == want
+    assert len(got) > 1
+
+
+def test_lang_source_profile_independence_baseline(spark):
+    """A perfectly independent contingency table scores ratio 1.0 on
+    every cell; a lang exclusive to one source scores |sources| on its
+    home cell."""
+    rows = [(i, ["en", "fr"][i % 2], ["a", "b"][(i // 2) % 2]) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    flat = PRO.lang_source_profile(df).collect()
+    assert all(r["ratio"] == 1.0 for r in flat)
+    rows2 = [(i, "en", ["a", "b"][i % 2]) for i in range(20)] + [
+        (100 + i, "xx", "a") for i in range(10)
+    ]
+    df2 = spark.createDataFrame(rows2, "doc_id long, lang string, source string")
+    home = {
+        (r["lang"], r["source"]): r["ratio"]
+        for r in PRO.lang_source_profile(df2).collect()
+    }
+    assert home[("xx", "a")] == 1.5  # 10 / (10 * 20/30)
+
+
+# --- t32: top n-grams per source ---------------------------------------------
+
+
+def top_ngrams_sql(n: int = 2, k: int = 3) -> str:
+    """Word n-grams per source (full grams only, lowercased) ranked by
+    (count desc, gram asc) — both engines agree on ties."""
+    return rf"""
+WITH toks AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+                     x -> length(x) > 0) AS w
+  FROM documents),
+grams AS (
+  SELECT source,
+         unnest(list_transform(range(1, len(w) - {n - 2}),
+                               i -> array_to_string(w[i:i+{n - 1}], ' '))) AS ng
+  FROM toks WHERE len(w) >= {n}),
+counts AS (SELECT source, ng, count(*) AS n FROM grams GROUP BY source, ng)
+SELECT source, ng AS ngram, n::BIGINT AS n_occurrences,
+       cast(row_number() OVER (PARTITION BY source ORDER BY n DESC, ng) AS INT) AS rank
+FROM counts
+QUALIFY rank <= {k}
+"""
+
+
+def test_oracle_draft_top_ngrams(spark, ddb):
+    got = _rows(TXT.top_ngrams_per_group(spark.table("documents")))
+    want = _sql_rows(ddb, top_ngrams_sql())
+    assert got == want
+    assert len(got) > 1
+
+
+def test_top_ngrams_deterministic_ties_and_no_partial_tails(spark):
+    rows = [
+        (1, "s", "a b a b c"),   # bigrams: "a b" x2, "b a", "b c"
+        (2, "s", "z"),           # 1 word -> contributes nothing
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = [(r["ngram"], r["n_occurrences"], r["rank"])
+           for r in TXT.top_ngrams_per_group(df, k=3).collect()]
+    assert out == [("a b", 2, 1), ("b a", 1, 2), ("b c", 1, 3)]
