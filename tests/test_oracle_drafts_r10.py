@@ -55,6 +55,11 @@ pairs:
 - t32_top_ngrams — top-k word n-grams per source with deterministic
   tie-break, full grams only (text.top_ngrams_per_group) — the
   boilerplate/stop-shingle inspection surface.
+- q78_cohort_via_state — the streaming cohort decomposition's batch
+  replay (streaming.usage.cohort_user_days + cohort_retention_finish)
+  reproducing the certified q70 operator exactly; oracle =
+  E.cohort_retention_sql() verbatim — a driver hash on the
+  decomposition the stream==batch pytest certifies.
 """
 
 import duckdb
@@ -892,3 +897,22 @@ def test_top_ngrams_deterministic_ties_and_no_partial_tails(spark):
     out = [(r["ngram"], r["n_occurrences"], r["rank"])
            for r in TXT.top_ngrams_per_group(df, k=3).collect()]
     assert out == [("a b", 2, 1), ("b a", 1, 2), ("b c", 1, 3)]
+
+
+# --- q78: cohort retention via the streaming state decomposition -------------
+
+
+def test_oracle_draft_cohort_via_state(spark, ddb):
+    """The streaming decomposition's batch replay: cohort_user_days
+    (the per-user state the stream maintains) + cohort_retention_finish
+    (the dashboard query) must reproduce the certified q70 operator —
+    and therefore its oracle — exactly. Wiring this as a queries()
+    entry at r10 puts a driver hash on the decomposition itself;
+    the oracle reuses E.cohort_retention_sql() verbatim."""
+    from datacatalog_tag_engine_spark.streaming import usage as U
+
+    events = spark.table("events")
+    got = _rows(U.cohort_retention_finish(U.cohort_user_days(events)))
+    want = _sql_rows(ddb, E.cohort_retention_sql())
+    assert got == want
+    assert len(got) > 1
