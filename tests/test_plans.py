@@ -349,3 +349,51 @@ def test_ivfpq_rerank_broadcasts_shortlist(spark):
     assert "neighbor_id" in key_lines
     assert "query_id" in key_lines
     assert "BroadcastHashJoin" in p
+
+
+def test_range_search_joins_cells_no_corpus_cartesian(spark):
+    """s16 draft: the radius search must keep ivf_topk's shape — the
+    corpus side joins the broadcast query probes on the cell key
+    (never a corpus cartesian) — minus the ranking: exactly one fewer
+    Window than the top-k surface (the cell-assignment windows stay,
+    the per-query rank window is gone; range search is a filter, not
+    a ranking)."""
+    emb = spark.table("embeddings")
+    qs = emb.filter(F.col("vec_id") < 3)
+    p = plan_of(
+        SIM.range_search(emb, qs, threshold=0.2, num_cells=8, nprobe=2)
+    )
+    p_topk = plan_of(SIM.ivf_topk(emb, qs, k=3, num_cells=8, nprobe=2))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    # formatted output prints each Window node several times (tree +
+    # detail sections); the ranking window's absence shows as a
+    # strictly smaller count at a 2:3 node ratio (2 assignment/probe
+    # windows vs those plus the per-query rank window)
+    assert 0 < p.count("Window") < p_topk.count("Window")
+
+
+def test_ngram_novelty_aggregates_hashed_longs(spark):
+    """t31 draft: both rollups run over the xxhash64 relation
+    (map-side partial aggregates), and the spread join is an equi-join
+    on the 8-byte hash — no string shingle ever shuffles twice."""
+    docs = spark.table("documents")
+    p = plan_of(DD.ngram_novelty(docs))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "xxhash64" in p
+    assert p.count("partial_count") >= 2  # both rollups map-side combined
+
+
+def test_cell_balance_live_and_indexed_share_rollup_shape(spark, tmp_path):
+    """s20 draft: the persisted-layout profile's aggregate subtree has
+    the same shape as the live one (shared _occupancy_profile) while
+    its scan reads nothing but the partition column."""
+    emb = spark.table("embeddings")
+    path = str(tmp_path / "ivf_plan_idx")
+    SIM.build_ivf_index(emb, path, num_cells=8)
+    p_idx = plan_of(SIM.cell_balance_from_index(spark, path))
+    assert "ReadSchema: struct<>" in p_idx
+    for p in (p_idx, plan_of(SIM.cell_balance(emb))):
+        assert "partial_count" in p       # map-side combine
+        assert "CartesianProduct" not in p
