@@ -150,3 +150,56 @@ def shard_balance(
         *cols,
         F.round(F.col("n_docs") * num_shards / total, 4).alias("doc_skew"),
     )
+
+
+def dirty_shards(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    num_shards: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental-export planner: between two corpus versions, which
+    training shards actually need rewriting. Because the md5 bucket
+    rule is a pure function of the id, a doc's shard NEVER moves when
+    other docs come and go (no resharding cascade — the property
+    round-robin or size-balanced assignment lacks), so the delta
+    between versions touches exactly the shards holding an added or
+    removed id; everything else is byte-identical on disk (the writes
+    are deterministic and id-sorted) and can be skipped.
+
+    One full outer join on the id (both sides pre-bucketed — the
+    shard is derived, not joined on), one shard-grain rollup, the
+    generated shard axis keeping clean shards visible. At 100 TB with
+    daily deltas this is the difference between rewriting the corpus
+    and rewriting ~delta-sized dirty shards.
+
+    Returns (shard, n_kept, n_added, n_removed, needs_rewrite) for
+    every shard."""
+    o = shard_assignments(old_docs.select(id_col), num_shards, id_col).select(
+        id_col, "shard", F.lit(1).alias("_o")
+    )
+    n = shard_assignments(new_docs.select(id_col), num_shards, id_col).select(
+        id_col, "shard", F.lit(1).alias("_n")
+    )
+    j = o.join(n, [id_col, "shard"], "full")
+    per = j.groupBy("shard").agg(
+        F.sum((F.col("_o").isNotNull() & F.col("_n").isNotNull()).cast("long"))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(F.col("_o").isNull().cast("long")).cast("long").alias("n_added"),
+        F.sum(F.col("_n").isNull().cast("long")).cast("long").alias("n_removed"),
+    )
+    spark = old_docs.sparkSession
+    axis = spark.range(num_shards).select(F.col("id").cast("int").alias("shard"))
+    out = axis.join(per, "shard", "left")
+    return out.select(
+        "shard",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("n_added"), F.lit(0)).cast("long").alias("n_added"),
+        F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+        (
+            F.coalesce(F.col("n_added"), F.lit(0))
+            + F.coalesce(F.col("n_removed"), F.lit(0))
+            > 0
+        ).alias("needs_rewrite"),
+    )

@@ -60,6 +60,10 @@ pairs:
   reproducing the certified q70 operator exactly; oracle =
   E.cohort_retention_sql() verbatim — a driver hash on the
   decomposition the stream==batch pytest certifies.
+- q79_dirty_shards — the incremental-export planner
+  (export.dirty_shards): which shards need rewriting between two
+  corpus versions; the md5 bucket's no-resharding-cascade property
+  pinned (one added doc dirties exactly its own shard).
 """
 
 import duckdb
@@ -916,3 +920,69 @@ def test_oracle_draft_cohort_via_state(spark, ddb):
     want = _sql_rows(ddb, E.cohort_retention_sql())
     assert got == want
     assert len(got) > 1
+
+
+# --- q79: dirty-shard export planner -----------------------------------------
+
+
+def dirty_shards_sql(num_shards: int = 8) -> str:
+    """Both corpus versions bucketed by the q58 md5 rule, FULL JOIN on
+    the id, shard-grain rollup with the all-shards axis. Versions:
+    old = doc_id % 17 != 0 (the DSIR raw split), new = doc_id % 13 != 0
+    — overlapping but distinct, both derived from the documents view."""
+    bucket = "(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % " + str(num_shards) + ")"
+    return f"""
+WITH o AS (SELECT doc_id, {bucket} AS shard FROM documents WHERE doc_id % 17 != 0),
+n AS (SELECT doc_id, {bucket} AS shard FROM documents WHERE doc_id % 13 != 0),
+j AS (
+  SELECT coalesce(o.shard, n.shard) AS shard,
+         o.doc_id AS od, n.doc_id AS nd
+  FROM o FULL JOIN n ON o.doc_id = n.doc_id),
+per AS (
+  SELECT shard,
+         sum((od IS NOT NULL AND nd IS NOT NULL)::INT) AS n_kept,
+         sum((od IS NULL)::INT) AS n_added,
+         sum((nd IS NULL)::INT) AS n_removed
+  FROM j GROUP BY shard),
+axis AS (SELECT unnest(range({num_shards}))::INT AS shard)
+SELECT a.shard,
+       coalesce(n_kept, 0)::BIGINT AS n_kept,
+       coalesce(n_added, 0)::BIGINT AS n_added,
+       coalesce(n_removed, 0)::BIGINT AS n_removed,
+       coalesce(n_added, 0) + coalesce(n_removed, 0) > 0 AS needs_rewrite
+FROM axis a LEFT JOIN per ON per.shard = a.shard
+"""
+
+
+def _q79(spark):
+    from datacatalog_tag_engine_spark.pipeline.export import dirty_shards
+
+    docs = spark.table("documents")
+    old = docs.filter(F.col("doc_id") % 17 != 0)
+    new = docs.filter(F.col("doc_id") % 13 != 0)
+    return dirty_shards(old, new, 8)
+
+
+def test_oracle_draft_dirty_shards(spark, ddb):
+    got = _rows(_q79(spark))
+    want = _sql_rows(ddb, dirty_shards_sql(8))
+    assert got == want
+    assert len(got) == 8
+
+
+def test_dirty_shards_identical_versions_are_all_clean(spark):
+    """No delta -> zero dirty shards; a single added doc dirties
+    exactly its own shard (the no-resharding-cascade property)."""
+    from datacatalog_tag_engine_spark.pipeline.export import dirty_shards
+    from datacatalog_tag_engine_spark.pipeline.export import shard_assignments
+
+    docs = spark.table("documents")
+    same = dirty_shards(docs, docs, 8).collect()
+    assert all(not r["needs_rewrite"] for r in same)
+    assert sum(r["n_kept"] for r in same) == docs.count()
+    extra = spark.createDataFrame([(10**7,)], "doc_id long")
+    grown = dirty_shards(docs, docs.select("doc_id").unionByName(extra), 8).collect()
+    dirty = [r for r in grown if r["needs_rewrite"]]
+    assert len(dirty) == 1 and dirty[0]["n_added"] == 1 and dirty[0]["n_removed"] == 0
+    home = shard_assignments(extra, 8).collect()[0]["shard"]
+    assert dirty[0]["shard"] == home
