@@ -71,6 +71,13 @@ def main() -> None:
         "m05_manifest_stats": lambda: MM.manifest_stats(
             MM.extract_features(MM.make_fake_media(spark, 16))
         ),
+        "q79_dirty_shards": lambda: __import__(
+            "datacatalog_tag_engine_spark.pipeline.export", fromlist=["dirty_shards"]
+        ).dirty_shards(
+            docs.filter(F.col("doc_id") % 17 != 0),
+            docs.filter(F.col("doc_id") % 13 != 0),
+            8,
+        ),
     }
     out = {}
     for name, fn in cases.items():
