@@ -3001,14 +3001,31 @@ FROM t
 """
 
 
-def containment_sql(threshold: float = 0.8) -> str:
+def _df_capped_cte(sh: str, out: str, max_df: int) -> str:
+    """The max_df join-side filter, replayed exactly as the Spark side
+    applies it: shingles with document frequency > max_df leave the
+    INTERSECTION join only (set sizes still count every shingle)."""
+    return f"""{out} AS (
+  SELECT {sh}.doc_id, {sh}.shingle
+  FROM {sh} JOIN (SELECT shingle FROM {sh} GROUP BY shingle
+                  HAVING count(*) <= {max_df}) USING (shingle))"""
+
+
+def containment_sql(threshold: float = 0.8, max_df: int | None = None) -> str:
     """Same inverted-index derivation as the d04 oracle, with the
-    asymmetric denominator: inter / least(|A|, |B|)."""
+    asymmetric denominator: inter / least(|A|, |B|). ``max_df`` replays
+    containment_pairs' default-on stop-shingle cap: the intersection is
+    computed over df-capped shingles, sizes over all of them."""
+    join_src = "sh"
+    cap = ""
+    if max_df is not None:
+        join_src = "shf"
+        cap = _df_capped_cte("sh", "shf", max_df) + ",\n"
     return f"""
 WITH {_shingle_cte()},
-inter AS (
+{cap}inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM {join_src} a JOIN {join_src} b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
 SELECT doc_a, doc_b, round(i / least(sa.n, sb.n), 4) AS containment
@@ -3042,11 +3059,19 @@ FROM shared JOIN sizes sa ON sa.src = source_a JOIN sizes sb ON sb.src = source_
 """
 
 
-def containment_dedup_sql(threshold: float = 0.8) -> str:
+def containment_dedup_sql(threshold: float = 0.8, max_df: int | None = None) -> str:
     """Exact-canonical selection (the d01 raw-md5 rule), then the d12
     containment derivation restricted to canonicals, then the
     single-pass dominance rule: loser = smaller shingle set, tie ->
-    doc_b (the higher id, since pairs are emitted doc_a < doc_b)."""
+    doc_b (the higher id, since pairs are emitted doc_a < doc_b).
+    ``max_df`` replays the default-on stop-shingle cap (join side only,
+    df computed over the canonicals' shingles — the corpus the pair
+    join actually sees)."""
+    join_src = "sh"
+    cap = ""
+    if max_df is not None:
+        join_src = "shf"
+        cap = _df_capped_cte("sh", "shf", max_df) + ",\n"
     return f"""
 WITH fpt AS (SELECT doc_id, md5(text) AS fp FROM documents),
 can AS (
@@ -3056,9 +3081,9 @@ cd AS (
   SELECT d.doc_id, d.text FROM documents d
   JOIN can ON can.doc_id = d.doc_id AND can.is_canon),
 {_shingle_cte("cd")},
-inter AS (
+{cap}inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM {join_src} a JOIN {join_src} b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 pairs AS (
@@ -4464,9 +4489,10 @@ ccd AS MATERIALIZED (
   SELECT d.doc_id, d.text FROM canon d
   JOIN ccan ON ccan.doc_id = d.doc_id AND ccan.is_canon),
 {_shingle_cte("ccd", "ct_")},
+{_df_capped_cte("ct_sh", "ct_shf", DD.DEFAULT_CONTAINMENT_MAX_DF)},
 cinter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-  FROM ct_sh a JOIN ct_sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM ct_shf a JOIN ct_shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2),
 csizes AS (SELECT doc_id, count(*) AS n FROM ct_sh GROUP BY doc_id),
 cpairs AS (
@@ -4531,9 +4557,11 @@ FROM all_shards a LEFT JOIN per ON per.shard = a.shard
     o["m03_audio_fp_neardup"] = audio_fp_neardup_sql()
     o["m04_video_frame_neardup"] = video_frame_neardup_sql()
     o["d11_source_dup_profile"] = source_dup_profile_sql()
-    o["d12_containment"] = containment_sql(0.8)
+    o["d12_containment"] = containment_sql(0.8, DD.DEFAULT_CONTAINMENT_MAX_DF)
     o["d13_cross_source_overlap"] = cross_source_overlap_sql()
-    o["d14_containment_dedup"] = containment_dedup_sql()
+    o["d14_containment_dedup"] = containment_dedup_sql(
+        max_df=DD.DEFAULT_CONTAINMENT_MAX_DF
+    )
     o["s13_cell_balance"] = cell_balance_sql()
     o["s14_ivfpq_rerank"] = ivfpq_rerank_sql(nprobe=2, shortlist=20, k=5)
     # the persisted form replays s14's oracle EXACTLY (the s10/s11

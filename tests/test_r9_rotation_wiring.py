@@ -45,9 +45,17 @@ def test_wired_r9_oracles_are_the_proven_generators():
     assert o["m03_audio_fp_neardup"] == E.audio_fp_neardup_sql()
     assert o["m04_video_frame_neardup"] == E.video_frame_neardup_sql()
     assert o["d11_source_dup_profile"] == E.source_dup_profile_sql()
-    assert o["d12_containment"] == E.containment_sql(0.8)
+    # r10: the containment family's stop-shingle cap defaulted ON;
+    # the wired strings carry it (proven in test_oracle_drafts_r10)
+    from datacatalog_tag_engine_spark.pipeline.dedup import (
+        DEFAULT_CONTAINMENT_MAX_DF,
+    )
+
+    assert o["d12_containment"] == E.containment_sql(0.8, DEFAULT_CONTAINMENT_MAX_DF)
     assert o["d13_cross_source_overlap"] == E.cross_source_overlap_sql()
-    assert o["d14_containment_dedup"] == E.containment_dedup_sql()
+    assert o["d14_containment_dedup"] == E.containment_dedup_sql(
+        max_df=DEFAULT_CONTAINMENT_MAX_DF
+    )
     assert o["s13_cell_balance"] == E.cell_balance_sql()
     assert o["s14_ivfpq_rerank"] == E.ivfpq_rerank_sql(nprobe=2, shortlist=20, k=5)
     assert o["s15_ivfpq_rerank_from_index"] == o["s14_ivfpq_rerank"]
