@@ -64,6 +64,12 @@ pairs:
   (export.dirty_shards): which shards need rewriting between two
   corpus versions; the md5 bucket's no-resharding-cascade property
   pinned (one added doc dirties exactly its own shard).
+
+ROTATION LANDED (round-10 start): all eighteen queries are wired as
+queries()/oracle_sql() pairs and the generator functions moved to
+__spark_entry__ (one copy; this file imports them back — E.<name>);
+the window invariants live in tests/test_r10_rotation_wiring.py,
+which also carries the mechanical rounds-since-green aging ledger.
 """
 
 import duckdb
@@ -110,27 +116,6 @@ def _sql_rows(con, sql):
 # --- s16: IVF range search ---------------------------------------------------
 
 
-def range_search_sql(threshold: float = 0.2, nprobe: int = 2) -> str:
-    """The s04 probe chain with a threshold filter instead of the
-    top-k QUALIFY — no ranking at all."""
-    return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cents AS (SELECT vec_id AS cell, v AS cent_v FROM e ORDER BY vec_id LIMIT 8),
-ranked AS (
-  SELECT e.vec_id, e.v, c.cell,
-         row_number() OVER (PARTITION BY e.vec_id
-                            ORDER BY round(list_cosine_similarity(e.v, c.cent_v), 6) DESC, c.cell) AS rn
-  FROM e CROSS JOIN cents c),
-assign AS (SELECT vec_id, v, cell FROM ranked WHERE rn = 1),
-qprobe AS (SELECT vec_id, v, cell FROM ranked WHERE rn <= {nprobe} AND vec_id < 5),
-scored AS (
-  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
-         round(list_cosine_similarity(q.v, a.v), 4) AS cosine
-  FROM qprobe q JOIN assign a ON q.cell = a.cell AND q.vec_id <> a.vec_id)
-SELECT query_id, neighbor_id, cosine FROM scored WHERE cosine >= {threshold}
-"""
-
-
 def _s16(spark):
     emb = spark.table("embeddings")
     return SIM.range_search(
@@ -140,7 +125,7 @@ def _s16(spark):
 
 def test_oracle_draft_range_search(spark, ddb):
     got = _rows(_s16(spark))
-    want = _sql_rows(ddb, range_search_sql(0.2, 2))
+    want = _sql_rows(ddb, E.range_search_sql(0.2, 2))
     assert got == want
     assert len(got) > 0
 
@@ -165,36 +150,9 @@ def test_range_search_subsumes_ivf_topk(spark):
 # --- s17: per-cell inertia ---------------------------------------------------
 
 
-def cell_inertia_sql(num_cells: int = 8) -> str:
-    """s03 assignment + exact integer micro-lattice squared-L2 to the
-    (quantized) centroid, cell-grain sums."""
-    return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cents AS (SELECT vec_id AS cell, v AS cent_v FROM e ORDER BY vec_id LIMIT {num_cells}),
-qc AS (SELECT cell, list_transform(cent_v, x -> round(x * 1e6)::BIGINT) AS qc FROM cents),
-assign AS (
-  SELECT vec_id, v, cell FROM (
-    SELECT e.vec_id, e.v, c.cell,
-           row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY round(list_cosine_similarity(e.v, c.cent_v), 6) DESC, c.cell) AS rn
-    FROM e CROSS JOIN cents c) WHERE rn = 1),
-qv AS (SELECT cell, list_transform(v, x -> round(x * 1e6)::BIGINT) AS qsv FROM assign),
-d AS (
-  SELECT qv.cell,
-         list_sum(list_transform(range(1, len(qsv) + 1),
-                  i -> (qsv[i] - qc.qc[i]) * (qsv[i] - qc.qc[i]))) AS d
-  FROM qv JOIN qc USING (cell))
-SELECT cell,
-       count(*)::BIGINT AS n_vectors,
-       sum(d)::BIGINT AS inertia_micro,
-       round(sum(d) / count(*), 2) AS mean_inertia_micro
-FROM d GROUP BY cell
-"""
-
-
 def test_oracle_draft_cell_inertia(spark, ddb):
     got = _rows(SIM.cell_inertia(spark.table("embeddings")))
-    want = _sql_rows(ddb, cell_inertia_sql())
+    want = _sql_rows(ddb, E.cell_inertia_sql())
     assert got == want
     assert len(got) > 1
 
@@ -216,40 +174,9 @@ def test_cell_inertia_conserves_and_trained_is_lower(spark):
 # --- s18: PQ code histogram --------------------------------------------------
 
 
-def pq_code_histogram_sql(num_subspaces: int = 4, num_codes: int = 16) -> str:
-    """The s07 encode CTEs + a generated (m, code) axis so dead codes
-    keep their row; per-subspace balance window."""
-    sub = 64 // num_subspaces
-    return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cent AS (
-  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
-  FROM e ORDER BY vec_id LIMIT {num_codes}),
-ms AS (SELECT unnest(range({num_subspaces})) AS m),
-csub AS (SELECT c, m, v[m*{sub}+1 : m*{sub}+{sub}] AS cv FROM cent, ms),
-esub AS (SELECT vec_id, m, v[m*{sub}+1 : m*{sub}+{sub}] AS sv FROM e, ms),
-dists AS (
-  SELECT vec_id, m, c,
-         list_sum(list_transform(range(1, {sub + 1}),
-                  i -> cast(round((sv[i]-cv[i])^2 * 1e6) AS BIGINT))) AS d
-  FROM esub JOIN csub USING (m)),
-codes AS (
-  SELECT vec_id, m, cast(min(d*{num_codes} + c) % {num_codes} AS INT) AS code
-  FROM dists GROUP BY vec_id, m),
-counts AS (SELECT m, code, count(*) AS n FROM codes GROUP BY m, code),
-axis AS (SELECT m::INT AS m, code::INT AS code
-         FROM range({num_subspaces}) tm(m), range({num_codes}) tc(code))
-SELECT a.m, a.code,
-       coalesce(n, 0)::BIGINT AS n_vectors,
-       round(coalesce(n, 0) / (sum(coalesce(n, 0)) OVER (PARTITION BY a.m) / {num_codes}), 4)
-         AS balance_ratio
-FROM axis a LEFT JOIN counts c ON c.m = a.m AND c.code = a.code
-"""
-
-
 def test_oracle_draft_pq_code_histogram(spark, ddb):
     got = _rows(SIM.pq_code_histogram(spark.table("embeddings")))
-    want = _sql_rows(ddb, pq_code_histogram_sql())
+    want = _sql_rows(ddb, E.pq_code_histogram_sql())
     assert got == want
     assert len(got) == 64
 
@@ -269,25 +196,9 @@ def test_pq_code_histogram_conserves_per_subspace(spark):
 # --- t30: character coverage -------------------------------------------------
 
 
-def char_coverage_sql() -> str:
-    return r"""
-WITH c AS (
-  SELECT source,
-         length(coalesce(text, '')) AS nc,
-         length(regexp_replace(lower(coalesce(text, '')),
-                               '[a-z0-9\s.,;:!?''"()\-]', '', 'g')) AS no
-  FROM documents)
-SELECT source,
-       sum(nc)::BIGINT AS n_chars,
-       sum(no)::BIGINT AS n_outside,
-       round(1.0 - sum(no) / greatest(sum(nc), 1), 6) AS coverage
-FROM c GROUP BY source
-"""
-
-
 def test_oracle_draft_char_coverage(spark, ddb):
     got = _rows(TXT.char_coverage(spark.table("documents")))
-    want = _sql_rows(ddb, char_coverage_sql())
+    want = _sql_rows(ddb, E.char_coverage_sql())
     assert got == want
     assert len(got) > 1
 
@@ -306,28 +217,9 @@ def test_char_coverage_flags_outside_alphabet(spark):
 # --- t31: n-gram novelty -----------------------------------------------------
 
 
-def ngram_novelty_sql() -> str:
-    """The d13 sfp derivation + shingle->n_sources spread rollup."""
-    return r"""
-WITH toks AS (SELECT source, regexp_split_to_array(text, '\s+') w FROM documents),
-sfp AS (
-  SELECT DISTINCT source AS src,
-         unnest(CASE WHEN len(w) >= 3
-                THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
-                ELSE [array_to_string(w, ' ')] END) AS fp
-  FROM toks),
-spread AS (SELECT fp, count(*) AS ns FROM sfp GROUP BY fp)
-SELECT src AS source,
-       count(*)::BIGINT AS n_shingles,
-       sum((ns = 1)::INT)::BIGINT AS n_exclusive,
-       round(sum((ns = 1)::INT) / count(*), 4) AS novelty_frac
-FROM sfp JOIN spread USING (fp) GROUP BY src
-"""
-
-
 def test_oracle_draft_ngram_novelty(spark, ddb):
     got = _rows(DD.ngram_novelty(spark.table("documents")))
-    want = _sql_rows(ddb, ngram_novelty_sql())
+    want = _sql_rows(ddb, E.ngram_novelty_sql())
     assert got == want
     assert len(got) > 1
 
@@ -348,49 +240,6 @@ def test_ngram_novelty_complements_overlap(spark):
 # --- q72: gate mixture drift -------------------------------------------------
 
 
-def gate_mixture_drift_sql() -> str:
-    """The q59-stage relaxed Gopher rules (word count 20..100000, the
-    five shape rules, repetition/stopword rules off — the same gf/keep
-    derivation as the q59 oracle prefix) + before/after share rollup."""
-    return r"""
-WITH base AS (
-  SELECT doc_id, source, coalesce(text, '') AS text,
-         list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
-                     x -> length(x) > 0) AS w,
-         list_filter(regexp_split_to_array(coalesce(text, ''), '\n'),
-                     l -> length(trim(l)) > 0) AS lines
-  FROM documents),
-gf AS (
-  SELECT doc_id, source,
-         len(w) AS nw,
-         list_sum(list_transform(w, x -> length(x))) / len(w) AS mwl,
-         len(regexp_extract_all(text, '#|\.\.\.|…')) / len(w) AS sym,
-         len(list_filter(lines, l -> regexp_matches(l, '^\s*(\*|-|•)\s')))
-           / len(lines) AS bullet,
-         len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))
-           / len(lines) AS ell,
-         len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) / len(w) AS alpha
-  FROM base WHERE len(w) > 0 AND len(lines) > 0),
-kept AS (
-  SELECT doc_id, source FROM gf
-  WHERE nw BETWEEN 20 AND 100000
-    AND mwl BETWEEN 3.0 AND 10.0
-    AND sym <= 0.1 AND bullet <= 0.9 AND ell <= 0.3 AND alpha >= 0.8),
-b AS (SELECT source, count(*) AS nb FROM documents GROUP BY source),
-a AS (SELECT source, count(*) AS na FROM kept GROUP BY source),
-j AS (
-  SELECT b.source, nb, coalesce(na, 0) AS na
-  FROM b LEFT JOIN a USING (source))
-SELECT source,
-       nb::BIGINT AS n_before,
-       na::BIGINT AS n_after,
-       round(nb / sum(nb) OVER (), 6) AS share_before,
-       round(na / greatest(sum(na) OVER (), 1), 6) AS share_after,
-       round(na / greatest(sum(na) OVER (), 1) - nb / sum(nb) OVER (), 6) AS share_drift
-FROM j
-"""
-
-
 def _q72(spark):
     return TXT.gate_mixture_drift(
         spark.table("documents"),
@@ -403,7 +252,7 @@ def _q72(spark):
 
 def test_oracle_draft_gate_mixture_drift(spark, ddb):
     got = _rows(_q72(spark))
-    want = _sql_rows(ddb, gate_mixture_drift_sql())
+    want = _sql_rows(ddb, E.gate_mixture_drift_sql())
     assert got == want
     assert len(got) > 1
 
@@ -419,22 +268,6 @@ def test_gate_mixture_drift_shares_sum_to_one(spark):
 # --- q73: cluster-size profile -----------------------------------------------
 
 
-def cluster_size_profile_sql() -> str:
-    """Derived from the wired q34 oracle by replacing its final SELECT
-    with the histogram rollup — ONE copy of the cluster chain."""
-    q34 = E.oracle_sql()["q34_dedup_clusters"]
-    tail = "SELECT doc_id, cluster_id FROM clusters"
-    assert q34.count(tail) == 1
-    return q34.replace(
-        tail,
-        """, csz AS (SELECT cluster_id, count(*) AS cluster_size FROM clusters GROUP BY cluster_id)
-SELECT cluster_size::BIGINT AS cluster_size,
-       count(*)::BIGINT AS n_clusters,
-       (count(*) * cluster_size)::BIGINT AS n_docs
-FROM csz GROUP BY cluster_size""",
-    )
-
-
 def _q73(spark):
     docs = spark.table("documents")
     return DD.cluster_size_profile(docs, DD.minhash_dedup(docs))
@@ -442,7 +275,7 @@ def _q73(spark):
 
 def test_oracle_draft_cluster_size_profile(spark, ddb):
     got = _rows(_q73(spark))
-    want = _sql_rows(ddb, cluster_size_profile_sql())
+    want = _sql_rows(ddb, E.cluster_size_profile_sql(E.oracle_sql()["q34_dedup_clusters"]))
     assert got == want
     assert len(got) > 1
 
@@ -460,24 +293,9 @@ def test_cluster_size_profile_conserves_corpus(spark):
 # --- q74: percentile sketch tolerance ----------------------------------------
 
 
-def percentile_tolerance_sql() -> str:
-    """Exact interpolated percentiles (DuckDB quantile_cont == Spark
-    percentile); the tolerance flag is the q60 pattern — TRUE on the
-    oracle side, computed against percentile_approx on the Spark
-    side."""
-    return """
-SELECT source,
-       round(quantile_cont(n_chars, 0.5), 2) AS p50_exact,
-       round(quantile_cont(n_chars, 0.9), 2) AS p90_exact,
-       round(quantile_cont(n_chars, 0.99), 2) AS p99_exact,
-       TRUE AS sketch_within_tol
-FROM documents GROUP BY source
-"""
-
-
 def test_oracle_draft_percentile_tolerance(spark, ddb):
     got = _rows(PRO.percentile_tolerance_profile(spark.table("documents")))
-    want = _sql_rows(ddb, percentile_tolerance_sql())
+    want = _sql_rows(ddb, E.percentile_tolerance_sql())
     assert got == want
     assert len(got) > 1
 
@@ -505,53 +323,9 @@ def test_percentile_tolerance_flag_is_real(spark):
 # --- q75: session funnel -----------------------------------------------------
 
 
-def session_funnel_sql(steps=("view", "click", "purchase"), gap_minutes: int = 30) -> str:
-    """The q32 session-labeling rule (floor-epoch gap, RANGE-framed
-    running sum) + the q67 ordered-min-ts chain at session grain."""
-    gap = gap_minutes * 60
-    ctes = [
-        rf"""flagged AS (
-  SELECT user_id, ts, event_type,
-         CASE WHEN lag(ts) OVER w IS NULL
-                   OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > {gap}
-              THEN 1 ELSE 0 END AS ns
-  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-sess AS (
-  SELECT user_id || '#' || cast(sum(ns) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS sid,
-         ts, event_type
-  FROM flagged)"""
-    ]
-    for i, s in enumerate(steps):
-        if i == 0:
-            ctes.append(
-                f"s0 AS (SELECT sid, min(ts) AS t FROM sess "
-                f"WHERE event_type = '{s}' GROUP BY sid)"
-            )
-        else:
-            ctes.append(
-                f"s{i} AS (SELECT e.sid, min(e.ts) AS t FROM sess e "
-                f"JOIN s{i-1} p USING (sid) "
-                f"WHERE e.event_type = '{s}' AND e.ts > p.t GROUP BY e.sid)"
-            )
-    unions = " UNION ALL ".join(
-        f"SELECT {i} AS step_index, '{s}' AS step, "
-        f"(SELECT count(*) FROM s{i}) AS n_sessions"
-        for i, s in enumerate(steps)
-    )
-    return f"""
-WITH {', '.join(ctes)},
-u AS ({unions})
-SELECT step_index::INT AS step_index, step, n_sessions::BIGINT AS n_sessions,
-       round(CASE WHEN max(CASE WHEN step_index = 0 THEN n_sessions END) OVER () > 0
-                  THEN n_sessions / max(CASE WHEN step_index = 0 THEN n_sessions END) OVER ()
-                  ELSE 0 END, 4) AS conversion
-FROM u
-"""
-
-
 def test_oracle_draft_session_funnel(spark, ddb):
     got = _rows(PRO.session_funnel(spark.table("events"), list(E.FUNNEL_STEPS)))
-    want = _sql_rows(ddb, session_funnel_sql(tuple(E.FUNNEL_STEPS)))
+    want = _sql_rows(ddb, E.session_funnel_sql(tuple(E.FUNNEL_STEPS)))
     assert got == want
     assert len(got) == 3
 
@@ -588,33 +362,13 @@ def test_session_funnel_is_stricter_than_event_funnel(spark):
 # --- m05: media manifest stats -----------------------------------------------
 
 
-def manifest_stats_sql() -> str:
-    """The m01 oracle wrapped as a subquery + per-kind rollup — one
-    copy of the feature replay. payload_bytes/width/height/duration
-    come straight from m01's columns."""
-    m01 = E.oracle_sql()["m01_multimodal_features"]
-    return f"""
-WITH feats AS ({m01})
-SELECT kind,
-       count(*)::BIGINT AS n_items,
-       sum(payload_bytes)::BIGINT AS total_payload_bytes,
-       count(width)::BIGINT AS n_with_dims,
-       max(width)::INT AS max_width,
-       max(height)::INT AS max_height,
-       count(duration_ms)::BIGINT AS n_with_duration,
-       sum(duration_ms)::BIGINT AS total_duration_ms,
-       max(n_frames)::INT AS max_frames
-FROM feats GROUP BY kind
-"""
-
-
 def _m05(spark):
     return MM.manifest_stats(MM.extract_features(MM.make_fake_media(spark, n=16)))
 
 
 def test_oracle_draft_manifest_stats(spark, ddb):
     got = _rows(_m05(spark))
-    want = _sql_rows(ddb, manifest_stats_sql())
+    want = _sql_rows(ddb, E.manifest_stats_sql(E.oracle_sql()["m01_multimodal_features"]))
     assert got == want
     assert len(got) == 3  # image / audio / video
 
@@ -640,30 +394,9 @@ def test_manifest_stats_handles_missing_attrs(spark):
 # --- s19: embedding-table stats ----------------------------------------------
 
 
-def embedding_stats_sql() -> str:
-    """Micro-lattice norm envelope: per-vector norms quantize to
-    longs before the single-row aggregate, so every statistic is
-    exact integer arithmetic (the mean divides once at the end)."""
-    return """
-WITH n AS (
-  SELECT len(embedding) AS dim,
-         round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) * 1e6)::BIGINT AS nm
-  FROM embeddings)
-SELECT count(*)::BIGINT AS n_vectors,
-       count(DISTINCT dim)::BIGINT AS n_dims_distinct,
-       min(dim)::INT AS dim_min,
-       max(dim)::INT AS dim_max,
-       sum((nm = 0)::INT)::BIGINT AS n_zero,
-       min(nm)::BIGINT AS norm_min_micro,
-       max(nm)::BIGINT AS norm_max_micro,
-       round(sum(nm) / count(*) / 1e6, 6) AS mean_norm
-FROM n
-"""
-
-
 def test_oracle_draft_embedding_stats(spark, ddb):
     got = _rows(SIM.embedding_stats(spark.table("embeddings")))
-    want = _sql_rows(ddb, embedding_stats_sql())
+    want = _sql_rows(ddb, E.embedding_stats_sql())
     assert got == want
     assert len(got) == 1
 
@@ -762,32 +495,9 @@ def test_ivf_append_leaves_resident_files_untouched(spark, tmp_path):
 # --- q76: event-rate anomaly -------------------------------------------------
 
 
-def event_rate_anomaly_sql(k: float = 3.0) -> str:
-    """Hourly tumbling counts per type + the q66 median/MAD rule over
-    each type's hourly series (quantile_cont == Spark percentile);
-    the MAD floor of 1.0 mirrors the Spark greatest(mad, 1.0)."""
-    return f"""
-WITH hourly AS (
-  SELECT event_type AS t, date_trunc('hour', ts) AS h, count(*) AS n
-  FROM events GROUP BY t, h),
-med AS (SELECT t, quantile_cont(n, 0.5) AS m FROM hourly GROUP BY t),
-dev AS (
-  SELECT hourly.t, n, abs(n - med.m) AS adev, med.m
-  FROM hourly JOIN med USING (t)),
-mad AS (SELECT t, quantile_cont(adev, 0.5) AS md FROM dev GROUP BY t)
-SELECT dev.t AS event_type,
-       count(*)::BIGINT AS n_hours,
-       round(any_value(dev.m), 2) AS median_rate,
-       round(any_value(md), 2) AS mad_rate,
-       count(*) FILTER (adev > {k} * greatest(md, 1.0))::BIGINT AS n_anomalous,
-       max(n)::BIGINT AS max_rate
-FROM dev JOIN mad USING (t) GROUP BY dev.t
-"""
-
-
 def test_oracle_draft_event_rate_anomaly(spark, ddb):
     got = _rows(PRO.event_rate_anomaly(spark.table("events")))
-    want = _sql_rows(ddb, event_rate_anomaly_sql())
+    want = _sql_rows(ddb, E.event_rate_anomaly_sql())
     assert got == want
     assert len(got) > 1
 
@@ -819,24 +529,9 @@ def test_event_rate_anomaly_flags_planted_spike(spark):
 # --- q77: lang x source contingency ------------------------------------------
 
 
-def lang_source_profile_sql() -> str:
-    return """
-WITH cells AS (
-  SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source),
-lt AS (SELECT lang, sum(n) AS lt FROM cells GROUP BY lang),
-st AS (SELECT source, sum(n) AS st FROM cells GROUP BY source),
-g AS (SELECT sum(n)::DOUBLE AS total FROM cells)
-SELECT lang, source,
-       n::BIGINT AS n_docs,
-       round(lt * st / total, 2) AS expected,
-       round(n / (lt * st / total), 4) AS ratio
-FROM cells JOIN lt USING (lang) JOIN st USING (source), g
-"""
-
-
 def test_oracle_draft_lang_source_profile(spark, ddb):
     got = _rows(PRO.lang_source_profile(spark.table("documents")))
-    want = _sql_rows(ddb, lang_source_profile_sql())
+    want = _sql_rows(ddb, E.lang_source_profile_sql())
     assert got == want
     assert len(got) > 1
 
@@ -863,31 +558,9 @@ def test_lang_source_profile_independence_baseline(spark):
 # --- t32: top n-grams per source ---------------------------------------------
 
 
-def top_ngrams_sql(n: int = 2, k: int = 3) -> str:
-    """Word n-grams per source (full grams only, lowercased) ranked by
-    (count desc, gram asc) — both engines agree on ties."""
-    return rf"""
-WITH toks AS (
-  SELECT source,
-         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
-                     x -> length(x) > 0) AS w
-  FROM documents),
-grams AS (
-  SELECT source,
-         unnest(list_transform(range(1, len(w) - {n - 2}),
-                               i -> array_to_string(w[i:i+{n - 1}], ' '))) AS ng
-  FROM toks WHERE len(w) >= {n}),
-counts AS (SELECT source, ng, count(*) AS n FROM grams GROUP BY source, ng)
-SELECT source, ng AS ngram, n::BIGINT AS n_occurrences,
-       cast(row_number() OVER (PARTITION BY source ORDER BY n DESC, ng) AS INT) AS rank
-FROM counts
-QUALIFY rank <= {k}
-"""
-
-
 def test_oracle_draft_top_ngrams(spark, ddb):
     got = _rows(TXT.top_ngrams_per_group(spark.table("documents")))
-    want = _sql_rows(ddb, top_ngrams_sql())
+    want = _sql_rows(ddb, E.top_ngrams_sql())
     assert got == want
     assert len(got) > 1
 
@@ -925,35 +598,6 @@ def test_oracle_draft_cohort_via_state(spark, ddb):
 # --- q79: dirty-shard export planner -----------------------------------------
 
 
-def dirty_shards_sql(num_shards: int = 8) -> str:
-    """Both corpus versions bucketed by the q58 md5 rule, FULL JOIN on
-    the id, shard-grain rollup with the all-shards axis. Versions:
-    old = doc_id % 17 != 0 (the DSIR raw split), new = doc_id % 13 != 0
-    — overlapping but distinct, both derived from the documents view."""
-    bucket = "(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % " + str(num_shards) + ")"
-    return f"""
-WITH o AS (SELECT doc_id, {bucket} AS shard FROM documents WHERE doc_id % 17 != 0),
-n AS (SELECT doc_id, {bucket} AS shard FROM documents WHERE doc_id % 13 != 0),
-j AS (
-  SELECT coalesce(o.shard, n.shard) AS shard,
-         o.doc_id AS od, n.doc_id AS nd
-  FROM o FULL JOIN n ON o.doc_id = n.doc_id),
-per AS (
-  SELECT shard,
-         sum((od IS NOT NULL AND nd IS NOT NULL)::INT) AS n_kept,
-         sum((od IS NULL)::INT) AS n_added,
-         sum((nd IS NULL)::INT) AS n_removed
-  FROM j GROUP BY shard),
-axis AS (SELECT unnest(range({num_shards}))::INT AS shard)
-SELECT a.shard,
-       coalesce(n_kept, 0)::BIGINT AS n_kept,
-       coalesce(n_added, 0)::BIGINT AS n_added,
-       coalesce(n_removed, 0)::BIGINT AS n_removed,
-       coalesce(n_added, 0) + coalesce(n_removed, 0) > 0 AS needs_rewrite
-FROM axis a LEFT JOIN per ON per.shard = a.shard
-"""
-
-
 def _q79(spark):
     from datacatalog_tag_engine_spark.pipeline.export import dirty_shards
 
@@ -965,7 +609,7 @@ def _q79(spark):
 
 def test_oracle_draft_dirty_shards(spark, ddb):
     got = _rows(_q79(spark))
-    want = _sql_rows(ddb, dirty_shards_sql(8))
+    want = _sql_rows(ddb, E.dirty_shards_sql(8))
     assert got == want
     assert len(got) == 8
 
@@ -986,3 +630,16 @@ def test_dirty_shards_identical_versions_are_all_clean(spark):
     assert len(dirty) == 1 and dirty[0]["n_added"] == 1 and dirty[0]["n_removed"] == 0
     home = shard_assignments(extra, 8).collect()[0]["shard"]
     assert dirty[0]["shard"] == home
+
+
+def test_ivf_append_rejects_codes_layout(spark, tmp_path):
+    """r10 ADVICE fix: any directory with _centroids used to be
+    appendable — including a build_ivfpq_index layout, whose resident
+    rows are PQ codes; appending raw (id, vec, cell) rows there would
+    silently mix schemas and corrupt the served index. The resident
+    schema is validated before any write."""
+    emb = spark.table("embeddings")
+    path = str(tmp_path / "pq_idx")
+    SIM.build_ivfpq_index(emb, path, num_cells=8)
+    with pytest.raises(ValueError, match="raw-vector"):
+        SIM.append_to_ivf_index(spark, path, emb.filter(F.col("vec_id") >= 100))
