@@ -278,9 +278,11 @@ def percentile_tolerance_profile(
     rel_tol: float = 0.05,
 ) -> DataFrame:
     """Sketched percentiles certified the q60-HLL way: the
-    hash-checked output carries the EXACT per-group percentiles (what
-    both engines can agree on) plus a within-tolerance flag for
-    Spark's ``percentile_approx`` sketch against them — the sketch
+    hash-checked output carries the EXACT interpolated per-group
+    percentiles (what both engines can agree on — DuckDB
+    quantile_cont) plus a within-tolerance flag for Spark's bounded
+    ``percentile_approx`` sketch against the exact DISCRETE quantile
+    (its own estimator class; see the inline comment) — the sketch
     binary itself (Greenwald-Khanna) is not SQL-replayable, the claim
     "the sketch is within rel_tol of exact at this accuracy" is.
 
@@ -290,22 +292,43 @@ def percentile_tolerance_profile(
     mergeable map-side). The tolerance flag is the evidence the swap
     is safe at the declared accuracy. Returns (by, p50_exact,
     p90_exact, p99_exact, sketch_within_tol)."""
-    disc = [F.expr(f"percentile({value_col}, {p})").alias(f"_e{i}") for i, p in enumerate(probs)]
+    exact = [F.expr(f"percentile({value_col}, {p})").alias(f"_e{i}") for i, p in enumerate(probs)]
     approx = [
         F.expr(f"percentile_approx({value_col}, {p}, {accuracy})").alias(f"_a{i}")
         for i, p in enumerate(probs)
     ]
-    agg = docs.groupBy(by).agg(*disc, *approx)
+    # the tolerance compares the sketch against the exact DISCRETE
+    # quantile (percentile_approx at max accuracy — an actual order
+    # statistic), not the interpolated exact: percentile_approx never
+    # interpolates, so on a small group the gap between adjacent order
+    # statistics would fail any value tolerance through no fault of
+    # the sketch (seen at sf0.01: a 25-row group's interpolated p90 =
+    # 451.6 vs the order statistic 484). The interpolated exact stays
+    # in the OUTPUT columns (what DuckDB's quantile_cont replays).
+    disc = [
+        F.expr(f"percentile_approx({value_col}, {p}, 2147483647)").alias(f"_d{i}")
+        for i, p in enumerate(probs)
+    ]
+    agg = docs.groupBy(by).agg(*exact, *approx, *disc)
     within = F.lit(True)
     for i in range(len(probs)):
-        e, a = F.col(f"_e{i}"), F.col(f"_a{i}")
-        within = within & (F.abs(a - e) <= rel_tol * F.greatest(F.abs(e), F.lit(1.0)))
-    names = {0.5: "p50", 0.9: "p90", 0.99: "p99"}
+        d, a = F.col(f"_d{i}"), F.col(f"_a{i}")
+        within = within & (F.abs(a - d) <= rel_tol * F.greatest(F.abs(d), F.lit(1.0)))
+    # output names from the FULL decimal precision: int(p*100) folded
+    # 0.999 onto 0.99 (two p99_exact columns -> ambiguous-column
+    # failures downstream); the canonical probs keep their familiar
+    # names, everything else takes its decimal digits verbatim
+    canonical = {0.5: "p50", 0.9: "p90", 0.99: "p99"}
+    names = [
+        canonical.get(p, "p" + str(p).split(".")[1]) for p in probs
+    ]
+    if len(set(names)) != len(names):
+        raise ValueError(f"probs {probs} produce duplicate column names {names}")
     return agg.select(
         by,
         *[
-            F.round(F.col(f"_e{i}"), 2).alias(f"{names.get(p, 'p' + str(int(p * 100)))}_exact")
-            for i, p in enumerate(probs)
+            F.round(F.col(f"_e{i}"), 2).alias(f"{names[i]}_exact")
+            for i in range(len(probs))
         ],
         within.alias("sketch_within_tol"),
     )
@@ -347,8 +370,13 @@ def session_funnel(
         "_new_session",
         F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
     ).withColumn("session_index", F.sum("_new_session").over(w))
+    # the session key is the (user, session_index) PAIR, not a string
+    # concat: a separator-joined key is injective here only by the
+    # accident of the int tail, silently stops being so under refactor
+    # (e.g. a string sub-session label), and materializes a string per
+    # event for no gain — the struct shuffles as raw fields
     sess = labeled.select(
-        F.concat_ws("#", F.col(user_col), F.col("session_index")).alias("_sid"),
+        F.struct(F.col(user_col), F.col("session_index")).alias("_sid"),
         F.col(ts_col).alias("_ts"),
         F.col(type_col).alias("_et"),
     )

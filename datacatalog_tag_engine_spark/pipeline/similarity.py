@@ -1522,13 +1522,190 @@ def append_to_ivf_index(
     retrained centroids — never an in-place mutation.
 
     Returns the number of appended rows."""
+    from ..session import free_local_checkpoint
+
+    # refuse to append raw vectors into a non-vector layout: a
+    # build_ivfpq_index directory also has _centroids but stores PQ
+    # codes — appending (id, vec, cell) rows there would silently mix
+    # schemas and corrupt the served index
+    resident = spark.read.parquet(path).schema.names
+    if vec_col not in resident:
+        raise ValueError(
+            f"index at {path} stores columns {resident} (a codes layout?); "
+            f"append_to_ivf_index requires a raw-vector IVF index with "
+            f"'{vec_col}'"
+        )
     cent_rows, cents = _localize_parquet(spark, f"{path}/{CENTROIDS_DIR}")
     num_cells = len(cent_rows)
+    # materialize the delta assignment ONCE: without it the count job
+    # and the write job each recompute the plan — doubling the delta
+    # scan and, if new_vectors is nondeterministic, letting the
+    # returned count diverge from the written rows
     assigned = (
         _ranked_cells(new_vectors, num_cells, id_col, vec_col, cents=cents)
         .filter(F.col("_rn") == 1)
         .select(id_col, vec_col, "cell")
+        .localCheckpoint(eager=True)
     )
     n = assigned.count()
     assigned.write.mode("append").partitionBy("cell").parquet(path)
+    free_local_checkpoint(assigned)
     return n
+
+
+def _index_fs(spark, path: str):
+    """Hadoop FileSystem handle for an index path (works for any
+    scheme the cluster can read — local, HDFS, object stores with a
+    Hadoop connector)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def _cell_dirs(spark, path: str) -> dict[int, list]:
+    """cell -> list of parquet FileStatus in that cell's partition
+    directory. Directory-listing only (no data pages)."""
+    fs, jvm = _index_fs(spark, path)
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    out: dict[int, list] = {}
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("cell="):
+            cell = int(name.split("=", 1)[1])
+            out[cell] = [
+                f
+                for f in fs.listStatus(st.getPath())
+                if f.getPath().getName().endswith(".parquet")
+            ]
+    return out
+
+
+def remove_from_ivf_index(
+    spark,
+    path: str,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Delete vectors from a persisted IVF index — the lifecycle
+    complement of ``append_to_ivf_index``. A serving index over a
+    deduplicated, continuously re-exported corpus must REMOVE vectors
+    (retracted docs, dedup losers); without this the only path is a
+    full rebuild. Reference analog: deletion is part of the tag write
+    contract (delete-when-empty, DataCatalogController.py:1584-1586) —
+    an index that can only grow is operationally half an index.
+
+    Strategy: rewrite-affected-cells, not tombstones. The deleted ids
+    live in specific cells (one dimension-grain lookup); ONLY those
+    cell partitions are rewritten from their survivors — every
+    untouched cell's files stay byte-identical, so the write cost is
+    (affected-cell volume), not corpus volume. Tombstone files would
+    make every future search pay an anti-join forever; at 100 TB the
+    once-per-delete rewrite of delta-sized cells is the right trade.
+    A cell whose every vector is deleted is removed outright (its
+    directory disappears — dynamic partition overwrite alone would
+    have left the stale files in place).
+
+    NOT concurrent-serving-safe (unlike append, which is file-additive
+    and atomic to a directory listing): between the cell delete and the
+    survivor append a reader sees a partial cell. Run it in the index's
+    maintenance window or behind a version-swap of ``path``. The
+    quantizer is untouched: deletions never move centroids (matching
+    FAISS remove_ids); retrain + rebuild when cell_balance /
+    cell_inertia say the geometry drifted.
+
+    Returns the number of removed rows."""
+    from ..session import free_local_checkpoint
+
+    resident = spark.read.parquet(path)
+    if vec_col not in resident.columns:
+        raise ValueError(
+            f"index at {path} stores columns {resident.columns} (a codes "
+            f"layout?); remove_from_ivf_index requires a raw-vector IVF "
+            f"index with '{vec_col}'"
+        )
+    ids_df = ids.select(id_col).distinct()
+    affected = [
+        r["cell"]
+        for r in resident.join(ids_df, id_col, "left_semi")
+        .select("cell")
+        .distinct()
+        .collect()
+    ]
+    if not affected:
+        return 0
+    touched = resident.filter(F.col("cell").isin(affected))
+    # materialize the survivors BEFORE touching the files they are
+    # read from (the classic self-overwrite hazard); the volume is
+    # bounded by the affected cells, not the corpus
+    survivors = (
+        touched.join(ids_df, id_col, "left_anti")
+        .select(id_col, vec_col, "cell")
+        .localCheckpoint(eager=True)
+    )
+    n_removed = touched.count() - survivors.count()
+    fs, jvm = _index_fs(spark, path)
+    for c in affected:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/cell={c}"), True)
+    survivors.write.mode("append").partitionBy("cell").parquet(path)
+    free_local_checkpoint(survivors)
+    return n_removed
+
+
+def compact_ivf_index(
+    spark,
+    path: str,
+    max_files_per_cell: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Compact a persisted IVF index: rewrite every cell whose
+    partition directory holds more than ``max_files_per_cell`` parquet
+    files down to one file per cell. Daily ``append_to_ivf_index``
+    deltas are file-additive by design, so a hot cell accumulates one
+    small file per append — after a year that is 365 footer reads and
+    365 row-group seeks per probe of that cell. Compaction is the
+    third leg of the index lifecycle (grow / shrink / compact) and is
+    value-invariant: same rows, same cells, fewer files.
+
+    Only over-threshold cells are read and rewritten (untouched cells
+    stay byte-identical); one file per cell comes from hash-
+    repartitioning on the partition column before the write, so each
+    cell's rows land in exactly one task. Same maintenance-window
+    caveat as ``remove_from_ivf_index``.
+
+    Returns {"cells_compacted": n, "files_before": b, "files_after": a}.
+    """
+    from ..session import free_local_checkpoint
+
+    resident = spark.read.parquet(path)
+    if vec_col not in resident.columns:
+        raise ValueError(
+            f"index at {path} stores columns {resident.columns}; "
+            f"compact_ivf_index requires a raw-vector IVF index with "
+            f"'{vec_col}'"
+        )
+    dirs = _cell_dirs(spark, path)
+    fat = {c: fl for c, fl in dirs.items() if len(fl) > max_files_per_cell}
+    if not fat:
+        return {"cells_compacted": 0, "files_before": 0, "files_after": 0}
+    files_before = sum(len(fl) for fl in fat.values())
+    rows = (
+        resident.filter(F.col("cell").isin(list(fat)))
+        .select(id_col, vec_col, "cell")
+        .repartition("cell")
+        .localCheckpoint(eager=True)
+    )
+    fs, jvm = _index_fs(spark, path)
+    for c in fat:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/cell={c}"), True)
+    rows.write.mode("append").partitionBy("cell").parquet(path)
+    free_local_checkpoint(rows)
+    files_after = sum(
+        len(fl) for c, fl in _cell_dirs(spark, path).items() if c in fat
+    )
+    return {
+        "cells_compacted": len(fat),
+        "files_before": files_before,
+        "files_after": files_after,
+    }

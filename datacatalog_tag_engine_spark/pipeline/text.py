@@ -1784,3 +1784,59 @@ def top_ngrams_per_group(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def token_entropy(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    by: str = "source",
+) -> DataFrame:
+    """Per-source unigram Shannon entropy in bits/token — the
+    diversity-QA companion to ``corpus_divergence``: a source whose
+    entropy collapses between snapshots went templated/boilerplate
+    (few types dominate); entropy near log2(n_types) means a flat,
+    diverse distribution. Read together with ``vocab_growth`` before
+    setting mixture weights.
+
+    H_s = -sum_w p ln(p) / ln(2), p = c_sw / n_s. Cross-engine
+    determinism: each present-word term quantizes to integer
+    nano-units before the cross-partition sum (the t13/t28 trick), so
+    no libm or summation-order drift can split engines.
+
+    Scale shape: one corpus explode into a map-side-combined
+    (source, word) count shuffle, then a source-grain rollup —
+    vocabulary-grain intermediates, dimension-grain output. Returns
+    (source, n_tokens, n_types, entropy_bits) with entropy rounded
+    to 6."""
+    _LN2 = 0.6931471805599453
+    words = docs.select(
+        F.col(by).alias(by),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda w: F.length(w) > 0,
+            )
+        ).alias("word"),
+    )
+    sc = words.groupBy(by, "word").agg(F.count("*").alias("c_s"))
+    totals = sc.groupBy(by).agg(
+        F.sum("c_s").alias("n_s"), F.count("*").alias("n_types")
+    )
+    p = F.col("c_s") / F.col("n_s")
+    term = -p * F.log(p) / F.lit(_LN2)
+    return (
+        sc.join(F.broadcast(totals), by)
+        .select(
+            by,
+            F.col("n_s"),
+            F.col("n_types"),
+            F.round(term * 1e9).cast("long").alias("t9"),
+        )
+        .groupBy(by)
+        .agg(
+            F.first("n_s").cast("long").alias("n_tokens"),
+            F.first("n_types").cast("long").alias("n_types"),
+            F.round(F.sum("t9") / 1e9, 6).alias("entropy_bits"),
+        )
+    )

@@ -219,9 +219,13 @@ def funnel_state_stream(
     step_idx = {s: i for i, s in enumerate(steps)}
     n = len(steps)
 
+    # the id field's type follows the input (string user ids are common
+    # in event data; hardcoding long would corrupt at the Arrow
+    # boundary)
+    id_type = events.schema[id_col].dataType
     out_schema = T.StructType(
         [
-            T.StructField(id_col, T.LongType()),
+            T.StructField(id_col, id_type),
             T.StructField("emit_seq", T.LongType()),
             T.StructField("step_ts_micro", T.ArrayType(T.LongType())),
             T.StructField("n_pending", T.IntegerType()),

@@ -152,3 +152,37 @@ def test_session_fn_late_events_never_move_backwards():
     out = batch(base - 10_000)
     assert len(out) == 1 and out[0]["duration_sec"][0] == 0
     assert state.get == (base, base + 600, 2)  # open session untouched
+
+
+def test_percentile_tolerance_names_use_full_precision(spark):
+    """r10 ADVICE fix: int(p*100) folded 0.999 onto 0.99 (duplicate
+    p99_exact columns). Names now come from the full decimal digits;
+    genuinely colliding probs raise instead of emitting an ambiguous
+    schema."""
+    docs = spark.table("documents")
+    out = P.percentile_tolerance_profile(docs, probs=(0.5, 0.99, 0.999))
+    assert [c for c in out.columns if c.endswith("_exact")] == [
+        "p50_exact",
+        "p99_exact",
+        "p999_exact",
+    ]
+    with pytest.raises(ValueError, match="duplicate"):
+        P.percentile_tolerance_profile(docs, probs=(0.99, 0.990))
+
+
+def test_session_funnel_struct_key_keeps_odd_user_ids_distinct(spark):
+    """r10 ADVICE fix: the session key is the (user, session_index)
+    struct, not a separator-joined string — users whose ids embed the
+    old '#' separator stay distinct sessions."""
+    t = datetime.datetime(2026, 1, 1)
+    rows = [
+        (1, t, "a#1", "view"),
+        (2, t + datetime.timedelta(minutes=1), "a#1", "click"),
+        (3, t, "a", "view"),
+        (4, t + datetime.timedelta(minutes=2), "a", "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id string, event_type string"
+    )
+    out = {r["step"]: r["n_sessions"] for r in P.session_funnel(df, ["view", "click"]).collect()}
+    assert out == {"view": 2, "click": 2}

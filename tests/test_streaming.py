@@ -612,3 +612,52 @@ def test_funnel_stream_drops_and_counts_beyond_watermark(spark, tmp_path):
     assert last["step_ts_micro"][0] >= 0          # view folded
     assert last["step_ts_micro"][1] >= 0          # click folded
     assert last["step_ts_micro"][2] == -1         # purchase NOT retro-folded
+
+
+def test_funnel_stream_string_user_ids(spark, tmp_path):
+    """r10 ADVICE fix: the funnel state stream's id field type follows
+    the input schema instead of hardcoding long — string user ids
+    (common in event data) must flow through the Arrow boundary and
+    the finishing query unchanged."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, t0, "user#a", "view"),
+        (2, t0 + dt.timedelta(minutes=1), "user#a", "click"),
+        (3, t0 + dt.timedelta(minutes=2), "user#b", "view"),
+        (4, t0 + dt.timedelta(days=3), "flusher", "flush"),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.string()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    src = str(tmp_path / "str_ids")
+    os.makedirs(src)
+    pa.parquet.write_table(tbl, os.path.join(src, "f0.parquet"))
+
+    schema = "event_id long, ts timestamp, user_id string, event_type string"
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        U.funnel_state_stream(stream, ["view", "click"], watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("funnel_str_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    sink = spark.table("funnel_str_sink")
+    assert dict(sink.dtypes)["user_id"] == "string"
+    finished = {
+        r["step"]: r["n_users"]
+        for r in U.funnel_counts_finish(sink, ["view", "click"]).collect()
+    }
+    assert finished == {"view": 2, "click": 1}
