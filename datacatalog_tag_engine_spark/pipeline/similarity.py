@@ -1649,6 +1649,10 @@ def remove_from_ivf_index(
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/cell={c}"), True)
     survivors.write.mode("append").partitionBy("cell").parquet(path)
     free_local_checkpoint(survivors)
+    # the raw FileSystem deletes bypassed Spark, so this session's
+    # file-status cache still lists the removed files — invalidate or
+    # the next read of the path throws FileNotFound mid-scan
+    spark.catalog.refreshByPath(path)
     return n_removed
 
 
@@ -1701,6 +1705,9 @@ def compact_ivf_index(
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/cell={c}"), True)
     rows.write.mode("append").partitionBy("cell").parquet(path)
     free_local_checkpoint(rows)
+    # raw deletes bypassed Spark's file-status cache — see
+    # remove_from_ivf_index
+    spark.catalog.refreshByPath(path)
     files_after = sum(
         len(fl) for c, fl in _cell_dirs(spark, path).items() if c in fat
     )

@@ -1,0 +1,435 @@
+"""Round-11 rotation prep: DuckDB oracle drafts for operators built in
+round 10 but NOT wired into the frozen inventory (the freeze policy:
+new queries enter only at round start, with a proven draft). This
+module's generators are the work-list — at the r11 rotation, move each
+SQL generator into __spark_entry__ verbatim (entry becomes the single
+copy; this file imports it back) and wire the queries()/oracle_sql()
+pairs:
+
+- s22_ivf_delete — vector deletion from the persisted IVF index
+  (similarity.remove_from_ivf_index): rewrite-affected-cells under the
+  frozen quantizer; post-delete serving is row-identical to a fresh
+  rebuild over the survivors, so the oracle is the wired s04 string
+  with the survivor predicate pushed into its `e` CTE. Untouched
+  cells' files stay byte-identical; a fully-emptied cell's directory
+  disappears. The r9 verdict's ask #4 second half (append landed as
+  s21; delete completes grow/shrink).
+- s23_ivf_compact — small-file compaction of appended cells
+  (similarity.compact_ivf_index): value-invariant (the s04 oracle
+  verbatim, like s21), one file per compacted cell, under-threshold
+  cells untouched. Completes the lifecycle: grow / shrink / compact.
+- q80_incremental_pipeline — the daily-refresh composition the r9
+  verdict asked for (ask #5): q51 delta detection -> q61 clean-ingest
+  of ONLY the new docs -> q79 dirty-shard planning against the prior
+  export. The oracle composes the WIRED q51 fingerprint rule, the
+  WIRED clean-ingest chain (delta-restricted by string surgery), and
+  the q79 full-join tail — the incremental counterpart of q71, and
+  the shape a daily 100 TB refresh actually runs (reference analog:
+  scheduled auto-updates re-tag only ready configs, main.py:3075).
+- d15_minhash_estimate — signature-agreement Jaccard scoring
+  (dedup.minhash_estimate_pairs): LSH candidates scored from the
+  doc-grain signature table alone (est = agreeing components /
+  num_hashes, Broder 1997), never re-reading shingles — the 100 TB
+  scoring path when the exact verify is the bottleneck. md5 minhash
+  is deterministic, so the oracle replays the estimate EXACTLY.
+- t33_token_entropy — per-source unigram Shannon entropy in bits
+  (text.token_entropy): the diversity-QA companion to t28; nano-unit
+  quantization before the cross-partition sum keeps engines bit-equal.
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from datacatalog_tag_engine_spark.pipeline import dedup as DD
+from datacatalog_tag_engine_spark.pipeline import similarity as SIM
+from datacatalog_tag_engine_spark.pipeline import text as TXT
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def ddb():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'")
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    yield con
+    con.close()
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    out = []
+    for r in df.select(*cols).collect():
+        out.append(tuple(round(v, 6) if isinstance(v, float) else v for v in r))
+    return sorted(out)
+
+
+def _sql_rows(con, sql):
+    rel = con.sql(sql)
+    cols = sorted(rel.columns)
+    out = []
+    for r in con.sql(f"SELECT {', '.join(cols)} FROM rel").fetchall():
+        out.append(tuple(round(v, 6) if isinstance(v, float) else v for v in r))
+    return sorted(out)
+
+
+# --- s22: IVF delete ---------------------------------------------------------
+
+# survivors keep the quantizer seeds (ids 0..7) and the query set
+# (ids < 5), so the frozen stored centroids equal a fresh build's
+# seeding over the survivors and rebuild-identity is provable
+DELETE_PRED = "vec_id >= 100 AND vec_id % 7 = 0"
+
+
+def ivf_delete_sql(nprobe: int = 2) -> str:
+    """The WIRED s04 oracle with the survivor predicate pushed into
+    its corpus CTE — deletion under a frozen quantizer must serve
+    exactly the s04 chain over the surviving rows."""
+    s04 = E.oracle_sql()["s04_ann_ivf_nprobe"]
+    anchor = "FROM embeddings)"
+    assert s04.count(anchor) == 1
+    return s04.replace(
+        anchor, f"FROM embeddings WHERE NOT ({DELETE_PRED}))", 1
+    )
+
+
+def test_oracle_draft_ivf_delete(spark, ddb, tmp_path):
+    """Build on the full corpus, delete, serve: row-identical to the
+    survivor-filtered s04 oracle AND to a fresh rebuild over the
+    survivors."""
+    emb = spark.table("embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "ivf_del")
+    SIM.build_ivf_index(emb, path, num_cells=8)
+    doomed = emb.filter(F.expr(DELETE_PRED))
+    n = SIM.remove_from_ivf_index(spark, path, doomed.select("vec_id"))
+    assert n == doomed.count() > 0
+    got = _rows(SIM.ivf_topk_from_index(spark, path, qs, k=5, nprobe=2))
+    assert got == _sql_rows(ddb, ivf_delete_sql())
+    fresh = str(tmp_path / "ivf_fresh")
+    SIM.build_ivf_index(emb.filter(~F.expr(DELETE_PRED)), fresh, num_cells=8)
+    assert got == _rows(SIM.ivf_topk_from_index(spark, fresh, qs, k=5, nprobe=2))
+
+
+def test_ivf_delete_touches_only_affected_cells(spark, tmp_path):
+    """Cells holding no deleted id keep byte-identical files; a cell
+    whose every vector is deleted disappears outright (no stale files
+    a dynamic-overwrite would have left); deleted ids are gone from
+    the resident rows."""
+    import glob
+    import os
+
+    emb = spark.table("embeddings")
+    path = str(tmp_path / "ivf_del2")
+    SIM.build_ivf_index(emb, path, num_cells=8)
+    resident = spark.read.parquet(path)
+    # delete every vector of ONE cell plus one vector of another
+    cells = sorted(r["cell"] for r in resident.select("cell").distinct().collect())
+    whole, partial = cells[-1], cells[-2]
+    doomed_ids = [
+        r["vec_id"]
+        for r in resident.filter(
+            (F.col("cell") == whole)
+            | ((F.col("cell") == partial) & (F.col("vec_id") >= 100))
+        ).collect()
+    ]
+    doomed = spark.createDataFrame([(i,) for i in doomed_ids], "vec_id long")
+
+    def snap():
+        return {
+            p: os.path.getsize(p)
+            for p in glob.glob(os.path.join(path, "cell=*", "*.parquet"))
+        }
+
+    before = snap()
+    n = SIM.remove_from_ivf_index(spark, path, doomed)
+    assert n > 0
+    after = snap()
+    untouched = {
+        p for p in before if f"cell={whole}" not in p and f"cell={partial}" not in p
+    }
+    assert untouched and all(after[p] == before[p] for p in untouched)
+    assert not os.path.isdir(os.path.join(path, f"cell={whole}"))
+    left = spark.read.parquet(path)
+    assert left.filter(F.col("vec_id").isin(doomed_ids)).count() == 0
+
+
+def test_ivf_delete_rejects_codes_layout_and_noop(spark, tmp_path):
+    emb = spark.table("embeddings")
+    pq_path = str(tmp_path / "pq_idx")
+    SIM.build_ivfpq_index(emb, pq_path, num_cells=8)
+    with pytest.raises(ValueError, match="raw-vector"):
+        SIM.remove_from_ivf_index(spark, pq_path, emb.select("vec_id").limit(3))
+    ivf_path = str(tmp_path / "ivf_noop")
+    SIM.build_ivf_index(emb, ivf_path, num_cells=8)
+    ghost = spark.createDataFrame([(10**9,)], "vec_id long")
+    assert SIM.remove_from_ivf_index(spark, ivf_path, ghost) == 0
+
+
+# --- s23: IVF compaction -----------------------------------------------------
+
+
+def test_oracle_draft_ivf_compact(spark, ddb, tmp_path):
+    """Three append deltas pile small files into the cells; compaction
+    rewrites over-threshold cells to ONE file each and serving stays
+    row-identical to the wired s04 oracle (the s21 value-identity:
+    same rows, same cells, fewer files)."""
+    import glob
+    import os
+
+    emb = spark.table("embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "ivf_cpt")
+    SIM.build_ivf_index(emb.filter(F.col("vec_id") < 100), path, num_cells=8)
+    for lo, hi in ((100, 200), (200, 300), (300, 10**9)):
+        SIM.append_to_ivf_index(
+            spark, path, emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        )
+    stats = SIM.compact_ivf_index(spark, path, max_files_per_cell=2)
+    assert stats["cells_compacted"] > 0
+    assert stats["files_after"] == stats["cells_compacted"] < stats["files_before"]
+    for d in glob.glob(os.path.join(path, "cell=*")):
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) <= 2
+    got = _rows(SIM.ivf_topk_from_index(spark, path, qs, k=5, nprobe=2))
+    assert got == _sql_rows(ddb, E.oracle_sql()["s04_ann_ivf_nprobe"])
+
+
+def test_ivf_compact_noop_leaves_files_alone(spark, tmp_path):
+    """Under-threshold cells are never rewritten: with a high
+    threshold the call is a no-op and every file stays byte-identical
+    (size+mtime)."""
+    import glob
+    import os
+
+    emb = spark.table("embeddings")
+    path = str(tmp_path / "ivf_cptn")
+    SIM.build_ivf_index(emb, path, num_cells=8)
+
+    def snap():
+        return {
+            p: (os.path.getsize(p), os.path.getmtime(p))
+            for p in glob.glob(os.path.join(path, "cell=*", "*.parquet"))
+        }
+
+    before = snap()
+    stats = SIM.compact_ivf_index(spark, path, max_files_per_cell=64)
+    assert stats == {"cells_compacted": 0, "files_before": 0, "files_after": 0}
+    assert snap() == before
+
+
+# --- q80: incremental refresh composition ------------------------------------
+
+
+def incremental_pipeline_sql(num_shards: int = 8) -> str:
+    """q51 delta (the wired fingerprint rule) -> the WIRED clean-ingest
+    chain restricted to the delta by string surgery -> the q79
+    full-join dirty-shard tail. prior = doc_id % 3 != 0 (yesterday's
+    corpus), batch = doc_id % 3 == 0 (today's crawl)."""
+    fp_expr = (
+        r"md5(array_to_string(list_sort(list_distinct("
+        r"regexp_split_to_array(lower(text), '\s+'))), ' '))"
+    )
+    assert fp_expr in E.oracle_sql()["q51_corpus_delta"]
+    ci = E.CLEAN_INGEST_SQL
+    anchor = "FROM documents)"
+    assert ci.count(anchor) == 1
+    ci_delta = ci.replace(anchor, "FROM documents JOIN delta USING (doc_id))", 1)
+    bucket = (
+        "(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % "
+        + str(num_shards)
+        + ")"
+    )
+    return f"""
+WITH fpall AS (
+  SELECT doc_id, {fp_expr} AS fingerprint
+  FROM documents),
+delta AS (
+  SELECT doc_id FROM fpall
+  WHERE doc_id % 3 = 0
+    AND fingerprint NOT IN (SELECT fingerprint FROM fpall WHERE doc_id % 3 <> 0)),
+kept_new AS ({ci_delta}),
+o AS (SELECT doc_id, {bucket} AS shard FROM documents WHERE doc_id % 3 <> 0),
+nv AS (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0
+       UNION ALL SELECT doc_id FROM kept_new),
+n AS (SELECT doc_id, {bucket} AS shard FROM nv),
+j AS (
+  SELECT coalesce(o.shard, n.shard) AS shard, o.doc_id AS od, n.doc_id AS nd
+  FROM o FULL JOIN n ON o.doc_id = n.doc_id),
+per AS (
+  SELECT shard,
+         sum((od IS NOT NULL AND nd IS NOT NULL)::INT) AS n_kept,
+         sum((od IS NULL)::INT) AS n_added,
+         sum((nd IS NULL)::INT) AS n_removed
+  FROM j GROUP BY shard),
+axis AS (SELECT unnest(range({num_shards}))::INT AS shard)
+SELECT a.shard,
+       coalesce(n_kept, 0)::BIGINT AS n_kept,
+       coalesce(n_added, 0)::BIGINT AS n_added,
+       coalesce(n_removed, 0)::BIGINT AS n_removed,
+       coalesce(n_added, 0) + coalesce(n_removed, 0) > 0 AS needs_rewrite
+FROM axis a LEFT JOIN per ON per.shard = a.shard
+"""
+
+
+def _q80(spark):
+    from datacatalog_tag_engine_spark.pipeline.export import dirty_shards
+    from datacatalog_tag_engine_spark.streaming.dedup import clean_ingest_stream
+
+    docs = spark.table("documents")
+    prior = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    delta = DD.incremental_delta(batch, prior).select("doc_id")
+    fresh = batch.join(delta, "doc_id", "left_semi")
+    cleaned = clean_ingest_stream(
+        fresh,
+        min_words=20,
+        min_stopword_hits=0,
+        max_dup_word_frac=1.0,
+        max_top_bigram_frac=1.0,
+    )
+    new_ids = prior.select("doc_id").unionByName(cleaned.select("doc_id"))
+    return dirty_shards(prior.select("doc_id"), new_ids, 8)
+
+
+def test_oracle_draft_incremental_pipeline(spark, ddb):
+    got = _rows(_q80(spark))
+    want = _sql_rows(ddb, incremental_pipeline_sql(8))
+    assert got == want
+    assert len(got) == 8
+
+
+def test_incremental_pipeline_is_append_only_and_gated(spark):
+    """A daily refresh never removes from the prior export; the added
+    mass is bounded by the delta and strictly smaller than the raw
+    batch when the gate bites."""
+    rows = _q80(spark).collect()
+    assert all(r["n_removed"] == 0 for r in rows)
+    added = sum(r["n_added"] for r in rows)
+    docs = spark.table("documents")
+    batch_n = docs.filter(F.col("doc_id") % 3 == 0).count()
+    prior_n = docs.filter(F.col("doc_id") % 3 != 0).count()
+    assert 0 < added < batch_n
+    assert sum(r["n_kept"] for r in rows) == prior_n
+
+
+# --- d15: minhash estimate ---------------------------------------------------
+
+
+def minhash_estimate_sql(threshold: float = 0.5) -> str:
+    """The d02 sigs/buckets/cands derivation (md5 minhash is
+    deterministic, so the ESTIMATE replays exactly), scored by
+    component agreement instead of the exact shingle join."""
+    sig_exprs = ",\n         ".join(
+        f"min(md5('{j}:' || shingle)) AS sig_{j}" for j in range(8)
+    )
+    band_cases = " ".join(
+        f"WHEN {b} THEN md5(sig_{2*b} || '|' || sig_{2*b+1})" for b in range(4)
+    )
+    agree = " + ".join(f"(a.sig_{j} = b.sig_{j})::INT" for j in range(8))
+    return f"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(w) >= 3
+                THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+                ELSE [array_to_string(w, ' ')] END) AS shingle
+  FROM toks),
+sigs AS (
+  SELECT doc_id, {sig_exprs}
+  FROM sh GROUP BY doc_id),
+buckets AS (
+  SELECT doc_id, band, CASE band {band_cases} END AS bucket
+  FROM sigs, (SELECT unnest(range(4)) AS band)),
+cands AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+SELECT c.da AS doc_a, c.db AS doc_b,
+       round(({agree}) / 8.0, 4) AS est_jaccard
+FROM cands c
+JOIN sigs a ON a.doc_id = c.da
+JOIN sigs b ON b.doc_id = c.db
+WHERE round(({agree}) / 8.0, 4) >= {threshold}
+"""
+
+
+def test_oracle_draft_minhash_estimate(spark, ddb):
+    got = _rows(DD.minhash_estimate_pairs(spark.table("documents")))
+    want = _sql_rows(ddb, minhash_estimate_sql())
+    assert got == want
+    assert len(got) > 0
+
+
+def test_minhash_estimate_exact_on_clones_and_screens_verify(spark):
+    """Exact clones estimate 1.0 (every component agrees); and every
+    exact-verified pair at the same threshold is an LSH candidate the
+    estimator also surfaces at SOME estimate (the screen never drops
+    a candidate the verify path would see)."""
+    docs = spark.table("documents")
+    clones = docs.select("doc_id", "text").unionByName(
+        docs.select((F.col("doc_id") + 10**6).alias("doc_id"), "text")
+    )
+    est = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in DD.minhash_estimate_pairs(clones, threshold=0.99).collect()
+    }
+    n = docs.count()
+    assert all(est.get((i, i + 10**6)) == 1.0 for i in range(5))
+    assert sum(1 for (a, b) in est if b - a == 10**6) == n
+    screened = {
+        (r["doc_a"], r["doc_b"])
+        for r in DD.minhash_estimate_pairs(docs, threshold=0.0).collect()
+    }
+    verified = {
+        (r["doc_a"], r["doc_b"]) for r in DD.minhash_dedup(docs).collect()
+    }
+    assert verified <= screened
+
+
+# --- t33: token entropy ------------------------------------------------------
+
+
+def token_entropy_sql() -> str:
+    """Per-source -sum p*log2(p) with each term quantized to integer
+    nano-units before the sum (the t13/t28 determinism trick)."""
+    return r"""
+WITH words AS (
+  SELECT source, unnest(list_filter(
+      regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+      x -> length(x) > 0)) AS word
+  FROM documents),
+sc AS (SELECT source, word, count(*) AS c_s FROM words GROUP BY source, word),
+tot AS (SELECT source, sum(c_s) AS n_s, count(*) AS n_types FROM sc GROUP BY source),
+terms AS (
+  SELECT sc.source, n_s, n_types,
+         round(-(c_s / n_s) * ln(c_s / n_s) / 0.6931471805599453 * 1e9)::BIGINT AS t9
+  FROM sc JOIN tot USING (source))
+SELECT source,
+       any_value(n_s)::BIGINT AS n_tokens,
+       any_value(n_types)::BIGINT AS n_types,
+       round(sum(t9) / 1e9, 6) AS entropy_bits
+FROM terms GROUP BY source
+"""
+
+
+def test_oracle_draft_token_entropy(spark, ddb):
+    got = _rows(TXT.token_entropy(spark.table("documents")))
+    want = _sql_rows(ddb, token_entropy_sql())
+    assert got == want
+    assert len(got) > 1
+
+
+def test_token_entropy_limits(spark):
+    """A single-type source scores 0 bits; a uniform k-type source
+    scores exactly log2(k)."""
+    rows = [
+        (1, "mono", "same same same same"),
+        (2, "flat", "a b c d e f g h"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in TXT.token_entropy(df).collect()}
+    assert out["mono"]["entropy_bits"] == 0.0
+    assert out["flat"]["entropy_bits"] == 3.0  # log2(8)
+    assert out["flat"]["n_types"] == 8 and out["flat"]["n_tokens"] == 8

@@ -397,3 +397,62 @@ def test_cell_balance_live_and_indexed_share_rollup_shape(spark, tmp_path):
     for p in (p_idx, plan_of(SIM.cell_balance(emb))):
         assert "partial_count" in p       # map-side combine
         assert "CartesianProduct" not in p
+
+
+def test_minhash_estimate_scores_from_signatures_only(spark):
+    """d15 draft (r11 queue): the estimate path's scoring joins run on
+    the doc-grain signature table — banding joins on the 8-byte
+    xxhash64 bucket, scoring equi-joins on doc ids; no cartesian, and
+    the shingle explode does not feed the candidate join (the
+    signature table is a materialized localCheckpoint, so the plan's
+    join subtree scans ExistingRDD, not a second explode)."""
+    docs = spark.table("documents")
+    p = plan_of(DD.minhash_estimate_pairs(docs))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "xxhash64" in p
+    # every scan in the pair plan is the checkpointed signature table
+    # (the only explode left is the doc-grain banding explode over the
+    # 8-component signature — the corpus text never re-scans)
+    assert "Scan ExistingRDD" in p
+    assert "Scan parquet" not in p
+
+
+def test_token_entropy_is_one_pass_with_map_side_combine(spark):
+    """t33 draft (r11 queue): one corpus explode into a map-side
+    combined (source, word) count, broadcast totals join, source-grain
+    final rollup — no cartesian, no second corpus scan."""
+    from datacatalog_tag_engine_spark.pipeline import text as TXT
+
+    docs = spark.table("documents")
+    p = plan_of(TXT.token_entropy(docs))
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p
+    assert "BroadcastHashJoin" in p
+    # formatted output prints each scan node twice (tree + detail):
+    # 4 occurrences = the counts + totals branches, nothing more
+    assert p.count("Scan parquet") <= 4
+
+
+def test_incremental_pipeline_delta_is_anti_join(spark):
+    """q80 draft (r11 queue): the refresh plan's shape — the delta is
+    a fingerprint LEFT ANTI join, the new-docs restriction a LEFT SEMI,
+    and the shard diff a full outer on the id; nothing cartesian."""
+    from datacatalog_tag_engine_spark.pipeline.export import dirty_shards
+    from datacatalog_tag_engine_spark.streaming.dedup import clean_ingest_stream
+
+    docs = spark.table("documents")
+    prior = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    delta = DD.incremental_delta(batch, prior).select("doc_id")
+    fresh = batch.join(delta, "doc_id", "left_semi")
+    cleaned = clean_ingest_stream(
+        fresh, min_words=20, min_stopword_hits=0,
+        max_dup_word_frac=1.0, max_top_bigram_frac=1.0,
+    )
+    new_ids = prior.select("doc_id").unionByName(cleaned.select("doc_id"))
+    p = plan_of(dirty_shards(prior.select("doc_id"), new_ids, 8))
+    assert "CartesianProduct" not in p
+    assert "LeftAnti" in p
+    assert "LeftSemi" in p
+    assert "FullOuter" in p
