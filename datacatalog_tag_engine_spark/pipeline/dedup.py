@@ -1720,3 +1720,52 @@ def minhash_estimate_pairs(
         )
         .filter(F.col("est_jaccard") >= threshold)
     )
+
+
+def minhash_estimate_vs_exact(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Certification surface for ``minhash_estimate_pairs``: every LSH
+    candidate pair carries BOTH the signature-agreement estimate and
+    the exact verified Jaccard, plus their absolute error — the
+    evidence that the estimate-only serving path is safe at the
+    configured signature width (the q74/q60 pattern: the sketch's
+    quality claim rides the certified surface). Deterministic end to
+    end (md5 minhash), so a SQL oracle replays every column exactly.
+
+    This pays the exact inverted-index verify by construction — run it
+    at certification scale (a corpus sample), not on the serving path;
+    the serving path is ``minhash_estimate_pairs``. Returns (doc_a,
+    doc_b, jaccard, est_jaccard, abs_err) for verified pairs with
+    jaccard >= threshold."""
+    sh = shingle_table(docs, id_col, text_col, k).localCheckpoint(eager=True)
+    sigs = minhash_signatures(sh, num_hashes, id_col)
+    cands = lsh_candidate_pairs(sigs, num_hashes, bands, id_col)
+    exact = jaccard_pairs(sh, cands, threshold, id_col)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    agree = sum(
+        (F.col(f"a.sig_{j}") == F.col(f"b.sig_{j}")).cast("int")
+        for j in range(num_hashes)
+    )
+    est = (
+        cands.join(a, F.col("doc_a") == F.col(f"a.{id_col}"))
+        .join(b, F.col("doc_b") == F.col(f"b.{id_col}"))
+        .select(
+            "doc_a", "doc_b",
+            F.round(agree / F.lit(num_hashes), 4).alias("est_jaccard"),
+        )
+    )
+    return exact.join(est, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        "est_jaccard",
+        F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 4).alias("abs_err"),
+    )

@@ -1624,6 +1624,21 @@ def remove_from_ivf_index(
             f"layout?); remove_from_ivf_index requires a raw-vector IVF "
             f"index with '{vec_col}'"
         )
+    return _rewrite_cells_without(
+        spark, path, resident, ids, id_col, [id_col, vec_col, "cell"]
+    )
+
+
+def _rewrite_cells_without(
+    spark, path: str, resident: DataFrame, ids: DataFrame, id_col: str,
+    cols: list[str],
+) -> int:
+    """Shared delete core for both index layouts: find the cells
+    holding any doomed id (dimension-grain collect), rewrite ONLY
+    those partitions from their survivors, remove emptied cells
+    outright. Returns removed row count."""
+    from ..session import free_local_checkpoint
+
     ids_df = ids.select(id_col).distinct()
     affected = [
         r["cell"]
@@ -1640,7 +1655,7 @@ def remove_from_ivf_index(
     # bounded by the affected cells, not the corpus
     survivors = (
         touched.join(ids_df, id_col, "left_anti")
-        .select(id_col, vec_col, "cell")
+        .select(*cols)
         .localCheckpoint(eager=True)
     )
     n_removed = touched.count() - survivors.count()
@@ -1654,6 +1669,35 @@ def remove_from_ivf_index(
     # the next read of the path throws FileNotFound mid-scan
     spark.catalog.refreshByPath(path)
     return n_removed
+
+
+def remove_from_ivfpq_index(
+    spark,
+    path: str,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+) -> int:
+    """Delete vectors from a persisted IVF-PQ index — the codes-layout
+    counterpart of ``remove_from_ivf_index`` (both serving layouts get
+    the full grow/shrink/compact lifecycle). A vector's footprint here
+    is its ``num_subspaces`` code rows inside one cell partition; the
+    same rewrite-affected-cells strategy removes them, the frozen
+    codebook and centroids are untouched (deletions never retrain —
+    FAISS remove_ids semantics), and post-delete ADC serving is
+    row-identical to a fresh build over the survivors under the same
+    quantizers. Returns removed code-row count (num_subspaces rows per
+    deleted vector). Same maintenance-window caveat as the raw-vector
+    form."""
+    resident = spark.read.parquet(path)
+    if "code" not in resident.columns or "m" not in resident.columns:
+        raise ValueError(
+            f"index at {path} stores columns {resident.columns}; "
+            f"remove_from_ivfpq_index requires a PQ codes layout "
+            f"(vec_id, m, code, cell)"
+        )
+    return _rewrite_cells_without(
+        spark, path, resident, ids, id_col, [id_col, "m", "code", "cell"]
+    )
 
 
 def compact_ivf_index(

@@ -1840,3 +1840,31 @@ def token_entropy(
             F.round(F.sum("t9") / 1e9, 6).alias("entropy_bits"),
         )
     )
+
+
+def mixture_rebalance(drift: DataFrame, cap: float = 10.0) -> DataFrame:
+    """Corrective post-gate sampling weights from
+    ``gate_mixture_drift``'s output: a quality gate never filters
+    sources evenly, so the surviving corpus's mixture drifts from the
+    one the data recipe chose — weight = share_before / share_after
+    restores it at sampling time (capped: a source the gate nearly
+    annihilated should be re-sourced, not upsampled 1000x from its
+    survivors; a fully annihilated source gets weight 0, there is
+    nothing to sample). Feed the weights to the q54/q55 mixture
+    sampler.
+
+    Input is the dimension-grain drift table (|sources| rows), so this
+    is scale-free — the corpus-sized work already happened inside
+    gate_mixture_drift. Returns (source, n_after, share_before,
+    share_after, weight), weight rounded to 4."""
+    w = F.when(
+        F.col("share_after") > 0,
+        F.least(F.col("share_before") / F.col("share_after"), F.lit(cap)),
+    ).otherwise(F.lit(0.0))
+    return drift.select(
+        "source",
+        "n_after",
+        "share_before",
+        "share_after",
+        F.round(w, 4).alias("weight"),
+    )

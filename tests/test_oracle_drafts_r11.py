@@ -35,6 +35,18 @@ pairs:
 - t33_token_entropy — per-source unigram Shannon entropy in bits
   (text.token_entropy): the diversity-QA companion to t28; nano-unit
   quantization before the cross-partition sum keeps engines bit-equal.
+- s24_ivfpq_delete — codes-layout deletion
+  (similarity.remove_from_ivfpq_index, shared _rewrite_cells_without
+  core): both serving layouts get the full lifecycle; oracle is the
+  wired s10 string with the survivor predicate in its corpus CTE.
+- d16_minhash_estimate_vs_exact — the estimator's certification
+  surface (dedup.minhash_estimate_vs_exact): every LSH candidate pair
+  carries estimate, exact Jaccard, and abs error — all deterministic,
+  all oracle-checked (the q74/q60 sketch-quality pattern).
+- q82_mixture_rebalance — corrective post-gate sampling weights
+  (text.mixture_rebalance) from the q72 drift table: weight =
+  share_before/share_after capped, 0 for annihilated sources; oracle
+  wraps the WIRED q72 generator as a CTE (one copy of the gate chain).
 """
 
 import duckdb
@@ -433,3 +445,171 @@ def test_token_entropy_limits(spark):
     assert out["mono"]["entropy_bits"] == 0.0
     assert out["flat"]["entropy_bits"] == 3.0  # log2(8)
     assert out["flat"]["n_types"] == 8 and out["flat"]["n_tokens"] == 8
+
+
+# --- s24: IVF-PQ delete ------------------------------------------------------
+
+
+def ivfpq_delete_sql(nprobe: int = 2) -> str:
+    """The WIRED s10 oracle with the survivor predicate pushed into
+    its corpus CTE — codes-layout deletion under frozen quantizers
+    must serve exactly the s10 ADC chain over the surviving rows
+    (seeds 0..15 survive, so the stored codebook/centroids equal a
+    fresh build's seeding over the survivors)."""
+    s10 = E.oracle_sql()["s10_ivfpq_topk"]
+    anchor = "FROM embeddings)"
+    assert s10.count(anchor) == 1
+    return s10.replace(anchor, f"FROM embeddings WHERE NOT ({DELETE_PRED}))", 1)
+
+
+def test_oracle_draft_ivfpq_delete(spark, ddb, tmp_path):
+    emb = spark.table("embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "pq_del")
+    SIM.build_ivfpq_index(emb, path, num_cells=8)
+    doomed = emb.filter(F.expr(DELETE_PRED)).select("vec_id")
+    n = SIM.remove_from_ivfpq_index(spark, path, doomed)
+    assert n == doomed.count() * 4  # num_subspaces code rows per vector
+    got = _rows(SIM.ivfpq_topk_from_index(spark, path, qs, k=5, nprobe=2))
+    assert got == _sql_rows(ddb, ivfpq_delete_sql())
+    fresh = str(tmp_path / "pq_fresh")
+    SIM.build_ivfpq_index(emb.filter(~F.expr(DELETE_PRED)), fresh, num_cells=8)
+    assert got == _rows(SIM.ivfpq_topk_from_index(spark, fresh, qs, k=5, nprobe=2))
+
+
+def test_ivfpq_delete_rejects_raw_layout(spark, tmp_path):
+    emb = spark.table("embeddings")
+    path = str(tmp_path / "raw_idx")
+    SIM.build_ivf_index(emb, path, num_cells=8)
+    with pytest.raises(ValueError, match="codes layout"):
+        SIM.remove_from_ivfpq_index(spark, path, emb.select("vec_id").limit(3))
+
+
+# --- d16: minhash estimate vs exact ------------------------------------------
+
+
+def minhash_estimate_vs_exact_sql(threshold: float = 0.5) -> str:
+    """The d15 sigs/cands derivation joined with the d02 exact-verify
+    derivation — every column deterministic, so the estimator's error
+    profile itself is oracle-checked."""
+    sig_exprs = ",\n         ".join(
+        f"min(md5('{j}:' || shingle)) AS sig_{j}" for j in range(8)
+    )
+    band_cases = " ".join(
+        f"WHEN {b} THEN md5(sig_{2*b} || '|' || sig_{2*b+1})" for b in range(4)
+    )
+    agree = " + ".join(f"(sa.sig_{j} = sb.sig_{j})::INT" for j in range(8))
+    return f"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(w) >= 3
+                THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+                ELSE [array_to_string(w, ' ')] END) AS shingle
+  FROM toks),
+sigs AS (
+  SELECT doc_id, {sig_exprs}
+  FROM sh GROUP BY doc_id),
+buckets AS (
+  SELECT doc_id, band, CASE band {band_cases} END AS bucket
+  FROM sigs, (SELECT unnest(range(4)) AS band)),
+cands AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+ex AS (
+  SELECT c.da AS doc_a, c.db AS doc_b,
+         round(i / (sa.n + sb.n - i), 4) AS jaccard
+  FROM cands c
+  JOIN inter ON inter.da = c.da AND inter.db = c.db
+  JOIN sizes sa ON sa.doc_id = c.da
+  JOIN sizes sb ON sb.doc_id = c.db
+  WHERE round(i / (sa.n + sb.n - i), 4) >= {threshold})
+SELECT e.doc_a, e.doc_b, e.jaccard,
+       round(({agree}) / 8.0, 4) AS est_jaccard,
+       round(abs(round(({agree}) / 8.0, 4) - e.jaccard), 4) AS abs_err
+FROM ex e
+JOIN sigs sa ON sa.doc_id = e.doc_a
+JOIN sigs sb ON sb.doc_id = e.doc_b
+"""
+
+
+def test_oracle_draft_minhash_estimate_vs_exact(spark, ddb):
+    got = _rows(DD.minhash_estimate_vs_exact(spark.table("documents")))
+    want = _sql_rows(ddb, minhash_estimate_vs_exact_sql())
+    assert got == want
+    assert len(got) > 0
+
+
+def test_minhash_estimate_error_is_bounded_on_corpus(spark):
+    """The 8-hash estimator's measured error on the real corpus's
+    verified pairs stays inside the coarse-screen envelope (granularity
+    1/8 => abs_err < 0.5 everywhere, and clones are exact)."""
+    rows = DD.minhash_estimate_vs_exact(spark.table("documents")).collect()
+    assert all(r["abs_err"] < 0.5 for r in rows)
+    exact_ones = [r for r in rows if r["jaccard"] == 1.0]
+    assert all(r["est_jaccard"] == 1.0 for r in exact_ones)
+
+
+# --- q82: mixture rebalance --------------------------------------------------
+
+
+def mixture_rebalance_sql(cap: float = 10.0) -> str:
+    """The WIRED q72 drift derivation wrapped as a CTE + the weight
+    rule — one copy of the gate chain (the q80 surgery pattern)."""
+    return f"""
+WITH drift AS ({E.gate_mixture_drift_sql()})
+SELECT source, n_after, share_before, share_after,
+       round(CASE WHEN share_after > 0
+                  THEN least(share_before / share_after, {cap})
+                  ELSE 0 END, 4) AS weight
+FROM drift
+"""
+
+
+def _q82(spark):
+    drift = TXT.gate_mixture_drift(
+        spark.table("documents"),
+        min_words=20,
+        min_stopword_hits=0,
+        max_dup_word_frac=1.0,
+        max_top_bigram_frac=1.0,
+    )
+    return TXT.mixture_rebalance(drift)
+
+
+def test_oracle_draft_mixture_rebalance(spark, ddb):
+    got = _rows(_q82(spark))
+    want = _sql_rows(ddb, mixture_rebalance_sql())
+    assert got == want
+    assert len(got) > 1
+
+
+def test_mixture_rebalance_restores_the_pre_gate_mixture(spark):
+    """Weighted post-gate shares reproduce the pre-gate mixture where
+    the cap doesn't bind, decimated sources are capped not exploded,
+    and annihilated sources weight 0 (constructed fixture: one clean
+    source, one decimated, one annihilated)."""
+    good = [(i, "clean", "the quick brown fox jumps over the lazy dog " * 5)
+            for i in range(40)]
+    bad_keep = [(100, "mostly_bad",
+                 "the quick brown fox jumps over the lazy dog " * 5)]
+    bad_drop = [(200 + i, "mostly_bad", "### ### ###") for i in range(39)]
+    gone = [(300 + i, "gone", "!!!") for i in range(20)]
+    df = spark.createDataFrame(
+        good + bad_keep + bad_drop + gone, "doc_id long, source string, text string"
+    )
+    drift = TXT.gate_mixture_drift(
+        df, min_words=20, min_stopword_hits=0,
+        max_dup_word_frac=1.0, max_top_bigram_frac=1.0,
+    )
+    out = {r["source"]: r for r in TXT.mixture_rebalance(drift, cap=10.0).collect()}
+    assert out["gone"]["weight"] == 0.0
+    assert out["mostly_bad"]["weight"] == 10.0  # true ratio ~16x -> capped
+    # weighted share of the clean source ~= its pre-gate share
+    w = out["clean"]
+    assert abs(w["weight"] * w["share_after"] - w["share_before"]) < 0.01

@@ -1,40 +1,9 @@
-"""Round-9 rotation wiring proof: the current window invariants the
-freeze policy depends on (moved here from test_r8_rotation_wiring when
-the window rotated), plus the r9 oracle wiring pins."""
+"""Round-9 rotation wiring proof: the r9 oracle wiring pins (the
+window-invariants test moved to test_r10_rotation_wiring when the
+window rotated at round-10 start, the same hand-off this file
+received from test_r8_rotation_wiring)."""
 
 import __spark_entry__ as E
-
-
-def test_window_invariants():
-    """50-slot window, every entry resolvable, every windowed query has
-    an oracle (the rows-only t12/q09/s06 all sit OUTSIDE this round's
-    window); inventory is 134."""
-    qs = E.queries()
-    os_ = E.oracle_sql()
-    names = list(qs)
-    assert len(names) == 134
-    window = names[:50]
-    assert [n for n in window if n not in os_] == []
-    # this round's must-certify set (new + code-changed) sits inside
-    rotated = {
-        # first driver rows (the 17 r9 drafts + the q71 composition)
-        "m03_audio_fp_neardup", "m04_video_frame_neardup",
-        "d11_source_dup_profile", "d12_containment",
-        "d13_cross_source_overlap", "d14_containment_dedup",
-        "s13_cell_balance", "s14_ivfpq_rerank", "s15_ivfpq_rerank_from_index",
-        "t27_tokenizer_fertility", "t28_corpus_divergence", "t29_vocab_growth",
-        "q66_length_outliers", "q67_event_funnel", "q68_holdout_split",
-        "q69_shard_balance", "q70_cohort_retention", "q71_export_pipeline",
-        # code-changed re-certifications (dedup.py checkpoint fix +
-        # _cleaned_canon refactor; similarity.py seed fix; multimodal.py
-        # video null-row fix; streaming/usage.py funnel/cohort forms)
-        "q59v2_clean_pipeline", "d01_dedup_exact", "d02_dedup_minhash",
-        "q34_dedup_clusters", "q48_dedup_apply",
-        "s03_ann_ivf", "s10_ivfpq_topk", "s11_ivfpq_from_index",
-        "m01_multimodal_features", "m02_image_phash_neardup",
-        "q22_usage_daily", "q23_event_stats",
-    }
-    assert rotated <= set(window)
 
 
 def test_wired_r9_oracles_are_the_proven_generators():

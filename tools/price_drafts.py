@@ -75,12 +75,32 @@ def main() -> None:
         new_ids = prior.select("doc_id").unionByName(cleaned.select("doc_id"))
         return dirty_shards(prior.select("doc_id"), new_ids, 8)
 
+    def pq_deleted_index():
+        p = _idx()
+        SIM.build_ivfpq_index(emb, p, num_cells=8)
+        SIM.remove_from_ivfpq_index(
+            spark, p,
+            emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") % 7 == 0))
+            .select("vec_id"),
+        )
+        return SIM.ivfpq_topk_from_index(spark, p, qs, k=5, nprobe=2)
+
+    def rebalance():
+        drift = TXT.gate_mixture_drift(
+            docs, min_words=20, min_stopword_hits=0,
+            max_dup_word_frac=1.0, max_top_bigram_frac=1.0,
+        )
+        return TXT.mixture_rebalance(drift)
+
     cases = {
         "s22_ivf_delete_and_search": deleted_index,
         "s23_ivf_compact_and_search": compacted_index,
+        "s24_ivfpq_delete_and_search": pq_deleted_index,
         "q80_incremental_pipeline": incremental_pipeline,
         "d15_minhash_estimate": lambda: DD.minhash_estimate_pairs(docs),
+        "d16_minhash_estimate_vs_exact": lambda: DD.minhash_estimate_vs_exact(docs),
         "t33_token_entropy": lambda: TXT.token_entropy(docs),
+        "q82_mixture_rebalance": rebalance,
     }
     out = {}
     for name, fn in cases.items():
