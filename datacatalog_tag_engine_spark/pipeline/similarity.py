@@ -1760,3 +1760,104 @@ def compact_ivf_index(
         "files_before": files_before,
         "files_after": files_after,
     }
+
+
+def append_to_ivfpq_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental growth for the CODES layout — ``append_to_ivf_index``
+    for ``build_ivfpq_index`` directories, completing the lifecycle
+    symmetry (both serving layouts: grow / shrink / compact). The
+    delta is encoded with the index's STORED codebook and assigned
+    with its STORED centroids (both frozen — FAISS add() semantics;
+    every quantization parameter is derived from the resident
+    ``_codebook`` table, so a drifted caller cannot mis-encode), then
+    appended as fresh files inside the cell partitions: resident files
+    byte-untouched, concurrent serving safe, cost = one
+    broadcast-quantizer projection over the delta only.
+
+    Returns appended code-row count (num_subspaces rows per vector)."""
+    from ..session import free_local_checkpoint
+
+    resident = spark.read.parquet(path)
+    if "code" not in resident.columns or "m" not in resident.columns:
+        raise ValueError(
+            f"index at {path} stores columns {resident.columns}; "
+            f"append_to_ivfpq_index requires a PQ codes layout "
+            f"(vec_id, m, code, cell)"
+        )
+    cb_rows, cb = _localize_parquet(spark, f"{path}/{CODEBOOK_DIR}")
+    cent_rows, cents = _localize_parquet(spark, f"{path}/{CENTROIDS_DIR}")
+    num_cells = len(cent_rows)
+    num_subspaces = max(r["m"] for r in cb_rows) + 1
+    num_codes = max(r["c"] for r in cb_rows) + 1
+    dim = num_subspaces * len(cb_rows[0]["cv"])
+    assigned = (
+        _ranked_cells(new_vectors, num_cells, id_col, vec_col, cents=cents)
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col), "cell")
+    )
+    codes = pq_encode(
+        new_vectors, num_subspaces, num_codes, dim, id_col, vec_col, codebook=cb
+    )
+    delta = (
+        codes.join(assigned, id_col)
+        .select(id_col, "m", F.col("code").cast("int"), "cell")
+        .localCheckpoint(eager=True)
+    )
+    n = delta.count()
+    delta.write.mode("append").partitionBy("cell").parquet(path)
+    free_local_checkpoint(delta)
+    return n
+
+
+def compact_ivfpq_index(
+    spark,
+    path: str,
+    max_files_per_cell: int = 4,
+    id_col: str = "vec_id",
+) -> dict:
+    """``compact_ivf_index`` for the codes layout: rewrite cells whose
+    partition directory exceeds ``max_files_per_cell`` parquet files
+    down to one file each. Matters MORE here than for raw vectors —
+    code rows are 4 bytes of payload each, so a daily append's file is
+    almost all footer; after a year a probed cell pays hundreds of
+    footer reads to fetch kilobytes. Value-invariant; same
+    maintenance-window caveat as the raw form."""
+    from ..session import free_local_checkpoint
+
+    resident = spark.read.parquet(path)
+    if "code" not in resident.columns or "m" not in resident.columns:
+        raise ValueError(
+            f"index at {path} stores columns {resident.columns}; "
+            f"compact_ivfpq_index requires a PQ codes layout"
+        )
+    dirs = _cell_dirs(spark, path)
+    fat = {c: fl for c, fl in dirs.items() if len(fl) > max_files_per_cell}
+    if not fat:
+        return {"cells_compacted": 0, "files_before": 0, "files_after": 0}
+    files_before = sum(len(fl) for fl in fat.values())
+    rows = (
+        resident.filter(F.col("cell").isin(list(fat)))
+        .select(id_col, "m", "code", "cell")
+        .repartition("cell")
+        .localCheckpoint(eager=True)
+    )
+    fs, jvm = _index_fs(spark, path)
+    for c in fat:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/cell={c}"), True)
+    rows.write.mode("append").partitionBy("cell").parquet(path)
+    free_local_checkpoint(rows)
+    spark.catalog.refreshByPath(path)
+    files_after = sum(
+        len(fl) for c, fl in _cell_dirs(spark, path).items() if c in fat
+    )
+    return {
+        "cells_compacted": len(fat),
+        "files_before": files_before,
+        "files_after": files_after,
+    }

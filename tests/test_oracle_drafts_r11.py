@@ -47,6 +47,17 @@ pairs:
   (text.mixture_rebalance) from the q72 drift table: weight =
   share_before/share_after capped, 0 for annihilated sources; oracle
   wraps the WIRED q72 generator as a CTE (one copy of the gate chain).
+- s25_ivfpq_append — codes-layout growth
+  (similarity.append_to_ivfpq_index): the delta is encoded by the
+  STORED codebook and assigned by the STORED centroids (every
+  quantization parameter derived from the resident _codebook);
+  grow == rebuild, oracle = the wired s10 string verbatim (the s21
+  pattern). Both layouts now have the full grow/shrink/compact
+  lifecycle.
+- s26_ivfpq_compact — codes-layout compaction
+  (similarity.compact_ivfpq_index): matters MORE than the raw form
+  (4-byte code payloads make append files almost all footer);
+  value-invariant, oracle = the wired s10 string verbatim.
 """
 
 import duckdb
@@ -613,3 +624,84 @@ def test_mixture_rebalance_restores_the_pre_gate_mixture(spark):
     # weighted share of the clean source ~= its pre-gate share
     w = out["clean"]
     assert abs(w["weight"] * w["share_after"] - w["share_before"]) < 0.01
+
+
+# --- s25: IVF-PQ append ------------------------------------------------------
+
+
+def test_oracle_draft_ivfpq_append(spark, ddb, tmp_path):
+    """Codes-layout grow-vs-rebuild identity: build on the first half,
+    append the rest (encoded by the STORED codebook, assigned by the
+    STORED centroids — every quantization parameter derived from the
+    resident _codebook), serve — row-identical to a fresh full build
+    AND to the wired s10 oracle (seeds 0..15 sit in the first half).
+    The r11 wiring therefore reuses E.oracle_sql()['s10_ivfpq_topk']
+    verbatim, the s21 pattern."""
+    emb = spark.table("embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "pq_grow")
+    SIM.build_ivfpq_index(emb.filter(F.col("vec_id") < 100), path, num_cells=8)
+    n = SIM.append_to_ivfpq_index(
+        spark, path, emb.filter(F.col("vec_id") >= 100)
+    )
+    assert n == (emb.count() - 100) * 4  # num_subspaces code rows per vector
+    got = _rows(SIM.ivfpq_topk_from_index(spark, path, qs, k=5, nprobe=2))
+    assert got == _sql_rows(ddb, E.oracle_sql()["s10_ivfpq_topk"])
+    full = str(tmp_path / "pq_full")
+    SIM.build_ivfpq_index(emb, full, num_cells=8)
+    assert got == _rows(SIM.ivfpq_topk_from_index(spark, full, qs, k=5, nprobe=2))
+
+
+def test_ivfpq_append_is_file_additive_and_validates(spark, tmp_path):
+    """Resident files byte-untouched after the append (the concurrent-
+    serving property); a raw-vector layout is rejected."""
+    import glob
+    import os
+
+    emb = spark.table("embeddings")
+    path = str(tmp_path / "pq_inc")
+    SIM.build_ivfpq_index(emb.filter(F.col("vec_id") < 100), path, num_cells=8)
+
+    def snap():
+        return {
+            p: (os.path.getsize(p), os.path.getmtime(p))
+            for p in glob.glob(os.path.join(path, "cell=*", "*.parquet"))
+        }
+
+    before = snap()
+    SIM.append_to_ivfpq_index(spark, path, emb.filter(F.col("vec_id") >= 100))
+    after = snap()
+    assert set(before) <= set(after)
+    assert all(after[p] == before[p] for p in before)
+    assert len(after) > len(before)
+    raw = str(tmp_path / "raw_idx2")
+    SIM.build_ivf_index(emb, raw, num_cells=8)
+    with pytest.raises(ValueError, match="codes layout"):
+        SIM.append_to_ivfpq_index(spark, raw, emb.filter(F.col("vec_id") >= 100))
+
+
+# --- s26: IVF-PQ compaction --------------------------------------------------
+
+
+def test_oracle_draft_ivfpq_compact(spark, ddb, tmp_path):
+    """Codes-layout compaction after three appends: over-threshold
+    cells collapse to one file each, serving row-identical to the
+    wired s10 oracle."""
+    import glob
+    import os
+
+    emb = spark.table("embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "pq_cpt")
+    SIM.build_ivfpq_index(emb.filter(F.col("vec_id") < 100), path, num_cells=8)
+    for lo, hi in ((100, 200), (200, 300), (300, 10**12)):
+        SIM.append_to_ivfpq_index(
+            spark, path, emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        )
+    stats = SIM.compact_ivfpq_index(spark, path, max_files_per_cell=2)
+    assert stats["cells_compacted"] > 0
+    assert stats["files_after"] == stats["cells_compacted"] < stats["files_before"]
+    for d in glob.glob(os.path.join(path, "cell=*")):
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) <= 2
+    got = _rows(SIM.ivfpq_topk_from_index(spark, path, qs, k=5, nprobe=2))
+    assert got == _sql_rows(ddb, E.oracle_sql()["s10_ivfpq_topk"])

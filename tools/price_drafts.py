@@ -92,10 +92,29 @@ def main() -> None:
         )
         return TXT.mixture_rebalance(drift)
 
+    def pq_grown_index():
+        p = _idx()
+        SIM.build_ivfpq_index(emb.filter(F.col("vec_id") < 100), p, num_cells=8)
+        SIM.append_to_ivfpq_index(spark, p, emb.filter(F.col("vec_id") >= 100))
+        return SIM.ivfpq_topk_from_index(spark, p, qs, k=5, nprobe=2)
+
+    def pq_compacted_index():
+        p = _idx()
+        SIM.build_ivfpq_index(emb.filter(F.col("vec_id") < 100), p, num_cells=8)
+        for lo, hi in ((100, 200), (200, 300), (300, 10**12)):
+            SIM.append_to_ivfpq_index(
+                spark, p,
+                emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+            )
+        SIM.compact_ivfpq_index(spark, p, max_files_per_cell=2)
+        return SIM.ivfpq_topk_from_index(spark, p, qs, k=5, nprobe=2)
+
     cases = {
         "s22_ivf_delete_and_search": deleted_index,
         "s23_ivf_compact_and_search": compacted_index,
         "s24_ivfpq_delete_and_search": pq_deleted_index,
+        "s25_ivfpq_append_and_search": pq_grown_index,
+        "s26_ivfpq_compact_and_search": pq_compacted_index,
         "q80_incremental_pipeline": incremental_pipeline,
         "d15_minhash_estimate": lambda: DD.minhash_estimate_pairs(docs),
         "d16_minhash_estimate_vs_exact": lambda: DD.minhash_estimate_vs_exact(docs),
