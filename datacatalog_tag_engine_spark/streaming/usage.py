@@ -358,3 +358,175 @@ def run_available_now(stream_df: DataFrame, sink_name: str):
     )
     q.awaitTermination()
     return q
+
+
+def session_funnel_stream(
+    events: DataFrame,
+    steps: list[str],
+    gap_minutes: int = 30,
+    watermark: str = "1 day",
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming form of the session-scoped conversion funnel (q75):
+    per-user state holds ONE open session's step-completion times plus
+    the watermark buffer; a closed session is emitted as one row.
+
+    Combines the two existing stateful disciplines: sessionization's
+    close-on-gap/close-on-timeout rule (streaming/sessions.py) with
+    funnel_state_stream's watermark-ordered folding — the within-
+    session step rule (step i counts only strictly after the session's
+    own step i-1 time) is order-sensitive, so events fold only once
+    the watermark passes them, in timestamp order. Session boundaries
+    use the batch rule verbatim: floor-epoch-second gap strictly
+    greater than gap_minutes*60 (profiling.sessionize / q75); step
+    ordering compares full microsecond timestamps, also the batch
+    rule. An open session closes when a released event lands past the
+    gap OR when the watermark itself passes last_ts + gap — any future
+    event must then open a new session, so the close commutes with
+    every possible future.
+
+    State per user: len(steps) timestamps + one session anchor + the
+    late-horizon buffer (same bound as funnel_state_stream). Events
+    already beyond the watermark at arrival are dropped and counted on
+    every emission (the gate_metrics contract). Emitted rows are
+    session-grain (append mode): (id, session_start_micro,
+    step_ts_micro, n_late_dropped); ``session_funnel_finish`` turns
+    them into q75's exact output shape."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    step_idx = {s: i for i, s in enumerate(steps)}
+    n = len(steps)
+    gap_sec = gap_minutes * 60
+    id_type = events.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("session_start_micro", T.LongType()),
+            T.StructField("step_ts_micro", T.ArrayType(T.LongType())),
+            T.StructField("n_late_dropped", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("sess_start", T.LongType()),   # micros, -1 = none
+            T.StructField("sess_last", T.LongType()),    # floor-epoch SECONDS
+            T.StructField("steps_micro", T.ArrayType(T.LongType())),
+            T.StructField("pend_ts", T.ArrayType(T.LongType())),
+            T.StructField("pend_step", T.ArrayType(T.IntegerType())),
+            T.StructField("n_late_dropped", T.LongType()),
+        ]
+    )
+
+    def fold(key, pdfs, state):
+        if state.exists:
+            sess_start, sess_last, steps_micro, pend_ts, pend_step, n_late = state.get
+            steps_micro = list(steps_micro)
+            pend = list(zip(pend_ts, pend_step))
+        else:
+            sess_start, sess_last, steps_micro, pend, n_late = -1, -1, [-1] * n, [], 0
+        wm_ms = state.getCurrentWatermarkMs()
+        wm = wm_ms * 1000  # micros
+        for pdf in pdfs:
+            for ts, et in zip(pdf[ts_col], pdf[type_col]):
+                if ts is None or pd.isna(ts):
+                    continue
+                t = int(pd.Timestamp(ts).value) // 1000
+                if t <= wm:
+                    n_late += 1
+                else:
+                    pend.append((t, step_idx.get(et, -1)))
+        release = sorted(e for e in pend if e[0] <= wm)
+        pend = [e for e in pend if e[0] > wm]
+        closed: list[tuple[int, list[int]]] = []
+        for t, j in release:
+            t_sec = t // 1_000_000
+            if sess_start < 0:
+                sess_start, sess_last, steps_micro = t, t_sec, [-1] * n
+            elif t_sec - sess_last > gap_sec:
+                closed.append((sess_start, steps_micro))
+                sess_start, sess_last, steps_micro = t, t_sec, [-1] * n
+            else:
+                sess_last = t_sec
+            if j == 0:
+                if steps_micro[0] < 0:
+                    steps_micro[0] = t
+            elif j > 0 and steps_micro[j - 1] >= 0 and t > steps_micro[j - 1] and steps_micro[j] < 0:
+                steps_micro[j] = t
+        # the watermark itself can close the open session: any future
+        # event has t > wm, so t_sec - sess_last > gap is already
+        # certain — the close commutes with every possible future
+        if not pend and sess_start >= 0 and (wm // 1_000_000) - sess_last > gap_sec:
+            closed.append((sess_start, steps_micro))
+            sess_start, sess_last, steps_micro = -1, -1, [-1] * n
+        state.update(
+            (
+                sess_start,
+                sess_last,
+                steps_micro,
+                [t for t, _ in pend],
+                [j for _, j in pend],
+                n_late,
+            )
+        )
+        if pend:
+            state.setTimeoutTimestamp(max(wm_ms + 1, min(t for t, _ in pend) // 1000 + 1))
+        elif sess_start >= 0:
+            state.setTimeoutTimestamp(max(wm_ms + 1, (sess_last + gap_sec) * 1000 + 1000))
+        if closed:
+            yield pd.DataFrame(
+                [
+                    {
+                        id_col: key[0],
+                        "session_start_micro": st,
+                        "step_ts_micro": sm,
+                        "n_late_dropped": n_late,
+                    }
+                    for st, sm in closed
+                ]
+            )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(id_col)
+        .applyInPandasWithState(
+            fold, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
+def session_funnel_finish(
+    session_rows: DataFrame, steps: list[str]
+) -> DataFrame:
+    """Finish q75's exact output shape from ``session_funnel_stream``
+    emissions: each row is one closed session; a session counts for
+    step i when its step-i time is set. Session-grain input, one tiny
+    aggregation."""
+    from pyspark.sql.window import Window
+
+    spark = session_rows.sparkSession
+    axis = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(steps)], "step_index int, step string"
+    )
+    counts = (
+        session_rows.select(F.posexplode("step_ts_micro").alias("step_index", "t"))
+        .groupBy("step_index")
+        .agg(F.sum((F.col("t") >= 0).cast("long")).alias("n_sessions"))
+    )
+    base = F.max(F.when(F.col("step_index") == 0, F.col("n_sessions"))).over(
+        Window.partitionBy()
+    )
+    return (
+        axis.join(counts, "step_index", "left")
+        .withColumn("n_sessions", F.coalesce(F.col("n_sessions"), F.lit(0)))
+        .withColumn(
+            "conversion",
+            F.when(base > 0, F.round(F.col("n_sessions") / base, 4)).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .select("step_index", "step", "n_sessions", "conversion")
+    )

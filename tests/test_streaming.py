@@ -661,3 +661,147 @@ def test_funnel_stream_string_user_ids(spark, tmp_path):
         for r in U.funnel_counts_finish(sink, ["view", "click"]).collect()
     }
     assert finished == {"view": 2, "click": 1}
+
+
+def test_session_funnel_stream_matches_batch(spark, tmp_path):
+    """q75's streaming form: per-user open-session funnel state folded
+    in event-time order behind the watermark, sessions closed on gap
+    or on the watermark passing last_ts + gap. The real sf0.001 corpus
+    re-fed as three micro-batches (two halves + a far-future flush
+    event that closes every open session); the finished counts must
+    equal profiling.session_funnel's batch answer exactly."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datacatalog_tag_engine_spark.pipeline.profiling import session_funnel
+
+    import __spark_entry__ as E
+
+    events = spark.table("events")
+    pdf = events.toPandas().sort_values("event_id").reset_index(drop=True)
+    src = str(tmp_path / "sfunnel_src")
+    os.makedirs(src)
+    half = len(pdf) // 2
+    sentinel = pdf.iloc[:1].copy()
+    sentinel["event_id"] = 10**9
+    sentinel["user_id"] = 10**9
+    sentinel["event_type"] = "flush"  # not a funnel step
+    sentinel["ts"] = pdf["ts"].max() + __import__("pandas").Timedelta(days=5)
+    for i, chunk in enumerate([pdf.iloc[:half], pdf.iloc[half:], sentinel]):
+        path = os.path.join(src, f"f{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False), path)
+        os.utime(path, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    stream = U.read_events_stream(spark, src, glob="*.parquet", max_files_per_trigger=1)
+    q = (
+        U.session_funnel_stream(stream, E.FUNNEL_STEPS, watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("sfunnel_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["step_index"], r["step"]): (r["n_sessions"], r["conversion"])
+        for r in U.session_funnel_finish(
+            spark.table("sfunnel_sink"), E.FUNNEL_STEPS
+        ).collect()
+    }
+    batch = {
+        (r["step_index"], r["step"]): (r["n_sessions"], r["conversion"])
+        for r in session_funnel(events, list(E.FUNNEL_STEPS)).collect()
+    }
+    assert got == batch and got[(0, "view")][0] > 1
+    # every emitted row is a closed session with a stable identity
+    rows = spark.table("sfunnel_sink")
+    assert rows.count() == rows.select("user_id", "session_start_micro").distinct().count()
+
+
+def test_session_funnel_stream_closes_on_gap_and_counts_late(spark, tmp_path):
+    """Contract test: (a) a user's second visit is a SEPARATE emitted
+    session (gap close), (b) a view->click inside one session converts
+    while a cross-session click does not, (c) an event arriving already
+    beyond the watermark is dropped and counted."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def tbl(rows):
+        return pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+
+    # batch 1: user 7 views+clicks in session A; user 8 views; a flush
+    #          event advances the watermark past all of them.
+    # batch 2: user 7 views again 5h later (new session, no click);
+    #          user 8's LATE click stamped before the watermark -> drop;
+    #          a further flush advances the watermark again.
+    # batch 3: final flush far in the future releases/closes everything.
+    b1 = [
+        (1, t0, 7, "view"),
+        (2, t0 + dt.timedelta(minutes=1), 7, "click"),
+        (3, t0 + dt.timedelta(minutes=2), 8, "view"),
+        (4, t0 + dt.timedelta(days=1), 99, "flush"),
+    ]
+    b2 = [
+        (5, t0 + dt.timedelta(days=1, hours=5), 7, "view"),
+        (6, t0 + dt.timedelta(minutes=3), 8, "click"),  # beyond-wm arrival
+        (7, t0 + dt.timedelta(days=9), 99, "flush"),
+    ]
+    b3 = [(8, t0 + dt.timedelta(days=30), 99, "flush")]
+    src = str(tmp_path / "sfunnel_gap")
+    os.makedirs(src)
+    for i, rows in enumerate([b1, b2, b3]):
+        p = os.path.join(src, f"f{i}.parquet")
+        pq.write_table(tbl(rows), p)
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        U.session_funnel_stream(stream, ["view", "click"], watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("sfunnel_gap_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("sfunnel_gap_sink").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    # user 7: two sessions — the first converted view+click, the
+    # second view-only
+    s7 = sorted(by_user[7], key=lambda r: r["session_start_micro"])
+    assert len(s7) == 2
+    assert s7[0]["step_ts_micro"][0] >= 0 and s7[0]["step_ts_micro"][1] >= 0
+    assert s7[1]["step_ts_micro"][0] >= 0 and s7[1]["step_ts_micro"][1] < 0
+    # user 8: one view-only session; the late click was dropped+counted
+    s8 = by_user[8]
+    assert len(s8) == 1
+    assert s8[0]["step_ts_micro"][0] >= 0 and s8[0]["step_ts_micro"][1] < 0
+    assert max(r["n_late_dropped"] for r in rows if r["user_id"] == 8) == 1
+    finished = {
+        r["step"]: r["n_sessions"]
+        for r in U.session_funnel_finish(
+            spark.table("sfunnel_gap_sink"), ["view", "click"]
+        ).collect()
+    }
+    assert finished["view"] == 3 and finished["click"] == 1
