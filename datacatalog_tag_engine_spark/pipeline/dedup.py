@@ -1769,3 +1769,42 @@ def minhash_estimate_vs_exact(
         "est_jaccard",
         F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 4).alias("abs_err"),
     )
+
+
+def quality_canonical_dedup(
+    docs: DataFrame,
+    scores: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup dedup with QUALITY-AWARE canonical selection: the kept
+    member of each near-dup cluster is the highest-``quality_score``
+    doc (tie -> lowest id), not the lowest id. Lowest-id keep
+    (``apply_neardup_dedup``) is arbitrary when a clone family spans a
+    clean original and a boilerplate-wrapped mirror — a training
+    corpus wants the clean one, and which copy crawled first is
+    noise. Standard practice in LLM dedup pipelines (near-dup cluster
+    + best-member selection).
+
+    ``scores`` defaults to ``text.quality_scores`` (the t02-certified
+    composite); pass any (id, quality_score) table to rank by another
+    signal (an LM perplexity, a classifier). Cluster machinery is the
+    certified q34 chain; the extra cost over lowest-id keep is one
+    doc-grain score computation and a cluster-grain window. Returns
+    (doc_id, cluster_id, quality_score, keep) for EVERY input doc."""
+    from .text import quality_scores
+
+    if scores is None:
+        scores = quality_scores(docs, id_col, text_col).select(
+            id_col, "quality_score"
+        )
+    pairs = minhash_dedup(docs, id_col, text_col)
+    clusters = neardup_clusters(docs, pairs, id_col=id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col(id_col)
+    )
+    return (
+        clusters.join(scores, id_col)
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select(id_col, "cluster_id", "quality_score", "keep")
+    )

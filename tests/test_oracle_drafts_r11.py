@@ -58,6 +58,12 @@ pairs:
   (similarity.compact_ivfpq_index): matters MORE than the raw form
   (4-byte code payloads make append files almost all footer);
   value-invariant, oracle = the wired s10 string verbatim.
+- d17_quality_canonical — near-dup dedup with quality-aware canonical
+  selection (dedup.quality_canonical_dedup): keep the highest-
+  quality_score member of each cluster, tie -> lowest id — the clean
+  original beats a boilerplate-wrapped mirror that happened to crawl
+  first. Oracle = the wired q34 chain (final-SELECT surgery, the q73
+  pattern) joined with the WIRED t02 quality oracle nested as a CTE.
 """
 
 import duckdb
@@ -705,3 +711,65 @@ def test_oracle_draft_ivfpq_compact(spark, ddb, tmp_path):
         assert len(glob.glob(os.path.join(d, "*.parquet"))) <= 2
     got = _rows(SIM.ivfpq_topk_from_index(spark, path, qs, k=5, nprobe=2))
     assert got == _sql_rows(ddb, E.oracle_sql()["s10_ivfpq_topk"])
+
+
+# --- d17: quality-aware canonical selection ----------------------------------
+
+
+def quality_canonical_sql() -> str:
+    """The wired q34 cluster chain with its final SELECT replaced by a
+    quality join + per-cluster rank (the q73 surgery pattern, one copy
+    of the chain); quality comes from the WIRED t02 oracle nested as a
+    CTE (one copy of the score)."""
+    q34 = E.oracle_sql()["q34_dedup_clusters"]
+    t02 = E.oracle_sql()["t02_quality"]
+    tail = "SELECT doc_id, cluster_id FROM clusters"
+    assert q34.count(tail) == 1
+    return q34.replace(
+        tail,
+        f""", q AS ({t02}),
+ranked AS (
+  SELECT c.doc_id, c.cluster_id, q.quality_score,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.quality_score DESC, c.doc_id) AS rn
+  FROM clusters c JOIN q USING (doc_id))
+SELECT doc_id, cluster_id, quality_score, rn = 1 AS keep FROM ranked""",
+    )
+
+
+def test_oracle_draft_quality_canonical(spark, ddb):
+    got = _rows(DD.quality_canonical_dedup(spark.table("documents")))
+    want = _sql_rows(ddb, quality_canonical_sql())
+    assert got == want
+    assert len(got) == spark.table("documents").count()
+
+
+def test_quality_canonical_keeps_the_clean_copy(spark):
+    """A clone family spanning a clean original and a punctuation-
+    noised mirror keeps the CLEAN one even when the noisy copy has the
+    lower id — exactly the case lowest-id keep gets wrong — and
+    conservation holds (one keeper per cluster)."""
+    clean = (
+        "the quick brown fox jumps over the lazy dog and it is a good day "
+        "for the animals to be out in the sun with all of this fine weather"
+    )
+    noisy = clean + " ### !!! $$$ %%% ^^^ &&& *** ((( )))"
+    rows = [
+        (1, noisy),   # lower id, worse quality
+        (2, clean),
+        (10, "an unrelated singleton document that is entirely its own thing here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in DD.quality_canonical_dedup(df).collect()}
+    assert out[1]["cluster_id"] == out[2]["cluster_id"]  # same family
+    assert out[2]["keep"] and not out[1]["keep"]         # clean copy wins
+    assert out[10]["keep"]
+    # lowest-id keep would have chosen doc 1
+    low = {r["doc_id"]: r for r in DD.apply_neardup_dedup(
+        df, DD.neardup_clusters(df, DD.minhash_dedup(df))
+    ).collect()}
+    assert 1 in low and 2 not in low
+    # exactly one keeper per cluster
+    from collections import Counter
+    keepers = Counter(r["cluster_id"] for r in out.values() if r["keep"])
+    assert all(v == 1 for v in keepers.values())

@@ -118,6 +118,7 @@ def main() -> None:
         "q80_incremental_pipeline": incremental_pipeline,
         "d15_minhash_estimate": lambda: DD.minhash_estimate_pairs(docs),
         "d16_minhash_estimate_vs_exact": lambda: DD.minhash_estimate_vs_exact(docs),
+        "d17_quality_canonical": lambda: DD.quality_canonical_dedup(docs),
         "t33_token_entropy": lambda: TXT.token_entropy(docs),
         "q82_mixture_rebalance": rebalance,
     }
