@@ -156,3 +156,32 @@ def test_sf_corpus_parity_under_the_wired_default(spark):
     assert _rows(DD.containment_dedup(docs)) == _rows(
         DD.containment_dedup(docs, max_df=None)
     )
+
+
+def test_cap_is_monotone_in_max_df(spark):
+    """Scores only DECREASE as the cap tightens (capped shingles leave
+    the intersection, never the denominators), so the >= threshold
+    pair set is monotone: pairs(max_df=k) ⊆ pairs(max_df=k') for
+    k <= k', and uncapped is the superset of all. Checked on the
+    boilerplate fixture where several caps genuinely bite; scores
+    agree exactly on surviving pairs whose overlap had no capped
+    shingle."""
+    sh = DD.shingle_table(_spark_docs(spark))
+
+    def pairs(cap):
+        return {
+            (r["doc_a"], r["doc_b"]): r["containment"]
+            for r in DD.containment_pairs(sh, threshold=0.3, max_df=cap).collect()
+        }
+
+    chain = [pairs(2), pairs(10), pairs(39), pairs(None)]
+    for tight, loose in zip(chain, chain[1:]):
+        assert set(tight) <= set(loose)
+        assert all(tight[p] <= loose[p] for p in tight)
+    assert len(chain[0]) < len(chain[-1])  # the caps genuinely bit
+    # the genuine pair SURVIVES every cap (its pair-local df-2 evidence
+    # stays in the intersection) but its score honestly drops as the
+    # boilerplate leaves the numerator while min-size keeps counting it:
+    # 1.0 uncapped -> 0.5 at cap 2 (5 evidence shingles / 10 total)
+    assert chain[-1][(0, 1)] == 1.0
+    assert chain[0][(0, 1)] == 0.5
