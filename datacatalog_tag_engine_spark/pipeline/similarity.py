@@ -1861,3 +1861,34 @@ def compact_ivfpq_index(
         "files_before": files_before,
         "files_after": files_after,
     }
+
+
+def cluster_balanced_sample(
+    vectors: DataFrame,
+    k_per_cell: int = 5,
+    num_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """Diversity sampling over embedding space: assign every vector to
+    its nearest cell (the certified s03 IVF assignment — trained
+    k-means centroids plug in via ``cents``), then take exactly
+    min(k, cell size) per cell by the deterministic md5 order
+    (sampling.sample_k_per_group's reproducibility contract). A
+    uniform corpus sample reproduces the corpus's topic imbalance;
+    the cell-balanced sample flattens it — the embedding-space
+    counterpart of the q54/q63 source-mixture levers, used when the
+    imbalance is semantic rather than provenance-shaped.
+
+    One broadcast-centroid projection + one shuffle on the cell key;
+    the per-cell window is WindowGroupLimit-pruned. Output is
+    (vec_id, cell), k*num_cells rows at most."""
+    from .sampling import sample_k_per_group
+
+    assigned = (
+        _ranked_cells(vectors, num_cells, id_col, vec_col, cents=cents)
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "cell")
+    )
+    return sample_k_per_group(assigned, k_per_cell, key_col=id_col, group_col="cell")

@@ -64,6 +64,12 @@ pairs:
   original beats a boilerplate-wrapped mirror that happened to crawl
   first. Oracle = the wired q34 chain (final-SELECT surgery, the q73
   pattern) joined with the WIRED t02 quality oracle nested as a CTE.
+- s27_cluster_balanced_sample — diversity sampling over embedding
+  space (similarity.cluster_balanced_sample): the certified s03 cell
+  assignment + the q62 deterministic md5 k-per-group rule at cell
+  grain; flattens semantic imbalance the way q54/q63 flatten
+  provenance imbalance. Stability under corpus append pinned (one
+  displaced selection per cell at most).
 """
 
 import duckdb
@@ -773,3 +779,59 @@ def test_quality_canonical_keeps_the_clean_copy(spark):
     from collections import Counter
     keepers = Counter(r["cluster_id"] for r in out.values() if r["keep"])
     assert all(v == 1 for v in keepers.values())
+
+
+# --- s27: cluster-balanced sample --------------------------------------------
+
+
+def cluster_balanced_sample_sql(k: int = 5, num_cells: int = 8) -> str:
+    """The s03 assignment CTEs (the cell_inertia restatement pattern)
+    + the q62 md5 QUALIFY rule at cell grain."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cent_v FROM e ORDER BY vec_id LIMIT {num_cells}),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round(list_cosine_similarity(e.v, c.cent_v), 6) DESC, c.cell) AS rn
+    FROM e CROSS JOIN cents c) WHERE rn = 1)
+SELECT vec_id, cell FROM assign
+QUALIFY row_number() OVER (PARTITION BY cell
+                           ORDER BY md5(vec_id::VARCHAR), vec_id) <= {k}
+"""
+
+
+def test_oracle_draft_cluster_balanced_sample(spark, ddb):
+    got = _rows(SIM.cluster_balanced_sample(spark.table("embeddings")))
+    want = _sql_rows(ddb, cluster_balanced_sample_sql())
+    assert got == want
+    assert len(got) > 1
+
+
+def test_cluster_balanced_sample_flattens_and_is_stable(spark):
+    """Exactly min(k, cell size) per cell; the sample is a subset of
+    the full assignment; appending a vector displaces at most one
+    selection per cell (the md5-order stability contract)."""
+    emb = spark.table("embeddings")
+    out = SIM.cluster_balanced_sample(emb, k_per_cell=3).collect()
+    from collections import Counter
+    per = Counter(r["cell"] for r in out)
+    sizes = Counter(
+        r["cell"]
+        for r in SIM.cell_balance(emb).collect()
+        for _ in range(r["n_vectors"])
+    )
+    assert all(per[c] == min(3, sizes[c]) for c in per)
+    before = {(r["vec_id"], r["cell"]) for r in out}
+    base = emb.select("vec_id", "embedding")
+    grown = base.unionByName(
+        base.limit(1).select(
+            (F.col("vec_id") + 10**9).alias("vec_id"), "embedding"
+        )
+    )
+    after = {
+        (r["vec_id"], r["cell"])
+        for r in SIM.cluster_balanced_sample(grown, k_per_cell=3).collect()
+    }
+    assert len(before - after) <= 1

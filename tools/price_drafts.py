@@ -121,6 +121,7 @@ def main() -> None:
         "d17_quality_canonical": lambda: DD.quality_canonical_dedup(docs),
         "t33_token_entropy": lambda: TXT.token_entropy(docs),
         "q82_mixture_rebalance": rebalance,
+        "s27_cluster_balanced_sample": lambda: SIM.cluster_balanced_sample(emb),
     }
     out = {}
     for name, fn in cases.items():
