@@ -203,3 +203,80 @@ def dirty_shards(
             > 0
         ).alias("needs_rewrite"),
     )
+
+
+def range_shard_assignments(
+    docs: DataFrame,
+    range_width: int,
+    num_shards: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Locality sharding: shard = id // range_width (optionally capped
+    into num_shards by modulo for a fixed shard budget). The md5 rule
+    (``shard_assignments``) maximizes BALANCE but destroys export
+    locality — the r10 incremental rung measured a 200-doc trickle add
+    dirtying 62/64 hash shards, because uniform hashing sprays any
+    delta everywhere. When ids are monotone in ingest order (crawl
+    sequence numbers, snowflake ids), contiguous ranges put a daily
+    append into the TAIL shards only: the dirty set is
+    ceil(delta/range_width) shards regardless of corpus size. The
+    trade is explicit: range shards skew when ingest is bursty
+    (shard_balance says by how much); hash shards stay balanced but
+    are all dirty on any append. Pick per table, diff either with
+    ``dirty_shards_assigned``."""
+    shard = (F.col(id_col) / range_width).cast("long")
+    if num_shards is not None:
+        shard = shard % num_shards
+    return docs.select(id_col, shard.cast("int").alias("shard"))
+
+
+def dirty_shards_assigned(
+    old_assigned: DataFrame,
+    new_assigned: DataFrame,
+    id_col: str = "doc_id",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """``dirty_shards`` for EXPLICIT shard assignments: both versions
+    carry their own (id, shard) mapping, so any assignment policy —
+    md5, id ranges, dates, a size-balancing optimizer — plugs into the
+    same incremental-export planning. A doc whose shard CHANGED
+    between versions (resharding) is a removal from its old shard plus
+    an addition to its new one, so resharding cost is visible in the
+    plan instead of silently rewriting everything.
+
+    Same shape as ``dirty_shards``: one full outer join on the id,
+    shard-grain rollup, every observed shard kept visible. Returns
+    (shard, n_kept, n_added, n_removed, needs_rewrite)."""
+    o = old_assigned.select(id_col, F.col(shard_col).alias("_os"))
+    n = new_assigned.select(id_col, F.col(shard_col).alias("_ns"))
+    j = o.join(n, id_col, "full")
+    kept = j.filter(F.col("_os") == F.col("_ns")).groupBy(
+        F.col("_os").alias(shard_col)
+    ).agg(F.count("*").cast("long").alias("n_kept"))
+    added = j.filter(
+        F.col("_os").isNull() | (F.col("_os") != F.col("_ns"))
+    ).filter(F.col("_ns").isNotNull()).groupBy(
+        F.col("_ns").alias(shard_col)
+    ).agg(F.count("*").cast("long").alias("n_added"))
+    removed = j.filter(
+        F.col("_ns").isNull() | (F.col("_os") != F.col("_ns"))
+    ).filter(F.col("_os").isNotNull()).groupBy(
+        F.col("_os").alias(shard_col)
+    ).agg(F.count("*").cast("long").alias("n_removed"))
+    axis = (
+        old_assigned.select(F.col(shard_col))
+        .unionByName(new_assigned.select(F.col(shard_col)))
+        .distinct()
+    )
+    out = axis.join(kept, shard_col, "left").join(added, shard_col, "left").join(
+        removed, shard_col, "left"
+    )
+    return out.select(
+        F.col(shard_col).cast("int").alias("shard"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("n_added", F.lit(0)).cast("long").alias("n_added"),
+        F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        (
+            F.coalesce("n_added", F.lit(0)) + F.coalesce("n_removed", F.lit(0)) > 0
+        ).alias("needs_rewrite"),
+    )

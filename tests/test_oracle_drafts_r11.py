@@ -70,6 +70,12 @@ pairs:
   grain; flattens semantic imbalance the way q54/q63 flatten
   provenance imbalance. Stability under corpus append pinned (one
   displaced selection per cell at most).
+- q84_dirty_shards_assigned — the incremental-export planner for
+  EXPLICIT shard assignments (export.dirty_shards_assigned +
+  range_shard_assignments): any policy plugs in, moved docs are
+  visible as removed@old + added@new, and locality sharding closes
+  the saturation the r10 rung measured — a 200-doc trickle append
+  dirties <=3 range shards vs 62/64 md5 shards (both asserted).
 """
 
 import duckdb
@@ -835,3 +841,89 @@ def test_cluster_balanced_sample_flattens_and_is_stable(spark):
         for r in SIM.cluster_balanced_sample(grown, k_per_cell=3).collect()
     }
     assert len(before - after) <= 1
+
+
+# --- q84: assignment-based dirty shards (locality sharding) ------------------
+
+
+def dirty_shards_assigned_sql(range_width: int = 100) -> str:
+    """Range-sharded versions (shard = id // width) diffed by the
+    generic assignment planner: FULL JOIN on the id, a doc whose shard
+    changed counts as removed@old + added@new, observed-shard axis.
+    Versions: old = all documents, new = documents minus doc_id%17==0
+    (retractions) — the locality-sharding counterpart of q79."""
+    b = f"(doc_id // {range_width})"
+    return f"""
+WITH o AS (SELECT doc_id, {b} AS os FROM documents),
+n AS (SELECT doc_id, {b} AS ns FROM documents WHERE doc_id % 17 != 0),
+j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, os, ns
+      FROM o FULL JOIN n ON o.doc_id = n.doc_id),
+kept AS (SELECT os AS shard, count(*) AS n_kept FROM j WHERE os = ns GROUP BY os),
+added AS (SELECT ns AS shard, count(*) AS n_added FROM j
+          WHERE ns IS NOT NULL AND (os IS NULL OR os <> ns) GROUP BY ns),
+removed AS (SELECT os AS shard, count(*) AS n_removed FROM j
+            WHERE os IS NOT NULL AND (ns IS NULL OR os <> ns) GROUP BY os),
+axis AS (SELECT DISTINCT shard FROM (SELECT os AS shard FROM o
+         UNION ALL SELECT ns FROM n))
+SELECT a.shard::INT AS shard,
+       coalesce(n_kept, 0)::BIGINT AS n_kept,
+       coalesce(n_added, 0)::BIGINT AS n_added,
+       coalesce(n_removed, 0)::BIGINT AS n_removed,
+       coalesce(n_added, 0) + coalesce(n_removed, 0) > 0 AS needs_rewrite
+FROM axis a LEFT JOIN kept USING (shard) LEFT JOIN added USING (shard)
+LEFT JOIN removed USING (shard)
+"""
+
+
+def _q84(spark):
+    from datacatalog_tag_engine_spark.pipeline.export import (
+        dirty_shards_assigned,
+        range_shard_assignments,
+    )
+
+    docs = spark.table("documents")
+    old = range_shard_assignments(docs, 100)
+    new = range_shard_assignments(docs.filter(F.col("doc_id") % 17 != 0), 100)
+    return dirty_shards_assigned(old, new)
+
+
+def test_oracle_draft_dirty_shards_assigned(spark, ddb):
+    got = _rows(_q84(spark))
+    want = _sql_rows(ddb, dirty_shards_assigned_sql(100))
+    assert got == want
+    assert len(got) > 1
+
+
+def test_range_sharding_localizes_appends_and_surfaces_moves(spark):
+    """The design lever the r10 incremental rung surfaced: a 200-doc
+    trickle APPEND dirties 62/64 md5 shards (measured) but only
+    ceil(200/width) range shards — here exactly 2 of ~50. And a doc
+    whose shard changed between versions shows as removed@old +
+    added@new (resharding cost is visible, not silent)."""
+    from datacatalog_tag_engine_spark.pipeline.export import (
+        dirty_shards,
+        dirty_shards_assigned,
+        range_shard_assignments,
+    )
+
+    docs = spark.table("documents").select("doc_id")
+    top = docs.agg(F.max("doc_id")).first()[0]
+    extra = spark.range(top + 1, top + 201).select(F.col("id").alias("doc_id"))
+    grown = docs.unionByName(extra)
+    ranged = dirty_shards_assigned(
+        range_shard_assignments(docs, 100), range_shard_assignments(grown, 100)
+    ).collect()
+    dirty_ranged = [r for r in ranged if r["needs_rewrite"]]
+    assert 1 <= len(dirty_ranged) <= 3  # ceil(200/100) + boundary shard
+    assert sum(r["n_added"] for r in dirty_ranged) == 200
+    hash_dirty = (
+        dirty_shards(docs, grown, 64).filter("needs_rewrite").count()
+    )
+    assert hash_dirty > 50  # the saturation the rung measured
+    # a moved doc is visible on both sides of the diff
+    old_a = spark.createDataFrame([(1, 0), (2, 0)], "doc_id long, shard int")
+    new_a = spark.createDataFrame([(1, 0), (2, 1)], "doc_id long, shard int")
+    out = {r["shard"]: r for r in dirty_shards_assigned(old_a, new_a).collect()}
+    assert out[0]["n_kept"] == 1 and out[0]["n_removed"] == 1
+    assert out[1]["n_added"] == 1
+    assert out[0]["needs_rewrite"] and out[1]["needs_rewrite"]
