@@ -85,6 +85,17 @@ def main() -> None:
         )
         return SIM.ivfpq_topk_from_index(spark, p, qs, k=5, nprobe=2)
 
+    def _q84():
+        from datacatalog_tag_engine_spark.pipeline.export import (
+            dirty_shards_assigned,
+            range_shard_assignments,
+        )
+
+        return dirty_shards_assigned(
+            range_shard_assignments(docs, 100),
+            range_shard_assignments(docs.filter(F.col("doc_id") % 17 != 0), 100),
+        )
+
     def rebalance():
         drift = TXT.gate_mixture_drift(
             docs, min_words=20, min_stopword_hits=0,
@@ -122,6 +133,7 @@ def main() -> None:
         "t33_token_entropy": lambda: TXT.token_entropy(docs),
         "q82_mixture_rebalance": rebalance,
         "s27_cluster_balanced_sample": lambda: SIM.cluster_balanced_sample(emb),
+        "q84_dirty_shards_assigned": lambda: _q84(),
     }
     out = {}
     for name, fn in cases.items():
