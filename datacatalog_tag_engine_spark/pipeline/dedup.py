@@ -269,13 +269,19 @@ def jaccard_pairs(
 
     join_side = sh_h
     if max_df is not None:
-        rare = (
+        # drop the HOT set (df > max_df), not keep the rare set: the
+        # rare set is essentially the whole vocabulary (corpus-grain),
+        # while the hot set is bounded by total_shingle_rows / max_df
+        # keys BY CONSTRUCTION — safe to broadcast at any corpus size.
+        # left_anti(hot) == left_semi(rare) value-for-value (every key
+        # has exactly one df).
+        hot = (
             sh_h.groupBy("_h")
             .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_df)
+            .filter(F.col("df") > max_df)
             .select("_h")
         )
-        join_side = sh_h.join(F.broadcast(rare), "_h", "left_semi")
+        join_side = sh_h.join(F.broadcast(hot), "_h", "left_anti")
 
     a = join_side.alias("a")
     b = join_side.alias("b")
@@ -349,13 +355,20 @@ def containment_pairs(
 
     join_side = sh_h
     if max_df is not None:
-        rare = (
+        # broadcast the HOT set (df > max_df) and anti-join, never the
+        # rare set: with the cap defaulting ON, the rare set is the
+        # whole vocabulary minus a handful of stop-shingles — forcing
+        # THAT broadcast collects corpus-grain state to the driver and
+        # OOMs at exactly the scales the cap exists for. The hot set is
+        # bounded by total_shingle_rows / max_df keys by construction.
+        # left_anti(hot) == left_semi(rare) value-for-value.
+        hot = (
             sh_h.groupBy("_h")
             .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_df)
+            .filter(F.col("df") > max_df)
             .select("_h")
         )
-        join_side = sh_h.join(F.broadcast(rare), "_h", "left_semi")
+        join_side = sh_h.join(F.broadcast(hot), "_h", "left_anti")
 
     a = join_side.alias("a")
     b = join_side.alias("b")
@@ -1743,7 +1756,11 @@ def minhash_estimate_vs_exact(
     at certification scale (a corpus sample), not on the serving path;
     the serving path is ``minhash_estimate_pairs``. Returns (doc_a,
     doc_b, jaccard, est_jaccard, abs_err) for verified pairs with
-    jaccard >= threshold."""
+    jaccard >= threshold. The result (pair-grain, tiny next to the
+    corpus) is materialized eagerly so the corpus-sized shingle
+    checkpoint — which BOTH the exact verify and the signatures read —
+    can be freed before returning, instead of staying pinned in the
+    block manager for the returned DataFrame's lifetime."""
     sh = shingle_table(docs, id_col, text_col, k).localCheckpoint(eager=True)
     sigs = minhash_signatures(sh, num_hashes, id_col)
     cands = lsh_candidate_pairs(sigs, num_hashes, bands, id_col)
@@ -1762,13 +1779,19 @@ def minhash_estimate_vs_exact(
             F.round(agree / F.lit(num_hashes), 4).alias("est_jaccard"),
         )
     )
-    return exact.join(est, ["doc_a", "doc_b"]).select(
-        "doc_a",
-        "doc_b",
-        "jaccard",
-        "est_jaccard",
-        F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 4).alias("abs_err"),
+    out = (
+        exact.join(est, ["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            "est_jaccard",
+            F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 4).alias("abs_err"),
+        )
+        .localCheckpoint(eager=True)
     )
+    free_local_checkpoint(sh)
+    return out
 
 
 def quality_canonical_dedup(
@@ -1788,10 +1811,14 @@ def quality_canonical_dedup(
 
     ``scores`` defaults to ``text.quality_scores`` (the t02-certified
     composite); pass any (id, quality_score) table to rank by another
-    signal (an LM perplexity, a classifier). Cluster machinery is the
-    certified q34 chain; the extra cost over lowest-id keep is one
-    doc-grain score computation and a cluster-grain window. Returns
-    (doc_id, cluster_id, quality_score, keep) for EVERY input doc."""
+    signal (an LM perplexity, a classifier). A caller-supplied table
+    that misses some ids does NOT drop those docs: the join is a LEFT
+    join and unscored docs rank last (nulls-last), so the every-input-
+    doc contract holds and an unscored doc never beats a scored one.
+    Cluster machinery is the certified q34 chain; the extra cost over
+    lowest-id keep is one doc-grain score computation and a
+    cluster-grain window. Returns (doc_id, cluster_id, quality_score,
+    keep) for EVERY input doc."""
     from .text import quality_scores
 
     if scores is None:
@@ -1801,10 +1828,10 @@ def quality_canonical_dedup(
     pairs = minhash_dedup(docs, id_col, text_col)
     clusters = neardup_clusters(docs, pairs, id_col=id_col)
     w = Window.partitionBy("cluster_id").orderBy(
-        F.col("quality_score").desc(), F.col(id_col)
+        F.col("quality_score").desc_nulls_last(), F.col(id_col)
     )
     return (
-        clusters.join(scores, id_col)
+        clusters.join(scores, id_col, "left")
         .withColumn("keep", F.row_number().over(w) == 1)
         .select(id_col, "cluster_id", "quality_score", "keep")
     )

@@ -1580,6 +1580,56 @@ def _cell_dirs(spark, path: str) -> dict[int, list]:
     return out
 
 
+# staging directory for cell rewrites (delete / compact). Underscore-
+# prefixed, so parquet readers of the index root ignore it the same way
+# they ignore _centroids — a half-written stage is invisible to serving.
+REWRITE_TMP_DIR = "_rewrite_tmp"
+
+
+def _swap_cells(spark, path: str, rows: DataFrame, cells: list[int]) -> int:
+    """Durable cell rewrite shared by the delete and compact paths:
+    STAGE the replacement rows for ``cells`` into an underscore-
+    prefixed directory inside the index (invisible to readers), and
+    only after that write has fully succeeded delete the old cell
+    directories and rename the staged ones into place.
+
+    Ordering is the whole point (an earlier version deleted first and
+    kept the survivors only as a localCheckpoint — which dies with the
+    session, so a crash between the delete and the append permanently
+    lost every surviving row of the affected cells):
+
+    - failure BEFORE the swap loop: the live index is byte-untouched
+      (the stage dir is ignored by readers); re-running the operation
+      clears the stale stage and completes.
+    - failure MID-swap: every row is durable on disk — each cell is
+      either fully old, fully staged, or fully swapped (per-cell
+      directory rename), never torn.
+
+    A cell in ``cells`` with no staged rows (all rows removed) is
+    deleted outright. Returns the number of staged rows."""
+    fs, jvm = _index_fs(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    tmp = f"{path}/{REWRITE_TMP_DIR}"
+    # clear any stale stage from a crashed prior run: its content was
+    # never swapped in, so dropping it is safe (the rerun re-derives it
+    # from the still-intact live cells)
+    fs.delete(Path(tmp), True)
+    rows.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    staged_dirs = _cell_dirs(spark, tmp)
+    n_staged = spark.read.parquet(tmp).count() if staged_dirs else 0
+    for c in cells:
+        fs.delete(Path(f"{path}/cell={c}"), True)
+        staged = Path(f"{tmp}/cell={c}")
+        if fs.exists(staged):
+            fs.rename(staged, Path(f"{path}/cell={c}"))
+    fs.delete(Path(tmp), True)
+    # the raw FileSystem mutations bypassed Spark, so this session's
+    # file-status cache still lists the removed files — invalidate or
+    # the next read of the path throws FileNotFound mid-scan
+    spark.catalog.refreshByPath(path)
+    return n_staged
+
+
 def remove_from_ivf_index(
     spark,
     path: str,
@@ -1607,12 +1657,15 @@ def remove_from_ivf_index(
     have left the stale files in place).
 
     NOT concurrent-serving-safe (unlike append, which is file-additive
-    and atomic to a directory listing): between the cell delete and the
-    survivor append a reader sees a partial cell. Run it in the index's
-    maintenance window or behind a version-swap of ``path``. The
-    quantizer is untouched: deletions never move centroids (matching
-    FAISS remove_ids); retrain + rebuild when cell_balance /
-    cell_inertia say the geometry drifted.
+    and atomic to a directory listing): between a cell's delete and its
+    staged-rename a reader can miss that cell. Run it in the index's
+    maintenance window or behind a version-swap of ``path``. It IS
+    crash-durable: survivors are staged on disk before any live file is
+    deleted (see ``_swap_cells``), so a failure at any point loses no
+    rows and a rerun completes the delete. The quantizer is untouched:
+    deletions never move centroids (matching FAISS remove_ids);
+    retrain + rebuild when cell_balance / cell_inertia say the geometry
+    drifted.
 
     Returns the number of removed rows."""
     from ..session import free_local_checkpoint
@@ -1635,10 +1688,10 @@ def _rewrite_cells_without(
 ) -> int:
     """Shared delete core for both index layouts: find the cells
     holding any doomed id (dimension-grain collect), rewrite ONLY
-    those partitions from their survivors, remove emptied cells
-    outright. Returns removed row count."""
-    from ..session import free_local_checkpoint
-
+    those partitions from their survivors via the durable stage-then-
+    swap (``_swap_cells`` — survivors hit disk before any live file is
+    deleted), remove emptied cells outright. Returns removed row
+    count."""
     ids_df = ids.select(id_col).distinct()
     affected = [
         r["cell"]
@@ -1650,25 +1703,13 @@ def _rewrite_cells_without(
     if not affected:
         return 0
     touched = resident.filter(F.col("cell").isin(affected))
-    # materialize the survivors BEFORE touching the files they are
-    # read from (the classic self-overwrite hazard); the volume is
-    # bounded by the affected cells, not the corpus
-    survivors = (
-        touched.join(ids_df, id_col, "left_anti")
-        .select(*cols)
-        .localCheckpoint(eager=True)
-    )
-    n_removed = touched.count() - survivors.count()
-    fs, jvm = _index_fs(spark, path)
-    for c in affected:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/cell={c}"), True)
-    survivors.write.mode("append").partitionBy("cell").parquet(path)
-    free_local_checkpoint(survivors)
-    # the raw FileSystem deletes bypassed Spark, so this session's
-    # file-status cache still lists the removed files — invalidate or
-    # the next read of the path throws FileNotFound mid-scan
-    spark.catalog.refreshByPath(path)
-    return n_removed
+    # count the live rows BEFORE the swap mutates the files under the
+    # plan; the survivor count comes back from the staged write, so
+    # neither count re-reads a deleted file
+    n_before = touched.count()
+    survivors = touched.join(ids_df, id_col, "left_anti").select(*cols)
+    n_staged = _swap_cells(spark, path, survivors, affected)
+    return n_before - n_staged
 
 
 def remove_from_ivfpq_index(
@@ -1720,12 +1761,12 @@ def compact_ivf_index(
     stay byte-identical); one file per cell comes from hash-
     repartitioning on the partition column before the write, so each
     cell's rows land in exactly one task. Same maintenance-window
-    caveat as ``remove_from_ivf_index``.
+    caveat as ``remove_from_ivf_index``, and the same crash-durability:
+    the compacted rows are staged on disk before any live file is
+    deleted (``_swap_cells``).
 
     Returns {"cells_compacted": n, "files_before": b, "files_after": a}.
     """
-    from ..session import free_local_checkpoint
-
     resident = spark.read.parquet(path)
     if vec_col not in resident.columns:
         raise ValueError(
@@ -1742,16 +1783,8 @@ def compact_ivf_index(
         resident.filter(F.col("cell").isin(list(fat)))
         .select(id_col, vec_col, "cell")
         .repartition("cell")
-        .localCheckpoint(eager=True)
     )
-    fs, jvm = _index_fs(spark, path)
-    for c in fat:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/cell={c}"), True)
-    rows.write.mode("append").partitionBy("cell").parquet(path)
-    free_local_checkpoint(rows)
-    # raw deletes bypassed Spark's file-status cache — see
-    # remove_from_ivf_index
-    spark.catalog.refreshByPath(path)
+    _swap_cells(spark, path, rows, list(fat))
     files_after = sum(
         len(fl) for c, fl in _cell_dirs(spark, path).items() if c in fat
     )
@@ -1827,9 +1860,8 @@ def compact_ivfpq_index(
     code rows are 4 bytes of payload each, so a daily append's file is
     almost all footer; after a year a probed cell pays hundreds of
     footer reads to fetch kilobytes. Value-invariant; same
-    maintenance-window caveat as the raw form."""
-    from ..session import free_local_checkpoint
-
+    maintenance-window caveat and stage-then-swap durability as the
+    raw form."""
     resident = spark.read.parquet(path)
     if "code" not in resident.columns or "m" not in resident.columns:
         raise ValueError(
@@ -1845,14 +1877,8 @@ def compact_ivfpq_index(
         resident.filter(F.col("cell").isin(list(fat)))
         .select(id_col, "m", "code", "cell")
         .repartition("cell")
-        .localCheckpoint(eager=True)
     )
-    fs, jvm = _index_fs(spark, path)
-    for c in fat:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/cell={c}"), True)
-    rows.write.mode("append").partitionBy("cell").parquet(path)
-    free_local_checkpoint(rows)
-    spark.catalog.refreshByPath(path)
+    _swap_cells(spark, path, rows, list(fat))
     files_after = sum(
         len(fl) for c, fl in _cell_dirs(spark, path).items() if c in fat
     )

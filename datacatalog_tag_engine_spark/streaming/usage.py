@@ -462,20 +462,31 @@ def session_funnel_stream(
         if not pend and sess_start >= 0 and (wm // 1_000_000) - sess_last > gap_sec:
             closed.append((sess_start, steps_micro))
             sess_start, sess_last, steps_micro = -1, -1, [-1] * n
-        state.update(
-            (
-                sess_start,
-                sess_last,
-                steps_micro,
-                [t for t, _ in pend],
-                [j for _, j in pend],
-                n_late,
+        if not pend and sess_start < 0:
+            # nothing buffered and no open session: DROP the state row.
+            # Under EventTimeTimeout an entry with no timeout registered
+            # never expires, so persisting an empty entry here would
+            # grow the state store forever with user churn (the same
+            # rule sessions.py applies). Cost: the cumulative
+            # n_late_dropped counter resets if the user returns — the
+            # session rows already emitted carry its value.
+            if state.exists:
+                state.remove()
+        else:
+            state.update(
+                (
+                    sess_start,
+                    sess_last,
+                    steps_micro,
+                    [t for t, _ in pend],
+                    [j for _, j in pend],
+                    n_late,
+                )
             )
-        )
-        if pend:
-            state.setTimeoutTimestamp(max(wm_ms + 1, min(t for t, _ in pend) // 1000 + 1))
-        elif sess_start >= 0:
-            state.setTimeoutTimestamp(max(wm_ms + 1, (sess_last + gap_sec) * 1000 + 1000))
+            if pend:
+                state.setTimeoutTimestamp(max(wm_ms + 1, min(t for t, _ in pend) // 1000 + 1))
+            else:
+                state.setTimeoutTimestamp(max(wm_ms + 1, (sess_last + gap_sec) * 1000 + 1000))
         if closed:
             yield pd.DataFrame(
                 [

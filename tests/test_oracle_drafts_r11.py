@@ -198,6 +198,80 @@ def test_ivf_delete_touches_only_affected_cells(spark, tmp_path):
     assert left.filter(F.col("vec_id").isin(doomed_ids)).count() == 0
 
 
+def test_ivf_delete_crash_between_stage_and_swap_loses_nothing(
+    spark, tmp_path, monkeypatch
+):
+    """Fault-inject a crash at the delete path's most dangerous point:
+    the survivors are staged but no live cell has been swapped yet
+    (the first live-cell delete raises). The live index must be
+    byte-untouched — a reader mid-crash sees the full old index, the
+    stage dir is invisible to it — and the staged survivors are
+    durable REAL files on disk (not session-lifetime checkpoint
+    blocks). Recovery is simply re-running the delete: it clears the
+    stale stage and completes, leaving the index identical to a fresh
+    rebuild over the survivors."""
+    import glob
+    import os
+
+    emb = spark.table("embeddings")
+    path = str(tmp_path / "ivf_crash")
+    SIM.build_ivf_index(emb, path, num_cells=8)
+    doomed = emb.filter(F.expr(DELETE_PRED)).select("vec_id")
+    n_doomed = doomed.count()
+
+    def snap():
+        return {
+            p: os.path.getsize(p)
+            for p in glob.glob(os.path.join(path, "cell=*", "*.parquet"))
+        }
+
+    before = snap()
+
+    class CrashingFS:
+        """Delegating wrapper over the Hadoop FileSystem that raises on
+        the first LIVE cell-directory delete (stage-dir deletes pass)."""
+
+        def __init__(self, fs):
+            self._fs = fs
+
+        def delete(self, p, recursive=True):
+            s = str(p)
+            if "cell=" in s and SIM.REWRITE_TMP_DIR not in s:
+                raise RuntimeError("injected crash before swap")
+            return self._fs.delete(p, recursive)
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    real_index_fs = SIM._index_fs
+
+    def crashing_index_fs(spark_, path_):
+        fs, jvm = real_index_fs(spark_, path_)
+        return CrashingFS(fs), jvm
+
+    monkeypatch.setattr(SIM, "_index_fs", crashing_index_fs)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        SIM.remove_from_ivf_index(spark, path, doomed)
+    monkeypatch.setattr(SIM, "_index_fs", real_index_fs)
+
+    # live index byte-untouched; a reader sees the full pre-delete index
+    assert snap() == before
+    spark.catalog.refreshByPath(path)
+    assert spark.read.parquet(path).count() == emb.count()
+    # the survivors are durable real files in the stage dir
+    stage = os.path.join(path, SIM.REWRITE_TMP_DIR)
+    assert glob.glob(os.path.join(stage, "cell=*", "*.parquet"))
+    # recovery: rerun completes and serving equals a fresh rebuild
+    n = SIM.remove_from_ivf_index(spark, path, doomed)
+    assert n == n_doomed
+    assert not os.path.isdir(stage)
+    qs = emb.filter(F.col("vec_id") < 5)
+    got = _rows(SIM.ivf_topk_from_index(spark, path, qs, k=5, nprobe=2))
+    fresh = str(tmp_path / "ivf_crash_fresh")
+    SIM.build_ivf_index(emb.filter(~F.expr(DELETE_PRED)), fresh, num_cells=8)
+    assert got == _rows(SIM.ivf_topk_from_index(spark, fresh, qs, k=5, nprobe=2))
+
+
 def test_ivf_delete_rejects_codes_layout_and_noop(spark, tmp_path):
     emb = spark.table("embeddings")
     pq_path = str(tmp_path / "pq_idx")
@@ -785,6 +859,27 @@ def test_quality_canonical_keeps_the_clean_copy(spark):
     from collections import Counter
     keepers = Counter(r["cluster_id"] for r in out.values() if r["keep"])
     assert all(v == 1 for v in keepers.values())
+
+
+def test_quality_canonical_tolerates_partial_scores(spark):
+    """A caller-supplied scores table that misses some ids must not
+    silently drop those docs (the documented every-input-doc
+    contract): unscored docs still get a row, rank last within their
+    cluster (nulls-last), and never beat a scored member."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 4),
+        (2, "the quick brown fox jumps over the lazy dog " * 4),
+        (9, "a singleton document that is entirely its own thing here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # scores cover doc 2 only: doc 1 (lower id, same cluster) must
+    # still appear, unscored, and LOSE to the scored doc 2
+    scores = spark.createDataFrame([(2, 0.9)], "doc_id long, quality_score double")
+    out = {r["doc_id"]: r for r in DD.quality_canonical_dedup(df, scores).collect()}
+    assert set(out) == {1, 2, 9}
+    assert out[1]["quality_score"] is None and not out[1]["keep"]
+    assert out[2]["keep"]
+    assert out[9]["keep"] and out[9]["quality_score"] is None
 
 
 # --- s27: cluster-balanced sample --------------------------------------------
