@@ -84,6 +84,26 @@ Coverage map (SURVEY.md section 2.10 + training-data operators):
   q71      q59v2 extended to the export boundary: minhash canonicals ->
            containment dedup (d14) -> shard assignment -> shard-balance
            profile (q69), one chain, one oracle
+  s16-s21  range search; cell inertia; PQ code histogram; embedding
+           stats; persisted cell-balance; incremental IVF append
+  t30-t32  char coverage; n-gram novelty; top n-grams per source
+  q72-q79  gate mixture drift; cluster-size profile; percentile
+           tolerance; session funnel; event-rate anomaly; lang x source
+           profile; cohort-via-state streaming replay; dirty shards
+  m05      media-manifest rollup
+  s22-s26  persisted-index lifecycle completed for BOTH layouts:
+           delete (rewrite-affected-cells, stage-then-swap durable),
+           compact, IVF-PQ append — serve == rebuild identities
+  s27      cluster-balanced embedding sample (semantic flattening)
+  d15-d17  minhash signature-agreement estimate; estimate-vs-exact
+           certification surface; quality-aware canonical selection
+  t33      per-source token entropy (nano-unit quantized)
+  q80      incremental daily refresh: delta detect -> gate delta only
+           -> dirty-shard diff against the prior export
+  q82      mixture rebalance weights from the q72 drift table
+  q84      assignment-generic dirty-shard planner + range (locality)
+           sharding — a trickle append dirties O(delta/width) shards
+  q85      streaming session funnel's batch state replay (q78 pattern)
 """
 
 from __future__ import annotations
@@ -1908,52 +1928,271 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["m05_manifest_stats"] = m05
 
+    # --- round-11 rotation: the thirteen operators drafted AND proven
+    # value-equal against DuckDB in tests/test_oracle_drafts_r11.py last
+    # round, plus q85 — the streaming session funnel's batch replay (the
+    # r10 verdict's ask #7). Oracle strings are the proven drafts
+    # verbatim (module-level generators below; the drafts file imports
+    # them back — one copy, no drift) ---
+
+    def s22(spark, sf):
+        # index lifecycle: SHRINK. Build on the full corpus, delete the
+        # DELETE_PRED ids (rewrite-affected-cells under the frozen
+        # quantizer; stage-then-swap durable — see
+        # similarity._swap_cells), serve. Post-delete serving is
+        # row-identical to a fresh rebuild over the survivors, so the
+        # oracle is the s04 chain with the survivor predicate pushed
+        # into its corpus CTE. Build+delete run once per session
+        # (_cached_index); the measured cost is pure serving.
+        emb = _emb(spark, sf)
+
+        def build(p):
+            SIM.build_ivf_index(emb, p, num_cells=8)
+            SIM.remove_from_ivf_index(
+                spark, p, emb.filter(F.expr(DELETE_PRED)).select("vec_id")
+            )
+
+        path = _cached_index("ivf_del", sf, build)
+        return SIM.ivf_topk_from_index(
+            spark, path, emb.filter(F.col("vec_id") < 5), k=5, nprobe=2
+        )
+
+    q["s22_ivf_delete"] = s22
+
+    def s23(spark, sf):
+        # index lifecycle: COMPACT. Three appends pile small files into
+        # the cells; compaction rewrites over-threshold cells to one
+        # file each. Value-invariant (same rows, same cells, fewer
+        # files), so the oracle is the s04 string verbatim — the s21
+        # identity pattern.
+        emb = _emb(spark, sf)
+
+        def build(p):
+            SIM.build_ivf_index(emb.filter(F.col("vec_id") < 100), p, num_cells=8)
+            for lo, hi in ((100, 200), (200, 300), (300, 1 << 62)):
+                SIM.append_to_ivf_index(
+                    spark, p, emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+                )
+            SIM.compact_ivf_index(spark, p, max_files_per_cell=2)
+
+        path = _cached_index("ivf_compact", sf, build)
+        return SIM.ivf_topk_from_index(
+            spark, path, emb.filter(F.col("vec_id") < 5), k=5, nprobe=2
+        )
+
+    q["s23_ivf_compact"] = s23
+
+    def s24(spark, sf):
+        # codes-layout shrink: a vector's footprint is its num_subspaces
+        # code rows inside one cell; same rewrite-affected-cells core as
+        # s22, oracle = s10 with the survivor predicate in its corpus CTE.
+        emb = _emb(spark, sf)
+
+        def build(p):
+            SIM.build_ivfpq_index(emb, p, num_cells=8)
+            SIM.remove_from_ivfpq_index(
+                spark, p, emb.filter(F.expr(DELETE_PRED)).select("vec_id")
+            )
+
+        path = _cached_index("ivfpq_del", sf, build)
+        return SIM.ivfpq_topk_from_index(
+            spark, path, emb.filter(F.col("vec_id") < 5), k=5, nprobe=2
+        )
+
+    q["s24_ivfpq_delete"] = s24
+
+    def s25(spark, sf):
+        # codes-layout growth: the delta is encoded by the STORED
+        # codebook and assigned by the STORED centroids (every
+        # quantization parameter derived from the resident _codebook);
+        # grow == rebuild (seeds 0..15 sit in the first half), so the
+        # oracle is the s10 string verbatim.
+        emb = _emb(spark, sf)
+
+        def build(p):
+            SIM.build_ivfpq_index(emb.filter(F.col("vec_id") < 100), p, num_cells=8)
+            SIM.append_to_ivfpq_index(spark, p, emb.filter(F.col("vec_id") >= 100))
+
+        path = _cached_index("ivfpq_grow", sf, build)
+        return SIM.ivfpq_topk_from_index(
+            spark, path, emb.filter(F.col("vec_id") < 5), k=5, nprobe=2
+        )
+
+    q["s25_ivfpq_append"] = s25
+
+    def s26(spark, sf):
+        # codes-layout compaction — matters MORE than the raw form
+        # (4-byte code payloads make append files almost all footer);
+        # value-invariant, oracle = s10 verbatim.
+        emb = _emb(spark, sf)
+
+        def build(p):
+            SIM.build_ivfpq_index(emb.filter(F.col("vec_id") < 100), p, num_cells=8)
+            for lo, hi in ((100, 200), (200, 300), (300, 1 << 62)):
+                SIM.append_to_ivfpq_index(
+                    spark, p, emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+                )
+            SIM.compact_ivfpq_index(spark, p, max_files_per_cell=2)
+
+        path = _cached_index("ivfpq_compact", sf, build)
+        return SIM.ivfpq_topk_from_index(
+            spark, path, emb.filter(F.col("vec_id") < 5), k=5, nprobe=2
+        )
+
+    q["s26_ivfpq_compact"] = s26
+
+    # diversity sampling over embedding space: the certified s03 cell
+    # assignment + the q62 deterministic md5 k-per-group rule at cell
+    # grain (flattens semantic imbalance the way q54/q63 flatten
+    # provenance imbalance)
+    q["s27_cluster_balanced_sample"] = lambda spark, sf: SIM.cluster_balanced_sample(
+        _emb(spark, sf)
+    )
+
+    # signature-agreement Jaccard scoring (Broder 1997): candidates
+    # scored from the doc-grain signature table alone — the 100 TB
+    # scoring path when the exact verify is the bottleneck
+    q["d15_minhash_estimate"] = lambda spark, sf: DD.minhash_estimate_pairs(
+        _docs(spark, sf)
+    )
+    # the estimator's certification surface: every candidate pair
+    # carries estimate, exact Jaccard, and abs error — all deterministic
+    q["d16_minhash_estimate_vs_exact"] = lambda spark, sf: DD.minhash_estimate_vs_exact(
+        _docs(spark, sf)
+    )
+    # near-dup dedup keeping the highest-quality cluster member (tie ->
+    # lowest id) instead of the lowest id — the clean original beats a
+    # boilerplate-wrapped mirror that happened to crawl first
+    q["d17_quality_canonical"] = lambda spark, sf: DD.quality_canonical_dedup(
+        _docs(spark, sf)
+    )
+    # per-source unigram Shannon entropy in bits (nano-unit quantized)
+    q["t33_token_entropy"] = lambda spark, sf: TXT.token_entropy(_docs(spark, sf))
+
+    def q80(spark, sf):
+        # the incremental daily-refresh composition (the q71 pipeline's
+        # 100 TB daily shape): q51 delta detection -> clean-ingest of
+        # ONLY the new docs -> q79 dirty-shard planning against the
+        # prior export. prior = doc_id % 3 != 0 (yesterday's corpus),
+        # batch = doc_id % 3 == 0 (today's crawl). Reference analog:
+        # scheduled auto-updates re-tag only ready configs
+        # (main.py:3075-3110).
+        from datacatalog_tag_engine_spark.pipeline.export import dirty_shards
+        from datacatalog_tag_engine_spark.streaming.dedup import clean_ingest_stream
+
+        docs = _docs(spark, sf)
+        prior = docs.filter(F.col("doc_id") % 3 != 0)
+        batch = docs.filter(F.col("doc_id") % 3 == 0)
+        delta = DD.incremental_delta(batch, prior).select("doc_id")
+        fresh = batch.join(delta, "doc_id", "left_semi")
+        cleaned = clean_ingest_stream(
+            fresh,
+            min_words=20,
+            min_stopword_hits=0,
+            max_dup_word_frac=1.0,
+            max_top_bigram_frac=1.0,
+        )
+        new_ids = prior.select("doc_id").unionByName(cleaned.select("doc_id"))
+        return dirty_shards(prior.select("doc_id"), new_ids, 8)
+
+    q["q80_incremental_pipeline"] = q80
+
+    def q82(spark, sf):
+        # corrective post-gate sampling weights from the q72 drift
+        # table: weight = share_before/share_after capped, 0 for
+        # annihilated sources
+        drift = TXT.gate_mixture_drift(
+            _docs(spark, sf),
+            min_words=20,
+            min_stopword_hits=0,
+            max_dup_word_frac=1.0,
+            max_top_bigram_frac=1.0,
+        )
+        return TXT.mixture_rebalance(drift)
+
+    q["q82_mixture_rebalance"] = q82
+
+    def q84(spark, sf):
+        # the incremental-export planner for EXPLICIT shard assignments:
+        # any policy plugs in; range sharding closes the dirty-shard
+        # saturation the r10 rung measured (a trickle append dirties
+        # ceil(delta/width) range shards vs nearly all md5 shards)
+        from datacatalog_tag_engine_spark.pipeline.export import (
+            dirty_shards_assigned,
+            range_shard_assignments,
+        )
+
+        docs = _docs(spark, sf)
+        old = range_shard_assignments(docs, 100)
+        new = range_shard_assignments(docs.filter(F.col("doc_id") % 17 != 0), 100)
+        return dirty_shards_assigned(old, new)
+
+    q["q84_dirty_shards_assigned"] = q84
+
+    def q85(spark, sf):
+        # the streaming session funnel's batch replay (the q78 pattern):
+        # the per-(user, session) state grain session_funnel_stream
+        # emits, computed in batch (session_step_times) + the same
+        # finish — reproduces q75 (and its oracle) exactly; the
+        # stream==batch pytest parity ties the stream's own emissions
+        # to the same finish.
+        from datacatalog_tag_engine_spark.streaming import usage as U
+
+        return U.session_funnel_finish(
+            U.session_step_times(_events(spark, sf), list(FUNNEL_STEPS)),
+            list(FUNNEL_STEPS),
+        )
+
+    q["q85_session_funnel_state"] = q85
+
     # ---- driver CORRECTNESS window ordering ------------------------------
     # The driver records correctness rows for the FIRST 50 insertion-
-    # ordered entries only. Round-10 round-start rotation (the inventory
-    # grows 134 -> 152, then freezes): the eighteen queries proven as
-    # DuckDB drafts in tests/test_oracle_drafts_r10.py enter for their
-    # first driver rows. Code-changed re-certifications: d12/d14/q71 —
-    # the containment family's stop-shingle cap defaulted ON this round
-    # (max_df auto=1000; the wired oracles carry the same df filter;
-    # value-identical at certified scales, proven where the cap bites
-    # in tests/test_containment_max_df.py). The remaining 29 slots are
-    # the MECHANICAL aging drip: the 29 oldest driver rows by the
-    # rounds-since-green ledger (computed from CORRECTNESS_r*.json in
-    # tests/test_r10_rotation_wiring.py, which asserts this selection —
-    # no hand-maintained honesty note): all 22 r3-green rows (the whole
-    # t01-t11 text base + d06/q01/q19/q21/q28/q29/q31/q32/q43/q45/s05),
-    # both r4-green rows (q02/q03), and the first five of the six
-    # r5-green rows (q04-q08; q10_freshness is the one ledger-eligible
-    # query left out — slot arithmetic, next-oldest at the r11
-    # rotation). d06 doubles as the dedup.py-changed module witness
-    # alongside d12/d14. The three oracle-less-by-nature queries
-    # (q09/t12/s06) stay outside the window by policy. All 50 verified
-    # against the local DuckDB oracle (tools/check_oracle.py --strict)
-    # before the freeze; the driver row is the hard signal. Every entry
-    # still runs in bench.py regardless of position.
+    # ordered entries only. Round-11 round-start rotation (the inventory
+    # grows 152 -> 166, then freezes): the thirteen queries proven as
+    # DuckDB drafts in tests/test_oracle_drafts_r11.py plus q85 (the
+    # streaming session funnel's batch replay — pytest stream==batch
+    # parity since r10, driver row now) enter for their first rows.
+    # Code-changed re-certifications: d12/d14/q71 — the containment
+    # family's max_df stop-shingle filter inverted this round from
+    # broadcast(rare)+left_semi to broadcast(hot)+left_anti (the rare
+    # set is vocabulary-grain, the hot set is bounded by rows/cap keys;
+    # value-identical, but the family whose plan changed re-certifies).
+    # The remaining 33 slots are the MECHANICAL aging drip: the 33
+    # oldest driver rows by the rounds-since-green ledger (computed
+    # from the CORRECTNESS_r*.json records committed BEFORE this
+    # rotation — rounds < 11 — in tests/test_r11_rotation_wiring.py,
+    # which asserts this exact selection): q10 (r5, the row slot
+    # arithmetic left out last round), all 16 r6 rows, both r7 rows,
+    # and the first 14 of the r8 rows by name order. The three
+    # oracle-less-by-nature queries (q09/t12/s06) stay outside the
+    # window by policy. All 50 verified against the local DuckDB oracle
+    # (tools/check_oracle.py --strict) before the freeze; the driver
+    # row is the hard signal. Every entry still runs in bench.py
+    # regardless of position.
     window = [
-        # round-10 rotation: first driver rows
-        "s16_range_search", "s17_cell_inertia", "s18_pq_code_histogram",
-        "s19_embedding_stats", "s20_cell_balance_from_index", "s21_ivf_append",
-        "t30_char_coverage", "t31_ngram_novelty", "t32_top_ngrams",
-        "q72_gate_mixture_drift", "q73_cluster_size_profile",
-        "q74_percentile_tolerance", "q75_session_funnel",
-        "q76_event_rate_anomaly", "q77_lang_source_profile",
-        "q78_cohort_via_state", "q79_dirty_shards", "m05_manifest_stats",
-        # code-changed re-certifications (containment max_df default)
+        # round-11 rotation: first driver rows
+        "s22_ivf_delete", "s23_ivf_compact", "s24_ivfpq_delete",
+        "s25_ivfpq_append", "s26_ivfpq_compact", "s27_cluster_balanced_sample",
+        "d15_minhash_estimate", "d16_minhash_estimate_vs_exact",
+        "d17_quality_canonical", "t33_token_entropy",
+        "q80_incremental_pipeline", "q82_mixture_rebalance",
+        "q84_dirty_shards_assigned", "q85_session_funnel_state",
+        # code-changed re-certifications (containment hot-set anti-join)
         "d12_containment", "d14_containment_dedup", "q71_export_pipeline",
-        # mechanical aging drip: the 29 oldest rows by the ledger
-        "d06_repeated_spans", "q01_row_count", "q19_export", "q21_jobs",
-        "q28_assets_discovery", "q29_fused_profile", "q31_corpus_stats",
-        "q32_sessionize", "q43_history_rollup", "q45_training_shuffle",
-        "s05_ann_recall", "t01_token_counts", "t02_quality", "t03_lang_id",
-        "t04_fingerprint", "t05_vocabulary", "t06_pii_redaction", "t07_tfidf",
-        "t08_length_percentiles", "t09_chunking", "t10_contamination",
-        "t11_repetition",
-        "q02_count_distinct", "q03_conditional_count",
-        "q04_not_in_count", "q05_avg_daily", "q06_avg_daily_filtered",
-        "q07_constant_string", "q08_constant_number",
+        # mechanical aging drip: the 33 oldest rows by the ledger
+        "q10_freshness",
+        "q15_uri_algebra", "q16_column_distinct", "q17_combined",
+        "q18_delete_when_empty", "q25_restore", "q27_column_exists",
+        "q33_dataset_tag", "q35_deterministic_sample", "q36_token_histogram",
+        "q38_join_profile", "q39_window_running", "q47_embedding_quantize",
+        "q54_mixture_weights", "q55_mixture_sample", "s02_ann_lsh",
+        "t14_hashed_linear",
+        "q26_tag_copy", "q44_policy_tags",
+        "q30_numeric_profile", "q37_kmv_sketch", "q40_asof_join",
+        "q41_range_join", "q42_sensitive_e2e", "q46_mixture_sample",
+        "q49_column_profile_fused", "q50_train_split", "q52_pipeline_e2e",
+        "q53_token_budget", "q57_dsir_sample", "q58_shard_assignments",
+        "q60_hll_tolerance", "q61_clean_ingest",
     ]
     assert len(window) == 50 and set(window) <= set(q)
     return {name: q[name] for name in window + [n for n in q if n not in window]}
@@ -3636,6 +3875,284 @@ FROM axis a LEFT JOIN per ON per.shard = a.shard
 """
 
 
+# ---------------------------------------------------------------------------
+# round-11 oracle machinery (proven in tests/test_oracle_drafts_r11.py
+# before entering the inventory; single copy here, drafts import it)
+
+# s22/s24 survivor set: keeps the quantizer seeds (ids 0..7 raw /
+# 0..15 codes) and the query set (ids < 5), so the frozen stored
+# centroids equal a fresh build's seeding over the survivors and
+# rebuild-identity is provable
+DELETE_PRED = "vec_id >= 100 AND vec_id % 7 = 0"
+
+
+def ivf_delete_sql(s04_sql: str) -> str:
+    """The WIRED s04 oracle with the survivor predicate pushed into its
+    corpus CTE — deletion under a frozen quantizer must serve exactly
+    the s04 chain over the surviving rows. Takes the s04 string as
+    input (oracle_sql() passes its own wired entry — the q73/m05
+    surgery pattern, one copy of the chain)."""
+    anchor = "FROM embeddings)"
+    assert s04_sql.count(anchor) == 1
+    return s04_sql.replace(anchor, f"FROM embeddings WHERE NOT ({DELETE_PRED}))", 1)
+
+
+def ivfpq_delete_sql(s10_sql: str) -> str:
+    """The WIRED s10 oracle with the survivor predicate pushed into its
+    corpus CTE — codes-layout deletion under frozen quantizers must
+    serve exactly the s10 ADC chain over the surviving rows (seeds
+    0..15 survive, so the stored codebook/centroids equal a fresh
+    build's seeding over the survivors)."""
+    anchor = "FROM embeddings)"
+    assert s10_sql.count(anchor) == 1
+    return s10_sql.replace(anchor, f"FROM embeddings WHERE NOT ({DELETE_PRED}))", 1)
+
+
+# the q51 fingerprint rule, shared by incremental_pipeline_sql and the
+# wired q51 oracle (the r11 wiring test asserts the q51 string carries
+# this exact expression — one rule, two readers)
+Q51_FINGERPRINT_EXPR = (
+    r"md5(array_to_string(list_sort(list_distinct("
+    r"regexp_split_to_array(lower(text), '\s+'))), ' '))"
+)
+
+
+def incremental_pipeline_sql(num_shards: int = 8) -> str:
+    """q51 delta (the wired fingerprint rule) -> the WIRED clean-ingest
+    chain restricted to the delta by string surgery -> the q79
+    full-join dirty-shard tail. prior = doc_id % 3 != 0 (yesterday's
+    corpus), batch = doc_id % 3 == 0 (today's crawl)."""
+    ci = CLEAN_INGEST_SQL
+    anchor = "FROM documents)"
+    assert ci.count(anchor) == 1
+    ci_delta = ci.replace(anchor, "FROM documents JOIN delta USING (doc_id))", 1)
+    bucket = (
+        "(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % "
+        + str(num_shards)
+        + ")"
+    )
+    return f"""
+WITH fpall AS (
+  SELECT doc_id, {Q51_FINGERPRINT_EXPR} AS fingerprint
+  FROM documents),
+delta AS (
+  SELECT doc_id FROM fpall
+  WHERE doc_id % 3 = 0
+    AND fingerprint NOT IN (SELECT fingerprint FROM fpall WHERE doc_id % 3 <> 0)),
+kept_new AS ({ci_delta}),
+o AS (SELECT doc_id, {bucket} AS shard FROM documents WHERE doc_id % 3 <> 0),
+nv AS (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0
+       UNION ALL SELECT doc_id FROM kept_new),
+n AS (SELECT doc_id, {bucket} AS shard FROM nv),
+j AS (
+  SELECT coalesce(o.shard, n.shard) AS shard, o.doc_id AS od, n.doc_id AS nd
+  FROM o FULL JOIN n ON o.doc_id = n.doc_id),
+per AS (
+  SELECT shard,
+         sum((od IS NOT NULL AND nd IS NOT NULL)::INT) AS n_kept,
+         sum((od IS NULL)::INT) AS n_added,
+         sum((nd IS NULL)::INT) AS n_removed
+  FROM j GROUP BY shard),
+axis AS (SELECT unnest(range({num_shards}))::INT AS shard)
+SELECT a.shard,
+       coalesce(n_kept, 0)::BIGINT AS n_kept,
+       coalesce(n_added, 0)::BIGINT AS n_added,
+       coalesce(n_removed, 0)::BIGINT AS n_removed,
+       coalesce(n_added, 0) + coalesce(n_removed, 0) > 0 AS needs_rewrite
+FROM axis a LEFT JOIN per ON per.shard = a.shard
+"""
+
+
+def minhash_estimate_sql(threshold: float = 0.5) -> str:
+    """The d02 sigs/buckets/cands derivation (md5 minhash is
+    deterministic, so the ESTIMATE replays exactly), scored by
+    component agreement instead of the exact shingle join."""
+    sig_exprs = ",\n         ".join(
+        f"min(md5('{j}:' || shingle)) AS sig_{j}" for j in range(8)
+    )
+    band_cases = " ".join(
+        f"WHEN {b} THEN md5(sig_{2*b} || '|' || sig_{2*b+1})" for b in range(4)
+    )
+    agree = " + ".join(f"(a.sig_{j} = b.sig_{j})::INT" for j in range(8))
+    return f"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(w) >= 3
+                THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+                ELSE [array_to_string(w, ' ')] END) AS shingle
+  FROM toks),
+sigs AS (
+  SELECT doc_id, {sig_exprs}
+  FROM sh GROUP BY doc_id),
+buckets AS (
+  SELECT doc_id, band, CASE band {band_cases} END AS bucket
+  FROM sigs, (SELECT unnest(range(4)) AS band)),
+cands AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+SELECT c.da AS doc_a, c.db AS doc_b,
+       round(({agree}) / 8.0, 4) AS est_jaccard
+FROM cands c
+JOIN sigs a ON a.doc_id = c.da
+JOIN sigs b ON b.doc_id = c.db
+WHERE round(({agree}) / 8.0, 4) >= {threshold}
+"""
+
+
+def minhash_estimate_vs_exact_sql(threshold: float = 0.5) -> str:
+    """The d15 sigs/cands derivation joined with the d02 exact-verify
+    derivation — every column deterministic, so the estimator's error
+    profile itself is oracle-checked."""
+    sig_exprs = ",\n         ".join(
+        f"min(md5('{j}:' || shingle)) AS sig_{j}" for j in range(8)
+    )
+    band_cases = " ".join(
+        f"WHEN {b} THEN md5(sig_{2*b} || '|' || sig_{2*b+1})" for b in range(4)
+    )
+    agree = " + ".join(f"(sa.sig_{j} = sb.sig_{j})::INT" for j in range(8))
+    return f"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(w) >= 3
+                THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+                ELSE [array_to_string(w, ' ')] END) AS shingle
+  FROM toks),
+sigs AS (
+  SELECT doc_id, {sig_exprs}
+  FROM sh GROUP BY doc_id),
+buckets AS (
+  SELECT doc_id, band, CASE band {band_cases} END AS bucket
+  FROM sigs, (SELECT unnest(range(4)) AS band)),
+cands AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+ex AS (
+  SELECT c.da AS doc_a, c.db AS doc_b,
+         round(i / (sa.n + sb.n - i), 4) AS jaccard
+  FROM cands c
+  JOIN inter ON inter.da = c.da AND inter.db = c.db
+  JOIN sizes sa ON sa.doc_id = c.da
+  JOIN sizes sb ON sb.doc_id = c.db
+  WHERE round(i / (sa.n + sb.n - i), 4) >= {threshold})
+SELECT e.doc_a, e.doc_b, e.jaccard,
+       round(({agree}) / 8.0, 4) AS est_jaccard,
+       round(abs(round(({agree}) / 8.0, 4) - e.jaccard), 4) AS abs_err
+FROM ex e
+JOIN sigs sa ON sa.doc_id = e.doc_a
+JOIN sigs sb ON sb.doc_id = e.doc_b
+"""
+
+
+def token_entropy_sql() -> str:
+    """Per-source -sum p*log2(p) with each term quantized to integer
+    nano-units before the sum (the t13/t28 determinism trick)."""
+    return r"""
+WITH words AS (
+  SELECT source, unnest(list_filter(
+      regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+      x -> length(x) > 0)) AS word
+  FROM documents),
+sc AS (SELECT source, word, count(*) AS c_s FROM words GROUP BY source, word),
+tot AS (SELECT source, sum(c_s) AS n_s, count(*) AS n_types FROM sc GROUP BY source),
+terms AS (
+  SELECT sc.source, n_s, n_types,
+         round(-(c_s / n_s) * ln(c_s / n_s) / 0.6931471805599453 * 1e9)::BIGINT AS t9
+  FROM sc JOIN tot USING (source))
+SELECT source,
+       any_value(n_s)::BIGINT AS n_tokens,
+       any_value(n_types)::BIGINT AS n_types,
+       round(sum(t9) / 1e9, 6) AS entropy_bits
+FROM terms GROUP BY source
+"""
+
+
+def mixture_rebalance_sql(cap: float = 10.0) -> str:
+    """The WIRED q72 drift derivation wrapped as a CTE + the weight
+    rule — one copy of the gate chain (the q80 surgery pattern)."""
+    return f"""
+WITH drift AS ({gate_mixture_drift_sql()})
+SELECT source, n_after, share_before, share_after,
+       round(CASE WHEN share_after > 0
+                  THEN least(share_before / share_after, {cap})
+                  ELSE 0 END, 4) AS weight
+FROM drift
+"""
+
+
+def quality_canonical_sql(q34_sql: str, t02_sql: str) -> str:
+    """The wired q34 cluster chain with its final SELECT replaced by a
+    quality join + per-cluster rank (the q73 surgery pattern, one copy
+    of the chain); quality comes from the WIRED t02 oracle nested as a
+    CTE (one copy of the score). oracle_sql() passes its own wired
+    entries for both."""
+    tail = "SELECT doc_id, cluster_id FROM clusters"
+    assert q34_sql.count(tail) == 1
+    return q34_sql.replace(
+        tail,
+        f""", q AS ({t02_sql}),
+ranked AS (
+  SELECT c.doc_id, c.cluster_id, q.quality_score,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.quality_score DESC, c.doc_id) AS rn
+  FROM clusters c JOIN q USING (doc_id))
+SELECT doc_id, cluster_id, quality_score, rn = 1 AS keep FROM ranked""",
+    )
+
+
+def cluster_balanced_sample_sql(k: int = 5, num_cells: int = 8) -> str:
+    """The s03 assignment CTEs (the cell_inertia restatement pattern)
+    + the q62 md5 QUALIFY rule at cell grain."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cent_v FROM e ORDER BY vec_id LIMIT {num_cells}),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round(list_cosine_similarity(e.v, c.cent_v), 6) DESC, c.cell) AS rn
+    FROM e CROSS JOIN cents c) WHERE rn = 1)
+SELECT vec_id, cell FROM assign
+QUALIFY row_number() OVER (PARTITION BY cell
+                           ORDER BY md5(vec_id::VARCHAR), vec_id) <= {k}
+"""
+
+
+def dirty_shards_assigned_sql(range_width: int = 100) -> str:
+    """Range-sharded versions (shard = id // width) diffed by the
+    generic assignment planner: FULL JOIN on the id, a doc whose shard
+    changed counts as removed@old + added@new, observed-shard axis.
+    Versions: old = all documents, new = documents minus doc_id%17==0
+    (retractions) — the locality-sharding counterpart of q79."""
+    b = f"(doc_id // {range_width})"
+    return f"""
+WITH o AS (SELECT doc_id, {b} AS os FROM documents),
+n AS (SELECT doc_id, {b} AS ns FROM documents WHERE doc_id % 17 != 0),
+j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, os, ns
+      FROM o FULL JOIN n ON o.doc_id = n.doc_id),
+kept AS (SELECT os AS shard, count(*) AS n_kept FROM j WHERE os = ns GROUP BY os),
+added AS (SELECT ns AS shard, count(*) AS n_added FROM j
+          WHERE ns IS NOT NULL AND (os IS NULL OR os <> ns) GROUP BY ns),
+removed AS (SELECT os AS shard, count(*) AS n_removed FROM j
+            WHERE os IS NOT NULL AND (ns IS NULL OR os <> ns) GROUP BY os),
+axis AS (SELECT DISTINCT shard FROM (SELECT os AS shard FROM o
+         UNION ALL SELECT ns FROM n))
+SELECT a.shard::INT AS shard,
+       coalesce(n_kept, 0)::BIGINT AS n_kept,
+       coalesce(n_added, 0)::BIGINT AS n_added,
+       coalesce(n_removed, 0)::BIGINT AS n_removed,
+       coalesce(n_added, 0) + coalesce(n_removed, 0) > 0 AS needs_rewrite
+FROM axis a LEFT JOIN kept USING (shard) LEFT JOIN added USING (shard)
+LEFT JOIN removed USING (shard)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
@@ -5114,5 +5631,32 @@ FROM all_shards a LEFT JOIN per ON per.shard = a.shard
     o["q78_cohort_via_state"] = cohort_retention_sql()
     o["q79_dirty_shards"] = dirty_shards_sql(8)
     o["m05_manifest_stats"] = manifest_stats_sql(o["m01_multimodal_features"])
+
+    # --- round-11 rotation: the oracle strings proven value-equal in
+    # tests/test_oracle_drafts_r11.py, wired verbatim (the module-level
+    # generators above ARE the proven drafts — the drafts file imports
+    # them back, so there is exactly one copy of each derivation) ---
+    # deletion == fresh rebuild over the survivors, so the oracle is the
+    # serving chain with the survivor predicate in its corpus CTE
+    o["s22_ivf_delete"] = ivf_delete_sql(o["s04_ann_ivf_nprobe"])
+    # compaction and append are value-invariant under the frozen stored
+    # quantizers (same rows, same cells) — the s21 identity pattern
+    o["s23_ivf_compact"] = o["s04_ann_ivf_nprobe"]
+    o["s24_ivfpq_delete"] = ivfpq_delete_sql(o["s10_ivfpq_topk"])
+    o["s25_ivfpq_append"] = o["s10_ivfpq_topk"]
+    o["s26_ivfpq_compact"] = o["s10_ivfpq_topk"]
+    o["s27_cluster_balanced_sample"] = cluster_balanced_sample_sql()
+    o["d15_minhash_estimate"] = minhash_estimate_sql()
+    o["d16_minhash_estimate_vs_exact"] = minhash_estimate_vs_exact_sql()
+    o["d17_quality_canonical"] = quality_canonical_sql(
+        o["q34_dedup_clusters"], o["t02_quality"]
+    )
+    o["t33_token_entropy"] = token_entropy_sql()
+    o["q80_incremental_pipeline"] = incremental_pipeline_sql(8)
+    o["q82_mixture_rebalance"] = mixture_rebalance_sql()
+    o["q84_dirty_shards_assigned"] = dirty_shards_assigned_sql(100)
+    # the streaming decomposition's batch replay reproduces q75 exactly
+    # (the q78/q70 identity pattern)
+    o["q85_session_funnel_state"] = o["q75_session_funnel"]
 
     return o

@@ -509,6 +509,70 @@ def session_funnel_stream(
     )
 
 
+def session_step_times(
+    events: DataFrame,
+    steps: list[str],
+    gap_minutes: int = 30,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """BATCH twin of ``session_funnel_stream``'s emission grain — the
+    q78/cohort_user_days pattern: the deterministic per-key state the
+    stream maintains, computed as a batch job over the same events, so
+    the streaming decomposition gets a driver-checkable row. One row
+    per (user, session): the session's start micros, the per-step
+    completion micros under the stream's exact within-session rule
+    (step i counts only strictly after the session's own step i-1
+    time; -1 = never reached), and n_late_dropped = 0 (a batch replay
+    has no late data). ``session_funnel_finish`` over this table
+    reproduces ``profiling.session_funnel`` (q75) exactly — the parity
+    test asserts it, and the stream==batch test ties the stream's own
+    emissions to the same finish.
+
+    Session labels use the certified q32 gap rule verbatim
+    (floor-epoch-second gap strictly greater than gap_minutes*60).
+    Plan shape: one user-grain sort window for labels, then len(steps)
+    session-grain min-aggregates chained by (strictly-after) joins —
+    nothing event-grain survives the first funnel stage."""
+    from pyspark.sql import Window
+
+    from ..model.timeutil import ts_epoch_long
+
+    w = Window.partitionBy(id_col).orderBy(ts_col)
+    sec = ts_epoch_long(F.col(ts_col))
+    gap = sec - F.lag(sec).over(w)
+    labeled = events.withColumn(
+        "_new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+    ).withColumn("_sess", F.sum("_new_session").over(w))
+    sess = labeled.select(
+        F.struct(F.col(id_col), F.col("_sess")).alias("_sid"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_t"),
+        F.col(type_col).alias("_et"),
+    )
+    base = sess.groupBy("_sid").agg(F.min("_t").alias("session_start_micro"))
+    cur = None
+    step_cols = []
+    for i, step in enumerate(steps):
+        stage = sess.filter(F.col("_et") == step)
+        if cur is not None:
+            stage = stage.join(
+                cur.select("_sid", F.col(f"_t{i-1}").alias("_pt")), "_sid"
+            ).filter(F.col("_t") > F.col("_pt"))
+        cur = stage.groupBy("_sid").agg(F.min("_t").alias(f"_t{i}"))
+        step_cols.append(f"_t{i}")
+        base = base.join(cur, "_sid", "left")
+    return base.select(
+        F.col(f"_sid.{id_col}").alias(id_col),
+        "session_start_micro",
+        F.array(*[F.coalesce(F.col(c), F.lit(-1)) for c in step_cols]).alias(
+            "step_ts_micro"
+        ),
+        F.lit(0).cast("long").alias("n_late_dropped"),
+    )
+
+
 def session_funnel_finish(
     session_rows: DataFrame, steps: list[str]
 ) -> DataFrame:

@@ -76,6 +76,15 @@ pairs:
   visible as removed@old + added@new, and locality sharding closes
   the saturation the r10 rung measured — a 200-doc trickle append
   dirties <=3 range shards vs 62/64 md5 shards (both asserted).
+
+ROTATION LANDED (round-11 start): all thirteen queries (plus q85, the
+streaming session funnel's batch replay) are wired as
+queries()/oracle_sql() pairs and the generator functions moved to
+__spark_entry__ (one copy; this file imports them back — E.<name>);
+the window invariants live in tests/test_r11_rotation_wiring.py,
+which also carries the mechanical rounds-since-green aging ledger
+(capped at rounds below the rotation round, so the suite stays green
+after the driver's own r11 record lands).
 """
 
 import duckdb
@@ -122,19 +131,13 @@ def _sql_rows(con, sql):
 # survivors keep the quantizer seeds (ids 0..7) and the query set
 # (ids < 5), so the frozen stored centroids equal a fresh build's
 # seeding over the survivors and rebuild-identity is provable
-DELETE_PRED = "vec_id >= 100 AND vec_id % 7 = 0"
+DELETE_PRED = E.DELETE_PRED
 
 
 def ivf_delete_sql(nprobe: int = 2) -> str:
-    """The WIRED s04 oracle with the survivor predicate pushed into
-    its corpus CTE — deletion under a frozen quantizer must serve
-    exactly the s04 chain over the surviving rows."""
-    s04 = E.oracle_sql()["s04_ann_ivf_nprobe"]
-    anchor = "FROM embeddings)"
-    assert s04.count(anchor) == 1
-    return s04.replace(
-        anchor, f"FROM embeddings WHERE NOT ({DELETE_PRED}))", 1
-    )
+    """The wired generator applied to the wired s04 string — exactly
+    what oracle_sql() wires for s22."""
+    return E.ivf_delete_sql(E.oracle_sql()["s04_ann_ivf_nprobe"])
 
 
 def test_oracle_draft_ivf_delete(spark, ddb, tmp_path):
@@ -339,54 +342,12 @@ def test_ivf_compact_noop_leaves_files_alone(spark, tmp_path):
 
 
 def incremental_pipeline_sql(num_shards: int = 8) -> str:
-    """q51 delta (the wired fingerprint rule) -> the WIRED clean-ingest
-    chain restricted to the delta by string surgery -> the q79
-    full-join dirty-shard tail. prior = doc_id % 3 != 0 (yesterday's
-    corpus), batch = doc_id % 3 == 0 (today's crawl)."""
-    fp_expr = (
-        r"md5(array_to_string(list_sort(list_distinct("
-        r"regexp_split_to_array(lower(text), '\s+'))), ' '))"
-    )
-    assert fp_expr in E.oracle_sql()["q51_corpus_delta"]
-    ci = E.CLEAN_INGEST_SQL
-    anchor = "FROM documents)"
-    assert ci.count(anchor) == 1
-    ci_delta = ci.replace(anchor, "FROM documents JOIN delta USING (doc_id))", 1)
-    bucket = (
-        "(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % "
-        + str(num_shards)
-        + ")"
-    )
-    return f"""
-WITH fpall AS (
-  SELECT doc_id, {fp_expr} AS fingerprint
-  FROM documents),
-delta AS (
-  SELECT doc_id FROM fpall
-  WHERE doc_id % 3 = 0
-    AND fingerprint NOT IN (SELECT fingerprint FROM fpall WHERE doc_id % 3 <> 0)),
-kept_new AS ({ci_delta}),
-o AS (SELECT doc_id, {bucket} AS shard FROM documents WHERE doc_id % 3 <> 0),
-nv AS (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0
-       UNION ALL SELECT doc_id FROM kept_new),
-n AS (SELECT doc_id, {bucket} AS shard FROM nv),
-j AS (
-  SELECT coalesce(o.shard, n.shard) AS shard, o.doc_id AS od, n.doc_id AS nd
-  FROM o FULL JOIN n ON o.doc_id = n.doc_id),
-per AS (
-  SELECT shard,
-         sum((od IS NOT NULL AND nd IS NOT NULL)::INT) AS n_kept,
-         sum((od IS NULL)::INT) AS n_added,
-         sum((nd IS NULL)::INT) AS n_removed
-  FROM j GROUP BY shard),
-axis AS (SELECT unnest(range({num_shards}))::INT AS shard)
-SELECT a.shard,
-       coalesce(n_kept, 0)::BIGINT AS n_kept,
-       coalesce(n_added, 0)::BIGINT AS n_added,
-       coalesce(n_removed, 0)::BIGINT AS n_removed,
-       coalesce(n_added, 0) + coalesce(n_removed, 0) > 0 AS needs_rewrite
-FROM axis a LEFT JOIN per ON per.shard = a.shard
-"""
+    """The wired generator (one copy in __spark_entry__); the q51
+    fingerprint-rule consistency it used to assert inline now lives in
+    tests/test_r11_rotation_wiring.py (the generator can't call
+    oracle_sql() without recursing once wired inside it)."""
+    assert E.Q51_FINGERPRINT_EXPR in E.oracle_sql()["q51_corpus_delta"]
+    return E.incremental_pipeline_sql(num_shards)
 
 
 def _q80(spark):
@@ -433,41 +394,7 @@ def test_incremental_pipeline_is_append_only_and_gated(spark):
 # --- d15: minhash estimate ---------------------------------------------------
 
 
-def minhash_estimate_sql(threshold: float = 0.5) -> str:
-    """The d02 sigs/buckets/cands derivation (md5 minhash is
-    deterministic, so the ESTIMATE replays exactly), scored by
-    component agreement instead of the exact shingle join."""
-    sig_exprs = ",\n         ".join(
-        f"min(md5('{j}:' || shingle)) AS sig_{j}" for j in range(8)
-    )
-    band_cases = " ".join(
-        f"WHEN {b} THEN md5(sig_{2*b} || '|' || sig_{2*b+1})" for b in range(4)
-    )
-    agree = " + ".join(f"(a.sig_{j} = b.sig_{j})::INT" for j in range(8))
-    return f"""
-WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') w FROM documents),
-sh AS (
-  SELECT DISTINCT doc_id,
-         unnest(CASE WHEN len(w) >= 3
-                THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
-                ELSE [array_to_string(w, ' ')] END) AS shingle
-  FROM toks),
-sigs AS (
-  SELECT doc_id, {sig_exprs}
-  FROM sh GROUP BY doc_id),
-buckets AS (
-  SELECT doc_id, band, CASE band {band_cases} END AS bucket
-  FROM sigs, (SELECT unnest(range(4)) AS band)),
-cands AS (
-  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
-SELECT c.da AS doc_a, c.db AS doc_b,
-       round(({agree}) / 8.0, 4) AS est_jaccard
-FROM cands c
-JOIN sigs a ON a.doc_id = c.da
-JOIN sigs b ON b.doc_id = c.db
-WHERE round(({agree}) / 8.0, 4) >= {threshold}
-"""
+minhash_estimate_sql = E.minhash_estimate_sql
 
 
 def test_oracle_draft_minhash_estimate(spark, ddb):
@@ -506,27 +433,7 @@ def test_minhash_estimate_exact_on_clones_and_screens_verify(spark):
 # --- t33: token entropy ------------------------------------------------------
 
 
-def token_entropy_sql() -> str:
-    """Per-source -sum p*log2(p) with each term quantized to integer
-    nano-units before the sum (the t13/t28 determinism trick)."""
-    return r"""
-WITH words AS (
-  SELECT source, unnest(list_filter(
-      regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
-      x -> length(x) > 0)) AS word
-  FROM documents),
-sc AS (SELECT source, word, count(*) AS c_s FROM words GROUP BY source, word),
-tot AS (SELECT source, sum(c_s) AS n_s, count(*) AS n_types FROM sc GROUP BY source),
-terms AS (
-  SELECT sc.source, n_s, n_types,
-         round(-(c_s / n_s) * ln(c_s / n_s) / 0.6931471805599453 * 1e9)::BIGINT AS t9
-  FROM sc JOIN tot USING (source))
-SELECT source,
-       any_value(n_s)::BIGINT AS n_tokens,
-       any_value(n_types)::BIGINT AS n_types,
-       round(sum(t9) / 1e9, 6) AS entropy_bits
-FROM terms GROUP BY source
-"""
+token_entropy_sql = E.token_entropy_sql
 
 
 def test_oracle_draft_token_entropy(spark, ddb):
@@ -554,15 +461,9 @@ def test_token_entropy_limits(spark):
 
 
 def ivfpq_delete_sql(nprobe: int = 2) -> str:
-    """The WIRED s10 oracle with the survivor predicate pushed into
-    its corpus CTE — codes-layout deletion under frozen quantizers
-    must serve exactly the s10 ADC chain over the surviving rows
-    (seeds 0..15 survive, so the stored codebook/centroids equal a
-    fresh build's seeding over the survivors)."""
-    s10 = E.oracle_sql()["s10_ivfpq_topk"]
-    anchor = "FROM embeddings)"
-    assert s10.count(anchor) == 1
-    return s10.replace(anchor, f"FROM embeddings WHERE NOT ({DELETE_PRED}))", 1)
+    """The wired generator applied to the wired s10 string — exactly
+    what oracle_sql() wires for s24."""
+    return E.ivfpq_delete_sql(E.oracle_sql()["s10_ivfpq_topk"])
 
 
 def test_oracle_draft_ivfpq_delete(spark, ddb, tmp_path):
@@ -591,54 +492,7 @@ def test_ivfpq_delete_rejects_raw_layout(spark, tmp_path):
 # --- d16: minhash estimate vs exact ------------------------------------------
 
 
-def minhash_estimate_vs_exact_sql(threshold: float = 0.5) -> str:
-    """The d15 sigs/cands derivation joined with the d02 exact-verify
-    derivation — every column deterministic, so the estimator's error
-    profile itself is oracle-checked."""
-    sig_exprs = ",\n         ".join(
-        f"min(md5('{j}:' || shingle)) AS sig_{j}" for j in range(8)
-    )
-    band_cases = " ".join(
-        f"WHEN {b} THEN md5(sig_{2*b} || '|' || sig_{2*b+1})" for b in range(4)
-    )
-    agree = " + ".join(f"(sa.sig_{j} = sb.sig_{j})::INT" for j in range(8))
-    return f"""
-WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') w FROM documents),
-sh AS (
-  SELECT DISTINCT doc_id,
-         unnest(CASE WHEN len(w) >= 3
-                THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
-                ELSE [array_to_string(w, ' ')] END) AS shingle
-  FROM toks),
-sigs AS (
-  SELECT doc_id, {sig_exprs}
-  FROM sh GROUP BY doc_id),
-buckets AS (
-  SELECT doc_id, band, CASE band {band_cases} END AS bucket
-  FROM sigs, (SELECT unnest(range(4)) AS band)),
-cands AS (
-  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-inter AS (
-  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-ex AS (
-  SELECT c.da AS doc_a, c.db AS doc_b,
-         round(i / (sa.n + sb.n - i), 4) AS jaccard
-  FROM cands c
-  JOIN inter ON inter.da = c.da AND inter.db = c.db
-  JOIN sizes sa ON sa.doc_id = c.da
-  JOIN sizes sb ON sb.doc_id = c.db
-  WHERE round(i / (sa.n + sb.n - i), 4) >= {threshold})
-SELECT e.doc_a, e.doc_b, e.jaccard,
-       round(({agree}) / 8.0, 4) AS est_jaccard,
-       round(abs(round(({agree}) / 8.0, 4) - e.jaccard), 4) AS abs_err
-FROM ex e
-JOIN sigs sa ON sa.doc_id = e.doc_a
-JOIN sigs sb ON sb.doc_id = e.doc_b
-"""
+minhash_estimate_vs_exact_sql = E.minhash_estimate_vs_exact_sql
 
 
 def test_oracle_draft_minhash_estimate_vs_exact(spark, ddb):
@@ -661,17 +515,7 @@ def test_minhash_estimate_error_is_bounded_on_corpus(spark):
 # --- q82: mixture rebalance --------------------------------------------------
 
 
-def mixture_rebalance_sql(cap: float = 10.0) -> str:
-    """The WIRED q72 drift derivation wrapped as a CTE + the weight
-    rule — one copy of the gate chain (the q80 surgery pattern)."""
-    return f"""
-WITH drift AS ({E.gate_mixture_drift_sql()})
-SELECT source, n_after, share_before, share_after,
-       round(CASE WHEN share_after > 0
-                  THEN least(share_before / share_after, {cap})
-                  ELSE 0 END, 4) AS weight
-FROM drift
-"""
+mixture_rebalance_sql = E.mixture_rebalance_sql
 
 
 def _q82(spark):
@@ -803,24 +647,10 @@ def test_oracle_draft_ivfpq_compact(spark, ddb, tmp_path):
 
 
 def quality_canonical_sql() -> str:
-    """The wired q34 cluster chain with its final SELECT replaced by a
-    quality join + per-cluster rank (the q73 surgery pattern, one copy
-    of the chain); quality comes from the WIRED t02 oracle nested as a
-    CTE (one copy of the score)."""
-    q34 = E.oracle_sql()["q34_dedup_clusters"]
-    t02 = E.oracle_sql()["t02_quality"]
-    tail = "SELECT doc_id, cluster_id FROM clusters"
-    assert q34.count(tail) == 1
-    return q34.replace(
-        tail,
-        f""", q AS ({t02}),
-ranked AS (
-  SELECT c.doc_id, c.cluster_id, q.quality_score,
-         row_number() OVER (PARTITION BY c.cluster_id
-                            ORDER BY q.quality_score DESC, c.doc_id) AS rn
-  FROM clusters c JOIN q USING (doc_id))
-SELECT doc_id, cluster_id, quality_score, rn = 1 AS keep FROM ranked""",
-    )
+    """The wired generator applied to the wired q34 + t02 strings —
+    exactly what oracle_sql() wires for d17."""
+    o = E.oracle_sql()
+    return E.quality_canonical_sql(o["q34_dedup_clusters"], o["t02_quality"])
 
 
 def test_oracle_draft_quality_canonical(spark, ddb):
@@ -885,22 +715,7 @@ def test_quality_canonical_tolerates_partial_scores(spark):
 # --- s27: cluster-balanced sample --------------------------------------------
 
 
-def cluster_balanced_sample_sql(k: int = 5, num_cells: int = 8) -> str:
-    """The s03 assignment CTEs (the cell_inertia restatement pattern)
-    + the q62 md5 QUALIFY rule at cell grain."""
-    return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cents AS (SELECT vec_id AS cell, v AS cent_v FROM e ORDER BY vec_id LIMIT {num_cells}),
-assign AS (
-  SELECT vec_id, cell FROM (
-    SELECT e.vec_id, c.cell,
-           row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY round(list_cosine_similarity(e.v, c.cent_v), 6) DESC, c.cell) AS rn
-    FROM e CROSS JOIN cents c) WHERE rn = 1)
-SELECT vec_id, cell FROM assign
-QUALIFY row_number() OVER (PARTITION BY cell
-                           ORDER BY md5(vec_id::VARCHAR), vec_id) <= {k}
-"""
+cluster_balanced_sample_sql = E.cluster_balanced_sample_sql
 
 
 def test_oracle_draft_cluster_balanced_sample(spark, ddb):
@@ -941,33 +756,7 @@ def test_cluster_balanced_sample_flattens_and_is_stable(spark):
 # --- q84: assignment-based dirty shards (locality sharding) ------------------
 
 
-def dirty_shards_assigned_sql(range_width: int = 100) -> str:
-    """Range-sharded versions (shard = id // width) diffed by the
-    generic assignment planner: FULL JOIN on the id, a doc whose shard
-    changed counts as removed@old + added@new, observed-shard axis.
-    Versions: old = all documents, new = documents minus doc_id%17==0
-    (retractions) — the locality-sharding counterpart of q79."""
-    b = f"(doc_id // {range_width})"
-    return f"""
-WITH o AS (SELECT doc_id, {b} AS os FROM documents),
-n AS (SELECT doc_id, {b} AS ns FROM documents WHERE doc_id % 17 != 0),
-j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, os, ns
-      FROM o FULL JOIN n ON o.doc_id = n.doc_id),
-kept AS (SELECT os AS shard, count(*) AS n_kept FROM j WHERE os = ns GROUP BY os),
-added AS (SELECT ns AS shard, count(*) AS n_added FROM j
-          WHERE ns IS NOT NULL AND (os IS NULL OR os <> ns) GROUP BY ns),
-removed AS (SELECT os AS shard, count(*) AS n_removed FROM j
-            WHERE os IS NOT NULL AND (ns IS NULL OR os <> ns) GROUP BY os),
-axis AS (SELECT DISTINCT shard FROM (SELECT os AS shard FROM o
-         UNION ALL SELECT ns FROM n))
-SELECT a.shard::INT AS shard,
-       coalesce(n_kept, 0)::BIGINT AS n_kept,
-       coalesce(n_added, 0)::BIGINT AS n_added,
-       coalesce(n_removed, 0)::BIGINT AS n_removed,
-       coalesce(n_added, 0) + coalesce(n_removed, 0) > 0 AS needs_rewrite
-FROM axis a LEFT JOIN kept USING (shard) LEFT JOIN added USING (shard)
-LEFT JOIN removed USING (shard)
-"""
+dirty_shards_assigned_sql = E.dirty_shards_assigned_sql
 
 
 def _q84(spark):

@@ -718,6 +718,21 @@ def test_session_funnel_stream_matches_batch(spark, tmp_path):
     # every emitted row is a closed session with a stable identity
     rows = spark.table("sfunnel_sink")
     assert rows.count() == rows.select("user_id", "session_start_micro").distinct().count()
+    # the q85 batch twin (session_step_times) reproduces the stream's
+    # emission grain EXACTLY — (user, session_start, step times) sets
+    # are identical, so the q85 driver row certifies the same state the
+    # stream maintains (the flush sentinel's own singleton session is
+    # the one row the finite batch view cannot see; exclude it)
+    stream_grain = {
+        (r["user_id"], r["session_start_micro"], tuple(r["step_ts_micro"]))
+        for r in rows.collect()
+        if r["user_id"] != 10**9
+    }
+    batch_grain = {
+        (r["user_id"], r["session_start_micro"], tuple(r["step_ts_micro"]))
+        for r in U.session_step_times(events, list(E.FUNNEL_STEPS)).collect()
+    }
+    assert stream_grain == batch_grain
 
 
 def test_session_funnel_stream_closes_on_gap_and_counts_late(spark, tmp_path):
