@@ -61,6 +61,18 @@ def write_training_shards(
     shard map, not loader input. JSON Lines has no column types, so
     the manifest read-back re-reads with the writer's schema to count
     what actually landed.
+
+    Parallelism: ``repartition(num_shards, "shard")`` puts each
+    shard's rows in exactly ONE task (that is what yields one id-sorted
+    file per shard — the manifest contract), so num_shards IS the
+    write-stage parallelism cap. Sizing rule at scale: pick num_shards
+    from the target shard SIZE (1-4 GB each is the data-loader sweet
+    spot), which at 100 TB means tens of thousands of shards —
+    naturally far above any executor-slot count, so the cap never
+    binds in the regime this writer exists for. It binds only in the
+    inverted misuse (a handful of giant shards over a big cluster);
+    the fix there is more shards, not a salted writer that would break
+    the one-file-per-shard contract.
     """
     if data_format not in ("parquet", "json"):
         raise ValueError(

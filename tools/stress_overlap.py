@@ -76,6 +76,31 @@ def run(spark, corpus) -> list[tuple[str, float, int, int]]:
         DD.containment_pairs(sh, threshold=0.8, max_df=None),
     )
     measure("d12 containment (max_df=100)", DD.containment_pairs(sh, threshold=0.8, max_df=100))
+    # the SHIPPED default (auto=1000): the r10 verdict's ask — the table
+    # previously jumped None -> 100, leaving the default's pair loss on
+    # this clone-heavy corpus unmeasured
+    measure(
+        "d12 containment (max_df=1000 = shipped auto)",
+        DD.containment_pairs(sh, threshold=0.8, max_df=1000),
+    )
+    # ...and the production order (exact-dedup first, containment among
+    # canonicals): the mitigation containment_dedup applies by default,
+    # measured with and without the cap so the default's residual loss
+    # AFTER the mitigation is a number, not a narrative
+    canon = corpus.join(
+        DD.exact_dedup(corpus).filter("is_canonical").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    shc = DD.shingle_table(canon).localCheckpoint(eager=True)
+    measure(
+        "d12 exact-first + containment (max_df=1000)",
+        DD.containment_pairs(shc, threshold=0.8, max_df=1000),
+    )
+    measure(
+        "d12 exact-first + containment (max_df=None)",
+        DD.containment_pairs(shc, threshold=0.8, max_df=None),
+    )
     measure("d13 cross_source_overlap (shingle)", DD.cross_source_overlap(corpus))
     measure(
         "d13 cross_source_overlap (fingerprint)",
