@@ -1835,3 +1835,200 @@ def quality_canonical_dedup(
         .withColumn("keep", F.row_number().over(w) == 1)
         .select(id_col, "cluster_id", "quality_score", "keep")
     )
+
+
+def lsh_parameter_table(
+    spark, num_hashes: int = 8, s_denominator: int = 16
+) -> DataFrame:
+    """The LSH S-curve P(candidate | s) = 1 - (1 - s^rows)^bands for
+    EVERY (bands, rows) split of the signature, tabulated on the exact
+    dyadic lattice s = k/s_denominator — the inspectable form of the
+    grid ``tune_lsh_params`` optimizes over, as a driver-checkable
+    table (the knob-planning surface behind d02's defaults; SCALE.md's
+    round-5 recall notes reason from exactly these curves).
+
+    Exactness across engines: with s_denominator a power of two and
+    bands * rows == num_hashes, every probability is the dyadic
+    rational (D^b - (D - k^r)^b) / s_den^num_hashes with D = s_den^r —
+    all numerators fit a double exactly (k^r <= 15^8 < 2^53), so both
+    engines compute the identical double and the rounded column is
+    bit-equal, no libm pow discrepancies.
+
+    Output: (bands, rows_per_band, s_16ths, p_candidate) — one row per
+    split x lattice point; dimension-grain (divisors(num_hashes) x
+    (s_denominator - 1) rows)."""
+    splits = [
+        (num_hashes // r, r)
+        for r in range(1, num_hashes + 1)
+        if num_hashes % r == 0
+    ]
+    grid = spark.createDataFrame(splits, "bands int, rows_per_band int")
+    s = spark.range(1, s_denominator).select(F.col("id").cast("int").alias("s_16ths"))
+    denom = float(s_denominator**num_hashes)
+    x = F.pow(F.col("s_16ths").cast("double"), F.col("rows_per_band"))
+    big_d = F.pow(F.lit(float(s_denominator)), F.col("rows_per_band"))
+    miss = F.pow(big_d - x, F.col("bands"))  # (D - k^r)^b, exact integer-valued
+    p = (F.lit(denom) - miss) / F.lit(denom)
+    return grid.crossJoin(s).select(
+        "bands",
+        "rows_per_band",
+        "s_16ths",
+        F.round(p, 6).alias("p_candidate"),
+    )
+
+
+def source_dup_rate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source near-dup mass: how much of each source survives the
+    certified q34/q48 dedup (cluster by minhash+LSH, keep the lowest
+    id per cluster). The mixture-QA counterpart of q72's gate drift —
+    q72 says which sources the QUALITY gate decimates, this says which
+    sources are mostly COPIES (a crawl that re-serves another source's
+    content shows a high dup_rate here and a high overlap row in d13;
+    together they localize where dedup spend goes). Reference analog:
+    per-source coverage summaries (`report_coverage`,
+    DataCatalogController.py) — asset-population accounting at source
+    grain.
+
+    The cluster chain is the certified q34 derivation; this adds one
+    doc-grain join to sources and a dimension-grain rollup. Returns
+    (source, n_docs, n_kept, n_dropped, dup_rate) with dup_rate =
+    n_dropped / n_docs rounded to 4."""
+    pairs = minhash_dedup(docs, id_col, text_col)
+    clusters = neardup_clusters(docs, pairs, id_col=id_col)
+    w = Window.partitionBy("cluster_id").orderBy(id_col)
+    kept = clusters.withColumn("_keep", F.row_number().over(w) == 1).select(
+        id_col, "_keep"
+    )
+    per = (
+        docs.select(id_col, source_col)
+        .join(kept, id_col)
+        .groupBy(source_col)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("_keep").cast("long")).cast("long").alias("n_kept"),
+        )
+    )
+    return per.select(
+        F.col(source_col).alias("source"),
+        "n_docs",
+        "n_kept",
+        (F.col("n_docs") - F.col("n_kept")).cast("long").alias("n_dropped"),
+        F.round((F.col("n_docs") - F.col("n_kept")) / F.col("n_docs"), 4).alias(
+            "dup_rate"
+        ),
+    )
+
+
+def incremental_neardup_pairs(
+    delta_docs: DataFrame,
+    resident_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    resident_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Daily-batch near-dup against a resident corpus at SIGNATURE
+    grain — the d15 estimator composed with the q51/q80 delta
+    discipline. Signatures for both sides, d02's banding, but
+    candidate pairs are RESTRICTED to those touching the delta: the
+    bucket join is delta-side x both-sides, so the resident x resident
+    quadrant — which dominates the full self-join quadratically and
+    was already adjudicated when the resident corpus was deduped — is
+    never generated. Scoring is signature agreement
+    (``minhash_estimate_pairs``' Broder rule): the resident TEXT is
+    never re-read, only its num_hashes md5 strings per doc.
+
+    At 100 TB the resident signature table is a persisted artifact
+    maintained alongside the corpus (exactly like the IVF index's
+    centroids); pass it as ``resident_sigs`` (doc_id, sig_0..sig_n-1)
+    and the daily cost is shingling the DELTA plus a
+    signature-grain join — independent of resident text volume. When
+    omitted (certification scale), resident signatures are computed
+    from ``resident_docs``. Ids must be unique across both sides (the
+    q51 delta contract: a re-crawled identical doc is removed by
+    fingerprint before this runs).
+
+    The banding expressions repeat ``lsh_candidate_pairs``' rule
+    verbatim INLINE: that certified d02 path self-joins one table and
+    cannot express the delta-restricted join without a refactor this
+    deliberately avoids (its bytes stay untouched). Returns (doc_a,
+    doc_b, est_jaccard, is_cross) where is_cross = exactly one side is
+    resident — cross pairs mean "today's crawl duplicates the archive",
+    delta-internal pairs mean "today's crawl duplicates itself"."""
+    sh_d = shingle_table(delta_docs, id_col, text_col, k).localCheckpoint(eager=True)
+    sigs_d = minhash_signatures(sh_d, num_hashes, id_col).localCheckpoint(eager=True)
+    free_local_checkpoint(sh_d)
+    if resident_sigs is None:
+        sh_r = shingle_table(resident_docs, id_col, text_col, k).localCheckpoint(
+            eager=True
+        )
+        resident_sigs = minhash_signatures(sh_r, num_hashes, id_col).localCheckpoint(
+            eager=True
+        )
+        free_local_checkpoint(sh_r)
+    all_sigs = sigs_d.withColumn("_delta", F.lit(True)).unionByName(
+        resident_sigs.withColumn("_delta", F.lit(False))
+    )
+
+    rows_per_band = num_hashes // bands
+
+    def _buckets(sigs: DataFrame) -> DataFrame:
+        band_cols = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"sig_{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+        return sigs.select(
+            F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+        ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    bd = _buckets(sigs_d).alias("a")
+    ba = _buckets(all_sigs).alias("b")
+    cands = (
+        bd.join(
+            ba,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = all_sigs.alias("sa")
+    sb = all_sigs.alias("sb")
+    agree = sum(
+        (F.col(f"sa.sig_{j}") == F.col(f"sb.sig_{j}")).cast("int")
+        for j in range(num_hashes)
+    )
+    return (
+        cands.join(sa, F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("doc_b") == F.col(f"sb.{id_col}"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / F.lit(num_hashes), 4).alias("est_jaccard"),
+            (F.col("sa._delta") != F.col("sb._delta")).alias("is_cross"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )

@@ -217,6 +217,50 @@ def dirty_shards(
     )
 
 
+def resharding_plan(
+    manifest: DataFrame,
+    target_docs_per_shard: int,
+    shard_col: str = "shard",
+    count_col: str = "n_docs",
+) -> DataFrame:
+    """Consolidation plan over a shard manifest: assign every old
+    shard to a NEW shard id by contiguous repacking at
+    ``target_docs_per_shard`` — new_shard = floor(docs_before / target)
+    where docs_before is the running total of docs in shard-id order
+    BEFORE this shard. Trickle appends under range sharding (q84) and
+    retraction-heavy dirty-shard rewrites (q79) both leave a long tail
+    of small shards; a data loader then pays per-shard open/seek
+    overhead thousands of times for kilobytes each. Contiguous
+    repacking merges neighbors only, so id-range locality survives and
+    the moved set is exactly the small-shard tail.
+
+    Shard-grain in and out (the manifest is the authoritative map —
+    write_training_shards' contract): the plan says which old shards
+    coalesce; executing it re-writes only old shards whose new id
+    differs (``moved``). An over-target shard keeps a shard to itself
+    (floor of its own start) and is flagged ``needs_split`` — splitting
+    needs doc grain, i.e. a write_training_shards pass over just that
+    shard's rows. One window over manifest-grain rows; nothing
+    doc-grain anywhere.
+
+    Returns (shard, n_docs, new_shard, moved, needs_split) for every
+    manifest row."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(shard_col).rowsBetween(Window.unboundedPreceding, -1)
+    before = F.coalesce(F.sum(count_col).over(w), F.lit(0))
+    return manifest.select(
+        F.col(shard_col).cast("int").alias("shard"),
+        F.col(count_col).cast("long").alias("n_docs"),
+        F.floor(before / target_docs_per_shard).cast("int").alias("new_shard"),
+        (
+            F.floor(before / target_docs_per_shard).cast("int")
+            != F.col(shard_col).cast("int")
+        ).alias("moved"),
+        (F.col(count_col) > target_docs_per_shard).alias("needs_split"),
+    )
+
+
 def range_shard_assignments(
     docs: DataFrame,
     range_width: int,

@@ -383,3 +383,42 @@ def holdout_split(
             .alias("split"),
         )
     )
+
+
+def curriculum_order(
+    scores: DataFrame,
+    n_stages: int = 10,
+    id_col: str = "doc_id",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Deterministic quality-curriculum ordering: stage docs from
+    highest to lowest quality in ``n_stages`` equal-size stages
+    (ntile over (score desc, id) — SQL-standard distribution, larger
+    stages first, identical in any engine given the total order), then
+    shuffle WITHIN each stage by the engine's deterministic md5 order
+    (the q35/q62 reproducibility rule) so a stage is not accidentally
+    sorted by score — a data loader streaming curriculum_rank order
+    gets clean-first training with honest within-stage mixing, and the
+    same corpus + scores always yields the same byte order (training
+    reproducibility — the property a random shuffle destroys).
+
+    Pairs with ``epoch_plan``/``materialize_mixture``: those decide
+    HOW MUCH of each source to train on, this decides WHEN each doc is
+    seen. One window over doc-grain rows, no joins. Takes any (id,
+    score) table — text.quality_scores, a classifier, a perplexity.
+    Returns (doc_id, stage, curriculum_rank)."""
+    from pyspark.sql.window import Window
+
+    stage_w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+    staged = scores.select(
+        F.col(id_col),
+        F.ntile(n_stages).over(stage_w).alias("stage"),
+    )
+    rank_w = Window.orderBy(
+        "stage", F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return staged.select(
+        id_col,
+        "stage",
+        F.row_number().over(rank_w).cast("long").alias("curriculum_rank"),
+    )

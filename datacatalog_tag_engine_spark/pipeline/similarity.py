@@ -1449,6 +1449,67 @@ def cell_inertia(
     )
 
 
+def quantizer_drift(
+    corpus: DataFrame,
+    num_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """Per-cell drift between the quantizer's stored centroid and the
+    CURRENT cell mean, on the micro lattice — the direct retrain
+    trigger for the frozen-quantizer lifecycle (s21/s22/s25 grow and
+    shrink the index without ever moving centroids; SCALE.md's rule is
+    "rebuild when the geometry drifted", and this is the number that
+    says so). ``cell_balance`` sees occupancy skew and ``cell_inertia``
+    sees spread, but neither separates "this cell is naturally wide"
+    from "the data moved": drift does — one Lloyd update would move
+    the centroid by exactly this displacement, so drift ~ 0 means
+    retraining would change nothing and a growing drift localizes
+    WHICH cells the appends re-shaped.
+
+    Determinism: per-element values quantize to the round(x*1e6)
+    lattice BEFORE the cross-partition sum (the cell_inertia trick);
+    the per-dimension mean divides one exact integer sum by an exact
+    count, so the result is bit-identical in any engine.
+
+    One corpus pass (broadcast centroids) + a (cell x dim)-grain
+    rollup; output is num_cells rows. Returns (cell, n_vectors,
+    drift_micro) with drift_micro = squared-L2 in micro units between
+    the cell's mean and its centroid. ``cents`` plugs in trained or
+    index-resident centroids (the s09 `_localize_parquet` table)."""
+    if cents is None:
+        cents = _default_cents(corpus, num_cells, id_col, vec_col)
+    assigned = _ranked_cells(corpus, num_cells, id_col, vec_col, cents=cents).filter(
+        F.col("_rn") == 1
+    )
+    qx = assigned.select(
+        "cell",
+        F.posexplode(
+            F.transform(F.col("v"), lambda x: F.round(x * F.lit(1e6), 0).cast("long"))
+        ).alias("pos", "qx"),
+    )
+    mean = qx.groupBy("cell", "pos").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("qx") / F.count("*"), 0).cast("long").alias("m"),
+    )
+    qc = cents.select(
+        "cell",
+        F.posexplode(
+            F.transform(
+                F.col("cent_v"), lambda x: F.round(x * F.lit(1e6), 0).cast("long")
+            )
+        ).alias("pos", "qc"),
+    )
+    j = mean.join(F.broadcast(qc), ["cell", "pos"])
+    return j.groupBy("cell").agg(
+        F.max("n").cast("long").alias("n_vectors"),
+        F.sum((F.col("m") - F.col("qc")) * (F.col("m") - F.col("qc")))
+        .cast("long")
+        .alias("drift_micro"),
+    )
+
+
 def pq_code_histogram(
     corpus: DataFrame,
     num_subspaces: int = 4,

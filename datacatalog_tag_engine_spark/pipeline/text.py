@@ -1868,3 +1868,63 @@ def mixture_rebalance(drift: DataFrame, cap: float = 10.0) -> DataFrame:
         "share_after",
         F.round(w, 4).alias("weight"),
     )
+
+
+def code_prose_profile(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source code-vs-prose routing profile — the pre-mixture
+    classifier an LLM-data pipeline runs before deciding tokenizer,
+    quality gates, and sampling weights (code wants different ones
+    than prose; Gopher-style gates like t16 actively DELETE good code
+    by punishing symbols and short lines). Three per-doc signals, all
+    decided by EXACT INTEGER comparisons so both engines agree
+    bit-for-bit with no float thresholds:
+
+    - symbol density: chars in []{}();=<># over total chars,
+      code-like when > 2% (count * 50 > chars);
+    - indented-line fraction: nonempty lines opening with a tab or
+      4+ spaces, code-like when > 15% (count * 20 > 3 * lines);
+    - statement-line fraction: nonempty lines closing with ; { or },
+      code-like when > 20% (count * 5 > lines).
+
+    is_code = symbol density AND (indentation OR statement lines) —
+    symbols alone misfire on math-heavy prose, structure alone on
+    poetry, so the conjunction is the rule. The per-doc symbol ratio
+    is quantized to the micro lattice BEFORE the per-source sum (the
+    t13/t33 determinism trick).
+
+    One corpus pass, dimension-grain output. Returns (source, n_docs,
+    n_code, code_frac, mean_symbol_frac)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    chars = F.length(t)
+    sym = chars - F.length(F.regexp_replace(t, r"[\[\]{}();=<>#]", ""))
+    lines = F.filter(
+        F.split(t, "\n"), lambda l: F.length(F.trim(l)) > 0
+    )
+    n_lines = F.size(lines)
+    indented = F.size(F.filter(lines, lambda l: l.rlike(r"^(\t|    )")))
+    stmt = F.size(F.filter(lines, lambda l: l.rlike(r"[;{}]\s*$")))
+    per_doc = docs.select(
+        F.col(source_col),
+        (
+            (sym * 50 > chars)
+            & ((indented * 20 > 3 * n_lines) | (stmt * 5 > n_lines))
+        ).alias("_is_code"),
+        F.round(sym / F.greatest(chars, F.lit(1)) * 1e6, 0)
+        .cast("long")
+        .alias("_sym_micro"),
+    )
+    return per_doc.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("_is_code").cast("long")).cast("long").alias("n_code"),
+        F.round(F.sum(F.col("_is_code").cast("long")) / F.count("*"), 4).alias(
+            "code_frac"
+        ),
+        F.round(F.sum("_sym_micro") / F.count("*") / F.lit(1e6), 6).alias(
+            "mean_symbol_frac"
+        ),
+    )

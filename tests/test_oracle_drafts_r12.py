@@ -1,0 +1,561 @@
+"""Round-12 rotation prep: DuckDB oracle drafts for operators built in
+round 11 but NOT wired into the frozen inventory (the freeze policy:
+new queries enter only at round start, with a proven draft). This
+module's generators are the work-list — at the r12 rotation, move each
+SQL generator into __spark_entry__ verbatim (entry becomes the single
+copy; this file imports it back) and wire the queries()/oracle_sql()
+pairs:
+
+- q86_resharding_plan — shard-manifest consolidation planner
+  (export.resharding_plan): contiguous cumsum repacking of the
+  small-shard tail that trickle appends under range sharding (q84)
+  and retraction rewrites (q79) accumulate. Shard-grain in and out
+  (one window over manifest rows); id-range locality survives because
+  only neighbors merge; over-target shards are flagged needs_split
+  (doc-grain work, executed by write_training_shards over just those
+  shards).
+- d18_lsh_parameter_table — the LSH S-curve P(candidate|s) for every
+  (bands, rows) split of the signature, tabulated on the dyadic
+  s = k/16 lattice (dedup.lsh_parameter_table): the inspectable form
+  of the grid tune_lsh_params optimizes, as a driver row. Every
+  probability is a dyadic rational whose numerator fits a double, so
+  both engines compute identical values with NO libm pow discrepancy.
+- t34_code_prose_profile — per-source code-vs-prose routing profile
+  (text.code_prose_profile): symbol density x indentation x
+  statement-line signals, every decision an exact integer comparison
+  (no float thresholds). The pre-mixture classifier that keeps
+  Gopher-style prose gates (t16) from deleting good code.
+- q88_source_dup_rate — per-source near-dup mass through the
+  certified q34 cluster chain + lowest-id keep (dedup.source_dup_rate):
+  q72 says which sources the QUALITY gate decimates, this says which
+  sources are mostly COPIES. Oracle derived from the wired q34 string
+  by final-SELECT surgery (one copy of the chain).
+- d19_incremental_neardup — daily-batch near-dup against a resident
+  corpus at SIGNATURE grain (dedup.incremental_neardup_pairs): the
+  d15 estimator composed with the q51/q80 delta discipline — the
+  bucket join is delta x both-sides, so the resident x resident
+  quadrant is never generated; resident text is never re-read. The
+  100 TB daily-dedup shape (resident signatures are a persisted
+  artifact via resident_sigs=).
+- s28_quantizer_drift — per-cell drift between the stored centroid
+  and the CURRENT cell mean on the micro lattice
+  (similarity.quantizer_drift): the direct retrain trigger for the
+  frozen-quantizer lifecycle (s21/s22/s25 never move centroids;
+  drift says when a rebuild would actually change something, and
+  where). Exact integer arithmetic end to end.
+- q90_curriculum_order — deterministic quality-curriculum ordering
+  (sampling.curriculum_order): ntile stages over (score desc, id) +
+  the engine's md5 within-stage shuffle — clean-first training order
+  that is bit-reproducible, composed with the wired t02 score (oracle
+  nests the t02 string as a CTE, the d17 pattern).
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from datacatalog_tag_engine_spark.pipeline import dedup as DD
+from datacatalog_tag_engine_spark.pipeline import similarity as SIM
+from datacatalog_tag_engine_spark.pipeline import text as TXT
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def ddb():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'")
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    yield con
+    con.close()
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    out = []
+    for r in df.select(*cols).collect():
+        out.append(tuple(round(v, 6) if isinstance(v, float) else v for v in r))
+    return sorted(out)
+
+
+def _sql_rows(con, sql):
+    rel = con.sql(sql)
+    cols = sorted(rel.columns)
+    out = []
+    for r in con.sql(f"SELECT {', '.join(cols)} FROM rel").fetchall():
+        out.append(tuple(round(v, 6) if isinstance(v, float) else v for v in r))
+    return sorted(out)
+
+
+# --- q86: resharding plan ------------------------------------------------------
+
+
+def resharding_plan_sql(range_width: int = 100, target: int = 500) -> str:
+    """Manifest = range-shard counts over documents (the q84 policy —
+    exactly the layout that accumulates a small-shard tail); plan =
+    cumsum repacking at the target."""
+    return f"""
+WITH m AS (SELECT (doc_id // {range_width})::INT AS shard, count(*) AS n_docs
+           FROM documents GROUP BY 1),
+c AS (SELECT shard, n_docs,
+             coalesce(sum(n_docs) OVER (ORDER BY shard
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM m)
+SELECT shard::INT AS shard,
+       n_docs::BIGINT AS n_docs,
+       (before // {target})::INT AS new_shard,
+       (before // {target})::INT <> shard AS moved,
+       n_docs > {target} AS needs_split
+FROM c
+"""
+
+
+def _q86(spark, target: int = 500):
+    from datacatalog_tag_engine_spark.pipeline.export import (
+        range_shard_assignments,
+        resharding_plan,
+    )
+
+    docs = spark.table("documents")
+    manifest = (
+        range_shard_assignments(docs, 100)
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return resharding_plan(manifest, target)
+
+
+def test_oracle_draft_resharding_plan(spark, ddb):
+    got = _rows(_q86(spark))
+    want = _sql_rows(ddb, resharding_plan_sql(100, 500))
+    assert got == want
+    assert len(got) > 1
+
+
+def test_resharding_plan_packs_and_flags(spark):
+    """Contract on a constructed manifest: a tail of tiny shards
+    coalesces into target-sized new shards (locality: only neighbors
+    merge — new_shard is monotone in shard), an over-target shard is
+    flagged needs_split, and no docs are lost (group sums == input)."""
+    from datacatalog_tag_engine_spark.pipeline.export import resharding_plan
+
+    rows = [(0, 900), (1, 40), (2, 30), (3, 20), (4, 10), (5, 600)]
+    m = spark.createDataFrame(rows, "shard int, n_docs long")
+    out = sorted(
+        resharding_plan(m, 500).collect(), key=lambda r: r["shard"]
+    )
+    by = {r["shard"]: r for r in out}
+    # shard 0 (900 docs) occupies new shards 0.. and is flagged for split
+    assert by[0]["new_shard"] == 0 and by[0]["needs_split"]
+    # the tiny tail (40+30+20+10 docs, starting at cum 900) packs into
+    # new_shard 1 together
+    assert by[1]["new_shard"] == by[2]["new_shard"] == by[3]["new_shard"] == by[4]["new_shard"] == 1
+    assert all(by[s]["moved"] for s in (2, 3, 4))
+    # monotone (locality: merges are contiguous)
+    ns = [r["new_shard"] for r in out]
+    assert ns == sorted(ns)
+    # conservation
+    assert sum(r["n_docs"] for r in out) == sum(n for _, n in rows)
+
+
+# --- d18: LSH parameter table --------------------------------------------------
+
+
+def lsh_parameter_table_sql(num_hashes: int = 8, s_denominator: int = 16) -> str:
+    splits = ", ".join(
+        f"({num_hashes // r}, {r})"
+        for r in range(1, num_hashes + 1)
+        if num_hashes % r == 0
+    )
+    denom = s_denominator**num_hashes
+    return f"""
+WITH splits(bands, rows_per_band) AS (VALUES {splits}),
+s AS (SELECT unnest(range(1, {s_denominator}))::INT AS s_16ths)
+SELECT bands, rows_per_band, s_16ths,
+       round(({denom} - power(power({s_denominator}, rows_per_band)
+                              - power(s_16ths, rows_per_band), bands))
+             / {denom}, 6) AS p_candidate
+FROM splits, s
+"""
+
+
+def test_oracle_draft_lsh_parameter_table(spark, ddb):
+    got = _rows(DD.lsh_parameter_table(spark))
+    want = _sql_rows(ddb, lsh_parameter_table_sql())
+    assert got == want
+    assert len(got) == 4 * 15
+
+
+def test_lsh_parameter_table_matches_tune_lsh_params_curve(spark):
+    """The table IS the curve tune_lsh_params optimizes: every row
+    equals the analytic 1-(1-s^r)^b, monotone in s for each split, and
+    the default (4x2) split's curve crosses 0.5 near the analytic
+    threshold (1/b)^(1/r) = (1/4)^(1/2) = 0.5."""
+    rows = DD.lsh_parameter_table(spark).collect()
+    for r in rows:
+        s = r["s_16ths"] / 16.0
+        p = 1.0 - (1.0 - s ** r["rows_per_band"]) ** r["bands"]
+        assert abs(r["p_candidate"] - round(p, 6)) < 1e-9
+    d42 = sorted(
+        (r["s_16ths"], r["p_candidate"])
+        for r in rows
+        if r["bands"] == 4 and r["rows_per_band"] == 2
+    )
+    ps = [p for _, p in d42]
+    assert ps == sorted(ps)
+    crossing = next(s for s, p in d42 if p >= 0.5)
+    assert crossing / 16.0 == pytest.approx(0.5, abs=0.0625)
+
+
+# --- t34: code/prose profile ---------------------------------------------------
+
+
+def code_prose_profile_sql() -> str:
+    return r"""
+WITH base AS (SELECT source, coalesce(text, '') AS t FROM documents),
+sig AS (
+  SELECT source,
+         length(t) AS chars,
+         length(t) - length(regexp_replace(t, '[\[\]{}();=<>#]', '', 'g')) AS sym,
+         list_filter(regexp_split_to_array(t, '\n'),
+                     l -> length(trim(l)) > 0) AS lines
+  FROM base),
+d AS (
+  SELECT source, chars, sym,
+         len(lines) AS nl,
+         len(list_filter(lines, l -> regexp_matches(l, '^(\t|    )'))) AS ind,
+         len(list_filter(lines, l -> regexp_matches(l, '[;{}]\s*$'))) AS stmt
+  FROM sig),
+f AS (
+  SELECT source,
+         (sym * 50 > chars) AND ((ind * 20 > 3 * nl) OR (stmt * 5 > nl)) AS is_code,
+         round(sym / greatest(chars, 1) * 1e6)::BIGINT AS sym_micro
+  FROM d)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(is_code::INT)::BIGINT AS n_code,
+       round(sum(is_code::INT) / count(*), 4) AS code_frac,
+       round(sum(sym_micro) / count(*) / 1e6, 6) AS mean_symbol_frac
+FROM f GROUP BY source
+"""
+
+
+def test_oracle_draft_code_prose_profile(spark, ddb):
+    got = _rows(TXT.code_prose_profile(spark.table("documents")))
+    want = _sql_rows(ddb, code_prose_profile_sql())
+    assert got == want
+    assert len(got) > 1
+
+
+def test_code_prose_profile_classifies_code(spark):
+    """An obvious code doc (symbols + indentation + statement lines)
+    flags is_code; prose does not; math-y prose with symbols but no
+    structure does not (the conjunction rule)."""
+    code = (
+        "def f(x):\n    y = x + 1;\n    if y > 2:\n        return {y};\n"
+        "    z = [1, 2, 3];\n    return (z);\n"
+    )
+    prose = "the quick brown fox jumps over the lazy dog and keeps going\n" * 3
+    mathy = "we know that a = b = c holds, and x < y > z; so (obviously) #1\n" * 3
+    df = spark.createDataFrame(
+        [(1, "code", code), (2, "prose", prose), (3, "mathy", mathy)],
+        "doc_id long, source string, text string",
+    )
+    out = {r["source"]: r for r in TXT.code_prose_profile(df).collect()}
+    assert out["code"]["n_code"] == 1
+    assert out["prose"]["n_code"] == 0
+    assert out["mathy"]["n_code"] == 0  # symbols without structure
+
+
+# --- q88: per-source dup rate --------------------------------------------------
+
+
+def source_dup_rate_sql(q34_sql: str) -> str:
+    """The wired q34 cluster chain with its final SELECT replaced by
+    the lowest-id keep rule + source rollup (the q73/d17 surgery
+    pattern — one copy of the chain)."""
+    tail = "SELECT doc_id, cluster_id FROM clusters"
+    assert q34_sql.count(tail) == 1
+    return q34_sql.replace(
+        tail,
+        """, k AS (
+  SELECT doc_id, cluster_id,
+         row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id) = 1 AS keep
+  FROM clusters),
+per AS (
+  SELECT d.source, count(*) AS n_docs, sum(k.keep::INT) AS n_kept
+  FROM k JOIN documents d USING (doc_id) GROUP BY d.source)
+SELECT source, n_docs::BIGINT AS n_docs, n_kept::BIGINT AS n_kept,
+       (n_docs - n_kept)::BIGINT AS n_dropped,
+       round((n_docs - n_kept) / n_docs, 4) AS dup_rate
+FROM per""",
+    )
+
+
+def test_oracle_draft_source_dup_rate(spark, ddb):
+    got = _rows(DD.source_dup_rate(spark.table("documents")))
+    want = _sql_rows(ddb, source_dup_rate_sql(E.oracle_sql()["q34_dedup_clusters"]))
+    assert got == want
+    assert len(got) > 1
+
+
+def test_source_dup_rate_localizes_the_copying_source(spark):
+    """A source that mirrors another's docs shows the dup mass; the
+    original source keeps its canonicals (lowest id wins)."""
+    # each original is built from its OWN word vocabulary so originals
+    # are not near-dups of each other; mirrors are exact copies
+    orig = [
+        (i, "orig", " ".join(f"w{i}x{j} token{i}y{j}" for j in range(20)))
+        for i in range(10)
+    ]
+    mirror = [(100 + i, "mirror", t) for i, (_, _, t) in enumerate(orig)]
+    df = spark.createDataFrame(orig + mirror, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in DD.source_dup_rate(df).collect()}
+    assert out["orig"]["n_dropped"] == 0
+    assert out["mirror"]["n_kept"] == 0 and out["mirror"]["dup_rate"] == 1.0
+    assert out["orig"]["n_docs"] == out["mirror"]["n_docs"] == 10
+
+
+# --- d19: incremental near-dup -------------------------------------------------
+
+
+def incremental_neardup_sql(threshold: float = 0.5) -> str:
+    """The d15 sigs/buckets derivation with a delta flag (delta =
+    doc_id % 3 = 0 — today's crawl, the q80 split) and the candidate
+    join restricted to delta-touching pairs."""
+    sig_exprs = ",\n         ".join(
+        f"min(md5('{j}:' || shingle)) AS sig_{j}" for j in range(8)
+    )
+    band_cases = " ".join(
+        f"WHEN {b} THEN md5(sig_{2*b} || '|' || sig_{2*b+1})" for b in range(4)
+    )
+    agree = " + ".join(f"(sa.sig_{j} = sb.sig_{j})::INT" for j in range(8))
+    return f"""
+WITH toks AS (SELECT doc_id, doc_id % 3 = 0 AS is_delta,
+                     regexp_split_to_array(text, '\\s+') w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, is_delta,
+         unnest(CASE WHEN len(w) >= 3
+                THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+                ELSE [array_to_string(w, ' ')] END) AS shingle
+  FROM toks),
+sigs AS (
+  SELECT doc_id, any_value(is_delta) AS is_delta, {sig_exprs}
+  FROM sh GROUP BY doc_id),
+buckets AS (
+  SELECT doc_id, is_delta, band, CASE band {band_cases} END AS bucket
+  FROM sigs, (SELECT unnest(range(4)) AS band)),
+cands AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS da, greatest(a.doc_id, b.doc_id) AS db
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id <> b.doc_id
+  WHERE a.is_delta)
+SELECT c.da AS doc_a, c.db AS doc_b,
+       round(({agree}) / 8.0, 4) AS est_jaccard,
+       (sa.is_delta <> sb.is_delta) AS is_cross
+FROM cands c
+JOIN sigs sa ON sa.doc_id = c.da
+JOIN sigs sb ON sb.doc_id = c.db
+WHERE round(({agree}) / 8.0, 4) >= {threshold}
+"""
+
+
+def _d19(spark):
+    docs = spark.table("documents")
+    return DD.incremental_neardup_pairs(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        docs.filter(F.col("doc_id") % 3 != 0),
+    )
+
+
+def test_oracle_draft_incremental_neardup(spark, ddb):
+    got = _rows(_d19(spark))
+    want = _sql_rows(ddb, incremental_neardup_sql())
+    assert got == want
+    assert len(got) > 0
+
+
+def test_incremental_neardup_restriction_and_persisted_sigs(spark):
+    """(a) Every pair touches the delta, and the pair set equals the
+    full d15 self-join's pairs MINUS its resident x resident quadrant
+    (the restriction drops exactly that quadrant, nothing else).
+    (b) Passing precomputed resident signatures (the persisted-artifact
+    serving path) is value-identical to recomputing them."""
+    docs = spark.table("documents")
+    delta = docs.filter(F.col("doc_id") % 3 == 0)
+    resident = docs.filter(F.col("doc_id") % 3 != 0)
+    got = {(r["doc_a"], r["doc_b"]): r["is_cross"] for r in _d19(spark).collect()}
+    delta_ids = {r["doc_id"] for r in delta.select("doc_id").collect()}
+    assert got and all(a in delta_ids or b in delta_ids for a, b in got)
+    assert all(
+        ((a in delta_ids) != (b in delta_ids)) == c for (a, b), c in got.items()
+    )
+    full = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in DD.minhash_estimate_pairs(docs).collect()
+    }
+    expected = {
+        p for p in full if p[0] in delta_ids or p[1] in delta_ids
+    }
+    assert set(got) == expected
+    sh_r = DD.shingle_table(resident)
+    sigs_r = DD.minhash_signatures(sh_r)
+    with_sigs = {
+        (r["doc_a"], r["doc_b"]): r["is_cross"]
+        for r in DD.incremental_neardup_pairs(
+            delta, resident, resident_sigs=sigs_r
+        ).collect()
+    }
+    assert with_sigs == got
+
+
+# --- s28: quantizer drift ------------------------------------------------------
+
+
+def quantizer_drift_sql(num_cells: int = 8) -> str:
+    """The s03 assignment CTEs + per-(cell, dim) micro-lattice means
+    vs the quantized centroid — squared-L2 at cell grain."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cent_v FROM e ORDER BY vec_id LIMIT {num_cells}),
+assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round(list_cosine_similarity(e.v, c.cent_v), 6) DESC, c.cell) AS rn
+    FROM e CROSS JOIN cents c) WHERE rn = 1),
+dims AS (SELECT unnest(range((SELECT len(v) FROM e LIMIT 1)))::INT AS pos),
+qx AS (SELECT cell, pos, round(v[pos + 1] * 1e6)::BIGINT AS qx FROM assign, dims),
+mean AS (SELECT cell, pos, count(*) AS n,
+                round(sum(qx) / count(*))::BIGINT AS m
+         FROM qx GROUP BY cell, pos),
+qc AS (SELECT cell, pos, round(cent_v[pos + 1] * 1e6)::BIGINT AS qc FROM cents, dims)
+SELECT cell,
+       max(n)::BIGINT AS n_vectors,
+       sum((m - qc) * (m - qc))::BIGINT AS drift_micro
+FROM mean JOIN qc USING (cell, pos) GROUP BY cell
+"""
+
+
+def test_oracle_draft_quantizer_drift(spark, ddb):
+    got = _rows(SIM.quantizer_drift(spark.table("embeddings")))
+    want = _sql_rows(ddb, quantizer_drift_sql())
+    assert got == want
+    assert len(got) > 1
+
+
+def test_quantizer_drift_zero_after_retrain_step(spark):
+    """Drift is the Lloyd-update displacement: re-centering each cell
+    on its own mean drives drift to ~0 (exactly 0 on the micro
+    lattice up to the mean's 1-unit rounding), and an append of mass
+    far from a centroid grows THAT cell's drift only."""
+    emb = spark.table("embeddings")
+    base = SIM.quantizer_drift(emb)
+    # retrain step: means become the new centroids
+    assigned = SIM._ranked_cells(emb, 8, "vec_id", "embedding").filter("_rn = 1")
+    means = (
+        assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("x").alias("mx"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mx"))).alias("pm"))
+        .select("cell", F.transform("pm", lambda s: s["mx"]).alias("cent_v"))
+    )
+    # drift vs the re-centered quantizer, ASSIGNMENTS HELD FIXED: zero
+    # up to the micro lattice's rounding of the mean itself. (A full
+    # quantizer_drift re-run would also re-assign vectors to the new
+    # centroids — a genuine Lloyd iteration, whose movement is not the
+    # claim here.)
+    qc = means.select(
+        "cell",
+        F.posexplode(
+            F.transform("cent_v", lambda x: F.round(x * F.lit(1e6), 0).cast("long"))
+        ).alias("pos", "qc"),
+    )
+    qx = assigned.select(
+        "cell",
+        F.posexplode(
+            F.transform("v", lambda x: F.round(x * F.lit(1e6), 0).cast("long"))
+        ).alias("pos", "qx"),
+    )
+    mean_fixed = qx.groupBy("cell", "pos").agg(
+        F.round(F.sum("qx") / F.count("*"), 0).cast("long").alias("m")
+    )
+    resid = (
+        mean_fixed.join(qc, ["cell", "pos"])
+        .groupBy("cell")
+        .agg(F.sum((F.col("m") - F.col("qc")) * (F.col("m") - F.col("qc"))).alias("d"))
+    )
+    dim = len(emb.select("embedding").first()[0])
+    for r in resid.collect():
+        assert r["d"] <= 4 * dim  # <= (2 micro-units)^2 per dim of rounding slack
+    # base drift is nonzero somewhere (seeded centroids are not means)
+    assert sum(r["drift_micro"] for r in base.collect()) > 0
+
+
+# --- q90: curriculum order -----------------------------------------------------
+
+
+def curriculum_order_sql(t02_sql: str, n_stages: int = 10) -> str:
+    """The wired t02 quality oracle nested as a CTE (the d17 pattern)
+    + ntile staging + the md5 within-stage shuffle."""
+    return f"""
+WITH q AS ({t02_sql}),
+st AS (SELECT doc_id,
+              ntile({n_stages}) OVER (ORDER BY quality_score DESC, doc_id) AS stage
+       FROM q)
+SELECT doc_id,
+       stage::INT AS stage,
+       row_number() OVER (ORDER BY stage, md5(doc_id::VARCHAR), doc_id)::BIGINT
+         AS curriculum_rank
+FROM st
+"""
+
+
+def _q90(spark):
+    from datacatalog_tag_engine_spark.pipeline.sampling import curriculum_order
+
+    scores = TXT.quality_scores(spark.table("documents")).select(
+        "doc_id", "quality_score"
+    )
+    return curriculum_order(scores)
+
+
+def test_oracle_draft_curriculum_order(spark, ddb):
+    got = _rows(_q90(spark))
+    want = _sql_rows(ddb, curriculum_order_sql(E.oracle_sql()["t02_quality"]))
+    assert got == want
+    assert len(got) == spark.table("documents").count()
+
+
+def test_curriculum_order_is_clean_first_and_mixed_within(spark):
+    """Stage 1 holds the top-quality docs (every stage-1 score >= every
+    stage-10 score), ranks are a permutation of 1..n contiguous by
+    stage, and within a stage the order is NOT score-sorted (the md5
+    shuffle actually mixes)."""
+    from datacatalog_tag_engine_spark.pipeline.sampling import curriculum_order
+
+    scores = TXT.quality_scores(spark.table("documents")).select(
+        "doc_id", "quality_score"
+    )
+    out = curriculum_order(scores).join(scores, "doc_id").collect()
+    n = len(out)
+    assert sorted(r["curriculum_rank"] for r in out) == list(range(1, n + 1))
+    by_stage: dict[int, list] = {}
+    for r in out:
+        by_stage.setdefault(r["stage"], []).append(r)
+    assert min(r["quality_score"] for r in by_stage[1]) >= max(
+        r["quality_score"] for r in by_stage[max(by_stage)]
+    )
+    # ranks are contiguous per stage (a loader can stream stage by stage)
+    hi = 0
+    for s in sorted(by_stage):
+        ranks = sorted(r["curriculum_rank"] for r in by_stage[s])
+        assert ranks[0] == hi + 1 and ranks[-1] == hi + len(ranks)
+        hi = ranks[-1]
+    # within stage 1, rank order is not score order (the shuffle mixes)
+    s1 = sorted(by_stage[1], key=lambda r: r["curriculum_rank"])
+    s1_scores = [r["quality_score"] for r in s1]
+    assert s1_scores != sorted(s1_scores, reverse=True)
