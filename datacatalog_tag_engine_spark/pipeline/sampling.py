@@ -385,15 +385,111 @@ def holdout_split(
     )
 
 
+def global_rank(
+    df: DataFrame,
+    order_cols: list,
+    rank_col: str = "_rank",
+) -> DataFrame:
+    """Exact 1-based global rank under a STRICT total order (the
+    caller's last order column must be unique) WITHOUT a single-task
+    global window. ``row_number().over(Window.orderBy(...))`` plans an
+    `Exchange SinglePartition` — every row through ONE task, the
+    classic 100 TB killer hiding inside an innocent-looking window.
+    This is the distributed form:
+
+    1. ``repartitionByRange`` on the order keys — the range
+       partitioner guarantees every row of partition i sorts before
+       every row of partition i+1 — then sort within partitions and
+       PIN the result with an eager localCheckpoint (range boundaries
+       come from sampling; without the pin, the size job and the rank
+       job could re-sample different boundaries and disagree).
+    2. per-partition row counts: one job returning num_partitions
+       driver rows -> cumulative offsets (dimension-grain state).
+    3. one ``mapInPandas`` pass adding offset + within-partition
+       position — Arrow-batched, order-preserving, no shuffle.
+
+    The rank VALUES are deterministic regardless of where the sampled
+    boundaries land (the total order is fixed by ``order_cols``);
+    only the partition split varies. Cost: one range shuffle + two
+    passes, vs the window's one shuffle into a single task — at any
+    real scale the former wins by the width of the cluster. Caller
+    drops/ignores ``rank_col`` collisions (asserted)."""
+    from pyspark import TaskContext
+    from pyspark.sql import types as T
+
+    assert rank_col not in df.columns
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .localCheckpoint(eager=True)
+    )
+    sizes = {
+        r["_pid"]: r["n"]
+        for r in ranged.select(F.spark_partition_id().alias("_pid"))
+        .groupBy("_pid")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in range(max(sizes, default=-1) + 1):
+        offsets[pid] = acc
+        acc += sizes.get(pid, 0)
+    b_offsets = spark.sparkContext.broadcast(offsets)
+    schema = T.StructType(ranged.schema.fields + [T.StructField(rank_col, T.LongType())])
+
+    def add_rank(batches):
+        pid = TaskContext.get().partitionId()
+        base = b_offsets.value.get(pid, 0)
+        seen = 0
+        for pdf in batches:
+            out = pdf.copy()
+            out[rank_col] = range(base + seen + 1, base + seen + len(pdf) + 1)
+            seen += len(pdf)
+            yield out
+
+    return ranged.mapInPandas(add_rank, schema=schema)
+
+
+def _ntile_from_rank(rank, n_rows: int, n_stages: int):
+    """SQL-standard NTILE derived from the global rank: the first
+    (n_rows mod n_stages) stages get ceil(n_rows/n_stages) rows, the
+    rest floor — bit-identical to every engine's ntile given the same
+    total order. Pure column arithmetic (rank is 1-based)."""
+    q, rem = n_rows // n_stages, n_rows % n_stages
+    boundary = rem * (q + 1)
+    big = F.floor((rank - 1) / F.lit(q + 1)) + 1
+    small = F.lit(rem) + F.floor((rank - 1 - boundary) / F.lit(max(q, 1))) + 1
+    return (
+        F.when(F.lit(rem > 0) & (rank <= boundary), big).otherwise(small).cast("int")
+    )
+
+
+# below this row count curriculum_order uses the plain window form:
+# a single-task window over a few million (id, score, rank) rows is
+# cheaper than global_rank's two range shuffles + checkpoints + Arrow
+# passes (measured at sf0.1: 1.0 s window vs 8.5 s scalable on 5k
+# rows — pure fixed overhead). Above it, the window's
+# Exchange SinglePartition becomes the bottleneck/OOM and the range
+# form wins by the width of the cluster. The two produce IDENTICAL
+# output (equivalence test), so this is a physical-plan switch only —
+# the same kind of decision AQE makes, gated on a count the function
+# already needs for the NTILE arithmetic.
+CURRICULUM_WINDOW_MAX = 2_000_000
+
+
 def curriculum_order(
     scores: DataFrame,
     n_stages: int = 10,
     id_col: str = "doc_id",
     score_col: str = "quality_score",
+    window_max: int = CURRICULUM_WINDOW_MAX,
 ) -> DataFrame:
     """Deterministic quality-curriculum ordering: stage docs from
     highest to lowest quality in ``n_stages`` equal-size stages
-    (ntile over (score desc, id) — SQL-standard distribution, larger
+    (SQL-standard NTILE distribution over (score desc, id) — larger
     stages first, identical in any engine given the total order), then
     shuffle WITHIN each stage by the engine's deterministic md5 order
     (the q35/q62 reproducibility rule) so a stage is not accidentally
@@ -402,23 +498,50 @@ def curriculum_order(
     same corpus + scores always yields the same byte order (training
     reproducibility — the property a random shuffle destroys).
 
+    Scale: above ``window_max`` rows both total orders are computed
+    with ``global_rank`` (range partition + offsets), NOT
+    ``ntile()/row_number()`` window calls — those plan an
+    `Exchange SinglePartition` that drags the whole doc-grain table
+    through one task. The stage is derived from the rank by the exact
+    NTILE formula (``_ntile_from_rank``), so the output is
+    bit-identical to the window form (the equivalence test pins it)
+    while every stage of the plan stays cluster-wide. At or below
+    ``window_max`` the plain window form runs instead — identical
+    values, far lower fixed cost (see CURRICULUM_WINDOW_MAX).
+
     Pairs with ``epoch_plan``/``materialize_mixture``: those decide
     HOW MUCH of each source to train on, this decides WHEN each doc is
-    seen. One window over doc-grain rows, no joins. Takes any (id,
-    score) table — text.quality_scores, a classifier, a perplexity.
-    Returns (doc_id, stage, curriculum_rank)."""
-    from pyspark.sql.window import Window
+    seen. Takes any (id, score) table — text.quality_scores, a
+    classifier, a perplexity. Returns (doc_id, stage,
+    curriculum_rank)."""
+    n_rows = scores.count()
+    if n_rows <= window_max:
+        from pyspark.sql.window import Window
 
-    stage_w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
-    staged = scores.select(
-        F.col(id_col),
-        F.ntile(n_stages).over(stage_w).alias("stage"),
+        stage_w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+        staged = scores.select(
+            F.col(id_col), F.ntile(n_stages).over(stage_w).alias("stage")
+        )
+        rank_w = Window.orderBy(
+            "stage", F.md5(F.col(id_col).cast("string")), F.col(id_col)
+        )
+        return staged.select(
+            id_col,
+            "stage",
+            F.row_number().over(rank_w).cast("long").alias("curriculum_rank"),
+        )
+    by_quality = global_rank(
+        scores.select(id_col, score_col),
+        [F.col(score_col).desc(), F.col(id_col)],
+        rank_col="_qrank",
     )
-    rank_w = Window.orderBy(
-        "stage", F.md5(F.col(id_col).cast("string")), F.col(id_col)
-    )
-    return staged.select(
+    staged = by_quality.select(
         id_col,
-        "stage",
-        F.row_number().over(rank_w).cast("long").alias("curriculum_rank"),
+        _ntile_from_rank(F.col("_qrank"), n_rows, n_stages).alias("stage"),
     )
+    ranked = global_rank(
+        staged.withColumn("_md5", F.md5(F.col(id_col).cast("string"))),
+        [F.col("stage"), F.col("_md5"), F.col(id_col)],
+        rank_col="curriculum_rank",
+    )
+    return ranked.select(id_col, "stage", F.col("curriculum_rank").cast("long"))

@@ -530,6 +530,60 @@ def test_oracle_draft_curriculum_order(spark, ddb):
     assert len(got) == spark.table("documents").count()
 
 
+def test_global_rank_equals_window_rank_and_avoids_single_task(spark):
+    """global_rank (range partition + offsets) is bit-identical to the
+    window row_number under the same strict total order, ntile derived
+    from it matches F.ntile, and the plan it builds carries NO
+    `Exchange SinglePartition` / single-task window — the 100 TB
+    property the window form lacks."""
+    from pyspark.sql.window import Window
+
+    from datacatalog_tag_engine_spark.pipeline.sampling import (
+        _ntile_from_rank,
+        global_rank,
+    )
+
+    scores = TXT.quality_scores(spark.table("documents")).select(
+        "doc_id", "quality_score"
+    )
+    order = [F.col("quality_score").desc(), F.col("doc_id")]
+    got = {
+        r["doc_id"]: r["_rank"]
+        for r in global_rank(scores, order, rank_col="_rank").collect()
+    }
+    w = Window.orderBy(*order)
+    want_df = scores.select(
+        "doc_id",
+        F.row_number().over(w).alias("_rank"),
+        F.ntile(7).over(w).alias("_nt"),
+    )
+    want = {r["doc_id"]: (r["_rank"], r["_nt"]) for r in want_df.collect()}
+    n = len(want)
+    assert got == {k: v[0] for k, v in want.items()}
+    # the exact NTILE formula reproduces the engine ntile from the rank
+    derived = {
+        r["doc_id"]: r["nt"]
+        for r in global_rank(scores, order, rank_col="_rank")
+        .select("doc_id", _ntile_from_rank(F.col("_rank"), n, 7).alias("nt"))
+        .collect()
+    }
+    assert derived == {k: v[1] for k, v in want.items()}
+    # plan property: the scalable form never exchanges to one partition
+    # (the pre-checkpoint range stage is rangepartitioning; the window
+    # form is SinglePartition)
+    ranged_plan = scores.repartitionByRange(8, *order)._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in ranged_plan
+    window_plan = want_df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" in window_plan  # the hazard global_rank removes
+    # the strategy gate: forcing the scale path (window_max=0) yields
+    # the SAME rows the small-path window form yields
+    from datacatalog_tag_engine_spark.pipeline.sampling import curriculum_order
+
+    small = _rows(curriculum_order(scores))
+    scale = _rows(curriculum_order(scores, window_max=0))
+    assert small == scale
+
+
 def test_curriculum_order_is_clean_first_and_mixed_within(spark):
     """Stage 1 holds the top-quality docs (every stage-1 score >= every
     stage-10 score), ranks are a permutation of 1..n contiguous by
