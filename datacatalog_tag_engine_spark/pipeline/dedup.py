@@ -2032,3 +2032,42 @@ def incremental_neardup_pairs(
         )
         .filter(F.col("est_jaccard") >= threshold)
     )
+
+
+def shingle_df_profile(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Document-frequency histogram of the shingle vocabulary on
+    power-of-two buckets — the evidence surface behind the ``max_df``
+    stop-shingle cap: the inverted-index join's cost is sum(df^2) over
+    shingles, so the histogram's high buckets ARE the join's hot keys,
+    and ``n_rows`` per bucket is exactly the join-side mass a given
+    cap would drop. Run it before picking max_df on a new corpus; the
+    r8/r11 stress rungs picked 1000 from exactly this shape.
+
+    Bucket arithmetic is integer-exact in any engine:
+    bucket = length(bin(df)) - 1 == floor(log2(df)) with no libm log
+    (floor(log2(8)) through doubles can land on 2). rows_share divides
+    two exact integers. Returns (df_bucket, n_shingles, n_rows,
+    rows_share) — one row per occupied power-of-two bucket."""
+    sh_h = shingle_table(docs, id_col, text_col, k).select(
+        F.xxhash64("shingle").alias("_h")
+    )
+    df_tbl = sh_h.groupBy("_h").agg(F.count("*").alias("df"))
+    bucket = (F.length(F.bin(F.col("df"))) - 1).cast("int")
+    per = df_tbl.groupBy(bucket.alias("df_bucket")).agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.sum("df").cast("long").alias("n_rows"),
+    )
+    from pyspark.sql.window import Window
+
+    total = F.sum("n_rows").over(Window.partitionBy())
+    return per.select(
+        "df_bucket",
+        "n_shingles",
+        "n_rows",
+        F.round(F.col("n_rows") / total, 6).alias("rows_share"),
+    )

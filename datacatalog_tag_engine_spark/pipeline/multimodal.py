@@ -515,3 +515,26 @@ def manifest_stats(features: DataFrame, kind_col: str = "kind") -> DataFrame:
         F.sum("duration_ms").cast("long").alias("total_duration_ms"),
         F.max("n_frames").cast("int").alias("max_frames"),
     )
+
+
+def payload_size_profile(features: DataFrame, kind_col: str = "kind") -> DataFrame:
+    """Per-kind payload-size envelope over ``extract_features`` output
+    — the storage-planning companion to ``manifest_stats`` (that one
+    sums mass; this one shapes it): exact p50/p90 plus min/max of
+    payload_bytes per kind. Shard sizing, decode-worker memory limits,
+    and outlier hunts (a 2 GB "image") all read this table. Exact
+    percentiles at kind grain are fine at any corpus size — the
+    aggregate is over the narrow feature rows (payload bytes already
+    dropped upstream), grouped into |kinds| rows; swap
+    percentile_approx in only if a single kind's row count itself
+    becomes a straggler, and document the epsilon (the q74 rule).
+
+    Returns (kind, n_items, min_bytes, p50_bytes, p90_bytes,
+    max_bytes)."""
+    return features.groupBy(F.col(kind_col).alias("kind")).agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.min("payload_bytes").cast("long").alias("min_bytes"),
+        F.round(F.expr("percentile(payload_bytes, 0.5)"), 2).alias("p50_bytes"),
+        F.round(F.expr("percentile(payload_bytes, 0.9)"), 2).alias("p90_bytes"),
+        F.max("payload_bytes").cast("long").alias("max_bytes"),
+    )

@@ -545,3 +545,37 @@ def curriculum_order(
         rank_col="curriculum_rank",
     )
     return ranked.select(id_col, "stage", F.col("curriculum_rank").cast("long"))
+
+
+def stage_mixture(
+    curriculum: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-(stage, source) composition of a ``curriculum_order`` plan —
+    the QA check that a quality curriculum has not silently become a
+    DOMAIN curriculum: quality scores correlate with source (q72
+    measures how strongly), so the top stages can over-represent one
+    source and the model trains on a domain-skewed prefix. This table
+    says by how much; fix with per-source score normalization or
+    ``mixture_weights`` if the skew is unacceptable.
+
+    One doc-grain join + a (stages x sources)-grain rollup; the share
+    window runs over the rolled-up dimension table. Returns (stage,
+    source, n_docs, stage_share)."""
+    from pyspark.sql.window import Window
+
+    j = curriculum.select(id_col, "stage").join(
+        docs.select(id_col, source_col), id_col
+    )
+    per = j.groupBy("stage", source_col).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    w = Window.partitionBy("stage")
+    return per.select(
+        "stage",
+        F.col(source_col).alias("source"),
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("stage_share"),
+    )

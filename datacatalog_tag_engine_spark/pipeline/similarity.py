@@ -1483,7 +1483,15 @@ def quantizer_drift(
     assigned = _ranked_cells(corpus, num_cells, id_col, vec_col, cents=cents).filter(
         F.col("_rn") == 1
     )
-    qx = assigned.select(
+    return _drift_rollup(assigned.select("cell", "v"), cents)
+
+
+def _drift_rollup(members: DataFrame, cents: DataFrame) -> DataFrame:
+    """Shared drift core: ``members`` = (cell, v array<double>) rows,
+    ``cents`` = (cell, cent_v) broadcastable table. Quantize each
+    element to the micro lattice, exact integer per-(cell, dim) means,
+    squared-L2 to the quantized centroid at cell grain."""
+    qx = members.select(
         "cell",
         F.posexplode(
             F.transform(F.col("v"), lambda x: F.round(x * F.lit(1e6), 0).cast("long"))
@@ -1508,6 +1516,41 @@ def quantizer_drift(
         .cast("long")
         .alias("drift_micro"),
     )
+
+
+def quantizer_drift_from_index(
+    spark,
+    path: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``quantizer_drift`` for a PERSISTED raw-vector IVF index — the
+    operational form: drift of each stored cell's resident members
+    against the index's own stored centroids, both read from ``path``
+    (no re-assignment — the stored ``cell`` partition column IS the
+    assignment being health-checked, including everything
+    ``append_to_ivf_index`` added under the frozen quantizer). This is
+    the number the lifecycle's maintenance loop actually watches:
+    appends grow it exactly where new mass landed; when it crosses the
+    operator's retrain threshold, rebuild with retrained centroids.
+
+    On a freshly built index the stored assignment equals the
+    ``_ranked_cells`` assignment, so the output is value-identical to
+    ``quantizer_drift`` over the same corpus (the s20 persisted-layout
+    identity pattern — one oracle serves both). Scan reads only
+    (cell, vector); centroids are the dimension-sized ``_centroids``
+    table. Returns (cell, n_vectors, drift_micro)."""
+    resident = spark.read.parquet(path)
+    if vec_col not in resident.columns:
+        raise ValueError(
+            f"index at {path} stores columns {resident.columns} (a codes "
+            f"layout?); quantizer_drift_from_index requires a raw-vector "
+            f"IVF index with '{vec_col}'"
+        )
+    _, cents = _localize_parquet(spark, f"{path}/{CENTROIDS_DIR}")
+    members = resident.select(
+        "cell", F.col(vec_col).cast("array<double>").alias("v")
+    )
+    return _drift_rollup(members, cents)
 
 
 def pq_code_histogram(

@@ -47,7 +47,29 @@ pairs:
   (sampling.curriculum_order): ntile stages over (score desc, id) +
   the engine's md5 within-stage shuffle — clean-first training order
   that is bit-reproducible, composed with the wired t02 score (oracle
-  nests the t02 string as a CTE, the d17 pattern).
+  nests the t02 string as a CTE, the d17 pattern). Above 2M rows the
+  staging runs on sampling.global_rank (range partition + offsets)
+  instead of a single-task window — bit-identical output, asserted.
+- m06_payload_size_profile — per-kind payload-size envelope
+  (multimodal.payload_size_profile): exact p50/p90 + min/max over the
+  m01 feature rows; oracle nests the wired m01 string (the m05
+  pattern), percentiles via the q74 quantile_cont == percentile rule.
+- d20_shingle_df_profile — document-frequency histogram of the
+  shingle vocabulary on power-of-two buckets
+  (dedup.shingle_df_profile): the evidence surface behind max_df —
+  n_rows per bucket is exactly the join-side mass a cap would drop.
+  Bucketing via length(bin(df)) - 1, integer-exact in both engines
+  (floor(log2()) through libm doubles is not).
+- s29_quantizer_drift_from_index — the s28 drift read off a PERSISTED
+  index's stored cells + stored centroids
+  (similarity.quantizer_drift_from_index): the maintenance loop's
+  actual watch number. Fresh-index identity: stored assignment ==
+  ranked assignment, so the oracle is the s28 string verbatim (the
+  s20 persisted-layout pattern).
+- q91_stage_mixture — per-(stage, source) composition of a curriculum
+  plan (sampling.stage_mixture): the QA check that a quality
+  curriculum has not silently become a DOMAIN curriculum; oracle
+  nests the wired q90 derivation as a CTE.
 """
 
 import duckdb
@@ -613,3 +635,192 @@ def test_curriculum_order_is_clean_first_and_mixed_within(spark):
     s1 = sorted(by_stage[1], key=lambda r: r["curriculum_rank"])
     s1_scores = [r["quality_score"] for r in s1]
     assert s1_scores != sorted(s1_scores, reverse=True)
+
+
+# --- m06: payload size profile -------------------------------------------------
+
+
+def payload_size_profile_sql(m01_sql: str) -> str:
+    """The wired m01 oracle nested as a CTE (the m05 pattern) + exact
+    per-kind percentiles (quantile_cont == Spark percentile, the q74
+    rule)."""
+    return f"""
+WITH feats AS ({m01_sql})
+SELECT kind,
+       count(*)::BIGINT AS n_items,
+       min(payload_bytes)::BIGINT AS min_bytes,
+       round(quantile_cont(payload_bytes, 0.5), 2) AS p50_bytes,
+       round(quantile_cont(payload_bytes, 0.9), 2) AS p90_bytes,
+       max(payload_bytes)::BIGINT AS max_bytes
+FROM feats GROUP BY kind
+"""
+
+
+def test_oracle_draft_payload_size_profile(spark, ddb):
+    from datacatalog_tag_engine_spark.pipeline import multimodal as MM
+
+    feats = MM.extract_features(MM.make_fake_media(spark, n=16))
+    got = _rows(MM.payload_size_profile(feats))
+    want = _sql_rows(ddb, payload_size_profile_sql(E.oracle_sql()["m01_multimodal_features"]))
+    assert got == want
+    assert len(got) == 3  # image / audio / video
+
+
+# --- d20: shingle df profile ---------------------------------------------------
+
+
+def shingle_df_profile_sql() -> str:
+    """The d15 shingle derivation + df histogram on length(bin(df))-1
+    buckets — integer-exact floor(log2) in both engines."""
+    return r"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(w) >= 3
+                THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+                ELSE [array_to_string(w, ' ')] END) AS shingle
+  FROM toks),
+dfq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+per AS (
+  SELECT (length(bin(df)) - 1)::INT AS df_bucket,
+         count(*) AS n_shingles,
+         sum(df) AS n_rows
+  FROM dfq GROUP BY 1)
+SELECT df_bucket,
+       n_shingles::BIGINT AS n_shingles,
+       n_rows::BIGINT AS n_rows,
+       round(n_rows / sum(n_rows) OVER (), 6) AS rows_share
+FROM per
+"""
+
+
+def test_oracle_draft_shingle_df_profile(spark, ddb):
+    got = _rows(DD.shingle_df_profile(spark.table("documents")))
+    want = _sql_rows(ddb, shingle_df_profile_sql())
+    assert got == want
+    assert len(got) > 1
+
+
+def test_shingle_df_profile_predicts_the_cap_mass(spark):
+    """The histogram's bucket boundaries are exact powers of two, the
+    shares sum to 1, and the mass above a cap read FROM the histogram
+    equals the rows a real max_df filter drops (the table is the cap's
+    evidence, not an approximation) — checked at cap 2^b boundaries
+    where buckets align exactly."""
+    docs = spark.table("documents")
+    rows = DD.shingle_df_profile(docs).collect()
+    assert abs(sum(r["rows_share"] for r in rows) - 1.0) < 1e-4
+    sh = DD.shingle_table(docs).select(F.xxhash64("shingle").alias("_h"))
+    dfq = sh.groupBy("_h").agg(F.count("*").alias("df"))
+    for cap_pow in (1, 2, 3):
+        cap = 2**cap_pow - 1  # buckets 0..cap_pow-1 hold df <= cap
+        hist_mass = sum(r["n_rows"] for r in rows if r["df_bucket"] >= cap_pow)
+        real_mass = (
+            dfq.filter(F.col("df") > cap).agg(F.sum("df")).first()[0] or 0
+        )
+        assert hist_mass == real_mass
+
+
+# --- s29: quantizer drift from index -------------------------------------------
+
+
+def test_oracle_draft_quantizer_drift_from_index(spark, ddb, tmp_path):
+    """Fresh-index identity: the stored assignment equals the ranked
+    assignment, so the persisted form replays the s28 oracle verbatim
+    (the s20 pattern) AND equals the in-memory quantizer_drift."""
+    emb = spark.table("embeddings")
+    path = str(tmp_path / "ivf_drift")
+    SIM.build_ivf_index(emb, path, num_cells=8)
+    got = _rows(SIM.quantizer_drift_from_index(spark, path))
+    assert got == _sql_rows(ddb, quantizer_drift_sql())
+    assert got == _rows(SIM.quantizer_drift(emb))
+
+
+def test_quantizer_drift_from_index_localizes_appends(spark, tmp_path):
+    """An append under the frozen quantizer grows drift ONLY in the
+    cells the new mass landed in; untouched cells keep their exact
+    drift value. A codes layout is rejected."""
+    import pytest as _pytest
+
+    emb = spark.table("embeddings")
+    path = str(tmp_path / "ivf_drift2")
+    SIM.build_ivf_index(emb.filter(F.col("vec_id") < 100), path, num_cells=8)
+    before = {r["cell"]: r["drift_micro"] for r in SIM.quantizer_drift_from_index(spark, path).collect()}
+    n = SIM.append_to_ivf_index(spark, path, emb.filter(F.col("vec_id") >= 100))
+    assert n > 0
+    touched = {
+        r["cell"]
+        for r in spark.read.parquet(path)
+        .filter(F.col("vec_id") >= 100)
+        .select("cell")
+        .distinct()
+        .collect()
+    }
+    after = {r["cell"]: r["drift_micro"] for r in SIM.quantizer_drift_from_index(spark, path).collect()}
+    untouched = set(before) - touched
+    assert all(after[c] == before[c] for c in untouched)
+    assert any(after[c] != before.get(c) for c in touched)
+    pq_path = str(tmp_path / "pq_drift")
+    SIM.build_ivfpq_index(emb, pq_path, num_cells=8)
+    with _pytest.raises(ValueError, match="raw-vector"):
+        SIM.quantizer_drift_from_index(spark, pq_path)
+
+
+# --- q91: stage mixture --------------------------------------------------------
+
+
+def stage_mixture_sql(q90_sql: str) -> str:
+    """The wired q90 derivation nested as a CTE + documents join +
+    per-stage share window (dimension-grain)."""
+    return f"""
+WITH cur AS ({q90_sql}),
+j AS (SELECT cur.stage, d.source FROM cur JOIN documents d USING (doc_id)),
+per AS (SELECT stage, source, count(*) AS n_docs FROM j GROUP BY stage, source)
+SELECT stage, source, n_docs::BIGINT AS n_docs,
+       round(n_docs / sum(n_docs) OVER (PARTITION BY stage), 6) AS stage_share
+FROM per
+"""
+
+
+def _q91(spark):
+    from datacatalog_tag_engine_spark.pipeline.sampling import stage_mixture
+
+    docs = spark.table("documents")
+    cur = _q90(spark)
+    return stage_mixture(cur, docs)
+
+
+def test_oracle_draft_stage_mixture(spark, ddb):
+    got = _rows(_q91(spark))
+    want = _sql_rows(
+        ddb, stage_mixture_sql(curriculum_order_sql(E.oracle_sql()["t02_quality"]))
+    )
+    assert got == want
+    assert len(got) > 5
+
+
+def test_stage_mixture_sums_and_flags_skew(spark):
+    """Per-stage shares sum to 1; a constructed quality-correlated
+    corpus (one source strictly cleaner) shows the skew this table
+    exists to flag — its top stage is dominated by the clean source."""
+    from datacatalog_tag_engine_spark.pipeline.sampling import (
+        curriculum_order,
+        stage_mixture,
+    )
+
+    clean = [(i, "clean", float(100 - i)) for i in range(20)]
+    dirty = [(100 + i, "dirty", float(10 - i * 0.1)) for i in range(20)]
+    scores = spark.createDataFrame(
+        clean + dirty, "doc_id long, source string, quality_score double"
+    )
+    docs = scores.select("doc_id", "source")
+    cur = curriculum_order(scores.select("doc_id", "quality_score"), n_stages=4)
+    out = stage_mixture(cur, docs).collect()
+    import collections
+
+    per_stage = collections.defaultdict(float)
+    for r in out:
+        per_stage[r["stage"]] += r["stage_share"]
+    assert all(abs(v - 1.0) < 1e-4 for v in per_stage.values())
+    top = {r["source"]: r["stage_share"] for r in out if r["stage"] == 1}
+    assert top.get("clean", 0) == 1.0  # stage 1 is all clean docs

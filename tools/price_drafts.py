@@ -59,6 +59,30 @@ def main() -> None:
             TXT.quality_scores(docs).select("doc_id", "quality_score")
         )
 
+    def _m06():
+        from datacatalog_tag_engine_spark.pipeline import multimodal as MM
+
+        return MM.payload_size_profile(
+            MM.extract_features(MM.make_fake_media(spark, n=16))
+        )
+
+    def _s29():
+        import shutil
+        import tempfile
+
+        p = tempfile.mkdtemp(prefix="price_drift_")
+        try:
+            SIM.build_ivf_index(emb, p, num_cells=8)
+            n = SIM.quantizer_drift_from_index(spark, p).count()
+        finally:
+            shutil.rmtree(p, ignore_errors=True)
+        return spark.range(n)
+
+    def _q91():
+        from datacatalog_tag_engine_spark.pipeline.sampling import stage_mixture
+
+        return stage_mixture(_q90(), docs)
+
     cases = {
         "q86_resharding_plan": _q86,
         "d18_lsh_parameter_table": lambda: DD.lsh_parameter_table(spark),
@@ -67,6 +91,10 @@ def main() -> None:
         "d19_incremental_neardup": _d19,
         "s28_quantizer_drift": lambda: SIM.quantizer_drift(emb),
         "q90_curriculum_order": _q90,
+        "m06_payload_size_profile": _m06,
+        "d20_shingle_df_profile": lambda: DD.shingle_df_profile(docs),
+        "s29_quantizer_drift_from_index": _s29,
+        "q91_stage_mixture": _q91,
     }
     out = {}
     for name, fn in cases.items():
