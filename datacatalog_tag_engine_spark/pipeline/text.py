@@ -1928,3 +1928,48 @@ def code_prose_profile(
             "mean_symbol_frac"
         ),
     )
+
+
+def contamination_profile(
+    contamination: DataFrame,
+    bucket_pct: int = 10,
+) -> DataFrame:
+    """Decision table over ``contamination_check`` output: how many
+    training docs fall in each contamination band, and what cumulative
+    fraction of the corpus a drop-threshold at each band boundary
+    would remove — the table an operator reads BEFORE picking the
+    decontamination threshold (drop-at-0.8 vs drop-at-0.2 can differ
+    by percent of the corpus; this makes the trade a number).
+
+    Bucketing stays on exact integers: bucket = floor(n_matched *
+    (100 / bucket_pct) / n_shingles) clamps full containment into the
+    last band; the division is of exact ints, so both engines land the
+    identical double and the identical floor. cum_frac_at_or_above is
+    the fraction a threshold at the band's LOWER edge would drop
+    (window over the band-grain rollup, ~10 rows).
+
+    Returns (bucket, lo_pct, n_docs, frac_docs, cum_frac_at_or_above).
+    """
+    from pyspark.sql.window import Window
+
+    bands = 100 // bucket_pct
+    bucket = F.least(
+        F.floor(F.col("n_matched") * bands / F.col("n_shingles")),
+        F.lit(bands - 1),
+    ).cast("int")
+    per = contamination.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    total = F.sum("n_docs").over(Window.partitionBy())
+    cum = F.sum("n_docs").over(
+        Window.orderBy(F.col("bucket").desc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    return per.select(
+        "bucket",
+        (F.col("bucket") * bucket_pct).cast("int").alias("lo_pct"),
+        "n_docs",
+        F.round(F.col("n_docs") / total, 6).alias("frac_docs"),
+        F.round(cum / total, 6).alias("cum_frac_at_or_above"),
+    )

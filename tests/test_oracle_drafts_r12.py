@@ -70,6 +70,11 @@ pairs:
   plan (sampling.stage_mixture): the QA check that a quality
   curriculum has not silently become a DOMAIN curriculum; oracle
   nests the wired q90 derivation as a CTE.
+- q93_contamination_profile — the decontamination-threshold decision
+  table (text.contamination_profile): contamination bands over the
+  certified t10 surface + the cumulative drop fraction a threshold at
+  each band edge would remove; integer-exact banding. Oracle nests
+  the wired t10 string as a CTE.
 """
 
 import duckdb
@@ -824,3 +829,66 @@ def test_stage_mixture_sums_and_flags_skew(spark):
     assert all(abs(v - 1.0) < 1e-4 for v in per_stage.values())
     top = {r["source"]: r["stage_share"] for r in out if r["stage"] == 1}
     assert top.get("clean", 0) == 1.0  # stage 1 is all clean docs
+
+
+# --- q93: contamination threshold table ----------------------------------------
+
+
+def contamination_profile_sql(t10_sql: str, bucket_pct: int = 10) -> str:
+    """The wired t10 derivation nested as a CTE + integer band rollup
+    + the descending cumulative window (what a threshold at each band
+    edge would drop)."""
+    bands = 100 // bucket_pct
+    return f"""
+WITH conta AS ({t10_sql}),
+per AS (
+  SELECT least((n_matched * {bands}) // n_shingles, {bands - 1})::INT AS bucket,
+         count(*) AS n_docs
+  FROM conta GROUP BY 1)
+SELECT bucket,
+       (bucket * {bucket_pct})::INT AS lo_pct,
+       n_docs::BIGINT AS n_docs,
+       round(n_docs / sum(n_docs) OVER (), 6) AS frac_docs,
+       round(sum(n_docs) OVER (ORDER BY bucket DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / sum(n_docs) OVER (), 6) AS cum_frac_at_or_above
+FROM per
+"""
+
+
+def _q93(spark):
+    docs = spark.table("documents")
+    conta = TXT.contamination_check(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        n=5,
+    )
+    return TXT.contamination_profile(conta)
+
+
+def test_oracle_draft_contamination_profile(spark, ddb):
+    got = _rows(_q93(spark))
+    want = _sql_rows(ddb, contamination_profile_sql(E.oracle_sql()["t10_contamination"]))
+    assert got == want
+    assert len(got) >= 1
+
+
+def test_contamination_profile_is_a_decision_table(spark):
+    """Constructed bands: clean docs (0 matched), half-contaminated,
+    fully contaminated — frac sums to 1, the cumulative column is the
+    exact drop fraction at each band edge, full containment lands in
+    the LAST band (clamped), zero in band 0."""
+    rows = [
+        (1, 10, 0), (2, 10, 0), (3, 10, 0),   # 0%
+        (4, 10, 5), (5, 10, 5),               # 50%
+        (6, 10, 10),                          # 100% -> clamped band 9
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_shingles long, n_matched long")
+    out = {r["bucket"]: r for r in TXT.contamination_profile(df).collect()}
+    assert set(out) == {0, 5, 9}
+    assert out[0]["n_docs"] == 3 and out[5]["n_docs"] == 2 and out[9]["n_docs"] == 1
+    assert abs(sum(r["frac_docs"] for r in out.values()) - 1.0) < 1e-6
+    # dropping at >= 50% removes 3/6; at >= 90% removes 1/6
+    assert out[5]["cum_frac_at_or_above"] == 0.5
+    assert out[9]["cum_frac_at_or_above"] == round(1 / 6, 6)
+    assert out[0]["cum_frac_at_or_above"] == 1.0

@@ -95,6 +95,13 @@ def main() -> None:
         "d20_shingle_df_profile": lambda: DD.shingle_df_profile(docs),
         "s29_quantizer_drift_from_index": _s29,
         "q91_stage_mixture": _q91,
+        "q93_contamination_profile": lambda: TXT.contamination_profile(
+            TXT.contamination_check(
+                docs.filter(F.col("doc_id") % 20 != 0),
+                docs.filter(F.col("doc_id") % 20 == 0),
+                n=5,
+            )
+        ),
     }
     out = {}
     for name, fn in cases.items():
