@@ -413,7 +413,14 @@ def global_rank(
     only the partition split varies. Cost: one range shuffle + two
     passes, vs the window's one shuffle into a single task — at any
     real scale the former wins by the width of the cluster. Caller
-    drops/ignores ``rank_col`` collisions (asserted)."""
+    drops/ignores ``rank_col`` collisions (asserted).
+
+    Block-manager note: the returned DataFrame reads from the pinned
+    eager checkpoint, which stays in the block manager until the
+    DataFrame is garbage-collected — materialize promptly. The pinned
+    checkpoint is exposed as ``._graft_checkpoint`` so a caller that
+    CHAINS global_rank calls (curriculum_order) can free the earlier
+    stage once a later eager stage has superseded it."""
     from pyspark import TaskContext
     from pyspark.sql import types as T
 
@@ -450,7 +457,9 @@ def global_rank(
             seen += len(pdf)
             yield out
 
-    return ranged.mapInPandas(add_rank, schema=schema)
+    out = ranged.mapInPandas(add_rank, schema=schema)
+    out._graft_checkpoint = ranged
+    return out
 
 
 def _ntile_from_rank(rank, n_rows: int, n_stages: int):
@@ -530,6 +539,8 @@ def curriculum_order(
             "stage",
             F.row_number().over(rank_w).cast("long").alias("curriculum_rank"),
         )
+    from ..session import free_local_checkpoint
+
     by_quality = global_rank(
         scores.select(id_col, score_col),
         [F.col(score_col).desc(), F.col(id_col)],
@@ -544,6 +555,11 @@ def curriculum_order(
         [F.col("stage"), F.col("_md5"), F.col(id_col)],
         rank_col="curriculum_rank",
     )
+    # the second global_rank's EAGER internal checkpoint has fully
+    # materialized by now, so the first stage's corpus-sized checkpoint
+    # is superseded — free it instead of pinning two doc-grain copies
+    # for the result's lifetime
+    free_local_checkpoint(by_quality._graft_checkpoint)
     return ranked.select(id_col, "stage", F.col("curriculum_rank").cast("long"))
 
 
