@@ -209,6 +209,19 @@ def funnel_state_stream(
     events would sit unreleased forever (and the availableNow test
     form would never see their final state).
 
+    State LIFETIME, deliberately different from the session funnel's:
+    one row per user for as long as the stream runs. The lifetime
+    funnel's answer can change with ANY future event (a user may
+    convert years later), so no state row is ever final — removal
+    would silently restart returning users' funnels and re-race
+    ``emit_seq`` against their earlier emissions. Contrast
+    ``session_funnel_stream``, where a closed session is immutable and
+    idle state is therefore REMOVED (the r11 churn fix): there the
+    store tracks active users; here it tracks |users| rows of
+    (len(steps) longs + the watermark-bounded buffer) — the same
+    envelope as ``cohort_user_days``, and the r9 state rung measured
+    the buffer half.
+
     Reference analog: the usage-tracking extension's daily event
     rollups (extensions/usage_tracking/README.md:1-11) — this is the
     sequential-conversion counterpart."""
