@@ -1973,3 +1973,44 @@ def contamination_profile(
         F.round(F.col("n_docs") / total, 6).alias("frac_docs"),
         F.round(cum / total, 6).alias("cum_frac_at_or_above"),
     )
+
+
+def language_id_margin(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Confidence surface for ``language_id``'s marker heuristic — the
+    routing table for a two-tier language pipeline: a doc whose top two
+    marker scores are close (or zero) got its label from a tie-break,
+    not evidence, and should route to the expensive classifier; a doc
+    with a wide margin is safe to label cheaply. The same
+    estimate-cheaply / verify-the-uncertain shape as d15/d16.
+
+    All scores are integer marker-hit counts (replayable in any
+    engine); best/second come from sorting the 4-score array, so the
+    margin is exact. ``lang_pred`` repeats t03's rule verbatim
+    (CJK -> zh, zero hits -> und, fixed tie order). Returns (doc_id,
+    lang_pred, best_hits, second_hits, margin) — doc-grain, one scan,
+    no shuffle (pure projection)."""
+    t = F.col(text_col)
+    words = F.split(F.lower(t), r"\s+")
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores[lang] = F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+    has_cjk = F.size(F.regexp_extract_all(t, F.lit(r"[一-鿿]"), 0)) > 0
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in reversed(list(LANG_MARKERS)):
+        best = F.when(scores[lang] >= best_score, F.lit(lang)).otherwise(best)
+        best_score = F.greatest(best_score, scores[lang])
+    pred = F.when(has_cjk, F.lit("zh")).otherwise(
+        F.when(best_score > 0, best).otherwise(F.lit("und"))
+    )
+    ordered = F.reverse(F.array_sort(F.array(*scores.values())))
+    return docs.select(
+        id_col,
+        pred.alias("lang_pred"),
+        ordered[0].cast("int").alias("best_hits"),
+        ordered[1].cast("int").alias("second_hits"),
+        (ordered[0] - ordered[1]).cast("int").alias("margin"),
+    )

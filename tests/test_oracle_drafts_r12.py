@@ -75,6 +75,11 @@ pairs:
   certified t10 surface + the cumulative drop fraction a threshold at
   each band edge would remove; integer-exact banding. Oracle nests
   the wired t10 string as a CTE.
+- t36_langid_margin — confidence surface for the t03 heuristic
+  (text.language_id_margin): integer best/second marker scores +
+  margin, the routing table for a two-tier language pipeline (low
+  margin -> the expensive classifier); lang_pred repeats t03's rule
+  verbatim (asserted against language_id).
 """
 
 import duckdb
@@ -892,3 +897,69 @@ def test_contamination_profile_is_a_decision_table(spark):
     assert out[5]["cum_frac_at_or_above"] == 0.5
     assert out[9]["cum_frac_at_or_above"] == round(1 / 6, 6)
     assert out[0]["cum_frac_at_or_above"] == 1.0
+
+
+# --- t36: language-id margin ---------------------------------------------------
+
+
+def langid_margin_sql() -> str:
+    """The t03 scoring derivation restated from LANG_MARKERS (the same
+    single source the wired t03 oracle is generated from — both read
+    the Python constant, so the lists cannot drift) + array-sorted
+    best/second/margin."""
+    from datacatalog_tag_engine_spark.pipeline.text import LANG_MARKERS
+
+    marker_sql = {
+        lang: ", ".join(f"'{m}'" for m in ms) for lang, ms in LANG_MARKERS.items()
+    }
+    return f"""
+WITH w AS (
+  SELECT doc_id, text, regexp_split_to_array(lower(text), '\\s+') AS words FROM documents),
+s AS (
+  SELECT doc_id, text,
+         len(list_filter(words, x -> list_contains([{marker_sql['en']}], x))) AS s_en,
+         len(list_filter(words, x -> list_contains([{marker_sql['de']}], x))) AS s_de,
+         len(list_filter(words, x -> list_contains([{marker_sql['fr']}], x))) AS s_fr,
+         len(list_filter(words, x -> list_contains([{marker_sql['es']}], x))) AS s_es
+  FROM w),
+o AS (
+  SELECT doc_id,
+         CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
+              WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+              WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+              WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+              WHEN s_fr >= s_es THEN 'fr'
+              ELSE 'es' END AS lang_pred,
+         list_reverse_sort([s_en, s_de, s_fr, s_es]) AS sc
+  FROM s)
+SELECT doc_id, lang_pred,
+       sc[1]::INT AS best_hits,
+       sc[2]::INT AS second_hits,
+       (sc[1] - sc[2])::INT AS margin
+FROM o"""
+
+
+def test_oracle_draft_langid_margin(spark, ddb):
+    got = _rows(TXT.language_id_margin(spark.table("documents")))
+    want = _sql_rows(ddb, langid_margin_sql())
+    assert got == want
+    assert len(got) == spark.table("documents").count()
+
+
+def test_langid_margin_is_the_routing_surface(spark):
+    """Margin semantics: a clearly-English doc scores a wide margin; a
+    doc mixing equal en/de markers has margin 0 with the tie-broken
+    'en' label (exactly the doc to route onward); a doc with no
+    markers is 'und' with zeros; lang_pred always equals t03's."""
+    rows = [
+        (1, "the cat and the dog is in the house with food for it"),
+        (2, "der code und the stack is ein mess mit bugs for now"),
+        (3, "zzz qqq xxx"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TXT.language_id_margin(df).collect()}
+    assert out[1]["lang_pred"] == "en" and out[1]["margin"] >= 3
+    assert out[2]["margin"] <= 1  # contested
+    assert out[3]["lang_pred"] == "und" and out[3]["best_hits"] == 0
+    t03 = {r["doc_id"]: r["lang_pred"] for r in TXT.language_id(df).collect()}
+    assert {k: v["lang_pred"] for k, v in out.items()} == t03

@@ -102,6 +102,7 @@ def main() -> None:
                 n=5,
             )
         ),
+        "t36_langid_margin": lambda: TXT.language_id_margin(docs),
     }
     out = {}
     for name, fn in cases.items():
