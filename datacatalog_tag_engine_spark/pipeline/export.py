@@ -336,3 +336,56 @@ def dirty_shards_assigned(
             F.coalesce("n_added", F.lit(0)) + F.coalesce("n_removed", F.lit(0)) > 0
         ).alias("needs_rewrite"),
     )
+
+
+def verify_training_shards(
+    spark,
+    path: str,
+    id_col: str = "doc_id",
+    data_format: str = "parquet",
+) -> DataFrame:
+    """Integrity check of a ``write_training_shards`` directory against
+    its own manifest — the read-side half of the export contract, run
+    before a training job trusts the shards (and after any
+    delete/compact/resharding maintenance): recount what is actually
+    on disk per shard and compare with the manifest rows. A partial
+    write, a manually deleted file, or a stray extra file shows up as
+    a disk/manifest mismatch on exactly its shard. Reference analog:
+    the job ledger's tasks_ran == task_count completion check
+    (jobs.rollup_tasks) — an export that cannot be verified cannot be
+    resumed either.
+
+    The recount is footer-grain for parquet (row counts come from
+    metadata, no data pages); the manifest side is num_shards rows.
+    Empty shards verify too: the manifest row says 0 docs and the
+    (absent) directory contributes 0. Returns (shard, manifest_docs,
+    disk_docs, ok) for every manifest shard, ok = counts equal."""
+    manifest = spark.read.parquet(f"{path}/{MANIFEST_DIR}").select(
+        "shard", F.col("n_docs").alias("manifest_docs")
+    )
+    schema = None
+    if data_format == "json":
+        # JSON has no self-describing footer; recount with a minimal
+        # projection schema (the id column + the partition column)
+        schema = f"{id_col} long, shard int"
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    try:
+        written = reader.format(data_format).load(path)
+        disk = written.groupBy("shard").agg(
+            F.count(id_col).cast("long").alias("disk_docs")
+        )
+    except Exception:
+        # an all-empty export leaves only _SUCCESS + the manifest —
+        # nothing to load; every shard's disk count is 0
+        disk = spark.createDataFrame([], "shard int, disk_docs long")
+    return (
+        manifest.join(disk, "shard", "left")
+        .select(
+            "shard",
+            F.col("manifest_docs").cast("long"),
+            F.coalesce("disk_docs", F.lit(0)).cast("long").alias("disk_docs"),
+            (F.col("manifest_docs") == F.coalesce("disk_docs", F.lit(0))).alias("ok"),
+        )
+    )

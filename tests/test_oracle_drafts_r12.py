@@ -80,6 +80,15 @@ pairs:
   margin, the routing table for a two-tier language pipeline (low
   margin -> the expensive classifier); lang_pred repeats t03's rule
   verbatim (asserted against language_id).
+- q94_verify_shards — shard-export integrity check
+  (export.verify_training_shards): recount the disk contents of a
+  write_training_shards directory against its own manifest
+  (footer-grain for parquet) — the read-side half of the export
+  contract, run before a training job trusts the shards and after any
+  delete/compact/resharding maintenance. A fresh export verifies
+  clean by construction (identity oracle, the s21 pattern); deleted
+  and stray files each flip exactly their shard (asserted). Reference
+  analog: the job ledger's tasks_ran == task_count completion check.
 """
 
 import duckdb
@@ -963,3 +972,77 @@ def test_langid_margin_is_the_routing_surface(spark):
     assert out[3]["lang_pred"] == "und" and out[3]["best_hits"] == 0
     t03 = {r["doc_id"]: r["lang_pred"] for r in TXT.language_id(df).collect()}
     assert {k: v["lang_pred"] for k, v in out.items()} == t03
+
+
+# --- q94: shard-export verification --------------------------------------------
+
+
+def verify_shards_sql(num_shards: int = 8) -> str:
+    """A freshly written export verifies clean by construction: both
+    count columns equal the q58 md5-bucket rule and every ok is TRUE —
+    the identity oracle (the s20/s21 pattern: the artifact round-trip
+    changes no value)."""
+    bucket = (
+        "(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % "
+        + str(num_shards)
+        + ")"
+    )
+    return f"""
+WITH b AS (SELECT {bucket} AS shard FROM documents),
+per AS (SELECT shard, count(*) AS n FROM b GROUP BY shard),
+axis AS (SELECT unnest(range({num_shards}))::INT AS shard)
+SELECT a.shard,
+       coalesce(n, 0)::BIGINT AS manifest_docs,
+       coalesce(n, 0)::BIGINT AS disk_docs,
+       TRUE AS ok
+FROM axis a LEFT JOIN per USING (shard)
+"""
+
+
+def test_oracle_draft_verify_training_shards(spark, ddb, tmp_path):
+    from datacatalog_tag_engine_spark.pipeline.export import (
+        verify_training_shards,
+        write_training_shards,
+    )
+
+    docs = spark.table("documents").select("doc_id", "text")
+    path = str(tmp_path / "export_v")
+    write_training_shards(docs, path, 8)
+    got = _rows(verify_training_shards(spark, path))
+    want = _sql_rows(ddb, verify_shards_sql(8))
+    assert got == want
+    assert len(got) == 8
+
+
+def test_verify_training_shards_catches_corruption(spark, tmp_path):
+    """A deleted shard file and a stray extra file each flip exactly
+    their own shard's ok to False (missing rows / surplus rows), every
+    other shard stays green; the json layout verifies too."""
+    import glob
+    import os
+    import shutil
+
+    from datacatalog_tag_engine_spark.pipeline.export import (
+        verify_training_shards,
+        write_training_shards,
+    )
+
+    docs = spark.table("documents").select("doc_id", "text")
+    path = str(tmp_path / "export_c")
+    write_training_shards(docs, path, 8)
+    # corrupt shard 3: delete its data file; corrupt shard 5: copy
+    # shard 2's file in as a stray duplicate
+    victim = glob.glob(os.path.join(path, "shard=3", "*.parquet"))[0]
+    os.remove(victim)
+    donor = glob.glob(os.path.join(path, "shard=2", "*.parquet"))[0]
+    shutil.copy(donor, os.path.join(path, "shard=5", "stray.parquet"))
+    spark.catalog.refreshByPath(path)
+    out = {r["shard"]: r for r in verify_training_shards(spark, path).collect()}
+    assert not out[3]["ok"] and out[3]["disk_docs"] == 0
+    assert not out[5]["ok"] and out[5]["disk_docs"] > out[5]["manifest_docs"]
+    assert all(out[s]["ok"] for s in out if s not in (3, 5))
+    # json layout round-trip
+    jpath = str(tmp_path / "export_j")
+    write_training_shards(docs, jpath, 4, data_format="json", compression="gzip")
+    jout = verify_training_shards(spark, jpath, data_format="json").collect()
+    assert len(jout) == 4 and all(r["ok"] for r in jout)

@@ -78,6 +78,23 @@ def main() -> None:
             shutil.rmtree(p, ignore_errors=True)
         return spark.range(n)
 
+    def _q94():
+        import shutil
+        import tempfile
+
+        from datacatalog_tag_engine_spark.pipeline.export import (
+            verify_training_shards,
+            write_training_shards,
+        )
+
+        p = tempfile.mkdtemp(prefix="price_export_")
+        try:
+            write_training_shards(docs.select("doc_id", "text"), p, 8)
+            n = verify_training_shards(spark, p).count()
+        finally:
+            shutil.rmtree(p, ignore_errors=True)
+        return spark.range(n)
+
     def _q91():
         from datacatalog_tag_engine_spark.pipeline.sampling import stage_mixture
 
@@ -103,6 +120,7 @@ def main() -> None:
             )
         ),
         "t36_langid_margin": lambda: TXT.language_id_margin(docs),
+        "q94_verify_shards": _q94,
     }
     out = {}
     for name, fn in cases.items():
