@@ -595,3 +595,38 @@ def stage_mixture(
         "n_docs",
         F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("stage_share"),
     )
+
+
+def source_relative_scores(
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality_score",
+    source_col: str = "source",
+) -> DataFrame:
+    """Re-express quality as each doc's WITHIN-SOURCE quantile:
+    score' = (n_source - rank + 1) / n_source in (0, 1], rank = the
+    doc's position under (score desc, id) inside its own source. This
+    is the fix for the skew ``stage_mixture`` flags: raw scores
+    correlate with source (a curated source out-scores a crawl
+    wholesale), so a raw-score curriculum front-loads one domain;
+    ranked against its own source, every source contributes its best
+    docs to stage 1, its worst to the last stage, and each stage's
+    mixture matches the corpus mixture up to per-stage integer
+    rounding (the contract test pins it on a constructed skew).
+
+    Both windows are PARTITIONED by source — cluster-wide, no
+    single-task exchange at any size (the global ordering problem only
+    reappears downstream in curriculum_order, which handles it).
+    score' divides two exact ints, so any engine lands the identical
+    double. Returns (id, quality_score) ready for curriculum_order."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(source_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    n = F.count("*").over(Window.partitionBy(source_col))
+    rank = F.row_number().over(w)
+    return scored.select(
+        id_col,
+        ((n - rank + 1) / n).alias(score_col),
+    )

@@ -89,6 +89,13 @@ pairs:
   clean by construction (identity oracle, the s21 pattern); deleted
   and stray files each flip exactly their shard (asserted). Reference
   analog: the job ledger's tasks_ran == task_count completion check.
+- q95_source_relative_curriculum — the FIX for the skew q91 flags
+  (sampling.source_relative_scores + curriculum_order): quality
+  re-expressed as each doc's within-source quantile, so every source
+  contributes its best docs to stage 1 and each stage's mixture
+  matches the corpus mixture up to integer rounding (asserted on the
+  q91 skew fixture: raw stage-1 = 100% one source, relative ~50/50).
+  Both normalization windows are source-partitioned (cluster-wide).
 """
 
 import duckdb
@@ -1046,3 +1053,97 @@ def test_verify_training_shards_catches_corruption(spark, tmp_path):
     write_training_shards(docs, jpath, 4, data_format="json", compression="gzip")
     jout = verify_training_shards(spark, jpath, data_format="json").collect()
     assert len(jout) == 4 and all(r["ok"] for r in jout)
+
+
+# --- q95: source-relative curriculum -------------------------------------------
+
+
+def source_relative_curriculum_sql(t02_sql: str, n_stages: int = 10) -> str:
+    """The q90 derivation with its score CTE replaced by the
+    within-source quantile: score' = (n_src - rank + 1) / n_src under
+    (raw score desc, id) inside each source — the fix for the domain
+    skew q91 flags."""
+    return f"""
+WITH q AS ({t02_sql}),
+j AS (SELECT q.doc_id, d.source, q.quality_score
+      FROM q JOIN documents d USING (doc_id)),
+r AS (
+  SELECT doc_id,
+         (count(*) OVER (PARTITION BY source)
+          - row_number() OVER (PARTITION BY source
+                               ORDER BY quality_score DESC, doc_id) + 1)
+         / count(*) OVER (PARTITION BY source) AS quality_score
+  FROM j),
+st AS (SELECT doc_id,
+              ntile({n_stages}) OVER (ORDER BY quality_score DESC, doc_id) AS stage
+       FROM r)
+SELECT doc_id,
+       stage::INT AS stage,
+       row_number() OVER (ORDER BY stage, md5(doc_id::VARCHAR), doc_id)::BIGINT
+         AS curriculum_rank
+FROM st
+"""
+
+
+def _q95(spark):
+    from datacatalog_tag_engine_spark.pipeline.sampling import (
+        curriculum_order,
+        source_relative_scores,
+    )
+
+    docs = spark.table("documents")
+    scored = TXT.quality_scores(docs).select("doc_id", "quality_score").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return curriculum_order(source_relative_scores(scored))
+
+
+def test_oracle_draft_source_relative_curriculum(spark, ddb):
+    got = _rows(_q95(spark))
+    want = _sql_rows(
+        ddb, source_relative_curriculum_sql(E.oracle_sql()["t02_quality"])
+    )
+    assert got == want
+    assert len(got) == spark.table("documents").count()
+
+
+def test_source_relative_curriculum_fixes_the_stage_skew(spark):
+    """The q91 skew fixture (one source strictly out-scores the other
+    wholesale): the RAW curriculum's stage 1 is 100% clean docs; the
+    source-relative curriculum's stages mix both sources at the corpus
+    ratio (up to per-stage integer rounding) while still putting each
+    source's own best docs first."""
+    from datacatalog_tag_engine_spark.pipeline.sampling import (
+        curriculum_order,
+        source_relative_scores,
+        stage_mixture,
+    )
+
+    clean = [(i, "clean", float(100 - i)) for i in range(20)]
+    dirty = [(100 + i, "dirty", float(10 - i * 0.1)) for i in range(20)]
+    scored = spark.createDataFrame(
+        clean + dirty, "doc_id long, source string, quality_score double"
+    )
+    docs = scored.select("doc_id", "source")
+    raw_top = {
+        r["source"]: r["stage_share"]
+        for r in stage_mixture(
+            curriculum_order(scored.select("doc_id", "quality_score"), n_stages=4),
+            docs,
+        ).collect()
+        if r["stage"] == 1
+    }
+    assert raw_top.get("clean", 0) == 1.0  # the skew
+    rel = stage_mixture(
+        curriculum_order(source_relative_scores(scored), n_stages=4), docs
+    ).collect()
+    for r in rel:
+        assert abs(r["stage_share"] - 0.5) <= 0.11, r  # corpus ratio +/- rounding
+    # within each source, earlier stages hold the higher raw scores
+    cur = curriculum_order(source_relative_scores(scored), n_stages=4)
+    j = {r["doc_id"]: r["stage"] for r in cur.collect()}
+    by_src = {"clean": clean, "dirty": dirty}
+    for src, rows in by_src.items():
+        ordered = sorted(rows, key=lambda t: -t[2])  # best raw first
+        stages = [j[i] for i, _, _ in ordered]
+        assert stages == sorted(stages), src

@@ -78,6 +78,17 @@ def main() -> None:
             shutil.rmtree(p, ignore_errors=True)
         return spark.range(n)
 
+    def _q95():
+        from datacatalog_tag_engine_spark.pipeline.sampling import (
+            curriculum_order,
+            source_relative_scores,
+        )
+
+        scored = TXT.quality_scores(docs).select("doc_id", "quality_score").join(
+            docs.select("doc_id", "source"), "doc_id"
+        )
+        return curriculum_order(source_relative_scores(scored))
+
     def _q94():
         import shutil
         import tempfile
@@ -121,6 +132,7 @@ def main() -> None:
         ),
         "t36_langid_margin": lambda: TXT.language_id_margin(docs),
         "q94_verify_shards": _q94,
+        "q95_source_relative_curriculum": _q95,
     }
     out = {}
     for name, fn in cases.items():
