@@ -49,10 +49,18 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), 0))
     n_alpha = F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z]"), 0))
 
+    # guard the zero denominators: an EMPTY string has n_chars 0 (and
+    # ANSI mode turns x/0 into a job-killing error, not a NaN) — empty
+    # texts never occur in a raw corpus but DO reach this operator
+    # composed after surgery stages (span removal can empty a doc).
+    # Values are untouched for every non-empty text; an empty text
+    # scores all-zero ratios. n_words needs no guard: split('') is
+    # [''], size 1.
+    safe_chars = F.greatest(n_chars, F.lit(1))
     mean_word_len = (n_chars - (n_words - 1)) / n_words
     stopword_ratio = n_stop / n_words
-    punct_ratio = n_punct / n_chars
-    alpha_ratio = n_alpha / n_chars
+    punct_ratio = n_punct / safe_chars
+    alpha_ratio = n_alpha / safe_chars
     # composite built from the UNROUNDED ratios: integer-ratio operands
     # almost never land on exact round-half boundaries, keeping the
     # rounded result identical across engines with different half-rules

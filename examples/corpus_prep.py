@@ -100,7 +100,9 @@ def main() -> None:
     decon = apply_decontamination(kept_sel, target, n=5)
     print(f"6b. decontamination: {decon.count()} of {kept_sel.count()} survive")
 
-    # 7. sharded export with manifest — .jsonl.gz, the loader format
+    # 7. sharded export with manifest — .jsonl.gz, the loader format —
+    # then verify the written shards against their own manifest before
+    # anything downstream trusts them
     keep = decon.withColumn("n_tokens", F.size(F.split("text", r"\s+")))
     with tempfile.TemporaryDirectory() as d:
         manifest = write_training_shards(
@@ -109,6 +111,37 @@ def main() -> None:
         )
         rows = sorted((r["shard"], r["n_docs"], r["n_tokens"]) for r in manifest.collect())
         print("7. export manifest (shard, docs, tokens):", rows)
+        from datacatalog_tag_engine_spark.pipeline.export import (
+            verify_training_shards,
+        )
+
+        ok = verify_training_shards(spark, f"{d}/shards", data_format="json")
+        print(f"7b. shard verification: {ok.filter('ok').count()}/{ok.count()} ok")
+
+    # 8. training ORDER: quality curriculum, skew-checked then fixed —
+    # stage by each doc's within-source quality quantile so clean-first
+    # training does not silently become single-domain-first training
+    from datacatalog_tag_engine_spark.pipeline.sampling import (
+        curriculum_order,
+        source_relative_scores,
+        stage_mixture,
+    )
+    from datacatalog_tag_engine_spark.pipeline.text import quality_scores
+
+    # sources come from the raw table (the cleaning chain's frames
+    # dropped the provenance columns)
+    srcs = load_parquet(spark, f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    scored = (
+        quality_scores(decon).select("doc_id", "quality_score").join(srcs, "doc_id")
+    )
+    cur = curriculum_order(source_relative_scores(scored), n_stages=4)
+    mix = stage_mixture(cur, srcs)
+    top = sorted(
+        (r["source"], r["stage_share"]) for r in mix.collect() if r["stage"] == 1
+    )
+    print("8. curriculum stage-1 mixture (source, share):", top)
 
     spark.stop()
 

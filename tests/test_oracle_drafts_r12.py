@@ -1147,3 +1147,20 @@ def test_source_relative_curriculum_fixes_the_stage_skew(spark):
         ordered = sorted(rows, key=lambda t: -t[2])  # best raw first
         stages = [j[i] for i, _, _ in ordered]
         assert stages == sorted(stages), src
+
+
+def test_quality_scores_survive_emptied_docs(spark):
+    """Surgery stages (span removal, line dedup) can empty a doc's
+    text; quality_scores must score it all-zero instead of dying on
+    ANSI division-by-zero — the corpus_prep example composes exactly
+    this chain. Non-empty values are untouched (guarded denominator
+    only engages at n_chars == 0)."""
+    rows = [(1, ""), (2, None), (3, "a normal document with the usual words in it")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TXT.quality_scores(df).collect()}
+    assert out[1]["punct_ratio"] == 0.0 and out[1]["alpha_ratio"] == 0.0
+    assert out[1]["quality_score"] is not None
+    # NULL text composite was 0.0 BEFORE the guard too (the
+    # null-skipping greatest(0.0, NULL)) — pinned as-is
+    assert out[2]["quality_score"] == 0.0
+    assert out[3]["alpha_ratio"] > 0.5
