@@ -96,6 +96,11 @@ pairs:
   matches the corpus mixture up to integer rounding (asserted on the
   q91 skew fixture: raw stage-1 = 100% one source, relative ~50/50).
   Both normalization windows are source-partitioned (cluster-wide).
+
+r12 RE-CERT note: quality_scores gained an ANSI division-by-zero
+guard late in r11 (value-identical on every non-empty text; t02 and
+d17 strict-verified against the oracle after the change) — include
+t02_quality as the code-changed module witness in the r12 window.
 """
 
 import duckdb
