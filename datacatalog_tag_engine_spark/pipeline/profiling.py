@@ -491,3 +491,67 @@ def lang_source_profile(
         F.round(exp, 2).alias("expected"),
         F.round(F.col("n_docs") / exp, 4).alias("ratio"),
     )
+
+
+def corpus_snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    by: str = "source",
+) -> DataFrame:
+    """Per-source diff of two corpus snapshots — the daily-pipeline QA
+    rollup that answers "what actually changed between yesterday's
+    corpus and today's" BEFORE the expensive re-clean/re-shard
+    machinery runs: q79/q84 plan which shards to rewrite; this says
+    whether the delta's shape is sane (a source suddenly 90% removed
+    is an upstream incident, not a refresh).
+
+    Each side reduces to (id, group, md5(text) fingerprint, token
+    count) — a pure scan projection; the diff is ONE full-outer join
+    on the id followed by a dimension-grain rollup. At 100 TB both
+    sides partition by the id hash and the join co-locates; nothing
+    document-sized survives past the projection. Rows classify as
+    added (old side null), removed (new side null), changed
+    (fingerprints differ), else unchanged; ``token_delta`` is the
+    net whitespace-token change including added/removed mass. Returns
+    (by, n_added, n_removed, n_changed, n_unchanged, token_delta).
+
+    Reference analog: tag-history diffing — the reference writes a
+    full history row per tag change and reports change counts per
+    asset (main.py's history views); here the same change-accounting
+    at corpus grain."""
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        toks = F.filter(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+            lambda w: F.length(w) > 0,
+        )
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.col(by).alias(f"_g_{tag}"),
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias(f"_fp_{tag}"),
+            F.size(toks).cast("long").alias(f"_nt_{tag}"),
+        )
+
+    joined = side(old, "old").join(side(new, "new"), "_id", "full_outer")
+    status = (
+        F.when(F.col("_fp_old").isNull(), F.lit("added"))
+        .when(F.col("_fp_new").isNull(), F.lit("removed"))
+        .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("_g_new"), F.col("_g_old")).alias(by),
+            status.alias("_st"),
+            (F.coalesce(F.col("_nt_new"), F.lit(0)) - F.coalesce(F.col("_nt_old"), F.lit(0))).alias("_td"),
+        )
+        .groupBy(by)
+        .agg(
+            F.sum(F.when(F.col("_st") == "added", 1).otherwise(0)).cast("long").alias("n_added"),
+            F.sum(F.when(F.col("_st") == "removed", 1).otherwise(0)).cast("long").alias("n_removed"),
+            F.sum(F.when(F.col("_st") == "changed", 1).otherwise(0)).cast("long").alias("n_changed"),
+            F.sum(F.when(F.col("_st") == "unchanged", 1).otherwise(0)).cast("long").alias("n_unchanged"),
+            F.sum("_td").cast("long").alias("token_delta"),
+        )
+    )

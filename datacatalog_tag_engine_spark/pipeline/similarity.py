@@ -2022,3 +2022,66 @@ def cluster_balanced_sample(
         .select(id_col, "cell")
     )
     return sample_k_per_group(assigned, k_per_cell, key_col=id_col, group_col="cell")
+
+
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 5,
+    num_cells: int = 8,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """Cell-restricted k-nearest-neighbor GRAPH over the whole corpus
+    — every vector's top-k neighbors plus a mutuality flag. The
+    building block SemDeDup-style semantic curation, kNN
+    classification, and graph-based near-dup all start from; d07's
+    dominance rule is one traversal of this graph.
+
+    ``ivf_topk`` broadcasts its query side — right for a handful of
+    probe vectors, a scale-killer when the queries ARE the corpus. The
+    graph build therefore joins probe rows to cell members on the cell
+    key with a plain shuffle join: both sides partition by cell, each
+    cell scores only against itself (plus ``nprobe-1`` spill cells), so
+    the work is sum-of-cell-squares, never N². Scoring repeats
+    ``_topk_by_key``'s determinism contract verbatim (cosine rounded
+    to 4, rank by cosine desc / neighbor asc) — asserted equal to
+    ``brute_force_topk`` at nprobe == num_cells in tests, so the two
+    definitions cannot drift silently.
+
+    Mutuality is an edge-grain self-join on the reversed pair — the
+    edge list is corpus_rows x k, dimension-thin. Returns (id_col,
+    neighbor_id, cosine, rank, mutual)."""
+    ranked = _ranked_cells(corpus, num_cells, id_col, vec_col, cents=cents)
+    members = ranked.filter(F.col("_rn") == 1).select(
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), "cell"
+    )
+    probes = ranked.filter(F.col("_rn") <= nprobe).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "cell"
+    )
+    scored = (
+        probes.join(members, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("qv"), F.col("cv")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    edges = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    rev = edges.select(
+        F.col("query_id").alias("_rq"), F.col("neighbor_id").alias("_rn2")
+    )
+    cond = (F.col("query_id") == F.col("_rn2")) & (F.col("neighbor_id") == F.col("_rq"))
+    return (
+        edges.join(rev, cond, "left")
+        .select(
+            F.col("query_id").alias(id_col),
+            "neighbor_id",
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("_rq").isNotNull().alias("mutual"),
+        )
+    )

@@ -2022,3 +2022,134 @@ def language_id_margin(
         ordered[1].cast("int").alias("second_hits"),
         (ordered[0] - ordered[1]).cast("int").alias("margin"),
     )
+
+
+def heavy_hitter_tokens(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 100,
+    candidate_budget: int = 1024,
+) -> DataFrame:
+    """EXACT heavy hitters without a vocabulary-grain shuffle: every
+    lowercased whitespace token whose corpus count strictly exceeds
+    ``n_tokens / k``, with its exact count. The scale form of the
+    t05/t32 family — their ``groupBy(token)`` shuffles the ENTIRE
+    vocabulary (at 100 TB that is the dominant shuffle of the job);
+    this two-pass shape shuffles only a bounded candidate set.
+
+    Pass 1 — Misra–Gries per partition (``mapInPandas``, one dict of
+    at most ``candidate_budget`` counters per partition, Arrow
+    batches): the classic guarantee composes across partitions — a
+    token dropped everywhere has per-partition count <= n_i/budget, so
+    its global count is <= N/budget; any token with count > N/budget
+    survives in at least one partition's summary. With budget >= k the
+    candidate union therefore contains EVERY true heavy hitter; it is
+    bounded by partitions x budget rows regardless of vocabulary size.
+    The same pass emits per-partition token totals (one row each), so
+    N needs no extra scan.
+
+    Pass 2 — exact counts of candidates only: the token stream is
+    semi-joined to the BROADCAST candidate set (bounded by
+    construction) and counted; map-side combine makes the shuffle
+    candidate-grain. The final filter is pure integer arithmetic
+    (``count * k > N`` — no division, no float threshold), so both
+    engines agree exactly and the output is independent of
+    partitioning (asserted in tests).
+
+    Two corpus scans instead of one vocabulary shuffle is the right
+    trade at scale: scans parallelize linearly and push the projection
+    to the parquet reader; the vocabulary shuffle materializes every
+    distinct token. Returns (token, n_occurrences), deterministic.
+
+    Reference analog: the tag-count rollups the reference renders on
+    its report pages (BigQueryController's aggregate views) — here as
+    a bounded-memory streaming-sketch pass + exact verification, the
+    d15/d16 estimate-then-verify shape applied to frequency."""
+    import pandas as pd
+
+    budget = max(candidate_budget, k)
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+                lambda w: F.length(w) > 0,
+            )
+        ).alias("token")
+    )
+
+    def mg(batches):
+        # mergeable-summaries form of Misra-Gries (Agarwal et al.,
+        # PODS'12): fold each Arrow batch in as exact value_counts,
+        # then reduce back to <= budget keys by subtracting the
+        # (budget+1)-th largest count from every key and dropping the
+        # non-positive — same error bound (<= n_i/(budget+1)) as the
+        # per-token decrement loop, but vectorized instead of
+        # row-at-a-time Python
+        import collections
+
+        counters: collections.Counter = collections.Counter()
+        total = 0
+        for pdf in batches:
+            total += len(pdf)
+            counters.update(pdf["token"].value_counts().to_dict())
+            if len(counters) > budget:
+                sub = sorted(counters.values(), reverse=True)[budget]
+                counters = collections.Counter(
+                    {t: c - sub for t, c in counters.items() if c > sub}
+                )
+        out = pd.DataFrame(
+            {
+                "token": list(counters.keys()) + [""],
+                "n": list(counters.values()) + [total],
+                "kind": ["cand"] * len(counters) + ["total"],
+            }
+        )
+        yield out
+
+    summary = toks.mapInPandas(mg, schema="token string, n long, kind string")
+    # tiny by construction: <= partitions x budget candidate rows +
+    # one total row per partition — safe to checkpoint eagerly so the
+    # two downstream uses (total agg + broadcast join) scan it once
+    summary = summary.localCheckpoint(eager=True)
+    n_total = summary.filter(F.col("kind") == "total").agg(F.sum("n")).collect()[0][0] or 0
+    cands = summary.filter(F.col("kind") == "cand").select("token").distinct()
+    counted = (
+        toks.join(F.broadcast(cands), "token")
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    return counted.filter(F.col("n_occurrences") * k > F.lit(int(n_total))).select(
+        "token", F.col("n_occurrences").cast("long").alias("n_occurrences")
+    )
+
+
+def gate_overlap_matrix(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **gopher_kwargs,
+) -> DataFrame:
+    """Pairwise co-fire counts of the Gopher gate rules — the gate
+    DIAGNOSIS surface: q72 says which sources a gate decimates; this
+    says which gates are REDUNDANT (pair count ~= both solo counts —
+    one of them can be dropped or reordered cheapest-first) and which
+    are independent signals. The diagonal is each gate's solo firing
+    count, so the matrix carries the full marginal too.
+
+    One gopher_filter scan (pure projection, t16's certified rule
+    math), explode the per-doc failed-rule list twice with ``a <= b``
+    (upper triangle), then a dimension-grain groupBy — at most
+    9 x 10 / 2 = 45 output rows regardless of corpus size; the shuffle
+    carries (gate, gate) pairs, never documents. Returns
+    (gate_a, gate_b, n_docs)."""
+    failed = gopher_filter(docs, id_col, text_col, **gopher_kwargs).select(
+        id_col, "fail_reasons"
+    )
+    pairs = failed.select(
+        F.explode("fail_reasons").alias("gate_a"), F.col("fail_reasons")
+    ).select("gate_a", F.explode("fail_reasons").alias("gate_b"))
+    return (
+        pairs.filter(F.col("gate_a") <= F.col("gate_b"))
+        .groupBy("gate_a", "gate_b")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )

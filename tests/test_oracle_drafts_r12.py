@@ -97,6 +97,31 @@ pairs:
   q91 skew fixture: raw stage-1 = 100% one source, relative ~50/50).
   Both normalization windows are source-partitioned (cluster-wide).
 
+- t37_heavy_hitters — EXACT heavy-hitter tokens without a
+  vocabulary-grain shuffle (text.heavy_hitter_tokens): per-partition
+  Misra-Gries candidate pass (mergeable-summaries form, bounded
+  memory) + exact recount of the bounded candidate set; final filter
+  is pure integer arithmetic (count * k > N). The scale form of the
+  t05/t32 family — their groupBy(token) shuffles the entire
+  vocabulary. Output independent of partitioning (asserted).
+- q97_snapshot_diff — per-source diff of two corpus snapshots
+  (profiling.corpus_snapshot_diff): added/removed/changed/unchanged
+  counts + net token delta from ONE full-outer join on the id over
+  scan-projection fingerprints. The daily-refresh sanity gate that
+  runs before q79/q80/q84 commit to rewriting anything.
+- q98_gate_overlap — pairwise co-fire matrix of the Gopher gates
+  (text.gate_overlap_matrix): upper-triangle counts incl. the solo
+  diagonal, dimension-grain output (<= 45 rows); oracle nests the
+  wired t16 string and unnests its fail_reasons. The gate-redundancy
+  diagnosis q72's per-source drift can't see.
+- s30_knn_graph — cell-restricted k-NN graph + mutuality flag
+  (similarity.knn_graph): the SemDeDup building block. Repeats the
+  _topk_by_key determinism contract verbatim but joins probe rows to
+  cell members WITHOUT broadcasting (the query side IS the corpus) —
+  sum-of-cell-squares work, asserted equal to brute_force_topk at
+  nprobe == num_cells. Oracle replays the s03 assignment CTE + an
+  edge-grain reversed-pair self-join.
+
 r12 RE-CERT note: quality_scores gained an ANSI division-by-zero
 guard late in r11 (value-identical on every non-empty text; t02 and
 d17 strict-verified against the oracle after the change) — include
@@ -1169,3 +1194,227 @@ def test_quality_scores_survive_emptied_docs(spark):
     # null-skipping greatest(0.0, NULL)) — pinned as-is
     assert out[2]["quality_score"] == 0.0
     assert out[3]["alpha_ratio"] > 0.5
+
+
+# --- t37: heavy hitters ----------------------------------------------------
+
+
+def heavy_hitters_sql(k: int = 100) -> str:
+    """Exact heavy hitters: lowercased whitespace tokens with corpus
+    count strictly above n_tokens/k — integer-exact threshold (count *
+    k > N, no division), so both engines agree bit-for-bit."""
+    return rf"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+                x -> length(x) > 0)) AS token
+  FROM documents),
+tot AS (SELECT count(*) AS n FROM toks)
+SELECT token, count(*)::BIGINT AS n_occurrences
+FROM toks GROUP BY token
+HAVING count(*) * {k} > (SELECT n FROM tot)
+"""
+
+
+def test_oracle_draft_heavy_hitters(spark, ddb):
+    got = _rows(TXT.heavy_hitter_tokens(spark.table("documents"), k=100))
+    assert got == _sql_rows(ddb, heavy_hitters_sql(100))
+    assert len(got) > 0
+
+
+def test_heavy_hitters_partition_independent_and_complete(spark):
+    """The Misra-Gries candidate union is a GUARANTEE, not a
+    heuristic: the exact output is identical across partitionings
+    (budget at its k floor included), and a planted token just over
+    the threshold is found while one just under is not."""
+    docs = spark.table("documents")
+    base = _rows(TXT.heavy_hitter_tokens(docs, k=100, candidate_budget=1024))
+    assert base == _rows(
+        TXT.heavy_hitter_tokens(docs.repartition(13), k=100, candidate_budget=100)
+    )
+    assert base == _rows(
+        TXT.heavy_hitter_tokens(docs.repartition(1), k=100, candidate_budget=100)
+    )
+    # planted boundary: 40 filler singletons + one token x11 and one
+    # token x10 -> N=61, k=6: threshold N/k ~ 10.17 (count*6 > 61)
+    rows = [(i, f"filler{i}") for i in range(40)]
+    rows.append((100, " ".join(["hot"] * 11)))
+    rows.append((101, " ".join(["warm"] * 10)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # _rows sorts columns alphabetically: (n_occurrences, token)
+    got = {r[1]: r[0] for r in _rows(TXT.heavy_hitter_tokens(df, k=6, candidate_budget=6))}
+    assert got == {"hot": 11}
+
+
+# --- q97: corpus snapshot diff ----------------------------------------------
+
+
+def snapshot_diff_sql() -> str:
+    """Old = doc_id % 17 != 0 (the q79 split), new = doc_id % 13 != 0
+    with every fifth doc's text amended — adds, removes, and changes
+    all present; FULL JOIN on the id, source-grain rollup."""
+    amended = "coalesce(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END, '')"
+    return rf"""
+WITH o AS (SELECT doc_id, source, md5(coalesce(text, '')) AS fp,
+                  len(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+                      x -> length(x) > 0)) AS nt
+           FROM documents WHERE doc_id % 17 != 0),
+n AS (SELECT doc_id, source, md5({amended}) AS fp,
+             len(list_filter(regexp_split_to_array(lower({amended}), '\s+'),
+                 x -> length(x) > 0)) AS nt
+      FROM documents WHERE doc_id % 13 != 0),
+j AS (SELECT coalesce(n.source, o.source) AS source,
+             CASE WHEN o.fp IS NULL THEN 'added'
+                  WHEN n.fp IS NULL THEN 'removed'
+                  WHEN o.fp <> n.fp THEN 'changed' ELSE 'unchanged' END AS st,
+             coalesce(n.nt, 0) - coalesce(o.nt, 0) AS td
+      FROM o FULL JOIN n ON o.doc_id = n.doc_id)
+SELECT source,
+       sum(CASE WHEN st = 'added' THEN 1 ELSE 0 END)::BIGINT AS n_added,
+       sum(CASE WHEN st = 'removed' THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+       sum(CASE WHEN st = 'changed' THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+       sum(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END)::BIGINT AS n_unchanged,
+       sum(td)::BIGINT AS token_delta
+FROM j GROUP BY source
+"""
+
+
+def _q97(spark):
+    from datacatalog_tag_engine_spark.pipeline.profiling import corpus_snapshot_diff
+
+    docs = spark.table("documents")
+    old = docs.filter(F.col("doc_id") % 17 != 0)
+    new = docs.filter(F.col("doc_id") % 13 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus_snapshot_diff(old, new)
+
+
+def test_oracle_draft_snapshot_diff(spark, ddb):
+    got = _rows(_q97(spark))
+    assert got == _sql_rows(ddb, snapshot_diff_sql())
+    assert len(got) > 0
+
+
+def test_snapshot_diff_identity_and_disjoint(spark):
+    """Diffing a corpus against itself is all-unchanged with zero
+    token delta; diffing against the empty corpus is all-removed with
+    the full (negative) token mass."""
+    from datacatalog_tag_engine_spark.pipeline.profiling import corpus_snapshot_diff
+
+    docs = spark.table("documents")
+    same = corpus_snapshot_diff(docs, docs).collect()
+    n_docs = docs.count()
+    assert sum(r["n_unchanged"] for r in same) == n_docs
+    assert all(
+        r["n_added"] == r["n_removed"] == r["n_changed"] == r["token_delta"] == 0
+        for r in same
+    )
+    gone = corpus_snapshot_diff(docs, docs.filter(F.lit(False))).collect()
+    assert sum(r["n_removed"] for r in gone) == n_docs
+    assert sum(r["token_delta"] for r in gone) < 0
+
+
+# --- q98: gate overlap matrix ------------------------------------------------
+
+
+def gate_overlap_sql(t16_sql: str) -> str:
+    """Nests the wired t16 oracle (the d17/q91 pattern: ONE copy of
+    the gate math) and unnests its comma-joined fail_reasons."""
+    return f"""
+WITH t16 AS ({t16_sql}),
+fired AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(fail_reasons, ','), x -> length(x) > 0)) AS gate
+  FROM t16)
+SELECT a.gate AS gate_a, b.gate AS gate_b, count(*)::BIGINT AS n_docs
+FROM fired a JOIN fired b ON a.doc_id = b.doc_id AND a.gate <= b.gate
+GROUP BY 1, 2
+"""
+
+
+def test_oracle_draft_gate_overlap(spark, ddb):
+    got = _rows(TXT.gate_overlap_matrix(spark.table("documents")))
+    assert got == _sql_rows(ddb, gate_overlap_sql(E.oracle_sql()["t16_gopher_filter"]))
+    assert len(got) > 0
+
+
+def test_gate_overlap_diagonal_is_the_marginal(spark):
+    """The diagonal equals each gate's solo firing count from the t16
+    surface, and every off-diagonal pair count is bounded by both of
+    its marginals (co-fire can't exceed either gate alone)."""
+    docs = spark.table("documents")
+    mat = {
+        (r["gate_a"], r["gate_b"]): r["n_docs"]
+        for r in TXT.gate_overlap_matrix(docs).collect()
+    }
+    solo = {
+        r["g"]: r["n"]
+        for r in TXT.gopher_filter(docs)
+        .select(F.explode("fail_reasons").alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {g: mat[(g, g)] for g in solo} == solo
+    for (a, b), n in mat.items():
+        assert n <= solo[a] and n <= solo[b]
+
+
+# --- s30: knn graph -----------------------------------------------------------
+
+
+def knn_graph_sql(k: int = 5, num_cells: int = 8) -> str:
+    """The s03 assignment CTE with queries = the whole corpus, plus an
+    edge-grain reversed-pair self-join for the mutuality flag."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cent_v FROM e ORDER BY vec_id LIMIT {num_cells}),
+assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round(list_cosine_similarity(e.v, c.cent_v), 6) DESC, c.cell) AS rn
+    FROM e CROSS JOIN cents c) WHERE rn = 1),
+scored AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.v, a.v), 4) AS cosine
+  FROM assign q JOIN assign a ON q.cell = a.cell AND q.vec_id <> a.vec_id),
+edges AS (
+  SELECT query_id, neighbor_id, cosine,
+         cast(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored QUALIFY rank <= {k})
+SELECT e.query_id AS vec_id, e.neighbor_id, e.cosine, e.rank,
+       (r.query_id IS NOT NULL) AS mutual
+FROM edges e LEFT JOIN edges r
+  ON r.query_id = e.neighbor_id AND r.neighbor_id = e.query_id
+"""
+
+
+def test_oracle_draft_knn_graph(spark, ddb):
+    got = _rows(SIM.knn_graph(spark.table("embeddings"), k=5, num_cells=8))
+    assert got == _sql_rows(ddb, knn_graph_sql(5, 8))
+    assert len(got) > 0
+
+
+def test_knn_graph_brute_parity_and_mutual_symmetry(spark):
+    """nprobe == num_cells degenerates to exact brute force — the
+    determinism-contract parity that keeps the non-broadcast self-join
+    from drifting off _topk_by_key; and the mutual flag is symmetric
+    by construction (edge (a,b) mutual iff (b,a) exists AND is also
+    flagged)."""
+    emb = spark.table("embeddings")
+    brute = _rows(
+        SIM.brute_force_topk(emb, emb, k=5).select(
+            F.col("query_id").alias("vec_id"), "neighbor_id", "cosine", "rank"
+        )
+    )
+    graph = SIM.knn_graph(emb, k=5, num_cells=8, nprobe=8)
+    assert _rows(graph.select("vec_id", "neighbor_id", "cosine", "rank")) == brute
+    edges = {(r["vec_id"], r["neighbor_id"]): r["mutual"] for r in graph.collect()}
+    for (a, b), m in edges.items():
+        assert m == ((b, a) in edges)
+        if m:
+            assert edges[(b, a)]
