@@ -111,6 +111,18 @@ def main() -> None:
 
         return stage_mixture(_q90(), docs)
 
+    def _q97():
+        from datacatalog_tag_engine_spark.pipeline.profiling import corpus_snapshot_diff
+
+        old = docs.filter(F.col("doc_id") % 17 != 0)
+        new = docs.filter(F.col("doc_id") % 13 != 0).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+        )
+        return corpus_snapshot_diff(old, new)
+
     cases = {
         "q86_resharding_plan": _q86,
         "d18_lsh_parameter_table": lambda: DD.lsh_parameter_table(spark),
@@ -133,6 +145,10 @@ def main() -> None:
         "t36_langid_margin": lambda: TXT.language_id_margin(docs),
         "q94_verify_shards": _q94,
         "q95_source_relative_curriculum": _q95,
+        "t37_heavy_hitters": lambda: TXT.heavy_hitter_tokens(docs, k=100),
+        "q97_snapshot_diff": _q97,
+        "q98_gate_overlap": lambda: TXT.gate_overlap_matrix(docs),
+        "s30_knn_graph": lambda: SIM.knn_graph(emb, k=5, num_cells=8),
     }
     out = {}
     for name, fn in cases.items():
