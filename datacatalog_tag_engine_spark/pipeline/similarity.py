@@ -2060,6 +2060,14 @@ def knn_graph(
     probes = ranked.filter(F.col("_rn") <= nprobe).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "cell"
     )
+    return _knn_edges(probes, members, k, id_col)
+
+
+def _knn_edges(probes: DataFrame, members: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Shared kNN-graph edge block (live and from-index forms): the
+    cell-key shuffle join + the _topk_by_key determinism contract
+    (cosine round 4, rank by cosine desc / neighbor asc), then the
+    edge-grain reversed-pair self-join for the mutuality flag."""
     scored = (
         probes.join(members, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -2085,3 +2093,56 @@ def knn_graph(
             F.col("_rq").isNotNull().alias("mutual"),
         )
     )
+
+
+def knn_graph_from_index(
+    spark,
+    path: str,
+    k: int = 5,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``knn_graph`` for a PERSISTED raw-vector IVF index — the
+    operational form: edges are scored within the index's own STORED
+    cells (no re-assignment; the stored ``cell`` partition column is
+    the candidate restriction, including everything
+    ``append_to_ivf_index`` added under the frozen quantizer). With
+    the default ``nprobe=1`` nothing outside a cell's own partition is
+    ever read or shuffled, so an append/delete/compact touching cells
+    {c...} changes ONLY those cells' edges — the untouched cells'
+    neighborhoods are bit-identical (asserted in tests), which is what
+    makes nightly graph refreshes delta-priced like the rest of the
+    lifecycle. ``nprobe > 1`` ranks the stored vectors against the
+    persisted centroids for spill cells (the s09 serving semantics).
+
+    On a freshly built index the stored assignment equals the
+    ``_ranked_cells`` assignment, so the output is value-identical to
+    ``knn_graph`` over the same corpus — one oracle serves both (the
+    s20/s29 persisted-layout identity pattern)."""
+    resident = spark.read.parquet(path)
+    if vec_col not in resident.columns:
+        raise ValueError(
+            f"index at {path} stores columns {resident.columns} (a codes "
+            f"layout?); knn_graph_from_index requires a raw-vector IVF "
+            f"index with '{vec_col}'"
+        )
+    members = resident.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        "cell",
+    )
+    if nprobe <= 1:
+        probes = resident.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+            "cell",
+        )
+    else:
+        cent_rows, cents = _localize_parquet(spark, f"{path}/{CENTROIDS_DIR}")
+        probes = (
+            _ranked_cells(resident, len(cent_rows), id_col, vec_col, cents=cents)
+            .filter(F.col("_rn") <= nprobe)
+            .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "cell")
+        )
+    return _knn_edges(probes, members, k, id_col)

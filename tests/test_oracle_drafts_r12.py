@@ -122,6 +122,14 @@ pairs:
   nprobe == num_cells. Oracle replays the s03 assignment CTE + an
   edge-grain reversed-pair self-join.
 
+- s31_knn_graph_from_index — the s30 graph read off a PERSISTED
+  index's stored cells (similarity.knn_graph_from_index): no
+  re-assignment, so append/delete/compact touching cells {c...}
+  changes ONLY those cells' edges — untouched neighborhoods are
+  bit-identical (asserted), making nightly graph refreshes
+  delta-priced like the rest of the lifecycle. Fresh-index identity:
+  the s30 oracle serves both forms verbatim.
+
 r12 RE-CERT note: quality_scores gained an ANSI division-by-zero
 guard late in r11 (value-identical on every non-empty text; t02 and
 d17 strict-verified against the oracle after the change) — include
@@ -1418,3 +1426,57 @@ def test_knn_graph_brute_parity_and_mutual_symmetry(spark):
         assert m == ((b, a) in edges)
         if m:
             assert edges[(b, a)]
+
+
+# --- s31: knn graph from a persisted index -------------------------------------
+
+
+def test_oracle_draft_knn_graph_from_index(spark, ddb, tmp_path):
+    """Fresh-index identity: the stored assignment equals the ranked
+    assignment, so the persisted form replays the s30 oracle verbatim
+    (the s20/s29 pattern — one oracle serves both forms)."""
+    p = str(tmp_path / "ivf_knn")
+    SIM.build_ivf_index(spark.table("embeddings"), p, num_cells=8)
+    got = _rows(SIM.knn_graph_from_index(spark, p, k=5))
+    assert got == _sql_rows(ddb, knn_graph_sql(5, 8))
+    assert len(got) > 0
+
+
+def test_knn_graph_from_index_append_localizes(spark, tmp_path):
+    """The delta-priced-refresh property: after append_to_ivf_index,
+    only the appended-into cells' edges change — every untouched
+    cell's neighborhood is bit-identical, so a nightly graph refresh
+    rewrites exactly the dirty cells (the q79/s21 discipline applied
+    to the graph)."""
+    emb = spark.table("embeddings")
+    p = str(tmp_path / "ivf_knn_app")
+    SIM.build_ivf_index(emb.filter(F.col("vec_id") < 400), p, num_cells=8)
+    assign = {
+        r["vec_id"]: r["cell"]
+        for r in spark.read.parquet(p).select("vec_id", "cell").collect()
+    }
+    before = SIM.knn_graph_from_index(spark, p, k=5).collect()
+    delta = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 403))
+    SIM.append_to_ivf_index(spark, p, delta)
+    appended_cells = {
+        r["cell"]
+        for r in spark.read.parquet(p)
+        .filter(F.col("vec_id") >= 400)
+        .select("cell")
+        .distinct()
+        .collect()
+    }
+    assert appended_cells and len(appended_cells) < 8  # a genuine partial touch
+    after = SIM.knn_graph_from_index(spark, p, k=5).collect()
+
+    def clean_edges(rows):
+        return sorted(
+            (r["vec_id"], r["neighbor_id"], float(r["cosine"]), r["rank"], r["mutual"])
+            for r in rows
+            if assign.get(r["vec_id"]) not in appended_cells
+            and r["vec_id"] in assign
+        )
+
+    assert clean_edges(before) == clean_edges(after)
+    # and the appended cells DID change (new members join the graph)
+    assert {r["vec_id"] for r in after} > {r["vec_id"] for r in before}

@@ -111,6 +111,18 @@ def main() -> None:
 
         return stage_mixture(_q90(), docs)
 
+    def _s31():
+        import shutil
+        import tempfile
+
+        p = tempfile.mkdtemp(prefix="price_knn_")
+        try:
+            SIM.build_ivf_index(emb, p, num_cells=8)
+            n = SIM.knn_graph_from_index(spark, p, k=5).count()
+        finally:
+            shutil.rmtree(p, ignore_errors=True)
+        return spark.range(n)
+
     def _q97():
         from datacatalog_tag_engine_spark.pipeline.profiling import corpus_snapshot_diff
 
@@ -149,6 +161,7 @@ def main() -> None:
         "q97_snapshot_diff": _q97,
         "q98_gate_overlap": lambda: TXT.gate_overlap_matrix(docs),
         "s30_knn_graph": lambda: SIM.knn_graph(emb, k=5, num_cells=8),
+        "s31_knn_graph_from_index": _s31,
     }
     out = {}
     for name, fn in cases.items():
