@@ -114,3 +114,71 @@ def test_curriculum_gate_boundary(spark):
         tuple(r) for r in curriculum_order(scores, window_max=49).collect()
     )
     assert a == b
+
+
+def _mg_fold(batches: list[list[str]], budget: int) -> tuple[dict, int]:
+    """Pure-Python model of heavy_hitter_tokens' per-partition fold
+    (the mergeable Misra-Gries reduction, exactly as mapInPandas runs
+    it: exact batch counts merged in, then offset-subtract back to <=
+    budget keys)."""
+    import collections
+
+    counters: collections.Counter = collections.Counter()
+    total = 0
+    for batch in batches:
+        total += len(batch)
+        counters.update(collections.Counter(batch))
+        if len(counters) > budget:
+            sub = sorted(counters.values(), reverse=True)[budget]
+            counters = collections.Counter(
+                {t: c - sub for t, c in counters.items() if c > sub}
+            )
+    return dict(counters), total
+
+
+def test_mg_fold_guarantee_randomized():
+    """The t37 completeness guarantee, model-checked over randomized
+    streams/partitionings/budgets: for EVERY split of a stream into
+    partitions and batches, the union of per-partition MG survivors
+    contains every token whose global count strictly exceeds
+    N/budget — hence every heavy hitter at any k <= budget. Also pins
+    the size invariant (each summary <= budget keys) and the
+    undercount direction (stored count never exceeds the true count)."""
+    import random
+
+    rng = random.Random(12)
+    for trial in range(200):
+        n = rng.randrange(1, 400)
+        vocab = rng.randrange(1, 30)
+        # zipf-ish skew so some tokens genuinely cross the threshold
+        stream = [f"t{min(rng.randrange(vocab), rng.randrange(vocab))}" for _ in range(n)]
+        budget = rng.randrange(1, 12)
+        n_parts = rng.randrange(1, 5)
+        parts: list[list[list[str]]] = [[] for _ in range(n_parts)]
+        # random contiguous split into partitions, then random batching
+        idx = sorted(rng.randrange(n + 1) for _ in range(n_parts - 1))
+        for i, chunk in enumerate(zip([0] + idx, idx + [n])):
+            lo, hi = chunk
+            sub = stream[lo:hi]
+            batches = []
+            while sub:
+                cut = rng.randrange(1, len(sub) + 1)
+                batches.append(sub[:cut])
+                sub = sub[cut:]
+            parts[i] = batches
+        true_counts: dict[str, int] = {}
+        for t in stream:
+            true_counts[t] = true_counts.get(t, 0) + 1
+        survivors: set[str] = set()
+        total_seen = 0
+        for batches in parts:
+            summary, part_total = _mg_fold(batches, budget)
+            assert len(summary) <= budget
+            for t, c in summary.items():
+                assert 0 < c <= true_counts[t], (trial, t)
+            survivors |= set(summary)
+            total_seen += part_total
+        assert total_seen == n
+        for t, c in true_counts.items():
+            if c * budget > n:  # strictly above N/budget
+                assert t in survivors, (trial, t, c, n, budget)
