@@ -2079,6 +2079,13 @@ def _knn_edges(probes: DataFrame, members: DataFrame, k: int, id_col: str) -> Da
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     edges = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    # the reversed-pair self-join would otherwise RECOMPUTE the whole
+    # scoring lineage for its right side (plan-audited: two full
+    # subtrees) — the edge list is rows x k thin (two ids, a float, a
+    # rank), so materializing it once is strictly cheaper than scoring
+    # the corpus twice; callers consume promptly and the blocks free
+    # with the DataFrame
+    edges = edges.localCheckpoint(eager=True)
     rev = edges.select(
         F.col("query_id").alias("_rq"), F.col("neighbor_id").alias("_rn2")
     )
