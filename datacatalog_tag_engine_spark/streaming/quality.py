@@ -64,3 +64,132 @@ def gate_metrics(
             "n_docs",
         )
     )
+
+
+def heavy_hitter_stream(
+    docs: DataFrame,
+    budget: int = 1024,
+    n_buckets: int = 32,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming Misra-Gries heavy-hitter monitor — the t37 candidate
+    pass as a continuously-maintained stream state: per token-hash
+    bucket, a bounded MG summary folds each micro-batch's token counts
+    in, and every invocation emits the bucket's current survivors.
+    The boilerplate/spam-campaign detector that runs BESIDE the ingest
+    path: a token surging into a bucket's survivor set mid-stream is
+    the first signal of a template flood, hours before corpus-level
+    stats move.
+
+    Two properties make this the rare stateful stream with NO ordering
+    machinery: counting is COMMUTATIVE (late or re-ordered deliveries
+    just add — no watermark buffering, no in-order release, contrast
+    funnel_state_stream's pending buffer), and the mergeable-MG
+    reduction gives the same completeness guarantee as the batch form
+    — a token whose stream-to-date count exceeds N_bucket/budget is in
+    its bucket's summary, so with budget >= k every k-heavy-hitter of
+    the stream so far survives. Sharding state by ``xxhash64(token) %
+    n_buckets`` bounds each state row at ``budget`` counters AND
+    spreads the fold across the cluster (a single global MG would
+    serialize on one task); a token lives wholly in one bucket, so
+    per-bucket counts ARE global counts.
+
+    Emissions (append mode): (bucket, emit_seq, token, mg_count,
+    bucket_total) — one row per surviving token per fold, bounded by
+    budget x buckets per micro-batch. ``heavy_hitter_candidates``
+    reduces a run's emissions to the final candidate set + stream
+    total; exact counts come from the t37 pass-2 recount over the
+    archived corpus (candidates are a guaranteed superset of the true
+    heavy set — asserted against heavy_hitter_tokens in tests).
+    ``mg_count`` is the summary's UNDERCOUNT (never above truth) — a
+    display hint, not the answer."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+                lambda w: F.length(w) > 0,
+            )
+        ).alias("token")
+    ).withColumn("bucket", F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("int"))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("bucket", T.IntegerType()),
+            T.StructField("emit_seq", T.LongType()),
+            T.StructField("token", T.StringType()),
+            T.StructField("mg_count", T.LongType()),
+            T.StructField("bucket_total", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("emit_seq", T.LongType()),
+            T.StructField("tokens", T.ArrayType(T.StringType())),
+            T.StructField("counts", T.ArrayType(T.LongType())),
+            T.StructField("total", T.LongType()),
+        ]
+    )
+
+    def fold(key, pdfs, state):
+        import collections
+
+        if state.exists:
+            emit_seq, tokens, counts, total = state.get
+            counters = collections.Counter(dict(zip(tokens, counts)))
+        else:
+            emit_seq, counters, total = 0, collections.Counter(), 0
+        for pdf in pdfs:
+            total += len(pdf)
+            counters.update(pdf["token"].value_counts().to_dict())
+            if len(counters) > budget:
+                sub = sorted(counters.values(), reverse=True)[budget]
+                counters = collections.Counter(
+                    {t: c - sub for t, c in counters.items() if c > sub}
+                )
+        emit_seq += 1
+        state.update(
+            (emit_seq, list(counters.keys()), [int(c) for c in counters.values()], total)
+        )
+        yield pd.DataFrame(
+            {
+                "bucket": key[0],
+                "emit_seq": emit_seq,
+                "token": list(counters.keys()),
+                "mg_count": [int(c) for c in counters.values()],
+                "bucket_total": total,
+            }
+        )
+
+    return toks.groupBy("bucket").applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def heavy_hitter_candidates(emissions: DataFrame) -> DataFrame:
+    """Reduce a heavy_hitter_stream run's emissions to the CURRENT
+    candidate set: each bucket's latest fold wins (max emit_seq — the
+    funnel_counts_finish discipline), candidates are its surviving
+    tokens, and ``n_total`` (the same on every output row) is the
+    stream-to-date token count summed across buckets' latest totals.
+    Feed the candidates to the t37 pass-2 recount for exact counts."""
+    from pyspark.sql import Window
+
+    # window-max instead of a self-join: emissions is typically a
+    # memory-sink view, and joining a frame to its own aggregate trips
+    # Spark's conflicting-reference resolution; the window is
+    # bucket-grain anyway (emissions are candidate-bounded)
+    w = Window.partitionBy("bucket")
+    rows = emissions.withColumn("_mx", F.max("emit_seq").over(w)).filter(
+        F.col("emit_seq") == F.col("_mx")
+    )
+    totals = (
+        rows.groupBy("bucket")
+        .agg(F.first("bucket_total").alias("bt"))
+        .agg(F.sum("bt").alias("n_total"))
+    )
+    return rows.select("token", "mg_count").crossJoin(F.broadcast(totals))

@@ -820,3 +820,89 @@ def test_session_funnel_stream_closes_on_gap_and_counts_late(spark, tmp_path):
         ).collect()
     }
     assert finished["view"] == 3 and finished["click"] == 1
+
+
+def test_heavy_hitter_stream_matches_batch(spark, tmp_path):
+    """Stream==batch for the heavy-hitter surface: the streaming MG
+    candidate set (folded across micro-batches, sharded by token-hash
+    bucket) recounted exactly equals heavy_hitter_tokens' batch answer
+    on the same corpus — the t37 guarantee surviving micro-batch
+    incrementality. Also pins the monitor invariants: per-bucket state
+    emits at most `budget` survivors, mg_count never exceeds truth,
+    and the candidate total equals the corpus token count."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datacatalog_tag_engine_spark.pipeline.text import heavy_hitter_tokens
+    from datacatalog_tag_engine_spark.streaming.quality import (
+        heavy_hitter_candidates,
+        heavy_hitter_stream,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "hh_src")
+    # three micro-batches split by doc_id residue
+    for i in range(3):
+        f = os.path.join(src, f"b{i}")
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f)
+        for root, _dirs, files in os.walk(f):
+            for name in files:
+                os.utime(os.path.join(root, name), (1_700_000_000 + i,) * 2)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "b*"))
+    )
+    q = (
+        heavy_hitter_stream(stream, budget=256, n_buckets=8)
+        .writeStream.format("memory")
+        .queryName("hh_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emissions = spark.table("hh_sink")
+    # every fold respects the summary bound
+    per_fold = emissions.groupBy("bucket", "emit_seq").count().collect()
+    assert all(r["count"] <= 256 for r in per_fold)
+
+    cands = heavy_hitter_candidates(emissions)
+    crows = cands.collect()
+    k = 100
+    # the stream's token accounting equals the corpus's
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+                lambda w: F.length(w) > 0,
+            )
+        ).alias("token")
+    )
+    n_total = toks.count()
+    assert crows and all(r["n_total"] == n_total for r in crows)
+    # exact recount of the candidates == the batch t37 answer
+    cand_df = cands.select("token").distinct()
+    recount = (
+        toks.join(F.broadcast(cand_df), "token")
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") * k > F.lit(n_total))
+    )
+    got = sorted((r["token"], r["n_occurrences"]) for r in recount.collect())
+    exp = sorted(
+        (r["token"], r["n_occurrences"])
+        for r in heavy_hitter_tokens(docs, k=k).collect()
+    )
+    assert got == exp and len(got) > 0
+    # mg_count is an undercount of truth
+    truth = {r["token"]: r["n_occurrences"] for r in toks.groupBy("token").agg(
+        F.count("*").alias("n_occurrences")).collect()}
+    for r in crows:
+        assert 0 < r["mg_count"] <= truth[r["token"]]
