@@ -134,6 +134,12 @@ r12 RE-CERT note: quality_scores gained an ANSI division-by-zero
 guard late in r11 (value-identical on every non-empty text; t02 and
 d17 strict-verified against the oracle after the change) — include
 t02_quality as the code-changed module witness in the r12 window.
+
+r12 WINDOW ARITHMETIC (ledger state at r11 close): 20 queue drafts +
+the t02 re-cert witness = 21 slots; the remaining 29 come from the
+mechanical aging ledger — all 19 r8-last-green rows plus the 10
+oldest r9 rows (tools/window_ledger.py; oldest row outside the r11
+window is r8). Cap the r12 wiring test's ledger at rounds < 12.
 """
 
 import duckdb
