@@ -1486,3 +1486,16 @@ def test_knn_graph_from_index_append_localizes(spark, tmp_path):
     assert clean_edges(before) == clean_edges(after)
     # and the appended cells DID change (new members join the graph)
     assert {r["vec_id"] for r in after} > {r["vec_id"] for r in before}
+
+
+def test_knn_graph_from_index_nprobe_parity(spark, tmp_path):
+    """nprobe > 1 on a FRESH index equals the live form at the same
+    nprobe (stored assignment == ranked assignment, and the persisted
+    centroids are the ones the live form seeds), so the serving form's
+    spill-cell ranking cannot drift off the s03/s04 probe semantics."""
+    emb = spark.table("embeddings")
+    p = str(tmp_path / "ivf_knn_np")
+    SIM.build_ivf_index(emb, p, num_cells=8)
+    got = _rows(SIM.knn_graph_from_index(spark, p, k=5, nprobe=2))
+    live = _rows(SIM.knn_graph(emb, k=5, num_cells=8, nprobe=2))
+    assert got == live and len(got) > 0
