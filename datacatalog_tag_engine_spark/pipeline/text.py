@@ -2024,6 +2024,25 @@ def language_id_margin(
     )
 
 
+def _mg_reduce(counters, budget: int):
+    """THE mergeable-summaries Misra-Gries reduction (Agarwal et al.,
+    PODS'12), shared by the batch pass (heavy_hitter_tokens) and the
+    streaming monitor (streaming.quality.heavy_hitter_stream) so the
+    certified stream==batch equivalence rests on ONE definition: fold
+    exact batch counts in, then shrink back to <= budget keys by
+    subtracting the (budget+1)-th largest count from every key and
+    dropping the non-positive — error bound <= n/(budget+1), identical
+    to the per-token decrement loop but vectorizable. May legitimately
+    return an EMPTY summary (an all-equal over-budget Counter cancels
+    itself out); callers must not treat emptiness as "no input"."""
+    import collections
+
+    if len(counters) <= budget:
+        return counters
+    sub = sorted(counters.values(), reverse=True)[budget]
+    return collections.Counter({t: c - sub for t, c in counters.items() if c > sub})
+
+
 def heavy_hitter_tokens(
     docs: DataFrame,
     text_col: str = "text",
@@ -2078,13 +2097,6 @@ def heavy_hitter_tokens(
     )
 
     def mg(batches):
-        # mergeable-summaries form of Misra-Gries (Agarwal et al.,
-        # PODS'12): fold each Arrow batch in as exact value_counts,
-        # then reduce back to <= budget keys by subtracting the
-        # (budget+1)-th largest count from every key and dropping the
-        # non-positive — same error bound (<= n_i/(budget+1)) as the
-        # per-token decrement loop, but vectorized instead of
-        # row-at-a-time Python
         import collections
 
         counters: collections.Counter = collections.Counter()
@@ -2092,11 +2104,7 @@ def heavy_hitter_tokens(
         for pdf in batches:
             total += len(pdf)
             counters.update(pdf["token"].value_counts().to_dict())
-            if len(counters) > budget:
-                sub = sorted(counters.values(), reverse=True)[budget]
-                counters = collections.Counter(
-                    {t: c - sub for t, c in counters.items() if c > sub}
-                )
+            counters = _mg_reduce(counters, budget)
         out = pd.DataFrame(
             {
                 "token": list(counters.keys()) + [""],

@@ -138,6 +138,8 @@ def heavy_hitter_stream(
     def fold(key, pdfs, state):
         import collections
 
+        from datacatalog_tag_engine_spark.pipeline.text import _mg_reduce
+
         if state.exists:
             emit_seq, tokens, counts, total = state.get
             counters = collections.Counter(dict(zip(tokens, counts)))
@@ -146,21 +148,24 @@ def heavy_hitter_stream(
         for pdf in pdfs:
             total += len(pdf)
             counters.update(pdf["token"].value_counts().to_dict())
-            if len(counters) > budget:
-                sub = sorted(counters.values(), reverse=True)[budget]
-                counters = collections.Counter(
-                    {t: c - sub for t, c in counters.items() if c > sub}
-                )
+            counters = _mg_reduce(counters, budget)
         emit_seq += 1
         state.update(
             (emit_seq, list(counters.keys()), [int(c) for c in counters.values()], total)
         )
+        # a NULL-token marker row rides every fold: the summary can
+        # legitimately reduce to EMPTY (a pure singleton tail cancels
+        # itself out), and without the marker that fold would emit
+        # nothing — heavy_hitter_candidates would then sum a STALE
+        # bucket_total (undercounting N, letting sub-threshold tokens
+        # pass the exact recount) and report the previous fold's
+        # survivors as current
         yield pd.DataFrame(
             {
                 "bucket": key[0],
                 "emit_seq": emit_seq,
-                "token": list(counters.keys()),
-                "mg_count": [int(c) for c in counters.values()],
+                "token": list(counters.keys()) + [None],
+                "mg_count": [int(c) for c in counters.values()] + [None],
                 "bucket_total": total,
             }
         )
@@ -192,4 +197,10 @@ def heavy_hitter_candidates(emissions: DataFrame) -> DataFrame:
         .agg(F.first("bucket_total").alias("bt"))
         .agg(F.sum("bt").alias("n_total"))
     )
-    return rows.select("token", "mg_count").crossJoin(F.broadcast(totals))
+    # drop the per-fold marker rows (token NULL) — they exist so an
+    # EMPTY summary still registers its fold and bucket_total above
+    return (
+        rows.filter(F.col("token").isNotNull())
+        .select("token", "mg_count")
+        .crossJoin(F.broadcast(totals))
+    )

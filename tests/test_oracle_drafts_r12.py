@@ -135,6 +135,15 @@ guard late in r11 (value-identical on every non-empty text; t02 and
 d17 strict-verified against the oracle after the change) — include
 t02_quality as the code-changed module witness in the r12 window.
 
+r12 ROTATION-TIME REFACTOR (self-review finding): _knn_edges repeats
+_topk_by_key's scoring/tiebreak block because the latter broadcasts
+its query side (wrong when the queries ARE the corpus) and is frozen
+certified code this round — at the r12 rotation give _topk_by_key a
+broadcast_queries flag and route _knn_edges through it so the
+cross-engine determinism contract has ONE definition again. Until
+then the brute-parity test (knn_graph at nprobe == num_cells ==
+brute_force_topk) makes any drift non-silent.
+
 r12 WINDOW ARITHMETIC (ledger state at r11 close): 20 queue drafts +
 the t02 re-cert witness = 21 slots; the remaining 29 come from the
 mechanical aging ledger — all 19 r8-last-green rows plus the 10

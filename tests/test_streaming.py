@@ -869,9 +869,13 @@ def test_heavy_hitter_stream_matches_batch(spark, tmp_path):
     )
     q.awaitTermination(180)
     emissions = spark.table("hh_sink")
-    # every fold respects the summary bound
+    # every fold respects the summary bound (+1 for the marker row that
+    # registers the fold even when the summary is empty)
     per_fold = emissions.groupBy("bucket", "emit_seq").count().collect()
-    assert all(r["count"] <= 256 for r in per_fold)
+    assert all(r["count"] <= 256 + 1 for r in per_fold)
+    # every (bucket, fold) emitted its marker — no silent folds
+    markers = emissions.filter(F.col("token").isNull())
+    assert markers.groupBy("bucket", "emit_seq").count().count() == len(per_fold)
 
     cands = heavy_hitter_candidates(emissions)
     crows = cands.collect()
@@ -906,3 +910,75 @@ def test_heavy_hitter_stream_matches_batch(spark, tmp_path):
         F.count("*").alias("n_occurrences")).collect()}
     for r in crows:
         assert 0 < r["mg_count"] <= truth[r["token"]]
+
+
+def test_heavy_hitter_stream_emptied_summary_still_accounts(spark, tmp_path):
+    """Regression (r11 self-review): a bucket whose MG summary reduces
+    to EMPTY (pure singleton tail over budget) must still register its
+    fold and bucket_total — before the marker-row fix such a fold
+    emitted nothing, heavy_hitter_candidates summed a stale/missing
+    bucket total (undercounting N), and the 'current' survivors could
+    be a previous fold's. With budget=2 and an all-distinct stream,
+    candidates must be EMPTY and n_total must still equal the corpus
+    token count."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datacatalog_tag_engine_spark.streaming.quality import (
+        heavy_hitter_candidates,
+        heavy_hitter_stream,
+    )
+
+    src = str(tmp_path / "hh_empty_src")
+    # two micro-batches, every token globally unique -> every bucket's
+    # summary cancels to empty whenever it crosses the budget
+    for i in range(2):
+        rows = [(i * 10 + j, " ".join(f"u{i}_{j}_{t}" for t in range(40))) for j in range(5)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        f = os.path.join(src, f"b{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(f)
+        for root, _dirs, files in os.walk(f):
+            for name in files:
+                os.utime(os.path.join(root, name), (1_700_000_000 + i,) * 2)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "b*"))
+    )
+    q = (
+        heavy_hitter_stream(stream, budget=2, n_buckets=4)
+        .writeStream.format("memory")
+        .queryName("hh_empty_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    cands = heavy_hitter_candidates(spark.table("hh_empty_sink"))
+    # n_total is exact even though (most) summaries emptied: read it
+    # from the totals-only aggregate by keeping the marker path honest
+    n_total_rows = (
+        spark.table("hh_empty_sink")
+        .withColumn(
+            "_mx",
+            F.max("emit_seq").over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy("bucket")
+            ),
+        )
+        .filter(F.col("emit_seq") == F.col("_mx"))
+        .groupBy("bucket")
+        .agg(F.first("bucket_total").alias("bt"))
+        .agg(F.sum("bt").alias("n"))
+        .collect()
+    )
+    assert n_total_rows[0]["n"] == 10 * 40
+    # candidates: nothing repeats, so nothing survives — and crucially
+    # nothing STALE from earlier folds leaks through
+    crows = cands.collect()
+    for r in crows:
+        assert r["n_total"] == 10 * 40
+    # every token is globally unique, so no surviving counter can
+    # exceed 1 — a count above 1 would mean stale folds leaked through
+    assert all(r["mg_count"] <= 1 for r in crows)

@@ -97,7 +97,15 @@ def main() -> None:
         }
         out.append(row)
         print(json.dumps(row), flush=True)
-        toks.unpersist()
+        # unpersist() is a CacheManager call and does NOT free
+        # localCheckpoint blocks; drop the reference and let the
+        # ContextCleaner reclaim them before the next rung so rungs
+        # don't contaminate each other's heap (r11 self-review)
+        del toks, docs
+        import gc
+
+        gc.collect()
+        spark._jvm.System.gc()
     print(json.dumps({"rungs": out}))
 
 
