@@ -2071,3 +2071,101 @@ def shingle_df_profile(
         "n_rows",
         F.round(F.col("n_rows") / total, 6).alias("rows_share"),
     )
+
+
+def neardup_clusters_star(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14) — the O(log n)-round scale path for the one
+    graph shape ``neardup_clusters``' min-label propagation handles
+    badly: LONG CHAINS. Min-label converges in O(component diameter)
+    rounds (a paragraph-overlap chain of 10k docs = 10k shuffle
+    rounds, i.e. never); star contraction halves every path each
+    round-pair, so the same chain closes in ~log2(10k) ≈ 14. Output is
+    IDENTICAL to ``neardup_clusters`` (cluster_id = smallest reachable
+    doc id, singletons label themselves — asserted in tests), so the
+    two are drop-in interchangeable and one oracle serves both.
+
+    Per round: large-star attaches every neighbor v > u to m(u) =
+    min(N(u) ∪ {u}); small-star (on high→low directed edges) attaches
+    every smaller neighbor to m(u). Both are one groupBy-join each on
+    the EDGE list (never corpus-grain), monotone toward the star
+    forest fixed point where every non-root points directly at its
+    component minimum. Each round eagerly checkpoints the edge list
+    (keeps lineage flat, frees the previous round's blocks) and
+    convergence is an edge-set equality check (two limit-1 anti-join
+    probes, edge-grain). Raises past ``max_rounds`` like its sibling —
+    at the proven O(log² n) worst case, 30 rounds covers any
+    realistic corpus."""
+    from datacatalog_tag_engine_spark.session import free_local_checkpoint
+
+    e = (
+        pairs.selectExpr("doc_a as u", "doc_b as v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def large_star(edges: DataFrame) -> DataFrame:
+        sym = edges.unionByName(edges.selectExpr("v as u", "u as v"))
+        mins = sym.groupBy("u").agg(F.min("v").alias("_mv"))
+        m = F.least(F.col("_mv"), F.col("u"))
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(edges: DataFrame) -> DataFrame:
+        # direct every edge high -> low, then hang each node's smaller
+        # neighborhood (plus itself) off its minimum
+        hi_lo = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins = hi_lo.groupBy("u").agg(F.min("v").alias("_mv"))
+        withm = hi_lo.join(mins, "u")
+        to_m = withm.select(F.col("v").alias("u"), F.col("_mv").alias("v"))
+        self_m = mins.select("u", F.col("_mv").alias("v"))
+        return (
+            to_m.unionByName(self_m)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    converged = False
+    for _ in range(max_rounds):
+        nxt = small_star(large_star(e)).localCheckpoint(eager=True)
+        same = (
+            nxt.exceptAll(e).limit(1).count() == 0
+            and e.exceptAll(nxt).limit(1).count() == 0
+        )
+        free_local_checkpoint(e)
+        e = nxt
+        if same:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"star contraction did not reach its fixed point within "
+            f"{max_rounds} rounds — raise max_rounds (cost is "
+            f"O(log^2 n) rounds, each edge-grain)"
+        )
+    # fixed point is a star forest directed high -> low: every
+    # non-root points at its component min; roots and singletons
+    # label themselves
+    labels = docs.select(F.col(id_col)).join(
+        e.selectExpr(f"u as {id_col}", "v as _root"), id_col, "left"
+    )
+    # the returned frame READS the final checkpoint (freeing it here
+    # would lose the star forest's only copy) — it is edge-grain (one
+    # row per non-root node) and releases with the DataFrame
+    return labels.select(
+        id_col, F.coalesce(F.col("_root"), F.col(id_col)).alias("cluster_id")
+    )
