@@ -16,6 +16,14 @@ verbatim.
   verbatim (the s29/s31 identity pattern) and the two are drop-in
   interchangeable inside every cluster-consuming chain (q48, d17,
   q73, q88).
+
+ROTATION-TIME CONTRACT IMPROVEMENT (consider when the freeze lifts):
+neardup_clusters' distributed regime currently RAISES past
+max_iterations. With the star path proven identical, the better
+contract is to escalate to neardup_clusters_star instead of raising —
+the caller keeps the exact answer at O(log n) cost rather than
+retrying with a bigger round budget. Requires re-certifying q34 (its
+code path changes) in the same window.
 """
 
 import pytest
