@@ -2161,3 +2161,80 @@ def gate_overlap_matrix(
         .groupBy("gate_a", "gate_b")
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
+
+
+def line_language_profile(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document language segmentation at LINE grain — the op
+    that catches what a doc-level label (t03) structurally cannot: a
+    document that is half English boilerplate and half German body
+    gets one t03 label, trains the wrong tokenizer branch, and poisons
+    per-language mixtures. Each non-blank line is classified with
+    t03's exact rule (CJK -> zh; else most marker hits, en>de>fr>es
+    tie order, zero hits -> und); the doc-level profile says how mixed
+    the doc actually is. The routing companion to t36's margin: t03
+    labels, t36 says how confidently, this says whether ONE label is
+    even the right shape.
+
+    Entirely row-local higher-order-function math — transform over the
+    line array, aggregate counts per label in the same projection —
+    so it is a pure scan at 100 TB: no explode, no shuffle, nothing
+    leaves the row. Deterministic dominant rule: most lines, ties in
+    the fixed en>de>fr>es>zh>und order. Returns (doc_id, n_lines,
+    dominant_lang, n_dominant_lines, n_langs, is_mixed) where n_langs
+    counts distinct NON-und line labels and is_mixed = (n_langs >= 2)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.split(t, r"\n"), lambda l: F.length(F.trim(l)) > 0)
+
+    def classify(line: Column) -> Column:
+        words = F.filter(
+            F.split(F.lower(line), r"\s+"), lambda w: F.length(w) > 0
+        )
+        scores = {}
+        for lang, markers in LANG_MARKERS.items():
+            arr = F.array(*[F.lit(m) for m in markers])
+            scores[lang] = F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+        has_cjk = F.size(F.regexp_extract_all(line, F.lit(r"[一-鿿]"), 0)) > 0
+        best = F.lit("und")
+        best_score = F.lit(0)
+        for lang in reversed(list(LANG_MARKERS)):
+            best = F.when(scores[lang] >= best_score, F.lit(lang)).otherwise(best)
+            best_score = F.greatest(best_score, scores[lang])
+        return F.when(has_cjk, F.lit("zh")).otherwise(
+            F.when(best_score > 0, best).otherwise(F.lit("und"))
+        )
+
+    langs = F.transform(lines, classify)
+    labels = ["en", "de", "fr", "es", "zh", "und"]
+
+    # closure factory, NOT a default-arg lambda: F.filter reads a
+    # two-parameter lambda as (element, index) and would bind the
+    # label slot to the index column
+    def _eq(lab: str):
+        return lambda x: x == F.lit(lab)
+
+    counts = {lab: F.size(F.filter(langs, _eq(lab))) for lab in labels}
+    # dominant = most lines, fixed-order tiebreak: walk the order
+    # reversed with >= so earlier labels win equal counts (the t03
+    # tie discipline applied to line counts)
+    dom = F.lit("und")
+    dom_n = F.lit(-1)
+    for lab in reversed(labels):
+        dom = F.when(counts[lab] >= dom_n, F.lit(lab)).otherwise(dom)
+        dom_n = F.greatest(dom_n, counts[lab])
+    n_langs = sum(
+        (counts[lab] > 0).cast("int") for lab in labels if lab != "und"
+    )
+    # zero lines means zero evidence: the tie walk would hand the
+    # all-zero case to 'en' (last >= wins) — route it to 'und' like
+    # t03's zero-hits rule
+    dom = F.when(F.size(lines) == 0, F.lit("und")).otherwise(dom)
+    return docs.select(
+        id_col,
+        F.size(lines).cast("int").alias("n_lines"),
+        dom.alias("dominant_lang"),
+        dom_n.cast("int").alias("n_dominant_lines"),
+        n_langs.cast("int").alias("n_langs"),
+        (n_langs >= 2).alias("is_mixed"),
+    )

@@ -17,6 +17,14 @@ verbatim.
   interchangeable inside every cluster-consuming chain (q48, d17,
   q73, q88).
 
+- t39_line_lang_profile — within-document language segmentation at
+  line grain (text.line_language_profile): each non-blank line
+  classified with t03's exact rule, doc-grain profile (dominant,
+  mixed flag, distinct langs). Entirely row-local higher-order
+  functions — no explode, no shuffle, a pure scan at 100 TB. The
+  routing companion to t03 (label) and t36 (confidence): this says
+  whether one label is even the right shape for the doc.
+
 ROTATION-TIME CONTRACT IMPROVEMENT (consider when the freeze lifts):
 neardup_clusters' distributed regime currently RAISES past
 max_iterations. With the star path proven identical, the better
@@ -93,3 +101,118 @@ def test_clusters_star_equals_minlabel_and_survives_long_chains(spark):
         DD.neardup_clusters(
             cdocs, cpairs, driver_edge_limit=0, max_iterations=20
         ).collect()
+
+
+# --- t39: line-level language segmentation -------------------------------------
+
+
+def line_lang_profile_sql() -> str:
+    """Replay t03's rule per non-blank LINE, then the doc-grain
+    profile. Marker membership, CJK check, tie order, and the
+    zero-evidence 'und' route are all copied from the wired t03
+    semantics; dominant = most lines with the fixed en>de>fr>es>zh>und
+    tiebreak."""
+    from datacatalog_tag_engine_spark.pipeline.text import LANG_MARKERS
+
+    score_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        score_cols.append(
+            f"len(list_filter(regexp_split_to_array(lower(l), '\\s+'),"
+            f" w -> length(w) > 0 AND list_contains([{lst}], w))) AS s_{lang}"
+        )
+    scores = ",\n         ".join(score_cols)
+    # fixed tie order en>de>fr>es via strictly-greater comparisons on
+    # the ordered chain (first max wins)
+    return rf"""
+WITH lines AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(coalesce(text, ''), '\n'),
+                 l -> length(trim(l)) > 0)) AS l
+  FROM documents),
+scored AS (
+  SELECT doc_id, l,
+         {scores},
+         regexp_matches(l, '[一-鿿]') AS cjk
+  FROM lines),
+lab AS (
+  SELECT doc_id,
+         CASE WHEN cjk THEN 'zh'
+              WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+              WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+              WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+              WHEN s_fr >= s_es THEN 'fr'
+              ELSE 'es' END AS lang
+  FROM scored),
+counts AS (
+  SELECT d.doc_id,
+         count(lab.lang) AS n_lines,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_en,
+         sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS c_de,
+         sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS c_fr,
+         sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS c_es,
+         sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS c_zh,
+         sum(CASE WHEN lang = 'und' THEN 1 ELSE 0 END) AS c_und
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  LEFT JOIN lab ON d.doc_id = lab.doc_id
+  GROUP BY d.doc_id)
+SELECT doc_id,
+       n_lines::INT AS n_lines,
+       CASE WHEN n_lines = 0 THEN 'und'
+            WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es AND c_en >= c_zh AND c_en >= c_und THEN 'en'
+            WHEN c_de >= c_fr AND c_de >= c_es AND c_de >= c_zh AND c_de >= c_und THEN 'de'
+            WHEN c_fr >= c_es AND c_fr >= c_zh AND c_fr >= c_und THEN 'fr'
+            WHEN c_es >= c_zh AND c_es >= c_und THEN 'es'
+            WHEN c_zh >= c_und THEN 'zh'
+            ELSE 'und' END AS dominant_lang,
+       greatest(c_en, c_de, c_fr, c_es, c_zh, c_und)::INT AS n_dominant_lines,
+       ((c_en > 0)::INT + (c_de > 0)::INT + (c_fr > 0)::INT
+        + (c_es > 0)::INT + (c_zh > 0)::INT)::INT AS n_langs,
+       ((c_en > 0)::INT + (c_de > 0)::INT + (c_fr > 0)::INT
+        + (c_es > 0)::INT + (c_zh > 0)::INT) >= 2 AS is_mixed
+FROM counts
+"""
+
+
+def test_oracle_draft_line_lang_profile(spark, ddb):
+    from datacatalog_tag_engine_spark.pipeline.text import line_language_profile
+
+    got = _rows(line_language_profile(spark.table("documents")))
+    rel = ddb.sql(line_lang_profile_sql())
+    cols = sorted(rel.columns)
+    exp = sorted(
+        tuple(r) for r in ddb.sql(f"SELECT {', '.join(cols)} FROM rel").fetchall()
+    )
+    assert got == exp and len(got) == 500
+
+
+def test_line_lang_profile_segments_mixed_docs(spark):
+    """A half-English/half-German doc is flagged mixed with the right
+    dominant; per-line labels agree with t03 applied line-wise; empty
+    and whitespace-only docs profile as (0 lines, und, not mixed)."""
+    from datacatalog_tag_engine_spark.pipeline.text import (
+        language_id,
+        line_language_profile,
+    )
+
+    en = "the cat and the dog went to the market for fish"
+    de = "der hund und die katze ist nicht mit der maus"
+    rows = [
+        (1, "\n".join([en, en, de])),
+        (2, ""),
+        (3, "   \n  \n"),
+        (4, de),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_language_profile(df).collect()}
+    assert out[1]["dominant_lang"] == "en" and out[1]["is_mixed"]
+    assert out[1]["n_lines"] == 3 and out[1]["n_dominant_lines"] == 2
+    assert out[1]["n_langs"] == 2
+    for d in (2, 3):
+        assert out[d]["n_lines"] == 0 and out[d]["dominant_lang"] == "und"
+        assert not out[d]["is_mixed"] and out[d]["n_langs"] == 0
+    assert out[4]["dominant_lang"] == "de" and not out[4]["is_mixed"]
+    # line-wise agreement with t03: single-line docs match language_id
+    single = spark.createDataFrame([(10, en), (11, de)], "doc_id long, text string")
+    t03 = {r["doc_id"]: r["lang_pred"] for r in language_id(single).collect()}
+    prof = {r["doc_id"]: r["dominant_lang"] for r in line_language_profile(single).collect()}
+    assert t03 == prof
