@@ -2238,3 +2238,60 @@ def line_language_profile(
         n_langs.cast("int").alias("n_langs"),
         (n_langs >= 2).alias("is_mixed"),
     )
+
+
+def line_repetition_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The LINE/PARAGRAPH half of Gopher's repetition block (Rae et
+    al., arXiv:2112.11446 Table A1: duplicate line fraction, duplicate
+    paragraph fraction, and their character-fraction forms) — t11
+    covers the word/n-gram half; gopher_filter proxies this half at
+    word grain (its documented ``dup_words`` shortcut). A doc whose
+    lines repeat is boilerplate/scaffolding even when its word mix
+    looks organic.
+
+    Definitions (the paper's): an occurrence is a DUPLICATE if an
+    identical line (paragraph) appeared EARLIER in the document;
+    dup_*_frac = duplicate occurrences / total, dup_*_char_frac =
+    characters of duplicate occurrences / characters of all. Blank
+    lines and paragraphs are not occurrences. Docs with zero lines
+    (paragraphs) get NULL fractions — "not measurable", the
+    gopher_filter NULL-feature convention.
+
+    Everything is row-local: the earlier-equal mask is a transform
+    with index + exists over the prefix slice (O(L^2) per doc in the
+    row, zero shuffles — a pure scan projection at 100 TB). Returns
+    (doc_id, n_lines, dup_line_frac, dup_line_char_frac, n_paras,
+    dup_para_frac, dup_para_char_frac), fractions rounded to 4."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+
+    def signals(units: Column, prefix: str) -> list[Column]:
+        n = F.size(units)
+        # mask[j] = an identical unit exists at an earlier index
+        mask = F.transform(
+            units,
+            lambda x, i: F.exists(F.slice(units, F.lit(1), i), lambda y: y == x),
+        )
+        pairs = F.arrays_zip(units.alias("u"), mask.alias("d"))
+        n_dup = F.size(F.filter(pairs, lambda p: p["d"]))
+        chars_all = F.aggregate(units, F.lit(0), lambda a, u: a + F.length(u))
+        chars_dup = F.aggregate(
+            pairs, F.lit(0), lambda a, p: a + F.when(p["d"], F.length(p["u"])).otherwise(F.lit(0))
+        )
+        frac = F.when(n > 0, F.round(n_dup / n, 4))
+        cfrac = F.when(chars_all > 0, F.round(chars_dup / chars_all, 4))
+        return [
+            n.cast("int").alias(f"n_{prefix}s"),
+            frac.alias(f"dup_{prefix}_frac"),
+            cfrac.alias(f"dup_{prefix}_char_frac"),
+        ]
+
+    lines = F.filter(F.split(t, r"\n"), lambda l: F.length(F.trim(l)) > 0)
+    paras = F.filter(
+        F.transform(F.split(t, r"\n\n+"), lambda p: F.trim(p)),
+        lambda p: F.length(p) > 0,
+    )
+    return docs.select(
+        id_col, *signals(lines, "line"), *signals(paras, "para")
+    )

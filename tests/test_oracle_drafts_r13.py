@@ -25,6 +25,14 @@ verbatim.
   routing companion to t03 (label) and t36 (confidence): this says
   whether one label is even the right shape for the doc.
 
+- t40_line_repetition — the line/paragraph half of Gopher's
+  repetition block (text.line_repetition_signals): duplicate line /
+  paragraph fractions and their character-fraction forms, the paper's
+  earlier-occurrence definition, NULL when unmeasurable. Row-local
+  transform-with-index + prefix-exists — zero shuffles. t11 covers
+  the word/n-gram half; gopher_filter's dup_words proxy can cite this
+  as the faithful form at rotation.
+
 ROTATION-TIME CONTRACT IMPROVEMENT (consider when the freeze lifts):
 neardup_clusters' distributed regime currently RAISES past
 max_iterations. With the star path proven identical, the better
@@ -216,3 +224,81 @@ def test_line_lang_profile_segments_mixed_docs(spark):
     t03 = {r["doc_id"]: r["lang_pred"] for r in language_id(single).collect()}
     prof = {r["doc_id"]: r["dominant_lang"] for r in line_language_profile(single).collect()}
     assert t03 == prof
+
+
+# --- t40: line/paragraph repetition signals -------------------------------------
+
+
+def line_repetition_sql() -> str:
+    """Gopher's duplicate line/paragraph fractions replayed: an
+    occurrence is a duplicate iff an identical unit appeared earlier
+    in the doc (1-based lambda index in DuckDB, prefix slice +
+    list_contains), NULL fractions when there is nothing to measure."""
+
+    def block(expr: str, prefix: str) -> str:
+        return f"""
+  SELECT doc_id,
+         len(u) AS n_{prefix}s,
+         CASE WHEN len(u) > 0 THEN round(
+           len(list_filter(list_transform(u, (x, i) -> list_contains(u[1:i-1], x)),
+                           d -> d)) / len(u), 4) END AS dup_{prefix}_frac,
+         CASE WHEN list_sum(list_transform(u, x -> length(x))) > 0 THEN round(
+           coalesce(list_sum(list_transform(list_filter(
+               list_transform(u, (x, i) -> CASE WHEN list_contains(u[1:i-1], x)
+                                                THEN length(x) END),
+               v -> v IS NOT NULL), v -> v)), 0)
+           / list_sum(list_transform(u, x -> length(x))), 4) END AS dup_{prefix}_char_frac
+  FROM (SELECT doc_id, {expr} AS u FROM documents)"""
+
+    lines = (
+        "list_filter(regexp_split_to_array(coalesce(text, ''), '\\n'),"
+        " l -> length(trim(l)) > 0)"
+    )
+    paras = (
+        "list_filter(list_transform(regexp_split_to_array(coalesce(text, ''), '\\n\\n+'),"
+        " p -> trim(p)), p -> length(p) > 0)"
+    )
+    return f"""
+WITH l AS ({block(lines, "line")}),
+p AS ({block(paras, "para")})
+SELECT l.doc_id, l.n_lines, l.dup_line_frac, l.dup_line_char_frac,
+       p.n_paras, p.dup_para_frac, p.dup_para_char_frac
+FROM l JOIN p USING (doc_id)
+"""
+
+
+def test_oracle_draft_line_repetition(spark, ddb):
+    from datacatalog_tag_engine_spark.pipeline.text import line_repetition_signals
+
+    got = _rows(line_repetition_signals(spark.table("documents")))
+    rel = ddb.sql(line_repetition_sql())
+    cols = sorted(rel.columns)
+    exp = sorted(
+        tuple(round(v, 6) if isinstance(v, float) else v for v in r)
+        for r in ddb.sql(f"SELECT {', '.join(cols)} FROM rel").fetchall()
+    )
+    got = [tuple(round(v, 6) if isinstance(v, float) else v for v in r) for r in got]
+    assert got == exp and len(got) == 500
+
+
+def test_line_repetition_counts_duplicates_like_the_paper(spark):
+    """Hand-checked fixture: 'a\\na\\nb\\na' has 4 lines, occurrences
+    2 and 4 are duplicates (dup_line_frac 0.5; chars 2/4 of equal-length
+    lines); a blank-only doc measures NULL; paragraph duplicates follow
+    the same earlier-occurrence rule on the \\n\\n split."""
+    from datacatalog_tag_engine_spark.pipeline.text import line_repetition_signals
+
+    rows = [
+        (1, "a\na\nb\na"),
+        (2, "   \n\n  "),
+        (3, "para one\n\npara two\n\npara one"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_repetition_signals(df).collect()}
+    assert out[1]["n_lines"] == 4 and out[1]["dup_line_frac"] == 0.5
+    assert out[1]["dup_line_char_frac"] == 0.5
+    assert out[2]["n_lines"] == 0 and out[2]["dup_line_frac"] is None
+    assert out[2]["dup_line_char_frac"] is None
+    assert out[3]["n_paras"] == 3 and round(out[3]["dup_para_frac"], 4) == 0.3333
+    # duplicate para chars: 'para one' (8) of 24 total trimmed chars
+    assert round(out[3]["dup_para_char_frac"], 4) == round(8 / 24, 4)
