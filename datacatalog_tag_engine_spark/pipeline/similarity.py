@@ -2052,7 +2052,13 @@ def knn_graph(
 
     Mutuality is an edge-grain self-join on the reversed pair — the
     edge list is corpus_rows x k, dimension-thin. Returns (id_col,
-    neighbor_id, cosine, rank, mutual)."""
+    neighbor_id, cosine, rank, mutual).
+
+    Skew lever: sum-of-cell-squares is dominated by the LARGEST cell,
+    so on a lumpy embedding space train balanced centroids
+    (``kmeans_centroids``, passed via ``cents``) or raise
+    ``num_cells`` — ``cell_balance`` (s20) is the diagnostic that says
+    when."""
     ranked = _ranked_cells(corpus, num_cells, id_col, vec_col, cents=cents)
     members = ranked.filter(F.col("_rn") == 1).select(
         F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), "cell"

@@ -1,4 +1,4 @@
-"""Price the r12 draft operators at sf0.1 (single warm pass each) —
+"""Price the r12 draft operators (and the r13 bank) at sf0.1 (single warm pass each) —
 the baseline the r12 rotation will be judged against, and the early
 check that none of the queued operators is a scale-killer before it
 enters the certified inventory. (The r11 queue graduated into the
@@ -162,6 +162,12 @@ def main() -> None:
         "q98_gate_overlap": lambda: TXT.gate_overlap_matrix(docs),
         "s30_knn_graph": lambda: SIM.knn_graph(emb, k=5, num_cells=8),
         "s31_knn_graph_from_index": _s31,
+        # --- r13 bank (built after the r12 window was sized) ---
+        "d22_clusters_star": lambda: DD.neardup_clusters_star(
+            docs, DD.minhash_dedup(docs)
+        ),
+        "t39_line_lang_profile": lambda: TXT.line_language_profile(docs),
+        "t40_line_repetition": lambda: TXT.line_repetition_signals(docs),
     }
     out = {}
     for name, fn in cases.items():
