@@ -117,22 +117,21 @@ def test_curriculum_gate_boundary(spark):
 
 
 def _mg_fold(batches: list[list[str]], budget: int) -> tuple[dict, int]:
-    """Pure-Python model of heavy_hitter_tokens' per-partition fold
-    (the mergeable Misra-Gries reduction, exactly as mapInPandas runs
-    it: exact batch counts merged in, then offset-subtract back to <=
-    budget keys)."""
+    """The per-partition fold exactly as mapInPandas runs it: exact
+    batch counts merged in, then the PRODUCTION reduction
+    (text._mg_reduce — the same single definition the batch pass and
+    the streaming monitor import, so this model checks the shipped
+    arithmetic, not a copy of it)."""
     import collections
+
+    from datacatalog_tag_engine_spark.pipeline.text import _mg_reduce
 
     counters: collections.Counter = collections.Counter()
     total = 0
     for batch in batches:
         total += len(batch)
         counters.update(collections.Counter(batch))
-        if len(counters) > budget:
-            sub = sorted(counters.values(), reverse=True)[budget]
-            counters = collections.Counter(
-                {t: c - sub for t, c in counters.items() if c > sub}
-            )
+        counters = _mg_reduce(counters, budget)
     return dict(counters), total
 
 
