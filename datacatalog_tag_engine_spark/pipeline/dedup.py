@@ -2169,3 +2169,98 @@ def neardup_clusters_star(
     return labels.select(
         id_col, F.coalesce(F.col("_root"), F.col(id_col)).alias("cluster_id")
     )
+
+
+SIGSTORE_META_DIR = "_sigstore_meta"
+
+
+def build_signature_store(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 8,
+) -> int:
+    """Persist the resident corpus's minhash signatures as a
+    maintained ARTIFACT — the dedup family's counterpart of
+    ``build_ivf_index``: build once from the deduped archive, append
+    each day's accepted delta, and every future
+    ``incremental_neardup_from_store`` call joins the delta against
+    signatures instead of re-shingling resident TEXT (the d19 cost
+    model made durable). Layout: (doc_id, sig_0..sig_{n-1}) parquet at
+    ``path`` plus a one-row ``_sigstore_meta`` table pinning
+    (k, num_hashes) — signatures from different shingle/hash
+    parameters are incomparable, so the store records its space and
+    every writer/reader validates against it rather than trusting
+    call-site defaults. Returns the stored row count."""
+    sh = shingle_table(docs, id_col, text_col, k).localCheckpoint(eager=True)
+    sigs = minhash_signatures(sh, num_hashes, id_col)
+    sigs.write.mode("error").parquet(path)
+    free_local_checkpoint(sh)
+    spark = docs.sparkSession
+    spark.createDataFrame(
+        [(int(k), int(num_hashes), id_col)], "k int, num_hashes int, id_col string"
+    ).coalesce(1).write.mode("error").parquet(f"{path}/{SIGSTORE_META_DIR}")
+    return spark.read.parquet(path).count()
+
+
+def _sigstore_meta(spark, path: str) -> dict:
+    row = spark.read.parquet(f"{path}/{SIGSTORE_META_DIR}").collect()[0]
+    return {"k": row["k"], "num_hashes": row["num_hashes"], "id_col": row["id_col"]}
+
+
+def append_to_signature_store(
+    spark,
+    path: str,
+    delta_docs: DataFrame,
+    text_col: str = "text",
+) -> int:
+    """Append the accepted delta's signatures to the store —
+    append-only files, like ``append_to_ivf_index``: existing files
+    never move, concurrent readers see either the old or the new
+    listing, both valid signature sets. Shingle/hash parameters come
+    from the store's meta (never the call site), so an append can
+    never silently mix signature spaces. The q51 delta contract
+    applies: ids must be new (re-crawled identical docs are removed by
+    fingerprint before acceptance). Returns rows appended."""
+    meta = _sigstore_meta(spark, path)
+    sh = shingle_table(
+        delta_docs, meta["id_col"], text_col, meta["k"]
+    ).localCheckpoint(eager=True)
+    sigs = minhash_signatures(sh, meta["num_hashes"], meta["id_col"])
+    n = sigs.count()
+    sigs.write.mode("append").parquet(path)
+    free_local_checkpoint(sh)
+    return n
+
+
+def incremental_neardup_from_store(
+    spark,
+    path: str,
+    delta_docs: DataFrame,
+    text_col: str = "text",
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """``incremental_neardup_pairs`` against a persisted signature
+    store: the daily-dedup call whose cost is shingling the DELTA plus
+    a signature-grain join — resident text volume never appears in the
+    plan. k/num_hashes come from the store's meta; on a store that was
+    built from the resident corpus and appended per-delta, output is
+    identical to computing resident signatures fresh (asserted in
+    tests — the s31 identity discipline applied to the dedup
+    artifact)."""
+    meta = _sigstore_meta(spark, path)
+    resident_sigs = spark.read.parquet(path)
+    return incremental_neardup_pairs(
+        delta_docs,
+        resident_docs=None,
+        id_col=meta["id_col"],
+        text_col=text_col,
+        k=meta["k"],
+        num_hashes=meta["num_hashes"],
+        bands=bands,
+        threshold=threshold,
+        resident_sigs=resident_sigs,
+    )

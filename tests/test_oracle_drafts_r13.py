@@ -33,6 +33,16 @@ verbatim.
   the word/n-gram half; gopher_filter's dup_words proxy can cite this
   as the faithful form at rotation.
 
+- d23_signature_store — the dedup family's persisted artifact
+  (dedup.build_signature_store / append_to_signature_store /
+  incremental_neardup_from_store): build once from the deduped
+  archive, append each accepted delta, serve daily near-dup at
+  signature grain with resident text never re-read. Parameters pinned
+  by a _sigstore_meta table (mixing shingle/hash spaces is the
+  operational hazard). Identity proofs: from_store == fresh resident
+  signatures; build(A)+append(B) == build(A∪B). Oracle at rotation:
+  the d19 string verbatim (identity), the s31 pattern.
+
 ROTATION-TIME CONTRACT IMPROVEMENT (consider when the freeze lifts):
 neardup_clusters' distributed regime currently RAISES past
 max_iterations. With the star path proven identical, the better
@@ -302,3 +312,74 @@ def test_line_repetition_counts_duplicates_like_the_paper(spark):
     assert out[3]["n_paras"] == 3 and round(out[3]["dup_para_frac"], 4) == 0.3333
     # duplicate para chars: 'para one' (8) of 24 total trimmed chars
     assert round(out[3]["dup_para_char_frac"], 4) == round(8 / 24, 4)
+
+
+# --- d23: persisted signature store ---------------------------------------------
+
+
+def test_signature_store_identity_and_append(spark, tmp_path):
+    """The dedup artifact lifecycle, s31-style identity proofs:
+    (a) from_store == computing resident signatures fresh;
+    (b) build(A) + append(B) == build(A ∪ B) — append-only files,
+    parameters pinned by the store meta, not the call site."""
+    from datacatalog_tag_engine_spark.pipeline.dedup import (
+        append_to_signature_store,
+        build_signature_store,
+        incremental_neardup_from_store,
+        incremental_neardup_pairs,
+    )
+
+    docs = spark.table("documents")
+    resident = docs.filter(F.col("doc_id") % 3 != 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 0)
+
+    p = str(tmp_path / "sigstore")
+    n = build_signature_store(resident, p)
+    assert n == resident.count()
+    got = _rows(incremental_neardup_from_store(spark, p, delta))
+    fresh = _rows(incremental_neardup_pairs(delta, resident))
+    assert got == fresh and len(got) > 0
+
+    # append lifecycle: store(A) + append(B) == store(A ∪ B)
+    a = docs.filter(F.col("doc_id") % 3 == 1)
+    b = docs.filter(F.col("doc_id") % 3 == 2)
+    p2 = str(tmp_path / "sigstore_ab")
+    build_signature_store(a, p2)
+    appended = append_to_signature_store(spark, p2, b)
+    assert appended == b.count()
+    p3 = str(tmp_path / "sigstore_union")
+    build_signature_store(a.unionByName(b), p3)
+    assert _rows(incremental_neardup_from_store(spark, p2, delta)) == _rows(
+        incremental_neardup_from_store(spark, p3, delta)
+    )
+
+
+def test_signature_store_pins_its_parameter_space(spark, tmp_path):
+    """A store built at k=4/num_hashes=16 appends and serves in THAT
+    space regardless of caller defaults — the meta is the contract
+    (mixing shingle/hash parameters silently corrupts candidate
+    generation, the hazard the meta exists to remove)."""
+    from datacatalog_tag_engine_spark.pipeline.dedup import (
+        _sigstore_meta,
+        append_to_signature_store,
+        build_signature_store,
+        incremental_neardup_from_store,
+        incremental_neardup_pairs,
+    )
+
+    docs = spark.table("documents")
+    resident = docs.filter(F.col("doc_id") % 2 == 0)
+    delta = docs.filter(F.col("doc_id") % 2 == 1).limit(50)
+    p = str(tmp_path / "sigstore_k4")
+    build_signature_store(resident, p, k=4, num_hashes=16)
+    meta = _sigstore_meta(spark, p)
+    assert meta == {"k": 4, "num_hashes": 16, "id_col": "doc_id"}
+    append_to_signature_store(spark, p, delta.limit(0))  # no-op append, k=4 space
+    got = _rows(incremental_neardup_from_store(spark, p, delta, bands=8))
+    fresh = _rows(
+        incremental_neardup_pairs(delta, resident, k=4, num_hashes=16, bands=8)
+    )
+    assert got == fresh
+    # stored signature width is the meta's, not the default 8
+    cols = spark.read.parquet(p).columns
+    assert sum(c.startswith("sig_") for c in cols) == 16
