@@ -123,6 +123,21 @@ def main() -> None:
             shutil.rmtree(p, ignore_errors=True)
         return spark.range(n)
 
+    def _d23():
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="price_sigstore_")
+        try:
+            p = root + "/store"
+            DD.build_signature_store(docs.filter(F.col("doc_id") % 3 != 0), p)
+            n = DD.incremental_neardup_from_store(
+                spark, p, docs.filter(F.col("doc_id") % 3 == 0)
+            ).count()
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        return spark.range(n)
+
     def _q97():
         from datacatalog_tag_engine_spark.pipeline.profiling import corpus_snapshot_diff
 
@@ -168,6 +183,7 @@ def main() -> None:
         ),
         "t39_line_lang_profile": lambda: TXT.line_language_profile(docs),
         "t40_line_repetition": lambda: TXT.line_repetition_signals(docs),
+        "d23_signature_store": _d23,
     }
     out = {}
     for name, fn in cases.items():
