@@ -43,6 +43,13 @@ verbatim.
   signatures; build(A)+append(B) == build(A∪B). Oracle at rotation:
   the d19 string verbatim (identity), the s31 pattern.
 
+- (rotation note) the streaming heavy-hitter monitor
+  (streaming.quality.heavy_hitter_stream, stream==batch certified in
+  test_streaming.py) can enter a window as a batch-replay query the
+  q75/q78 way: run availableNow over file micro-batches, reduce with
+  heavy_hitter_candidates, recount exactly — oracle is the t37 SQL
+  verbatim.
+
 ROTATION-TIME CONTRACT IMPROVEMENT (consider when the freeze lifts):
 neardup_clusters' distributed regime currently RAISES past
 max_iterations. With the star path proven identical, the better
