@@ -555,3 +555,49 @@ def corpus_snapshot_diff(
             F.sum("_td").cast("long").alias("token_delta"),
         )
     )
+
+
+def score_gate_calibration(
+    docs: DataFrame,
+    n_deciles: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **gopher_kwargs,
+) -> DataFrame:
+    """Calibration table between the CHEAP quality score (t02's
+    quality_scores — one scan projection) and the EXPENSIVE rule gate
+    (t16's gopher_filter): per score decile, how many docs the gate
+    actually keeps. The estimate-cheaply/verify-the-uncertain family's
+    QA closer (d15/d16, t36): if keep_rate is monotone in the decile,
+    the cheap score is a usable pre-filter (route only the uncertain
+    middle deciles through the full gate); if it's flat, the score
+    predicts nothing and a score-ordered curriculum (q90) is ordering
+    on noise.
+
+    Deciles come from ``curriculum_order`` — the certified staging
+    (SQL-standard NTILE over (score desc, id), window form under the
+    2M gate, global_rank above), so the calibration buckets are
+    byte-identical to the buckets training would actually use. One
+    doc-grain join, dimension-grain output (n_deciles rows). Returns
+    (decile, n_docs, n_kept, keep_rate) with keep_rate rounded to 4."""
+    from .sampling import curriculum_order
+    from .text import gopher_filter, quality_scores
+
+    scored = quality_scores(docs, id_col, text_col).select(id_col, "quality_score")
+    staged = curriculum_order(scored, n_stages=n_deciles, id_col=id_col).select(
+        id_col, F.col("stage").alias("decile")
+    )
+    keep = gopher_filter(docs, id_col, text_col, **gopher_kwargs).select(
+        id_col, "keep"
+    )
+    return (
+        staged.join(keep, id_col)
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("keep").cast("int")).cast("long").alias("n_kept"),
+            F.round(F.sum(F.col("keep").cast("int")) / F.count("*"), 4).alias(
+                "keep_rate"
+            ),
+        )
+    )

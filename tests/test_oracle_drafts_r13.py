@@ -43,6 +43,12 @@ verbatim.
   signatures; build(A)+append(B) == build(A∪B). Oracle at rotation:
   the d19 string verbatim (identity), the s31 pattern.
 
+- q100_score_gate_calibration — per-score-decile keep rate of the
+  Gopher gate (profiling.score_gate_calibration): the cheap-score vs
+  expensive-gate calibration table, deciles from curriculum_order's
+  certified staging, oracle nests the wired t02 + t16 strings (the
+  d17 two-CTE pattern). Dimension-grain output; one doc-grain join.
+
 - (rotation note) the streaming heavy-hitter monitor
   (streaming.quality.heavy_hitter_stream, stream==batch certified in
   test_streaming.py) can enter a window as a batch-replay query the
@@ -390,3 +396,55 @@ def test_signature_store_pins_its_parameter_space(spark, tmp_path):
     # stored signature width is the meta's, not the default 8
     cols = spark.read.parquet(p).columns
     assert sum(c.startswith("sig_") for c in cols) == 16
+
+
+# --- q100: score/gate calibration ------------------------------------------------
+
+
+def score_gate_calibration_sql(t02_sql: str, t16_sql: str, n: int = 10) -> str:
+    """Nests BOTH wired strings (t02 for the score, t16 for the keep)
+    — the d17 two-CTE pattern; decile = SQL-standard NTILE over
+    (quality_score desc, doc_id), exactly curriculum_order's staging."""
+    return f"""
+WITH t02 AS ({t02_sql}),
+t16 AS ({t16_sql}),
+staged AS (
+  SELECT doc_id, ntile({n}) OVER (ORDER BY quality_score DESC, doc_id) AS decile
+  FROM t02)
+SELECT s.decile, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN t16.keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       round(sum(CASE WHEN t16.keep THEN 1 ELSE 0 END) / count(*), 4) AS keep_rate
+FROM staged s JOIN t16 USING (doc_id)
+GROUP BY s.decile
+"""
+
+
+def test_oracle_draft_score_gate_calibration(spark, ddb):
+    from datacatalog_tag_engine_spark.pipeline.profiling import score_gate_calibration
+
+    got = _rows(score_gate_calibration(spark.table("documents")))
+    o = E.oracle_sql()
+    rel = ddb.sql(score_gate_calibration_sql(o["t02_quality"], o["t16_gopher_filter"]))
+    cols = sorted(rel.columns)
+    exp = sorted(
+        tuple(round(v, 6) if isinstance(v, float) else v for v in r)
+        for r in ddb.sql(f"SELECT {', '.join(cols)} FROM rel").fetchall()
+    )
+    got = [tuple(round(v, 6) if isinstance(v, float) else v for v in r) for r in got]
+    assert got == exp and len(got) == 10
+
+
+def test_score_gate_calibration_accounts_every_doc(spark):
+    """Decile populations follow the NTILE distribution exactly and
+    sum to the corpus; keep counts never exceed their decile."""
+    from datacatalog_tag_engine_spark.pipeline.profiling import score_gate_calibration
+
+    rows = score_gate_calibration(spark.table("documents")).collect()
+    n = spark.table("documents").count()
+    assert sum(r["n_docs"] for r in rows) == n
+    q, rem = divmod(n, 10)
+    sizes = sorted((r["n_docs"] for r in rows), reverse=True)
+    assert sizes == [q + 1] * rem + [q] * (10 - rem)
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        assert r["keep_rate"] == round(r["n_kept"] / r["n_docs"], 4)

@@ -184,6 +184,10 @@ def main() -> None:
         "t39_line_lang_profile": lambda: TXT.line_language_profile(docs),
         "t40_line_repetition": lambda: TXT.line_repetition_signals(docs),
         "d23_signature_store": _d23,
+        "q100_score_gate_calibration": lambda: __import__(
+            "datacatalog_tag_engine_spark.pipeline.profiling",
+            fromlist=["score_gate_calibration"],
+        ).score_gate_calibration(docs),
     }
     out = {}
     for name, fn in cases.items():
