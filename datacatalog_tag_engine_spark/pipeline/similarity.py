@@ -2159,3 +2159,39 @@ def knn_graph_from_index(
             .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "cell")
         )
     return _knn_edges(probes, members, k, id_col)
+
+
+def mutual_knn_clusters(
+    corpus: DataFrame,
+    k: int = 5,
+    num_cells: int = 8,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-shaped semantic clustering: connected components over
+    the MUTUAL edges of the k-NN graph — two vectors cluster together
+    only when each ranks the other in its own top-k, the symmetric
+    evidence that one-directional nearest-ness (a hub vector in
+    everyone's top-k) lacks. The composition d07's dominance rule
+    approximates from one side; this is the graph-exact form:
+    ``knn_graph`` (cell-partitioned, never broadcast-the-corpus) →
+    mutual-edge filter (edge-grain) → star-contraction components
+    (O(log n) rounds, ``dedup.neardup_clusters_star``). Every vector
+    gets ``cluster_id`` = the smallest mutually-reachable vec id;
+    singletons label themselves. Returns (id_col, cluster_id)."""
+    from datacatalog_tag_engine_spark.pipeline.dedup import neardup_clusters_star
+
+    g = knn_graph(
+        corpus, k=k, num_cells=num_cells, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col, cents=cents,
+    )
+    mutual = (
+        g.filter(F.col("mutual"))
+        .filter(F.col(id_col) < F.col("neighbor_id"))
+        .select(F.col(id_col).alias("doc_a"), F.col("neighbor_id").alias("doc_b"))
+    )
+    ids = corpus.select(F.col(id_col).alias("doc_id"))
+    labels = neardup_clusters_star(ids, mutual)
+    return labels.select(F.col("doc_id").alias(id_col), "cluster_id")

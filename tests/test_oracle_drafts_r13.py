@@ -49,6 +49,14 @@ verbatim.
   certified staging, oracle nests the wired t02 + t16 strings (the
   d17 two-CTE pattern). Dimension-grain output; one doc-grain join.
 
+- s32_mutual_knn_clusters — SemDeDup-shaped semantic clustering
+  (similarity.mutual_knn_clusters): connected components over the
+  MUTUAL edges of the k-NN graph (symmetric evidence — a hub vector
+  in everyone's top-k cannot glue clusters one-directionally),
+  composed from s30's graph and d22's star contraction. Oracle: the
+  s30 edge derivation + the q34 recursive-reach pattern over mutual
+  edges.
+
 - (rotation note) the streaming heavy-hitter monitor
   (streaming.quality.heavy_hitter_stream, stream==batch certified in
   test_streaming.py) can enter a window as a batch-replay query the
@@ -448,3 +456,85 @@ def test_score_gate_calibration_accounts_every_doc(spark):
     for r in rows:
         assert 0 <= r["n_kept"] <= r["n_docs"]
         assert r["keep_rate"] == round(r["n_kept"] / r["n_docs"], 4)
+
+
+# --- s32: mutual-kNN semantic clusters -------------------------------------------
+
+
+def mutual_knn_clusters_sql(k: int = 5, num_cells: int = 8) -> str:
+    """The s30 edge derivation + a recursive reach over MUTUAL edges —
+    the q34 cluster-CTE pattern applied to the semantic graph."""
+    return f"""
+WITH RECURSIVE
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cent_v FROM e ORDER BY vec_id LIMIT {num_cells}),
+assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round(list_cosine_similarity(e.v, c.cent_v), 6) DESC, c.cell) AS rn
+    FROM e CROSS JOIN cents c) WHERE rn = 1),
+scored AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.v, a.v), 4) AS cosine
+  FROM assign q JOIN assign a ON q.cell = a.cell AND q.vec_id <> a.vec_id),
+edges AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored) WHERE rank <= {k}),
+mutual AS (
+  SELECT e.query_id AS da, e.neighbor_id AS db
+  FROM edges e JOIN edges r
+    ON r.query_id = e.neighbor_id AND r.neighbor_id = e.query_id
+  WHERE e.query_id < e.neighbor_id),
+medges AS (SELECT da AS src, dst FROM (SELECT da, db AS dst FROM mutual)
+           UNION SELECT db, da FROM mutual),
+reach(src, dst) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT r.src, m.dst FROM reach r JOIN medges m ON r.dst = m.src),
+clusters AS (SELECT src AS vec_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT vec_id, cluster_id FROM clusters
+"""
+
+
+def test_oracle_draft_mutual_knn_clusters(spark, ddb):
+    from datacatalog_tag_engine_spark.pipeline.similarity import mutual_knn_clusters
+
+    con = ddb
+    con.execute(
+        f"CREATE VIEW IF NOT EXISTS embeddings AS SELECT * FROM '{SF}/embeddings.parquet'"
+    )
+    got = _rows(mutual_knn_clusters(spark.table("embeddings"), k=5, num_cells=8))
+    rel = con.sql(mutual_knn_clusters_sql(5, 8))
+    cols = sorted(rel.columns)
+    exp = sorted(tuple(r) for r in con.sql(f"SELECT {', '.join(cols)} FROM rel").fetchall())
+    assert got == exp and len(got) == 500
+
+
+def test_mutual_knn_clusters_respect_the_graph(spark):
+    """Structural invariants on the real table: every mutual edge's
+    endpoints share a cluster; every non-singleton cluster is labeled
+    by its own minimum; a cluster id is always a member id."""
+    from datacatalog_tag_engine_spark.pipeline.similarity import (
+        knn_graph,
+        mutual_knn_clusters,
+    )
+
+    emb = spark.table("embeddings")
+    labels = {r["vec_id"]: r["cluster_id"] for r in mutual_knn_clusters(emb).collect()}
+    g = knn_graph(emb, k=5, num_cells=8)
+    mutual_pairs = [
+        (r["vec_id"], r["neighbor_id"]) for r in g.filter("mutual").collect()
+    ]
+    assert mutual_pairs
+    for a, b in mutual_pairs:
+        assert labels[a] == labels[b], (a, b)
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for v, c in labels.items():
+        members[c].append(v)
+    for c, vs in members.items():
+        assert c == min(vs)
