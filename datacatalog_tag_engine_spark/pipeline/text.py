@@ -2295,3 +2295,112 @@ def line_repetition_signals(
     return docs.select(
         id_col, *signals(lines, "line"), *signals(paras, "para")
     )
+
+
+def ngram_coverage_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """The n-gram half of Gopher's repetition block at CHARACTER grain
+    (Rae et al., arXiv:2112.11446 Table A1) — completes the family:
+    t11 word-grain, t40 line/paragraph-grain, this the
+    fraction-of-characters forms the paper actually thresholds:
+
+    * ``top_{n}_gram_char_frac`` (n in top_ns) — characters COVERED by
+      occurrences of the most frequent word n-gram / all word
+      characters (thresholds 0.20/0.18/0.16 at n=2/3/4). Ties break
+      to the lexicographically smallest gram — deterministic in any
+      engine. Positional coverage, so overlapping occurrences of a
+      self-repeating gram count each word once and the fraction stays
+      <= 1 (the count x length shortcut overshoots exactly there).
+    * ``dup_{n}_gram_char_frac`` (n in dup_ns) — characters COVERED by
+      any occurrence of any n-gram appearing >= 2 times / all word
+      characters (thresholds 0.15..0.10 at n=5..10).
+
+    A feature is NULL when the doc has fewer than n words (not
+    measurable — the t40/gopher_filter convention).
+
+    Implementation note — this is a DELIBERATE Arrow/pandas path, not
+    an expression: the coverage mask is inherently positional, and
+    nesting it in higher-order functions re-evaluates every referenced
+    sub-expression per element (Spark's interpreted HOF path has no
+    common-subexpression elimination), which measured out at
+    effectively O(W^3) per document. The per-doc Python is LINEAR
+    (dict counts + one sliding window per n), Arrow-batched, and the
+    operator stays a pure scan projection at 100 TB — embarrassingly
+    parallel, no shuffle, no state. The DuckDB oracle replays the same
+    definitions relationally (set-based coverage join)."""
+    import re
+
+    import pandas as pd
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    ws = re.compile(r"\s+", re.ASCII)  # Java/RE2 \s is ASCII-only
+
+    feat_names = [f"top_{n}_gram_char_frac" for n in top_ns] + [
+        f"dup_{n}_gram_char_frac" for n in dup_ns
+    ]
+    id_type = docs.schema[id_col].dataType.simpleString()
+    schema = ", ".join([f"{id_col} {id_type}"] + [f"{f} double" for f in feat_names])
+
+    def rnd(x: float) -> float:
+        # HALF_UP on the shortest decimal repr — BigDecimal.valueOf
+        # semantics, what F.round and DuckDB round() do on doubles
+        return float(Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+    def doc_features(text) -> list:
+        words = [w for w in ws.split((text or "").lower()) if w]
+        n_words = len(words)
+        wlens = [len(w) for w in words]
+        char_total = sum(wlens)
+        out = []
+
+        def coverage(starts: list, n: int) -> float:
+            covered = 0
+            nxt = 0  # first uncovered word index
+            for i in starts:  # starts ascending
+                lo = max(i, nxt)
+                hi = i + n  # exclusive
+                if hi > lo:
+                    covered += sum(wlens[lo:hi])
+                    nxt = hi
+            return rnd(covered / char_total)
+
+        for n in top_ns:
+            if n_words < n or char_total == 0:
+                out.append(None)
+                continue
+            grams = [" ".join(words[i : i + n]) for i in range(n_words - n + 1)]
+            counts: dict = {}
+            for g in grams:
+                counts[g] = counts.get(g, 0) + 1
+            # modal gram; ties -> the lexicographically smallest
+            best_count = max(counts.values())
+            best_gram = min(g for g, c in counts.items() if c == best_count)
+            starts = [i for i, g in enumerate(grams) if g == best_gram]
+            out.append(coverage(starts, n))
+        for n in dup_ns:
+            if n_words < n or char_total == 0:
+                out.append(None)
+                continue
+            grams = [" ".join(words[i : i + n]) for i in range(n_words - n + 1)]
+            counts = {}
+            for g in grams:
+                counts[g] = counts.get(g, 0) + 1
+            starts = [i for i, g in enumerate(grams) if counts[g] >= 2]
+            out.append(coverage(starts, n))
+        return out
+
+    def compute(batches):
+        for pdf in batches:
+            feats = [doc_features(t) for t in pdf[text_col]]
+            data = {id_col: pdf[id_col].values}
+            for col_idx, name in enumerate(feat_names):
+                data[name] = [f[col_idx] for f in feats]
+            yield pd.DataFrame(data)
+
+    return docs.select(id_col, text_col).mapInPandas(compute, schema=schema)

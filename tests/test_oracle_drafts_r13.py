@@ -57,6 +57,17 @@ verbatim.
   s30 edge derivation + the q34 recursive-reach pattern over mutual
   edges.
 
+- t41_ngram_coverage — the n-gram half of Gopher's repetition block
+  at character grain (text.ngram_coverage_signals): top-{2,3,4}-gram
+  and dup-{5..10}-gram character-coverage fractions, positional (the
+  count x length shortcut overshoots on self-repeating grams). A
+  deliberate Arrow/mapInPandas path: the coverage mask is positional
+  and nesting it in higher-order functions re-evaluated
+  sub-expressions per element (no CSE on Spark's interpreted HOF
+  path — measured as an effective hang); the per-doc Python is
+  LINEAR and the op stays a shuffle-free scan projection. Oracle:
+  relational replay with a set-based coverage join.
+
 - (rotation note) the streaming heavy-hitter monitor
   (streaming.quality.heavy_hitter_stream, stream==batch certified in
   test_streaming.py) can enter a window as a batch-replay query the
@@ -538,3 +549,131 @@ def test_mutual_knn_clusters_respect_the_graph(spark):
         members[c].append(v)
     for c, vs in members.items():
         assert c == min(vs)
+
+
+# --- t41: n-gram character-coverage signals --------------------------------------
+
+
+def ngram_coverage_sql(top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10)) -> str:
+    """Relational replay of the coverage masks: per n, gram starts
+    with 1-based positions, duplicate grams from counts >= 2 (or the
+    modal gram by (count desc, gram asc) for the top form), then
+    set-based coverage — each flagged start expands to its covered
+    word positions and joins the word lengths."""
+    ctes = [
+        r"""base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+                     x -> length(x) > 0) AS words
+  FROM documents)""",
+        """w AS (
+  SELECT doc_id, words, len(words) AS nw,
+         coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS ct
+  FROM base)""",
+        """wpos AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(words) + 1),
+                 j -> {'j': j, 'wlen': length(words[j])}), recursive := true) AS _s
+  FROM base WHERE len(words) > 0)""",
+    ]
+    sel = ["w.doc_id"]
+    joins = []
+
+    def gram_ctes(n: int, kind: str) -> None:
+        tag = f"{kind}{n}"
+        ctes.append(
+            f"""g{tag} AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(words) - {n - 2}),
+                 i -> {{'i': i, 'gram': array_to_string(words[i:i+{n - 1}], ' ')}}),
+                 recursive := true) AS _s
+  FROM base WHERE len(words) >= {n})"""
+        )
+        ctes.append(
+            f"""c{tag} AS (SELECT doc_id, gram, count(*) AS c FROM g{tag} GROUP BY 1, 2)"""
+        )
+        if kind == "top":
+            ctes.append(
+                f"""m{tag} AS (
+  SELECT doc_id, gram FROM (
+    SELECT doc_id, gram, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rn
+    FROM c{tag}) WHERE rn = 1)"""
+            )
+            flag_src = f"m{tag}"
+        else:
+            ctes.append(
+                f"""m{tag} AS (SELECT doc_id, gram FROM c{tag} WHERE c >= 2)"""
+            )
+            flag_src = f"m{tag}"
+        ctes.append(
+            f"""f{tag} AS (SELECT g.doc_id, g.i FROM g{tag} g JOIN {flag_src} USING (doc_id, gram))"""
+        )
+        # set-based coverage: expand each flagged start i to its covered
+        # word positions i..i+n-1, dedup, join word lengths (a
+        # correlated EXISTS per word was quadratic for DuckDB here)
+        ctes.append(
+            f"""cov{tag} AS (
+  SELECT DISTINCT doc_id, unnest(range(i, i + {n})) AS j FROM f{tag})"""
+        )
+        ctes.append(
+            f"""v{tag} AS (
+  SELECT wp.doc_id, sum(wp.wlen) AS cchars
+  FROM wpos wp JOIN cov{tag} c ON c.doc_id = wp.doc_id AND c.j = wp.j
+  GROUP BY 1)"""
+        )
+        col = f"{'top' if kind == 'top' else 'dup'}_{n}_gram_char_frac"
+        sel.append(
+            f"CASE WHEN w.nw >= {n} AND w.ct > 0 "
+            f"THEN round(coalesce(v{tag}.cchars, 0) / w.ct, 4) END AS {col}"
+        )
+        joins.append(f"LEFT JOIN v{tag} ON v{tag}.doc_id = w.doc_id")
+
+    for n in top_ns:
+        gram_ctes(n, "top")
+    for n in dup_ns:
+        gram_ctes(n, "dup")
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT " + ",\n       ".join(sel)
+        + "\nFROM w " + " ".join(joins)
+    )
+
+
+def test_oracle_draft_ngram_coverage(spark, ddb):
+    from datacatalog_tag_engine_spark.pipeline.text import ngram_coverage_signals
+
+    got = _rows(ngram_coverage_signals(spark.table("documents")))
+    rel = ddb.sql(ngram_coverage_sql())
+    cols = sorted(rel.columns)
+    exp = sorted(
+        tuple(round(v, 6) if isinstance(v, float) else v for v in r)
+        for r in ddb.sql(f"SELECT {', '.join(cols)} FROM rel").fetchall()
+    )
+    got = [tuple(round(v, 6) if isinstance(v, float) else v for v in r) for r in got]
+    assert got == exp and len(got) == 500
+
+
+def test_ngram_coverage_hand_fixtures(spark):
+    """Hand-checked Gopher semantics: overlapping occurrences of a
+    self-repeating gram cover each word once (fraction <= 1 always);
+    the duplicate mask covers the union of duplicate occurrences;
+    short docs are NULL (not measurable)."""
+    from datacatalog_tag_engine_spark.pipeline.text import ngram_coverage_signals
+
+    rows = [
+        (1, "x y z x y z x y z q r s"),
+        (2, " ".join(["w"] * 12)),
+        (3, "one two"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in ngram_coverage_signals(df).collect()}
+    # doc 1: 'x y' starts at 1,4,7 covering words 1-2,4-5,7-8 -> 6/12
+    assert out[1]["top_2_gram_char_frac"] == 0.5
+    # dup 5-grams start at 1&4 and 2&5 -> words 1..9 covered -> 9/12
+    assert out[1]["dup_5_gram_char_frac"] == 0.75
+    assert out[1]["dup_7_gram_char_frac"] == 0.0
+    # doc 2: every fraction exactly 1.0 (coverage, not count x length)
+    for c in out[2].asDict():
+        if c != "doc_id":
+            assert out[2][c] == 1.0, c
+    # doc 3: one bigram -> top_2 = 1.0; everything longer unmeasurable
+    assert out[3]["top_2_gram_char_frac"] == 1.0
+    assert out[3]["top_3_gram_char_frac"] is None
+    assert out[3]["dup_5_gram_char_frac"] is None

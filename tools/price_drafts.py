@@ -183,6 +183,7 @@ def main() -> None:
         ),
         "t39_line_lang_profile": lambda: TXT.line_language_profile(docs),
         "t40_line_repetition": lambda: TXT.line_repetition_signals(docs),
+        "t41_ngram_coverage": lambda: TXT.ngram_coverage_signals(docs),
         "d23_signature_store": _d23,
         "s32_mutual_knn_clusters": lambda: SIM.mutual_knn_clusters(
             emb, k=5, num_cells=8
