@@ -2215,6 +2215,7 @@ def append_to_signature_store(
     path: str,
     delta_docs: DataFrame,
     text_col: str = "text",
+    skip_existing: bool = True,
 ) -> int:
     """Append the accepted delta's signatures to the store —
     append-only files, like ``append_to_ivf_index``: existing files
@@ -2222,15 +2223,29 @@ def append_to_signature_store(
     listing, both valid signature sets. Shingle/hash parameters come
     from the store's meta (never the call site), so an append can
     never silently mix signature spaces. The q51 delta contract
-    applies: ids must be new (re-crawled identical docs are removed by
-    fingerprint before acceptance). Returns rows appended."""
+    applies: ids should be new (re-crawled identical docs are removed
+    by fingerprint before acceptance).
+
+    ``skip_existing`` (default on) anti-joins the delta against the
+    store's resident ids first — an id-grain scan of the store, paid
+    so a RETRIED append (the crash-after-partial-write recovery path:
+    parquet appends are atomic per file, not per job, so a torn
+    append leaves some delta files present) is idempotent instead of
+    planting duplicate signatures that would emit duplicate candidate
+    pairs downstream. Turn it off only when the caller already proved
+    id-novelty. Returns rows appended (after the skip)."""
     meta = _sigstore_meta(spark, path)
+    delta = delta_docs
+    if skip_existing:
+        resident_ids = spark.read.parquet(path).select(meta["id_col"])
+        delta = delta_docs.join(resident_ids, meta["id_col"], "left_anti")
     sh = shingle_table(
-        delta_docs, meta["id_col"], text_col, meta["k"]
+        delta, meta["id_col"], text_col, meta["k"]
     ).localCheckpoint(eager=True)
     sigs = minhash_signatures(sh, meta["num_hashes"], meta["id_col"])
     n = sigs.count()
-    sigs.write.mode("append").parquet(path)
+    if n:
+        sigs.write.mode("append").parquet(path)
     free_local_checkpoint(sh)
     return n
 

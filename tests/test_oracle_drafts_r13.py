@@ -677,3 +677,35 @@ def test_ngram_coverage_hand_fixtures(spark):
     assert out[3]["top_2_gram_char_frac"] == 1.0
     assert out[3]["top_3_gram_char_frac"] is None
     assert out[3]["dup_5_gram_char_frac"] is None
+
+
+def test_signature_store_append_is_idempotent(spark, tmp_path):
+    """The torn-append recovery path: re-running an append (same
+    delta) is a no-op with skip_existing on — the store stays
+    duplicate-free and from_store output is unchanged; with the guard
+    off the second append DOES plant duplicates (pinning why the
+    default is on)."""
+    from datacatalog_tag_engine_spark.pipeline.dedup import (
+        append_to_signature_store,
+        build_signature_store,
+        incremental_neardup_from_store,
+    )
+
+    docs = spark.table("documents")
+    a = docs.filter(F.col("doc_id") % 3 == 1)
+    b = docs.filter(F.col("doc_id") % 3 == 2)
+    delta = docs.filter(F.col("doc_id") % 3 == 0)
+    p = str(tmp_path / "sig_idem")
+    build_signature_store(a, p)
+    n1 = append_to_signature_store(spark, p, b)
+    assert n1 == b.count()
+    before = _rows(incremental_neardup_from_store(spark, p, delta))
+    n2 = append_to_signature_store(spark, p, b)  # the retry
+    assert n2 == 0
+    assert spark.read.parquet(p).count() == a.count() + b.count()
+    assert _rows(incremental_neardup_from_store(spark, p, delta)) == before
+    # guard off: duplicates land (the hazard the default prevents)
+    n3 = append_to_signature_store(spark, p, b.limit(5), skip_existing=False)
+    assert n3 == 5
+    ids = spark.read.parquet(p).groupBy("doc_id").count()
+    assert ids.filter("count > 1").count() == 5
