@@ -20,6 +20,10 @@ Stages (each prints its accounting):
                       source, the pre-tokenizer check (t30)
 5. semantic structure knn_graph — mutual-kNN edge stats per cell,
                       the SemDeDup precursor (s30)
+6. score calibration  score_gate_calibration — does the cheap t02
+                      score predict the expensive gate? (q100)
+7. language mixing    line_language_profile — docs whose single
+                      label is the wrong shape (t39)
 
 Run: python examples/corpus_qa.py
 """
@@ -33,12 +37,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from datacatalog_tag_engine_spark.pipeline.profiling import corpus_snapshot_diff
+from datacatalog_tag_engine_spark.pipeline.profiling import (
+    corpus_snapshot_diff,
+    score_gate_calibration,
+)
 from datacatalog_tag_engine_spark.pipeline.similarity import knn_graph
 from datacatalog_tag_engine_spark.pipeline.text import (
     char_coverage,
     gate_overlap_matrix,
     heavy_hitter_tokens,
+    line_language_profile,
 )
 from datacatalog_tag_engine_spark.session import get_spark, register_testdata
 
@@ -90,6 +98,23 @@ def main() -> None:
     )
     print("== 5. kNN-graph structure")
     stats.show(truncate=False)
+
+    # 6. cheap-score vs expensive-gate calibration: monotone keep_rate
+    # means the score can pre-filter; flat means it predicts nothing
+    cal = score_gate_calibration(docs).orderBy("decile")
+    print("== 6. quality-score decile vs Gopher keep rate")
+    cal.show(10, truncate=False)
+
+    # 7. within-doc language mixing: a mixed doc's single label is
+    # the wrong shape — route to segmentation before tokenizer work
+    mix = line_language_profile(docs)
+    summary = mix.agg(
+        F.count("*").alias("docs"),
+        F.sum(F.col("is_mixed").cast("int")).alias("mixed_docs"),
+        F.sum((F.col("n_langs") == 0).cast("int")).alias("unlabeled"),
+    )
+    print("== 7. language-mixing profile")
+    summary.show(truncate=False)
 
     spark.stop()
 
