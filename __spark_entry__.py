@@ -2145,54 +2145,311 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q85_session_funnel_state"] = q85
 
+    # --- round-12 rotation entries (proven as DuckDB drafts in
+    # tests/test_oracle_drafts_r12.py during round 11) ---
+
+    def q86(spark, sf):
+        # shard-manifest consolidation planner: cumsum repacking of the
+        # small-shard tail that trickle appends (q84) and retraction
+        # rewrites (q79) accumulate under range sharding; shard-grain in
+        # and out, locality-preserving (only neighbors merge)
+        from datacatalog_tag_engine_spark.pipeline.export import (
+            range_shard_assignments,
+            resharding_plan,
+        )
+
+        docs = _docs(spark, sf)
+        manifest = (
+            range_shard_assignments(docs, 100)
+            .groupBy("shard")
+            .agg(F.count("*").alias("n_docs"))
+        )
+        return resharding_plan(manifest, 500)
+
+    q["q86_resharding_plan"] = q86
+
+    # the LSH S-curve table — the inspectable form of the grid
+    # tune_lsh_params optimizes, as a driver row (dyadic lattice, no
+    # libm pow drift between engines)
+    q["d18_lsh_parameter_table"] = lambda spark, sf: DD.lsh_parameter_table(spark)
+
+    # per-source code-vs-prose routing profile: the pre-mixture
+    # classifier that keeps prose gates (t16) from deleting good code
+    q["t34_code_prose_profile"] = lambda spark, sf: TXT.code_prose_profile(
+        _docs(spark, sf)
+    )
+
+    # per-source near-dup mass through the certified q34 cluster chain:
+    # q72 says which sources the QUALITY gate decimates, this says
+    # which sources are mostly COPIES
+    q["q88_source_dup_rate"] = lambda spark, sf: DD.source_dup_rate(_docs(spark, sf))
+
+    def d19(spark, sf):
+        # daily-batch near-dup against a resident corpus at SIGNATURE
+        # grain: the bucket join is delta x both-sides, so the resident
+        # x resident quadrant is never generated (the 100 TB daily
+        # shape; resident signatures can be a persisted artifact)
+        docs = _docs(spark, sf)
+        return DD.incremental_neardup_pairs(
+            docs.filter(F.col("doc_id") % 3 == 0),
+            docs.filter(F.col("doc_id") % 3 != 0),
+        )
+
+    q["d19_incremental_neardup"] = d19
+
+    # per-cell drift between the stored centroid and the CURRENT cell
+    # mean — the retrain trigger for the frozen-quantizer lifecycle
+    q["s28_quantizer_drift"] = lambda spark, sf: SIM.quantizer_drift(_emb(spark, sf))
+
+    def s29(spark, sf):
+        # the s28 drift read off a PERSISTED index's stored cells +
+        # stored centroids (the maintenance loop's actual watch number);
+        # reuses the session-cached pristine IVF index (s09's artifact)
+        emb = _emb(spark, sf)
+        path = _cached_index(
+            "ivf", sf, lambda p: SIM.build_ivf_index(emb, p, num_cells=8)
+        )
+        return SIM.quantizer_drift_from_index(spark, path)
+
+    q["s29_quantizer_drift_from_index"] = s29
+
+    def q90(spark, sf):
+        # deterministic quality-curriculum ordering: ntile stages over
+        # (score desc, id) + the md5 within-stage shuffle; above the
+        # window_max row threshold the staging runs on global_rank
+        # (range partition + offsets), bit-identical, no single-task
+        # window
+        scores = TXT.quality_scores(_docs(spark, sf)).select(
+            "doc_id", "quality_score"
+        )
+        return SAMP.curriculum_order(scores)
+
+    q["q90_curriculum_order"] = q90
+
+    def q91(spark, sf):
+        # per-(stage, source) composition of the curriculum plan — the
+        # QA check that a quality curriculum has not silently become a
+        # DOMAIN curriculum
+        docs = _docs(spark, sf)
+        scores = TXT.quality_scores(docs).select("doc_id", "quality_score")
+        return SAMP.stage_mixture(SAMP.curriculum_order(scores), docs)
+
+    q["q91_stage_mixture"] = q91
+
+    def m06(spark, sf):
+        # per-kind payload-size envelope over the m01 feature rows
+        from datacatalog_tag_engine_spark.pipeline import multimodal as MM
+
+        return MM.payload_size_profile(
+            MM.extract_features(MM.make_fake_media(spark, n=16))
+        )
+
+    q["m06_payload_size_profile"] = m06
+
+    # document-frequency histogram of the shingle vocabulary on
+    # power-of-two buckets — the evidence surface behind max_df
+    q["d20_shingle_df_profile"] = lambda spark, sf: DD.shingle_df_profile(
+        _docs(spark, sf)
+    )
+
+    def q93(spark, sf):
+        # the decontamination-threshold decision table over the
+        # certified t10 surface (same % 20 eval split as the wired t10)
+        docs = _docs(spark, sf)
+        conta = TXT.contamination_check(
+            docs.filter(F.col("doc_id") % 20 != 0),
+            docs.filter(F.col("doc_id") % 20 == 0),
+            n=5,
+        )
+        return TXT.contamination_profile(conta)
+
+    q["q93_contamination_profile"] = q93
+
+    # confidence surface for the t03 heuristic: integer best/second
+    # marker scores + margin — the routing table for a two-tier
+    # language pipeline
+    q["t36_langid_margin"] = lambda spark, sf: TXT.language_id_margin(
+        _docs(spark, sf)
+    )
+
+    def q94(spark, sf):
+        # shard-export integrity check: recount the disk contents of a
+        # write_training_shards directory against its own manifest
+        # (footer-grain for parquet). The export is built once per
+        # session (_cached_index); a fresh export verifies clean by
+        # construction — the identity oracle
+        from datacatalog_tag_engine_spark.pipeline.export import (
+            verify_training_shards,
+            write_training_shards,
+        )
+
+        docs = _docs(spark, sf).select("doc_id", "text")
+        path = _cached_index(
+            "export_verify",
+            sf,
+            lambda p: write_training_shards(docs, p, 8),
+        )
+        return verify_training_shards(spark, path)
+
+    q["q94_verify_shards"] = q94
+
+    def q95(spark, sf):
+        # the FIX for the skew q91 flags: quality re-expressed as each
+        # doc's within-source quantile, so every source contributes its
+        # best docs to stage 1 (source-partitioned windows throughout)
+        docs = _docs(spark, sf)
+        scored = (
+            TXT.quality_scores(docs)
+            .select("doc_id", "quality_score")
+            .join(docs.select("doc_id", "source"), "doc_id")
+        )
+        return SAMP.curriculum_order(SAMP.source_relative_scores(scored))
+
+    q["q95_source_relative_curriculum"] = q95
+
+    # EXACT heavy hitters without a vocabulary-grain shuffle:
+    # per-partition Misra-Gries candidate pass + exact recount of the
+    # bounded candidate set (the scale form of the t05/t32 family)
+    q["t37_heavy_hitters"] = lambda spark, sf: TXT.heavy_hitter_tokens(
+        _docs(spark, sf), k=100
+    )
+
+    def q97(spark, sf):
+        # per-source diff of two corpus snapshots from ONE full-outer
+        # join over scan-projection fingerprints — the daily-refresh
+        # sanity gate before q79/q80/q84 commit to rewriting anything
+        from datacatalog_tag_engine_spark.pipeline.profiling import (
+            corpus_snapshot_diff,
+        )
+
+        docs = _docs(spark, sf)
+        old = docs.filter(F.col("doc_id") % 17 != 0)
+        new = docs.filter(F.col("doc_id") % 13 != 0).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+        )
+        return corpus_snapshot_diff(old, new)
+
+    q["q97_snapshot_diff"] = q97
+
+    # pairwise co-fire matrix of the Gopher gates (incl. the solo
+    # diagonal) — the gate-redundancy diagnosis q72's drift can't see
+    q["q98_gate_overlap"] = lambda spark, sf: TXT.gate_overlap_matrix(
+        _docs(spark, sf)
+    )
+
+    # cell-restricted k-NN graph + mutuality flag (the SemDeDup
+    # building block): joins probe rows to cell members WITHOUT
+    # broadcasting — the query side IS the corpus
+    q["s30_knn_graph"] = lambda spark, sf: SIM.knn_graph(
+        _emb(spark, sf), k=5, num_cells=8
+    )
+
+    def s31(spark, sf):
+        # the s30 graph read off the PERSISTED index's stored cells: no
+        # re-assignment, so lifecycle ops touching cells {c...} change
+        # only those cells' edges — nightly graph refreshes are
+        # delta-priced like the rest of the lifecycle
+        emb = _emb(spark, sf)
+        path = _cached_index(
+            "ivf", sf, lambda p: SIM.build_ivf_index(emb, p, num_cells=8)
+        )
+        return SIM.knn_graph_from_index(spark, path, k=5)
+
+    q["s31_knn_graph_from_index"] = s31
+
+    def q99(spark, sf):
+        # the streaming heavy-hitter monitor's batch replay (the
+        # q85/q78 pattern): per-bucket MG state grain -> candidate
+        # reduce -> exact recount, the full monitor loop in one batch
+        # job — reproduces t37 (and its oracle) exactly; the stream's
+        # own emissions are tied to the same loop by the stream==batch
+        # pytest parity
+        from datacatalog_tag_engine_spark.streaming.quality import (
+            heavy_hitter_replay,
+        )
+
+        return heavy_hitter_replay(_docs(spark, sf), k=100)
+
+    q["q99_heavy_hitter_state"] = q99
+
+    def d23(spark, sf):
+        # daily near-dup served from the PERSISTED signature store —
+        # the dedup family's s09/s31: the store is built once per
+        # session from the resident corpus (_cached_index), the delta
+        # joins signatures, resident TEXT is never re-read; on a store
+        # built from the resident corpus the output is identical to
+        # recomputing resident signatures fresh, so the oracle is the
+        # d19 string verbatim
+        docs = _docs(spark, sf)
+        resident = docs.filter(F.col("doc_id") % 3 != 0)
+        path = _cached_index(
+            "sigstore",
+            sf,
+            lambda p: DD.build_signature_store(resident, f"{p}/store"),
+        )
+        return DD.incremental_neardup_from_store(
+            spark, f"{path}/store", docs.filter(F.col("doc_id") % 3 == 0)
+        )
+
+    q["d23_neardup_from_store"] = d23
+
     # ---- driver CORRECTNESS window ordering ------------------------------
     # The driver records correctness rows for the FIRST 50 insertion-
-    # ordered entries only. Round-11 round-start rotation (the inventory
-    # grows 152 -> 166, then freezes): the thirteen queries proven as
-    # DuckDB drafts in tests/test_oracle_drafts_r11.py plus q85 (the
-    # streaming session funnel's batch replay — pytest stream==batch
-    # parity since r10, driver row now) enter for their first rows.
-    # Code-changed re-certifications: d12/d14/q71 — the containment
-    # family's max_df stop-shingle filter inverted this round from
-    # broadcast(rare)+left_semi to broadcast(hot)+left_anti (the rare
-    # set is vocabulary-grain, the hot set is bounded by rows/cap keys;
-    # value-identical, but the family whose plan changed re-certifies).
-    # The remaining 33 slots are the MECHANICAL aging drip: the 33
-    # oldest driver rows by the rounds-since-green ledger (computed
-    # from the CORRECTNESS_r*.json records committed BEFORE this
-    # rotation — rounds < 11 — in tests/test_r11_rotation_wiring.py,
-    # which asserts this exact selection): q10 (r5, the row slot
-    # arithmetic left out last round), all 16 r6 rows, both r7 rows,
-    # and the first 14 of the r8 rows by name order. The three
+    # ordered entries only. Round-12 round-start rotation (the inventory
+    # grows 166 -> 188, then freezes): the twenty queries proven as
+    # DuckDB drafts in tests/test_oracle_drafts_r12.py enter for their
+    # first rows, plus two the r11 VERDICT asked forward out of the r13
+    # bank — q99 (the streaming heavy-hitter monitor's batch replay,
+    # stream==batch pytest parity since r11; oracle = the t37 string
+    # verbatim, the q85/q75 identity pattern) and d23 (the persisted
+    # signature store's serving path, identity-proven in
+    # tests/test_oracle_drafts_r13.py; oracle = the d19 string
+    # verbatim, the s31 identity pattern). Code-changed
+    # re-certification: t02_quality — the quality-score gate gained an
+    # ANSI division-by-zero guard late in r11 (value-identical on every
+    # non-empty text; t02 is also a bench ambient sentinel, so its
+    # committed record time must stay meaningful). The remaining 27
+    # slots are the MECHANICAL aging drip: the 27 oldest driver rows by
+    # the rounds-since-green ledger (computed from the
+    # CORRECTNESS_r*.json records committed BEFORE this rotation —
+    # rounds < 12 — in tests/test_r12_rotation_wiring.py, which asserts
+    # this exact selection): all 19 r8-last-green rows plus the 8
+    # oldest r9 rows by name order (d01-d05, d07-d09). The three
     # oracle-less-by-nature queries (q09/t12/s06) stay outside the
     # window by policy. All 50 verified against the local DuckDB oracle
     # (tools/check_oracle.py --strict) before the freeze; the driver
     # row is the hard signal. Every entry still runs in bench.py
     # regardless of position.
     window = [
-        # round-11 rotation: first driver rows
-        "s22_ivf_delete", "s23_ivf_compact", "s24_ivfpq_delete",
-        "s25_ivfpq_append", "s26_ivfpq_compact", "s27_cluster_balanced_sample",
-        "d15_minhash_estimate", "d16_minhash_estimate_vs_exact",
-        "d17_quality_canonical", "t33_token_entropy",
-        "q80_incremental_pipeline", "q82_mixture_rebalance",
-        "q84_dirty_shards_assigned", "q85_session_funnel_state",
-        # code-changed re-certifications (containment hot-set anti-join)
-        "d12_containment", "d14_containment_dedup", "q71_export_pipeline",
-        # mechanical aging drip: the 33 oldest rows by the ledger
-        "q10_freshness",
-        "q15_uri_algebra", "q16_column_distinct", "q17_combined",
-        "q18_delete_when_empty", "q25_restore", "q27_column_exists",
-        "q33_dataset_tag", "q35_deterministic_sample", "q36_token_histogram",
-        "q38_join_profile", "q39_window_running", "q47_embedding_quantize",
-        "q54_mixture_weights", "q55_mixture_sample", "s02_ann_lsh",
-        "t14_hashed_linear",
-        "q26_tag_copy", "q44_policy_tags",
-        "q30_numeric_profile", "q37_kmv_sketch", "q40_asof_join",
-        "q41_range_join", "q42_sensitive_e2e", "q46_mixture_sample",
-        "q49_column_profile_fused", "q50_train_split", "q52_pipeline_e2e",
-        "q53_token_budget", "q57_dsir_sample", "q58_shard_assignments",
-        "q60_hll_tolerance", "q61_clean_ingest",
+        # round-12 rotation: first driver rows
+        "q86_resharding_plan", "d18_lsh_parameter_table",
+        "t34_code_prose_profile", "q88_source_dup_rate",
+        "d19_incremental_neardup", "s28_quantizer_drift",
+        "s29_quantizer_drift_from_index", "q90_curriculum_order",
+        "q91_stage_mixture", "m06_payload_size_profile",
+        "d20_shingle_df_profile", "q93_contamination_profile",
+        "t36_langid_margin", "q94_verify_shards",
+        "q95_source_relative_curriculum", "t37_heavy_hitters",
+        "q97_snapshot_diff", "q98_gate_overlap",
+        "s30_knn_graph", "s31_knn_graph_from_index",
+        "q99_heavy_hitter_state", "d23_neardup_from_store",
+        # code-changed re-certification (ANSI-safe quality denominator;
+        # bench sentinel witness)
+        "t02_quality",
+        # mechanical aging drip: the 27 oldest rows by the ledger
+        "q62_sample_k_per_group", "q63_epoch_plan", "q64_gate_metrics",
+        "q65_materialize_mixture", "s08_hard_negatives",
+        "t12b_packing_invariants", "t13_unigram_logprob", "t15_dsir_weights",
+        "t16_gopher_filter", "t17_bigram_logprob", "t18_bpe_apply",
+        "t19_perplexity_buckets", "t20_classifier_weights",
+        "t21_normalize_text", "t22_vocab_stats", "t23_collapse_lines",
+        "t24_decontamination", "t25_chunk_text", "t26_strip_html",
+        "d01_dedup_exact", "d02_dedup_minhash", "d03_simhash",
+        "d04_ngram_jaccard", "d05_embedding_neardup", "d07_semantic_dedup",
+        "d08_span_removal", "d09_paragraph_dedup",
     ]
     assert len(window) == 50 and set(window) <= set(q)
     return {name: q[name] for name in window + [n for n in q if n not in window]}
@@ -4153,6 +4410,439 @@ LEFT JOIN removed USING (shard)
 """
 
 
+# --- round-12 rotation generators: the oracle strings proven value-
+# equal in tests/test_oracle_drafts_r12.py, moved here verbatim at the
+# rotation (one copy; the drafts file imports them back) ---
+
+
+def resharding_plan_sql(range_width: int = 100, target: int = 500) -> str:
+    """Manifest = range-shard counts over documents (the q84 policy —
+    exactly the layout that accumulates a small-shard tail); plan =
+    cumsum repacking at the target."""
+    return f"""
+WITH m AS (SELECT (doc_id // {range_width})::INT AS shard, count(*) AS n_docs
+           FROM documents GROUP BY 1),
+c AS (SELECT shard, n_docs,
+             coalesce(sum(n_docs) OVER (ORDER BY shard
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM m)
+SELECT shard::INT AS shard,
+       n_docs::BIGINT AS n_docs,
+       (before // {target})::INT AS new_shard,
+       (before // {target})::INT <> shard AS moved,
+       n_docs > {target} AS needs_split
+FROM c
+"""
+
+
+def lsh_parameter_table_sql(num_hashes: int = 8, s_denominator: int = 16) -> str:
+    """The LSH S-curve P(candidate|s) for every (bands, rows) split of
+    the signature on the dyadic s = k/16 lattice — every probability a
+    dyadic rational, so both engines agree with NO libm pow drift."""
+    splits = ", ".join(
+        f"({num_hashes // r}, {r})"
+        for r in range(1, num_hashes + 1)
+        if num_hashes % r == 0
+    )
+    denom = s_denominator**num_hashes
+    return f"""
+WITH splits(bands, rows_per_band) AS (VALUES {splits}),
+s AS (SELECT unnest(range(1, {s_denominator}))::INT AS s_16ths)
+SELECT bands, rows_per_band, s_16ths,
+       round(({denom} - power(power({s_denominator}, rows_per_band)
+                              - power(s_16ths, rows_per_band), bands))
+             / {denom}, 6) AS p_candidate
+FROM splits, s
+"""
+
+
+def code_prose_profile_sql() -> str:
+    """Per-source code-vs-prose routing profile: symbol density x
+    indentation x statement-line signals, every decision an exact
+    integer comparison (no float thresholds)."""
+    return r"""
+WITH base AS (SELECT source, coalesce(text, '') AS t FROM documents),
+sig AS (
+  SELECT source,
+         length(t) AS chars,
+         length(t) - length(regexp_replace(t, '[\[\]{}();=<>#]', '', 'g')) AS sym,
+         list_filter(regexp_split_to_array(t, '\n'),
+                     l -> length(trim(l)) > 0) AS lines
+  FROM base),
+d AS (
+  SELECT source, chars, sym,
+         len(lines) AS nl,
+         len(list_filter(lines, l -> regexp_matches(l, '^(\t|    )'))) AS ind,
+         len(list_filter(lines, l -> regexp_matches(l, '[;{}]\s*$'))) AS stmt
+  FROM sig),
+f AS (
+  SELECT source,
+         (sym * 50 > chars) AND ((ind * 20 > 3 * nl) OR (stmt * 5 > nl)) AS is_code,
+         round(sym / greatest(chars, 1) * 1e6)::BIGINT AS sym_micro
+  FROM d)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(is_code::INT)::BIGINT AS n_code,
+       round(sum(is_code::INT) / count(*), 4) AS code_frac,
+       round(sum(sym_micro) / count(*) / 1e6, 6) AS mean_symbol_frac
+FROM f GROUP BY source
+"""
+
+
+def source_dup_rate_sql(q34_sql: str) -> str:
+    """The wired q34 cluster chain with its final SELECT replaced by
+    the lowest-id keep rule + source rollup (the q73/d17 surgery
+    pattern — one copy of the chain)."""
+    tail = "SELECT doc_id, cluster_id FROM clusters"
+    assert q34_sql.count(tail) == 1
+    return q34_sql.replace(
+        tail,
+        """, k AS (
+  SELECT doc_id, cluster_id,
+         row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id) = 1 AS keep
+  FROM clusters),
+per AS (
+  SELECT d.source, count(*) AS n_docs, sum(k.keep::INT) AS n_kept
+  FROM k JOIN documents d USING (doc_id) GROUP BY d.source)
+SELECT source, n_docs::BIGINT AS n_docs, n_kept::BIGINT AS n_kept,
+       (n_docs - n_kept)::BIGINT AS n_dropped,
+       round((n_docs - n_kept) / n_docs, 4) AS dup_rate
+FROM per""",
+    )
+
+
+def incremental_neardup_sql(threshold: float = 0.5) -> str:
+    """The d15 sigs/buckets derivation with a delta flag (delta =
+    doc_id % 3 = 0 — today's crawl, the q80 split) and the candidate
+    join restricted to delta-touching pairs."""
+    sig_exprs = ",\n         ".join(
+        f"min(md5('{j}:' || shingle)) AS sig_{j}" for j in range(8)
+    )
+    band_cases = " ".join(
+        f"WHEN {b} THEN md5(sig_{2*b} || '|' || sig_{2*b+1})" for b in range(4)
+    )
+    agree = " + ".join(f"(sa.sig_{j} = sb.sig_{j})::INT" for j in range(8))
+    return f"""
+WITH toks AS (SELECT doc_id, doc_id % 3 = 0 AS is_delta,
+                     regexp_split_to_array(text, '\\s+') w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, is_delta,
+         unnest(CASE WHEN len(w) >= 3
+                THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+                ELSE [array_to_string(w, ' ')] END) AS shingle
+  FROM toks),
+sigs AS (
+  SELECT doc_id, any_value(is_delta) AS is_delta, {sig_exprs}
+  FROM sh GROUP BY doc_id),
+buckets AS (
+  SELECT doc_id, is_delta, band, CASE band {band_cases} END AS bucket
+  FROM sigs, (SELECT unnest(range(4)) AS band)),
+cands AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS da, greatest(a.doc_id, b.doc_id) AS db
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id <> b.doc_id
+  WHERE a.is_delta)
+SELECT c.da AS doc_a, c.db AS doc_b,
+       round(({agree}) / 8.0, 4) AS est_jaccard,
+       (sa.is_delta <> sb.is_delta) AS is_cross
+FROM cands c
+JOIN sigs sa ON sa.doc_id = c.da
+JOIN sigs sb ON sb.doc_id = c.db
+WHERE round(({agree}) / 8.0, 4) >= {threshold}
+"""
+
+
+def quantizer_drift_sql(num_cells: int = 8) -> str:
+    """The s03 assignment CTEs + per-(cell, dim) micro-lattice means
+    vs the quantized centroid — squared-L2 at cell grain."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cent_v FROM e ORDER BY vec_id LIMIT {num_cells}),
+assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round(list_cosine_similarity(e.v, c.cent_v), 6) DESC, c.cell) AS rn
+    FROM e CROSS JOIN cents c) WHERE rn = 1),
+dims AS (SELECT unnest(range((SELECT len(v) FROM e LIMIT 1)))::INT AS pos),
+qx AS (SELECT cell, pos, round(v[pos + 1] * 1e6)::BIGINT AS qx FROM assign, dims),
+mean AS (SELECT cell, pos, count(*) AS n,
+                round(sum(qx) / count(*))::BIGINT AS m
+         FROM qx GROUP BY cell, pos),
+qc AS (SELECT cell, pos, round(cent_v[pos + 1] * 1e6)::BIGINT AS qc FROM cents, dims)
+SELECT cell,
+       max(n)::BIGINT AS n_vectors,
+       sum((m - qc) * (m - qc))::BIGINT AS drift_micro
+FROM mean JOIN qc USING (cell, pos) GROUP BY cell
+"""
+
+
+def curriculum_order_sql(t02_sql: str, n_stages: int = 10) -> str:
+    """The wired t02 quality oracle nested as a CTE (the d17 pattern)
+    + ntile staging + the md5 within-stage shuffle."""
+    return f"""
+WITH q AS ({t02_sql}),
+st AS (SELECT doc_id,
+              ntile({n_stages}) OVER (ORDER BY quality_score DESC, doc_id) AS stage
+       FROM q)
+SELECT doc_id,
+       stage::INT AS stage,
+       row_number() OVER (ORDER BY stage, md5(doc_id::VARCHAR), doc_id)::BIGINT
+         AS curriculum_rank
+FROM st
+"""
+
+
+def payload_size_profile_sql(m01_sql: str) -> str:
+    """The wired m01 oracle nested as a CTE (the m05 pattern) + exact
+    per-kind percentiles (quantile_cont == Spark percentile, the q74
+    rule)."""
+    return f"""
+WITH feats AS ({m01_sql})
+SELECT kind,
+       count(*)::BIGINT AS n_items,
+       min(payload_bytes)::BIGINT AS min_bytes,
+       round(quantile_cont(payload_bytes, 0.5), 2) AS p50_bytes,
+       round(quantile_cont(payload_bytes, 0.9), 2) AS p90_bytes,
+       max(payload_bytes)::BIGINT AS max_bytes
+FROM feats GROUP BY kind
+"""
+
+
+def shingle_df_profile_sql() -> str:
+    """The d15 shingle derivation + df histogram on length(bin(df))-1
+    buckets — integer-exact floor(log2) in both engines."""
+    return r"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(w) >= 3
+                THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+                ELSE [array_to_string(w, ' ')] END) AS shingle
+  FROM toks),
+dfq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+per AS (
+  SELECT (length(bin(df)) - 1)::INT AS df_bucket,
+         count(*) AS n_shingles,
+         sum(df) AS n_rows
+  FROM dfq GROUP BY 1)
+SELECT df_bucket,
+       n_shingles::BIGINT AS n_shingles,
+       n_rows::BIGINT AS n_rows,
+       round(n_rows / sum(n_rows) OVER (), 6) AS rows_share
+FROM per
+"""
+
+
+def stage_mixture_sql(q90_sql: str) -> str:
+    """The wired q90 derivation nested as a CTE + documents join +
+    per-stage share window (dimension-grain)."""
+    return f"""
+WITH cur AS ({q90_sql}),
+j AS (SELECT cur.stage, d.source FROM cur JOIN documents d USING (doc_id)),
+per AS (SELECT stage, source, count(*) AS n_docs FROM j GROUP BY stage, source)
+SELECT stage, source, n_docs::BIGINT AS n_docs,
+       round(n_docs / sum(n_docs) OVER (PARTITION BY stage), 6) AS stage_share
+FROM per
+"""
+
+
+def contamination_profile_sql(t10_sql: str, bucket_pct: int = 10) -> str:
+    """The wired t10 derivation nested as a CTE + integer band rollup
+    + the descending cumulative window (what a threshold at each band
+    edge would drop)."""
+    bands = 100 // bucket_pct
+    return f"""
+WITH conta AS ({t10_sql}),
+per AS (
+  SELECT least((n_matched * {bands}) // n_shingles, {bands - 1})::INT AS bucket,
+         count(*) AS n_docs
+  FROM conta GROUP BY 1)
+SELECT bucket,
+       (bucket * {bucket_pct})::INT AS lo_pct,
+       n_docs::BIGINT AS n_docs,
+       round(n_docs / sum(n_docs) OVER (), 6) AS frac_docs,
+       round(sum(n_docs) OVER (ORDER BY bucket DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / sum(n_docs) OVER (), 6) AS cum_frac_at_or_above
+FROM per
+"""
+
+
+def langid_margin_sql() -> str:
+    """The t03 scoring derivation restated from LANG_MARKERS (the same
+    single source the wired t03 oracle is generated from — both read
+    the Python constant, so the lists cannot drift) + array-sorted
+    best/second/margin."""
+    from datacatalog_tag_engine_spark.pipeline.text import LANG_MARKERS
+
+    marker_sql = {
+        lang: ", ".join(f"'{m}'" for m in ms) for lang, ms in LANG_MARKERS.items()
+    }
+    return f"""
+WITH w AS (
+  SELECT doc_id, text, regexp_split_to_array(lower(text), '\\s+') AS words FROM documents),
+s AS (
+  SELECT doc_id, text,
+         len(list_filter(words, x -> list_contains([{marker_sql['en']}], x))) AS s_en,
+         len(list_filter(words, x -> list_contains([{marker_sql['de']}], x))) AS s_de,
+         len(list_filter(words, x -> list_contains([{marker_sql['fr']}], x))) AS s_fr,
+         len(list_filter(words, x -> list_contains([{marker_sql['es']}], x))) AS s_es
+  FROM w),
+o AS (
+  SELECT doc_id,
+         CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
+              WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+              WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+              WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+              WHEN s_fr >= s_es THEN 'fr'
+              ELSE 'es' END AS lang_pred,
+         list_reverse_sort([s_en, s_de, s_fr, s_es]) AS sc
+  FROM s)
+SELECT doc_id, lang_pred,
+       sc[1]::INT AS best_hits,
+       sc[2]::INT AS second_hits,
+       (sc[1] - sc[2])::INT AS margin
+FROM o"""
+
+
+def verify_shards_sql(num_shards: int = 8) -> str:
+    """A freshly written export verifies clean by construction: both
+    count columns equal the q58 md5-bucket rule and every ok is TRUE —
+    the identity oracle (the s20/s21 pattern: the artifact round-trip
+    changes no value)."""
+    bucket = (
+        "(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % "
+        + str(num_shards)
+        + ")"
+    )
+    return f"""
+WITH b AS (SELECT {bucket} AS shard FROM documents),
+per AS (SELECT shard, count(*) AS n FROM b GROUP BY shard),
+axis AS (SELECT unnest(range({num_shards}))::INT AS shard)
+SELECT a.shard,
+       coalesce(n, 0)::BIGINT AS manifest_docs,
+       coalesce(n, 0)::BIGINT AS disk_docs,
+       TRUE AS ok
+FROM axis a LEFT JOIN per USING (shard)
+"""
+
+
+def source_relative_curriculum_sql(t02_sql: str, n_stages: int = 10) -> str:
+    """The q90 derivation with its score CTE replaced by the
+    within-source quantile: score' = (n_src - rank + 1) / n_src under
+    (raw score desc, id) inside each source — the fix for the domain
+    skew q91 flags."""
+    return f"""
+WITH q AS ({t02_sql}),
+j AS (SELECT q.doc_id, d.source, q.quality_score
+      FROM q JOIN documents d USING (doc_id)),
+r AS (
+  SELECT doc_id,
+         (count(*) OVER (PARTITION BY source)
+          - row_number() OVER (PARTITION BY source
+                               ORDER BY quality_score DESC, doc_id) + 1)
+         / count(*) OVER (PARTITION BY source) AS quality_score
+  FROM j),
+st AS (SELECT doc_id,
+              ntile({n_stages}) OVER (ORDER BY quality_score DESC, doc_id) AS stage
+       FROM r)
+SELECT doc_id,
+       stage::INT AS stage,
+       row_number() OVER (ORDER BY stage, md5(doc_id::VARCHAR), doc_id)::BIGINT
+         AS curriculum_rank
+FROM st
+"""
+
+
+def heavy_hitters_sql(k: int = 100) -> str:
+    """Exact heavy hitters: lowercased whitespace tokens with corpus
+    count strictly above n_tokens/k — integer-exact threshold (count *
+    k > N, no division), so both engines agree bit-for-bit."""
+    return rf"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+                x -> length(x) > 0)) AS token
+  FROM documents),
+tot AS (SELECT count(*) AS n FROM toks)
+SELECT token, count(*)::BIGINT AS n_occurrences
+FROM toks GROUP BY token
+HAVING count(*) * {k} > (SELECT n FROM tot)
+"""
+
+
+def snapshot_diff_sql() -> str:
+    """Old = doc_id % 17 != 0 (the q79 split), new = doc_id % 13 != 0
+    with every fifth doc's text amended — adds, removes, and changes
+    all present; FULL JOIN on the id, source-grain rollup."""
+    amended = "coalesce(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END, '')"
+    return rf"""
+WITH o AS (SELECT doc_id, source, md5(coalesce(text, '')) AS fp,
+                  len(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+                      x -> length(x) > 0)) AS nt
+           FROM documents WHERE doc_id % 17 != 0),
+n AS (SELECT doc_id, source, md5({amended}) AS fp,
+             len(list_filter(regexp_split_to_array(lower({amended}), '\s+'),
+                 x -> length(x) > 0)) AS nt
+      FROM documents WHERE doc_id % 13 != 0),
+j AS (SELECT coalesce(n.source, o.source) AS source,
+             CASE WHEN o.fp IS NULL THEN 'added'
+                  WHEN n.fp IS NULL THEN 'removed'
+                  WHEN o.fp <> n.fp THEN 'changed' ELSE 'unchanged' END AS st,
+             coalesce(n.nt, 0) - coalesce(o.nt, 0) AS td
+      FROM o FULL JOIN n ON o.doc_id = n.doc_id)
+SELECT source,
+       sum(CASE WHEN st = 'added' THEN 1 ELSE 0 END)::BIGINT AS n_added,
+       sum(CASE WHEN st = 'removed' THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+       sum(CASE WHEN st = 'changed' THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+       sum(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END)::BIGINT AS n_unchanged,
+       sum(td)::BIGINT AS token_delta
+FROM j GROUP BY source
+"""
+
+
+def gate_overlap_sql(t16_sql: str) -> str:
+    """Nests the wired t16 oracle (the d17/q91 pattern: ONE copy of
+    the gate math) and unnests its comma-joined fail_reasons."""
+    return f"""
+WITH t16 AS ({t16_sql}),
+fired AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(fail_reasons, ','), x -> length(x) > 0)) AS gate
+  FROM t16)
+SELECT a.gate AS gate_a, b.gate AS gate_b, count(*)::BIGINT AS n_docs
+FROM fired a JOIN fired b ON a.doc_id = b.doc_id AND a.gate <= b.gate
+GROUP BY 1, 2
+"""
+
+
+def knn_graph_sql(k: int = 5, num_cells: int = 8) -> str:
+    """The s03 assignment CTE with queries = the whole corpus, plus an
+    edge-grain reversed-pair self-join for the mutuality flag."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cent_v FROM e ORDER BY vec_id LIMIT {num_cells}),
+assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round(list_cosine_similarity(e.v, c.cent_v), 6) DESC, c.cell) AS rn
+    FROM e CROSS JOIN cents c) WHERE rn = 1),
+scored AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.v, a.v), 4) AS cosine
+  FROM assign q JOIN assign a ON q.cell = a.cell AND q.vec_id <> a.vec_id),
+edges AS (
+  SELECT query_id, neighbor_id, cosine,
+         cast(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored QUALIFY rank <= {k})
+SELECT e.query_id AS vec_id, e.neighbor_id, e.cosine, e.rank,
+       (r.query_id IS NOT NULL) AS mutual
+FROM edges e LEFT JOIN edges r
+  ON r.query_id = e.neighbor_id AND r.neighbor_id = e.query_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
@@ -5658,5 +6348,49 @@ FROM all_shards a LEFT JOIN per ON per.shard = a.shard
     # the streaming decomposition's batch replay reproduces q75 exactly
     # (the q78/q70 identity pattern)
     o["q85_session_funnel_state"] = o["q75_session_funnel"]
+
+    # --- round-12 rotation: the oracle strings proven value-equal in
+    # tests/test_oracle_drafts_r12.py, wired verbatim (the module-level
+    # generators above ARE the proven drafts — the drafts file imports
+    # them back, so there is exactly one copy of each derivation) ---
+    o["q86_resharding_plan"] = resharding_plan_sql(100, 500)
+    o["d18_lsh_parameter_table"] = lsh_parameter_table_sql()
+    o["t34_code_prose_profile"] = code_prose_profile_sql()
+    o["q88_source_dup_rate"] = source_dup_rate_sql(o["q34_dedup_clusters"])
+    o["d19_incremental_neardup"] = incremental_neardup_sql()
+    o["s28_quantizer_drift"] = quantizer_drift_sql()
+    # fresh-index identity: the stored assignment equals the ranked
+    # assignment, so the persisted form replays s28's oracle EXACTLY
+    # (the s20/s29 value-identity pattern)
+    o["s29_quantizer_drift_from_index"] = o["s28_quantizer_drift"]
+    o["q90_curriculum_order"] = curriculum_order_sql(o["t02_quality"])
+    o["q91_stage_mixture"] = stage_mixture_sql(o["q90_curriculum_order"])
+    o["m06_payload_size_profile"] = payload_size_profile_sql(
+        o["m01_multimodal_features"]
+    )
+    o["d20_shingle_df_profile"] = shingle_df_profile_sql()
+    o["q93_contamination_profile"] = contamination_profile_sql(
+        o["t10_contamination"]
+    )
+    o["t36_langid_margin"] = langid_margin_sql()
+    o["q94_verify_shards"] = verify_shards_sql(8)
+    o["q95_source_relative_curriculum"] = source_relative_curriculum_sql(
+        o["t02_quality"]
+    )
+    o["t37_heavy_hitters"] = heavy_hitters_sql(100)
+    o["q97_snapshot_diff"] = snapshot_diff_sql()
+    o["q98_gate_overlap"] = gate_overlap_sql(o["t16_gopher_filter"])
+    o["s30_knn_graph"] = knn_graph_sql(5, 8)
+    # fresh-index identity again: stored cells + stored centroids
+    # replay the live graph verbatim (the s29/s20 pattern)
+    o["s31_knn_graph_from_index"] = o["s30_knn_graph"]
+    # the streaming monitor's batch replay reproduces t37 exactly (MG
+    # candidate superset + exact recount — the q85/q75 identity)
+    o["q99_heavy_hitter_state"] = o["t37_heavy_hitters"]
+    # a store built from the resident corpus serves signatures
+    # identical to recomputing them fresh, so the persisted form
+    # replays the d19 oracle verbatim (the s31 identity applied to the
+    # dedup artifact; proven in tests/test_oracle_drafts_r13.py)
+    o["d23_neardup_from_store"] = o["d19_incremental_neardup"]
 
     return o

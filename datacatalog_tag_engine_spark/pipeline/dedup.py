@@ -2206,7 +2206,18 @@ def build_signature_store(
 
 
 def _sigstore_meta(spark, path: str) -> dict:
-    row = spark.read.parquet(f"{path}/{SIGSTORE_META_DIR}").collect()[0]
+    # A build that crashed between the data write and the meta write
+    # leaves signatures whose data reads fine but whose meta dir is
+    # missing; surface that as a clear rebuild instruction instead of a
+    # raw parquet path-not-found (r11 review finding).
+    try:
+        row = spark.read.parquet(f"{path}/{SIGSTORE_META_DIR}").collect()[0]
+    except Exception as exc:  # AnalysisException: PATH_NOT_FOUND et al.
+        raise ValueError(
+            f"signature store at {path!r} has no {SIGSTORE_META_DIR} table — "
+            "torn build_signature_store (crashed before the meta write) or "
+            "not a signature store; remove the directory and rebuild it"
+        ) from exc
     return {"k": row["k"], "num_hashes": row["num_hashes"], "id_col": row["id_col"]}
 
 
@@ -2233,7 +2244,15 @@ def append_to_signature_store(
     append leaves some delta files present) is idempotent instead of
     planting duplicate signatures that would emit duplicate candidate
     pairs downstream. Turn it off only when the caller already proved
-    id-novelty. Returns rows appended (after the skip)."""
+    id-novelty. Returns rows appended (after the skip).
+
+    Single-writer assumption: like ``append_to_ivf_index``, the store
+    admits ONE writer at a time (concurrent READERS are always safe —
+    existing files never move). The appended signatures are
+    checkpointed before counting, so the returned count and the
+    written rows come from one materialization of the anti-join — the
+    resident-id set is read exactly once per call, not once for the
+    count and again for the write."""
     meta = _sigstore_meta(spark, path)
     delta = delta_docs
     if skip_existing:
@@ -2242,11 +2261,14 @@ def append_to_signature_store(
     sh = shingle_table(
         delta, meta["id_col"], text_col, meta["k"]
     ).localCheckpoint(eager=True)
-    sigs = minhash_signatures(sh, meta["num_hashes"], meta["id_col"])
+    sigs = minhash_signatures(sh, meta["num_hashes"], meta["id_col"]).localCheckpoint(
+        eager=True
+    )
+    free_local_checkpoint(sh)
     n = sigs.count()
     if n:
         sigs.write.mode("append").parquet(path)
-    free_local_checkpoint(sh)
+    free_local_checkpoint(sigs)
     return n
 
 

@@ -2048,6 +2048,7 @@ def heavy_hitter_tokens(
     text_col: str = "text",
     k: int = 100,
     candidate_budget: int = 1024,
+    broadcast_max: int = 1_000_000,
 ) -> DataFrame:
     """EXACT heavy hitters without a vocabulary-grain shuffle: every
     lowercased whitespace token whose corpus count strictly exceeds
@@ -2068,9 +2069,17 @@ def heavy_hitter_tokens(
     N needs no extra scan.
 
     Pass 2 — exact counts of candidates only: the token stream is
-    semi-joined to the BROADCAST candidate set (bounded by
-    construction) and counted; map-side combine makes the shuffle
-    candidate-grain. The final filter is pure integer arithmetic
+    semi-joined to the BROADCAST candidate set and counted; map-side
+    combine makes the shuffle candidate-grain. "Bounded by
+    construction" (partitions x budget) is NOT "small" at every scale
+    — tens of thousands of input partitions x 1024 is tens of millions
+    of candidate rows, past any sane broadcast/driver budget — so the
+    distinct candidate set is counted first (one cheap scan of the
+    checkpointed pass-1 summary) and above ``broadcast_max`` rows the
+    pass falls back to a map-side-combined vocabulary aggregate
+    semi-joined to the candidates through an ordinary shuffle join:
+    slower (the t05 shuffle shape) but never driver-fatal, and
+    value-identical. The final filter is pure integer arithmetic
     (``count * k > N`` — no division, no float threshold), so both
     engines agree exactly and the output is independent of
     partitioning (asserted in tests).
@@ -2121,11 +2130,22 @@ def heavy_hitter_tokens(
     summary = summary.localCheckpoint(eager=True)
     n_total = summary.filter(F.col("kind") == "total").agg(F.sum("n")).collect()[0][0] or 0
     cands = summary.filter(F.col("kind") == "cand").select("token").distinct()
-    counted = (
-        toks.join(F.broadcast(cands), "token")
-        .groupBy("token")
-        .agg(F.count("*").alias("n_occurrences"))
-    )
+    if cands.count() <= broadcast_max:
+        counted = (
+            toks.join(F.broadcast(cands), "token")
+            .groupBy("token")
+            .agg(F.count("*").alias("n_occurrences"))
+        )
+    else:
+        # candidate set outgrew the broadcast guard: aggregate first
+        # (partial map-side combine keeps the shuffle at
+        # distinct-tokens-per-partition grain, never occurrence grain)
+        # and semi-join the candidates with a shuffle join
+        counted = (
+            toks.groupBy("token")
+            .agg(F.count("*").alias("n_occurrences"))
+            .join(cands, "token", "left_semi")
+        )
     return counted.filter(F.col("n_occurrences") * k > F.lit(int(n_total))).select(
         "token", F.col("n_occurrences").cast("long").alias("n_occurrences")
     )

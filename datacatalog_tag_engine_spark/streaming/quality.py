@@ -204,3 +204,76 @@ def heavy_hitter_candidates(emissions: DataFrame) -> DataFrame:
         .select("token", "mg_count")
         .crossJoin(F.broadcast(totals))
     )
+
+
+def heavy_hitter_replay(
+    docs: DataFrame,
+    k: int = 100,
+    budget: int = 1024,
+    n_buckets: int = 32,
+    text_col: str = "text",
+) -> DataFrame:
+    """Batch replay of the monitor loop — the q78/q85 discipline
+    applied to the heavy-hitter stream: the stream's STATE GRAIN
+    (per-token-hash-bucket Misra-Gries summaries, the exact rows
+    ``heavy_hitter_stream`` holds in ``applyInPandasWithState``)
+    computed in batch with the SAME ``_mg_reduce`` fold and the same
+    emission schema (marker row included), reduced by
+    ``heavy_hitter_candidates``, then recounted exactly against the
+    corpus — the full monitor loop the stream runs continuously,
+    replayed end to end in one batch job.
+
+    Counting is commutative and the MG guarantee is order-free (any
+    fold order keeps every token with count > N_bucket/budget in its
+    bucket's summary), so the replay's candidate set is — like the
+    stream's — a guaranteed superset of the true heavy set, and the
+    exact recount makes the final answer identical to
+    ``heavy_hitter_tokens(docs, k)``. That identity is the driver
+    oracle (the t37 SQL verbatim); the multi-micro-batch fold parity
+    is pinned separately in the stream==batch pytest.
+
+    Returns (token, n_occurrences), deterministic."""
+    import pandas as pd
+
+    from ..pipeline.text import _mg_reduce
+
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+                lambda w: F.length(w) > 0,
+            )
+        ).alias("token")
+    ).withColumn("bucket", F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("int"))
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        import collections
+
+        counters: collections.Counter = collections.Counter(
+            pdf["token"].value_counts().to_dict()
+        )
+        counters = _mg_reduce(counters, budget)
+        return pd.DataFrame(
+            {
+                "bucket": pdf["bucket"].iloc[0],
+                "emit_seq": 1,
+                "token": list(counters.keys()) + [None],
+                "mg_count": [int(c) for c in counters.values()] + [None],
+                "bucket_total": len(pdf),
+            }
+        )
+
+    emissions = toks.groupBy("bucket").applyInPandas(
+        fold,
+        schema="bucket int, emit_seq long, token string, mg_count long, bucket_total long",
+    )
+    cands = heavy_hitter_candidates(emissions).localCheckpoint(eager=True)
+    n_total = int(cands.agg(F.max("n_total")).collect()[0][0] or 0)
+    counted = (
+        toks.join(F.broadcast(cands.select("token").distinct()), "token")
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    return counted.filter(F.col("n_occurrences") * k > F.lit(n_total)).select(
+        "token", F.col("n_occurrences").cast("long").alias("n_occurrences")
+    )

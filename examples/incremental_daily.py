@@ -87,56 +87,60 @@ def main() -> None:
         incremental_neardup_from_store,
     )
 
+    # try/finally so a mid-run failure cleans the temp store up too
+    # (r11 review finding: the happy-path-only rmtree leaked it)
     store_root = tempfile.mkdtemp(prefix="sigstore_")
-    store = store_root + "/store"
-    build_signature_store(resident, store)  # one-time, maintained thereafter
-    pairs = incremental_neardup_from_store(spark, store, delta)
-    cross = pairs.filter("is_cross")
-    dup_new = pairs.select(
-        F.greatest("doc_a", "doc_b").alias("doc_id")
-    ).distinct().join(delta.select("doc_id"), "doc_id", "left_semi")
-    survivors = delta.join(dup_new, "doc_id", "left_anti")
-    print(
-        f"2. near-dup pairs touching the delta: {pairs.count()} "
-        f"({cross.count()} against the archive); delta after drop: "
-        f"{survivors.count()}"
-    )
+    try:
+        store = store_root + "/store"
+        build_signature_store(resident, store)  # one-time, maintained thereafter
+        pairs = incremental_neardup_from_store(spark, store, delta)
+        cross = pairs.filter("is_cross")
+        dup_new = pairs.select(
+            F.greatest("doc_a", "doc_b").alias("doc_id")
+        ).distinct().join(delta.select("doc_id"), "doc_id", "left_semi")
+        survivors = delta.join(dup_new, "doc_id", "left_anti")
+        print(
+            f"2. near-dup pairs touching the delta: {pairs.count()} "
+            f"({cross.count()} against the archive); delta after drop: "
+            f"{survivors.count()}"
+        )
 
-    # 3. gate only the surviving delta
-    cleaned = clean_ingest_stream(
-        survivors,
-        min_words=20,
-        min_stopword_hits=0,
-        max_dup_word_frac=1.0,
-        max_top_bigram_frac=1.0,
-    )
-    print(f"3. past the quality gate: {cleaned.count()}")
+        # 3. gate only the surviving delta
+        cleaned = clean_ingest_stream(
+            survivors,
+            min_words=20,
+            min_stopword_hits=0,
+            max_dup_word_frac=1.0,
+            max_top_bigram_frac=1.0,
+        )
+        print(f"3. past the quality gate: {cleaned.count()}")
 
-    # 4. plan the export delta under both sharding policies
-    new_ids = resident.select("doc_id").unionByName(cleaned.select("doc_id"))
-    md5_plan = dirty_shards(resident.select("doc_id"), new_ids, 8)
-    n_dirty_md5 = md5_plan.filter("needs_rewrite").count()
-    ranged = dirty_shards_assigned(
-        range_shard_assignments(resident, 100),
-        range_shard_assignments(new_ids, 100),
-    )
-    n_dirty_rng = ranged.filter("needs_rewrite").count()
-    n_rng = ranged.count()
-    print(
-        f"4. dirty shards: md5 {n_dirty_md5}/8 (balance, no locality) vs "
-        f"range {n_dirty_rng}/{n_rng} (locality — appends hit the tail)"
-    )
+        # 4. plan the export delta under both sharding policies
+        new_ids = resident.select("doc_id").unionByName(cleaned.select("doc_id"))
+        md5_plan = dirty_shards(resident.select("doc_id"), new_ids, 8)
+        n_dirty_md5 = md5_plan.filter("needs_rewrite").count()
+        ranged = dirty_shards_assigned(
+            range_shard_assignments(resident, 100),
+            range_shard_assignments(new_ids, 100),
+        )
+        n_dirty_rng = ranged.filter("needs_rewrite").count()
+        n_rng = ranged.count()
+        print(
+            f"4. dirty shards: md5 {n_dirty_md5}/8 (balance, no locality) vs "
+            f"range {n_dirty_rng}/{n_rng} (locality — appends hit the tail)"
+        )
 
-    # 5. consolidation: the range layout's long small-shard tail
-    manifest = ranged.select("shard", (F.col("n_kept") + F.col("n_added")).alias("n_docs"))
-    plan = resharding_plan(manifest, target_docs_per_shard=120)
-    moved = plan.filter("moved").count()
-    print(
-        f"5. resharding plan at target 120 docs/shard: "
-        f"{plan.count()} shards -> {plan.select('new_shard').distinct().count()}, "
-        f"{moved} move (neighbors only; id locality preserved)"
-    )
-    shutil.rmtree(store_root, ignore_errors=True)
+        # 5. consolidation: the range layout's long small-shard tail
+        manifest = ranged.select("shard", (F.col("n_kept") + F.col("n_added")).alias("n_docs"))
+        plan = resharding_plan(manifest, target_docs_per_shard=120)
+        moved = plan.filter("moved").count()
+        print(
+            f"5. resharding plan at target 120 docs/shard: "
+            f"{plan.count()} shards -> {plan.select('new_shard').distinct().count()}, "
+            f"{moved} move (neighbors only; id locality preserved)"
+        )
+    finally:
+        shutil.rmtree(store_root, ignore_errors=True)
 
 
 if __name__ == "__main__":

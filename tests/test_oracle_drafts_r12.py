@@ -193,24 +193,7 @@ def _sql_rows(con, sql):
 # --- q86: resharding plan ------------------------------------------------------
 
 
-def resharding_plan_sql(range_width: int = 100, target: int = 500) -> str:
-    """Manifest = range-shard counts over documents (the q84 policy —
-    exactly the layout that accumulates a small-shard tail); plan =
-    cumsum repacking at the target."""
-    return f"""
-WITH m AS (SELECT (doc_id // {range_width})::INT AS shard, count(*) AS n_docs
-           FROM documents GROUP BY 1),
-c AS (SELECT shard, n_docs,
-             coalesce(sum(n_docs) OVER (ORDER BY shard
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
-      FROM m)
-SELECT shard::INT AS shard,
-       n_docs::BIGINT AS n_docs,
-       (before // {target})::INT AS new_shard,
-       (before // {target})::INT <> shard AS moved,
-       n_docs > {target} AS needs_split
-FROM c
-"""
+resharding_plan_sql = E.resharding_plan_sql
 
 
 def _q86(spark, target: int = 500):
@@ -264,22 +247,7 @@ def test_resharding_plan_packs_and_flags(spark):
 # --- d18: LSH parameter table --------------------------------------------------
 
 
-def lsh_parameter_table_sql(num_hashes: int = 8, s_denominator: int = 16) -> str:
-    splits = ", ".join(
-        f"({num_hashes // r}, {r})"
-        for r in range(1, num_hashes + 1)
-        if num_hashes % r == 0
-    )
-    denom = s_denominator**num_hashes
-    return f"""
-WITH splits(bands, rows_per_band) AS (VALUES {splits}),
-s AS (SELECT unnest(range(1, {s_denominator}))::INT AS s_16ths)
-SELECT bands, rows_per_band, s_16ths,
-       round(({denom} - power(power({s_denominator}, rows_per_band)
-                              - power(s_16ths, rows_per_band), bands))
-             / {denom}, 6) AS p_candidate
-FROM splits, s
-"""
+lsh_parameter_table_sql = E.lsh_parameter_table_sql
 
 
 def test_oracle_draft_lsh_parameter_table(spark, ddb):
@@ -313,34 +281,7 @@ def test_lsh_parameter_table_matches_tune_lsh_params_curve(spark):
 # --- t34: code/prose profile ---------------------------------------------------
 
 
-def code_prose_profile_sql() -> str:
-    return r"""
-WITH base AS (SELECT source, coalesce(text, '') AS t FROM documents),
-sig AS (
-  SELECT source,
-         length(t) AS chars,
-         length(t) - length(regexp_replace(t, '[\[\]{}();=<>#]', '', 'g')) AS sym,
-         list_filter(regexp_split_to_array(t, '\n'),
-                     l -> length(trim(l)) > 0) AS lines
-  FROM base),
-d AS (
-  SELECT source, chars, sym,
-         len(lines) AS nl,
-         len(list_filter(lines, l -> regexp_matches(l, '^(\t|    )'))) AS ind,
-         len(list_filter(lines, l -> regexp_matches(l, '[;{}]\s*$'))) AS stmt
-  FROM sig),
-f AS (
-  SELECT source,
-         (sym * 50 > chars) AND ((ind * 20 > 3 * nl) OR (stmt * 5 > nl)) AS is_code,
-         round(sym / greatest(chars, 1) * 1e6)::BIGINT AS sym_micro
-  FROM d)
-SELECT source,
-       count(*)::BIGINT AS n_docs,
-       sum(is_code::INT)::BIGINT AS n_code,
-       round(sum(is_code::INT) / count(*), 4) AS code_frac,
-       round(sum(sym_micro) / count(*) / 1e6, 6) AS mean_symbol_frac
-FROM f GROUP BY source
-"""
+code_prose_profile_sql = E.code_prose_profile_sql
 
 
 def test_oracle_draft_code_prose_profile(spark, ddb):
@@ -373,26 +314,7 @@ def test_code_prose_profile_classifies_code(spark):
 # --- q88: per-source dup rate --------------------------------------------------
 
 
-def source_dup_rate_sql(q34_sql: str) -> str:
-    """The wired q34 cluster chain with its final SELECT replaced by
-    the lowest-id keep rule + source rollup (the q73/d17 surgery
-    pattern — one copy of the chain)."""
-    tail = "SELECT doc_id, cluster_id FROM clusters"
-    assert q34_sql.count(tail) == 1
-    return q34_sql.replace(
-        tail,
-        """, k AS (
-  SELECT doc_id, cluster_id,
-         row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id) = 1 AS keep
-  FROM clusters),
-per AS (
-  SELECT d.source, count(*) AS n_docs, sum(k.keep::INT) AS n_kept
-  FROM k JOIN documents d USING (doc_id) GROUP BY d.source)
-SELECT source, n_docs::BIGINT AS n_docs, n_kept::BIGINT AS n_kept,
-       (n_docs - n_kept)::BIGINT AS n_dropped,
-       round((n_docs - n_kept) / n_docs, 4) AS dup_rate
-FROM per""",
-    )
+source_dup_rate_sql = E.source_dup_rate_sql
 
 
 def test_oracle_draft_source_dup_rate(spark, ddb):
@@ -422,45 +344,7 @@ def test_source_dup_rate_localizes_the_copying_source(spark):
 # --- d19: incremental near-dup -------------------------------------------------
 
 
-def incremental_neardup_sql(threshold: float = 0.5) -> str:
-    """The d15 sigs/buckets derivation with a delta flag (delta =
-    doc_id % 3 = 0 — today's crawl, the q80 split) and the candidate
-    join restricted to delta-touching pairs."""
-    sig_exprs = ",\n         ".join(
-        f"min(md5('{j}:' || shingle)) AS sig_{j}" for j in range(8)
-    )
-    band_cases = " ".join(
-        f"WHEN {b} THEN md5(sig_{2*b} || '|' || sig_{2*b+1})" for b in range(4)
-    )
-    agree = " + ".join(f"(sa.sig_{j} = sb.sig_{j})::INT" for j in range(8))
-    return f"""
-WITH toks AS (SELECT doc_id, doc_id % 3 = 0 AS is_delta,
-                     regexp_split_to_array(text, '\\s+') w FROM documents),
-sh AS (
-  SELECT DISTINCT doc_id, is_delta,
-         unnest(CASE WHEN len(w) >= 3
-                THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
-                ELSE [array_to_string(w, ' ')] END) AS shingle
-  FROM toks),
-sigs AS (
-  SELECT doc_id, any_value(is_delta) AS is_delta, {sig_exprs}
-  FROM sh GROUP BY doc_id),
-buckets AS (
-  SELECT doc_id, is_delta, band, CASE band {band_cases} END AS bucket
-  FROM sigs, (SELECT unnest(range(4)) AS band)),
-cands AS (
-  SELECT DISTINCT least(a.doc_id, b.doc_id) AS da, greatest(a.doc_id, b.doc_id) AS db
-  FROM buckets a JOIN buckets b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id <> b.doc_id
-  WHERE a.is_delta)
-SELECT c.da AS doc_a, c.db AS doc_b,
-       round(({agree}) / 8.0, 4) AS est_jaccard,
-       (sa.is_delta <> sb.is_delta) AS is_cross
-FROM cands c
-JOIN sigs sa ON sa.doc_id = c.da
-JOIN sigs sb ON sb.doc_id = c.db
-WHERE round(({agree}) / 8.0, 4) >= {threshold}
-"""
+incremental_neardup_sql = E.incremental_neardup_sql
 
 
 def _d19(spark):
@@ -515,29 +399,7 @@ def test_incremental_neardup_restriction_and_persisted_sigs(spark):
 # --- s28: quantizer drift ------------------------------------------------------
 
 
-def quantizer_drift_sql(num_cells: int = 8) -> str:
-    """The s03 assignment CTEs + per-(cell, dim) micro-lattice means
-    vs the quantized centroid — squared-L2 at cell grain."""
-    return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cents AS (SELECT vec_id AS cell, v AS cent_v FROM e ORDER BY vec_id LIMIT {num_cells}),
-assign AS (
-  SELECT vec_id, v, cell FROM (
-    SELECT e.vec_id, e.v, c.cell,
-           row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY round(list_cosine_similarity(e.v, c.cent_v), 6) DESC, c.cell) AS rn
-    FROM e CROSS JOIN cents c) WHERE rn = 1),
-dims AS (SELECT unnest(range((SELECT len(v) FROM e LIMIT 1)))::INT AS pos),
-qx AS (SELECT cell, pos, round(v[pos + 1] * 1e6)::BIGINT AS qx FROM assign, dims),
-mean AS (SELECT cell, pos, count(*) AS n,
-                round(sum(qx) / count(*))::BIGINT AS m
-         FROM qx GROUP BY cell, pos),
-qc AS (SELECT cell, pos, round(cent_v[pos + 1] * 1e6)::BIGINT AS qc FROM cents, dims)
-SELECT cell,
-       max(n)::BIGINT AS n_vectors,
-       sum((m - qc) * (m - qc))::BIGINT AS drift_micro
-FROM mean JOIN qc USING (cell, pos) GROUP BY cell
-"""
+quantizer_drift_sql = E.quantizer_drift_sql
 
 
 def test_oracle_draft_quantizer_drift(spark, ddb):
@@ -599,20 +461,7 @@ def test_quantizer_drift_zero_after_retrain_step(spark):
 # --- q90: curriculum order -----------------------------------------------------
 
 
-def curriculum_order_sql(t02_sql: str, n_stages: int = 10) -> str:
-    """The wired t02 quality oracle nested as a CTE (the d17 pattern)
-    + ntile staging + the md5 within-stage shuffle."""
-    return f"""
-WITH q AS ({t02_sql}),
-st AS (SELECT doc_id,
-              ntile({n_stages}) OVER (ORDER BY quality_score DESC, doc_id) AS stage
-       FROM q)
-SELECT doc_id,
-       stage::INT AS stage,
-       row_number() OVER (ORDER BY stage, md5(doc_id::VARCHAR), doc_id)::BIGINT
-         AS curriculum_rank
-FROM st
-"""
+curriculum_order_sql = E.curriculum_order_sql
 
 
 def _q90(spark):
@@ -719,20 +568,7 @@ def test_curriculum_order_is_clean_first_and_mixed_within(spark):
 # --- m06: payload size profile -------------------------------------------------
 
 
-def payload_size_profile_sql(m01_sql: str) -> str:
-    """The wired m01 oracle nested as a CTE (the m05 pattern) + exact
-    per-kind percentiles (quantile_cont == Spark percentile, the q74
-    rule)."""
-    return f"""
-WITH feats AS ({m01_sql})
-SELECT kind,
-       count(*)::BIGINT AS n_items,
-       min(payload_bytes)::BIGINT AS min_bytes,
-       round(quantile_cont(payload_bytes, 0.5), 2) AS p50_bytes,
-       round(quantile_cont(payload_bytes, 0.9), 2) AS p90_bytes,
-       max(payload_bytes)::BIGINT AS max_bytes
-FROM feats GROUP BY kind
-"""
+payload_size_profile_sql = E.payload_size_profile_sql
 
 
 def test_oracle_draft_payload_size_profile(spark, ddb):
@@ -748,29 +584,7 @@ def test_oracle_draft_payload_size_profile(spark, ddb):
 # --- d20: shingle df profile ---------------------------------------------------
 
 
-def shingle_df_profile_sql() -> str:
-    """The d15 shingle derivation + df histogram on length(bin(df))-1
-    buckets — integer-exact floor(log2) in both engines."""
-    return r"""
-WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
-sh AS (
-  SELECT DISTINCT doc_id,
-         unnest(CASE WHEN len(w) >= 3
-                THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
-                ELSE [array_to_string(w, ' ')] END) AS shingle
-  FROM toks),
-dfq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
-per AS (
-  SELECT (length(bin(df)) - 1)::INT AS df_bucket,
-         count(*) AS n_shingles,
-         sum(df) AS n_rows
-  FROM dfq GROUP BY 1)
-SELECT df_bucket,
-       n_shingles::BIGINT AS n_shingles,
-       n_rows::BIGINT AS n_rows,
-       round(n_rows / sum(n_rows) OVER (), 6) AS rows_share
-FROM per
-"""
+shingle_df_profile_sql = E.shingle_df_profile_sql
 
 
 def test_oracle_draft_shingle_df_profile(spark, ddb):
@@ -848,17 +662,7 @@ def test_quantizer_drift_from_index_localizes_appends(spark, tmp_path):
 # --- q91: stage mixture --------------------------------------------------------
 
 
-def stage_mixture_sql(q90_sql: str) -> str:
-    """The wired q90 derivation nested as a CTE + documents join +
-    per-stage share window (dimension-grain)."""
-    return f"""
-WITH cur AS ({q90_sql}),
-j AS (SELECT cur.stage, d.source FROM cur JOIN documents d USING (doc_id)),
-per AS (SELECT stage, source, count(*) AS n_docs FROM j GROUP BY stage, source)
-SELECT stage, source, n_docs::BIGINT AS n_docs,
-       round(n_docs / sum(n_docs) OVER (PARTITION BY stage), 6) AS stage_share
-FROM per
-"""
+stage_mixture_sql = E.stage_mixture_sql
 
 
 def _q91(spark):
@@ -908,26 +712,7 @@ def test_stage_mixture_sums_and_flags_skew(spark):
 # --- q93: contamination threshold table ----------------------------------------
 
 
-def contamination_profile_sql(t10_sql: str, bucket_pct: int = 10) -> str:
-    """The wired t10 derivation nested as a CTE + integer band rollup
-    + the descending cumulative window (what a threshold at each band
-    edge would drop)."""
-    bands = 100 // bucket_pct
-    return f"""
-WITH conta AS ({t10_sql}),
-per AS (
-  SELECT least((n_matched * {bands}) // n_shingles, {bands - 1})::INT AS bucket,
-         count(*) AS n_docs
-  FROM conta GROUP BY 1)
-SELECT bucket,
-       (bucket * {bucket_pct})::INT AS lo_pct,
-       n_docs::BIGINT AS n_docs,
-       round(n_docs / sum(n_docs) OVER (), 6) AS frac_docs,
-       round(sum(n_docs) OVER (ORDER BY bucket DESC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             / sum(n_docs) OVER (), 6) AS cum_frac_at_or_above
-FROM per
-"""
+contamination_profile_sql = E.contamination_profile_sql
 
 
 def _q93(spark):
@@ -971,41 +756,7 @@ def test_contamination_profile_is_a_decision_table(spark):
 # --- t36: language-id margin ---------------------------------------------------
 
 
-def langid_margin_sql() -> str:
-    """The t03 scoring derivation restated from LANG_MARKERS (the same
-    single source the wired t03 oracle is generated from — both read
-    the Python constant, so the lists cannot drift) + array-sorted
-    best/second/margin."""
-    from datacatalog_tag_engine_spark.pipeline.text import LANG_MARKERS
-
-    marker_sql = {
-        lang: ", ".join(f"'{m}'" for m in ms) for lang, ms in LANG_MARKERS.items()
-    }
-    return f"""
-WITH w AS (
-  SELECT doc_id, text, regexp_split_to_array(lower(text), '\\s+') AS words FROM documents),
-s AS (
-  SELECT doc_id, text,
-         len(list_filter(words, x -> list_contains([{marker_sql['en']}], x))) AS s_en,
-         len(list_filter(words, x -> list_contains([{marker_sql['de']}], x))) AS s_de,
-         len(list_filter(words, x -> list_contains([{marker_sql['fr']}], x))) AS s_fr,
-         len(list_filter(words, x -> list_contains([{marker_sql['es']}], x))) AS s_es
-  FROM w),
-o AS (
-  SELECT doc_id,
-         CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
-              WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
-              WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
-              WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
-              WHEN s_fr >= s_es THEN 'fr'
-              ELSE 'es' END AS lang_pred,
-         list_reverse_sort([s_en, s_de, s_fr, s_es]) AS sc
-  FROM s)
-SELECT doc_id, lang_pred,
-       sc[1]::INT AS best_hits,
-       sc[2]::INT AS second_hits,
-       (sc[1] - sc[2])::INT AS margin
-FROM o"""
+langid_margin_sql = E.langid_margin_sql
 
 
 def test_oracle_draft_langid_margin(spark, ddb):
@@ -1037,26 +788,7 @@ def test_langid_margin_is_the_routing_surface(spark):
 # --- q94: shard-export verification --------------------------------------------
 
 
-def verify_shards_sql(num_shards: int = 8) -> str:
-    """A freshly written export verifies clean by construction: both
-    count columns equal the q58 md5-bucket rule and every ok is TRUE —
-    the identity oracle (the s20/s21 pattern: the artifact round-trip
-    changes no value)."""
-    bucket = (
-        "(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % "
-        + str(num_shards)
-        + ")"
-    )
-    return f"""
-WITH b AS (SELECT {bucket} AS shard FROM documents),
-per AS (SELECT shard, count(*) AS n FROM b GROUP BY shard),
-axis AS (SELECT unnest(range({num_shards}))::INT AS shard)
-SELECT a.shard,
-       coalesce(n, 0)::BIGINT AS manifest_docs,
-       coalesce(n, 0)::BIGINT AS disk_docs,
-       TRUE AS ok
-FROM axis a LEFT JOIN per USING (shard)
-"""
+verify_shards_sql = E.verify_shards_sql
 
 
 def test_oracle_draft_verify_training_shards(spark, ddb, tmp_path):
@@ -1111,31 +843,7 @@ def test_verify_training_shards_catches_corruption(spark, tmp_path):
 # --- q95: source-relative curriculum -------------------------------------------
 
 
-def source_relative_curriculum_sql(t02_sql: str, n_stages: int = 10) -> str:
-    """The q90 derivation with its score CTE replaced by the
-    within-source quantile: score' = (n_src - rank + 1) / n_src under
-    (raw score desc, id) inside each source — the fix for the domain
-    skew q91 flags."""
-    return f"""
-WITH q AS ({t02_sql}),
-j AS (SELECT q.doc_id, d.source, q.quality_score
-      FROM q JOIN documents d USING (doc_id)),
-r AS (
-  SELECT doc_id,
-         (count(*) OVER (PARTITION BY source)
-          - row_number() OVER (PARTITION BY source
-                               ORDER BY quality_score DESC, doc_id) + 1)
-         / count(*) OVER (PARTITION BY source) AS quality_score
-  FROM j),
-st AS (SELECT doc_id,
-              ntile({n_stages}) OVER (ORDER BY quality_score DESC, doc_id) AS stage
-       FROM r)
-SELECT doc_id,
-       stage::INT AS stage,
-       row_number() OVER (ORDER BY stage, md5(doc_id::VARCHAR), doc_id)::BIGINT
-         AS curriculum_rank
-FROM st
-"""
+source_relative_curriculum_sql = E.source_relative_curriculum_sql
 
 
 def _q95(spark):
@@ -1222,20 +930,7 @@ def test_quality_scores_survive_emptied_docs(spark):
 # --- t37: heavy hitters ----------------------------------------------------
 
 
-def heavy_hitters_sql(k: int = 100) -> str:
-    """Exact heavy hitters: lowercased whitespace tokens with corpus
-    count strictly above n_tokens/k — integer-exact threshold (count *
-    k > N, no division), so both engines agree bit-for-bit."""
-    return rf"""
-WITH toks AS (
-  SELECT unnest(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
-                x -> length(x) > 0)) AS token
-  FROM documents),
-tot AS (SELECT count(*) AS n FROM toks)
-SELECT token, count(*)::BIGINT AS n_occurrences
-FROM toks GROUP BY token
-HAVING count(*) * {k} > (SELECT n FROM tot)
-"""
+heavy_hitters_sql = E.heavy_hitters_sql
 
 
 def test_oracle_draft_heavy_hitters(spark, ddb):
@@ -1271,34 +966,7 @@ def test_heavy_hitters_partition_independent_and_complete(spark):
 # --- q97: corpus snapshot diff ----------------------------------------------
 
 
-def snapshot_diff_sql() -> str:
-    """Old = doc_id % 17 != 0 (the q79 split), new = doc_id % 13 != 0
-    with every fifth doc's text amended — adds, removes, and changes
-    all present; FULL JOIN on the id, source-grain rollup."""
-    amended = "coalesce(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END, '')"
-    return rf"""
-WITH o AS (SELECT doc_id, source, md5(coalesce(text, '')) AS fp,
-                  len(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
-                      x -> length(x) > 0)) AS nt
-           FROM documents WHERE doc_id % 17 != 0),
-n AS (SELECT doc_id, source, md5({amended}) AS fp,
-             len(list_filter(regexp_split_to_array(lower({amended}), '\s+'),
-                 x -> length(x) > 0)) AS nt
-      FROM documents WHERE doc_id % 13 != 0),
-j AS (SELECT coalesce(n.source, o.source) AS source,
-             CASE WHEN o.fp IS NULL THEN 'added'
-                  WHEN n.fp IS NULL THEN 'removed'
-                  WHEN o.fp <> n.fp THEN 'changed' ELSE 'unchanged' END AS st,
-             coalesce(n.nt, 0) - coalesce(o.nt, 0) AS td
-      FROM o FULL JOIN n ON o.doc_id = n.doc_id)
-SELECT source,
-       sum(CASE WHEN st = 'added' THEN 1 ELSE 0 END)::BIGINT AS n_added,
-       sum(CASE WHEN st = 'removed' THEN 1 ELSE 0 END)::BIGINT AS n_removed,
-       sum(CASE WHEN st = 'changed' THEN 1 ELSE 0 END)::BIGINT AS n_changed,
-       sum(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END)::BIGINT AS n_unchanged,
-       sum(td)::BIGINT AS token_delta
-FROM j GROUP BY source
-"""
+snapshot_diff_sql = E.snapshot_diff_sql
 
 
 def _q97(spark):
@@ -1343,19 +1011,7 @@ def test_snapshot_diff_identity_and_disjoint(spark):
 # --- q98: gate overlap matrix ------------------------------------------------
 
 
-def gate_overlap_sql(t16_sql: str) -> str:
-    """Nests the wired t16 oracle (the d17/q91 pattern: ONE copy of
-    the gate math) and unnests its comma-joined fail_reasons."""
-    return f"""
-WITH t16 AS ({t16_sql}),
-fired AS (
-  SELECT doc_id,
-         unnest(list_filter(string_split(fail_reasons, ','), x -> length(x) > 0)) AS gate
-  FROM t16)
-SELECT a.gate AS gate_a, b.gate AS gate_b, count(*)::BIGINT AS n_docs
-FROM fired a JOIN fired b ON a.doc_id = b.doc_id AND a.gate <= b.gate
-GROUP BY 1, 2
-"""
+gate_overlap_sql = E.gate_overlap_sql
 
 
 def test_oracle_draft_gate_overlap(spark, ddb):
@@ -1389,31 +1045,7 @@ def test_gate_overlap_diagonal_is_the_marginal(spark):
 # --- s30: knn graph -----------------------------------------------------------
 
 
-def knn_graph_sql(k: int = 5, num_cells: int = 8) -> str:
-    """The s03 assignment CTE with queries = the whole corpus, plus an
-    edge-grain reversed-pair self-join for the mutuality flag."""
-    return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cents AS (SELECT vec_id AS cell, v AS cent_v FROM e ORDER BY vec_id LIMIT {num_cells}),
-assign AS (
-  SELECT vec_id, v, cell FROM (
-    SELECT e.vec_id, e.v, c.cell,
-           row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY round(list_cosine_similarity(e.v, c.cent_v), 6) DESC, c.cell) AS rn
-    FROM e CROSS JOIN cents c) WHERE rn = 1),
-scored AS (
-  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
-         round(list_cosine_similarity(q.v, a.v), 4) AS cosine
-  FROM assign q JOIN assign a ON q.cell = a.cell AND q.vec_id <> a.vec_id),
-edges AS (
-  SELECT query_id, neighbor_id, cosine,
-         cast(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
-  FROM scored QUALIFY rank <= {k})
-SELECT e.query_id AS vec_id, e.neighbor_id, e.cosine, e.rank,
-       (r.query_id IS NOT NULL) AS mutual
-FROM edges e LEFT JOIN edges r
-  ON r.query_id = e.neighbor_id AND r.neighbor_id = e.query_id
-"""
+knn_graph_sql = E.knn_graph_sql
 
 
 def test_oracle_draft_knn_graph(spark, ddb):

@@ -33,7 +33,10 @@ verbatim.
   the word/n-gram half; gopher_filter's dup_words proxy can cite this
   as the faithful form at rotation.
 
-- d23_signature_store — the dedup family's persisted artifact
+- d23_signature_store (ROTATED EARLY, at r12: the r11 VERDICT asked
+  its driver row forward — wired as d23_neardup_from_store with the
+  d19 oracle verbatim; the identity proofs below remain the pytest
+  half of that certification) — the dedup family's persisted artifact
   (dedup.build_signature_store / append_to_signature_store /
   incremental_neardup_from_store): build once from the deduped
   archive, append each accepted delta, serve daily near-dup at
@@ -68,12 +71,12 @@ verbatim.
   LINEAR and the op stays a shuffle-free scan projection. Oracle:
   relational replay with a set-based coverage join.
 
-- (rotation note) the streaming heavy-hitter monitor
-  (streaming.quality.heavy_hitter_stream, stream==batch certified in
-  test_streaming.py) can enter a window as a batch-replay query the
-  q75/q78 way: run availableNow over file micro-batches, reduce with
-  heavy_hitter_candidates, recount exactly — oracle is the t37 SQL
-  verbatim.
+- (rotation note — DONE at r12) the streaming heavy-hitter monitor
+  entered the r12 window as q99_heavy_hitter_state via
+  streaming.quality.heavy_hitter_replay (the monitor loop's batch
+  replay: per-bucket MG state grain -> heavy_hitter_candidates ->
+  exact recount), oracle = the t37 SQL verbatim; the multi-micro-batch
+  fold parity stays pinned in test_streaming.py.
 
 ROTATION-TIME CONTRACT IMPROVEMENT (consider when the freeze lifts):
 neardup_clusters' distributed regime currently RAISES past

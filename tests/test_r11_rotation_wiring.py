@@ -1,30 +1,10 @@
-"""Round-11 rotation wiring proof: the current window invariants the
-freeze policy depends on, the r11 oracle wiring pins, and the
-MECHANICAL rounds-since-green aging ledger — now capped at rounds
-BELOW the rotation round. The r10 version globbed every committed
-CORRECTNESS_r*.json, so the moment the driver's own current-round
-record landed on disk the window's filler slots were no longer "the
-oldest rows" and the assertion inverted mid-round (the r10 verdict's
-What's-wrong #1). The ledger therefore asserts "fillers were the
-oldest rows AS OF ROTATION", which is the statement the freeze policy
-actually makes, and stays green for the whole round.
-"""
+"""Round-11 rotation wiring proof: the r11 oracle wiring pins (the
+window-invariants test and the mechanical aging ledger moved to
+test_r12_rotation_wiring when the window rotated at round-12 start —
+the same hand-off this file received from test_r10_rotation_wiring)."""
 
-import glob
-import json
-import os
-import re
 
 import __spark_entry__ as E
-
-ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-# the round this window was frozen at: ledger rows from this round on
-# are the window's OWN output, not inputs to its selection
-ROTATION_ROUND = 11
-
-# the three oracle-less-by-nature queries the window excludes by policy
-ROWS_ONLY = {"q09_current_timestamp", "t12_packing", "s06_ann_ivf_kmeans"}
 
 ROTATED_R11 = {
     "s22_ivf_delete", "s23_ivf_compact", "s24_ivfpq_delete",
@@ -38,76 +18,6 @@ ROTATED_R11 = {
 # code-changed this round: the containment family's max_df filter
 # inverted to a hot-set anti-join (value-identical, plan changed)
 RECERTS_R11 = {"d12_containment", "d14_containment_dedup", "q71_export_pipeline"}
-
-
-def ledger() -> dict[str, int]:
-    """query -> most recent round with a green (rows_match) driver row,
-    from the CORRECTNESS_r*.json records committed BEFORE this window's
-    rotation (rounds < ROTATION_ROUND)."""
-    last: dict[str, int] = {}
-    for p in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
-        rnd = int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
-        if rnd >= ROTATION_ROUND:
-            continue
-        data = json.load(open(p))
-        if not isinstance(data, dict):
-            continue
-        for qname, row in data.items():
-            if isinstance(row, dict) and row.get("rows_match"):
-                last[qname] = max(last.get(qname, 0), rnd)
-    return last
-
-
-def test_window_invariants():
-    """50-slot window, every entry resolvable and oracle-backed, the
-    rotation + re-certification sets sit inside; inventory is 166."""
-    qs = E.queries()
-    os_ = E.oracle_sql()
-    names = list(qs)
-    assert len(names) == 166
-    window = names[:50]
-    assert [n for n in window if n not in os_] == []
-    assert ROTATED_R11 <= set(window)
-    assert RECERTS_R11 <= set(window)
-    assert ROWS_ONLY.isdisjoint(window)
-
-
-def test_filler_slots_are_mechanically_the_oldest_rows():
-    """The drip is computed, not curated: filler slots (window minus
-    rotation minus re-certs) == the N oldest as-of-rotation ledger rows
-    among eligible queries, oldest-first with name tie-break."""
-    names = list(E.queries())
-    window = set(names[:50])
-    fillers = window - ROTATED_R11 - RECERTS_R11
-    last = ledger()
-    eligible = [
-        n for n in names
-        if n not in ROTATED_R11 and n not in RECERTS_R11 and n not in ROWS_ONLY
-    ]
-    # every eligible query has SOME green driver row as of rotation
-    # (never-windowed: none) — the union invariant
-    assert [n for n in eligible if n not in last] == []
-    expect = {n for _, n in sorted((last[n], n) for n in eligible)[: len(fillers)]}
-    assert fillers == expect
-    # and the oldest eligible row left OUT of the window is no older
-    # than every filler (the boundary is clean)
-    out = [last[n] for n in eligible if n not in window]
-    assert max(last[n] for n in fillers) <= min(out)
-
-
-def test_ledger_reaches_every_inventory_query():
-    """The as-of-rotation union + this window covers the whole
-    inventory: each query either has a green row already or is entering
-    the window for its first one (the 14 rotated) or is rows-only by
-    nature."""
-    names = list(E.queries())
-    last = ledger()
-    window = set(names[:50])
-    uncovered = [
-        n for n in names
-        if n not in last and n not in window and n not in ROWS_ONLY
-    ]
-    assert uncovered == []
 
 
 def test_wired_r11_oracles_are_the_proven_generators():

@@ -982,3 +982,33 @@ def test_heavy_hitter_stream_emptied_summary_still_accounts(spark, tmp_path):
     # every token is globally unique, so no surviving counter can
     # exceed 1 — a count above 1 would mean stale folds leaked through
     assert all(r["mg_count"] <= 1 for r in crows)
+
+
+def test_heavy_hitter_replay_equals_batch_and_broadcast_guard(spark):
+    """(a) The batch replay of the monitor loop (per-bucket MG state
+    grain -> candidate reduce -> exact recount) equals
+    heavy_hitter_tokens' answer — the identity that backs
+    q99_heavy_hitter_state's oracle (the t37 string verbatim).
+    (b) The r11-review broadcast guard: forcing broadcast_max=0 routes
+    pass 2 through the shuffle-join fallback with identical output
+    (the guard changes the plan, never the values)."""
+    from pyspark.sql import functions as F
+
+    from datacatalog_tag_engine_spark.pipeline.text import heavy_hitter_tokens
+    from datacatalog_tag_engine_spark.streaming.quality import heavy_hitter_replay
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def rows(df):
+        return sorted((r["token"], r["n_occurrences"]) for r in df.collect())
+
+    batch = rows(heavy_hitter_tokens(docs, k=100))
+    assert batch
+    assert rows(heavy_hitter_replay(docs, k=100)) == batch
+    # replay is partitioning/bucketing independent too (the MG superset
+    # guarantee composes across any sharding)
+    assert rows(heavy_hitter_replay(docs.repartition(7), k=100, n_buckets=3)) == batch
+    # broadcast guard fallback: same values through the shuffle join
+    assert rows(heavy_hitter_tokens(docs, k=100, broadcast_max=0)) == batch
