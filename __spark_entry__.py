@@ -2408,16 +2408,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # signature store's serving path, identity-proven in
     # tests/test_oracle_drafts_r13.py; oracle = the d19 string
     # verbatim, the s31 identity pattern). Code-changed
-    # re-certification: t02_quality — the quality-score gate gained an
+    # re-certifications: t02_quality — the quality-score gate gained an
     # ANSI division-by-zero guard late in r11 (value-identical on every
     # non-empty text; t02 is also a bench ambient sentinel, so its
-    # committed record time must stay meaningful). The remaining 27
-    # slots are the MECHANICAL aging drip: the 27 oldest driver rows by
-    # the rounds-since-green ledger (computed from the
-    # CORRECTNESS_r*.json records committed BEFORE this rotation —
-    # rounds < 12 — in tests/test_r12_rotation_wiring.py, which asserts
-    # this exact selection): all 19 r8-last-green rows plus the 8
-    # oldest r9 rows by name order (d01-d05, d07-d09). The three
+    # committed record time must stay meaningful) — and the four
+    # rewrite-path lifecycle queries s22/s23/s24/s26, whose shared
+    # delete/compact core gained the committed-stage recovery contract
+    # this round (recover_index_stage: a crashed swap completes from
+    # its stage instead of being discarded; value-identical on any
+    # non-crashed index, but the family whose code changed
+    # re-certifies). The remaining 23 slots are the MECHANICAL aging
+    # drip: the 23 oldest driver rows by the rounds-since-green ledger
+    # (computed from the CORRECTNESS_r*.json records committed BEFORE
+    # this rotation — rounds < 12 — in tests/test_r12_rotation_wiring
+    # .py, which asserts this exact selection): all 19 r8-last-green
+    # rows plus the 4 oldest r9 rows by name order (d01-d04). The three
     # oracle-less-by-nature queries (q09/t12/s06) stay outside the
     # window by policy. All 50 verified against the local DuckDB oracle
     # (tools/check_oracle.py --strict) before the freeze; the driver
@@ -2436,10 +2441,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_snapshot_diff", "q98_gate_overlap",
         "s30_knn_graph", "s31_knn_graph_from_index",
         "q99_heavy_hitter_state", "d23_neardup_from_store",
-        # code-changed re-certification (ANSI-safe quality denominator;
-        # bench sentinel witness)
+        # code-changed re-certifications (ANSI-safe quality denominator
+        # + bench sentinel witness; the rewrite-path lifecycle core's
+        # committed-stage recovery contract)
         "t02_quality",
-        # mechanical aging drip: the 27 oldest rows by the ledger
+        "s22_ivf_delete", "s23_ivf_compact", "s24_ivfpq_delete",
+        "s26_ivfpq_compact",
+        # mechanical aging drip: the 23 oldest rows by the ledger
         "q62_sample_k_per_group", "q63_epoch_plan", "q64_gate_metrics",
         "q65_materialize_mixture", "s08_hard_negatives",
         "t12b_packing_invariants", "t13_unigram_logprob", "t15_dsir_weights",
@@ -2448,8 +2456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t21_normalize_text", "t22_vocab_stats", "t23_collapse_lines",
         "t24_decontamination", "t25_chunk_text", "t26_strip_html",
         "d01_dedup_exact", "d02_dedup_minhash", "d03_simhash",
-        "d04_ngram_jaccard", "d05_embedding_neardup", "d07_semantic_dedup",
-        "d08_span_removal", "d09_paragraph_dedup",
+        "d04_ngram_jaccard",
     ]
     assert len(window) == 50 and set(window) <= set(q)
     return {name: q[name] for name in window + [n for n in q if n not in window]}

@@ -665,6 +665,7 @@ def neardup_clusters(
     id_col: str = "doc_id",
     max_iterations: int = 20,
     driver_edge_limit: int = 5_000_000,
+    escalate_to_star: bool = True,
 ) -> DataFrame:
     """Connected components over near-dup pairs: every document gets a
     cluster_id = the smallest doc id reachable through the pair graph
@@ -685,16 +686,27 @@ def neardup_clusters(
     components, no GraphX dependency). Both regimes produce the
     identical labeling (tests prove equality).
 
-    The distributed regime raises RuntimeError if propagation has not
-    converged within ``max_iterations`` — a long chain component
-    (diameter > rounds) would otherwise return one cluster split under
-    several labels, and apply_neardup_dedup would silently keep
-    multiple 'canonical' near-duplicates. Raise rather than guess; the
-    caller bumps max_iterations (cost is O(diameter), not O(n)). The
-    loop runs ``max_iterations`` propagation rounds plus one final
-    verification round, so a component that reaches its fixed point
-    exactly on the last allowed round (the verification round's
-    propagation is then a no-op) still returns instead of raising.
+    If propagation has not converged within ``max_iterations`` — a
+    long chain component (diameter > rounds) would otherwise return
+    one cluster split under several labels, and apply_neardup_dedup
+    would silently keep multiple 'canonical' near-duplicates — the
+    distributed regime ESCALATES to ``neardup_clusters_star``
+    (alternating star contraction, O(log n) rounds regardless of
+    diameter, labeling proven identical), so the caller keeps the
+    exact answer at O(log n) extra cost instead of retrying with a
+    bigger round budget. The defaulting decision (r11 verdict ask):
+    min-label stays the FIRST distributed regime because near-dup
+    components are overwhelmingly shallow (a dup cluster's diameter is
+    ~2-3 hops) and each min-label round is ONE join + groupBy where a
+    star round-pair is ~four edge-grain joins — cheaper per round by
+    ~2x on the common shape (measured, tools/cc_ladder.py); star is
+    the ESCAPE for the chain worst case, reached only when the round
+    budget proves the shape is chain-like. ``escalate_to_star=False``
+    restores the old raise-on-budget contract. The loop runs
+    ``max_iterations`` propagation rounds plus one final verification
+    round, so a component that reaches its fixed point exactly on the
+    last allowed round (the verification round's propagation is then a
+    no-op) still returns instead of escalating.
     """
     if driver_edge_limit:
         # materialize the (expensive) pairs plan ONCE; the count and —
@@ -765,11 +777,24 @@ def neardup_clusters(
                 converged = True
                 break
     if not converged:
+        # the last round's labels are partial (dead either way)
+        if prev_ckpt is not None:
+            free_local_checkpoint(prev_ckpt)
+        if escalate_to_star:
+            # chain-shaped component: hand the (already symmetrized,
+            # checkpointed) edge list to star contraction — identical
+            # labeling in O(log n) rounds; star checkpoints its own
+            # copy eagerly, then the propagation edges can be freed
+            result = neardup_clusters_star(
+                docs, edges.selectExpr("src as doc_a", "dst as doc_b"), id_col
+            )
+            free_local_checkpoint(edges)
+            return result
         free_local_checkpoint(edges)
         raise RuntimeError(
             f"neardup_clusters: label propagation did not converge within "
             f"{max_iterations} rounds — a component's diameter exceeds the "
-            f"round budget; raise max_iterations"
+            f"round budget; raise max_iterations or leave escalate_to_star on"
         )
     # final labels read only the last round's checkpoint
     free_local_checkpoint(edges)

@@ -35,20 +35,37 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
-def _topk_by_key(q: DataFrame, c: DataFrame, k: int, join_key: str | None) -> DataFrame:
-    """THE shared ANN scoring block: broadcast the query side against
-    the candidate side (joined on ``join_key``, or crossJoin for the
-    exact path), cosine rounded to 4, rank by (cosine desc, neighbor
-    asc), keep ``rank <= k``. Every search surface (brute, LSH, IVF,
-    indexed IVF) routes through this ONE definition — the rounding and
-    tiebreak are the cross-engine determinism contract, and a drift
-    between paths would be a silent correctness bug.
+def _topk_by_key(
+    q: DataFrame,
+    c: DataFrame,
+    k: int,
+    join_key: str | None,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """THE shared ANN scoring block: the query side against the
+    candidate side (joined on ``join_key``, or crossJoin for the exact
+    path), cosine rounded to 4, rank by (cosine desc, neighbor asc),
+    keep ``rank <= k``. Every search surface (brute, LSH, IVF, indexed
+    IVF, the kNN graph) routes through this ONE definition — the
+    rounding and tiebreak are the cross-engine determinism contract,
+    and a drift between paths would be a silent correctness bug.
+
+    ``broadcast_queries`` (default on) broadcasts ``q`` — right for
+    every search call, where the probe set is small. The kNN graph
+    passes False because there the queries ARE the corpus: both sides
+    shuffle on ``join_key`` instead (requires a key; an un-broadcast
+    crossJoin is never the right plan).
 
     ``q`` must carry (query_id, qv[, key]); ``c`` (neighbor_id,
     cv[, key])."""
-    joined = (
-        F.broadcast(q).join(c, join_key) if join_key else F.broadcast(q).crossJoin(c)
-    )
+    if broadcast_queries:
+        joined = (
+            F.broadcast(q).join(c, join_key) if join_key else F.broadcast(q).crossJoin(c)
+        )
+    else:
+        if join_key is None:
+            raise ValueError("broadcast_queries=False requires a join_key")
+        joined = q.join(c, join_key)
     scored = joined.filter(F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
@@ -1690,6 +1707,41 @@ def _cell_dirs(spark, path: str) -> dict[int, list]:
 REWRITE_TMP_DIR = "_rewrite_tmp"
 
 
+def recover_index_stage(spark, path: str) -> int:
+    """Complete a crashed cell rewrite whose stage had fully COMMITTED
+    (the ``_SUCCESS`` marker Spark's committer writes when the stage
+    write finished): every staged ``cell=`` directory is swapped into
+    place — delete the live dir, rename the staged one in — exactly as
+    the crashed swap loop would have. The staged content is the
+    operation's committed intent, and a cell the crash left
+    deleted-but-not-renamed has its surviving rows ONLY in the stage,
+    so completing (never discarding) is the one safe recovery. A stage
+    WITHOUT the marker is a torn stage write over a byte-untouched
+    live index; it is left in place for the next rewrite to discard.
+
+    Idempotent (already-swapped cells are gone from the stage; a crash
+    mid-recovery just re-enters here) and called automatically by
+    ``_swap_cells`` before each rewrite; exposed for operators who
+    want to heal a crashed index without queuing new maintenance.
+    Returns the number of cells swapped in."""
+    fs, jvm = _index_fs(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    tmp = f"{path}/{REWRITE_TMP_DIR}"
+    if not fs.exists(Path(tmp)) or not fs.exists(Path(f"{tmp}/_SUCCESS")):
+        return 0
+    n = 0
+    for cell in _cell_dirs(spark, tmp):
+        fs.delete(Path(f"{path}/cell={cell}"), True)
+        fs.rename(Path(f"{tmp}/cell={cell}"), Path(f"{path}/cell={cell}"))
+        n += 1
+    # every staged cell is live now; the spent stage (marker + write
+    # artifacts) is deleted so the recovery is finalized even when the
+    # caller is recover_index_stage itself rather than a new rewrite
+    fs.delete(Path(tmp), True)
+    spark.catalog.refreshByPath(path)
+    return n
+
+
 def _swap_cells(spark, path: str, rows: DataFrame, cells: list[int]) -> int:
     """Durable cell rewrite shared by the delete and compact paths:
     STAGE the replacement rows for ``cells`` into an underscore-
@@ -1702,21 +1754,33 @@ def _swap_cells(spark, path: str, rows: DataFrame, cells: list[int]) -> int:
     session, so a crash between the delete and the append permanently
     lost every surviving row of the affected cells):
 
-    - failure BEFORE the swap loop: the live index is byte-untouched
-      (the stage dir is ignored by readers); re-running the operation
-      clears the stale stage and completes.
-    - failure MID-swap: every row is durable on disk — each cell is
-      either fully old, fully staged, or fully swapped (per-cell
-      directory rename), never torn.
+    - failure BEFORE the stage write commits (no ``_SUCCESS`` marker):
+      the live index is byte-untouched (the stage dir is ignored by
+      readers); the next rewrite discards the torn stage and proceeds.
+    - failure AFTER the stage commit — including MID-swap: every row is
+      durable on disk (each cell is fully old, fully staged, or fully
+      swapped — per-cell directory rename, never torn), and the next
+      rewrite FIRST COMPLETES the crashed swap from the stage dir
+      (``_recover_stage``). Completing rather than discarding is
+      load-bearing: a crash between ``fs.delete(cell)`` and
+      ``fs.rename(staged)`` leaves that cell's survivors ONLY in the
+      stage, so the old discard-stale-stage recovery would have lost
+      them permanently (r11 verdict ask #8, pinned red->green in
+      tests). A committed stage IS the operation's commit point; the
+      rerun then re-derives on top of the completed state, which is
+      idempotent for the delete/compact callers.
 
     A cell in ``cells`` with no staged rows (all rows removed) is
     deleted outright. Returns the number of staged rows."""
     fs, jvm = _index_fs(spark, path)
     Path = jvm.org.apache.hadoop.fs.Path
     tmp = f"{path}/{REWRITE_TMP_DIR}"
-    # clear any stale stage from a crashed prior run: its content was
-    # never swapped in, so dropping it is safe (the rerun re-derives it
-    # from the still-intact live cells)
+    # a committed stage from a crashed prior rewrite is COMPLETED (see
+    # recover_index_stage — discarding it would lose any cell the crash
+    # left deleted-but-not-renamed); only then is the dir cleared, which
+    # at this point can hold nothing but a torn (uncommitted) stage
+    # whose live cells are untouched
+    recover_index_stage(spark, path)
     fs.delete(Path(tmp), True)
     rows.write.mode("overwrite").partitionBy("cell").parquet(tmp)
     staged_dirs = _cell_dirs(spark, tmp)
@@ -1772,8 +1836,11 @@ def remove_from_ivf_index(
     drifted.
 
     Returns the number of removed rows."""
-    from ..session import free_local_checkpoint
-
+    # complete any crashed prior rewrite BEFORE reading the index: the
+    # derivation below must see the recovered (committed) state, or a
+    # stale read could target cells the crashed swap already rewrote
+    # and resurrect its deleted rows (see recover_index_stage)
+    recover_index_stage(spark, path)
     resident = spark.read.parquet(path)
     if vec_col not in resident.columns:
         raise ValueError(
@@ -1833,6 +1900,7 @@ def remove_from_ivfpq_index(
     quantizers. Returns removed code-row count (num_subspaces rows per
     deleted vector). Same maintenance-window caveat as the raw-vector
     form."""
+    recover_index_stage(spark, path)  # see remove_from_ivf_index
     resident = spark.read.parquet(path)
     if "code" not in resident.columns or "m" not in resident.columns:
         raise ValueError(
@@ -1871,6 +1939,7 @@ def compact_ivf_index(
 
     Returns {"cells_compacted": n, "files_before": b, "files_after": a}.
     """
+    recover_index_stage(spark, path)  # see remove_from_ivf_index
     resident = spark.read.parquet(path)
     if vec_col not in resident.columns:
         raise ValueError(
@@ -1966,6 +2035,7 @@ def compact_ivfpq_index(
     footer reads to fetch kilobytes. Value-invariant; same
     maintenance-window caveat and stage-then-swap durability as the
     raw form."""
+    recover_index_stage(spark, path)  # see remove_from_ivf_index
     resident = spark.read.parquet(path)
     if "code" not in resident.columns or "m" not in resident.columns:
         raise ValueError(
@@ -2071,20 +2141,12 @@ def knn_graph(
 
 def _knn_edges(probes: DataFrame, members: DataFrame, k: int, id_col: str) -> DataFrame:
     """Shared kNN-graph edge block (live and from-index forms): the
-    cell-key shuffle join + the _topk_by_key determinism contract
-    (cosine round 4, rank by cosine desc / neighbor asc), then the
-    edge-grain reversed-pair self-join for the mutuality flag."""
-    scored = (
-        probes.join(members, "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_expr(F.col("qv"), F.col("cv")), 4).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    edges = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    _topk_by_key contract with ``broadcast_queries=False`` (the query
+    side IS the corpus, so both sides shuffle on the cell key — the
+    r12 rotation refactor that put the determinism contract back to
+    ONE definition), then the edge-grain reversed-pair self-join for
+    the mutuality flag."""
+    edges = _topk_by_key(probes, members, k, "cell", broadcast_queries=False)
     # the reversed-pair self-join would otherwise RECOMPUTE the whole
     # scoring lineage for its right side (plan-audited: two full
     # subtrees) — the edge list is rows x k thin (two ids, a float, a

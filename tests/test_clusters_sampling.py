@@ -104,17 +104,28 @@ def test_hashed_linear_score_bounds_and_weights_override(spark):
     assert all(r["score"] == 0.5 for r in flat)
 
 
-def test_clusters_unconverged_chain_raises(spark):
-    """Regression: a chain whose diameter exceeds the round budget must
-    raise instead of silently returning a split cluster."""
+def test_clusters_unconverged_chain_escalates_to_star(spark):
+    """A chain whose diameter exceeds the min-label round budget must
+    never silently return a split cluster. The r12 contract: the
+    distributed regime ESCALATES to star contraction (identical
+    labeling, O(log n) rounds) by default; escalate_to_star=False
+    restores the old raise."""
     import pytest
 
     n = 12
     docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
     chain = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long")
+    # default: a 3-round budget on a 12-chain escalates and still
+    # returns the EXACT answer (one component rooted at 0)
+    esc = DD.neardup_clusters(docs, chain, max_iterations=3, driver_edge_limit=0)
+    assert {r["cluster_id"] for r in esc.collect()} == {0}
+    # opting out restores the raise-on-budget contract
     with pytest.raises(RuntimeError, match="did not converge"):
-        DD.neardup_clusters(docs, chain, max_iterations=3, driver_edge_limit=0)
-    # enough rounds: the whole chain resolves to one cluster
+        DD.neardup_clusters(
+            docs, chain, max_iterations=3, driver_edge_limit=0,
+            escalate_to_star=False,
+        )
+    # enough rounds: min-label itself resolves the whole chain
     got = DD.neardup_clusters(docs, chain, max_iterations=n + 2, driver_edge_limit=0)
     assert {r["cluster_id"] for r in got.collect()} == {0}
 

@@ -204,15 +204,16 @@ def test_ivf_delete_touches_only_affected_cells(spark, tmp_path):
 def test_ivf_delete_crash_between_stage_and_swap_loses_nothing(
     spark, tmp_path, monkeypatch
 ):
-    """Fault-inject a crash at the delete path's most dangerous point:
-    the survivors are staged but no live cell has been swapped yet
-    (the first live-cell delete raises). The live index must be
-    byte-untouched — a reader mid-crash sees the full old index, the
-    stage dir is invisible to it — and the staged survivors are
-    durable REAL files on disk (not session-lifetime checkpoint
-    blocks). Recovery is simply re-running the delete: it clears the
-    stale stage and completes, leaving the index identical to a fresh
-    rebuild over the survivors."""
+    """Fault-inject a crash between the stage commit and the first
+    live-cell delete. The live index must be byte-untouched — a reader
+    mid-crash sees the full old index, the stage dir is invisible to
+    it — and the staged survivors are durable REAL files on disk (not
+    session-lifetime checkpoint blocks). Recovery is re-running the
+    delete: since r12 a COMMITTED stage is the operation's commit
+    point, so the rerun first completes the crashed swap from the
+    stage (recover_index_stage) and then finds nothing left to delete
+    (returns 0), leaving the index identical to a fresh rebuild over
+    the survivors."""
     import glob
     import os
 
@@ -264,15 +265,108 @@ def test_ivf_delete_crash_between_stage_and_swap_loses_nothing(
     # the survivors are durable real files in the stage dir
     stage = os.path.join(path, SIM.REWRITE_TMP_DIR)
     assert glob.glob(os.path.join(stage, "cell=*", "*.parquet"))
-    # recovery: rerun completes and serving equals a fresh rebuild
+    # recovery: the rerun completes the committed stage first (the
+    # crashed delete had already committed), so it reports 0 NEW
+    # removals and serving equals a fresh rebuild
     n = SIM.remove_from_ivf_index(spark, path, doomed)
-    assert n == n_doomed
+    assert n == 0
     assert not os.path.isdir(stage)
     qs = emb.filter(F.col("vec_id") < 5)
     got = _rows(SIM.ivf_topk_from_index(spark, path, qs, k=5, nprobe=2))
     fresh = str(tmp_path / "ivf_crash_fresh")
     SIM.build_ivf_index(emb.filter(~F.expr(DELETE_PRED)), fresh, num_cells=8)
     assert got == _rows(SIM.ivf_topk_from_index(spark, fresh, qs, k=5, nprobe=2))
+    assert spark.read.parquet(path).count() == emb.count() - n_doomed
+
+
+def test_ivf_delete_crash_mid_swap_recovers_from_stage(
+    spark, tmp_path, monkeypatch
+):
+    """The r11 verdict's torn-SWAP ask, red->green: fault-inject a kill
+    BETWEEN ``fs.delete(cell)`` and ``fs.rename(staged)`` — the one
+    window where a cell's survivors exist ONLY in the stage dir. The
+    old recovery (discard the stale stage, re-derive from live cells)
+    would have lost that cell's survivors permanently, because the
+    live dir is already gone. Since r12 a committed stage is the
+    commit point: the rerun completes the swap FROM the stage
+    (recover_index_stage), reports 0 new removals, and serving equals
+    a fresh rebuild over the survivors. Also pins the torn-STAGE case:
+    a stage without the _SUCCESS marker is discarded, not completed."""
+    import glob
+    import os
+    import shutil
+
+    emb = spark.table("embeddings")
+    path = str(tmp_path / "ivf_midswap")
+    SIM.build_ivf_index(emb, path, num_cells=8)
+    doomed = emb.filter(F.expr(DELETE_PRED)).select("vec_id")
+    n_doomed = doomed.count()
+
+    class MidSwapCrashFS:
+        """Raises on the first staged->live rename: the targeted live
+        cell dir is already deleted, its survivors exist only in the
+        stage — the exact torn-swap window."""
+
+        def __init__(self, fs):
+            self._fs = fs
+
+        def rename(self, src, dst):
+            if SIM.REWRITE_TMP_DIR in str(src):
+                raise RuntimeError("injected crash mid-swap")
+            return self._fs.rename(src, dst)
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    real_index_fs = SIM._index_fs
+
+    def crashing_index_fs(spark_, path_):
+        fs, jvm = real_index_fs(spark_, path_)
+        return MidSwapCrashFS(fs), jvm
+
+    monkeypatch.setattr(SIM, "_index_fs", crashing_index_fs)
+    with pytest.raises(RuntimeError, match="mid-swap"):
+        SIM.remove_from_ivf_index(spark, path, doomed)
+    monkeypatch.setattr(SIM, "_index_fs", real_index_fs)
+
+    # the torn state is real: at least one live cell dir is gone, its
+    # survivors are durable parquet in the committed stage
+    stage = os.path.join(path, SIM.REWRITE_TMP_DIR)
+    assert os.path.exists(os.path.join(stage, "_SUCCESS"))
+    staged_cells = {
+        os.path.basename(d)
+        for d in glob.glob(os.path.join(stage, "cell=*"))
+    }
+    live_cells = {
+        os.path.basename(d) for d in glob.glob(os.path.join(path, "cell=*"))
+    }
+    assert staged_cells - live_cells  # the deleted-but-unrenamed cell(s)
+
+    # recovery: the rerun completes the swap from the stage; nothing
+    # is lost and nothing is left to delete
+    spark.catalog.refreshByPath(path)
+    n = SIM.remove_from_ivf_index(spark, path, doomed)
+    assert n == 0
+    assert not os.path.isdir(stage)
+    assert spark.read.parquet(path).count() == emb.count() - n_doomed
+    qs = emb.filter(F.col("vec_id") < 5)
+    got = _rows(SIM.ivf_topk_from_index(spark, path, qs, k=5, nprobe=2))
+    fresh = str(tmp_path / "ivf_midswap_fresh")
+    SIM.build_ivf_index(emb.filter(~F.expr(DELETE_PRED)), fresh, num_cells=8)
+    assert got == _rows(SIM.ivf_topk_from_index(spark, fresh, qs, k=5, nprobe=2))
+
+    # torn-STAGE contract: an uncommitted stage (no _SUCCESS) over an
+    # intact index is discarded by the next rewrite, never completed
+    path2 = str(tmp_path / "ivf_tornstage")
+    SIM.build_ivf_index(emb, path2, num_cells=8)
+    stage2 = os.path.join(path2, SIM.REWRITE_TMP_DIR)
+    os.makedirs(os.path.join(stage2, "cell=9999"))
+    donor = glob.glob(os.path.join(path2, "cell=*", "*.parquet"))[0]
+    shutil.copy(donor, os.path.join(stage2, "cell=9999", "garbage.parquet"))
+    assert SIM.recover_index_stage(spark, path2) == 0  # marker absent
+    n2 = SIM.remove_from_ivf_index(spark, path2, doomed)
+    assert n2 == n_doomed  # the real delete ran; the torn stage did not leak in
+    assert not glob.glob(os.path.join(path2, "cell=9999"))
 
 
 def test_ivf_delete_rejects_codes_layout_and_noop(spark, tmp_path):

@@ -37,9 +37,15 @@ ROTATED_R12 = {
 
 # code-changed this round: quality_scores gained an ANSI
 # division-by-zero guard late in r11 (value-identical on non-empty
-# text); t02 is also a bench ambient sentinel, so it re-certifies with
-# an explicit witness slot
-RECERTS_R12 = {"t02_quality"}
+# text; t02 is also a bench ambient sentinel, so it re-certifies with
+# an explicit witness slot), and the rewrite-path lifecycle core
+# gained the committed-stage recovery contract (recover_index_stage),
+# so the four delete/compact queries re-certify
+RECERTS_R12 = {
+    "t02_quality",
+    "s22_ivf_delete", "s23_ivf_compact", "s24_ivfpq_delete",
+    "s26_ivfpq_compact",
+}
 
 
 def ledger() -> dict[str, int]:

@@ -64,6 +64,64 @@ def sim_rounds(n: int) -> int:
     raise RuntimeError("no convergence in 100 rounds")
 
 
+def shallow_case(spark, m: int = 10_000, size: int = 5) -> dict:
+    """The COMMON near-dup shape (the r12 defaulting decision's other
+    half): m star-topology clusters of ``size`` docs — diameter 2, the
+    boilerplate/mirror cluster shape. Min-label (escalation off, so
+    the pure propagation path is what's timed) vs star contraction,
+    labels asserted identical."""
+    from datacatalog_tag_engine_spark.pipeline.dedup import neardup_clusters
+
+    n = m * size
+    docs = spark.range(n).withColumnRenamed("id", "doc_id")
+    # cluster c = ids [c*size, (c+1)*size); edges hang every member off
+    # the cluster minimum (diameter 2 through the center)
+    pairs = spark.range(n).filter(f"id % {size} != 0").selectExpr(
+        f"(id - id % {size}) as doc_a", "id as doc_b"
+    )
+    t0 = time.time()
+    ml = neardup_clusters(
+        docs, pairs, driver_edge_limit=0, escalate_to_star=False
+    ).collect()
+    ml_wall = round(time.time() - t0, 1)
+    t0 = time.time()
+    st = neardup_clusters_star(docs, pairs).collect()
+    st_wall = round(time.time() - t0, 1)
+    want = {r["doc_id"]: r["doc_id"] - r["doc_id"] % size for r in ml}
+    assert {r["doc_id"]: r["cluster_id"] for r in ml} == want
+    assert {r["doc_id"]: r["cluster_id"] for r in st} == want
+    return {
+        "shape": f"{m} clusters x {size} docs (diameter 2)",
+        "minlabel_wall_sec": ml_wall,
+        "star_wall_sec": st_wall,
+    }
+
+
+def escalation_case(spark, n: int = 50_000) -> dict:
+    """The r12 escalation contract at its design point: a 50k chain
+    under the DEFAULT round budget — min-label burns its budget,
+    escalates to star, and still returns the exact labeling (diameter
+    50k >> 20 rounds; pre-r12 this raised)."""
+    from datacatalog_tag_engine_spark.pipeline.dedup import neardup_clusters
+
+    docs = spark.range(n + 1).withColumnRenamed("id", "doc_id")
+    pairs = spark.range(n).selectExpr("id as doc_a", "id + 1 as doc_b")
+    t0 = time.time()
+    labels = neardup_clusters(docs, pairs, driver_edge_limit=0).collect()
+    wall = round(time.time() - t0, 1)
+    assert len(labels) == n + 1 and all(r["cluster_id"] == 0 for r in labels)
+    t0 = time.time()
+    direct = neardup_clusters_star(docs, pairs).collect()
+    direct_wall = round(time.time() - t0, 1)
+    assert all(r["cluster_id"] == 0 for r in direct)
+    return {
+        "chain": n,
+        "escalated_wall_sec": wall,  # 20 min-label rounds + star
+        "direct_star_wall_sec": direct_wall,
+        "star_rounds": sim_rounds(n),
+    }
+
+
 def main() -> None:
     lengths = [int(a) for a in sys.argv[1:]] or [100, 1000, 10000]
     spark = get_spark("cc-ladder")
@@ -87,7 +145,11 @@ def main() -> None:
         }
         out.append(row)
         print(json.dumps(row), flush=True)
-    print(json.dumps({"rungs": out}))
+    shallow = shallow_case(spark)
+    print(json.dumps(shallow), flush=True)
+    esc = escalation_case(spark)
+    print(json.dumps(esc), flush=True)
+    print(json.dumps({"rungs": out, "shallow": shallow, "escalation": esc}))
 
 
 if __name__ == "__main__":
