@@ -2326,3 +2326,43 @@ def incremental_neardup_from_store(
         threshold=threshold,
         resident_sigs=resident_sigs,
     )
+
+
+def candidate_threshold_sweep(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """The dedup-threshold DECISION TABLE: every LSH candidate pair
+    scored by the signature-agreement estimator (the d15 surface at
+    threshold 0 — all candidates, no floor), rolled up per estimate
+    value on the exact i/num_hashes lattice, with the cumulative pair
+    count a threshold at each lattice edge would KEEP. The d20
+    histogram prices the shingle cap; this prices the THRESHOLD — the
+    two tables together are the evidence behind every near-dup
+    parameter choice, replacing folklore defaults with counted mass.
+
+    Estimates are exact dyadic rationals (agreeing-components /
+    num_hashes), so the lattice rollup is integer-exact in both
+    engines. Candidate-grain input (LSH-bucketed, never all-pairs),
+    dimension-grain output (<= num_hashes + 1 rows). Returns
+    (est_jaccard, n_pairs, frac_pairs, cum_pairs_at_or_above)."""
+    pairs = minhash_estimate_pairs(
+        docs, id_col, text_col, k, num_hashes, bands, threshold=0.0
+    )
+    per = pairs.groupBy("est_jaccard").agg(F.count("*").cast("long").alias("n_pairs"))
+    w_all = Window.partitionBy()
+    w_desc = (
+        Window.partitionBy()
+        .orderBy(F.desc("est_jaccard"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per.select(
+        "est_jaccard",
+        "n_pairs",
+        F.round(F.col("n_pairs") / F.sum("n_pairs").over(w_all), 6).alias("frac_pairs"),
+        F.sum("n_pairs").over(w_desc).cast("long").alias("cum_pairs_at_or_above"),
+    )

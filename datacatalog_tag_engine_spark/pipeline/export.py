@@ -389,3 +389,27 @@ def verify_training_shards(
             (F.col("manifest_docs") == F.coalesce("disk_docs", F.lit(0))).alias("ok"),
         )
     )
+
+
+def shard_skew_profile(manifest: DataFrame, count_col: str = "n_docs") -> DataFrame:
+    """One-row skew summary of an export manifest — the straggler
+    check that runs after every write_training_shards / resharding
+    pass, BEFORE a training job inherits the layout: a shard at 10x
+    the median is a guaranteed straggler at load time (one reader task
+    per shard), and the q86 planner's target only bounds the tail it
+    repacked, not what later appends did. Exact percentiles (Spark
+    ``percentile`` == DuckDB ``quantile_cont``, the q74 rule) and an
+    integer micro-unit max/mean ratio so both engines agree bit-for-
+    bit. Manifest-grain input (shards, not docs), single-row output.
+
+    Returns (n_shards, min_docs, p50_docs, p90_docs, max_docs,
+    max_over_mean_micro)."""
+    c = F.col(count_col).cast("double")
+    return manifest.agg(
+        F.count("*").cast("long").alias("n_shards"),
+        F.min(count_col).cast("long").alias("min_docs"),
+        F.round(F.expr(f"percentile({count_col}, 0.5)"), 2).alias("p50_docs"),
+        F.round(F.expr(f"percentile({count_col}, 0.9)"), 2).alias("p90_docs"),
+        F.max(count_col).cast("long").alias("max_docs"),
+        F.round(F.max(c) / F.avg(c) * 1e6, 0).cast("long").alias("max_over_mean_micro"),
+    )

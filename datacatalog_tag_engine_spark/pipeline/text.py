@@ -2424,3 +2424,129 @@ def ngram_coverage_signals(
             yield pd.DataFrame(data)
 
     return docs.select(id_col, text_col).mapInPandas(compute, schema=schema)
+
+
+def pii_incidence(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-(group, pii_type) incidence of the ``PII_PATTERNS`` surface
+    — the corpus-level companion of ``redact_pii`` (t06 scrubs; this
+    says WHERE the PII mass lives, the number a data-governance review
+    asks for before any scrub runs). Counting uses the same
+    sequential-pipeline semantics as the scrub (each pattern counts
+    against the previous pattern's redacted text), so incidence here
+    equals redactions there by construction.
+
+    One corpus scan: every pattern's per-doc count is a column of the
+    SAME projection (JVM regexp codegen, no Python), exploded to
+    (group, pii_type) grain and rolled up — the shuffle carries
+    groups x patterns rows, never documents. Returns (``group_col``,
+    pii_type, n_docs, n_hits) with n_docs = docs containing >= 1 hit
+    of that type and n_hits the total occurrence count.
+
+    Reference analog: the DLP inspection rollups the reference tags
+    assets with (infotype aggregation, sensitive.py J2) — here at
+    corpus grain over raw text rather than per-column findings."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    structs = []
+    for pat, repl in PII_PATTERNS:
+        name = repl.strip("<>").lower()
+        structs.append(
+            F.struct(
+                F.lit(name).alias("pii_type"),
+                F.size(F.regexp_extract_all(t, F.lit(pat), 0)).alias("n"),
+            )
+        )
+        t = F.regexp_replace(t, pat, repl)
+    hits = docs.select(
+        group_col, F.explode(F.array(*structs)).alias("h")
+    ).select(group_col, F.col("h.pii_type").alias("pii_type"), F.col("h.n").alias("n"))
+    return hits.groupBy(group_col, "pii_type").agg(
+        F.sum((F.col("n") > 0).cast("int")).cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("n_hits"),
+    )
+
+
+# winnowing parameters: k-character grams, window of w gram hashes.
+# Guarantee (Schleimer et al., SIGMOD'03): any substring match of
+# length >= w + k - 1 shares at least one selected fingerprint.
+WINNOW_K = 8
+WINNOW_W = 4
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-character gram of
+    the lowercased text, slide a window of ``w`` hashes, select each
+    window's minimum (RIGHTMOST occurrence on ties), de-duplicate
+    selections. The selected set is ~2/(w+1) of the gram count yet
+    GUARANTEES that any two documents sharing a substring of length
+    >= w + k - 1 share at least one fingerprint — the detection
+    contract n-gram Jaccard (similarity-grain) and minhash
+    (whole-document-grain) do not give for contained copies of
+    bounded length.
+
+    Entirely row-local higher-order functions over one scan — no
+    explode before the per-doc selection, no shuffle at all; at 100 TB
+    this is a pure scan projection whose output (doc_id, pos, fp) is
+    the JOIN SURFACE for copy detection (bucket join on fp, df-capped
+    like the shingle path). The gram hash is the first 8 hex digits of
+    md5 as an integer — the engine-portable hash used across the
+    oracle surface (q58's bucket rule), so DuckDB replays it exactly.
+    A document shorter than k characters has no grams and emits no
+    rows; one with fewer than ``w`` gram hashes emits the single
+    minimum of what exists (the paper's short-document degenerate
+    case). Returns (``id_col``, pos, fp) where pos is the 1-based gram
+    start position."""
+    if k < 1 or w < 1:
+        raise ValueError("winnowing needs k >= 1 and w >= 1")
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    n = F.length(t)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.substring(t, i, k),
+        ),
+    ).otherwise(F.array())
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+    )
+    m = F.size(hashes)
+    # one struct per window: (rightmost-argmin position, min hash)
+    def window_pick(i):
+        sl = F.slice(hashes, i, F.lit(w))
+        mn = F.array_min(sl)
+        # rightmost occurrence: first position in the reversed slice
+        return F.struct(
+            (i + F.lit(w) - F.array_position(F.reverse(sl), mn)).cast("int").alias("pos"),
+            mn.alias("fp"),
+        )
+
+    picks = (
+        F.when(m >= w, F.transform(F.sequence(F.lit(1), m - w + 1), window_pick))
+        .when(
+            m > 0,
+            F.array(
+                F.struct(
+                    (m + 1 - F.array_position(F.reverse(hashes), F.array_min(hashes)))
+                    .cast("int")
+                    .alias("pos"),
+                    F.array_min(hashes).alias("fp"),
+                )
+            ),
+        )
+        .otherwise(F.array())
+    )
+    return docs.select(
+        id_col, F.explode(F.array_distinct(picks)).alias("p")
+    ).select(id_col, F.col("p.pos").alias("pos"), F.col("p.fp").alias("fp"))

@@ -78,13 +78,37 @@ verbatim.
   exact recount), oracle = the t37 SQL verbatim; the multi-micro-batch
   fold parity stays pinned in test_streaming.py.
 
-ROTATION-TIME CONTRACT IMPROVEMENT (consider when the freeze lifts):
-neardup_clusters' distributed regime currently RAISES past
-max_iterations. With the star path proven identical, the better
-contract is to escalate to neardup_clusters_star instead of raising —
-the caller keeps the exact answer at O(log n) cost rather than
-retrying with a bigger round budget. Requires re-certifying q34 (its
-code path changes) in the same window.
+- t42_pii_incidence — per-(source, pii_type) PII mass from the t06
+  pattern surface (text.pii_incidence): sequential-pipeline counting
+  (each pattern counts against the previous pattern's redacted text),
+  so incidence == redact_pii's redaction count by construction. One
+  scan, dimension-grain shuffle. The governance number the reference's
+  DLP rollups (J2) answer per column, here at corpus grain.
+
+- t43_winnowing — MOSS winnowing fingerprints (Schleimer et al.,
+  SIGMOD'03; text.winnowing_fingerprints): k-gram hashes, window-min
+  selection (rightmost on ties), dedup — guarantees any shared
+  substring of length >= w + k - 1 shares a fingerprint, the
+  contained-copy contract minhash/Jaccard don't give. Pure row-local
+  HOFs, no shuffle; output is the copy-detection join surface.
+  Engine-portable gram hash (md5 first 8 hex, the q58 rule).
+
+- d24_threshold_sweep — the dedup-threshold decision table
+  (dedup.candidate_threshold_sweep): all LSH candidates scored on the
+  exact dyadic estimate lattice + the cumulative pair mass each
+  threshold keeps. cum(v) == a real d15 run at threshold v
+  (asserted) — the d20 evidence discipline applied to the threshold.
+
+- q101_shard_skew — straggler check for export manifests
+  (export.shard_skew_profile): exact percentiles + integer micro
+  max/mean ratio at manifest grain; the number a training job reads
+  before inheriting a layout (one reader task per shard).
+
+ROTATION-TIME CONTRACT IMPROVEMENT — DONE at r12: neardup_clusters'
+distributed regime now escalates to neardup_clusters_star on budget
+exhaustion (exact answer at O(log n) cost) instead of raising;
+escalate_to_star=False keeps the old contract, and the in-window q88
+row + the cc_ladder shallow/escalation rungs carry the certification.
 """
 
 import pytest
@@ -110,6 +134,12 @@ def ddb():
 def _rows(df):
     cols = sorted(df.columns)
     return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def _sql_rows(con, sql):
+    rel = con.sql(sql)
+    cols = sorted(rel.columns)
+    return sorted(tuple(r) for r in con.sql(f"SELECT {', '.join(cols)} FROM rel").fetchall())
 
 
 def test_oracle_draft_clusters_star(spark, ddb):
@@ -150,9 +180,17 @@ def test_clusters_star_equals_minlabel_and_survives_long_chains(spark):
     )
     star = DD.neardup_clusters_star(cdocs, cpairs).collect()
     assert len(star) == n + 1 and all(r["cluster_id"] == 0 for r in star)
+    # r12 contract: the distributed min-label regime now ESCALATES to
+    # star on budget exhaustion (exact answer) instead of raising; the
+    # raise survives behind escalate_to_star=False
+    esc = DD.neardup_clusters(
+        cdocs, cpairs, driver_edge_limit=0, max_iterations=20
+    ).collect()
+    assert len(esc) == n + 1 and all(r["cluster_id"] == 0 for r in esc)
     with pytest.raises(RuntimeError):
         DD.neardup_clusters(
-            cdocs, cpairs, driver_edge_limit=0, max_iterations=20
+            cdocs, cpairs, driver_edge_limit=0, max_iterations=20,
+            escalate_to_star=False,
         ).collect()
 
 
@@ -712,3 +750,275 @@ def test_signature_store_append_is_idempotent(spark, tmp_path):
     assert n3 == 5
     ids = spark.read.parquet(p).groupBy("doc_id").count()
     assert ids.filter("count > 1").count() == 5
+
+
+# --- t42: PII incidence --------------------------------------------------------
+
+
+def pii_incidence_sql() -> str:
+    """Sequential-pipeline replay of PII_PATTERNS (the same Python
+    constant the Spark op reads — one source, no drift): each pattern
+    counts against the previous pattern's redacted text, then a
+    (source, pii_type) rollup."""
+    from datacatalog_tag_engine_spark.pipeline.text import PII_PATTERNS
+
+    stages, prev = [], "t"
+    for i, (pat, repl) in enumerate(PII_PATTERNS):
+        name = repl.strip("<>").lower()
+        cur = f"t{i}"
+        stages.append(
+            f"s{i} AS (SELECT source, "
+            f"len(regexp_extract_all({prev}, '{pat}')) AS n_{name}, "
+            f"regexp_replace({prev}, '{pat}', '{repl}', 'g') AS {cur}"
+            + (f", {', '.join('n_' + r.strip('<>').lower() for _, r in PII_PATTERNS[:i])}" if i else "")
+            + f" FROM {'base' if i == 0 else 's' + str(i - 1)})"
+        )
+        prev = cur
+    unions = " UNION ALL ".join(
+        f"SELECT source, '{r.strip('<>').lower()}' AS pii_type, "
+        f"n_{r.strip('<>').lower()} AS n FROM s{len(PII_PATTERNS) - 1}"
+        for _, r in PII_PATTERNS
+    )
+    return f"""
+WITH base AS (SELECT source, coalesce(text, '') AS t FROM documents),
+{', '.join(stages)},
+u AS ({unions})
+SELECT source, pii_type,
+       sum((n > 0)::INT)::BIGINT AS n_docs,
+       sum(n)::BIGINT AS n_hits
+FROM u GROUP BY source, pii_type
+"""
+
+
+def test_oracle_draft_pii_incidence(spark, ddb):
+    from datacatalog_tag_engine_spark.pipeline import text as TXT
+
+    got = _rows(TXT.pii_incidence(spark.table("documents")))
+    want = _sql_rows(ddb, pii_incidence_sql())
+    assert got == want
+    assert len(got) > 0
+
+
+def test_pii_incidence_matches_redaction_and_sequences(spark):
+    """(a) Summed incidence equals redact_pii's total redaction count
+    (the same sequential semantics, asserted end-to-end). (b) The
+    sequential pipeline is real: an email's digits are consumed by the
+    email stage, never re-counted by the phone stage."""
+    from pyspark.sql import functions as F
+
+    from datacatalog_tag_engine_spark.pipeline import text as TXT
+
+    docs = spark.table("documents")
+    inc = TXT.pii_incidence(docs)
+    total = inc.agg(F.sum("n_hits")).first()[0]
+    red = TXT.redact_pii(docs).agg(F.sum("n_redactions")).first()[0]
+    assert total == red
+    rows = [
+        (1, "s1", "mail me at bob@example.com or call 555-123-4567"),
+        (2, "s1", "server 10.0.0.1 fell over; also 192.168.1.1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["pii_type"]: r for r in TXT.pii_incidence(df).collect()}
+    assert out["email"]["n_hits"] == 1
+    assert out["ip"]["n_hits"] == 2
+    assert out["phone"]["n_hits"] == 1
+    assert out["email"]["n_docs"] == 1 and out["ip"]["n_docs"] == 1
+
+
+# --- t43: winnowing fingerprints ------------------------------------------------
+
+
+def winnowing_sql(k: int = 8, w: int = 4) -> str:
+    """The winnowing selection replayed with DuckDB list functions:
+    same gram hash (first 8 md5 hex digits as integer — the q58 rule),
+    same rightmost-min window pick, same short-document degenerate
+    case, distinct selections."""
+    return f"""
+WITH d AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents),
+g AS (SELECT doc_id,
+             CASE WHEN length(t) >= {k}
+                  THEN list_transform(range(1, length(t) - {k} + 2),
+                                      i -> substr(t, i, {k}))
+                  ELSE [] END AS grams
+      FROM d),
+h AS (SELECT doc_id,
+             list_transform(grams, g -> ('0x' || substr(md5(g), 1, 8))::BIGINT) AS hs
+      FROM g),
+p AS (SELECT doc_id,
+             CASE
+               WHEN len(hs) >= {w} THEN
+                 list_transform(range(1, len(hs) - {w} + 2), i ->
+                   struct_pack(
+                     pos := i + {w} - list_position(list_reverse(hs[i:i + {w} - 1]),
+                                                    list_min(hs[i:i + {w} - 1])),
+                     fp := list_min(hs[i:i + {w} - 1])))
+               WHEN len(hs) > 0 THEN
+                 [struct_pack(
+                    pos := len(hs) + 1 - list_position(list_reverse(hs), list_min(hs)),
+                    fp := list_min(hs))]
+               ELSE [] END AS picks
+      FROM h),
+sel AS (SELECT DISTINCT doc_id, unnest(picks, recursive := true) FROM p)
+SELECT doc_id, pos::INT AS pos, fp FROM sel
+"""
+
+
+def test_oracle_draft_winnowing(spark, ddb):
+    from datacatalog_tag_engine_spark.pipeline import text as TXT
+
+    got = _rows(TXT.winnowing_fingerprints(spark.table("documents")))
+    want = _sql_rows(ddb, winnowing_sql())
+    assert got == want
+    assert len(got) > 0
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The SIGMOD'03 contract on constructed fixtures: (a) two docs
+    sharing a substring of length >= w + k - 1 share at least one
+    fingerprint; (b) every window of w consecutive grams contains a
+    selected position (coverage — the guarantee's mechanism); (c) a
+    doc shorter than k emits nothing, one with < w grams emits exactly
+    one fingerprint; (d) selection density is far below 1 (the sketch
+    actually compresses)."""
+    from datacatalog_tag_engine_spark.pipeline import text as TXT
+    from datacatalog_tag_engine_spark.pipeline.text import WINNOW_K, WINNOW_W
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, "A unique preamble here. " + shared + " And a unique tail."),
+        (2, "Totally different opening text: " + shared + " closing words."),
+        (3, "no overlap with anything else at all in this one"),
+        (4, "tiny"),  # < k chars -> no grams
+        (5, "abcdefghij"),  # 3 grams at k=8 -> < w -> single pick
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = TXT.winnowing_fingerprints(docs).collect()
+    by_doc: dict[int, set] = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert len(shared) >= WINNOW_W + WINNOW_K - 1
+    assert by_doc[1] & by_doc[2]  # the guarantee
+    assert not by_doc.get(4)
+    assert len([r for r in fps if r["doc_id"] == 5]) == 1
+    # coverage: every w-window of doc 3's gram sequence holds a pick
+    t3 = rows[2][1].lower()
+    n_grams = len(t3) - WINNOW_K + 1
+    pos3 = sorted(r["pos"] for r in fps if r["doc_id"] == 3)
+    for start in range(1, n_grams - WINNOW_W + 2):
+        assert any(start <= p < start + WINNOW_W for p in pos3), start
+    # density: selections ~ 2/(w+1) of grams, certainly under half
+    assert len(pos3) <= n_grams / 2
+
+
+# --- d24: candidate threshold sweep ---------------------------------------------
+
+
+def threshold_sweep_sql() -> str:
+    """The d15 estimator at threshold 0 (all LSH candidates) nested as
+    a CTE + the exact dyadic-lattice rollup with the descending
+    cumulative (what a threshold at each lattice edge keeps)."""
+    import __spark_entry__ as E
+
+    return f"""
+WITH pairs AS ({E.minhash_estimate_sql(0.0)}),
+per AS (SELECT est_jaccard, count(*) AS n_pairs FROM pairs GROUP BY 1)
+SELECT est_jaccard,
+       n_pairs::BIGINT AS n_pairs,
+       round(n_pairs / sum(n_pairs) OVER (), 6) AS frac_pairs,
+       sum(n_pairs) OVER (ORDER BY est_jaccard DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         AS cum_pairs_at_or_above
+FROM per
+"""
+
+
+def test_oracle_draft_threshold_sweep(spark, ddb):
+    from datacatalog_tag_engine_spark.pipeline import dedup as DD
+
+    got = _rows(DD.candidate_threshold_sweep(spark.table("documents")))
+    want = _sql_rows(ddb, threshold_sweep_sql())
+    assert got == want
+    assert len(got) > 1
+
+
+def test_threshold_sweep_prices_the_threshold(spark):
+    """The cumulative column IS the pair mass d15 keeps at each
+    threshold: for every lattice value v, cum(v) equals a real
+    minhash_estimate_pairs run at threshold v (the table is evidence,
+    not approximation), fracs sum to 1, and the lattice is dyadic."""
+    from pyspark.sql import functions as F
+
+    from datacatalog_tag_engine_spark.pipeline import dedup as DD
+
+    docs = spark.table("documents")
+    rows = DD.candidate_threshold_sweep(docs).collect()
+    assert abs(sum(r["frac_pairs"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert abs(r["est_jaccard"] * 8 - round(r["est_jaccard"] * 8)) < 1e-9
+    for r in rows:
+        real = DD.minhash_estimate_pairs(docs, threshold=r["est_jaccard"]).count()
+        assert real == r["cum_pairs_at_or_above"], r
+
+
+# --- q101: shard skew profile ---------------------------------------------------
+
+
+def shard_skew_sql(num_shards: int = 16) -> str:
+    """Manifest = the q58 md5-bucket rule at 16 shards; profile =
+    exact percentiles (quantile_cont == percentile, the q74 rule) +
+    the integer micro max/mean ratio."""
+    bucket = (
+        "(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % "
+        + str(num_shards)
+        + ")"
+    )
+    return f"""
+WITH b AS (SELECT {bucket} AS shard FROM documents),
+m AS (SELECT shard, count(*) AS n_docs FROM b GROUP BY shard)
+SELECT count(*)::BIGINT AS n_shards,
+       min(n_docs)::BIGINT AS min_docs,
+       round(quantile_cont(n_docs, 0.5), 2) AS p50_docs,
+       round(quantile_cont(n_docs, 0.9), 2) AS p90_docs,
+       max(n_docs)::BIGINT AS max_docs,
+       round(max(n_docs) / avg(n_docs) * 1e6)::BIGINT AS max_over_mean_micro
+FROM m
+"""
+
+
+def test_oracle_draft_shard_skew(spark, ddb):
+    from pyspark.sql import functions as F
+
+    from datacatalog_tag_engine_spark.pipeline.export import shard_skew_profile
+    from datacatalog_tag_engine_spark.pipeline.sampling import hash_bucket
+
+    docs = spark.table("documents")
+    manifest = (
+        docs.select(hash_bucket(F.col("doc_id"), 16).alias("shard"))
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    got = _rows(shard_skew_profile(manifest))
+    want = _sql_rows(ddb, shard_skew_sql(16))
+    assert got == want
+    assert len(got) == 1
+
+
+def test_shard_skew_flags_the_straggler(spark):
+    """A constructed manifest with one 10x shard: the ratio column
+    reads the skew exactly; a perfectly balanced manifest reads 1.0
+    (1e6 micro)."""
+    from datacatalog_tag_engine_spark.pipeline.export import shard_skew_profile
+
+    flat = spark.createDataFrame(
+        [(i, 100) for i in range(8)], "shard int, n_docs long"
+    )
+    r = shard_skew_profile(flat).first()
+    assert r["max_over_mean_micro"] == 1_000_000
+    assert r["p50_docs"] == 100.0 and r["max_docs"] == 100
+    skewed = spark.createDataFrame(
+        [(i, 100) for i in range(7)] + [(7, 1000)], "shard int, n_docs long"
+    )
+    s = shard_skew_profile(skewed).first()
+    # mean = (700 + 1000) / 8 = 212.5; 1000/212.5 ~ 4.7059
+    assert s["max_over_mean_micro"] == round(1000 / 212.5 * 1e6)
+    assert s["max_docs"] == 1000 and s["min_docs"] == 100
