@@ -2508,23 +2508,41 @@ def winnowing_fingerprints(
     start position."""
     if k < 1 or w < 1:
         raise ValueError("winnowing needs k >= 1 and w >= 1")
+    # STAGED columns, not one nested expression: Spark's interpreted
+    # higher-order-function path does no common-subexpression reuse, so
+    # a gram/hash array nested inside the per-window lambda would be
+    # re-derived for EVERY window — O(n^2) per document, an effective
+    # hang at corpus scale (the t41 lesson). Materializing each
+    # intermediate as a real column makes the outer lambda read a bound
+    # row value and the whole op stays O(n * w).
     t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
-    n = F.length(t)
-    grams = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - k + 1),
-            lambda i: F.substring(t, i, k),
-        ),
-    ).otherwise(F.array())
-    hashes = F.transform(
-        grams,
-        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+    staged = docs.select(id_col, t.alias("_t"), F.length(t).alias("_n"))
+    staged = staged.select(
+        id_col,
+        F.when(
+            F.col("_n") >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.col("_n") - k + 1),
+                lambda i: F.substring(F.col("_t"), i, k),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_grams"),
     )
-    m = F.size(hashes)
+    staged = staged.select(
+        id_col,
+        F.transform(
+            F.col("_grams"),
+            lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+        ).alias("_hs"),
+    ).select(id_col, "_hs", F.size("_hs").alias("_m"))
+
+    hs = F.col("_hs")
+    m = F.col("_m")
+
     # one struct per window: (rightmost-argmin position, min hash)
     def window_pick(i):
-        sl = F.slice(hashes, i, F.lit(w))
+        sl = F.slice(hs, i, F.lit(w))
         mn = F.array_min(sl)
         # rightmost occurrence: first position in the reversed slice
         return F.struct(
@@ -2538,15 +2556,15 @@ def winnowing_fingerprints(
             m > 0,
             F.array(
                 F.struct(
-                    (m + 1 - F.array_position(F.reverse(hashes), F.array_min(hashes)))
+                    (m + 1 - F.array_position(F.reverse(hs), F.array_min(hs)))
                     .cast("int")
                     .alias("pos"),
-                    F.array_min(hashes).alias("fp"),
+                    F.array_min(hs).alias("fp"),
                 )
             ),
         )
-        .otherwise(F.array())
+        .otherwise(F.array().cast("array<struct<pos:int,fp:long>>"))
     )
-    return docs.select(
+    return staged.select(
         id_col, F.explode(F.array_distinct(picks)).alias("p")
     ).select(id_col, F.col("p.pos").alias("pos"), F.col("p.fp").alias("fp"))
