@@ -2366,3 +2366,135 @@ def candidate_threshold_sweep(
         F.round(F.col("n_pairs") / F.sum("n_pairs").over(w_all), 6).alias("frac_pairs"),
         F.sum("n_pairs").over(w_desc).cast("long").alias("cum_pairs_at_or_above"),
     )
+
+
+def winnowing_overlap_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = 1000,
+    min_shared: int = 2,
+    min_overlap: float | None = None,
+) -> DataFrame:
+    """Cross-document copy detection over winnowing fingerprints — the
+    consumer of ``text.winnowing_fingerprints`` (MOSS, SIGMOD'03): two
+    documents sharing ANY substring of length >= w + k - 1 share a
+    fingerprint by the winnowing guarantee, so the fingerprint
+    bucket-join finds contained copies of bounded length that
+    whole-document minhash (needs high global Jaccard) and shingle
+    containment (pays a far denser join — every shingle is a row;
+    winnowing keeps ~2/(w+1) of them) both price badly.
+
+    Same scale discipline as the shingle containment path: distinct
+    (doc, fp) rows, the HOT fingerprint set (df > ``max_df`` —
+    boilerplate headers/footers) removed via the bounded broadcast
+    anti-join (never the rare-side semi-join — the rare set is
+    vocabulary-grain), then a fingerprint-bucketed self-join counted
+    at pair grain. ``overlap`` is containment-style: shared
+    fingerprints over the SMALLER document's fingerprint count, so a
+    short doc pasted into a long one still scores ~1.0. Candidates
+    come only from shared fingerprints — never all-pairs.
+
+    Join cost is bounded by construction the same way the shingle
+    containment path's is: the cap limits per-fingerprint fan-out, so
+    candidate pairs <= fp_rows x max_df regardless of corpus size.
+    Natural-language corpora share many k-char grams incidentally, so
+    the pair SURFACE is dense at low evidence — ``min_shared`` (and
+    ``min_overlap``, the containment-style floor vs the smaller doc)
+    are the output-grain screens; tune them per task (copy audit wants
+    min_overlap >= 0.5, contamination sweeps run loose).
+
+    Returns (doc_a, doc_b, n_shared, overlap) with doc_a < doc_b,
+    filtered to ``n_shared >= min_shared`` (a single shared hash is
+    noise at 32-bit fingerprint width) and, when ``min_overlap`` is
+    set, ``overlap >= min_overlap``."""
+    from .text import winnowing_fingerprints
+
+    fps = (
+        winnowing_fingerprints(docs, id_col, text_col)
+        .select(id_col, "fp")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = fps.groupBy(id_col).agg(F.count("*").alias("n"))
+    join_side = fps
+    if max_df is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("fp")
+        )
+        join_side = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a = join_side.select(F.col(id_col).alias("doc_a"), "fp")
+    b = join_side.select(F.col(id_col).alias("doc_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("_na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("_nb"))
+    # the returned plan reads the fps checkpoint (sizes + both join
+    # sides), so it must NOT be freed here — like the containment
+    # path's sh_h, its blocks release when the caller drops the frame
+    out = (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(F.col("n_shared") / F.least("_na", "_nb"), 4).alias("overlap"),
+        )
+    )
+    if min_overlap is not None:
+        out = out.filter(F.col("overlap") >= min_overlap)
+    return out
+
+
+def cluster_purity(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-cluster provenance purity of a near-dup clustering — the QA
+    surface for CROSS-SOURCE duplication: a cluster mixing sources is
+    a mirror/scrape relationship (one canonical will erase the other
+    source's copy — often the intent, sometimes a licensing problem),
+    while pure clusters are in-source boilerplate. q88 aggregates the
+    drop per source; this keeps cluster grain so the mixed clusters
+    are enumerable and auditable.
+
+    One join at doc grain, then cluster-grain aggregation; the
+    majority source resolves with a deterministic (count desc, source
+    asc) window at (cluster, source) grain — dimension-sized relative
+    to the corpus. Returns (cluster_id, n_docs, n_sources,
+    majority_source, majority_share)."""
+    j = clusters.select(id_col, "cluster_id").join(
+        docs.select(id_col, group_col), id_col
+    )
+    per = j.groupBy("cluster_id", group_col).agg(F.count("*").alias("_n"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("_n"), F.asc(group_col)
+    )
+    ranked = per.withColumn("_rn", F.row_number().over(w))
+    totals = per.groupBy("cluster_id").agg(
+        F.sum("_n").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_sources"),
+    )
+    top = ranked.filter(F.col("_rn") == 1).select(
+        "cluster_id",
+        F.col(group_col).alias("majority_source"),
+        F.col("_n").alias("_top_n"),
+    )
+    return totals.join(top, "cluster_id").select(
+        "cluster_id",
+        "n_docs",
+        "n_sources",
+        "majority_source",
+        F.round(F.col("_top_n") / F.col("n_docs"), 4).alias("majority_share"),
+    )

@@ -104,6 +104,25 @@ verbatim.
   max/mean ratio at manifest grain; the number a training job reads
   before inheriting a layout (one reader task per shard).
 
+- d25_winnowing_overlap — winnowing's cross-document consumer
+  (dedup.winnowing_overlap_pairs): distinct (doc, fp) rows, hot-
+  fingerprint cap via the bounded broadcast anti-join (the d12
+  discipline), fingerprint-bucketed pair join, containment-style
+  overlap vs the SMALLER doc. Finds contained copies whole-document
+  minhash provably misses (asserted: a pasted paragraph scores ~1.0
+  here, < 0.5 est_jaccard there).
+
+- d26_cluster_purity — per-cluster provenance purity
+  (dedup.cluster_purity): n_sources + deterministic majority share at
+  cluster grain — enumerates the cross-source mirror clusters q88's
+  per-source rollup can only sum. Oracle: q34-chain surgery.
+
+- s33_recall_from_index — serving recall measured off the PERSISTED
+  index (fresh-index identity: replays the s05 oracle verbatim and
+  equals the in-memory s05 computation); the post-maintenance QA row —
+  after a delete, nprobe == num_cells recall against the survivor
+  ground truth is exactly 1 (asserted).
+
 ROTATION-TIME CONTRACT IMPROVEMENT — DONE at r12: neardup_clusters'
 distributed regime now escalates to neardup_clusters_star on budget
 exhaustion (exact answer at O(log n) cost) instead of raising;
@@ -127,6 +146,7 @@ def ddb():
 
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'")
     yield con
     con.close()
 
@@ -1022,3 +1042,205 @@ def test_shard_skew_flags_the_straggler(spark):
     # mean = (700 + 1000) / 8 = 212.5; 1000/212.5 ~ 4.7059
     assert s["max_over_mean_micro"] == round(1000 / 212.5 * 1e6)
     assert s["max_docs"] == 1000 and s["min_docs"] == 100
+
+
+# --- d25: winnowing overlap pairs -----------------------------------------------
+
+
+def winnowing_overlap_sql(winnow_sql: str, max_df: int = 1000, min_shared: int = 2) -> str:
+    """The t43 winnowing derivation nested as a CTE (one copy of the
+    selection), distinct (doc, fp), the hot-fingerprint cap, the
+    bucketed pair join, containment-style overlap."""
+    return f"""
+WITH wf AS ({winnow_sql}),
+dfp AS (SELECT DISTINCT doc_id, fp FROM wf),
+sizes AS (SELECT doc_id, count(*) AS n FROM dfp GROUP BY doc_id),
+kept AS (
+  SELECT doc_id, fp FROM dfp
+  WHERE fp NOT IN (SELECT fp FROM dfp GROUP BY fp HAVING count(*) > {max_df})),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= {min_shared})
+SELECT s.doc_a, s.doc_b, s.n_shared::BIGINT AS n_shared,
+       round(s.n_shared / least(sa.n, sb.n), 4) AS overlap
+FROM shared s
+JOIN sizes sa ON sa.doc_id = s.doc_a
+JOIN sizes sb ON sb.doc_id = s.doc_b
+"""
+
+
+def test_oracle_draft_winnowing_overlap(spark, ddb):
+    got = _rows(DD.winnowing_overlap_pairs(spark.table("documents")))
+    want = _sql_rows(ddb, winnowing_overlap_sql(winnowing_sql()))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_winnowing_overlap_finds_contained_copy(spark):
+    """The contract minhash can't give: a short doc pasted verbatim
+    into a much longer unrelated doc scores overlap ~1.0 here while
+    its whole-document Jaccard is far below any dedup threshold; and
+    unrelated docs share nothing. The hot-fp cap drops a fingerprint
+    shared by every doc (boilerplate) without touching real overlap."""
+    import random
+
+    rng = random.Random(3)
+    words = lambda n, tag: " ".join(f"{tag}{rng.randrange(10**6)}" for _ in range(n))
+    short = "the exact same paragraph of text appears in both documents verbatim"
+    rows = [
+        (1, short),
+        (2, words(150, "w") + " " + short + " " + words(150, "v")),
+        (3, words(120, "x")),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in DD.winnowing_overlap_pairs(docs).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)]["overlap"] >= 0.9
+    assert not any(3 in p for p in pairs)
+    # whole-document minhash estimate would NOT flag the pair
+    est = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in DD.minhash_estimate_pairs(docs, threshold=0.0).collect()
+    }
+    assert est.get((1, 2), 0.0) < 0.5
+    # boilerplate cap: a fingerprint in EVERY doc is dropped at
+    # max_df=1; doc pair (1,2)'s genuine overlap survives via its
+    # other shared fingerprints
+    boiler = [(i, short + f" unique tail {words(80, f'u{i}')}") for i in range(10, 16)]
+    bdocs = spark.createDataFrame(boiler, "doc_id long, text string")
+    capped = DD.winnowing_overlap_pairs(bdocs, max_df=3, min_shared=1).collect()
+    uncapped = DD.winnowing_overlap_pairs(bdocs, max_df=None, min_shared=1).collect()
+    assert len(uncapped) >= len(capped)
+
+
+# --- d26: cluster purity --------------------------------------------------------
+
+
+def cluster_purity_sql(q34_sql: str) -> str:
+    """The wired q34 cluster chain nested (the q88 surgery pattern) +
+    documents join + per-cluster majority window."""
+    tail = "SELECT doc_id, cluster_id FROM clusters"
+    assert q34_sql.count(tail) == 1
+    return q34_sql.replace(
+        tail,
+        """, j AS (
+  SELECT c.cluster_id, d.source FROM clusters c JOIN documents d USING (doc_id)),
+per AS (SELECT cluster_id, source, count(*) AS _n FROM j GROUP BY 1, 2),
+tot AS (SELECT cluster_id, sum(_n) AS n_docs, count(*) AS n_sources
+        FROM per GROUP BY cluster_id),
+top AS (
+  SELECT cluster_id, source AS majority_source, _n AS _top_n FROM (
+    SELECT cluster_id, source, _n,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY _n DESC, source) AS _rn
+    FROM per) WHERE _rn = 1)
+SELECT t.cluster_id, t.n_docs::BIGINT AS n_docs,
+       t.n_sources::BIGINT AS n_sources, top.majority_source,
+       round(top._top_n / t.n_docs, 4) AS majority_share
+FROM tot t JOIN top USING (cluster_id)""",
+    )
+
+
+def test_oracle_draft_cluster_purity(spark, ddb):
+    docs = spark.table("documents")
+    clusters = DD.neardup_clusters(docs, DD.minhash_dedup(docs))
+    got = _rows(DD.cluster_purity(docs, clusters))
+    want = _sql_rows(ddb, cluster_purity_sql(E.oracle_sql()["q34_dedup_clusters"]))
+    assert got == want
+    assert len(got) > 1
+
+
+def test_cluster_purity_flags_cross_source_mirrors(spark):
+    """A cluster of one source is pure (share 1.0); a mirror cluster
+    (same text, two sources) reads n_sources 2 with the deterministic
+    majority tie-break (count desc, source asc); shares always sum
+    consistent with n_docs."""
+    text = " ".join(f"tok{i}" for i in range(30))
+    rows = [
+        (1, "orig", text), (2, "mirror", text),           # cross-source pair
+        (10, "orig", "first pure cluster body " * 5),
+        (11, "orig", "first pure cluster body " * 5),
+        (20, "solo", "a singleton document all alone here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    clusters = DD.neardup_clusters(docs, DD.minhash_dedup(docs))
+    out = {r["cluster_id"]: r for r in DD.cluster_purity(docs, clusters).collect()}
+    assert out[1]["n_sources"] == 2 and out[1]["majority_share"] == 0.5
+    assert out[1]["majority_source"] == "mirror"  # tie -> source asc
+    assert out[10]["n_sources"] == 1 and out[10]["majority_share"] == 1.0
+    assert out[20]["n_docs"] == 1 and out[20]["majority_share"] == 1.0
+
+
+# --- s33: recall from a persisted index -----------------------------------------
+
+
+def test_oracle_draft_recall_from_index(spark, ddb, tmp_path):
+    """Fresh-index identity: serving recall measured off the persisted
+    index replays the s05 oracle verbatim (stored assignment == ranked
+    assignment) AND equals the in-memory s05 computation — the serving
+    QA row that runs after lifecycle maintenance."""
+    from pyspark.sql import functions as F
+
+    from datacatalog_tag_engine_spark.pipeline import similarity as SIM
+
+    emb = spark.table("embeddings")
+    p = str(tmp_path / "ivf_recall")
+    SIM.build_ivf_index(emb, p, num_cells=8)
+    qs = emb.filter(F.col("vec_id") < 5)
+
+    def recall(approx):
+        exact = SIM.brute_force_topk(emb, qs, k=5).select("query_id", "neighbor_id")
+        hits = approx.select("query_id", "neighbor_id").withColumn("_hit", F.lit(1))
+        return (
+            exact.join(hits, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.count("*").alias("k"),
+                F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_matched"),
+            )
+            .select(
+                "query_id",
+                "n_matched",
+                F.round(F.col("n_matched") / F.col("k"), 4).alias("recall_at_5"),
+            )
+        )
+
+    got = _rows(recall(SIM.ivf_topk_from_index(spark, p, qs, k=5, nprobe=1)))
+    want = _sql_rows(ddb, E.oracle_sql()["s05_ann_recall"])
+    assert got == want
+    live = _rows(recall(SIM.ivf_topk(emb, qs, k=5, num_cells=8)))
+    assert got == live
+
+
+def test_recall_from_index_after_delete_stays_measurable(spark, tmp_path):
+    """The maintenance-loop property: after a delete, recall against
+    the SURVIVOR ground truth is still perfect wherever the probed
+    cell holds the true neighbors — the QA number an operator checks
+    after s22-style maintenance (ground truth recomputed over the
+    post-delete corpus, the rebuild identity)."""
+    from pyspark.sql import functions as F
+
+    from datacatalog_tag_engine_spark.pipeline import similarity as SIM
+
+    emb = spark.table("embeddings")
+    p = str(tmp_path / "ivf_recall_del")
+    SIM.build_ivf_index(emb, p, num_cells=8)
+    SIM.remove_from_ivf_index(
+        spark, p, emb.filter("vec_id >= 100 and vec_id < 300").select("vec_id")
+    )
+    survivors = emb.filter("vec_id < 100 or vec_id >= 300")
+    qs = survivors.filter(F.col("vec_id") < 5)
+    exact = SIM.brute_force_topk(survivors, qs, k=5).select("query_id", "neighbor_id")
+    approx = (
+        SIM.ivf_topk_from_index(spark, p, qs, k=5, nprobe=8)
+        .select("query_id", "neighbor_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    rec = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_matched"), F.count("*").alias("k"))
+    )
+    # nprobe == num_cells on the post-delete index == exact over survivors
+    for r in rec.collect():
+        assert r["n_matched"] == r["k"], r

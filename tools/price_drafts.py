@@ -70,6 +70,10 @@ def main() -> None:
         "t42_pii_incidence": lambda: TXT.pii_incidence(docs),
         "t43_winnowing": lambda: TXT.winnowing_fingerprints(docs),
         "d24_threshold_sweep": lambda: DD.candidate_threshold_sweep(docs),
+        "d25_winnowing_overlap": lambda: DD.winnowing_overlap_pairs(docs),
+        "d26_cluster_purity": lambda: DD.cluster_purity(
+            docs, DD.neardup_clusters(docs, DD.minhash_dedup(docs))
+        ),
         "q101_shard_skew": lambda: __import__(
             "datacatalog_tag_engine_spark.pipeline.export",
             fromlist=["shard_skew_profile"],
