@@ -98,3 +98,79 @@ def clean_ingest_stream(
         .select(*docs.columns)
     )
     return dedup_stream(gated, watermark=watermark, ts_col=ts_col, text_col=text_col)
+
+
+def sigstore_ingest_stream(
+    stream_docs: DataFrame,
+    store_path: str,
+    accepted_sink: str,
+    checkpoint: str,
+    text_col: str = "text",
+    bands: int = 4,
+    threshold: float = 0.5,
+):
+    """The daily dedup loop as a CONTINUOUS micro-batch pipeline — the
+    streaming form of the d23 signature-store serving path: each
+    micro-batch of crawled documents is near-dup-checked against the
+    persisted signature store at SIGNATURE grain (resident text never
+    re-read), survivors are appended to ``accepted_sink`` (parquet)
+    AND their signatures appended to the store, so the NEXT
+    micro-batch dedups against everything accepted so far. Run it on
+    a file-source stream over crawl drops and the archive maintains
+    itself.
+
+    ``foreachBatch`` rather than a stateful operator, deliberately:
+    the dedup state here IS the persisted store (unbounded corpus
+    lifetime — the wrong shape for watermark-expiring stream state;
+    contrast ``dedup_stream``, whose horizon is minutes), and
+    foreachBatch gives exactly-once-per-batch semantics against it:
+    Spark retries a failed batch with the same batch_id, the sink
+    append is parquet-atomic per task, and
+    ``append_to_signature_store``'s resident anti-join makes the
+    RETRY idempotent (the torn-append recovery contract, pytest-
+    certified) — at-least-once delivery, effectively-once store
+    growth. Within a batch, earlier-id wins among near-dup pairs (the
+    canonical lowest-id rule applied batch-locally via the pair
+    list's doc_b side).
+
+    Returns the StreamingQuery; stream==batch parity (the final store
+    and accepted set equal the sequential batch replay over the same
+    micro-batches) is pinned in tests."""
+    from ..pipeline.dedup import incremental_neardup_from_store
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.localCheckpoint(eager=True)
+        pairs = incremental_neardup_from_store(
+            spark, store_path, batch, text_col, bands, threshold
+        )
+        # drop batch docs near-dup of the resident corpus OR of an
+        # earlier-id batch-mate (doc_b is always the larger id within
+        # cross=False pairs; cross pairs carry the batch doc on either
+        # side, so take both roles' batch members)
+        losers = (
+            pairs.select(F.col("doc_b").alias("doc_id"))
+            .union(
+                pairs.filter("is_cross").select(F.col("doc_a").alias("doc_id"))
+            )
+            .distinct()
+            .join(batch.select("doc_id"), "doc_id", "left_semi")
+        )
+        survivors = batch.join(losers, "doc_id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        survivors.write.mode("append").parquet(accepted_sink)
+        from ..pipeline.dedup import append_to_signature_store
+
+        append_to_signature_store(spark, store_path, survivors, text_col)
+        from ..session import free_local_checkpoint
+
+        free_local_checkpoint(batch)
+        free_local_checkpoint(survivors)
+
+    return (
+        stream_docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1012,3 +1012,94 @@ def test_heavy_hitter_replay_equals_batch_and_broadcast_guard(spark):
     assert rows(heavy_hitter_replay(docs.repartition(7), k=100, n_buckets=3)) == batch
     # broadcast guard fallback: same values through the shuffle join
     assert rows(heavy_hitter_tokens(docs, k=100, broadcast_max=0)) == batch
+
+
+def test_sigstore_ingest_stream_matches_sequential_batch(spark, tmp_path):
+    """The continuous daily-dedup loop (foreachBatch against the
+    persisted signature store): three crawl drops stream through
+    sigstore_ingest_stream; the accepted corpus and the final store
+    must equal a SEQUENTIAL batch replay of the same drops through the
+    same rule (near-dup of resident-or-earlier-batch-mate drops,
+    survivors append to corpus and store). Also pins the store-growth
+    invariant: final store ids == resident + accepted ids exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datacatalog_tag_engine_spark.pipeline.dedup import (
+        build_signature_store,
+        incremental_neardup_pairs,
+    )
+    from datacatalog_tag_engine_spark.streaming.dedup import sigstore_ingest_stream
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    resident = docs.filter(F.col("doc_id") % 4 == 0)
+    batches = [docs.filter(F.col("doc_id") % 4 == i) for i in (1, 2, 3)]
+
+    # streaming run
+    store = str(tmp_path / "store")
+    build_signature_store(resident, store)
+    src = str(tmp_path / "drops")
+    for i, b in enumerate(batches):
+        f = os.path.join(src, f"b{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(f)
+        for root, _dirs, files in os.walk(f):
+            for name in files:
+                os.utime(os.path.join(root, name), (1_700_000_000 + i,) * 2)
+    accepted = str(tmp_path / "accepted")
+    q = sigstore_ingest_stream(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "b*")),
+        store,
+        accepted,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+
+    # sequential batch replay of the same rule
+    store2 = str(tmp_path / "store2")
+    build_signature_store(resident, store2)
+    kept_ids: list[int] = []
+    archive = resident
+    for b in batches:
+        pairs = incremental_neardup_pairs(b, archive)
+        bids = {r["doc_id"] for r in b.select("doc_id").collect()}
+        losers = {
+            r["doc_b"] for r in pairs.collect() if r["doc_b"] in bids
+        } | {
+            r["doc_a"] for r in pairs.collect() if r["is_cross"] and r["doc_a"] in bids
+        }
+        surv = b.filter(~F.col("doc_id").isin(list(losers)) if losers else F.lit(True))
+        kept_ids += [r["doc_id"] for r in surv.select("doc_id").collect()]
+        archive = archive.unionByName(surv)
+
+    got_accepted = sorted(
+        r["doc_id"] for r in spark.read.parquet(accepted).select("doc_id").collect()
+    )
+    assert got_accepted == sorted(kept_ids)
+    store_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(store).select("doc_id").collect()
+    )
+    want_ids = sorted(
+        [r["doc_id"] for r in resident.select("doc_id").collect()] + kept_ids
+    )
+    assert store_ids == want_ids
+    # restart with the same checkpoint: availableNow finds nothing new,
+    # the store and corpus do not grow (effectively-once)
+    q2 = sigstore_ingest_stream(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "b*")),
+        store,
+        accepted,
+        str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(120)
+    assert (
+        sorted(r["doc_id"] for r in spark.read.parquet(accepted).select("doc_id").collect())
+        == got_accepted
+    )
+    assert spark.read.parquet(store).count() == len(want_ids)
