@@ -123,6 +123,19 @@ verbatim.
   after a delete, nprobe == num_cells recall against the survivor
   ground truth is exactly 1 (asserted).
 
+r13 WINDOW ARITHMETIC (ledger state at r12 close, computed by
+tools/window_ledger.py): 14 bank drafts = 14 rotation slots; no
+code-changed re-cert obligations are known from r12's post-freeze
+work (all additive, outside certified paths); the remaining 36 slots
+come from the mechanical aging ledger — the 36 oldest of the 43
+r9-last-green rows by name order. Cap the r13 wiring test's ledger
+at rounds < 13. Oracle notes for rotation: d22 + s33 are identity
+oracles (q34 / s05 verbatim); d25 nests the t43 winnowing SQL; d26
+is q34-chain surgery; the rest carry their own generators above.
+sigstore_ingest_stream (streaming/dedup.py) is a FUTURE driver-row
+candidate via the q85-style batch replay; its stream==batch parity
+is already pinned in test_streaming.py.
+
 ROTATION-TIME CONTRACT IMPROVEMENT — DONE at r12: neardup_clusters'
 distributed regime now escalates to neardup_clusters_star on budget
 exhaustion (exact answer at O(log n) cost) instead of raising;
