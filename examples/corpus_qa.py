@@ -116,6 +116,35 @@ def main() -> None:
     print("== 7. language-mixing profile")
     summary.show(truncate=False)
 
+    # 8. PII incidence per source: the governance number BEFORE any
+    # scrub runs (same sequential semantics as redact_pii, so these
+    # counts are exactly what the scrubber would remove)
+    from datacatalog_tag_engine_spark.pipeline.text import pii_incidence
+
+    print("== 8. PII incidence (per source x type)")
+    pii_incidence(docs).orderBy("source", "pii_type").show(12, truncate=False)
+
+    # 9. the dedup-threshold decision table: cumulative candidate-pair
+    # mass at each estimate lattice edge — pick the threshold from
+    # counted mass, not folklore
+    from datacatalog_tag_engine_spark.pipeline.dedup import (
+        candidate_threshold_sweep,
+        cluster_purity,
+        minhash_dedup,
+        neardup_clusters,
+    )
+
+    print("== 9. dedup-threshold sweep (cum = pairs a threshold keeps)")
+    candidate_threshold_sweep(docs).orderBy(F.desc("est_jaccard")).show(truncate=False)
+
+    # 10. provenance purity of the near-dup clusters: mixed clusters
+    # are cross-source mirrors (a canonical pick erases one source's
+    # copy — enumerate them before committing the dedup)
+    clusters = neardup_clusters(docs, minhash_dedup(docs))
+    purity = cluster_purity(docs, clusters)
+    print("== 10. cross-source mirror clusters (n_sources > 1, largest first)")
+    purity.filter("n_sources > 1").orderBy(F.desc("n_docs")).show(10, truncate=False)
+
     spark.stop()
 
 
