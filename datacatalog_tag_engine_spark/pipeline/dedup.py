@@ -781,12 +781,20 @@ def neardup_clusters(
         if prev_ckpt is not None:
             free_local_checkpoint(prev_ckpt)
         if escalate_to_star:
-            # chain-shaped component: hand the (already symmetrized,
-            # checkpointed) edge list to star contraction — identical
-            # labeling in O(log n) rounds; star checkpoints its own
-            # copy eagerly, then the propagation edges can be freed
+            # chain-shaped component: hand the edge list to star
+            # contraction — identical labeling in O(log n) rounds. One
+            # direction only (src < dst): edges was symmetrized for the
+            # propagation joins, and star symmetrizes internally, so
+            # passing both directions would double every round's
+            # shuffle volume at exactly the scale escalation fires.
+            # Star checkpoints its own copy eagerly, then the
+            # propagation edges can be freed.
             result = neardup_clusters_star(
-                docs, edges.selectExpr("src as doc_a", "dst as doc_b"), id_col
+                docs,
+                edges.filter(F.col("src") < F.col("dst")).selectExpr(
+                    "src as doc_a", "dst as doc_b"
+                ),
+                id_col,
             )
             free_local_checkpoint(edges)
             return result
@@ -2235,9 +2243,15 @@ def _sigstore_meta(spark, path: str) -> dict:
     # leaves signatures whose data reads fine but whose meta dir is
     # missing; surface that as a clear rebuild instruction instead of a
     # raw parquet path-not-found (r11 review finding).
+    from pyspark.errors import AnalysisException
+
     try:
         row = spark.read.parquet(f"{path}/{SIGSTORE_META_DIR}").collect()[0]
-    except Exception as exc:  # AnalysisException: PATH_NOT_FOUND et al.
+    except AnalysisException as exc:
+        # ONLY the missing-table shape gets the rebuild advice — a
+        # transient I/O or permission failure on a healthy store must
+        # not be rewritten into "delete and rebuild" (review finding);
+        # anything else propagates untouched.
         raise ValueError(
             f"signature store at {path!r} has no {SIGSTORE_META_DIR} table — "
             "torn build_signature_store (crashed before the meta write) or "

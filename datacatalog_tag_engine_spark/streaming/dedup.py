@@ -124,14 +124,16 @@ def sigstore_ingest_stream(
     lifetime — the wrong shape for watermark-expiring stream state;
     contrast ``dedup_stream``, whose horizon is minutes), and
     foreachBatch gives exactly-once-per-batch semantics against it:
-    Spark retries a failed batch with the same batch_id, the sink
-    append is parquet-atomic per task, and
-    ``append_to_signature_store``'s resident anti-join makes the
-    RETRY idempotent (the torn-append recovery contract, pytest-
-    certified) — at-least-once delivery, effectively-once store
-    growth. Within a batch, earlier-id wins among near-dup pairs (the
-    canonical lowest-id rule applied batch-locally via the pair
-    list's doc_b side).
+    Spark retries a failed batch with the same batch_id, the corpus
+    sink write is batch_id-KEYED (``batch=<id>`` subdirectory,
+    overwrite mode — a retry after a partial success replaces its own
+    output instead of appending a duplicate copy; review finding), and
+    ``append_to_signature_store``'s resident anti-join makes the store
+    half of the retry idempotent (the torn-append recovery contract,
+    pytest-certified) — at-least-once delivery, effectively-once
+    corpus AND store growth. Within a batch, earlier-id wins among
+    near-dup pairs (the canonical lowest-id rule applied batch-locally
+    via the pair list's doc_b side).
 
     Returns the StreamingQuery; stream==batch parity (the final store
     and accepted set equal the sequential batch replay over the same
@@ -159,7 +161,9 @@ def sigstore_ingest_stream(
         survivors = batch.join(losers, "doc_id", "left_anti").localCheckpoint(
             eager=True
         )
-        survivors.write.mode("append").parquet(accepted_sink)
+        survivors.write.mode("overwrite").parquet(
+            f"{accepted_sink}/batch={batch_id}"
+        )
         from ..pipeline.dedup import append_to_signature_store
 
         append_to_signature_store(spark, store_path, survivors, text_col)

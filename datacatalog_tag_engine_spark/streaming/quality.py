@@ -223,14 +223,27 @@ def heavy_hitter_replay(
     corpus — the full monitor loop the stream runs continuously,
     replayed end to end in one batch job.
 
-    Counting is commutative and the MG guarantee is order-free (any
-    fold order keeps every token with count > N_bucket/budget in its
-    bucket's summary), so the replay's candidate set is — like the
-    stream's — a guaranteed superset of the true heavy set, and the
-    exact recount makes the final answer identical to
-    ``heavy_hitter_tokens(docs, k)``. That identity is the driver
-    oracle (the t37 SQL verbatim); the multi-micro-batch fold parity
-    is pinned separately in the stream==batch pytest.
+    Counting is commutative and the MG guarantee is order-free AND
+    merge-closed (Agarwal et al., PODS'12: merging per-shard MG
+    summaries by summing counters and re-reducing keeps the error
+    bound, so every token with count > N_bucket/budget survives), so
+    the replay's candidate set is — like the stream's — a guaranteed
+    superset of the true heavy set, and the exact recount makes the
+    final answer identical to ``heavy_hitter_tokens(docs, k)``. That
+    identity is the driver oracle (the t37 SQL verbatim); the
+    multi-micro-batch fold parity is pinned separately in the
+    stream==batch pytest.
+
+    Memory shape (review finding, fixed): the per-bucket fold is TWO
+    bounded passes, never a whole-bucket materialization — pass A is a
+    ``mapInPandas`` partition scan holding n_buckets x budget counters
+    (Arrow batches stream through; nothing group-sized is collected),
+    pass B merges each bucket's per-partition SUMMARIES (partitions x
+    (budget + 1) rows per bucket — candidate-grain) with the same
+    ``_mg_reduce``. A single ``applyInPandas`` over the raw token
+    stream would load ~1/n_buckets of ALL corpus token occurrences
+    into one pandas frame, exactly the unbounded state the MG summary
+    exists to avoid.
 
     Returns (token, n_occurrences), deterministic."""
     import pandas as pd
@@ -246,25 +259,58 @@ def heavy_hitter_replay(
         ).alias("token")
     ).withColumn("bucket", F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("int"))
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+    def part_fold(batches):
+        # pass A: one bounded MG summary per (partition, bucket);
+        # marker row (token NULL) carries the partition-bucket total
         import collections
 
-        counters: collections.Counter = collections.Counter(
-            pdf["token"].value_counts().to_dict()
-        )
+        counters: dict = collections.defaultdict(collections.Counter)
+        totals: collections.Counter = collections.Counter()
+        for pdf in batches:
+            for b, sub in pdf.groupby("bucket"):
+                totals[int(b)] += len(sub)
+                counters[int(b)].update(sub["token"].value_counts().to_dict())
+                counters[int(b)] = _mg_reduce(counters[int(b)], budget)
+        out = {"bucket": [], "token": [], "n": [], "total": []}
+        for b, tot in totals.items():
+            for t, c in counters[b].items():
+                out["bucket"].append(b)
+                out["token"].append(t)
+                out["n"].append(int(c))
+                out["total"].append(0)
+            out["bucket"].append(b)
+            out["token"].append(None)
+            out["n"].append(0)
+            out["total"].append(int(tot))
+        yield pd.DataFrame(out)
+
+    partials = toks.mapInPandas(
+        part_fold, schema="bucket int, token string, n long, total long"
+    )
+
+    def bucket_merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        # pass B: candidate-grain input (partitions x (budget+1) rows),
+        # mergeable-summaries reduction + the stream emission schema
+        import collections
+
+        cand = pdf[pdf["token"].notna()]
+        counters = collections.Counter()
+        for t, c in zip(cand["token"], cand["n"]):
+            counters[t] += int(c)
         counters = _mg_reduce(counters, budget)
+        total = int(pdf["total"].sum())
         return pd.DataFrame(
             {
                 "bucket": pdf["bucket"].iloc[0],
                 "emit_seq": 1,
                 "token": list(counters.keys()) + [None],
                 "mg_count": [int(c) for c in counters.values()] + [None],
-                "bucket_total": len(pdf),
+                "bucket_total": total,
             }
         )
 
-    emissions = toks.groupBy("bucket").applyInPandas(
-        fold,
+    emissions = partials.groupBy("bucket").applyInPandas(
+        bucket_merge,
         schema="bucket int, emit_seq long, token string, mg_count long, bucket_total long",
     )
     cands = heavy_hitter_candidates(emissions).localCheckpoint(eager=True)

@@ -332,7 +332,7 @@ def test_ivf_delete_crash_mid_swap_recovers_from_stage(
     # the torn state is real: at least one live cell dir is gone, its
     # survivors are durable parquet in the committed stage
     stage = os.path.join(path, SIM.REWRITE_TMP_DIR)
-    assert os.path.exists(os.path.join(stage, "_SUCCESS"))
+    assert os.path.exists(os.path.join(stage, SIM.REWRITE_COMMIT_FILE))
     staged_cells = {
         os.path.basename(d)
         for d in glob.glob(os.path.join(stage, "cell=*"))
@@ -355,8 +355,9 @@ def test_ivf_delete_crash_mid_swap_recovers_from_stage(
     SIM.build_ivf_index(emb.filter(~F.expr(DELETE_PRED)), fresh, num_cells=8)
     assert got == _rows(SIM.ivf_topk_from_index(spark, fresh, qs, k=5, nprobe=2))
 
-    # torn-STAGE contract: an uncommitted stage (no _SUCCESS) over an
-    # intact index is discarded by the next rewrite, never completed
+    # torn-STAGE contract: an uncommitted stage (no commit record)
+    # over an intact index is discarded by the next rewrite, never
+    # completed
     path2 = str(tmp_path / "ivf_tornstage")
     SIM.build_ivf_index(emb, path2, num_cells=8)
     stage2 = os.path.join(path2, SIM.REWRITE_TMP_DIR)
@@ -905,3 +906,78 @@ def test_range_sharding_localizes_appends_and_surfaces_moves(spark):
     assert out[0]["n_kept"] == 1 and out[0]["n_removed"] == 1
     assert out[1]["n_added"] == 1
     assert out[0]["needs_rewrite"] and out[1]["needs_rewrite"]
+
+
+def test_recovery_replays_emptied_cell_deletions(spark, tmp_path, monkeypatch):
+    """Review finding, red->green: a delete that EMPTIES a cell stages
+    no rows for it, so a marker-only recovery would leave that cell
+    fully live (resurrecting its deleted vectors) while completing the
+    other cells' renames. The commit record carries the explicit
+    empty-cell intent: recover_index_stage ALONE (no rerun of the
+    delete) must remove the emptied cell and swap the staged one,
+    leaving the index row-identical (and serving-identical) to the
+    same delete run WITHOUT a crash on a twin index — both sides keep
+    the same frozen stored quantizer, so the comparison is exact."""
+    import collections
+    import glob
+    import os
+
+    emb = spark.table("embeddings")
+    path = str(tmp_path / "ivf_emptycell")
+    twin = str(tmp_path / "ivf_emptycell_twin")
+    SIM.build_ivf_index(emb, path, num_cells=8)
+    SIM.build_ivf_index(emb, twin, num_cells=8)
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in spark.read.parquet(path).select("vec_id", "cell").collect()
+    }
+    by_cell = collections.defaultdict(list)
+    for vid, c in cells.items():
+        by_cell[c].append(vid)
+    victim_cell = min(by_cell, key=lambda c: len(by_cell[c]))
+    partial_cell = next(c for c in by_cell if c != victim_cell)
+    doomed_ids = by_cell[victim_cell] + sorted(by_cell[partial_cell])[-3:]
+    doomed = spark.createDataFrame([(i,) for i in doomed_ids], "vec_id long")
+
+    class CrashAtSwapFS:
+        def __init__(self, fs):
+            self._fs = fs
+
+        def delete(self, p, recursive=True):
+            s = str(p)
+            if "cell=" in s and SIM.REWRITE_TMP_DIR not in s:
+                raise RuntimeError("injected crash before swap")
+            return self._fs.delete(p, recursive)
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    real_index_fs = SIM._index_fs
+    monkeypatch.setattr(
+        SIM,
+        "_index_fs",
+        lambda s_, p_: (CrashAtSwapFS(real_index_fs(s_, p_)[0]), real_index_fs(s_, p_)[1]),
+    )
+    with pytest.raises(RuntimeError, match="injected crash"):
+        SIM.remove_from_ivf_index(spark, path, doomed)
+    monkeypatch.setattr(SIM, "_index_fs", real_index_fs)
+
+    # the reference: the same delete, no crash
+    n_ref = SIM.remove_from_ivf_index(spark, twin, doomed)
+    assert n_ref == len(doomed_ids)
+
+    # recovery ALONE (no rerun of the delete) on the crashed index
+    n = SIM.recover_index_stage(spark, path)
+    assert n >= 2
+    assert not os.path.isdir(os.path.join(path, SIM.REWRITE_TMP_DIR))
+    assert not glob.glob(os.path.join(path, f"cell={victim_cell}"))
+    rows = lambda p: sorted(
+        (r["vec_id"], r["cell"]) for r in spark.read.parquet(p).select("vec_id", "cell").collect()
+    )
+    assert rows(path) == rows(twin)
+    survivors = {v for v in cells if v not in set(doomed_ids)}
+    assert {v for v, _ in rows(path)} == survivors
+    qs = emb.filter(F.col("vec_id") < 5)
+    assert _rows(SIM.ivf_topk_from_index(spark, path, qs, k=5, nprobe=2)) == _rows(
+        SIM.ivf_topk_from_index(spark, twin, qs, k=5, nprobe=2)
+    )

@@ -35,22 +35,6 @@ def main() -> None:
     emb = spark.table("embeddings")
 
 
-    def _d23():
-        import shutil
-        import tempfile
-
-        root = tempfile.mkdtemp(prefix="price_sigstore_")
-        try:
-            p = root + "/store"
-            DD.build_signature_store(docs.filter(F.col("doc_id") % 3 != 0), p)
-            n = DD.incremental_neardup_from_store(
-                spark, p, docs.filter(F.col("doc_id") % 3 == 0)
-            ).count()
-        finally:
-            shutil.rmtree(root, ignore_errors=True)
-        return spark.range(n)
-
-
     cases = {
         # --- r13 bank (built after the r12 window was sized) ---
         "d22_clusters_star": lambda: DD.neardup_clusters_star(
@@ -59,7 +43,6 @@ def main() -> None:
         "t39_line_lang_profile": lambda: TXT.line_language_profile(docs),
         "t40_line_repetition": lambda: TXT.line_repetition_signals(docs),
         "t41_ngram_coverage": lambda: TXT.ngram_coverage_signals(docs),
-        "d23_signature_store": _d23,
         "s32_mutual_knn_clusters": lambda: SIM.mutual_knn_clusters(
             emb, k=5, num_cells=8
         ),
