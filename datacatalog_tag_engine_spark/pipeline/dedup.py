@@ -2406,8 +2406,14 @@ def winnowing_overlap_pairs(
     vocabulary-grain), then a fingerprint-bucketed self-join counted
     at pair grain. ``overlap`` is containment-style: shared
     fingerprints over the SMALLER document's fingerprint count, so a
-    short doc pasted into a long one still scores ~1.0. Candidates
-    come only from shared fingerprints — never all-pairs.
+    short doc pasted into a long one still scores ~1.0. Both the
+    numerator and the denominator count SURVIVING fingerprints (after
+    the hot-set removal) — one fingerprint universe, so a
+    boilerplate-heavy contained copy still scores ~1.0 on its genuine
+    shared content instead of being silently diluted by capped
+    fingerprints that could never appear in ``n_shared`` (review
+    finding). Candidates come only from shared fingerprints — never
+    all-pairs.
 
     Join cost is bounded by construction the same way the shingle
     containment path's is: the cap limits per-fingerprint fan-out, so
@@ -2430,7 +2436,6 @@ def winnowing_overlap_pairs(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    sizes = fps.groupBy(id_col).agg(F.count("*").alias("n"))
     join_side = fps
     if max_df is not None:
         hot = (
@@ -2440,6 +2445,9 @@ def winnowing_overlap_pairs(
             .select("fp")
         )
         join_side = fps.join(F.broadcast(hot), "fp", "left_anti")
+    # sizes AFTER the hot-set removal: n_shared counts surviving
+    # fingerprints only, so the denominator must too (same universe)
+    sizes = join_side.groupBy(id_col).agg(F.count("*").alias("n"))
     a = join_side.select(F.col(id_col).alias("doc_a"), "fp")
     b = join_side.select(F.col(id_col).alias("doc_b"), "fp")
     shared = (

@@ -1721,19 +1721,44 @@ REWRITE_COMMIT_FILE = "_commit.json"
 
 
 def _write_commit_record(fs, jvm, tmp: str, staged: list[int], empty: list[int]) -> None:
+    """Publish the commit record ATOMICALLY on every filesystem class:
+    write the bytes to a ``.tmp`` sibling, close it, then rename onto
+    the final name. ``fs.create`` alone is only atomic-visibility on
+    object stores (the object appears at close); on HDFS and local
+    filesystems the file is VISIBLE (empty or partial) from create —
+    a crash mid-write would leave a torn record that, read naively,
+    wedges every subsequent recovery (review finding). Rename of a
+    closed file is atomic on HDFS/local; on object stores the create
+    of the tmp object was already atomic and the rename is a safe
+    copy+delete of a fully-written object."""
     import json as _json
 
     Path = jvm.org.apache.hadoop.fs.Path
-    out = fs.create(Path(f"{tmp}/{REWRITE_COMMIT_FILE}"), True)
+    tmp_p = Path(f"{tmp}/{REWRITE_COMMIT_FILE}.tmp")
+    final_p = Path(f"{tmp}/{REWRITE_COMMIT_FILE}")
+    out = fs.create(tmp_p, True)
     try:
         out.write(bytearray(_json.dumps({"staged": staged, "empty": empty}).encode()))
     finally:
         out.close()
+    # the final name cannot exist here (_swap_cells cleared the stage
+    # dir before staging), but delete defensively: HDFS rename-onto-
+    # existing returns False instead of replacing
+    fs.delete(final_p, False)
+    if not fs.rename(tmp_p, final_p):
+        raise IOError(f"could not publish commit record {final_p}")
 
 
 def _read_commit_record(spark, fs, jvm, tmp: str) -> dict | None:
     """The committed intent, or None if the stage never committed
-    (torn write — live index untouched by construction)."""
+    (torn write — live index untouched by construction). A record that
+    exists but does not parse is treated as UNCOMMITTED too: the swap
+    loop only starts after the record is fully written, closed, and
+    renamed into place, so a torn/empty record implies the live index
+    is byte-untouched — discarding is safe, wedging recovery is not
+    (review finding). Bytes are read via hadoop-common's IOUtils
+    (guaranteed present wherever the FileSystem API itself lives;
+    commons-io is only a transitive dependency and can be absent)."""
     import json as _json
 
     Path = jvm.org.apache.hadoop.fs.Path
@@ -1742,12 +1767,15 @@ def _read_commit_record(spark, fs, jvm, tmp: str) -> dict | None:
         return None
     stream = fs.open(p)
     try:
-        data = bytes(
-            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-        )
+        sink = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, sink, 4096, False)
+        data = bytes(sink.toByteArray())
     finally:
         stream.close()
-    return _json.loads(data.decode())
+    try:
+        return _json.loads(data.decode())
+    except (ValueError, UnicodeDecodeError):
+        return None
 
 
 def recover_index_stage(spark, path: str) -> int:

@@ -137,40 +137,19 @@ def sigstore_ingest_stream(
 
     Returns the StreamingQuery; stream==batch parity (the final store
     and accepted set equal the sequential batch replay over the same
-    micro-batches) is pinned in tests."""
-    from ..pipeline.dedup import incremental_neardup_from_store
+    micro-batches, ``sigstore_ingest_replay``) is pinned in tests."""
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        batch = batch.localCheckpoint(eager=True)
-        pairs = incremental_neardup_from_store(
-            spark, store_path, batch, text_col, bands, threshold
+        _sigstore_ingest_batch(
+            batch.sparkSession,
+            batch,
+            batch_id,
+            store_path,
+            accepted_sink,
+            text_col=text_col,
+            bands=bands,
+            threshold=threshold,
         )
-        # drop batch docs near-dup of the resident corpus OR of an
-        # earlier-id batch-mate (doc_b is always the larger id within
-        # cross=False pairs; cross pairs carry the batch doc on either
-        # side, so take both roles' batch members)
-        losers = (
-            pairs.select(F.col("doc_b").alias("doc_id"))
-            .union(
-                pairs.filter("is_cross").select(F.col("doc_a").alias("doc_id"))
-            )
-            .distinct()
-            .join(batch.select("doc_id"), "doc_id", "left_semi")
-        )
-        survivors = batch.join(losers, "doc_id", "left_anti").localCheckpoint(
-            eager=True
-        )
-        survivors.write.mode("overwrite").parquet(
-            f"{accepted_sink}/batch={batch_id}"
-        )
-        from ..pipeline.dedup import append_to_signature_store
-
-        append_to_signature_store(spark, store_path, survivors, text_col)
-        from ..session import free_local_checkpoint
-
-        free_local_checkpoint(batch)
-        free_local_checkpoint(survivors)
 
     return (
         stream_docs.writeStream.foreachBatch(process)
@@ -178,3 +157,108 @@ def sigstore_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _sigstore_ingest_batch(
+    spark,
+    batch: DataFrame,
+    batch_id: int,
+    store_path: str,
+    accepted_sink: str,
+    text_col: str = "text",
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> None:
+    """One micro-batch of the signature-store ingest loop — the single
+    copy both the stream (``foreachBatch``) and the batch replay
+    (``sigstore_ingest_replay``, the driver-certified form) run.
+
+    Retry safety is the subtle part (review finding): a batch that
+    crashed AFTER ``append_to_signature_store`` but BEFORE the stream
+    checkpoint commit is re-delivered by Spark with the same batch_id,
+    and by then the store already holds the batch's own survivors'
+    signatures — re-adjudicating the whole batch would violate
+    ``incremental_neardup_pairs``' unique-id contract (a survivor's
+    signatures appear delta-side AND resident-side, it pairs with its
+    batch-mates as is_cross, lands in losers, and the batch-keyed sink
+    overwrite permanently drops an already-accepted document while its
+    signatures stay resident). So the batch is split against the
+    store's RESIDENT id set first: ids already in the store were
+    accepted by the crashed attempt and re-emit as survivors without
+    re-adjudication; only genuinely new ids are paired (against a
+    store that now includes the earlier survivors — a prior loser
+    still loses, now as a cross pair). On a clean first run the split
+    is a no-op (the q51 delta contract: batch ids are new). The
+    resident-id scan is column-pruned to the id and is the same scan
+    ``append_to_signature_store``'s idempotence already pays.
+
+    The id column comes from the store's ``_sigstore_meta`` (never a
+    hardcoded name), so a store built with a different ``id_col``
+    adjudicates and joins on its own id semantics (review finding)."""
+    from ..pipeline.dedup import (
+        _sigstore_meta,
+        append_to_signature_store,
+        incremental_neardup_from_store,
+    )
+    from ..session import free_local_checkpoint
+
+    id_col = _sigstore_meta(spark, store_path)["id_col"]
+    batch = batch.localCheckpoint(eager=True)
+    resident_ids = spark.read.parquet(store_path).select(id_col)
+    already = batch.join(resident_ids, id_col, "left_semi")
+    fresh = batch.join(resident_ids, id_col, "left_anti")
+    pairs = incremental_neardup_from_store(
+        spark, store_path, fresh, text_col, bands, threshold
+    )
+    # drop fresh docs near-dup of the resident corpus OR of an
+    # earlier-id batch-mate (doc_b is always the larger id within
+    # cross=False pairs; cross pairs carry the batch doc on either
+    # side, so take both roles' batch members)
+    losers = (
+        pairs.select(F.col("doc_b").alias(id_col))
+        .union(pairs.filter("is_cross").select(F.col("doc_a").alias(id_col)))
+        .distinct()
+        .join(fresh.select(id_col), id_col, "left_semi")
+    )
+    survivors = (
+        fresh.join(losers, id_col, "left_anti")
+        .unionByName(already)
+        .localCheckpoint(eager=True)
+    )
+    survivors.write.mode("overwrite").parquet(f"{accepted_sink}/batch={batch_id}")
+    append_to_signature_store(spark, store_path, survivors, text_col)
+    free_local_checkpoint(batch)
+    free_local_checkpoint(survivors)
+
+
+def sigstore_ingest_replay(
+    spark,
+    store_path: str,
+    batches: list[DataFrame],
+    accepted_sink: str,
+    text_col: str = "text",
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Sequential batch replay of the continuous ingest loop — the
+    q78/q85/q99 pattern that gives the stream its driver-certifiable
+    batch form: each crawl drop runs the SAME ``_sigstore_ingest_batch``
+    the ``foreachBatch`` stream runs, in drop order, against the same
+    persisted store. Returns the accepted corpus read back from the
+    batch-keyed sink: (batch, id..., original columns) — one row per
+    accepted document, ``batch`` recording which drop admitted it.
+    stream==replay equality over identical drops is pinned in tests;
+    the replay's relational oracle (the unrolled per-stage d19
+    derivation) certifies both."""
+    for i, b in enumerate(batches):
+        _sigstore_ingest_batch(
+            spark,
+            b,
+            i,
+            store_path,
+            accepted_sink,
+            text_col=text_col,
+            bands=bands,
+            threshold=threshold,
+        )
+    return spark.read.parquet(accepted_sink)

@@ -981,3 +981,58 @@ def test_recovery_replays_emptied_cell_deletions(spark, tmp_path, monkeypatch):
     assert _rows(SIM.ivf_topk_from_index(spark, path, qs, k=5, nprobe=2)) == _rows(
         SIM.ivf_topk_from_index(spark, twin, qs, k=5, nprobe=2)
     )
+
+
+def test_torn_commit_record_treated_as_uncommitted(spark, tmp_path):
+    """r12 ADVICE medium, red->green: on HDFS/local filesystems a file
+    is VISIBLE from create, so the pre-fix single-create commit write
+    could crash mid-write and leave a partial/empty _commit.json;
+    recovery would then raise JSONDecodeError at the TOP of every
+    remove/compact/_swap_cells call — one torn byte wedging all index
+    maintenance forever. The fixed protocol (write .tmp, close, rename)
+    can't leave a torn final record on rename-atomic filesystems, and
+    the reader additionally treats an unparseable record as
+    UNCOMMITTED (safe: the swap loop only starts after the record is
+    fully written and renamed, so a torn record implies a
+    byte-untouched live index). recover_index_stage must report 0 and
+    a follow-up delete must discard the torn stage and proceed."""
+    import os
+
+    emb = spark.table("embeddings")
+    path = str(tmp_path / "ivf_torn_commit")
+    SIM.build_ivf_index(emb, path, num_cells=8)
+    before = sorted(
+        r["vec_id"] for r in spark.read.parquet(path).select("vec_id").collect()
+    )
+
+    # simulate the pre-fix torn write: a stage dir whose commit record
+    # is garbage bytes (crash mid-write on a visible-from-create FS)
+    tmp_dir = os.path.join(path, SIM.REWRITE_TMP_DIR)
+    os.makedirs(tmp_dir, exist_ok=True)
+    for torn in (b"", b'{"staged": [1, 2', b"\xff\xfe garbage"):
+        with open(os.path.join(tmp_dir, SIM.REWRITE_COMMIT_FILE), "wb") as f:
+            f.write(torn)
+        assert SIM.recover_index_stage(spark, path) == 0
+        # the live index is untouched
+        assert sorted(
+            r["vec_id"] for r in spark.read.parquet(path).select("vec_id").collect()
+        ) == before
+
+    # and index maintenance is NOT wedged: the next delete discards the
+    # torn stage and completes normally
+    with open(os.path.join(tmp_dir, SIM.REWRITE_COMMIT_FILE), "wb") as f:
+        f.write(b'{"torn": tru')
+    doomed = spark.createDataFrame([(before[0],), (before[1],)], "vec_id long")
+    n = SIM.remove_from_ivf_index(spark, path, doomed)
+    assert n == 2
+    assert not os.path.isdir(tmp_dir)
+    left = sorted(
+        r["vec_id"] for r in spark.read.parquet(path).select("vec_id").collect()
+    )
+    assert left == before[2:]
+    # the healthy protocol leaves no .tmp sibling behind either
+    assert not any(
+        name.endswith(".tmp")
+        for _r, _d, files in os.walk(path)
+        for name in files
+    )

@@ -1063,14 +1063,17 @@ def test_shard_skew_flags_the_straggler(spark):
 def winnowing_overlap_sql(winnow_sql: str, max_df: int = 1000, min_shared: int = 2) -> str:
     """The t43 winnowing derivation nested as a CTE (one copy of the
     selection), distinct (doc, fp), the hot-fingerprint cap, the
-    bucketed pair join, containment-style overlap."""
+    bucketed pair join, containment-style overlap. Sizes are counted
+    AFTER the hot-fingerprint cap — numerator and denominator share
+    one fingerprint universe (the r12 ADVICE fix), so a
+    boilerplate-heavy contained copy still scores ~1.0."""
     return f"""
 WITH wf AS ({winnow_sql}),
 dfp AS (SELECT DISTINCT doc_id, fp FROM wf),
-sizes AS (SELECT doc_id, count(*) AS n FROM dfp GROUP BY doc_id),
 kept AS (
   SELECT doc_id, fp FROM dfp
   WHERE fp NOT IN (SELECT fp FROM dfp GROUP BY fp HAVING count(*) > {max_df})),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
 shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
   FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
@@ -1257,3 +1260,101 @@ def test_recall_from_index_after_delete_stays_measurable(spark, tmp_path):
     # nprobe == num_cells on the post-delete index == exact over survivors
     for r in rec.collect():
         assert r["n_matched"] == r["k"], r
+
+
+# --- q102: sigstore ingest replay (the streaming daily-dedup loop) ---------------
+
+
+def sigstore_replay_sql(n_batches: int = 3, threshold: float = 0.5) -> str:
+    """The d19 sigs/buckets derivation UNROLLED over sequential crawl
+    drops — the relational form of the continuous signature-store
+    ingest loop: residents are doc_id % 4 = 0, drop b (0-based) is
+    doc_id % 4 = b+1, and each stage's pair adjudication runs against
+    the store AS GROWN by the earlier stages' survivors (store_b =
+    residents + acc_0..b-1). Per stage, the loser rule is the stream's
+    exactly: a batch doc in any cross pair (one side resident) loses;
+    the larger id of a within-batch pair loses. Signatures are
+    doc-local, so one sigs/buckets CTE serves every stage."""
+    sig_exprs = ",\n         ".join(
+        f"min(md5('{j}:' || shingle)) AS sig_{j}" for j in range(8)
+    )
+    band_cases = " ".join(
+        f"WHEN {b} THEN md5(sig_{2*b} || '|' || sig_{2*b+1})" for b in range(4)
+    )
+    agree = " + ".join(f"(sa.sig_{j} = sb.sig_{j})::INT" for j in range(8))
+    stages = []
+    for b in range(n_batches):
+        g = b + 1
+        stages.append(f"""
+p{b} AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS da, greatest(a.doc_id, b.doc_id) AS db
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id <> b.doc_id
+  WHERE a.grp = {g}
+    AND (b.grp = {g} OR b.doc_id IN (SELECT doc_id FROM store{b}))),
+e{b} AS (
+  SELECT p.da, p.db,
+         p.da IN (SELECT doc_id FROM store{b}) AS a_res,
+         p.db IN (SELECT doc_id FROM store{b}) AS b_res
+  FROM p{b} p
+  JOIN sigs sa ON sa.doc_id = p.da
+  JOIN sigs sb ON sb.doc_id = p.db
+  WHERE round(({agree}) / 8.0, 4) >= {threshold}),
+lose{b} AS (
+  SELECT db AS doc_id FROM e{b} WHERE NOT a_res AND NOT b_res
+  UNION
+  SELECT CASE WHEN a_res THEN db ELSE da END AS doc_id
+  FROM e{b} WHERE a_res <> b_res),
+acc{b} AS (
+  SELECT doc_id FROM sigs WHERE grp = {g}
+    AND doc_id NOT IN (SELECT doc_id FROM lose{b})),
+store{b + 1} AS (
+  SELECT doc_id FROM store{b} UNION ALL SELECT doc_id FROM acc{b})""")
+    final = "\nUNION ALL\n".join(
+        f"SELECT {b}::INT AS batch, doc_id FROM acc{b}" for b in range(n_batches)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, (doc_id % 4)::INT AS grp,
+                     regexp_split_to_array(text, '\\s+') w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, grp,
+         unnest(CASE WHEN len(w) >= 3
+                THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+                ELSE [array_to_string(w, ' ')] END) AS shingle
+  FROM toks),
+sigs AS (
+  SELECT doc_id, any_value(grp) AS grp, {sig_exprs}
+  FROM sh GROUP BY doc_id),
+buckets AS (
+  SELECT doc_id, grp, band, CASE band {band_cases} END AS bucket
+  FROM sigs, (SELECT unnest(range(4)) AS band)),
+store0 AS (SELECT doc_id FROM sigs WHERE grp = 0),{",".join(stages)}
+{final}
+"""
+
+
+def test_oracle_draft_sigstore_replay(spark, ddb, tmp_path):
+    """The replay of three sequential crawl drops through the actual
+    store-backed ingest function equals the unrolled relational
+    derivation — the driver-row proof for the streaming daily-dedup
+    loop (its stream==replay parity is pinned in test_streaming.py)."""
+    from pyspark.sql import functions as F
+
+    from datacatalog_tag_engine_spark.pipeline.dedup import build_signature_store
+    from datacatalog_tag_engine_spark.streaming.dedup import sigstore_ingest_replay
+
+    docs = spark.table("documents").select("doc_id", "text")
+    resident = docs.filter(F.col("doc_id") % 4 == 0)
+    batches = [docs.filter(F.col("doc_id") % 4 == i) for i in (1, 2, 3)]
+    store = str(tmp_path / "store")
+    build_signature_store(resident, store)
+    out = sigstore_ingest_replay(
+        spark, store, batches, str(tmp_path / "accepted")
+    ).select(F.col("batch").cast("int").alias("batch"), "doc_id")
+    got = _rows(out)
+    want = _sql_rows(ddb, sigstore_replay_sql())
+    assert got == want
+    assert len(got) > 0
+    # the loop actually adjudicated: not every delta doc was accepted
+    n_delta = docs.filter(F.col("doc_id") % 4 != 0).count()
+    assert len(got) < n_delta

@@ -1103,3 +1103,125 @@ def test_sigstore_ingest_stream_matches_sequential_batch(spark, tmp_path):
         == got_accepted
     )
     assert spark.read.parquet(store).count() == len(want_ids)
+
+
+def test_sigstore_ingest_batch_retry_is_effectively_once(spark, tmp_path):
+    """The mid-batch RETRY path (the r12 ADVICE high finding): Spark
+    re-delivers a micro-batch with the same batch_id when the stream
+    crashes after append_to_signature_store but before the checkpoint
+    commit. By then the store already holds the batch's own survivors'
+    signatures; re-adjudicating the whole batch would see survivor A
+    twice (delta + resident), pair it with batch-mate B as is_cross,
+    drop A from the batch-keyed sink overwrite — permanent corpus loss
+    while A's signatures stay resident. The fixed split (already-in-
+    store ids re-emit without re-adjudication; only new ids pair) must
+    make the second delivery byte-equivalent to the first."""
+    from pyspark.sql import functions as F
+
+    from datacatalog_tag_engine_spark.pipeline.dedup import build_signature_store
+    from datacatalog_tag_engine_spark.streaming.dedup import _sigstore_ingest_batch
+
+    resident = spark.createDataFrame(
+        [(0, "entirely unrelated resident words alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    # A (id 10) and B (id 11) are near-dups of each other, not of the
+    # resident: A wins within-batch on the earlier-id rule
+    near = "the same long paragraph of crawl text repeated across mirrors"
+    batch = spark.createDataFrame(
+        [(10, near + " one"), (11, near + " two")], "doc_id long, text string"
+    )
+    store = str(tmp_path / "store")
+    accepted = str(tmp_path / "accepted")
+    build_signature_store(resident, store)
+
+    _sigstore_ingest_batch(spark, batch, 0, store, accepted)
+    first = sorted(
+        r["doc_id"] for r in spark.read.parquet(accepted).select("doc_id").collect()
+    )
+    assert first == [10]
+    store_after_first = sorted(
+        r["doc_id"] for r in spark.read.parquet(store).select("doc_id").collect()
+    )
+    assert store_after_first == [0, 10]
+
+    # the retry: same batch, same batch_id, store already grown
+    _sigstore_ingest_batch(spark, batch, 0, store, accepted)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(accepted).select("doc_id").collect()
+    ) == [10]
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(store).select("doc_id").collect()
+    ) == [0, 10]
+
+    # and the store==resident+accepted invariant survives a retry that
+    # interleaves with a later batch's delivery of genuinely new docs
+    batch2 = spark.createDataFrame(
+        [(20, "completely fresh second drop content epsilon zeta eta")],
+        "doc_id long, text string",
+    )
+    _sigstore_ingest_batch(spark, batch2, 1, store, accepted)
+    _sigstore_ingest_batch(spark, batch, 0, store, accepted)  # late retry of 0
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(accepted).select("doc_id").collect()
+    ) == [10, 20]
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(store).select("doc_id").collect()
+    ) == [0, 10, 20]
+
+
+def test_sigstore_replay_equals_stream(spark, tmp_path):
+    """sigstore_ingest_replay (the driver-certified batch form) runs
+    the SAME per-batch function the stream's foreachBatch runs — the
+    accepted corpus (with its batch keys) and the final store must be
+    identical across the two forms over identical drops."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datacatalog_tag_engine_spark.pipeline.dedup import build_signature_store
+    from datacatalog_tag_engine_spark.streaming.dedup import (
+        sigstore_ingest_replay,
+        sigstore_ingest_stream,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    resident = docs.filter(F.col("doc_id") % 4 == 0)
+    batches = [docs.filter(F.col("doc_id") % 4 == i) for i in (1, 2, 3)]
+
+    store_s = str(tmp_path / "store_s")
+    build_signature_store(resident, store_s)
+    src = str(tmp_path / "drops")
+    for i, b in enumerate(batches):
+        f = os.path.join(src, f"b{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(f)
+        for root, _dirs, files in os.walk(f):
+            for name in files:
+                os.utime(os.path.join(root, name), (1_700_000_000 + i,) * 2)
+    acc_s = str(tmp_path / "acc_s")
+    q = sigstore_ingest_stream(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "b*")),
+        store_s,
+        acc_s,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+
+    store_r = str(tmp_path / "store_r")
+    build_signature_store(resident, store_r)
+    acc_r = str(tmp_path / "acc_r")
+    out = sigstore_ingest_replay(spark, store_r, batches, acc_r)
+
+    key = lambda df: sorted(
+        (r["batch"], r["doc_id"]) for r in df.select("batch", "doc_id").collect()
+    )
+    assert key(out) == key(spark.read.parquet(acc_s))
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(store_r).select("doc_id").collect()
+    ) == sorted(
+        r["doc_id"] for r in spark.read.parquet(store_s).select("doc_id").collect()
+    )
