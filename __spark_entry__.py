@@ -2396,67 +2396,244 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["d23_neardup_from_store"] = d23
 
+    # ---- round-13 rotation: the r13 bank graduates ------------------------
+
+    def d22(spark, sf):
+        # connected components by alternating large-star / small-star
+        # contraction (Kiveris et al., SoCC'14) — the O(log n)-round
+        # scale path for LONG CHAINS, where min-label propagation is
+        # O(component diameter) rounds. Output IDENTICAL to
+        # neardup_clusters (cluster_id = smallest reachable id), so the
+        # wired q34 oracle serves it verbatim — the s29/s31 identity
+        # pattern
+        docs = _docs(spark, sf)
+        return DD.neardup_clusters_star(docs, DD.minhash_dedup(docs))
+
+    q["d22_clusters_star"] = d22
+
+    # within-document language segmentation at line grain: each
+    # non-blank line classified with t03's exact rule, doc-grain
+    # profile (dominant, mixed flag, distinct langs) — entirely
+    # row-local higher-order functions, a pure scan at 100 TB
+    q["t39_line_lang_profile"] = lambda spark, sf: TXT.line_language_profile(
+        _docs(spark, sf)
+    )
+
+    # the line/paragraph half of Gopher's repetition block: duplicate
+    # line/paragraph fractions + char-fraction forms, the paper's
+    # earlier-occurrence definition, NULL when unmeasurable; row-local
+    q["t40_line_repetition"] = lambda spark, sf: TXT.line_repetition_signals(
+        _docs(spark, sf)
+    )
+
+    # the n-gram half of Gopher's repetition block at character grain:
+    # top-{2,3,4}-gram and dup-{5..10}-gram POSITIONAL char coverage —
+    # a deliberate Arrow/mapInPandas path (linear per doc; nesting the
+    # coverage mask in HOFs re-evaluated subexpressions per element)
+    q["t41_ngram_coverage"] = lambda spark, sf: TXT.ngram_coverage_signals(
+        _docs(spark, sf)
+    )
+
+    def q100(spark, sf):
+        # per-score-decile keep rate of the Gopher gate: the
+        # cheap-score vs expensive-gate calibration table; deciles are
+        # curriculum_order's certified staging, the oracle nests the
+        # wired t02 + t16 strings (the d17 two-CTE pattern)
+        from datacatalog_tag_engine_spark.pipeline.profiling import (
+            score_gate_calibration,
+        )
+
+        return score_gate_calibration(_docs(spark, sf))
+
+    q["q100_score_gate_calibration"] = q100
+
+    # SemDeDup-shaped semantic clustering: connected components over
+    # the MUTUAL edges of the s30 k-NN graph (symmetric evidence — a
+    # hub vector in everyone's top-k cannot glue clusters one-
+    # directionally), composed from s30's graph + d22's contraction
+    q["s32_mutual_knn_clusters"] = lambda spark, sf: SIM.mutual_knn_clusters(
+        _emb(spark, sf), k=5, num_cells=8
+    )
+
+    # per-(source, pii_type) PII mass from the t06 pattern surface:
+    # sequential-pipeline counting (each pattern counts against the
+    # previous pattern's redacted text), so incidence == redact_pii's
+    # redaction count by construction; one scan, dimension-grain
+    # shuffle — the corpus-grain form of the reference's DLP rollups
+    # (J2, dlp_dataset_config.py)
+    q["t42_pii_incidence"] = lambda spark, sf: TXT.pii_incidence(_docs(spark, sf))
+
+    # MOSS winnowing fingerprints (Schleimer et al., SIGMOD'03):
+    # k-gram hashes, window-min selection (rightmost on ties), dedup —
+    # any shared substring of length >= w + k - 1 shares a
+    # fingerprint, the contained-copy contract minhash can't give;
+    # pure row-local HOFs, no shuffle
+    q["t43_winnowing"] = lambda spark, sf: TXT.winnowing_fingerprints(
+        _docs(spark, sf)
+    )
+
+    # the dedup-threshold DECISION TABLE: all LSH candidates on the
+    # exact dyadic estimate lattice + cumulative pair mass each
+    # threshold keeps (cum(v) == a real d15 run at threshold v);
+    # candidate-grain input, <= num_hashes + 1 output rows
+    q["d24_threshold_sweep"] = lambda spark, sf: DD.candidate_threshold_sweep(
+        _docs(spark, sf)
+    )
+
+    def q101(spark, sf):
+        # straggler check for export manifests: exact percentiles +
+        # integer micro max/mean ratio at manifest grain — the number
+        # a training job reads before inheriting a layout (one reader
+        # task per shard)
+        from datacatalog_tag_engine_spark.pipeline.export import shard_skew_profile
+
+        manifest = (
+            _docs(spark, sf)
+            .select(SAMP.hash_bucket(F.col("doc_id"), 16).alias("shard"))
+            .groupBy("shard")
+            .agg(F.count("*").alias("n_docs"))
+        )
+        return shard_skew_profile(manifest)
+
+    q["q101_shard_skew"] = q101
+
+    # winnowing's cross-document consumer: distinct (doc, fp) rows,
+    # hot-fingerprint cap via the bounded broadcast anti-join (the d12
+    # discipline), fingerprint-bucketed pair join, containment-style
+    # overlap vs the SMALLER doc's surviving fingerprints — finds
+    # contained copies whole-document minhash provably misses
+    q["d25_winnowing_overlap"] = lambda spark, sf: DD.winnowing_overlap_pairs(
+        _docs(spark, sf)
+    )
+
+    def d26(spark, sf):
+        # per-cluster provenance purity of the q34 clustering:
+        # n_sources + deterministic majority share at cluster grain —
+        # enumerates the cross-source mirror clusters q88's per-source
+        # rollup can only sum
+        docs = _docs(spark, sf)
+        clusters = DD.neardup_clusters(docs, DD.minhash_dedup(docs))
+        return DD.cluster_purity(docs, clusters)
+
+    q["d26_cluster_purity"] = d26
+
+    def s33(spark, sf):
+        # serving recall measured off the PERSISTED index (fresh-index
+        # identity: stored assignment == ranked assignment, so this
+        # replays the s05 oracle verbatim AND equals the in-memory s05
+        # computation) — the post-maintenance QA row
+        emb = _emb(spark, sf)
+        path = _cached_index(
+            "ivf", sf, lambda p: SIM.build_ivf_index(emb, p, num_cells=8)
+        )
+        qs = emb.filter(F.col("vec_id") < 5)
+        exact = SIM.brute_force_topk(emb, qs, k=5).select("query_id", "neighbor_id")
+        approx = (
+            SIM.ivf_topk_from_index(spark, path, qs, k=5, nprobe=1)
+            .select("query_id", "neighbor_id")
+            .withColumn("_hit", F.lit(1))
+        )
+        return (
+            exact.join(approx, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.count("*").alias("k"),
+                F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_matched"),
+            )
+            .select(
+                "query_id",
+                "n_matched",
+                F.round(F.col("n_matched") / F.col("k"), 4).alias("recall_at_5"),
+            )
+        )
+
+    q["s33_recall_from_index"] = s33
+
+    def q102(spark, sf):
+        # the continuous daily-dedup loop's driver-certifiable batch
+        # form (the q78/q85/q99 replay pattern): three sequential crawl
+        # drops run the SAME per-batch function the foreachBatch stream
+        # runs, against a store seeded from the resident corpus; output
+        # is the accepted corpus keyed by admitting drop. stream==replay
+        # parity is pinned in test_streaming.py; the oracle is the
+        # unrolled per-stage d19 derivation
+        from datacatalog_tag_engine_spark.pipeline.dedup import (
+            build_signature_store,
+        )
+        from datacatalog_tag_engine_spark.streaming.dedup import (
+            sigstore_ingest_replay,
+        )
+
+        docs = _docs(spark, sf).select("doc_id", "text")
+        resident = docs.filter(F.col("doc_id") % 4 == 0)
+        batches = [docs.filter(F.col("doc_id") % 4 == i) for i in (1, 2, 3)]
+
+        def build(p):
+            build_signature_store(resident, f"{p}/store")
+            sigstore_ingest_replay(spark, f"{p}/store", batches, f"{p}/accepted")
+
+        path = _cached_index("sigstore_replay", sf, build)
+        return spark.read.parquet(f"{path}/accepted").select(
+            F.col("batch").cast("int").alias("batch"), "doc_id"
+        )
+
+    q["q102_sigstore_ingest"] = q102
+
     # ---- driver CORRECTNESS window ordering ------------------------------
     # The driver records correctness rows for the FIRST 50 insertion-
-    # ordered entries only. Round-12 round-start rotation (the inventory
-    # grows 166 -> 188, then freezes): the twenty queries proven as
-    # DuckDB drafts in tests/test_oracle_drafts_r12.py enter for their
-    # first rows, plus two the r11 VERDICT asked forward out of the r13
-    # bank — q99 (the streaming heavy-hitter monitor's batch replay,
-    # stream==batch pytest parity since r11; oracle = the t37 string
-    # verbatim, the q85/q75 identity pattern) and d23 (the persisted
-    # signature store's serving path, identity-proven in
-    # tests/test_oracle_drafts_r13.py; oracle = the d19 string
-    # verbatim, the s31 identity pattern). Code-changed
-    # re-certifications: t02_quality — the quality-score gate gained an
-    # ANSI division-by-zero guard late in r11 (value-identical on every
-    # non-empty text; t02 is also a bench ambient sentinel, so its
-    # committed record time must stay meaningful) — and the four
-    # rewrite-path lifecycle queries s22/s23/s24/s26, whose shared
-    # delete/compact core gained the committed-stage recovery contract
-    # this round (recover_index_stage: a crashed swap completes from
-    # its stage instead of being discarded; value-identical on any
+    # ordered entries only. Round-13 round-start rotation (the inventory
+    # grows 188 -> 202, then freezes): the thirteen queries proven as
+    # DuckDB drafts in tests/test_oracle_drafts_r13.py enter for their
+    # first rows, plus q102 — the continuous signature-store ingest
+    # loop's batch replay, the r12 VERDICT's ask #4 (stream==batch
+    # pytest parity since r12; its draft proof was added to the same
+    # bank before this freeze). Identity oracles: d22 serves the wired
+    # q34 string verbatim (star contraction's output is IDENTICAL to
+    # min-label propagation's, the s29/s31 pattern) and s33 serves the
+    # wired s05 string verbatim (stored assignment == ranked
+    # assignment on a fresh index). Code-changed re-certifications:
+    # the four rewrite-path lifecycle queries s22/s23/s24/s26, whose
+    # shared commit-record core changed at round start for the r12
+    # ADVICE items (tmp+rename publication, torn-record-as-uncommitted
+    # reads, hadoop-common byte reads — value-identical on any
     # non-crashed index, but the family whose code changed
-    # re-certifies). The remaining 23 slots are the MECHANICAL aging
-    # drip: the 23 oldest driver rows by the rounds-since-green ledger
+    # re-certifies). The remaining 32 slots are the MECHANICAL aging
+    # drip: the 32 oldest driver rows by the rounds-since-green ledger
     # (computed from the CORRECTNESS_r*.json records committed BEFORE
-    # this rotation — rounds < 12 — in tests/test_r12_rotation_wiring
-    # .py, which asserts this exact selection): all 19 r8-last-green
-    # rows plus the 4 oldest r9 rows by name order (d01-d04). The three
-    # oracle-less-by-nature queries (q09/t12/s06) stay outside the
-    # window by policy. All 50 verified against the local DuckDB oracle
+    # this rotation — rounds < 13 — in tests/test_r13_rotation_wiring
+    # .py, which asserts this exact selection): the 32 oldest of the
+    # 43 r9-last-green rows by name order. The three oracle-less-by-
+    # nature queries (q09/t12/s06) stay outside the window by policy.
+    # All 50 verified against the local DuckDB oracle
     # (tools/check_oracle.py --strict) before the freeze; the driver
     # row is the hard signal. Every entry still runs in bench.py
     # regardless of position.
     window = [
-        # round-12 rotation: first driver rows
-        "q86_resharding_plan", "d18_lsh_parameter_table",
-        "t34_code_prose_profile", "q88_source_dup_rate",
-        "d19_incremental_neardup", "s28_quantizer_drift",
-        "s29_quantizer_drift_from_index", "q90_curriculum_order",
-        "q91_stage_mixture", "m06_payload_size_profile",
-        "d20_shingle_df_profile", "q93_contamination_profile",
-        "t36_langid_margin", "q94_verify_shards",
-        "q95_source_relative_curriculum", "t37_heavy_hitters",
-        "q97_snapshot_diff", "q98_gate_overlap",
-        "s30_knn_graph", "s31_knn_graph_from_index",
-        "q99_heavy_hitter_state", "d23_neardup_from_store",
-        # code-changed re-certifications (ANSI-safe quality denominator
-        # + bench sentinel witness; the rewrite-path lifecycle core's
-        # committed-stage recovery contract)
-        "t02_quality",
+        # round-13 rotation: first driver rows
+        "d22_clusters_star", "t39_line_lang_profile",
+        "t40_line_repetition", "t41_ngram_coverage",
+        "q100_score_gate_calibration", "s32_mutual_knn_clusters",
+        "t42_pii_incidence", "t43_winnowing",
+        "d24_threshold_sweep", "q101_shard_skew",
+        "d25_winnowing_overlap", "d26_cluster_purity",
+        "s33_recall_from_index", "q102_sigstore_ingest",
+        # code-changed re-certifications (the rewrite commit-record
+        # publication/read hardening from the r12 ADVICE fixes)
         "s22_ivf_delete", "s23_ivf_compact", "s24_ivfpq_delete",
         "s26_ivfpq_compact",
-        # mechanical aging drip: the 23 oldest rows by the ledger
-        "q62_sample_k_per_group", "q63_epoch_plan", "q64_gate_metrics",
-        "q65_materialize_mixture", "s08_hard_negatives",
-        "t12b_packing_invariants", "t13_unigram_logprob", "t15_dsir_weights",
-        "t16_gopher_filter", "t17_bigram_logprob", "t18_bpe_apply",
-        "t19_perplexity_buckets", "t20_classifier_weights",
-        "t21_normalize_text", "t22_vocab_stats", "t23_collapse_lines",
-        "t24_decontamination", "t25_chunk_text", "t26_strip_html",
-        "d01_dedup_exact", "d02_dedup_minhash", "d03_simhash",
-        "d04_ngram_jaccard",
+        # mechanical aging drip: the 32 oldest rows by the ledger
+        "d05_embedding_neardup", "d07_semantic_dedup", "d08_span_removal",
+        "d09_paragraph_dedup", "d10_line_dedup", "d11_source_dup_profile",
+        "d13_cross_source_overlap", "m01_multimodal_features",
+        "m02_image_phash_neardup", "m03_audio_fp_neardup",
+        "m04_video_frame_neardup", "q11_glossary", "q12_infotype_agg",
+        "q13_containment", "q14_topk_users", "q20_coverage",
+        "q22_usage_daily", "q23_event_stats", "q24_import_melt",
+        "q34_dedup_clusters", "q48_dedup_apply", "q51_corpus_delta",
+        "q56_delta_bloom", "q59v2_clean_pipeline", "q66_length_outliers",
+        "q67_event_funnel", "q68_holdout_split", "q69_shard_balance",
+        "q70_cohort_retention", "s01_ann_topk", "s03_ann_ivf",
+        "s04_ann_ivf_nprobe",
     ]
     assert len(window) == 50 and set(window) <= set(q)
     return {name: q[name] for name in window + [n for n in q if n not in window]}
@@ -4850,6 +5027,470 @@ FROM edges e LEFT JOIN edges r
 """
 
 
+# ---- round-13 rotation oracle generators (moved verbatim from the
+# DuckDB draft proofs in tests/test_oracle_drafts_r13.py) ----------------
+
+
+def line_lang_profile_sql() -> str:
+    """Replay t03's rule per non-blank LINE, then the doc-grain
+    profile. Marker membership, CJK check, tie order, and the
+    zero-evidence 'und' route are all copied from the wired t03
+    semantics; dominant = most lines with the fixed en>de>fr>es>zh>und
+    tiebreak."""
+    from datacatalog_tag_engine_spark.pipeline.text import LANG_MARKERS
+
+    score_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        score_cols.append(
+            f"len(list_filter(regexp_split_to_array(lower(l), '\\s+'),"
+            f" w -> length(w) > 0 AND list_contains([{lst}], w))) AS s_{lang}"
+        )
+    scores = ",\n         ".join(score_cols)
+    # fixed tie order en>de>fr>es via strictly-greater comparisons on
+    # the ordered chain (first max wins)
+    return rf"""
+WITH lines AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(coalesce(text, ''), '\n'),
+                 l -> length(trim(l)) > 0)) AS l
+  FROM documents),
+scored AS (
+  SELECT doc_id, l,
+         {scores},
+         regexp_matches(l, '[一-鿿]') AS cjk
+  FROM lines),
+lab AS (
+  SELECT doc_id,
+         CASE WHEN cjk THEN 'zh'
+              WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+              WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+              WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+              WHEN s_fr >= s_es THEN 'fr'
+              ELSE 'es' END AS lang
+  FROM scored),
+counts AS (
+  SELECT d.doc_id,
+         count(lab.lang) AS n_lines,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_en,
+         sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS c_de,
+         sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS c_fr,
+         sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS c_es,
+         sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS c_zh,
+         sum(CASE WHEN lang = 'und' THEN 1 ELSE 0 END) AS c_und
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  LEFT JOIN lab ON d.doc_id = lab.doc_id
+  GROUP BY d.doc_id)
+SELECT doc_id,
+       n_lines::INT AS n_lines,
+       CASE WHEN n_lines = 0 THEN 'und'
+            WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es AND c_en >= c_zh AND c_en >= c_und THEN 'en'
+            WHEN c_de >= c_fr AND c_de >= c_es AND c_de >= c_zh AND c_de >= c_und THEN 'de'
+            WHEN c_fr >= c_es AND c_fr >= c_zh AND c_fr >= c_und THEN 'fr'
+            WHEN c_es >= c_zh AND c_es >= c_und THEN 'es'
+            WHEN c_zh >= c_und THEN 'zh'
+            ELSE 'und' END AS dominant_lang,
+       greatest(c_en, c_de, c_fr, c_es, c_zh, c_und)::INT AS n_dominant_lines,
+       ((c_en > 0)::INT + (c_de > 0)::INT + (c_fr > 0)::INT
+        + (c_es > 0)::INT + (c_zh > 0)::INT)::INT AS n_langs,
+       ((c_en > 0)::INT + (c_de > 0)::INT + (c_fr > 0)::INT
+        + (c_es > 0)::INT + (c_zh > 0)::INT) >= 2 AS is_mixed
+FROM counts
+"""
+
+def line_repetition_sql() -> str:
+    """Gopher's duplicate line/paragraph fractions replayed: an
+    occurrence is a duplicate iff an identical unit appeared earlier
+    in the doc (1-based lambda index in DuckDB, prefix slice +
+    list_contains), NULL fractions when there is nothing to measure."""
+
+    def block(expr: str, prefix: str) -> str:
+        return f"""
+  SELECT doc_id,
+         len(u) AS n_{prefix}s,
+         CASE WHEN len(u) > 0 THEN round(
+           len(list_filter(list_transform(u, (x, i) -> list_contains(u[1:i-1], x)),
+                           d -> d)) / len(u), 4) END AS dup_{prefix}_frac,
+         CASE WHEN list_sum(list_transform(u, x -> length(x))) > 0 THEN round(
+           coalesce(list_sum(list_transform(list_filter(
+               list_transform(u, (x, i) -> CASE WHEN list_contains(u[1:i-1], x)
+                                                THEN length(x) END),
+               v -> v IS NOT NULL), v -> v)), 0)
+           / list_sum(list_transform(u, x -> length(x))), 4) END AS dup_{prefix}_char_frac
+  FROM (SELECT doc_id, {expr} AS u FROM documents)"""
+
+    lines = (
+        "list_filter(regexp_split_to_array(coalesce(text, ''), '\\n'),"
+        " l -> length(trim(l)) > 0)"
+    )
+    paras = (
+        "list_filter(list_transform(regexp_split_to_array(coalesce(text, ''), '\\n\\n+'),"
+        " p -> trim(p)), p -> length(p) > 0)"
+    )
+    return f"""
+WITH l AS ({block(lines, "line")}),
+p AS ({block(paras, "para")})
+SELECT l.doc_id, l.n_lines, l.dup_line_frac, l.dup_line_char_frac,
+       p.n_paras, p.dup_para_frac, p.dup_para_char_frac
+FROM l JOIN p USING (doc_id)
+"""
+
+def score_gate_calibration_sql(t02_sql: str, t16_sql: str, n: int = 10) -> str:
+    """Nests BOTH wired strings (t02 for the score, t16 for the keep)
+    — the d17 two-CTE pattern; decile = SQL-standard NTILE over
+    (quality_score desc, doc_id), exactly curriculum_order's staging."""
+    return f"""
+WITH t02 AS ({t02_sql}),
+t16 AS ({t16_sql}),
+staged AS (
+  SELECT doc_id, ntile({n}) OVER (ORDER BY quality_score DESC, doc_id) AS decile
+  FROM t02)
+SELECT s.decile, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN t16.keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       round(sum(CASE WHEN t16.keep THEN 1 ELSE 0 END) / count(*), 4) AS keep_rate
+FROM staged s JOIN t16 USING (doc_id)
+GROUP BY s.decile
+"""
+
+def mutual_knn_clusters_sql(k: int = 5, num_cells: int = 8) -> str:
+    """The s30 edge derivation + a recursive reach over MUTUAL edges —
+    the q34 cluster-CTE pattern applied to the semantic graph."""
+    return f"""
+WITH RECURSIVE
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cent_v FROM e ORDER BY vec_id LIMIT {num_cells}),
+assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round(list_cosine_similarity(e.v, c.cent_v), 6) DESC, c.cell) AS rn
+    FROM e CROSS JOIN cents c) WHERE rn = 1),
+scored AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.v, a.v), 4) AS cosine
+  FROM assign q JOIN assign a ON q.cell = a.cell AND q.vec_id <> a.vec_id),
+edges AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored) WHERE rank <= {k}),
+mutual AS (
+  SELECT e.query_id AS da, e.neighbor_id AS db
+  FROM edges e JOIN edges r
+    ON r.query_id = e.neighbor_id AND r.neighbor_id = e.query_id
+  WHERE e.query_id < e.neighbor_id),
+medges AS (SELECT da AS src, dst FROM (SELECT da, db AS dst FROM mutual)
+           UNION SELECT db, da FROM mutual),
+reach(src, dst) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT r.src, m.dst FROM reach r JOIN medges m ON r.dst = m.src),
+clusters AS (SELECT src AS vec_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT vec_id, cluster_id FROM clusters
+"""
+
+def ngram_coverage_sql(top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10)) -> str:
+    """Relational replay of the coverage masks: per n, gram starts
+    with 1-based positions, duplicate grams from counts >= 2 (or the
+    modal gram by (count desc, gram asc) for the top form), then
+    set-based coverage — each flagged start expands to its covered
+    word positions and joins the word lengths."""
+    ctes = [
+        r"""base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+                     x -> length(x) > 0) AS words
+  FROM documents)""",
+        """w AS (
+  SELECT doc_id, words, len(words) AS nw,
+         coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS ct
+  FROM base)""",
+        """wpos AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(words) + 1),
+                 j -> {'j': j, 'wlen': length(words[j])}), recursive := true) AS _s
+  FROM base WHERE len(words) > 0)""",
+    ]
+    sel = ["w.doc_id"]
+    joins = []
+
+    def gram_ctes(n: int, kind: str) -> None:
+        tag = f"{kind}{n}"
+        ctes.append(
+            f"""g{tag} AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(words) - {n - 2}),
+                 i -> {{'i': i, 'gram': array_to_string(words[i:i+{n - 1}], ' ')}}),
+                 recursive := true) AS _s
+  FROM base WHERE len(words) >= {n})"""
+        )
+        ctes.append(
+            f"""c{tag} AS (SELECT doc_id, gram, count(*) AS c FROM g{tag} GROUP BY 1, 2)"""
+        )
+        if kind == "top":
+            ctes.append(
+                f"""m{tag} AS (
+  SELECT doc_id, gram FROM (
+    SELECT doc_id, gram, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rn
+    FROM c{tag}) WHERE rn = 1)"""
+            )
+            flag_src = f"m{tag}"
+        else:
+            ctes.append(
+                f"""m{tag} AS (SELECT doc_id, gram FROM c{tag} WHERE c >= 2)"""
+            )
+            flag_src = f"m{tag}"
+        ctes.append(
+            f"""f{tag} AS (SELECT g.doc_id, g.i FROM g{tag} g JOIN {flag_src} USING (doc_id, gram))"""
+        )
+        # set-based coverage: expand each flagged start i to its covered
+        # word positions i..i+n-1, dedup, join word lengths (a
+        # correlated EXISTS per word was quadratic for DuckDB here)
+        ctes.append(
+            f"""cov{tag} AS (
+  SELECT DISTINCT doc_id, unnest(range(i, i + {n})) AS j FROM f{tag})"""
+        )
+        ctes.append(
+            f"""v{tag} AS (
+  SELECT wp.doc_id, sum(wp.wlen) AS cchars
+  FROM wpos wp JOIN cov{tag} c ON c.doc_id = wp.doc_id AND c.j = wp.j
+  GROUP BY 1)"""
+        )
+        col = f"{'top' if kind == 'top' else 'dup'}_{n}_gram_char_frac"
+        sel.append(
+            f"CASE WHEN w.nw >= {n} AND w.ct > 0 "
+            f"THEN round(coalesce(v{tag}.cchars, 0) / w.ct, 4) END AS {col}"
+        )
+        joins.append(f"LEFT JOIN v{tag} ON v{tag}.doc_id = w.doc_id")
+
+    for n in top_ns:
+        gram_ctes(n, "top")
+    for n in dup_ns:
+        gram_ctes(n, "dup")
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT " + ",\n       ".join(sel)
+        + "\nFROM w " + " ".join(joins)
+    )
+
+def pii_incidence_sql() -> str:
+    """Sequential-pipeline replay of PII_PATTERNS (the same Python
+    constant the Spark op reads — one source, no drift): each pattern
+    counts against the previous pattern's redacted text, then a
+    (source, pii_type) rollup."""
+    from datacatalog_tag_engine_spark.pipeline.text import PII_PATTERNS
+
+    stages, prev = [], "t"
+    for i, (pat, repl) in enumerate(PII_PATTERNS):
+        name = repl.strip("<>").lower()
+        cur = f"t{i}"
+        stages.append(
+            f"s{i} AS (SELECT source, "
+            f"len(regexp_extract_all({prev}, '{pat}')) AS n_{name}, "
+            f"regexp_replace({prev}, '{pat}', '{repl}', 'g') AS {cur}"
+            + (f", {', '.join('n_' + r.strip('<>').lower() for _, r in PII_PATTERNS[:i])}" if i else "")
+            + f" FROM {'base' if i == 0 else 's' + str(i - 1)})"
+        )
+        prev = cur
+    unions = " UNION ALL ".join(
+        f"SELECT source, '{r.strip('<>').lower()}' AS pii_type, "
+        f"n_{r.strip('<>').lower()} AS n FROM s{len(PII_PATTERNS) - 1}"
+        for _, r in PII_PATTERNS
+    )
+    return f"""
+WITH base AS (SELECT source, coalesce(text, '') AS t FROM documents),
+{', '.join(stages)},
+u AS ({unions})
+SELECT source, pii_type,
+       sum((n > 0)::INT)::BIGINT AS n_docs,
+       sum(n)::BIGINT AS n_hits
+FROM u GROUP BY source, pii_type
+"""
+
+def winnowing_sql(k: int = 8, w: int = 4) -> str:
+    """The winnowing selection replayed with DuckDB list functions:
+    same gram hash (first 8 md5 hex digits as integer — the q58 rule),
+    same rightmost-min window pick, same short-document degenerate
+    case, distinct selections."""
+    return f"""
+WITH d AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents),
+g AS (SELECT doc_id,
+             CASE WHEN length(t) >= {k}
+                  THEN list_transform(range(1, length(t) - {k} + 2),
+                                      i -> substr(t, i, {k}))
+                  ELSE [] END AS grams
+      FROM d),
+h AS (SELECT doc_id,
+             list_transform(grams, g -> ('0x' || substr(md5(g), 1, 8))::BIGINT) AS hs
+      FROM g),
+p AS (SELECT doc_id,
+             CASE
+               WHEN len(hs) >= {w} THEN
+                 list_transform(range(1, len(hs) - {w} + 2), i ->
+                   struct_pack(
+                     pos := i + {w} - list_position(list_reverse(hs[i:i + {w} - 1]),
+                                                    list_min(hs[i:i + {w} - 1])),
+                     fp := list_min(hs[i:i + {w} - 1])))
+               WHEN len(hs) > 0 THEN
+                 [struct_pack(
+                    pos := len(hs) + 1 - list_position(list_reverse(hs), list_min(hs)),
+                    fp := list_min(hs))]
+               ELSE [] END AS picks
+      FROM h),
+sel AS (SELECT DISTINCT doc_id, unnest(picks, recursive := true) FROM p)
+SELECT doc_id, pos::INT AS pos, fp FROM sel
+"""
+
+def threshold_sweep_sql() -> str:
+    """The d15 estimator at threshold 0 (all LSH candidates) nested as
+    a CTE + the exact dyadic-lattice rollup with the descending
+    cumulative (what a threshold at each lattice edge keeps)."""
+    return f"""
+WITH pairs AS ({minhash_estimate_sql(0.0)}),
+per AS (SELECT est_jaccard, count(*) AS n_pairs FROM pairs GROUP BY 1)
+SELECT est_jaccard,
+       n_pairs::BIGINT AS n_pairs,
+       round(n_pairs / sum(n_pairs) OVER (), 6) AS frac_pairs,
+       sum(n_pairs) OVER (ORDER BY est_jaccard DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         AS cum_pairs_at_or_above
+FROM per
+"""
+
+def shard_skew_sql(num_shards: int = 16) -> str:
+    """Manifest = the q58 md5-bucket rule at 16 shards; profile =
+    exact percentiles (quantile_cont == percentile, the q74 rule) +
+    the integer micro max/mean ratio."""
+    bucket = (
+        "(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % "
+        + str(num_shards)
+        + ")"
+    )
+    return f"""
+WITH b AS (SELECT {bucket} AS shard FROM documents),
+m AS (SELECT shard, count(*) AS n_docs FROM b GROUP BY shard)
+SELECT count(*)::BIGINT AS n_shards,
+       min(n_docs)::BIGINT AS min_docs,
+       round(quantile_cont(n_docs, 0.5), 2) AS p50_docs,
+       round(quantile_cont(n_docs, 0.9), 2) AS p90_docs,
+       max(n_docs)::BIGINT AS max_docs,
+       round(max(n_docs) / avg(n_docs) * 1e6)::BIGINT AS max_over_mean_micro
+FROM m
+"""
+
+def winnowing_overlap_sql(winnow_sql: str, max_df: int = 1000, min_shared: int = 2) -> str:
+    """The t43 winnowing derivation nested as a CTE (one copy of the
+    selection), distinct (doc, fp), the hot-fingerprint cap, the
+    bucketed pair join, containment-style overlap. Sizes are counted
+    AFTER the hot-fingerprint cap — numerator and denominator share
+    one fingerprint universe (the r12 ADVICE fix), so a
+    boilerplate-heavy contained copy still scores ~1.0."""
+    return f"""
+WITH wf AS ({winnow_sql}),
+dfp AS (SELECT DISTINCT doc_id, fp FROM wf),
+kept AS (
+  SELECT doc_id, fp FROM dfp
+  WHERE fp NOT IN (SELECT fp FROM dfp GROUP BY fp HAVING count(*) > {max_df})),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= {min_shared})
+SELECT s.doc_a, s.doc_b, s.n_shared::BIGINT AS n_shared,
+       round(s.n_shared / least(sa.n, sb.n), 4) AS overlap
+FROM shared s
+JOIN sizes sa ON sa.doc_id = s.doc_a
+JOIN sizes sb ON sb.doc_id = s.doc_b
+"""
+
+def cluster_purity_sql(q34_sql: str) -> str:
+    """The wired q34 cluster chain nested (the q88 surgery pattern) +
+    documents join + per-cluster majority window."""
+    tail = "SELECT doc_id, cluster_id FROM clusters"
+    assert q34_sql.count(tail) == 1
+    return q34_sql.replace(
+        tail,
+        """, j AS (
+  SELECT c.cluster_id, d.source FROM clusters c JOIN documents d USING (doc_id)),
+per AS (SELECT cluster_id, source, count(*) AS _n FROM j GROUP BY 1, 2),
+tot AS (SELECT cluster_id, sum(_n) AS n_docs, count(*) AS n_sources
+        FROM per GROUP BY cluster_id),
+top AS (
+  SELECT cluster_id, source AS majority_source, _n AS _top_n FROM (
+    SELECT cluster_id, source, _n,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY _n DESC, source) AS _rn
+    FROM per) WHERE _rn = 1)
+SELECT t.cluster_id, t.n_docs::BIGINT AS n_docs,
+       t.n_sources::BIGINT AS n_sources, top.majority_source,
+       round(top._top_n / t.n_docs, 4) AS majority_share
+FROM tot t JOIN top USING (cluster_id)""",
+    )
+
+def sigstore_replay_sql(n_batches: int = 3, threshold: float = 0.5) -> str:
+    """The d19 sigs/buckets derivation UNROLLED over sequential crawl
+    drops — the relational form of the continuous signature-store
+    ingest loop: residents are doc_id % 4 = 0, drop b (0-based) is
+    doc_id % 4 = b+1, and each stage's pair adjudication runs against
+    the store AS GROWN by the earlier stages' survivors (store_b =
+    residents + acc_0..b-1). Per stage, the loser rule is the stream's
+    exactly: a batch doc in any cross pair (one side resident) loses;
+    the larger id of a within-batch pair loses. Signatures are
+    doc-local, so one sigs/buckets CTE serves every stage."""
+    sig_exprs = ",\n         ".join(
+        f"min(md5('{j}:' || shingle)) AS sig_{j}" for j in range(8)
+    )
+    band_cases = " ".join(
+        f"WHEN {b} THEN md5(sig_{2*b} || '|' || sig_{2*b+1})" for b in range(4)
+    )
+    agree = " + ".join(f"(sa.sig_{j} = sb.sig_{j})::INT" for j in range(8))
+    stages = []
+    for b in range(n_batches):
+        g = b + 1
+        stages.append(f"""
+p{b} AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS da, greatest(a.doc_id, b.doc_id) AS db
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id <> b.doc_id
+  WHERE a.grp = {g}
+    AND (b.grp = {g} OR b.doc_id IN (SELECT doc_id FROM store{b}))),
+e{b} AS (
+  SELECT p.da, p.db,
+         p.da IN (SELECT doc_id FROM store{b}) AS a_res,
+         p.db IN (SELECT doc_id FROM store{b}) AS b_res
+  FROM p{b} p
+  JOIN sigs sa ON sa.doc_id = p.da
+  JOIN sigs sb ON sb.doc_id = p.db
+  WHERE round(({agree}) / 8.0, 4) >= {threshold}),
+lose{b} AS (
+  SELECT db AS doc_id FROM e{b} WHERE NOT a_res AND NOT b_res
+  UNION
+  SELECT CASE WHEN a_res THEN db ELSE da END AS doc_id
+  FROM e{b} WHERE a_res <> b_res),
+acc{b} AS (
+  SELECT doc_id FROM sigs WHERE grp = {g}
+    AND doc_id NOT IN (SELECT doc_id FROM lose{b})),
+store{b + 1} AS (
+  SELECT doc_id FROM store{b} UNION ALL SELECT doc_id FROM acc{b})""")
+    final = "\nUNION ALL\n".join(
+        f"SELECT {b}::INT AS batch, doc_id FROM acc{b}" for b in range(n_batches)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, (doc_id % 4)::INT AS grp,
+                     regexp_split_to_array(text, '\\s+') w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, grp,
+         unnest(CASE WHEN len(w) >= 3
+                THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+                ELSE [array_to_string(w, ' ')] END) AS shingle
+  FROM toks),
+sigs AS (
+  SELECT doc_id, any_value(grp) AS grp, {sig_exprs}
+  FROM sh GROUP BY doc_id),
+buckets AS (
+  SELECT doc_id, grp, band, CASE band {band_cases} END AS bucket
+  FROM sigs, (SELECT unnest(range(4)) AS band)),
+store0 AS (SELECT doc_id FROM sigs WHERE grp = 0),{",".join(stages)}
+{final}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
@@ -6399,5 +7040,33 @@ FROM all_shards a LEFT JOIN per ON per.shard = a.shard
     # replays the d19 oracle verbatim (the s31 identity applied to the
     # dedup artifact; proven in tests/test_oracle_drafts_r13.py)
     o["d23_neardup_from_store"] = o["d19_incremental_neardup"]
+
+    # ---- round-13 rotation ------------------------------------------------
+    # star contraction's output is IDENTICAL to min-label propagation's
+    # (cluster_id = smallest reachable id), so the wired q34 string
+    # serves it verbatim — the s29/s31 identity pattern
+    o["d22_clusters_star"] = o["q34_dedup_clusters"]
+    o["t39_line_lang_profile"] = line_lang_profile_sql()
+    o["t40_line_repetition"] = line_repetition_sql()
+    o["t41_ngram_coverage"] = ngram_coverage_sql()
+    # nests BOTH wired strings (t02 score, t16 keep) — the d17 pattern
+    o["q100_score_gate_calibration"] = score_gate_calibration_sql(
+        o["t02_quality"], o["t16_gopher_filter"]
+    )
+    o["s32_mutual_knn_clusters"] = mutual_knn_clusters_sql(5, 8)
+    o["t42_pii_incidence"] = pii_incidence_sql()
+    o["t43_winnowing"] = winnowing_sql()
+    o["d24_threshold_sweep"] = threshold_sweep_sql()
+    o["q101_shard_skew"] = shard_skew_sql(16)
+    # nests the wired t43 winnowing string (one copy of the selection)
+    o["d25_winnowing_overlap"] = winnowing_overlap_sql(o["t43_winnowing"])
+    # chain surgery over the ONE wired copy of the q34 cluster chain
+    o["d26_cluster_purity"] = cluster_purity_sql(o["q34_dedup_clusters"])
+    # fresh-index identity: stored assignment == ranked assignment, so
+    # recall off the persisted index replays the s05 oracle verbatim
+    o["s33_recall_from_index"] = o["s05_ann_recall"]
+    # the streaming ingest loop's batch replay: the unrolled per-stage
+    # d19 derivation (store grown by each stage's survivors)
+    o["q102_sigstore_ingest"] = sigstore_replay_sql()
 
     return o
