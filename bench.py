@@ -82,7 +82,25 @@ def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _parse_args(argv: list[str]) -> tuple[set[str] | None, str]:
+    """--only a,b,c limits the run to those queries (plus the ambient
+    sentinels, so the subset record still normalizes); --out PATH
+    redirects the JSON record so a targeted re-price can never clobber
+    bench_out.json. Defaults preserve the full-record behavior."""
+    only: set[str] | None = None
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
+    it = iter(argv)
+    for a in it:
+        if a == "--only":
+            only = {s for s in next(it).split(",") if s}
+            only |= set(SENTINELS_SF01)
+        elif a == "--out":
+            out_path = next(it)
+    return only, out_path
+
+
 def main() -> None:
+    only, out_path = _parse_args(sys.argv[1:])
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -113,6 +131,8 @@ def main() -> None:
     passes: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name, fn in E.queries().items():
+        if only is not None and name not in only:
+            continue
         runs: list[float] = []
         for _ in range(N_PASSES):
             t0 = time.time()
@@ -172,7 +192,7 @@ def main() -> None:
         out["errors"] = errors
     file_out = dict(out, passes=passes)
     payload = json.dumps(out)
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"), "w") as f:
+    with open(out_path, "w") as f:
         f.write(json.dumps(file_out) + "\n")
     print(payload)
 

@@ -2389,6 +2389,7 @@ def winnowing_overlap_pairs(
     max_df: int | None = 1000,
     min_shared: int = 2,
     min_overlap: float | None = None,
+    with_sizes: bool = False,
 ) -> DataFrame:
     """Cross-document copy detection over winnowing fingerprints — the
     consumer of ``text.winnowing_fingerprints`` (MOSS, SIGMOD'03): two
@@ -2427,7 +2428,10 @@ def winnowing_overlap_pairs(
     Returns (doc_a, doc_b, n_shared, overlap) with doc_a < doc_b,
     filtered to ``n_shared >= min_shared`` (a single shared hash is
     noise at 32-bit fingerprint width) and, when ``min_overlap`` is
-    set, ``overlap >= min_overlap``."""
+    set, ``overlap >= min_overlap``. ``with_sizes=True`` appends each
+    side's surviving-fingerprint count (n_a, n_b) — the evidence
+    ``winnowing_dedup``'s smaller-doc rule reads, exposed so the
+    consumer never recomputes the fingerprint table."""
     from .text import winnowing_fingerprints
 
     fps = (
@@ -2462,16 +2466,15 @@ def winnowing_overlap_pairs(
     # the returned plan reads the fps checkpoint (sizes + both join
     # sides), so it must NOT be freed here — like the containment
     # path's sh_h, its blocks release when the caller drops the frame
-    out = (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_shared",
-            F.round(F.col("n_shared") / F.least("_na", "_nb"), 4).alias("overlap"),
-        )
-    )
+    cols = [
+        F.col("doc_a"),
+        F.col("doc_b"),
+        F.col("n_shared"),
+        F.round(F.col("n_shared") / F.least("_na", "_nb"), 4).alias("overlap"),
+    ]
+    if with_sizes:
+        cols += [F.col("_na").alias("n_a"), F.col("_nb").alias("n_b")]
+    out = shared.join(sa, "doc_a").join(sb, "doc_b").select(*cols)
     if min_overlap is not None:
         out = out.filter(F.col("overlap") >= min_overlap)
     return out
@@ -2519,4 +2522,183 @@ def cluster_purity(
         "n_sources",
         "majority_source",
         F.round(F.col("_top_n") / F.col("n_docs"), 4).alias("majority_share"),
+    )
+
+
+def winnowing_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = 1000,
+    min_shared: int = 2,
+    min_overlap: float = 0.8,
+) -> DataFrame:
+    """Contained-copy removal driven by winnowing overlap — the
+    consumer that turns d25's pair surface into a corpus decision:
+    for every pair whose containment-style overlap clears
+    ``min_overlap``, the SMALLER side (fewer surviving fingerprints;
+    tie -> larger id) is dropped — the contained copy goes, the
+    containing original stays. This is the substring-grain complement
+    of ``quality_canonical_dedup``: minhash clusters need high WHOLE-
+    document similarity, while a short doc pasted into a long one
+    near-dups nothing globally yet is pure redundancy; winnowing's
+    guarantee (any shared run >= w + k - 1 chars shares a fingerprint)
+    makes exactly that pair visible, and this rule deletes the copy.
+
+    Drops are independent PAIR decisions, deliberately not a cluster
+    canonical: containment is not symmetric (A⊂B, B⊂C does not relate
+    A and C textually the way a near-dup clique does), so a doc drops
+    iff SOME qualifying pair ranks it smaller — chains resolve to
+    "everything contained in anything goes, the maximal docs stay".
+    Cost is d25's bucketed pair join (bounded by the hot-set cap)
+    plus one pair-grain aggregation — the corpus is never re-scanned.
+    Returns (doc_id, keep, n_containers) for EVERY input doc, where
+    n_containers counts qualifying pairs that rank the doc smaller."""
+    pairs = winnowing_overlap_pairs(
+        docs,
+        id_col,
+        text_col,
+        max_df=max_df,
+        min_shared=min_shared,
+        min_overlap=min_overlap,
+        with_sizes=True,
+    )
+    # the dropped side of each qualifying pair: smaller fingerprint
+    # count, tie -> larger id (keep the lowest id, the q34 convention)
+    dropped = pairs.select(
+        F.when(
+            (F.col("n_a") < F.col("n_b"))
+            | ((F.col("n_a") == F.col("n_b")) & (F.col("doc_a") > F.col("doc_b"))),
+            F.col("doc_a"),
+        )
+        .otherwise(F.col("doc_b"))
+        .alias(id_col)
+    )
+    counts = dropped.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_containers")
+    )
+    return docs.select(id_col).join(counts, id_col, "left").select(
+        id_col,
+        F.col("n_containers").isNull().alias("keep"),
+        F.coalesce(F.col("n_containers"), F.lit(0).cast("long")).alias(
+            "n_containers"
+        ),
+    )
+
+
+def winnowing_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = 1000,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Train/test contamination at SUBSTRING grain — the winnowing
+    form of t24's n-gram decontamination: a train doc is flagged when
+    it shares >= ``min_shared`` winnowing fingerprints with any test
+    doc, which by the winnowing guarantee catches any verbatim run of
+    w + k - 1 characters (a leaked benchmark answer inside an
+    otherwise-novel page), where whole-document similarity and even
+    fixed-n-gram containment can dilute below threshold. The join is
+    fingerprint-bucketed train x test (never within-split pairs — the
+    quadrant that dominates d25 is skipped entirely), with the same
+    bounded hot-fingerprint cap computed over BOTH splits (boilerplate
+    shared by every page must not read as contamination).
+
+    Returns one row per CONTAMINATED train doc: (doc_id, n_test_docs,
+    n_shared_max, n_shared_total) — n_test_docs counts distinct test
+    docs hit, n_shared_max the strongest single-doc evidence. Clean
+    train docs are absent (the caller anti-joins to drop, the t24
+    convention). At 100 TB the test side is tiny (benchmarks), so the
+    per-fingerprint fan-out is test-bounded; the cap keeps the train
+    side's hot keys out of the join either way."""
+    from .text import winnowing_fingerprints
+
+    tr = (
+        winnowing_fingerprints(train, id_col, text_col)
+        .select(id_col, "fp")
+        .distinct()
+    )
+    te = (
+        winnowing_fingerprints(test, id_col, text_col)
+        .select(id_col, "fp")
+        .distinct()
+    )
+    if max_df is not None:
+        both = tr.select("fp").unionAll(te.select("fp"))
+        hot = (
+            both.groupBy("fp")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("fp")
+        )
+        tr = tr.join(F.broadcast(hot), "fp", "left_anti")
+        te = te.join(F.broadcast(hot), "fp", "left_anti")
+    hits = (
+        tr.select(F.col(id_col).alias("train_id"), "fp")
+        .join(te.select(F.col(id_col).alias("test_id"), "fp"), "fp")
+        .groupBy("train_id", "test_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return hits.groupBy("train_id").agg(
+        F.countDistinct("test_id").cast("long").alias("n_test_docs"),
+        F.max("n_shared").alias("n_shared_max"),
+        F.sum("n_shared").alias("n_shared_total"),
+    ).select(
+        F.col("train_id").alias(id_col),
+        "n_test_docs",
+        "n_shared_max",
+        "n_shared_total",
+    )
+
+
+def threshold_sweep_vs_exact(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    dedup_threshold: float = 0.5,
+) -> DataFrame:
+    """The d24 decision table joined against GROUND TRUTH — d16's
+    estimate-vs-exact discipline applied at lattice grain instead of
+    pair grain: every LSH candidate carries both its signature
+    estimate and its exact verified Jaccard, rolled up per estimate
+    value with the precision evidence a threshold choice actually
+    needs. d24 says how much pair mass each threshold keeps; this says
+    how much of that mass is REAL (exact >= ``dedup_threshold``), so
+    the operator answers "estimate >= 0.625 keeps 1,204 pairs at 0.91
+    precision" with counted mass on both axes.
+
+    Pays the exact inverted-index verify by construction — a
+    certification-scale table (run on a corpus sample), not a serving
+    path; the serving path stays ``minhash_estimate_pairs``.
+    Dimension-grain output (<= num_hashes + 1 rows). Returns
+    (est_jaccard, n_pairs, mean_exact_jaccard, mean_abs_err, n_true,
+    dedup_precision) where n_true counts pairs with exact jaccard >=
+    ``dedup_threshold``."""
+    pairs = minhash_estimate_vs_exact(
+        docs, id_col, text_col, k, num_hashes, bands, threshold=0.0
+    )
+    return (
+        pairs.groupBy("est_jaccard")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 4).alias("mean_exact_jaccard"),
+            F.round(F.avg("abs_err"), 4).alias("mean_abs_err"),
+            F.sum((F.col("jaccard") >= dedup_threshold).cast("long")).alias(
+                "n_true"
+            ),
+        )
+        .select(
+            "est_jaccard",
+            "n_pairs",
+            "mean_exact_jaccard",
+            "mean_abs_err",
+            "n_true",
+            F.round(F.col("n_true") / F.col("n_pairs"), 4).alias("dedup_precision"),
+        )
     )

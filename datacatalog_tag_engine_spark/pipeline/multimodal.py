@@ -538,3 +538,59 @@ def payload_size_profile(features: DataFrame, kind_col: str = "kind") -> DataFra
         F.round(F.expr("percentile(payload_bytes, 0.9)"), 2).alias("p90_bytes"),
         F.max("payload_bytes").cast("long").alias("max_bytes"),
     )
+
+
+def neardup_rate_profile(
+    parts: list[tuple[str, DataFrame, DataFrame, str]],
+) -> DataFrame:
+    """Per-kind near-dup exposure rollup — the m-family's q88: one row
+    per modality summarizing how much of the corpus its payload
+    near-dup pass (m02 phash / m03 audio fingerprint / m04 frame
+    phashes) would collapse. ``parts`` is [(kind, items, pairs,
+    id_col)] where ``items`` is the modality's corpus and ``pairs``
+    its pair surface (id_a/id_b prefixed columns or doc_a/doc_b —
+    the first two columns are taken as the pair sides). Everything
+    stays item/pair-grain: ids are projected, unioned with a kind
+    literal, and aggregated once; payloads never enter the plan.
+    Returns (kind, n_items, n_dup_pairs, n_items_in_pairs,
+    dup_item_rate rounded 4)."""
+    item_union = None
+    pair_union = None
+    for kind, items, pairs, id_col in parts:
+        iu = items.select(
+            F.lit(kind).alias("kind"), F.col(id_col).cast("long").alias("_id")
+        )
+        a_col, b_col = pairs.columns[:2]
+        pu = pairs.select(
+            F.lit(kind).alias("kind"),
+            F.col(a_col).cast("long").alias("_a"),
+            F.col(b_col).cast("long").alias("_b"),
+        )
+        item_union = iu if item_union is None else item_union.unionByName(iu)
+        pair_union = pu if pair_union is None else pair_union.unionByName(pu)
+    n_items = item_union.groupBy("kind").agg(
+        F.count("*").cast("long").alias("n_items")
+    )
+    n_pairs = pair_union.groupBy("kind").agg(
+        F.count("*").cast("long").alias("n_dup_pairs")
+    )
+    in_pairs = (
+        pair_union.select("kind", F.col("_a").alias("_id"))
+        .unionByName(pair_union.select("kind", F.col("_b").alias("_id")))
+        .distinct()
+        .groupBy("kind")
+        .agg(F.count("*").cast("long").alias("n_items_in_pairs"))
+    )
+    return (
+        n_items.join(n_pairs, "kind", "left")
+        .join(in_pairs, "kind", "left")
+        .select(
+            "kind",
+            "n_items",
+            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+            F.coalesce("n_items_in_pairs", F.lit(0)).alias("n_items_in_pairs"),
+            F.round(
+                F.coalesce("n_items_in_pairs", F.lit(0)) / F.col("n_items"), 4
+            ).alias("dup_item_rate"),
+        )
+    )

@@ -601,3 +601,51 @@ def score_gate_calibration(
             ),
         )
     )
+
+
+def corpus_health_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    **gopher_kwargs,
+) -> DataFrame:
+    """The per-source corpus DASHBOARD — the one table an operator
+    reads before touching mixture weights: for every source, volume,
+    Gopher-gate survival, quality-score mass, PII exposure, and token
+    mass, each column a certified operator's own formula (t16's gate,
+    t02's score, t06's sequential redaction count, t01's token count)
+    joined at doc grain and rolled up once. The reference answers
+    these per-column via DLP/BQ tag rollups (`report_settings` /
+    coverage reports); this is the corpus-grain form a training
+    pipeline wants.
+
+    Every input is a row-local scan projection over the SAME table;
+    the composition pays doc-grain joins (id, metric) and one
+    dimension-grain shuffle — no corpus re-scan is possible for a
+    consumer that reads four certified surfaces. Returns (source,
+    n_docs, keep_rate, mean_quality_score, pii_doc_frac,
+    pii_hits_per_doc, mean_tokens), ratios rounded 4."""
+    from .text import gopher_filter, quality_scores, redact_pii, token_counts
+
+    base = docs.select(id_col, group_col)
+    g = gopher_filter(docs, id_col=id_col, text_col=text_col, **gopher_kwargs).select(
+        id_col, "keep"
+    )
+    q = quality_scores(docs, id_col, text_col).select(id_col, "quality_score")
+    p = redact_pii(docs, id_col, text_col).select(id_col, "n_redactions")
+    t = token_counts(docs, id_col, text_col).select(id_col, "n_tokens")
+    j = base.join(g, id_col).join(q, id_col).join(p, id_col).join(t, id_col)
+    return (
+        j.groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg(F.col("keep").cast("int")), 4).alias("keep_rate"),
+            F.round(F.avg("quality_score"), 4).alias("mean_quality_score"),
+            F.round(F.avg((F.col("n_redactions") > 0).cast("int")), 4).alias(
+                "pii_doc_frac"
+            ),
+            F.round(F.avg("n_redactions"), 4).alias("pii_hits_per_doc"),
+            F.round(F.avg("n_tokens"), 4).alias("mean_tokens"),
+        )
+    )

@@ -630,3 +630,57 @@ def source_relative_scores(
         id_col,
         ((n - rank + 1) / n).alias(score_col),
     )
+
+
+def curriculum_token_budget(
+    docs: DataFrame,
+    n_stages: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token mass per curriculum stage — the PLANNING table between
+    q90's ordering and a training run's schedule: stage N's document
+    and token counts plus the cumulative token mass through stage N
+    (what "train the first 3 stages" actually costs) and each stage's
+    share. Deciles carry equal DOC counts by construction (ntile), but
+    token mass per stage is the number schedules are written against —
+    high-quality deciles skew long or short depending on the corpus,
+    and this is the table that says which.
+
+    q90's certified staging (quality ntile) joined to t01's certified
+    token count at doc grain, one dimension-grain rollup, a <=
+    ``n_stages``-row window for the cumulative — nothing corpus-grain
+    after the join. Returns (stage, n_docs, n_tokens, cum_tokens,
+    token_frac rounded 6)."""
+    from pyspark.sql import Window
+
+    from .text import quality_scores, token_counts
+
+    scores = quality_scores(docs, id_col, text_col).select(id_col, "quality_score")
+    staged = curriculum_order(scores, n_stages=n_stages, id_col=id_col).select(
+        id_col, "stage"
+    )
+    toks = token_counts(docs, id_col, text_col).select(id_col, "n_tokens")
+    per = (
+        staged.join(toks, id_col)
+        .groupBy("stage")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy()
+        .orderBy("stage")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    return per.select(
+        "stage",
+        "n_docs",
+        "n_tokens",
+        F.sum("n_tokens").over(w_cum).cast("long").alias("cum_tokens"),
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(w_all), 6).alias(
+            "token_frac"
+        ),
+    )

@@ -11,6 +11,28 @@
 Dot products use F.aggregate over double-cast arrays — JVM-side,
 sequential order, so results are bit-identical to any engine that sums
 in array order (DuckDB's list_cosine_similarity on DOUBLE[]).
+
+Serve-vs-maintain contract for the PERSISTED index (multi-session):
+appends are append-only files (concurrent readers see either the old
+or the new listing, both valid); delete/compact rewrite whole cell
+directories via stage -> commit record -> per-cell delete+rename
+(``_swap_cells``). Within the MAINTAINING session the swap ends with
+``spark.catalog.refreshByPath``, so its own next read replans cleanly.
+A CONCURRENT session, however, caches parquet file statuses at plan
+time (Spark's per-SharedState FileStatusCache plus the snapshot
+captured by an in-flight scan), so a scan planned just before a swap
+can hit FileNotFoundException mid-read for a rewritten cell. That is
+inherent to directory-swap maintenance on any engine without a
+transactional table format; the operating contract is: (a) serving
+sessions RETRY the read after ``spark.catalog.refreshByPath(path)``
+(the error is transient — every post-swap listing is a complete,
+valid index), or (b) schedule maintenance in the serving quiet window,
+or (c) front the index with a transactional table format when
+concurrent-session serving during maintenance is a hard requirement.
+Single-JVM local mode cannot fabricate two independent status caches,
+so this contract is documented rather than integration-tested here;
+``test_oracle_drafts_r11.py``'s crash/recovery suite pins the
+single-writer durability half.
 """
 
 from __future__ import annotations
@@ -2342,3 +2364,72 @@ def mutual_knn_clusters(
     ids = corpus.select(F.col(id_col).alias("doc_id"))
     labels = neardup_clusters_star(ids, mutual)
     return labels.select(F.col("doc_id").alias(id_col), "cluster_id")
+
+
+def recall_profile(
+    exact_topk: DataFrame,
+    approx_topk: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Per-query serving recall of ANY approximate top-k against its
+    exact ground truth — the one recall definition s05/s33 inline,
+    packaged so every serving path (IVF, IVF-PQ ADC, rerank,
+    from-index) measures itself with the SAME join: left-join the
+    exact edge list to the approximate one, count hits. Both inputs
+    are edge lists (query, neighbor, ...); k is whatever the exact
+    side carries per query — no parameter to drift from the inputs.
+    Edge-grain throughout (queries x k rows), never corpus-grain.
+    Returns (query_id, n_matched, recall_at_k rounded 4)."""
+    exact = exact_topk.select(query_col, neighbor_col)
+    hits = approx_topk.select(query_col, neighbor_col).withColumn(
+        "_hit", F.lit(1)
+    )
+    return (
+        exact.join(hits, [query_col, neighbor_col], "left")
+        .groupBy(query_col)
+        .agg(
+            F.count("*").alias("k"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_matched"),
+        )
+        .select(
+            query_col,
+            "n_matched",
+            F.round(F.col("n_matched") / F.col("k"), 4).alias("recall_at_k"),
+        )
+    )
+
+
+def knn_rank_profile(graph: DataFrame) -> DataFrame:
+    """Neighbor-quality decay of a k-NN graph at RANK grain — the QA
+    table read before trusting the graph for SemDeDup-style curation:
+    per rank (1..k), the cosine distribution (mean/min/max) and the
+    mutual fraction. A healthy embedding space shows cosine and
+    mutuality decaying smoothly with rank; a collapsed space (every
+    vector near a hub) shows rank-1 mutuality far below 1 and a flat
+    cosine curve — the signal to retrain before clustering garbage.
+
+    Input is ``knn_graph``/``knn_graph_from_index`` output (vec_id,
+    neighbor_id, cosine, rank, mutual); the rollup is edge-grain in,
+    <= k rows out — at 100 TB the graph is rows x k thin and this is
+    one partial-aggregated pass over it. Returns (rank, n_edges,
+    mean_cosine, min_cosine, max_cosine, n_mutual, mutual_frac)."""
+    return (
+        graph.groupBy("rank")
+        .agg(
+            F.count("*").cast("long").alias("n_edges"),
+            F.round(F.avg("cosine"), 4).alias("mean_cosine"),
+            F.min("cosine").alias("min_cosine"),
+            F.max("cosine").alias("max_cosine"),
+            F.sum(F.col("mutual").cast("long")).alias("n_mutual"),
+        )
+        .select(
+            "rank",
+            "n_edges",
+            "mean_cosine",
+            "min_cosine",
+            "max_cosine",
+            "n_mutual",
+            F.round(F.col("n_mutual") / F.col("n_edges"), 4).alias("mutual_frac"),
+        )
+    )

@@ -108,6 +108,7 @@ def sigstore_ingest_stream(
     text_col: str = "text",
     bands: int = 4,
     threshold: float = 0.5,
+    metrics_sink: str | None = None,
 ):
     """The daily dedup loop as a CONTINUOUS micro-batch pipeline — the
     streaming form of the d23 signature-store serving path: each
@@ -149,6 +150,7 @@ def sigstore_ingest_stream(
             text_col=text_col,
             bands=bands,
             threshold=threshold,
+            metrics_sink=metrics_sink,
         )
 
     return (
@@ -168,6 +170,7 @@ def _sigstore_ingest_batch(
     text_col: str = "text",
     bands: int = 4,
     threshold: float = 0.5,
+    metrics_sink: str | None = None,
 ) -> None:
     """One micro-batch of the signature-store ingest loop — the single
     copy both the stream (``foreachBatch``) and the batch replay
@@ -194,7 +197,17 @@ def _sigstore_ingest_batch(
 
     The id column comes from the store's ``_sigstore_meta`` (never a
     hardcoded name), so a store built with a different ``id_col``
-    adjudicates and joins on its own id semantics (review finding)."""
+    adjudicates and joins on its own id semantics (review finding).
+
+    ``metrics_sink`` (optional) writes one acceptance-accounting row
+    per batch to ``{metrics_sink}/batch=<id>`` (overwrite — retry-
+    idempotent like the corpus sink): (n_in, n_accepted,
+    n_cross_losers, n_within_losers). Loser counts are evidence
+    counts, not a partition: a doc near-dup of both the archive and a
+    batch-mate appears in both. On a RETRY the loser counts reflect
+    the retry's (smaller) re-adjudication while n_in/n_accepted stay
+    whole-batch — documented, since only clean runs feed the batch
+    replay's oracle."""
     from ..pipeline.dedup import (
         _sigstore_meta,
         append_to_signature_store,
@@ -227,6 +240,32 @@ def _sigstore_ingest_batch(
     )
     survivors.write.mode("overwrite").parquet(f"{accepted_sink}/batch={batch_id}")
     append_to_signature_store(spark, store_path, survivors, text_col)
+    if metrics_sink is not None:
+        # pair-grain accounting only — the corpus is never re-scanned;
+        # loser counts restrict to fresh ids (the pair list can carry
+        # resident ids on either side of a cross pair)
+        fresh_ids = fresh.select(id_col)
+        n_cross = (
+            pairs.filter("is_cross")
+            .select(F.col("doc_a").alias(id_col))
+            .unionAll(pairs.filter("is_cross").select(F.col("doc_b").alias(id_col)))
+            .join(fresh_ids, id_col, "left_semi")
+            .distinct()
+            .count()
+        )
+        n_within = (
+            pairs.filter(~F.col("is_cross"))
+            .select(F.col("doc_b").alias(id_col))
+            .join(fresh_ids, id_col, "left_semi")
+            .distinct()
+            .count()
+        )
+        spark.createDataFrame(
+            [(batch.count(), survivors.count(), n_cross, n_within)],
+            "n_in long, n_accepted long, n_cross_losers long, n_within_losers long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{metrics_sink}/batch={batch_id}"
+        )
     free_local_checkpoint(batch)
     free_local_checkpoint(survivors)
 
@@ -239,6 +278,7 @@ def sigstore_ingest_replay(
     text_col: str = "text",
     bands: int = 4,
     threshold: float = 0.5,
+    metrics_sink: str | None = None,
 ) -> DataFrame:
     """Sequential batch replay of the continuous ingest loop — the
     q78/q85/q99 pattern that gives the stream its driver-certifiable
@@ -260,5 +300,6 @@ def sigstore_ingest_replay(
             text_col=text_col,
             bands=bands,
             threshold=threshold,
+            metrics_sink=metrics_sink,
         )
     return spark.read.parquet(accepted_sink)
