@@ -2677,9 +2677,12 @@ def threshold_sweep_vs_exact(
     certification-scale table (run on a corpus sample), not a serving
     path; the serving path stays ``minhash_estimate_pairs``.
     Dimension-grain output (<= num_hashes + 1 rows). Returns
-    (est_jaccard, n_pairs, mean_exact_jaccard, mean_abs_err, n_true,
-    dedup_precision) where n_true counts pairs with exact jaccard >=
-    ``dedup_threshold``."""
+    (est_jaccard, n_pairs, mean_exact_micro, mean_abs_err_micro,
+    n_true, dedup_precision): the exact-Jaccard means ride the 1e4
+    micro lattice (d16's per-pair values are round-4, so micro units
+    are exact integers and the mean is a rounded exact-integer
+    division — engine-identical, the s28 drift_micro discipline);
+    n_true counts pairs with exact jaccard >= ``dedup_threshold``."""
     pairs = minhash_estimate_vs_exact(
         docs, id_col, text_col, k, num_hashes, bands, threshold=0.0
     )
@@ -2687,8 +2690,16 @@ def threshold_sweep_vs_exact(
         pairs.groupBy("est_jaccard")
         .agg(
             F.count("*").cast("long").alias("n_pairs"),
-            F.round(F.avg("jaccard"), 4).alias("mean_exact_jaccard"),
-            F.round(F.avg("abs_err"), 4).alias("mean_abs_err"),
+            F.round(
+                F.sum(F.round(F.col("jaccard") * 10000).cast("long")) / F.count("*")
+            )
+            .cast("long")
+            .alias("mean_exact_micro"),
+            F.round(
+                F.sum(F.round(F.col("abs_err") * 10000).cast("long")) / F.count("*")
+            )
+            .cast("long")
+            .alias("mean_abs_err_micro"),
             F.sum((F.col("jaccard") >= dedup_threshold).cast("long")).alias(
                 "n_true"
             ),
@@ -2696,8 +2707,8 @@ def threshold_sweep_vs_exact(
         .select(
             "est_jaccard",
             "n_pairs",
-            "mean_exact_jaccard",
-            "mean_abs_err",
+            "mean_exact_micro",
+            "mean_abs_err_micro",
             "n_true",
             F.round(F.col("n_true") / F.col("n_pairs"), 4).alias("dedup_precision"),
         )

@@ -624,8 +624,12 @@ def corpus_health_report(
     the composition pays doc-grain joins (id, metric) and one
     dimension-grain shuffle — no corpus re-scan is possible for a
     consumer that reads four certified surfaces. Returns (source,
-    n_docs, keep_rate, mean_quality_score, pii_doc_frac,
-    pii_hits_per_doc, mean_tokens), ratios rounded 4."""
+    n_docs, keep_rate, mean_quality_micro, pii_doc_frac,
+    pii_hits_per_doc, mean_tokens): ratios of exact integers rounded 4
+    (identical doubles in any engine), and the quality mean on the
+    1e4 micro lattice (per-doc scores are round-4, so micro units are
+    exact integers and the mean is a rounded exact-integer division —
+    the s28 drift_micro discipline)."""
     from .text import gopher_filter, quality_scores, redact_pii, token_counts
 
     base = docs.select(id_col, group_col)
@@ -641,7 +645,12 @@ def corpus_health_report(
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.round(F.avg(F.col("keep").cast("int")), 4).alias("keep_rate"),
-            F.round(F.avg("quality_score"), 4).alias("mean_quality_score"),
+            F.round(
+                F.sum(F.round(F.col("quality_score") * 10000).cast("long"))
+                / F.count("*")
+            )
+            .cast("long")
+            .alias("mean_quality_micro"),
             F.round(F.avg((F.col("n_redactions") > 0).cast("int")), 4).alias(
                 "pii_doc_frac"
             ),

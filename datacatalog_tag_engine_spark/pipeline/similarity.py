@@ -2413,12 +2413,20 @@ def knn_rank_profile(graph: DataFrame) -> DataFrame:
     neighbor_id, cosine, rank, mutual); the rollup is edge-grain in,
     <= k rows out — at 100 TB the graph is rows x k thin and this is
     one partial-aggregated pass over it. Returns (rank, n_edges,
-    mean_cosine, min_cosine, max_cosine, n_mutual, mutual_frac)."""
+    mean_cosine_micro, min_cosine, max_cosine, n_mutual, mutual_frac):
+    the cosine mean rides the 1e4 micro lattice (edge cosines are
+    round-4, so micro units are exact integers and the mean is a
+    rounded exact-integer division — engine-identical; min/max are
+    exact picks and need no lattice)."""
     return (
         graph.groupBy("rank")
         .agg(
             F.count("*").cast("long").alias("n_edges"),
-            F.round(F.avg("cosine"), 4).alias("mean_cosine"),
+            F.round(
+                F.sum(F.round(F.col("cosine") * 10000).cast("long")) / F.count("*")
+            )
+            .cast("long")
+            .alias("mean_cosine_micro"),
             F.min("cosine").alias("min_cosine"),
             F.max("cosine").alias("max_cosine"),
             F.sum(F.col("mutual").cast("long")).alias("n_mutual"),
@@ -2426,7 +2434,7 @@ def knn_rank_profile(graph: DataFrame) -> DataFrame:
         .select(
             "rank",
             "n_edges",
-            "mean_cosine",
+            "mean_cosine_micro",
             "min_cosine",
             "max_cosine",
             "n_mutual",

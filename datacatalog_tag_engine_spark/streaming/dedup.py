@@ -223,6 +223,12 @@ def _sigstore_ingest_batch(
     pairs = incremental_neardup_from_store(
         spark, store_path, fresh, text_col, bands, threshold
     )
+    if metrics_sink is not None:
+        # the metrics counts below would each replay the candidate
+        # join's full lineage; one eager materialization of the
+        # pair-grain (tiny) result serves the loser join AND both
+        # counts, freed before return
+        pairs = pairs.localCheckpoint(eager=True)
     # drop fresh docs near-dup of the resident corpus OR of an
     # earlier-id batch-mate (doc_b is always the larger id within
     # cross=False pairs; cross pairs carry the batch doc on either
@@ -266,6 +272,7 @@ def _sigstore_ingest_batch(
         ).coalesce(1).write.mode("overwrite").parquet(
             f"{metrics_sink}/batch={batch_id}"
         )
+        free_local_checkpoint(pairs)
     free_local_checkpoint(batch)
     free_local_checkpoint(survivors)
 

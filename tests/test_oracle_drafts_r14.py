@@ -1,0 +1,834 @@
+"""Round-14 rotation bank: operators built in round 13, AFTER the r13
+window froze (14 drafts + 4 re-certs + 32 fillers left no slot).
+Same contract as every drafts file: DuckDB-proven here, wired into
+__spark_entry__ at their rotation with the SQL generator moved
+verbatim.
+
+- d27_winnowing_dedup — contained-copy removal over d25's pair
+  surface (dedup.winnowing_dedup): for every pair clearing
+  min_overlap, the side with fewer surviving fingerprints drops
+  (tie -> larger id). The substring-grain complement of d17's
+  cluster canonical: a short doc pasted into a long one near-dups
+  nothing globally, yet is pure redundancy — winnowing's guarantee
+  makes the pair visible and this rule deletes the copy. Drops are
+  independent pair decisions (containment is not symmetric), so
+  chains resolve to "everything contained anywhere goes, maximal
+  docs stay". Oracle: the d25 derivation + the CASE drop rule +
+  a left join back to every doc.
+
+- d28_winnowing_contamination — train/test decontamination at
+  SUBSTRING grain (dedup.winnowing_contamination): a train doc is
+  flagged when it shares >= min_shared winnowing fingerprints with
+  any test doc — catches a verbatim leaked run of w + k - 1 chars
+  where whole-document similarity and fixed-n-gram containment (t24)
+  dilute below threshold. The join is fingerprint-bucketed train x
+  test ONLY (the within-split quadrant that dominates d25 is never
+  generated); the hot-fingerprint cap is computed over both splits.
+  Split rule: the q101/q58 md5 bucket (doc_id % 10 == 0 -> test).
+
+- d30_threshold_sweep_vs_exact — the d24 decision table joined to
+  GROUND TRUTH (dedup.threshold_sweep_vs_exact): every LSH candidate
+  carries its signature estimate AND its exact verified Jaccard
+  (d16's surface at threshold 0), rolled up per lattice value with
+  n_true / dedup_precision against the 0.5 dedup threshold. d24 says
+  how much mass a threshold keeps; this says how much is REAL.
+  Means ride the 1e4 micro lattice (engine-identical integer
+  division — the s28 drift_micro discipline).
+
+- s34_ivfpq_recall_from_index — serving recall of the PERSISTED
+  IVF-PQ path (similarity.recall_profile over ivfpq_topk_from_index
+  vs brute force): ADC is lossy by construction, so unlike s33's
+  identity this measures a real approximation. recall_profile is the
+  packaged form of the one recall join s05/s33 inline. Oracle: the
+  wired s10 chain nested as the approx CTE + the s05 exact CTEs +
+  the recall join.
+
+- s35_knn_rank_profile — neighbor-quality decay of the s30 graph at
+  RANK grain (similarity.knn_rank_profile): per rank, the cosine
+  distribution (micro-lattice mean, exact min/max) and the mutual
+  fraction — the QA table read before trusting the graph for
+  SemDeDup-style curation (a collapsed space shows rank-1 mutuality
+  far below 1). Edge-grain in, <= k rows out. Oracle: the wired s30
+  derivation + one GROUP BY rank.
+
+- q103_sigstore_metrics — per-batch acceptance accounting of the
+  continuous ingest loop (metrics_sink on streaming.dedup's
+  _sigstore_ingest_batch): (batch, n_in, n_accepted, n_cross_losers,
+  n_within_losers), written batch-keyed (retry-idempotent) by the
+  SAME function the stream and the q102 replay run — the ops monitor
+  a production crawl loop watches. Loser counts are evidence counts,
+  not a partition (a doc can lose both ways). Oracle: the q102
+  unrolled derivation with a per-stage metrics select.
+
+- q104_corpus_health — the per-source corpus DASHBOARD
+  (profiling.corpus_health_report): volume, Gopher-gate survival,
+  quality mass (micro lattice), PII exposure, token mass — each
+  column a certified operator's own formula (t16/t02/t06/t01) joined
+  at doc grain and rolled up once. The corpus-grain form of the
+  reference's per-column DLP/coverage rollups. Oracle: nests the
+  wired t02 + t16 strings, the t42 sequential PII stages (doc grain),
+  and the t01 token regex.
+
+- q105_curriculum_token_budget — token mass per curriculum stage
+  (sampling.curriculum_token_budget): stage doc/token counts,
+  cumulative tokens through stage N (what "train the first 3 stages"
+  costs), per-stage share. q90's certified staging joined to t01's
+  certified count; <= n_stages rows out. Oracle: nests the wired t02
+  string + the q90 ntile + the t01 regex.
+
+- m07_multimodal_dup_rates — per-kind near-dup exposure
+  (multimodal.neardup_rate_profile): the m-family's q88 — one row
+  per modality with item count, pair count, items-in-pairs, and the
+  dup item rate, over the SAME fixtures and pair surfaces m02/m03/m04
+  certify. Payloads never enter the plan (ids only). Oracle: nests
+  the three wired pair strings + the fixtures' analytic item counts.
+
+r14 WINDOW ARITHMETIC (forecast; the ledger computes the binding
+list at rotation): 9 bank drafts = 9 rotation slots; re-certs TBD by
+what r13's post-freeze work touches (none known — all r13 post-freeze
+changes are additive operators outside certified paths, and the d25/
+q102 default-path refactors were re-verified strict BEFORE the r13
+record); the remaining ~41 slots drain the aging ledger (the 11
+remaining r9-last-green rows, then the r10 cohort by name order).
+Cap the r14 wiring test's ledger at rounds < 14.
+
+PRICED at sf0.1 (tools/price_drafts.py, warm pass): d27 40.7s and
+d28 22.1s — both ride the winnowing fingerprint surface, whose cost
+on THIS fixture sits near the capped-join bound (see the r13 d25
+rung: 6.6k distinct 8-grams carrying 554k rows; real corpora are
+orders sparser); the max_df lever is the tuning knob and the rung
+documents it. q103 18.9s standalone — AT ROTATION its entry must
+share q102's "sigstore_replay" cache key (one build with
+metrics_sink on; q102 reads accepted, q103 reads metrics) so the
+replay is priced once, making q103's bench cost a metrics-table
+read. d30 2.9s, s34 6.0s, s35 9.1s (recomputes the s30 graph —
+inherent), q104 4.2s, q105 1.4s, m07 2.2s.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from datacatalog_tag_engine_spark.pipeline import dedup as DD
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def ddb():
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'")
+    yield con
+    con.close()
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def _sql_rows(con, sql):
+    rel = con.sql(sql)
+    cols = sorted(rel.columns)
+    return sorted(tuple(r) for r in con.sql(f"SELECT {', '.join(cols)} FROM rel").fetchall())
+
+
+# --- d27: winnowing contained-copy dedup -----------------------------------------
+
+
+def winnowing_dedup_sql(
+    winnow_sql: str,
+    max_df: int = 1000,
+    min_shared: int = 2,
+    min_overlap: float = 0.8,
+) -> str:
+    """The d25 derivation (sizes post-cap) + the smaller-side drop
+    rule (fewer surviving fingerprints; tie -> larger id) + a left
+    join back to every document."""
+    return f"""
+WITH wf AS ({winnow_sql}),
+dfp AS (SELECT DISTINCT doc_id, fp FROM wf),
+kept AS (
+  SELECT doc_id, fp FROM dfp
+  WHERE fp NOT IN (SELECT fp FROM dfp GROUP BY fp HAVING count(*) > {max_df})),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= {min_shared}),
+scored AS (
+  SELECT s.doc_a, s.doc_b, sa.n AS na, sb.n AS nb
+  FROM shared s
+  JOIN sizes sa ON sa.doc_id = s.doc_a
+  JOIN sizes sb ON sb.doc_id = s.doc_b
+  WHERE round(s.n_shared / least(sa.n, sb.n), 4) >= {min_overlap}),
+drops AS (
+  SELECT CASE WHEN na < nb OR (na = nb AND doc_a > doc_b)
+              THEN doc_a ELSE doc_b END AS doc_id
+  FROM scored),
+cnt AS (SELECT doc_id, count(*) AS n_containers FROM drops GROUP BY doc_id)
+SELECT d.doc_id,
+       cnt.n_containers IS NULL AS keep,
+       coalesce(cnt.n_containers, 0)::BIGINT AS n_containers
+FROM documents d LEFT JOIN cnt ON cnt.doc_id = d.doc_id
+"""
+
+
+def test_oracle_draft_winnowing_dedup(spark, ddb):
+    got = _rows(DD.winnowing_dedup(spark.table("documents")))
+    want = _sql_rows(ddb, winnowing_dedup_sql(E.oracle_sql()["t43_winnowing"]))
+    assert got == want
+    assert len(got) == 500
+
+
+def test_winnowing_dedup_drops_the_contained_copy(spark):
+    """The contract: the pasted copy goes, the containing original
+    stays; unrelated docs are untouched; in a containment CHAIN
+    (A inside B inside C) the maximal doc survives and both contained
+    docs drop."""
+    import random
+
+    rng = random.Random(11)
+    words = lambda n, tag: " ".join(f"{tag}{rng.randrange(10**6)}" for _ in range(n))
+    core = "the exact same paragraph of text appears in both documents verbatim"
+    mid = words(60, "m") + " " + core + " " + words(60, "n")
+    rows = [
+        (1, core),                                    # contained in 2 and 3
+        (2, mid),                                     # contains 1, inside 3
+        (3, words(80, "x") + " " + mid + " " + words(80, "y")),  # maximal
+        (4, words(90, "z")),                          # unrelated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in DD.winnowing_dedup(docs, min_overlap=0.5).collect()}
+    assert not out[1]["keep"] and out[1]["n_containers"] >= 1
+    assert not out[2]["keep"]
+    assert out[3]["keep"] and out[3]["n_containers"] == 0
+    assert out[4]["keep"]
+
+
+# --- d28: winnowing train/test contamination -------------------------------------
+
+
+def winnowing_contamination_sql(
+    winnow_sql: str, max_df: int = 1000, min_shared: int = 2
+) -> str:
+    """The t43 derivation once over ALL docs, the q101/q58 md5 bucket
+    split (bucket 0 -> test), the hot cap over both splits, then the
+    cross-split-only fingerprint join rolled up per train doc."""
+    bucket = "(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10)"
+    return f"""
+WITH wf AS ({winnow_sql}),
+lab AS (SELECT doc_id, {bucket} = 0 AS is_test FROM documents),
+dfp AS (SELECT DISTINCT w.doc_id, fp, is_test
+        FROM wf w JOIN lab ON lab.doc_id = w.doc_id),
+kept AS (
+  SELECT doc_id, fp, is_test FROM dfp
+  WHERE fp NOT IN (SELECT fp FROM dfp GROUP BY fp HAVING count(*) > {max_df})),
+hits AS (
+  SELECT a.doc_id AS train_id, b.doc_id AS test_id, count(*) AS n_shared
+  FROM kept a JOIN kept b ON a.fp = b.fp AND NOT a.is_test AND b.is_test
+  GROUP BY 1, 2 HAVING count(*) >= {min_shared})
+SELECT train_id AS doc_id,
+       count(DISTINCT test_id)::BIGINT AS n_test_docs,
+       max(n_shared)::BIGINT AS n_shared_max,
+       sum(n_shared)::BIGINT AS n_shared_total
+FROM hits GROUP BY train_id
+"""
+
+
+def test_oracle_draft_winnowing_contamination(spark, ddb):
+    from datacatalog_tag_engine_spark.pipeline.sampling import hash_bucket
+
+    docs = spark.table("documents")
+    test = docs.filter(hash_bucket(F.col("doc_id"), 10) == 0)
+    train = docs.filter(hash_bucket(F.col("doc_id"), 10) != 0)
+    got = _rows(DD.winnowing_contamination(train, test))
+    want = _sql_rows(ddb, winnowing_contamination_sql(E.oracle_sql()["t43_winnowing"]))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_winnowing_contamination_finds_the_planted_leak(spark):
+    """A benchmark answer pasted verbatim into one train doc flags
+    exactly that doc; clean train docs are absent; within-split
+    near-dups are NOT contamination (the quadrant is never joined)."""
+    import random
+
+    rng = random.Random(5)
+    words = lambda n, tag: " ".join(f"{tag}{rng.randrange(10**6)}" for _ in range(n))
+    answer = "the capital of france is paris and the answer is forty two"
+    train = spark.createDataFrame(
+        [
+            (1, words(50, "a") + " " + answer + " " + words(50, "b")),
+            (2, words(80, "c")),
+            (3, words(80, "c")),  # near-dup of 2, same split: not flagged
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame([(100, answer)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in DD.winnowing_contamination(train, test).collect()}
+    assert set(out) == {1}
+    assert out[1]["n_test_docs"] == 1 and out[1]["n_shared_max"] >= 2
+
+
+# --- d30: threshold sweep vs exact ground truth -----------------------------------
+
+
+def threshold_sweep_vs_exact_sql(dedup_threshold: float = 0.5) -> str:
+    """d16's estimate-vs-exact surface at threshold 0, rolled up per
+    lattice value with micro-lattice means and the precision columns."""
+    return f"""
+WITH pairs AS ({E.minhash_estimate_vs_exact_sql(0.0)})
+SELECT est_jaccard,
+       count(*)::BIGINT AS n_pairs,
+       round(sum(round(jaccard * 10000)) / count(*))::BIGINT AS mean_exact_micro,
+       round(sum(round(abs_err * 10000)) / count(*))::BIGINT AS mean_abs_err_micro,
+       sum((jaccard >= {dedup_threshold})::INT)::BIGINT AS n_true,
+       round(sum((jaccard >= {dedup_threshold})::INT) / count(*), 4) AS dedup_precision
+FROM pairs GROUP BY est_jaccard
+"""
+
+
+def test_oracle_draft_threshold_sweep_vs_exact(spark, ddb):
+    got = _rows(DD.threshold_sweep_vs_exact(spark.table("documents")))
+    want = _sql_rows(ddb, threshold_sweep_vs_exact_sql())
+    assert got == want
+    assert len(got) > 1
+
+
+def test_threshold_sweep_vs_exact_agrees_with_d24_and_d16(spark):
+    """Cross-operator consistency: the lattice pair counts equal
+    d24's (same candidate surface), and summed n_true equals a d16
+    run at the dedup threshold (same ground truth)."""
+    docs = spark.table("documents")
+    vs = {r["est_jaccard"]: r for r in DD.threshold_sweep_vs_exact(docs).collect()}
+    d24 = {r["est_jaccard"]: r for r in DD.candidate_threshold_sweep(docs).collect()}
+    assert set(vs) == set(d24)
+    for v, r in vs.items():
+        assert r["n_pairs"] == d24[v]["n_pairs"]
+        assert 0 <= r["n_true"] <= r["n_pairs"]
+        assert r["dedup_precision"] == round(r["n_true"] / r["n_pairs"], 4)
+    n_true_total = sum(r["n_true"] for r in vs.values())
+    assert n_true_total == DD.minhash_estimate_vs_exact(docs, threshold=0.0).filter(
+        "jaccard >= 0.5"
+    ).count()
+
+
+# --- s34: IVF-PQ serving recall from the persisted index --------------------------
+
+
+def pq_recall_sql(nprobe: int = 2, k: int = 5) -> str:
+    """The wired s10 ADC chain nested as the approx CTE + the s05
+    exact CTEs + the recall left-join — recall of a genuinely lossy
+    serving path (unlike s33's fresh-index identity)."""
+    return f"""
+WITH approx AS ({E.ivfpq_sql(nprobe, k)}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+exact_scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.v, e.v), 4) AS cosine
+  FROM q JOIN e ON q.vec_id <> e.vec_id),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM exact_scored) WHERE rank <= {k}),
+hits AS (SELECT query_id, neighbor_id, 1 AS hit FROM approx)
+SELECT exact.query_id,
+       cast(coalesce(sum(hits.hit), 0) AS BIGINT) AS n_matched,
+       round(coalesce(sum(hits.hit), 0)::DOUBLE / count(*), 4) AS recall_at_k
+FROM exact LEFT JOIN hits USING (query_id, neighbor_id)
+GROUP BY exact.query_id
+"""
+
+
+def test_oracle_draft_pq_recall_from_index(spark, ddb, tmp_path):
+    from datacatalog_tag_engine_spark.pipeline import similarity as SIM
+
+    emb = spark.table("embeddings")
+    p = str(tmp_path / "ivfpq_recall")
+    SIM.build_ivfpq_index(emb, p, num_cells=8)
+    qs = emb.filter(F.col("vec_id") < 5)
+    exact = SIM.brute_force_topk(emb, qs, k=5)
+    approx = SIM.ivfpq_topk_from_index(spark, p, qs, k=5, nprobe=2)
+    got = _rows(SIM.recall_profile(exact, approx))
+    want = _sql_rows(ddb, pq_recall_sql(2, 5))
+    assert got == want
+    assert len(got) == 5
+
+
+def test_recall_profile_is_the_shared_definition(spark):
+    """recall_profile(exact, exact) is identically 1; and on the live
+    IVF path it reproduces the inlined s05 computation row-for-row
+    (the packaged join IS the certified one)."""
+    from datacatalog_tag_engine_spark.pipeline import similarity as SIM
+
+    emb = spark.table("embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    exact = SIM.brute_force_topk(emb, qs, k=5)
+    perfect = SIM.recall_profile(exact, exact).collect()
+    assert all(r["recall_at_k"] == 1.0 for r in perfect) and len(perfect) == 5
+    approx = SIM.ivf_topk(emb, qs, k=5, num_cells=8)
+    via_profile = _rows(
+        SIM.recall_profile(exact, approx).withColumnRenamed(
+            "recall_at_k", "recall_at_5"
+        )
+    )
+    s05 = _rows(E.queries()["s05_ann_recall"](spark, SF))
+    assert via_profile == s05
+
+
+# --- s35: kNN graph rank profile ---------------------------------------------------
+
+
+def knn_rank_profile_sql(k: int = 5, num_cells: int = 8) -> str:
+    """The wired s30 edge derivation + one GROUP BY rank with the
+    micro-lattice cosine mean."""
+    return f"""
+WITH g AS ({E.knn_graph_sql(k, num_cells)})
+SELECT rank,
+       count(*)::BIGINT AS n_edges,
+       round(sum(round(cosine * 10000)) / count(*))::BIGINT AS mean_cosine_micro,
+       min(cosine) AS min_cosine,
+       max(cosine) AS max_cosine,
+       sum(mutual::INT)::BIGINT AS n_mutual,
+       round(sum(mutual::INT) / count(*), 4) AS mutual_frac
+FROM g GROUP BY rank
+"""
+
+
+def test_oracle_draft_knn_rank_profile(spark, ddb):
+    from datacatalog_tag_engine_spark.pipeline import similarity as SIM
+
+    got = _rows(
+        SIM.knn_rank_profile(SIM.knn_graph(spark.table("embeddings"), k=5, num_cells=8))
+    )
+    want = _sql_rows(ddb, knn_rank_profile_sql(5, 8))
+    assert got == want
+    assert len(got) == 5
+
+
+def test_knn_rank_profile_reads_the_graph_exactly(spark):
+    """Hand-checkable fixture: edge counts per rank match the graph,
+    mutual fractions recompute from the edge list, and rank-1 cosine
+    dominates rank-k on a well-separated space."""
+    from datacatalog_tag_engine_spark.pipeline import similarity as SIM
+
+    emb = spark.table("embeddings")
+    g = SIM.knn_graph(emb, k=5, num_cells=8).collect()
+    prof = {r["rank"]: r for r in SIM.knn_rank_profile(
+        SIM.knn_graph(emb, k=5, num_cells=8)
+    ).collect()}
+    from collections import Counter
+
+    per_rank = Counter(r["rank"] for r in g)
+    mut = Counter((r["rank"], bool(r["mutual"])) for r in g)
+    for rank, row in prof.items():
+        assert row["n_edges"] == per_rank[rank]
+        assert row["n_mutual"] == mut[(rank, True)]
+        assert row["mutual_frac"] == round(mut[(rank, True)] / per_rank[rank], 4)
+        assert row["min_cosine"] <= row["max_cosine"]
+    assert prof[1]["mean_cosine_micro"] >= prof[5]["mean_cosine_micro"]
+
+
+# --- q103: sigstore ingest per-batch metrics ---------------------------------------
+
+
+def sigstore_metrics_sql(n_batches: int = 3, threshold: float = 0.5) -> str:
+    """The q102 unrolled per-stage derivation with a METRICS final
+    select: per batch, input size, accepted size, and the two loser
+    evidence counts (cross = near-dup of the store-so-far, within =
+    larger id of a batch-internal pair). Same split rule as q102:
+    residents doc_id % 4 = 0, drop b is doc_id % 4 = b + 1."""
+    sig_exprs = ",\n         ".join(
+        f"min(md5('{j}:' || shingle)) AS sig_{j}" for j in range(8)
+    )
+    band_cases = " ".join(
+        f"WHEN {b} THEN md5(sig_{2*b} || '|' || sig_{2*b+1})" for b in range(4)
+    )
+    agree = " + ".join(f"(sa.sig_{j} = sb.sig_{j})::INT" for j in range(8))
+    stages = []
+    finals = []
+    for b in range(n_batches):
+        g = b + 1
+        stages.append(f"""
+p{b} AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS da, greatest(a.doc_id, b.doc_id) AS db
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id <> b.doc_id
+  WHERE a.grp = {g}
+    AND (b.grp = {g} OR b.doc_id IN (SELECT doc_id FROM store{b}))),
+e{b} AS (
+  SELECT p.da, p.db,
+         p.da IN (SELECT doc_id FROM store{b}) AS a_res,
+         p.db IN (SELECT doc_id FROM store{b}) AS b_res
+  FROM p{b} p
+  JOIN sigs sa ON sa.doc_id = p.da
+  JOIN sigs sb ON sb.doc_id = p.db
+  WHERE round(({agree}) / 8.0, 4) >= {threshold}),
+lose{b} AS (
+  SELECT db AS doc_id FROM e{b} WHERE NOT a_res AND NOT b_res
+  UNION
+  SELECT CASE WHEN a_res THEN db ELSE da END AS doc_id
+  FROM e{b} WHERE a_res <> b_res),
+acc{b} AS (
+  SELECT doc_id FROM sigs WHERE grp = {g}
+    AND doc_id NOT IN (SELECT doc_id FROM lose{b})),
+store{b + 1} AS (
+  SELECT doc_id FROM store{b} UNION ALL SELECT doc_id FROM acc{b})""")
+        finals.append(f"""
+SELECT {b}::INT AS batch,
+       (SELECT count(*) FROM sigs WHERE grp = {g})::BIGINT AS n_in,
+       (SELECT count(*) FROM acc{b})::BIGINT AS n_accepted,
+       (SELECT count(DISTINCT CASE WHEN a_res THEN db ELSE da END)
+        FROM e{b} WHERE a_res <> b_res)::BIGINT AS n_cross_losers,
+       (SELECT count(DISTINCT db)
+        FROM e{b} WHERE NOT a_res AND NOT b_res)::BIGINT AS n_within_losers""")
+    return f"""
+WITH toks AS (SELECT doc_id, (doc_id % 4)::INT AS grp,
+                     regexp_split_to_array(text, '\\s+') w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, grp,
+         unnest(CASE WHEN len(w) >= 3
+                THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+                ELSE [array_to_string(w, ' ')] END) AS shingle
+  FROM toks),
+sigs AS (
+  SELECT doc_id, any_value(grp) AS grp, {sig_exprs}
+  FROM sh GROUP BY doc_id),
+buckets AS (
+  SELECT doc_id, grp, band, CASE band {band_cases} END AS bucket
+  FROM sigs, (SELECT unnest(range(4)) AS band)),
+store0 AS (SELECT doc_id FROM sigs WHERE grp = 0),{",".join(stages)}
+{" UNION ALL ".join(finals)}
+"""
+
+
+def test_oracle_draft_sigstore_metrics(spark, ddb, tmp_path):
+    from datacatalog_tag_engine_spark.pipeline.dedup import build_signature_store
+    from datacatalog_tag_engine_spark.streaming.dedup import sigstore_ingest_replay
+
+    docs = spark.table("documents").select("doc_id", "text")
+    resident = docs.filter(F.col("doc_id") % 4 == 0)
+    batches = [docs.filter(F.col("doc_id") % 4 == i) for i in (1, 2, 3)]
+    store = str(tmp_path / "store")
+    build_signature_store(resident, store)
+    sigstore_ingest_replay(
+        spark,
+        store,
+        batches,
+        str(tmp_path / "accepted"),
+        metrics_sink=str(tmp_path / "metrics"),
+    )
+    got = _rows(
+        spark.read.parquet(str(tmp_path / "metrics")).select(
+            F.col("batch").cast("int").alias("batch"),
+            "n_in",
+            "n_accepted",
+            "n_cross_losers",
+            "n_within_losers",
+        )
+    )
+    want = _sql_rows(ddb, sigstore_metrics_sql())
+    assert got == want
+    assert len(got) == 3
+
+
+def test_sigstore_metrics_conserve_the_corpus(spark, tmp_path):
+    """Accounting invariants against the accepted corpus itself:
+    per batch, n_in equals the drop's size, n_accepted equals the
+    sink's batch partition, rejects are evidenced (a rejected doc
+    appears in at least one loser count), and metrics are
+    retry-idempotent (re-running a batch rewrites the same row)."""
+    from datacatalog_tag_engine_spark.pipeline.dedup import build_signature_store
+    from datacatalog_tag_engine_spark.streaming.dedup import (
+        _sigstore_ingest_batch,
+        sigstore_ingest_replay,
+    )
+
+    docs = spark.table("documents").select("doc_id", "text")
+    resident = docs.filter(F.col("doc_id") % 4 == 0)
+    batches = [docs.filter(F.col("doc_id") % 4 == i) for i in (1, 2, 3)]
+    store = str(tmp_path / "store")
+    build_signature_store(resident, store)
+    accepted = str(tmp_path / "accepted")
+    metrics = str(tmp_path / "metrics")
+    out = sigstore_ingest_replay(spark, store, batches, accepted, metrics_sink=metrics)
+    m = {r["batch"]: r for r in spark.read.parquet(metrics).collect()}
+    acc_by_batch = {
+        r["batch"]: r["n"]
+        for r in out.groupBy("batch").agg(F.count("*").alias("n")).collect()
+    }
+    for i, b in enumerate(batches):
+        assert m[i]["n_in"] == b.count()
+        assert m[i]["n_accepted"] == acc_by_batch.get(i, 0)
+        n_rejected = m[i]["n_in"] - m[i]["n_accepted"]
+        assert n_rejected <= m[i]["n_cross_losers"] + m[i]["n_within_losers"]
+        assert m[i]["n_cross_losers"] <= n_rejected or m[i]["n_within_losers"] <= n_rejected
+    # retry: same batch_id again — the metrics row is REWRITTEN, and
+    # n_in/n_accepted stay whole-batch (the already-split re-emit)
+    _sigstore_ingest_batch(spark, batches[0], 0, store, accepted, metrics_sink=metrics)
+    m2 = {r["batch"]: r for r in spark.read.parquet(metrics).collect()}
+    assert m2[0]["n_in"] == m[0]["n_in"]
+    assert m2[0]["n_accepted"] == m[0]["n_accepted"]
+
+
+# --- q104: per-source corpus health dashboard --------------------------------------
+
+
+def corpus_health_sql(t02_sql: str, t16_sql: str) -> str:
+    """Nests the wired t02 (score) and t16 (keep) strings, the t42
+    sequential PII stages at DOC grain, and the t01 token regex; one
+    source-grain rollup with exact-integer ratios and the micro
+    quality mean."""
+    from datacatalog_tag_engine_spark.pipeline.text import PII_PATTERNS
+
+    stages, prev = [], "t"
+    for i, (pat, repl) in enumerate(PII_PATTERNS):
+        name = repl.strip("<>").lower()
+        cur = f"t{i}"
+        carried = (
+            ", " + ", ".join("n_" + r.strip("<>").lower() for _, r in PII_PATTERNS[:i])
+            if i
+            else ""
+        )
+        stages.append(
+            f"s{i} AS (SELECT doc_id, source, "
+            f"len(regexp_extract_all({prev}, '{pat}')) AS n_{name}, "
+            f"regexp_replace({prev}, '{pat}', '{repl}', 'g') AS {cur}"
+            + carried
+            + f" FROM {'base' if i == 0 else 's' + str(i - 1)})"
+        )
+        prev = cur
+    total = " + ".join("n_" + r.strip("<>").lower() for _, r in PII_PATTERNS)
+    last = f"s{len(PII_PATTERNS) - 1}"
+    return f"""
+WITH t02 AS ({t02_sql}),
+t16 AS ({t16_sql}),
+base AS (SELECT doc_id, source, coalesce(text, '') AS t FROM documents),
+{", ".join(stages)},
+pii AS (SELECT doc_id, source, ({total}) AS n_red FROM {last}),
+tok AS (SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens
+        FROM documents),
+j AS (
+  SELECT p.source, t16.keep, t02.quality_score, p.n_red, tok.n_tokens
+  FROM pii p
+  JOIN t16 ON t16.doc_id = p.doc_id
+  JOIN t02 ON t02.doc_id = p.doc_id
+  JOIN tok ON tok.doc_id = p.doc_id)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       round(sum(keep::INT) / count(*), 4) AS keep_rate,
+       round(sum(round(quality_score * 10000)) / count(*))::BIGINT AS mean_quality_micro,
+       round(sum((n_red > 0)::INT) / count(*), 4) AS pii_doc_frac,
+       round(sum(n_red) / count(*), 4) AS pii_hits_per_doc,
+       round(sum(n_tokens) / count(*), 4) AS mean_tokens
+FROM j GROUP BY source
+"""
+
+
+def test_oracle_draft_corpus_health(spark, ddb):
+    from datacatalog_tag_engine_spark.pipeline.profiling import corpus_health_report
+
+    got = _rows(corpus_health_report(spark.table("documents")))
+    o = E.oracle_sql()
+    want = _sql_rows(ddb, corpus_health_sql(o["t02_quality"], o["t16_gopher_filter"]))
+    assert got == want
+    assert len(got) > 1
+
+
+def test_corpus_health_columns_recompute_from_their_operators(spark):
+    """Each dashboard column equals its own certified operator's
+    rollup computed independently — the composition adds joins, never
+    formula drift."""
+    from datacatalog_tag_engine_spark.pipeline import text as TXT
+    from datacatalog_tag_engine_spark.pipeline.profiling import corpus_health_report
+
+    docs = spark.table("documents")
+    out = {r["source"]: r for r in corpus_health_report(docs).collect()}
+    keep = {
+        r["source"]: r
+        for r in TXT.gopher_filter(docs, passthrough=True)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("keep").cast("int")).alias("kept"),
+        )
+        .collect()
+    }
+    red = {
+        r["source"]: r
+        for r in TXT.redact_pii(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_redactions").alias("hits"),
+            F.sum((F.col("n_redactions") > 0).cast("int")).alias("docs_hit"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    for src, row in out.items():
+        assert row["n_docs"] == keep[src]["n"]
+        assert row["keep_rate"] == round(keep[src]["kept"] / keep[src]["n"], 4)
+        assert row["pii_hits_per_doc"] == round(red[src]["hits"] / red[src]["n"], 4)
+        assert row["pii_doc_frac"] == round(red[src]["docs_hit"] / red[src]["n"], 4)
+
+
+# --- q105: curriculum token budget ---------------------------------------------------
+
+
+def curriculum_token_budget_sql(t02_sql: str, n_stages: int = 10) -> str:
+    """The wired t02 string + q90's exact ntile staging + the t01
+    token regex, rolled up per stage with the cumulative window."""
+    return f"""
+WITH q AS ({t02_sql}),
+st AS (SELECT doc_id,
+              ntile({n_stages}) OVER (ORDER BY quality_score DESC, doc_id) AS stage
+       FROM q),
+tok AS (SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens
+        FROM documents),
+per AS (
+  SELECT stage, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+  FROM st JOIN tok USING (doc_id) GROUP BY stage)
+SELECT stage::INT AS stage,
+       n_docs::BIGINT AS n_docs,
+       n_tokens::BIGINT AS n_tokens,
+       sum(n_tokens) OVER (ORDER BY stage
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens,
+       round(n_tokens / sum(n_tokens) OVER (), 6) AS token_frac
+FROM per
+"""
+
+
+def test_oracle_draft_curriculum_token_budget(spark, ddb):
+    from datacatalog_tag_engine_spark.pipeline.sampling import curriculum_token_budget
+
+    got = _rows(curriculum_token_budget(spark.table("documents")))
+    want = _sql_rows(ddb, curriculum_token_budget_sql(E.oracle_sql()["t02_quality"]))
+    assert got == want
+    assert len(got) == 10
+
+
+def test_curriculum_token_budget_accounts_every_token(spark):
+    """Conservation: stage doc counts follow the ntile distribution
+    and sum to the corpus; the last cumulative equals the corpus token
+    total; fractions sum to ~1; cum is strictly monotone."""
+    from datacatalog_tag_engine_spark.pipeline.sampling import curriculum_token_budget
+    from datacatalog_tag_engine_spark.pipeline.text import token_counts
+
+    docs = spark.table("documents")
+    rows = sorted(
+        curriculum_token_budget(docs).collect(), key=lambda r: r["stage"]
+    )
+    n = docs.count()
+    assert sum(r["n_docs"] for r in rows) == n
+    total = token_counts(docs).agg(F.sum("n_tokens")).first()[0]
+    assert rows[-1]["cum_tokens"] == total
+    assert abs(sum(r["token_frac"] for r in rows) - 1.0) < 1e-4
+    cums = [r["cum_tokens"] for r in rows]
+    assert cums == sorted(cums) and all(b > a for a, b in zip(cums, cums[1:]))
+
+
+# --- m07: per-kind multimodal near-dup exposure --------------------------------------
+
+
+def neardup_rate_sql(m02_sql: str, m03_sql: str, m04_sql: str) -> str:
+    """Nests the three wired pair strings; item counts are the
+    fixtures' analytic sizes (6x3 image, 6x3 audio, 4x3 video — the
+    same parameter-fixed corpora the m02-m04 oracles replay)."""
+    return f"""
+WITH p2 AS ({m02_sql}),
+p3 AS ({m03_sql}),
+p4 AS ({m04_sql}),
+items AS (
+  SELECT 'image' AS kind, 18 AS n_items
+  UNION ALL SELECT 'audio', 18
+  UNION ALL SELECT 'video', 12),
+pairs AS (
+  SELECT 'image' AS kind, id_a, id_b FROM p2
+  UNION ALL SELECT 'audio', id_a, id_b FROM p3
+  UNION ALL SELECT 'video', id_a, id_b FROM p4),
+np AS (SELECT kind, count(*) AS n_dup_pairs FROM pairs GROUP BY kind),
+ip AS (SELECT kind, count(*) AS n_items_in_pairs FROM (
+         SELECT kind, id_a AS id FROM pairs
+         UNION SELECT kind, id_b FROM pairs) GROUP BY kind)
+SELECT i.kind,
+       i.n_items::BIGINT AS n_items,
+       coalesce(np.n_dup_pairs, 0)::BIGINT AS n_dup_pairs,
+       coalesce(ip.n_items_in_pairs, 0)::BIGINT AS n_items_in_pairs,
+       round(coalesce(ip.n_items_in_pairs, 0) / i.n_items, 4) AS dup_item_rate
+FROM items i LEFT JOIN np ON np.kind = i.kind LEFT JOIN ip ON ip.kind = i.kind
+"""
+
+
+def _m07_parts(spark):
+    from datacatalog_tag_engine_spark.pipeline import multimodal as MM
+
+    img = MM.make_fake_image_corpus(spark, n_groups=6, group_size=3)
+    aud = MM.make_fake_audio_corpus(spark, 6, 3)
+    vid = MM.make_fake_video_corpus(spark, 4, 3)
+    img_pairs = DD.hamming_neardup_pairs(
+        MM.image_phash(img), id_col="media_id", fp_col="phash",
+        bits=64, bands=4, max_hamming=10,
+    )
+    aud_pairs = DD.hamming_neardup_pairs(
+        MM.audio_fingerprint(aud), id_col="media_id", fp_col="afp",
+        bits=64, bands=4, max_hamming=10,
+    )
+    vid_pairs = DD.frame_neardup_pairs(
+        MM.video_frame_phashes(vid, sample_frames=4),
+        min_matching_frames=3, max_hamming=10,
+    )
+    return [
+        ("image", img, img_pairs, "media_id"),
+        ("audio", aud, aud_pairs, "media_id"),
+        ("video", vid, vid_pairs, "media_id"),
+    ]
+
+
+def test_oracle_draft_neardup_rate_profile(spark, ddb):
+    from datacatalog_tag_engine_spark.pipeline import multimodal as MM
+
+    got = _rows(MM.neardup_rate_profile(_m07_parts(spark)))
+    o = E.oracle_sql()
+    want = _sql_rows(
+        ddb,
+        neardup_rate_sql(
+            o["m02_image_phash_neardup"],
+            o["m03_audio_fp_neardup"],
+            o["m04_video_frame_neardup"],
+        ),
+    )
+    assert got == want
+    assert len(got) == 3
+
+
+def test_neardup_rate_profile_counts_the_planted_groups(spark):
+    """The fixtures plant near-dup groups by construction: every kind
+    shows pairs, rates stay in [0, 1], and items-in-pairs recomputes
+    from the pair lists exactly."""
+    from datacatalog_tag_engine_spark.pipeline import multimodal as MM
+
+    parts = _m07_parts(spark)
+    out = {r["kind"]: r for r in MM.neardup_rate_profile(parts).collect()}
+    for kind, items, pairs, id_col in parts:
+        prow = out[kind]
+        ids = set()
+        plist = pairs.collect()
+        for r in plist:
+            ids.add(r[0])
+            ids.add(r[1])
+        assert prow["n_dup_pairs"] == len(plist)
+        assert prow["n_items_in_pairs"] == len(ids)
+        assert prow["n_items"] == items.count()
+        assert 0.0 <= prow["dup_item_rate"] <= 1.0
+        assert prow["dup_item_rate"] == round(len(ids) / prow["n_items"], 4)
+        assert prow["n_dup_pairs"] > 0

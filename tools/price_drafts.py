@@ -1,9 +1,8 @@
-"""Price the r13 bank operators at sf0.1 (single warm pass each) —
-the baseline the r13 rotation will be judged against, and the early
+"""Price the r14 bank operators at sf0.1 (single warm pass each) —
+the baseline the r14 rotation will be judged against, and the early
 check that none of the queued operators is a scale-killer before it
-enters the certified inventory. (The r12 queue graduated into the
-inventory at the r12 rotation; bench.py prices it now. d23 and the
-heavy-hitter replay graduated early, same round.)
+enters the certified inventory. (The r13 queue graduated into the
+inventory at the r13 rotation; bench.py prices it now.)
 
 Usage: python tools/price_drafts.py [sf_dir]
 """
@@ -11,18 +10,18 @@ Usage: python tools/price_drafts.py [sf_dir]
 from __future__ import annotations
 
 import json
-import sys
-import time
-
 import os
+import sys
+import tempfile
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
 from datacatalog_tag_engine_spark.pipeline import dedup as DD
+from datacatalog_tag_engine_spark.pipeline import multimodal as MM
 from datacatalog_tag_engine_spark.pipeline import similarity as SIM
-from datacatalog_tag_engine_spark.pipeline import text as TXT
 from datacatalog_tag_engine_spark.session import get_spark, register_testdata
 
 
@@ -33,50 +32,84 @@ def main() -> None:
     register_testdata(spark, sf)
     docs = spark.table("documents")
     emb = spark.table("embeddings")
+    tmp = tempfile.mkdtemp(prefix="price_r14_")
 
+    from datacatalog_tag_engine_spark.pipeline.profiling import corpus_health_report
+    from datacatalog_tag_engine_spark.pipeline.sampling import (
+        curriculum_token_budget,
+        hash_bucket,
+    )
+    from datacatalog_tag_engine_spark.pipeline.dedup import build_signature_store
+    from datacatalog_tag_engine_spark.streaming.dedup import sigstore_ingest_replay
+
+    def s34():
+        # fresh dir per call: index/store builds refuse to overwrite,
+        # and the warm + timed passes each run the FULL build+serve
+        p = tempfile.mkdtemp(dir=tmp, prefix="s34_") + "/ivfpq"
+        SIM.build_ivfpq_index(emb, p, num_cells=8)
+        qs = emb.filter(F.col("vec_id") < 5)
+        return SIM.recall_profile(
+            SIM.brute_force_topk(emb, qs, k=5),
+            SIM.ivfpq_topk_from_index(spark, p, qs, k=5, nprobe=2),
+        )
+
+    def q103():
+        d = tempfile.mkdtemp(dir=tmp, prefix="q103_")
+        resident = docs.select("doc_id", "text").filter(F.col("doc_id") % 4 == 0)
+        batches = [
+            docs.select("doc_id", "text").filter(F.col("doc_id") % 4 == i)
+            for i in (1, 2, 3)
+        ]
+        build_signature_store(resident, f"{d}/store")
+        sigstore_ingest_replay(
+            spark, f"{d}/store", batches, f"{d}/accepted",
+            metrics_sink=f"{d}/metrics",
+        )
+        return spark.read.parquet(f"{d}/metrics")
+
+    def m07():
+        img = MM.make_fake_image_corpus(spark, 6, 3)
+        aud = MM.make_fake_audio_corpus(spark, 6, 3)
+        vid = MM.make_fake_video_corpus(spark, 4, 3)
+        return MM.neardup_rate_profile([
+            ("image", img, DD.hamming_neardup_pairs(
+                MM.image_phash(img), id_col="media_id", fp_col="phash",
+                bits=64, bands=4, max_hamming=10), "media_id"),
+            ("audio", aud, DD.hamming_neardup_pairs(
+                MM.audio_fingerprint(aud), id_col="media_id", fp_col="afp",
+                bits=64, bands=4, max_hamming=10), "media_id"),
+            ("video", vid, DD.frame_neardup_pairs(
+                MM.video_frame_phashes(vid, sample_frames=4),
+                min_matching_frames=3, max_hamming=10), "media_id"),
+        ])
 
     cases = {
-        # --- r13 bank (built after the r12 window was sized) ---
-        "d22_clusters_star": lambda: DD.neardup_clusters_star(
-            docs, DD.minhash_dedup(docs)
+        # --- r14 bank (built after the r13 window was sized) ---
+        "d27_winnowing_dedup": lambda: DD.winnowing_dedup(docs),
+        "d28_winnowing_contamination": lambda: DD.winnowing_contamination(
+            docs.filter(hash_bucket(F.col("doc_id"), 10) != 0),
+            docs.filter(hash_bucket(F.col("doc_id"), 10) == 0),
         ),
-        "t39_line_lang_profile": lambda: TXT.line_language_profile(docs),
-        "t40_line_repetition": lambda: TXT.line_repetition_signals(docs),
-        "t41_ngram_coverage": lambda: TXT.ngram_coverage_signals(docs),
-        "s32_mutual_knn_clusters": lambda: SIM.mutual_knn_clusters(
-            emb, k=5, num_cells=8
+        "d30_threshold_sweep_vs_exact": lambda: DD.threshold_sweep_vs_exact(docs),
+        "s34_ivfpq_recall_from_index": s34,
+        "s35_knn_rank_profile": lambda: SIM.knn_rank_profile(
+            SIM.knn_graph(emb, k=5, num_cells=8)
         ),
-        "q100_score_gate_calibration": lambda: __import__(
-            "datacatalog_tag_engine_spark.pipeline.profiling",
-            fromlist=["score_gate_calibration"],
-        ).score_gate_calibration(docs),
-        "t42_pii_incidence": lambda: TXT.pii_incidence(docs),
-        "t43_winnowing": lambda: TXT.winnowing_fingerprints(docs),
-        "d24_threshold_sweep": lambda: DD.candidate_threshold_sweep(docs),
-        "d25_winnowing_overlap": lambda: DD.winnowing_overlap_pairs(docs),
-        "d26_cluster_purity": lambda: DD.cluster_purity(
-            docs, DD.neardup_clusters(docs, DD.minhash_dedup(docs))
-        ),
-        "q101_shard_skew": lambda: __import__(
-            "datacatalog_tag_engine_spark.pipeline.export",
-            fromlist=["shard_skew_profile"],
-        ).shard_skew_profile(
-            docs.select(
-                __import__(
-                    "datacatalog_tag_engine_spark.pipeline.sampling",
-                    fromlist=["hash_bucket"],
-                ).hash_bucket(F.col("doc_id"), 16).alias("shard")
-            )
-            .groupBy("shard")
-            .agg(F.count("*").alias("n_docs"))
-        ),
+        "q103_sigstore_metrics": q103,
+        "q104_corpus_health": lambda: corpus_health_report(docs),
+        "q105_curriculum_token_budget": lambda: curriculum_token_budget(docs),
+        "m07_multimodal_dup_rates": m07,
     }
+
     out = {}
     for name, fn in cases.items():
+        # warm pass builds caches; timed pass measures steady state
+        fn().write.mode("overwrite").format("noop").save()
         t0 = time.time()
-        fn().count()
+        fn().write.mode("overwrite").format("noop").save()
         out[name] = round(time.time() - t0, 3)
-    print(json.dumps({"sf_dir": sf, "single_warm_pass_sec": out}))
+        print(f"{name}: {out[name]}s", file=sys.stderr)
+    print(json.dumps({"sf_dir": sf, "drafts": out}))
 
 
 if __name__ == "__main__":
