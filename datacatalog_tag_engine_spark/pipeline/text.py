@@ -2568,3 +2568,60 @@ def winnowing_fingerprints(
     return staged.select(
         id_col, F.explode(F.array_distinct(picks)).alias("p")
     ).select(id_col, F.col("p.pos").alias("pos"), F.col("p.fp").alias("fp"))
+
+
+def winnowing_parameter_table(
+    docs: DataFrame,
+    params: tuple = ((8, 4), (8, 8), (12, 4), (12, 8)),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The winnowing (k, w) DECISION TABLE — the d18 discipline applied
+    to t43's two knobs: per candidate parameter pair, the GUARANTEE
+    (any shared substring of >= w + k - 1 chars shares a fingerprint
+    — what the sketch promises) against the COST (selection density:
+    expected ~2/(w+1) of the gram count, plus the measured density on
+    THIS corpus, which also prices the d25/d27 join surface since
+    fingerprint rows are its input). Raising w trades detection
+    granularity for a sparser join; raising k shrinks incidental
+    8-char-gram collisions (the r13 d25 rung's synthetic-corpus
+    hotspot) at the cost of missing shorter copies. Run this before
+    pinning parameters on a new corpus, exactly like d18 prices
+    (bands, rows) and d20 prices max_df.
+
+    One winnowing scan per parameter pair (row-local, shuffle-free)
+    feeding a one-row aggregate; |params| rows out. Expected density
+    and measured density ride the 1e6 micro lattice (exact-integer
+    division, engine-identical). Returns (k, w, guarantee_len,
+    n_grams, n_fingerprints, expected_density_micro,
+    measured_density_micro)."""
+    spark = docs.sparkSession
+    out = None
+    for k, w in params:
+        fps = winnowing_fingerprints(docs, id_col, text_col, k=k, w=w)
+        t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+        grams = docs.select(
+            F.when(F.length(t) >= k, F.length(t) - k + 1)
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("_g")
+        ).agg(F.sum("_g").alias("n_grams"))
+        row = (
+            fps.agg(F.count("*").cast("long").alias("n_fingerprints"))
+            .crossJoin(grams)  # two one-row frames — broadcast by construction
+            .select(
+                F.lit(k).cast("int").alias("k"),
+                F.lit(w).cast("int").alias("w"),
+                F.lit(w + k - 1).cast("int").alias("guarantee_len"),
+                F.col("n_grams"),
+                F.col("n_fingerprints"),
+                F.lit(round(2 / (w + 1) * 1e6)).cast("long").alias(
+                    "expected_density_micro"
+                ),
+                F.round(F.col("n_fingerprints") * 1e6 / F.col("n_grams"))
+                .cast("long")
+                .alias("measured_density_micro"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -76,6 +76,15 @@ verbatim.
   certified count; <= n_stages rows out. Oracle: nests the wired t02
   string + the q90 ntile + the t01 regex.
 
+- t44_winnowing_params — the winnowing (k, w) decision table
+  (text.winnowing_parameter_table): the d18 discipline applied to
+  t43's knobs — per parameter pair, the guarantee length (w + k - 1)
+  against the selection density (expected 2/(w+1), measured on this
+  corpus — which also prices the d25/d27 join surface). One
+  shuffle-free winnowing scan per pair, |params| rows out; densities
+  on the 1e6 micro lattice. Oracle: one parameterized t43 derivation
+  per pair (E.winnowing_sql(k, w)) + the gram-count aggregate.
+
 - m07_multimodal_dup_rates — per-kind near-dup exposure
   (multimodal.neardup_rate_profile): the m-family's q88 — one row
   per modality with item count, pair count, items-in-pairs, and the
@@ -90,7 +99,8 @@ changes are additive operators outside certified paths, and the d25/
 q102 default-path refactors were re-verified strict BEFORE the r13
 record); the remaining ~41 slots drain the aging ledger (the 11
 remaining r9-last-green rows, then the r10 cohort by name order).
-Cap the r14 wiring test's ledger at rounds < 14.
+Cap the r14 wiring test's ledger at rounds < 14. (t44 joined
+the bank after the first pricing run: 10 drafts now.)
 
 PRICED at sf0.1 (tools/price_drafts.py, warm pass): d27 40.7s and
 d28 22.1s — both ride the winnowing fingerprint surface, whose cost
@@ -832,3 +842,57 @@ def test_neardup_rate_profile_counts_the_planted_groups(spark):
         assert 0.0 <= prow["dup_item_rate"] <= 1.0
         assert prow["dup_item_rate"] == round(len(ids) / prow["n_items"], 4)
         assert prow["n_dup_pairs"] > 0
+
+
+# --- t44: winnowing (k, w) parameter table -----------------------------------------
+
+
+def winnowing_parameter_table_sql(params=((8, 4), (8, 8), (12, 4), (12, 8))) -> str:
+    """One winnowing derivation per (k, w) — E.winnowing_sql is
+    already parameterized — plus the gram-count aggregate and the
+    micro-lattice densities."""
+    parts = []
+    for i, (k, w) in enumerate(params):
+        parts.append(f"""
+SELECT {k}::INT AS k, {w}::INT AS w, {w + k - 1}::INT AS guarantee_len,
+       g{i}.n_grams::BIGINT AS n_grams,
+       f{i}.c::BIGINT AS n_fingerprints,
+       {round(2 / (w + 1) * 1e6)}::BIGINT AS expected_density_micro,
+       round(f{i}.c * 1e6 / g{i}.n_grams)::BIGINT AS measured_density_micro
+FROM (SELECT count(*) AS c FROM ({E.winnowing_sql(k, w)})) f{i}
+CROSS JOIN (
+  SELECT coalesce(sum(CASE WHEN length(coalesce(text, '')) >= {k}
+                           THEN length(coalesce(text, '')) - {k} + 1
+                           ELSE 0 END), 0) AS n_grams
+  FROM documents) g{i}""")
+    return " UNION ALL ".join(parts)
+
+
+def test_oracle_draft_winnowing_parameter_table(spark, ddb):
+    from datacatalog_tag_engine_spark.pipeline.text import winnowing_parameter_table
+
+    got = _rows(winnowing_parameter_table(spark.table("documents")))
+    want = _sql_rows(ddb, winnowing_parameter_table_sql())
+    assert got == want
+    assert len(got) == 4
+
+
+def test_winnowing_parameter_table_prices_the_tradeoff(spark):
+    """The table's physics on the real corpus: density falls as w
+    rises (the 2/(w+1) law, within tolerance), the guarantee length
+    is exact arithmetic, measured density is within 2x of expected
+    (dedup against w+1 window overlap makes it lower, never higher
+    than 1), and n_fingerprints equals a direct t43 run per param."""
+    from datacatalog_tag_engine_spark.pipeline.text import (
+        winnowing_fingerprints,
+        winnowing_parameter_table,
+    )
+
+    docs = spark.table("documents")
+    rows = {(r["k"], r["w"]): r for r in winnowing_parameter_table(docs).collect()}
+    assert rows[(8, 4)]["measured_density_micro"] > rows[(8, 8)]["measured_density_micro"]
+    assert rows[(12, 4)]["guarantee_len"] == 15
+    for (k, w), r in rows.items():
+        assert r["n_fingerprints"] == winnowing_fingerprints(docs, k=k, w=w).count()
+        assert r["expected_density_micro"] == round(2 / (w + 1) * 1e6)
+        assert 0 < r["measured_density_micro"] <= 1_000_000

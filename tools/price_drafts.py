@@ -99,6 +99,10 @@ def main() -> None:
         "q104_corpus_health": lambda: corpus_health_report(docs),
         "q105_curriculum_token_budget": lambda: curriculum_token_budget(docs),
         "m07_multimodal_dup_rates": m07,
+        "t44_winnowing_params": lambda: __import__(
+            "datacatalog_tag_engine_spark.pipeline.text",
+            fromlist=["winnowing_parameter_table"],
+        ).winnowing_parameter_table(docs),
     }
 
     out = {}
