@@ -35,6 +35,11 @@ Run: python examples/copy_audit.py
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from pyspark.sql import functions as F
 
 from datacatalog_tag_engine_spark.pipeline.dedup import (

@@ -1201,6 +1201,7 @@ def test_sigstore_replay_equals_stream(spark, tmp_path):
             for name in files:
                 os.utime(os.path.join(root, name), (1_700_000_000 + i,) * 2)
     acc_s = str(tmp_path / "acc_s")
+    met_s = str(tmp_path / "met_s")
     q = sigstore_ingest_stream(
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
@@ -1208,13 +1209,17 @@ def test_sigstore_replay_equals_stream(spark, tmp_path):
         store_s,
         acc_s,
         str(tmp_path / "ckpt"),
+        metrics_sink=met_s,
     )
     q.awaitTermination(300)
 
     store_r = str(tmp_path / "store_r")
     build_signature_store(resident, store_r)
     acc_r = str(tmp_path / "acc_r")
-    out = sigstore_ingest_replay(spark, store_r, batches, acc_r)
+    met_r = str(tmp_path / "met_r")
+    out = sigstore_ingest_replay(
+        spark, store_r, batches, acc_r, metrics_sink=met_r
+    )
 
     key = lambda df: sorted(
         (r["batch"], r["doc_id"]) for r in df.select("batch", "doc_id").collect()
@@ -1225,3 +1230,12 @@ def test_sigstore_replay_equals_stream(spark, tmp_path):
     ) == sorted(
         r["doc_id"] for r in spark.read.parquet(store_s).select("doc_id").collect()
     )
+    # the per-batch acceptance METRICS (q103's surface) are also
+    # stream==batch identical: same function, same accounting
+    mkey = lambda p: sorted(
+        tuple(r)
+        for r in spark.read.parquet(p)
+        .select("batch", "n_in", "n_accepted", "n_cross_losers", "n_within_losers")
+        .collect()
+    )
+    assert mkey(met_s) == mkey(met_r)
