@@ -249,7 +249,11 @@ def _sigstore_ingest_batch(
     if metrics_sink is not None:
         # pair-grain accounting only — the corpus is never re-scanned;
         # loser counts restrict to fresh ids (the pair list can carry
-        # resident ids on either side of a cross pair)
+        # resident ids on either side of a cross pair). These counts
+        # run AFTER the store append, but that cannot skew them: every
+        # doc they count is a LOSER, and losers are never appended (a
+        # re-listed store would only remove this batch's survivors
+        # from `fresh`, which no loser count reads).
         fresh_ids = fresh.select(id_col)
         n_cross = (
             pairs.filter("is_cross")

@@ -189,8 +189,13 @@ FROM documents d LEFT JOIN cnt ON cnt.doc_id = d.doc_id
 
 
 def test_oracle_draft_winnowing_dedup(spark, ddb):
-    got = _rows(DD.winnowing_dedup(spark.table("documents")))
-    want = _sql_rows(ddb, winnowing_dedup_sql(E.oracle_sql()["t43_winnowing"]))
+    # max_df=100: the winnow-ladder knee for this fixture (SCALE.md —
+    # 42x less join mass than the 1000 default on the synthetic 8-gram
+    # space); the rotation wires the SAME cap on both sides
+    got = _rows(DD.winnowing_dedup(spark.table("documents"), max_df=100))
+    want = _sql_rows(
+        ddb, winnowing_dedup_sql(E.oracle_sql()["t43_winnowing"], max_df=100)
+    )
     assert got == want
     assert len(got) == 500
 
@@ -256,8 +261,12 @@ def test_oracle_draft_winnowing_contamination(spark, ddb):
     docs = spark.table("documents")
     test = docs.filter(hash_bucket(F.col("doc_id"), 10) == 0)
     train = docs.filter(hash_bucket(F.col("doc_id"), 10) != 0)
-    got = _rows(DD.winnowing_contamination(train, test))
-    want = _sql_rows(ddb, winnowing_contamination_sql(E.oracle_sql()["t43_winnowing"]))
+    # same profile-driven cap as d27 (the winnow-ladder knee)
+    got = _rows(DD.winnowing_contamination(train, test, max_df=100))
+    want = _sql_rows(
+        ddb,
+        winnowing_contamination_sql(E.oracle_sql()["t43_winnowing"], max_df=100),
+    )
     assert got == want
     assert len(got) > 0
 

@@ -85,10 +85,12 @@ def main() -> None:
 
     cases = {
         # --- r14 bank (built after the r13 window was sized) ---
-        "d27_winnowing_dedup": lambda: DD.winnowing_dedup(docs),
+        # max_df=100: the winnow-ladder knee for this fixture (SCALE.md)
+        "d27_winnowing_dedup": lambda: DD.winnowing_dedup(docs, max_df=100),
         "d28_winnowing_contamination": lambda: DD.winnowing_contamination(
             docs.filter(hash_bucket(F.col("doc_id"), 10) != 0),
             docs.filter(hash_bucket(F.col("doc_id"), 10) == 0),
+            max_df=100,
         ),
         "d30_threshold_sweep_vs_exact": lambda: DD.threshold_sweep_vs_exact(docs),
         "s34_ivfpq_recall_from_index": s34,
