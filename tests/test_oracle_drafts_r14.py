@@ -112,7 +112,14 @@ share q102's "sigstore_replay" cache key (one build with
 metrics_sink on; q102 reads accepted, q103 reads metrics) so the
 replay is priced once, making q103's bench cost a metrics-table
 read. d30 2.9s, s34 6.0s, s35 9.1s (recomputes the s30 graph —
-inherent), q104 4.2s, q105 1.4s, m07 2.2s.
+inherent), q104 4.2s, q105 1.4s, m07 2.2s. After the winnow-ladder
+re-targeting, d27/d28 are wired at max_df=100 (proofs re-run at the
+new cap; d27 re-priced 40.7 -> ~15s). EXPECTED RE-CERT at r14:
+q102_sigstore_ingest — its cached builder gains metrics_sink so q103
+reads the same replay's metrics table (one build, two readers);
+value-identical for q102's accepted output, but the cached-build
+code changes, so the family re-certifies by policy. t44 priced
+12.9s (four shuffle-free scans, audit cadence).
 """
 
 import pytest
