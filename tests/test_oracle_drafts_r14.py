@@ -114,7 +114,11 @@ replay is priced once, making q103's bench cost a metrics-table
 read. d30 2.9s, s34 6.0s, s35 9.1s (recomputes the s30 graph —
 inherent), q104 4.2s, q105 1.4s, m07 2.2s. After the winnow-ladder
 re-targeting, d27/d28 are wired at max_df=100 (proofs re-run at the
-new cap; d27 re-priced 40.7 -> ~15s). EXPECTED RE-CERT at r14:
+new cap; quiet-box re-price: d27 40.7 -> 21.6s — the pair join
+halves; d28 21.4s at either cap, SCAN-dominated: its train x test
+join is already bounded by the 10%-sized test side, and two winnowing
+scans (~10s each at sf0.1) are the floor — kept at 100 for one proof
+surface). EXPECTED RE-CERT at r14:
 q102_sigstore_ingest — its cached builder gains metrics_sink so q103
 reads the same replay's metrics table (one build, two readers);
 value-identical for q102's accepted output, but the cached-build
