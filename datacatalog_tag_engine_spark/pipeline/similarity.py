@@ -2441,3 +2441,71 @@ def knn_rank_profile(graph: DataFrame) -> DataFrame:
             F.round(F.col("n_mutual") / F.col("n_edges"), 4).alias("mutual_frac"),
         )
     )
+
+
+def topk_regret_profile(
+    corpus: DataFrame,
+    exact_topk: DataFrame,
+    approx_topk: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """How much COSINE an approximate serving path gives up per rank —
+    the magnitude QA s34's recall can't see: recall counts membership
+    (a miss that returns the 6th-best neighbor and one that returns
+    garbage score the same 0), while regret measures it. Per rank r:
+    exact rank-r cosine minus the TRUE cosine of the approximate
+    rank-r pick (re-scored against the corpus vectors — ADC distances
+    are not comparable to cosines, so the approximate path's own
+    scores are never used), averaged over queries on the 1e4 micro
+    lattice. Per-rank regret can be negative (an approximate rank-2
+    pick may be the exact rank-1 neighbor when order is permuted);
+    SUMMED over ranks it is >= 0, which the tests pin.
+
+    Both inputs are edge lists at (query x k) grain; the re-scoring
+    joins each approximate edge to two corpus rows (query vector,
+    neighbor vector) — edge-grain joins, never corpus x corpus. At
+    100 TB the edge lists are thin and this is a QA query over them.
+    Returns (rank, n_queries, mean_exact_cosine_micro,
+    mean_approx_cosine_micro, mean_regret_micro, max_regret_micro)."""
+    qv = corpus.select(
+        F.col(id_col).alias(query_col), F.col(vec_col).cast("array<double>").alias("_qv")
+    )
+    nv = corpus.select(
+        F.col(id_col).alias(neighbor_col),
+        F.col(vec_col).cast("array<double>").alias("_nv"),
+    )
+    approx_true = (
+        approx_topk.select(query_col, neighbor_col, "rank")
+        .join(qv, query_col)
+        .join(nv, neighbor_col)
+        .select(
+            query_col,
+            "rank",
+            F.round(cosine_expr(F.col("_qv"), F.col("_nv")), 4).alias("_ac"),
+        )
+    )
+    exact = exact_topk.select(query_col, "rank", F.col("cosine").alias("_ec"))
+    j = exact.join(approx_true, [query_col, "rank"]).select(
+        "rank",
+        F.round(F.col("_ec") * 10000).cast("long").alias("_ecm"),
+        F.round(F.col("_ac") * 10000).cast("long").alias("_acm"),
+    )
+    return (
+        j.groupBy("rank")
+        .agg(
+            F.count("*").cast("long").alias("n_queries"),
+            F.round(F.sum("_ecm") / F.count("*")).cast("long").alias(
+                "mean_exact_cosine_micro"
+            ),
+            F.round(F.sum("_acm") / F.count("*")).cast("long").alias(
+                "mean_approx_cosine_micro"
+            ),
+            F.round(F.sum(F.col("_ecm") - F.col("_acm")) / F.count("*"))
+            .cast("long")
+            .alias("mean_regret_micro"),
+            F.max(F.col("_ecm") - F.col("_acm")).alias("max_regret_micro"),
+        )
+    )

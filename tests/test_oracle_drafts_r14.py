@@ -85,6 +85,14 @@ verbatim.
   on the 1e6 micro lattice. Oracle: one parameterized t43 derivation
   per pair (E.winnowing_sql(k, w)) + the gram-count aggregate.
 
+- s36_topk_regret — per-rank cosine regret of the ADC serving path
+  (similarity.topk_regret_profile): the magnitude QA s34's recall
+  can't see — recall counts membership, regret measures the cosine
+  given up per rank (approximate picks re-scored with TRUE cosines;
+  ADC distances never compared to cosines). Edge-grain joins only;
+  micro-lattice means; summed regret >= 0 pinned. Oracle: the wired
+  s10 chain + corpus re-scoring + the exact per-rank cosines.
+
 - m07_multimodal_dup_rates — per-kind near-dup exposure
   (multimodal.neardup_rate_profile): the m-family's q88 — one row
   per modality with item count, pair count, items-in-pairs, and the
@@ -99,8 +107,8 @@ changes are additive operators outside certified paths, and the d25/
 q102 default-path refactors were re-verified strict BEFORE the r13
 record); the remaining ~41 slots drain the aging ledger (the 11
 remaining r9-last-green rows, then the r10 cohort by name order).
-Cap the r14 wiring test's ledger at rounds < 14. (t44 joined
-the bank after the first pricing run: 10 drafts now.)
+Cap the r14 wiring test's ledger at rounds < 14. (t44 and s36 joined
+the bank after the first pricing run: 11 drafts now.)
 
 PRICED at sf0.1 (tools/price_drafts.py, warm pass): d27 40.7s and
 d28 22.1s — both ride the winnowing fingerprint surface, whose cost
@@ -916,3 +924,81 @@ def test_winnowing_parameter_table_prices_the_tradeoff(spark):
         assert r["n_fingerprints"] == winnowing_fingerprints(docs, k=k, w=w).count()
         assert r["expected_density_micro"] == round(2 / (w + 1) * 1e6)
         assert 0 < r["measured_density_micro"] <= 1_000_000
+
+
+# --- s36: per-rank cosine regret of the ADC serving path ---------------------------
+
+
+def topk_regret_sql(nprobe: int = 2, k: int = 5) -> str:
+    """The wired s10 ADC chain as the approx CTE, re-scored with true
+    cosines against the corpus vectors, joined to the exact per-rank
+    cosines, rolled up per rank on the 1e4 micro lattice."""
+    return f"""
+WITH approx AS ({E.ivfpq_sql(nprobe, k)}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+exact_scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.v, e.v), 4) AS cosine
+  FROM q JOIN e ON q.vec_id <> e.vec_id),
+exact AS (
+  SELECT query_id, rank, cosine FROM (
+    SELECT query_id, cosine,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM exact_scored) WHERE rank <= {k}),
+at AS (
+  SELECT a.query_id, a.rank,
+         round(list_cosine_similarity(qe.v, ne.v), 4) AS ac
+  FROM approx a
+  JOIN e qe ON qe.vec_id = a.query_id
+  JOIN e ne ON ne.vec_id = a.neighbor_id),
+j AS (
+  SELECT ex.rank,
+         round(ex.cosine * 10000) AS ecm,
+         round(at.ac * 10000) AS acm
+  FROM exact ex JOIN at ON at.query_id = ex.query_id AND at.rank = ex.rank)
+SELECT rank,
+       count(*)::BIGINT AS n_queries,
+       round(sum(ecm) / count(*))::BIGINT AS mean_exact_cosine_micro,
+       round(sum(acm) / count(*))::BIGINT AS mean_approx_cosine_micro,
+       round(sum(ecm - acm) / count(*))::BIGINT AS mean_regret_micro,
+       max(ecm - acm)::BIGINT AS max_regret_micro
+FROM j GROUP BY rank
+"""
+
+
+def test_oracle_draft_topk_regret(spark, ddb, tmp_path):
+    from datacatalog_tag_engine_spark.pipeline import similarity as SIM
+
+    emb = spark.table("embeddings")
+    p = str(tmp_path / "ivfpq_regret")
+    SIM.build_ivfpq_index(emb, p, num_cells=8)
+    qs = emb.filter(F.col("vec_id") < 5)
+    exact = SIM.brute_force_topk(emb, qs, k=5)
+    approx = SIM.ivfpq_topk_from_index(spark, p, qs, k=5, nprobe=2)
+    got = _rows(SIM.topk_regret_profile(emb, exact, approx))
+    want = _sql_rows(ddb, topk_regret_sql(2, 5))
+    assert got == want
+    assert len(got) == 5
+
+
+def test_topk_regret_semantics(spark):
+    """(a) regret of exact against itself is identically zero;
+    (b) summed mean regret of a lossy path is >= 0 even though a
+    single rank can go negative (order permutation); (c) regret is
+    bounded by the exact-approx cosine gap by construction."""
+    from datacatalog_tag_engine_spark.pipeline import similarity as SIM
+
+    emb = spark.table("embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    exact = SIM.brute_force_topk(emb, qs, k=5)
+    zero = SIM.topk_regret_profile(emb, exact, exact).collect()
+    assert all(
+        r["mean_regret_micro"] == 0 and r["max_regret_micro"] == 0 for r in zero
+    )
+    approx = SIM.ivf_topk(emb, qs, k=5, num_cells=8)
+    rows = SIM.topk_regret_profile(emb, exact, approx).collect()
+    assert sum(r["mean_regret_micro"] for r in rows) >= 0
+    for r in rows:
+        assert r["n_queries"] == 5
+        assert r["max_regret_micro"] >= r["mean_regret_micro"]

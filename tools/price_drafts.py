@@ -101,6 +101,11 @@ def main() -> None:
         "q104_corpus_health": lambda: corpus_health_report(docs),
         "q105_curriculum_token_budget": lambda: curriculum_token_budget(docs),
         "m07_multimodal_dup_rates": m07,
+        "s36_topk_regret": lambda: SIM.topk_regret_profile(
+            emb,
+            SIM.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=5),
+            SIM.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, num_cells=8),
+        ),
         "t44_winnowing_params": lambda: __import__(
             "datacatalog_tag_engine_spark.pipeline.text",
             fromlist=["winnowing_parameter_table"],
