@@ -131,7 +131,8 @@ q102_sigstore_ingest — its cached builder gains metrics_sink so q103
 reads the same replay's metrics table (one build, two readers);
 value-identical for q102's accepted output, but the cached-build
 code changes, so the family re-certifies by policy. t44 priced
-12.9s (four shuffle-free scans, audit cadence).
+12.9s (four shuffle-free scans, audit cadence); s36 priced 2.7s
+(edge-grain joins only).
 """
 
 import pytest
