@@ -2713,3 +2713,73 @@ def threshold_sweep_vs_exact(
             F.round(F.col("n_true") / F.col("n_pairs"), 4).alias("dedup_precision"),
         )
     )
+
+
+def copy_audit_profile(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    max_df: int | None = 1000,
+    min_shared: int = 2,
+    min_overlap: float = 0.8,
+) -> DataFrame:
+    """Per-source rollup of the contained-copy audit — the q88 pattern
+    applied to winnowing: for every source, how many documents the
+    d27 rule would drop as contained copies, and how many of those are
+    contained in ANOTHER source's documents (the scrape/mirror signal:
+    a source whose drops are mostly cross-source is republishing
+    someone else's corpus; within-source drops are boilerplate). Uses
+    the SAME pair surface and drop rule as ``winnowing_dedup`` (pairs
+    from ``winnowing_overlap_pairs`` with sizes; smaller side drops,
+    tie -> larger id), attributed to sources with two id-grain joins
+    and rolled up once — dimension-grain output, one row per source.
+
+    Returns (source, n_docs, n_dropped, drop_frac,
+    n_dropped_by_other_source)."""
+    pairs = winnowing_overlap_pairs(
+        docs,
+        id_col,
+        text_col,
+        max_df=max_df,
+        min_shared=min_shared,
+        min_overlap=min_overlap,
+        with_sizes=True,
+    )
+    a_drops = (F.col("n_a") < F.col("n_b")) | (
+        (F.col("n_a") == F.col("n_b")) & (F.col("doc_a") > F.col("doc_b"))
+    )
+    edges = pairs.select(
+        F.when(a_drops, F.col("doc_a")).otherwise(F.col("doc_b")).alias("_dropped"),
+        F.when(a_drops, F.col("doc_b")).otherwise(F.col("doc_a")).alias("_container"),
+    )
+    src = docs.select(id_col, group_col)
+    attributed = edges.join(
+        src.select(F.col(id_col).alias("_dropped"), F.col(group_col).alias("_dsrc")),
+        "_dropped",
+    ).join(
+        src.select(
+            F.col(id_col).alias("_container"), F.col(group_col).alias("_csrc")
+        ),
+        "_container",
+    )
+    per_dropped = attributed.groupBy("_dropped").agg(
+        F.first("_dsrc").alias("_dsrc"),
+        F.max((F.col("_dsrc") != F.col("_csrc")).cast("int")).alias("_x"),
+    )
+    dropped_per_src = per_dropped.groupBy(F.col("_dsrc").alias(group_col)).agg(
+        F.count("*").cast("long").alias("n_dropped"),
+        F.sum("_x").cast("long").alias("n_dropped_by_other_source"),
+    )
+    totals = src.groupBy(group_col).agg(F.count("*").cast("long").alias("n_docs"))
+    return totals.join(dropped_per_src, group_col, "left").select(
+        group_col,
+        "n_docs",
+        F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        F.round(F.coalesce("n_dropped", F.lit(0)) / F.col("n_docs"), 4).alias(
+            "drop_frac"
+        ),
+        F.coalesce("n_dropped_by_other_source", F.lit(0)).alias(
+            "n_dropped_by_other_source"
+        ),
+    )

@@ -93,6 +93,14 @@ verbatim.
   micro-lattice means; summed regret >= 0 pinned. Oracle: the wired
   s10 chain + corpus re-scoring + the exact per-rank cosines.
 
+- q106_copy_audit_profile — the per-source rollup of the contained-
+  copy audit (dedup.copy_audit_profile; the q88 pattern on the
+  winnowing surface): per source, d27-rule drops and how many are
+  contained in ANOTHER source's documents — the scrape/mirror signal.
+  Same pair surface and drop rule as d27 (one derivation), two
+  id-grain source joins, dimension-grain output. Oracle: the d27
+  derivation kept at pair grain + source attribution + rollup.
+
 - m07_multimodal_dup_rates — per-kind near-dup exposure
   (multimodal.neardup_rate_profile): the m-family's q88 — one row
   per modality with item count, pair count, items-in-pairs, and the
@@ -107,8 +115,8 @@ changes are additive operators outside certified paths, and the d25/
 q102 default-path refactors were re-verified strict BEFORE the r13
 record); the remaining ~41 slots drain the aging ledger (the 11
 remaining r9-last-green rows, then the r10 cohort by name order).
-Cap the r14 wiring test's ledger at rounds < 14. (t44 and s36 joined
-the bank after the first pricing run: 11 drafts now.)
+Cap the r14 wiring test's ledger at rounds < 14. (t44, s36, and q106 joined
+the bank after the first pricing run: 12 drafts now.)
 
 PRICED at sf0.1 (tools/price_drafts.py, warm pass): d27 40.7s and
 d28 22.1s — both ride the winnowing fingerprint surface, whose cost
@@ -1003,3 +1011,99 @@ def test_topk_regret_semantics(spark):
     for r in rows:
         assert r["n_queries"] == 5
         assert r["max_regret_micro"] >= r["mean_regret_micro"]
+
+
+# --- q106: per-source copy-audit rollup --------------------------------------------
+
+
+def copy_audit_profile_sql(
+    winnow_sql: str,
+    max_df: int = 100,
+    min_shared: int = 2,
+    min_overlap: float = 0.8,
+) -> str:
+    """The d27 derivation kept at PAIR grain (dropped + container
+    sides), attributed to sources, per-dropped cross-source flag,
+    source-grain rollup against every document."""
+    return f"""
+WITH wf AS ({winnow_sql}),
+dfp AS (SELECT DISTINCT doc_id, fp FROM wf),
+kept AS (
+  SELECT doc_id, fp FROM dfp
+  WHERE fp NOT IN (SELECT fp FROM dfp GROUP BY fp HAVING count(*) > {max_df})),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= {min_shared}),
+scored AS (
+  SELECT s.doc_a, s.doc_b, sa.n AS na, sb.n AS nb
+  FROM shared s
+  JOIN sizes sa ON sa.doc_id = s.doc_a
+  JOIN sizes sb ON sb.doc_id = s.doc_b
+  WHERE round(s.n_shared / least(sa.n, sb.n), 4) >= {min_overlap}),
+edges AS (
+  SELECT CASE WHEN na < nb OR (na = nb AND doc_a > doc_b)
+              THEN doc_a ELSE doc_b END AS dropped,
+         CASE WHEN na < nb OR (na = nb AND doc_a > doc_b)
+              THEN doc_b ELSE doc_a END AS container
+  FROM scored),
+attributed AS (
+  SELECT e.dropped, dd.source AS dsrc, dc.source AS csrc
+  FROM edges e
+  JOIN documents dd ON dd.doc_id = e.dropped
+  JOIN documents dc ON dc.doc_id = e.container),
+per_dropped AS (
+  SELECT dropped, any_value(dsrc) AS dsrc,
+         max((dsrc <> csrc)::INT) AS x
+  FROM attributed GROUP BY dropped),
+dps AS (
+  SELECT dsrc AS source, count(*) AS n_dropped, sum(x) AS n_x
+  FROM per_dropped GROUP BY dsrc),
+tot AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+SELECT t.source,
+       t.n_docs::BIGINT AS n_docs,
+       coalesce(d.n_dropped, 0)::BIGINT AS n_dropped,
+       round(coalesce(d.n_dropped, 0) / t.n_docs, 4) AS drop_frac,
+       coalesce(d.n_x, 0)::BIGINT AS n_dropped_by_other_source
+FROM tot t LEFT JOIN dps d ON d.source = t.source
+"""
+
+
+def test_oracle_draft_copy_audit_profile(spark, ddb):
+    got = _rows(DD.copy_audit_profile(spark.table("documents"), max_df=100))
+    want = _sql_rows(
+        ddb, copy_audit_profile_sql(E.oracle_sql()["t43_winnowing"], max_df=100)
+    )
+    assert got == want
+    assert len(got) > 1
+
+
+def test_copy_audit_profile_attributes_the_scrape(spark):
+    """A mirror source that pastes another source's docs into wrappers
+    reads as cross-source drops on the MIRROR side; the original
+    source keeps its docs; drop counts agree with winnowing_dedup."""
+    import random
+
+    rng = random.Random(17)
+    words = lambda n, tag: " ".join(f"{tag}{rng.randrange(10**6)}" for _ in range(n))
+    core1 = "an original article body that the mirror republishes in full"
+    core2 = "another distinct piece of source content scraped elsewhere"
+    rows = [
+        (1, "orig", core1 + " " + words(40, "a")),
+        (2, "orig", core2 + " " + words(40, "b")),
+        (10, "mirror", core1),        # contained in 1, cross-source
+        (11, "mirror", core2),        # contained in 2, cross-source
+        (20, "clean", words(60, "c")),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in DD.copy_audit_profile(
+        docs, min_overlap=0.5
+    ).collect()}
+    assert out["mirror"]["n_dropped"] == 2
+    assert out["mirror"]["n_dropped_by_other_source"] == 2
+    assert out["orig"]["n_dropped"] == 0 and out["clean"]["n_dropped"] == 0
+    verdicts = DD.winnowing_dedup(docs, min_overlap=0.5)
+    assert verdicts.filter("NOT keep").count() == sum(
+        r["n_dropped"] for r in out.values()
+    )

@@ -101,6 +101,9 @@ def main() -> None:
         "q104_corpus_health": lambda: corpus_health_report(docs),
         "q105_curriculum_token_budget": lambda: curriculum_token_budget(docs),
         "m07_multimodal_dup_rates": m07,
+        "q106_copy_audit_profile": lambda: DD.copy_audit_profile(
+            docs, max_df=100
+        ),
         "s36_topk_regret": lambda: SIM.topk_regret_profile(
             emb,
             SIM.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=5),
