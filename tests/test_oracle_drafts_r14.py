@@ -140,7 +140,12 @@ reads the same replay's metrics table (one build, two readers);
 value-identical for q102's accepted output, but the cached-build
 code changes, so the family re-certifies by policy. t44 priced
 12.9s (four shuffle-free scans, audit cadence); s36 priced 2.7s
-(edge-grain joins only).
+(edge-grain joins only); q106 priced 39.7-42.9s — NOTE the winnowing
+family's single-run prices carry ~2x JVM-state variance (back-to-back
+same-process probes measured d27@100 at 21.6s and 48.8s, and q106
+BELOW its own d27 subset; GC-bound HOF gram arrays) — converged
+floors for these rows need the 5-pass --only instrument, and their
+rotation slots should expect record noise of the t27 class.
 """
 
 import pytest
