@@ -109,14 +109,15 @@ verbatim.
   the three wired pair strings + the fixtures' analytic item counts.
 
 r14 WINDOW ARITHMETIC (forecast; the ledger computes the binding
-list at rotation): 9 bank drafts = 9 rotation slots; re-certs TBD by
-what r13's post-freeze work touches (none known — all r13 post-freeze
-changes are additive operators outside certified paths, and the d25/
-q102 default-path refactors were re-verified strict BEFORE the r13
-record); the remaining ~41 slots drain the aging ledger (the 11
-remaining r9-last-green rows, then the r10 cohort by name order).
-Cap the r14 wiring test's ledger at rounds < 14. (t44, s36, and q106 joined
-the bank after the first pricing run: 12 drafts now.)
+list at rotation): 12 bank drafts = 12 rotation slots (t44, s36, and
+q106 joined after the first pricing run) + 1 expected re-cert (q102,
+whose cached builder gains metrics_sink at rotation so q103 shares
+the replay — see below); the remaining ~37 slots drain the aging
+ledger (the 11 remaining r9-last-green rows, then the r10 cohort by
+name order). All other r13 post-freeze changes are additive
+operators outside certified paths, and the d25/q102 default-path
+refactors were re-verified strict BEFORE the r13 record. Cap the r14
+wiring test's ledger at rounds < 14.
 
 PRICED at sf0.1 (tools/price_drafts.py, warm pass): d27 40.7s and
 d28 22.1s — both ride the winnowing fingerprint surface, whose cost
