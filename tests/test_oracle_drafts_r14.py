@@ -119,6 +119,17 @@ operators outside certified paths, and the d25/q102 default-path
 refactors were re-verified strict BEFORE the r13 record. Cap the r14
 wiring test's ledger at rounds < 14.
 
+QUEUED r14 ROUND-START OPTIMIZATION (measured, waiting only on the
+freeze): winnowing_fingerprints currently stages the gram-STRING
+array before hashing (the r12 CSE lesson applied conservatively);
+fusing the hash into the gram transform (each element used once — no
+CSE hazard) is value-IDENTICAL (asserted on real docs) and measured
+6.4s stable vs 10.3-21.3s volatile at sf0.1 — the string-array churn
+is also the likeliest source of the winnowing family's ~2x JVM-state
+variance. Apply at r14 round start BEFORE the record; re-certs: t43
++ d25 (wired consumers of the changed function; d27/d28/q106/t44 are
+bank drafts and re-prove in place).
+
 PRICED at sf0.1 (tools/price_drafts.py, warm pass): d27 40.7s and
 d28 22.1s — both ride the winnowing fingerprint surface, whose cost
 on THIS fixture sits near the capped-join bound (see the r13 d25
