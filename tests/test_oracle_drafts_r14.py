@@ -130,6 +130,19 @@ variance. Apply at r14 round start BEFORE the record; re-certs: t43
 + d25 (wired consumers of the changed function; d27/d28/q106/t44 are
 bank drafts and re-prove in place).
 
+SECOND QUEUED OPTIMIZATION, same class (measured 6x): t39's
+line_language_profile computes `langs` — the expensive per-line
+classification — as an EXPRESSION consumed by six label counts plus
+the dominant walk; on Spark's interpreted HOF path (no CSE) the
+classification re-runs per consumer. Staging `_lines`/`_langs` as
+bound columns is value-identical (asserted on real docs) and drops
+t39 from 5.9-7.0s to 1.0s at sf0.1. t40 has the same shape (its
+O(L^2) duplicate mask feeds two consumers per grain) at small
+absolute cost — stage both at r14 round start; re-certs: t39 + t40.
+GENERAL RULE (now thrice-learned: t41/winnowing at r12, t39/t40
+here): any HOF-derived array consumed by more than one output column
+must be staged as a real column first.
+
 PRICED at sf0.1 (tools/price_drafts.py, warm pass): d27 40.7s and
 d28 22.1s — both ride the winnowing fingerprint surface, whose cost
 on THIS fixture sits near the capped-join bound (see the r13 d25
