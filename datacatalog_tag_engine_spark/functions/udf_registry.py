@@ -63,13 +63,92 @@ def summarize_users(
     )
 
 
-def llm_summarize_udf(spark: SparkSession, fake: bool = True, max_words: int = 8):
-    """X2: text summarization UDF. fake=True -> deterministic extractive
-    stub; fake=False is where an LLM client would batch the prompts."""
+def remote_function_udf(
+    spark: SparkSession,
+    name: str,
+    endpoint: str,
+    return_type: str = "string",
+    timeout_sec: float = 30.0,
+    headers: dict | None = None,
+    max_retries: int = 2,
+):
+    """X1 made REAL: an Arrow-batched SQL function whose batches POST
+    to ``endpoint`` over the BigQuery remote-function wire protocol —
+    the request body is ``{"calls": [[arg], ...]}`` and the reply is
+    ``{"replies": [...]}`` in call order, exactly the contract the
+    reference's Cloud Functions implement (summarize_users/main.py:
+    21-92 reads request.calls and returns replies). Client is stdlib
+    ``urllib`` — no extra dependency — with bounded exponential-ish
+    retries on transient transport errors (a remote function is
+    at-least-once; the endpoint must be idempotent per call, the same
+    contract BigQuery imposes).
+
+    Batching IS the scale design: one HTTP round-trip per Arrow batch
+    (cap batch rows with spark.sql.execution.arrow.maxRecordsPerBatch
+    to bound request size), executed on the executors — at 1000
+    executors this is embarrassingly parallel client fan-out, and the
+    endpoint's capacity is the real limit, exactly as with BigQuery
+    remote functions. NULL inputs travel as JSON null and whatever the
+    endpoint replies for them is taken verbatim (the protocol has no
+    NULL special case). Tested end-to-end in pytest against a local
+    ``http.server`` speaking the same protocol; only cloud IAM on a
+    real Cloud Function endpoint is out of sandbox scope."""
+    import json
+    import time
+    import urllib.error
+    import urllib.request
+
+    hdrs = {"Content-Type": "application/json", **(headers or {})}
+
+    def batch(values: pd.Series) -> pd.Series:
+        calls = [[None if pd.isna(v) else v] for v in values]
+        payload = json.dumps({"calls": calls}).encode()
+        last_err: Exception | None = None
+        for attempt in range(max_retries + 1):
+            try:
+                req = urllib.request.Request(endpoint, data=payload, headers=hdrs)
+                with urllib.request.urlopen(req, timeout=timeout_sec) as resp:
+                    replies = json.loads(resp.read().decode())["replies"]
+                if len(replies) != len(calls):
+                    raise ValueError(
+                        f"remote function {endpoint} returned {len(replies)} "
+                        f"replies for {len(calls)} calls"
+                    )
+                return pd.Series(replies, index=values.index)
+            except (urllib.error.URLError, TimeoutError, ConnectionError) as exc:
+                last_err = exc
+                if attempt < max_retries:
+                    time.sleep(0.2 * (attempt + 1))
+        raise last_err
+
+    return register_batch_udf(spark, name, batch, return_type)
+
+
+def llm_summarize_udf(
+    spark: SparkSession,
+    fake: bool = True,
+    max_words: int = 8,
+    endpoint: str | None = None,
+    **client_kwargs,
+):
+    """X2: text summarization UDF. fake=True -> deterministic
+    extractive stub (the pytest-certified default in this container);
+    fake=False routes through ``remote_function_udf``'s real HTTP
+    client when ``endpoint`` is given (an LLM service speaking the
+    remote-function protocol — the reference's ``summarize_sql`` shape)
+    and raises otherwise — no hosted LLM is reachable from this
+    sandbox, and a silent fake behind fake=False would be a lie."""
+    if not fake:
+        if endpoint is None:
+            raise NotImplementedError(
+                "LLM endpoint not available in this container; pass "
+                "endpoint= to route through the real remote-function client"
+            )
+        return remote_function_udf(
+            spark, "llm_summarize", endpoint, "string", **client_kwargs
+        )
 
     def batch(texts: pd.Series) -> pd.Series:
-        if not fake:
-            raise NotImplementedError("LLM client not available in this container")
         return texts.fillna("").map(lambda t: " ".join(t.split()[:max_words]))
 
     return register_batch_udf(spark, "llm_summarize", batch, "string")
