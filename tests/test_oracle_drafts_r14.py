@@ -141,7 +141,12 @@ O(L^2) duplicate mask feeds two consumers per grain) at small
 absolute cost — stage both at r14 round start; re-certs: t39 + t40.
 GENERAL RULE (now thrice-learned: t41/winnowing at r12, t39/t40
 here): any HOF-derived array consumed by more than one output column
-must be staged as a real column first.
+must be staged as a real column first. Third CANDIDATE (not queued):
+gopher_filter re-derives its words/lines arrays across ~20 feature +
+rule + fail-reason consumers; staging would shave the whole gate
+family (t16 0.87s alone, q98/q100/q72/q59v2/q61 composites) but the
+re-cert blast radius is the largest in the inventory — weigh at r14
+against the window budget before committing to it.
 
 PRICED at sf0.1 (tools/price_drafts.py, warm pass): d27 40.7s and
 d28 22.1s — both ride the winnowing fingerprint surface, whose cost
