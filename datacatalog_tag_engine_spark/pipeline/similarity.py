@@ -2509,3 +2509,80 @@ def topk_regret_profile(
             F.max(F.col("_ecm") - F.col("_acm")).alias("max_regret_micro"),
         )
     )
+
+
+def nprobe_recall_sweep(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobes: list[int] | None = None,
+) -> DataFrame:
+    """The nprobe DECISION TABLE — the d24/d18/t44 discipline applied
+    to IVF serving's one runtime knob: per candidate nprobe, the mean
+    serving recall (``recall_profile`` against the exact top-k) and
+    the WORK that recall costs (``n_scored``: candidate pairs actually
+    scored — the sum of probed-cell populations minus self-matches).
+    The operator answers "nprobe=2 buys 0.94 recall for 2.1x the
+    scoring work of nprobe=1" with counted mass on both axes, so the
+    production setting is chosen from evidence, not folklore. Run at
+    certification scale on a query SAMPLE (one exact top-k + one
+    cell-restricted scoring pass per candidate nprobe); the serving
+    path itself stays ``ivf_topk``/``*_from_index``.
+
+    Work is counted analytically (probed-cell sizes joined at cell
+    grain, self-hits subtracted via one id-grain join) — the sweep
+    never materializes a pair join just to count it. Mean recall
+    rides the 1e4 micro lattice (per-query recalls are round-4).
+    Returns (nprobe, n_queries, mean_recall_micro, n_scored), one row
+    per candidate."""
+    nprobes = list(nprobes) if nprobes is not None else list(range(1, num_cells + 1))
+    exact = brute_force_topk(corpus, queries, k, id_col, vec_col)
+    cents = _default_cents(corpus, num_cells, id_col, vec_col)
+    assign = _ranked_cells(corpus, num_cells, id_col, vec_col, cents=cents).filter(
+        F.col("_rn") == 1
+    )
+    sizes = assign.groupBy("cell").agg(F.count("*").alias("_sz"))
+    qcells = _ranked_cells(queries, num_cells, id_col, vec_col, cents=cents).select(
+        F.col(id_col).alias("_qid"), "cell", "_rn"
+    )
+    corpus_ids = assign.select(F.col(id_col).alias("_qid"), "cell")
+    out = None
+    for p in nprobes:
+        probed = qcells.filter(F.col("_rn") <= p)
+        rec = recall_profile(
+            exact,
+            ivf_topk(
+                corpus, queries, k=k, num_cells=num_cells, nprobe=p,
+                id_col=id_col, vec_col=vec_col, cents=cents,
+            ),
+        )
+        agg = rec.agg(
+            F.count("*").cast("long").alias("n_queries"),
+            F.round(
+                F.sum(F.round(F.col("recall_at_k") * 10000).cast("long"))
+                / F.count("*")
+            )
+            .cast("long")
+            .alias("mean_recall_micro"),
+        )
+        scanned = probed.join(sizes, "cell").agg(
+            F.coalesce(F.sum("_sz"), F.lit(0)).cast("long").alias("_scanned")
+        )
+        self_hits = probed.join(corpus_ids, ["_qid", "cell"], "left_semi").agg(
+            F.count("*").cast("long").alias("_self")
+        )
+        row = (
+            agg.crossJoin(scanned)  # three one-row frames
+            .crossJoin(self_hits)
+            .select(
+                F.lit(p).cast("int").alias("nprobe"),
+                "n_queries",
+                "mean_recall_micro",
+                (F.col("_scanned") - F.col("_self")).cast("long").alias("n_scored"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

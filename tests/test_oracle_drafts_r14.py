@@ -101,6 +101,16 @@ verbatim.
   id-grain source joins, dimension-grain output. Oracle: the d27
   derivation kept at pair grain + source attribution + rollup.
 
+- s37_nprobe_sweep — the nprobe DECISION TABLE
+  (similarity.nprobe_recall_sweep; the d24/d18/t44 discipline applied
+  to IVF serving's runtime knob): per candidate nprobe, mean serving
+  recall vs the WORK it costs (n_scored = probed-cell populations
+  minus self-hits, counted analytically — the sweep never
+  materializes a pair join to count it). Monotone-and-saturates
+  physics pinned (nprobe == num_cells -> recall 1.0, work ==
+  queries x (corpus - 1)). Oracle: shared s03/s04 CTEs + one
+  probe/score/recall block per nprobe, unioned.
+
 - m07_multimodal_dup_rates — per-kind near-dup exposure
   (multimodal.neardup_rate_profile): the m-family's q88 — one row
   per modality with item count, pair count, items-in-pairs, and the
@@ -109,10 +119,10 @@ verbatim.
   the three wired pair strings + the fixtures' analytic item counts.
 
 r14 WINDOW ARITHMETIC (forecast; the ledger computes the binding
-list at rotation): 12 bank drafts = 12 rotation slots (t44, s36, and
-q106 joined after the first pricing run) + 1 expected re-cert (q102,
+list at rotation): 13 bank drafts = 13 rotation slots (t44, s36,
+q106, and s37 joined after the first pricing run) + 1 expected re-cert (q102,
 whose cached builder gains metrics_sink at rotation so q103 shares
-the replay — see below); the remaining ~37 slots drain the aging
+the replay — see below); the remaining ~36 slots drain the aging
 ledger (the 11 remaining r9-last-green rows, then the r10 cohort by
 name order). All other r13 post-freeze changes are additive
 operators outside certified paths, and the d25/q102 default-path
@@ -170,7 +180,9 @@ reads the same replay's metrics table (one build, two readers);
 value-identical for q102's accepted output, but the cached-build
 code changes, so the family re-certifies by policy. t44 priced
 12.9s (four shuffle-free scans, audit cadence); s36 priced 2.7s
-(edge-grain joins only); q106 priced 39.7-42.9s — NOTE the winnowing
+(edge-grain joins only); s37 priced 10.4s (8 cell-restricted
+scoring passes + one exact pass — certification cadence, sample the
+queries in production); q106 priced 39.7-42.9s — NOTE the winnowing
 family's single-run prices carry ~2x JVM-state variance (back-to-back
 same-process probes measured d27@100 at 21.6s and 48.8s, and q106
 BELOW its own d27 subset; GC-bound HOF gram arrays) — converged
@@ -1142,3 +1154,91 @@ def test_copy_audit_profile_attributes_the_scrape(spark):
     assert verdicts.filter("NOT keep").count() == sum(
         r["n_dropped"] for r in out.values()
     )
+
+
+# --- s37: recall-vs-work nprobe sweep ----------------------------------------------
+
+
+def nprobe_sweep_sql(k: int = 5, num_cells: int = 8) -> str:
+    """Shared s03/s04 cell CTEs + the exact top-k, then one probe /
+    scored / per-query-recall block per candidate nprobe, unioned to
+    the (nprobe, n_queries, mean_recall_micro, n_scored) table —
+    n_scored counts the scored CTE directly (the Spark side counts it
+    analytically from cell sizes minus self-hits; same number)."""
+    blocks, finals = [], []
+    for p in range(1, num_cells + 1):
+        blocks.append(f"""
+qp{p} AS (SELECT vec_id, v, cell FROM ranked WHERE rn <= {p} AND vec_id < 5),
+sc{p} AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.v, a.v), 4) AS cosine
+  FROM qp{p} q JOIN assign a ON q.cell = a.cell AND q.vec_id <> a.vec_id),
+tp{p} AS (
+  SELECT query_id, neighbor_id, 1 AS hit FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM sc{p}) WHERE rank <= {k}),
+rc{p} AS (
+  SELECT exact.query_id,
+         round(coalesce(sum(tp{p}.hit), 0)::DOUBLE / count(*), 4) AS recall
+  FROM exact LEFT JOIN tp{p} USING (query_id, neighbor_id)
+  GROUP BY exact.query_id)""")
+        finals.append(f"""
+SELECT {p}::INT AS nprobe,
+       count(*)::BIGINT AS n_queries,
+       round(sum(round(recall * 10000)) / count(*))::BIGINT AS mean_recall_micro,
+       (SELECT count(*) FROM sc{p})::BIGINT AS n_scored
+FROM rc{p}""")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cent_v FROM e ORDER BY vec_id LIMIT {num_cells}),
+ranked AS (
+  SELECT e.vec_id, e.v, c.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round(list_cosine_similarity(e.v, c.cent_v), 6) DESC, c.cell) AS rn
+  FROM e CROSS JOIN cents c),
+assign AS (SELECT vec_id, v, cell FROM ranked WHERE rn = 1),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+exact_scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.v, e.v), 4) AS cosine
+  FROM q JOIN e ON q.vec_id <> e.vec_id),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM exact_scored) WHERE rank <= {k}),{",".join(blocks)}
+{" UNION ALL ".join(finals)}
+"""
+
+
+def test_oracle_draft_nprobe_sweep(spark, ddb):
+    from datacatalog_tag_engine_spark.pipeline import similarity as SIM
+
+    emb = spark.table("embeddings")
+    got = _rows(
+        SIM.nprobe_recall_sweep(emb, emb.filter(F.col("vec_id") < 5), k=5, num_cells=8)
+    )
+    want = _sql_rows(ddb, nprobe_sweep_sql(5, 8))
+    assert got == want
+    assert len(got) == 8
+
+
+def test_nprobe_sweep_is_monotone_and_saturates(spark):
+    """The physics the table exists to show: recall and work are both
+    non-decreasing in nprobe, and at nprobe == num_cells the sweep IS
+    exact search (recall 1.0, work == n_queries x (corpus - 1))."""
+    from datacatalog_tag_engine_spark.pipeline import similarity as SIM
+
+    emb = spark.table("embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    rows = sorted(
+        SIM.nprobe_recall_sweep(emb, qs, k=5, num_cells=8).collect(),
+        key=lambda r: r["nprobe"],
+    )
+    recs = [r["mean_recall_micro"] for r in rows]
+    work = [r["n_scored"] for r in rows]
+    assert recs == sorted(recs) and work == sorted(work)
+    assert rows[-1]["mean_recall_micro"] == 10000
+    assert rows[-1]["n_scored"] == qs.count() * (emb.count() - 1)
+    assert rows[0]["n_scored"] < rows[-1]["n_scored"]

@@ -104,6 +104,9 @@ def main() -> None:
         "q106_copy_audit_profile": lambda: DD.copy_audit_profile(
             docs, max_df=100
         ),
+        "s37_nprobe_sweep": lambda: SIM.nprobe_recall_sweep(
+            emb, emb.filter(F.col("vec_id") < 5), k=5, num_cells=8
+        ),
         "s36_topk_regret": lambda: SIM.topk_regret_profile(
             emb,
             SIM.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=5),
