@@ -2783,3 +2783,189 @@ def copy_audit_profile(
             "n_dropped_by_other_source"
         ),
     )
+
+
+WINNOWSTORE_META_DIR = "_winnowstore_meta"
+
+
+def build_winnowing_store(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int | None = None,
+    w: int | None = None,
+) -> int:
+    """Persist the archive's winnowing fingerprints as a maintained
+    ARTIFACT — the copy-audit family's ``build_signature_store``:
+    fingerprint the corpus once, append each accepted delta, and every
+    future ``incremental_winnowing_overlap`` call joins the delta's
+    fingerprints against the STORE instead of re-fingerprinting
+    resident text (d25/d28 at daily cadence re-scan everything; the
+    store makes the daily cost delta-proportional). Layout: DISTINCT
+    (doc_id, fp) rows — the d25 join surface, position dropped
+    deliberately (overlap counts fingerprints, never positions) — plus
+    a one-row ``_winnowstore_meta`` pinning (k, w, id_col):
+    fingerprints from different (k, w) are incomparable, so the store
+    records its space and every writer/reader validates against it.
+    Returns the stored row count."""
+    from .text import WINNOW_K, WINNOW_W, winnowing_fingerprints
+
+    k = WINNOW_K if k is None else k
+    w = WINNOW_W if w is None else w
+    fps = (
+        winnowing_fingerprints(docs, id_col, text_col, k=k, w=w)
+        .select(id_col, "fp")
+        .distinct()
+    )
+    fps.write.mode("error").parquet(path)
+    spark = docs.sparkSession
+    spark.createDataFrame(
+        [(int(k), int(w), id_col)], "k int, w int, id_col string"
+    ).coalesce(1).write.mode("error").parquet(f"{path}/{WINNOWSTORE_META_DIR}")
+    return spark.read.parquet(path).count()
+
+
+def _winnowstore_meta(spark, path: str) -> dict:
+    # same torn-build contract as _sigstore_meta: a missing meta table
+    # is a rebuild instruction, anything else propagates untouched
+    from pyspark.errors import AnalysisException
+
+    try:
+        row = spark.read.parquet(f"{path}/{WINNOWSTORE_META_DIR}").collect()[0]
+    except AnalysisException as exc:
+        raise ValueError(
+            f"winnowing store at {path!r} has no {WINNOWSTORE_META_DIR} table — "
+            "torn build_winnowing_store (crashed before the meta write) or "
+            "not a winnowing store; remove the directory and rebuild it"
+        ) from exc
+    return {"k": row["k"], "w": row["w"], "id_col": row["id_col"]}
+
+
+def append_to_winnowing_store(
+    spark,
+    path: str,
+    delta_docs: DataFrame,
+    text_col: str = "text",
+    skip_existing: bool = True,
+) -> int:
+    """Append the accepted delta's fingerprints — append-only files
+    (concurrent readers see either listing, both valid); (k, w) come
+    from the store's meta, never the call site. ``skip_existing``
+    anti-joins the delta against resident ids so a RETRIED append is
+    idempotent (the torn-append recovery contract, same as the
+    signature store). Single-writer, like its siblings. Returns rows
+    appended (after the skip)."""
+    from .text import winnowing_fingerprints
+    from ..session import free_local_checkpoint
+
+    meta = _winnowstore_meta(spark, path)
+    delta = delta_docs
+    if skip_existing:
+        resident_ids = spark.read.parquet(path).select(meta["id_col"]).distinct()
+        delta = delta_docs.join(resident_ids, meta["id_col"], "left_anti")
+    fps = (
+        winnowing_fingerprints(
+            delta, meta["id_col"], text_col, k=meta["k"], w=meta["w"]
+        )
+        .select(meta["id_col"], "fp")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = fps.count()
+    if n:
+        fps.write.mode("append").parquet(path)
+    free_local_checkpoint(fps)
+    return n
+
+
+def incremental_winnowing_overlap(
+    spark,
+    path: str,
+    delta_docs: DataFrame,
+    text_col: str = "text",
+    max_df: int | None = 1000,
+    min_shared: int = 2,
+    min_overlap: float | None = None,
+) -> DataFrame:
+    """Daily copy-audit against the persisted fingerprint store — the
+    d19/d23 cost model applied to d25: fingerprint the DELTA, join it
+    against the store's (doc, fp) rows, and restrict candidate pairs
+    to those touching the delta — the resident x resident quadrant
+    (already audited when the archive was admitted) is never
+    generated. Resident TEXT is never read; the daily cost is delta
+    fingerprinting plus a fingerprint-grain join against the store
+    (column-pruned parquet — the artifact IS the join surface).
+
+    The hot-fingerprint cap and both documents' surviving-fingerprint
+    sizes are computed over store ∪ delta (one fingerprint universe,
+    the d25 numerator==denominator rule). On a store built from the
+    resident corpus and appended per-delta, output equals the fresh
+    two-sided computation (asserted in tests — the s31/d23 identity
+    discipline). Ids must be unique across store and delta (the q51
+    delta contract, same as ``incremental_neardup_pairs``; the ingest
+    loop's retry split is how a caller restores it after a crash).
+    Returns (doc_a, doc_b, n_shared, overlap, is_cross) where
+    is_cross = exactly one side resident."""
+    from .text import winnowing_fingerprints
+
+    meta = _winnowstore_meta(spark, path)
+    id_col = meta["id_col"]
+    resident = spark.read.parquet(path).select(id_col, "fp").withColumn(
+        "_delta", F.lit(False)
+    )
+    delta = (
+        winnowing_fingerprints(
+            delta_docs, id_col, text_col, k=meta["k"], w=meta["w"]
+        )
+        .select(id_col, "fp")
+        .distinct()
+        .withColumn("_delta", F.lit(True))
+        .localCheckpoint(eager=True)
+    )
+    allfps = resident.unionByName(delta)
+    join_side = allfps
+    if max_df is not None:
+        hot = (
+            allfps.groupBy("fp")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("fp")
+        )
+        join_side = allfps.join(F.broadcast(hot), "fp", "left_anti")
+    sizes = join_side.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = join_side.select(
+        F.col(id_col).alias("doc_a"), "fp", F.col("_delta").alias("_da")
+    )
+    b = join_side.select(
+        F.col(id_col).alias("doc_b"), "fp", F.col("_delta").alias("_db")
+    )
+    shared = (
+        a.join(b, "fp")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b")) & (F.col("_da") | F.col("_db"))
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").cast("long").alias("n_shared"),
+            F.first("_da").alias("_da"),
+            F.first("_db").alias("_db"),
+        )
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("_na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("_nb"))
+    out = (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(F.col("n_shared") / F.least("_na", "_nb"), 4).alias("overlap"),
+            (F.col("_da") != F.col("_db")).alias("is_cross"),
+        )
+    )
+    if min_overlap is not None:
+        out = out.filter(F.col("overlap") >= min_overlap)
+    return out

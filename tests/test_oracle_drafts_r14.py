@@ -111,6 +111,20 @@ verbatim.
   queries x (corpus - 1)). Oracle: shared s03/s04 CTEs + one
   probe/score/recall block per nprobe, unioned.
 
+- d29_incremental_winnowing — the copy-audit family's persisted
+  artifact (dedup.build_winnowing_store / append_to_winnowing_store /
+  incremental_winnowing_overlap): the d23 template applied to d25 —
+  fingerprint the archive once as DISTINCT (doc, fp) rows with a
+  (k, w)-pinning meta, append accepted deltas (retry-idempotent
+  anti-join), serve the daily copy audit as delta x (store ∪ delta)
+  with the resident x resident quadrant never generated and resident
+  TEXT never read. Lifecycle identities proven (from-store == fresh
+  delta-touching pairs; build+append == build(union); torn build
+  fails loud). Measured at sf0.1 with a 10% delta: 9.4s vs 14.8s for
+  the fresh full d25 — and the fresh path re-fingerprints the entire
+  archive, so the gap scales with archive size. Oracle: the d25
+  derivation with the d19 delta flag and delta-touching candidates.
+
 - m07_multimodal_dup_rates — per-kind near-dup exposure
   (multimodal.neardup_rate_profile): the m-family's q88 — one row
   per modality with item count, pair count, items-in-pairs, and the
@@ -119,10 +133,10 @@ verbatim.
   the three wired pair strings + the fixtures' analytic item counts.
 
 r14 WINDOW ARITHMETIC (forecast; the ledger computes the binding
-list at rotation): 13 bank drafts = 13 rotation slots (t44, s36,
-q106, and s37 joined after the first pricing run) + 1 expected re-cert (q102,
+list at rotation): 14 bank drafts = 14 rotation slots (t44, s36,
+q106, s37, and d29 joined after the first pricing run) + 1 expected re-cert (q102,
 whose cached builder gains metrics_sink at rotation so q103 shares
-the replay — see below); the remaining ~36 slots drain the aging
+the replay — see below); the remaining ~35 slots drain the aging
 ledger (the 11 remaining r9-last-green rows, then the r10 cohort by
 name order). All other r13 post-freeze changes are additive
 operators outside certified paths, and the d25/q102 default-path
@@ -1242,3 +1256,121 @@ def test_nprobe_sweep_is_monotone_and_saturates(spark):
     assert rows[-1]["mean_recall_micro"] == 10000
     assert rows[-1]["n_scored"] == qs.count() * (emb.count() - 1)
     assert rows[0]["n_scored"] < rows[-1]["n_scored"]
+
+
+# --- d29: incremental winnowing overlap from the persisted store --------------------
+
+
+def incremental_winnowing_sql(
+    winnow_sql: str,
+    max_df: int = 1000,
+    min_shared: int = 2,
+) -> str:
+    """The d25 derivation with a delta flag (doc_id % 3 = 0 — the
+    d19/q80 split) and candidates restricted to delta-touching pairs;
+    cap and sizes over the WHOLE fingerprint universe (store ∪ delta
+    == all docs when the store was built from the resident split)."""
+    return f"""
+WITH wf AS ({winnow_sql}),
+lab AS (SELECT doc_id, doc_id % 3 = 0 AS is_delta FROM documents),
+dfp AS (SELECT DISTINCT w.doc_id, fp, is_delta
+        FROM wf w JOIN lab ON lab.doc_id = w.doc_id),
+kept AS (
+  SELECT doc_id, fp, is_delta FROM dfp
+  WHERE fp NOT IN (SELECT fp FROM dfp GROUP BY fp HAVING count(*) > {max_df})),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared,
+         any_value(a.is_delta) AS da, any_value(b.is_delta) AS db
+  FROM kept a JOIN kept b
+    ON a.fp = b.fp AND a.doc_id < b.doc_id AND (a.is_delta OR b.is_delta)
+  GROUP BY 1, 2 HAVING count(*) >= {min_shared})
+SELECT s.doc_a, s.doc_b, s.n_shared::BIGINT AS n_shared,
+       round(s.n_shared / least(sa.n, sb.n), 4) AS overlap,
+       (s.da <> s.db) AS is_cross
+FROM shared s
+JOIN sizes sa ON sa.doc_id = s.doc_a
+JOIN sizes sb ON sb.doc_id = s.doc_b
+"""
+
+
+def test_oracle_draft_incremental_winnowing(spark, ddb, tmp_path):
+    from datacatalog_tag_engine_spark.pipeline.dedup import (
+        build_winnowing_store,
+        incremental_winnowing_overlap,
+    )
+
+    docs = spark.table("documents")
+    resident = docs.filter(F.col("doc_id") % 3 != 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 0)
+    store = str(tmp_path / "wstore")
+    build_winnowing_store(resident, store)
+    got = _rows(incremental_winnowing_overlap(spark, store, delta))
+    want = _sql_rows(ddb, incremental_winnowing_sql(E.oracle_sql()["t43_winnowing"]))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_winnowing_store_identities(spark, tmp_path):
+    """The d23 lifecycle discipline applied to the copy-audit artifact:
+    (a) serving from the store equals the fresh two-sided computation
+    restricted to delta-touching pairs; (b) build(A) + append(B) ==
+    build(A ∪ B) row-for-row; (c) a retried append is a no-op with
+    skip_existing on; (d) parameters are pinned by the meta, and a
+    torn build (no meta) fails loud with a rebuild instruction."""
+    import pytest as _pytest
+
+    from datacatalog_tag_engine_spark.pipeline.dedup import (
+        append_to_winnowing_store,
+        build_winnowing_store,
+        incremental_winnowing_overlap,
+        winnowing_overlap_pairs,
+    )
+
+    docs = spark.table("documents")
+    a = docs.filter(F.col("doc_id") % 3 == 1)
+    b = docs.filter(F.col("doc_id") % 3 == 2)
+    delta = docs.filter(F.col("doc_id") % 3 == 0)
+
+    grown = str(tmp_path / "grown")
+    n1 = build_winnowing_store(a, grown)
+    n2 = append_to_winnowing_store(spark, grown, b)
+    whole = str(tmp_path / "whole")
+    n3 = build_winnowing_store(a.unionByName(b), whole)
+    assert n1 + n2 == n3
+    rows = lambda p: sorted(
+        (r["doc_id"], r["fp"]) for r in spark.read.parquet(p).select("doc_id", "fp").collect()
+    )
+    assert rows(grown) == rows(whole)
+    # retried append: idempotent
+    assert append_to_winnowing_store(spark, grown, b) == 0
+    assert rows(grown) == rows(whole)
+
+    # serving identity: store output == fresh two-sided pairs
+    # restricted to delta-touching (winnowing_overlap_pairs over the
+    # union gives ALL pairs; drop resident x resident)
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_shared"], r["overlap"], r["is_cross"])
+        for r in incremental_winnowing_overlap(spark, grown, delta).collect()
+    }
+    delta_ids = {r["doc_id"] for r in delta.select("doc_id").collect()}
+    fresh = {
+        (r["doc_a"], r["doc_b"]): (r["n_shared"], r["overlap"])
+        for r in winnowing_overlap_pairs(docs).collect()
+        if r["doc_a"] in delta_ids or r["doc_b"] in delta_ids
+    }
+    assert {k: v[:2] for k, v in got.items()} == fresh
+    for (da, db), (_, _, cross) in got.items():
+        assert cross == ((da in delta_ids) != (db in delta_ids))
+
+    # torn build: data written, meta missing -> loud rebuild advice
+    import shutil
+
+    torn = str(tmp_path / "torn")
+    build_winnowing_store(a, torn)
+    from datacatalog_tag_engine_spark.pipeline.dedup import WINNOWSTORE_META_DIR
+
+    shutil.rmtree(f"{torn}/{WINNOWSTORE_META_DIR}")
+    spark.catalog.refreshByPath(torn)
+    with _pytest.raises(ValueError, match="rebuild"):
+        incremental_winnowing_overlap(spark, torn, delta)

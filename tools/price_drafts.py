@@ -83,6 +83,18 @@ def main() -> None:
                 min_matching_frames=3, max_hamming=10), "media_id"),
         ])
 
+    def _d29():
+        from datacatalog_tag_engine_spark.pipeline.dedup import (
+            build_winnowing_store,
+            incremental_winnowing_overlap,
+        )
+
+        d2 = tempfile.mkdtemp(dir=tmp, prefix="d29_")
+        build_winnowing_store(docs.filter(F.col("doc_id") % 3 != 0), f"{d2}/s")
+        return incremental_winnowing_overlap(
+            spark, f"{d2}/s", docs.filter(F.col("doc_id") % 3 == 0)
+        )
+
     cases = {
         # --- r14 bank (built after the r13 window was sized) ---
         # max_df=100: the winnow-ladder knee for this fixture (SCALE.md)
@@ -104,6 +116,7 @@ def main() -> None:
         "q106_copy_audit_profile": lambda: DD.copy_audit_profile(
             docs, max_df=100
         ),
+        "d29_incremental_winnowing": _d29,
         "s37_nprobe_sweep": lambda: SIM.nprobe_recall_sweep(
             emb, emb.filter(F.col("vec_id") < 5), k=5, num_cells=8
         ),
