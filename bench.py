@@ -88,7 +88,7 @@ def _parse_args(argv: list[str]) -> tuple[set[str] | None, str]:
     redirects the JSON record so a targeted re-price can never clobber
     bench_out.json. Defaults preserve the full-record behavior."""
     only: set[str] | None = None
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
+    out_path = None
     it = iter(argv)
     for a in it:
         if a == "--only":
@@ -96,6 +96,16 @@ def _parse_args(argv: list[str]) -> tuple[set[str] | None, str]:
             only |= set(SENTINELS_SF01)
         elif a == "--out":
             out_path = next(it)
+    if out_path is None:
+        # a partial record must never land in the committed full-record
+        # file: --only without --out defaults to an untracked path
+        out_path = (
+            "/tmp/bench_only.json"
+            if only is not None
+            else os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
+            )
+        )
     return only, out_path
 
 

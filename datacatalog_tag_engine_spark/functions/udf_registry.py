@@ -115,6 +115,25 @@ def remote_function_udf(
                         f"replies for {len(calls)} calls"
                     )
                 return pd.Series(replies, index=values.index)
+            except urllib.error.HTTPError as exc:
+                # 4xx is a protocol error, not transport: the reference
+                # Cloud Functions reply 400 with {"errorMessage": ...}
+                # (summarize_users/main.py:88-92) — surface that body
+                # immediately instead of retrying a non-transient fault
+                body = exc.read().decode(errors="replace")
+                if exc.code < 500:
+                    msg = body
+                    try:
+                        msg = json.loads(body).get("errorMessage", body)
+                    except ValueError:
+                        pass
+                    raise RuntimeError(
+                        f"remote function {endpoint} returned HTTP "
+                        f"{exc.code}: {msg}"
+                    ) from exc
+                last_err = exc
+                if attempt < max_retries:
+                    time.sleep(0.2 * (attempt + 1))
             except (urllib.error.URLError, TimeoutError, ConnectionError) as exc:
                 last_err = exc
                 if attempt < max_retries:

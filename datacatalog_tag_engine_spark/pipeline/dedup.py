@@ -2564,13 +2564,12 @@ def winnowing_dedup(
         with_sizes=True,
     )
     # the dropped side of each qualifying pair: smaller fingerprint
-    # count, tie -> larger id (keep the lowest id, the q34 convention)
+    # count, tie -> larger id (keep the lowest id, the q34 convention).
+    # winnowing_overlap_pairs guarantees doc_a < doc_b, so the
+    # otherwise-branch dropping doc_b IS the tie rule — no explicit
+    # equal-count arm needed
     dropped = pairs.select(
-        F.when(
-            (F.col("n_a") < F.col("n_b"))
-            | ((F.col("n_a") == F.col("n_b")) & (F.col("doc_a") > F.col("doc_b"))),
-            F.col("doc_a"),
-        )
+        F.when(F.col("n_a") < F.col("n_b"), F.col("doc_a"))
         .otherwise(F.col("doc_b"))
         .alias(id_col)
     )
@@ -2746,9 +2745,9 @@ def copy_audit_profile(
         min_overlap=min_overlap,
         with_sizes=True,
     )
-    a_drops = (F.col("n_a") < F.col("n_b")) | (
-        (F.col("n_a") == F.col("n_b")) & (F.col("doc_a") > F.col("doc_b"))
-    )
+    # doc_a < doc_b by construction: ties (n_a == n_b) resolve to
+    # dropping doc_b — the larger id — via the otherwise branch
+    a_drops = F.col("n_a") < F.col("n_b")
     edges = pairs.select(
         F.when(a_drops, F.col("doc_a")).otherwise(F.col("doc_b")).alias("_dropped"),
         F.when(a_drops, F.col("doc_b")).otherwise(F.col("doc_a")).alias("_container"),

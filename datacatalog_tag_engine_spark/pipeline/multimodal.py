@@ -557,14 +557,18 @@ def neardup_rate_profile(
     item_union = None
     pair_union = None
     for kind, items, pairs, id_col in parts:
+        # string cast, NOT long: the union only needs a common id type
+        # for counting, and string is lossless for any id — a long cast
+        # would silently NULL non-numeric ids and collapse a whole
+        # modality's items into one distinct value
         iu = items.select(
-            F.lit(kind).alias("kind"), F.col(id_col).cast("long").alias("_id")
+            F.lit(kind).alias("kind"), F.col(id_col).cast("string").alias("_id")
         )
         a_col, b_col = pairs.columns[:2]
         pu = pairs.select(
             F.lit(kind).alias("kind"),
-            F.col(a_col).cast("long").alias("_a"),
-            F.col(b_col).cast("long").alias("_b"),
+            F.col(a_col).cast("string").alias("_a"),
+            F.col(b_col).cast("string").alias("_b"),
         )
         item_union = iu if item_union is None else item_union.unionByName(iu)
         pair_union = pu if pair_union is None else pair_union.unionByName(pu)

@@ -2205,7 +2205,7 @@ def line_language_profile(
     dominant_lang, n_dominant_lines, n_langs, is_mixed) where n_langs
     counts distinct NON-und line labels and is_mixed = (n_langs >= 2)."""
     t = F.coalesce(F.col(text_col), F.lit(""))
-    lines = F.filter(F.split(t, r"\n"), lambda l: F.length(F.trim(l)) > 0)
+    lines_e = F.filter(F.split(t, r"\n"), lambda l: F.length(F.trim(l)) > 0)
 
     def classify(line: Column) -> Column:
         words = F.filter(
@@ -2225,7 +2225,17 @@ def line_language_profile(
             F.when(best_score > 0, best).otherwise(F.lit("und"))
         )
 
-    langs = F.transform(lines, classify)
+    # STAGE _lines and _langs as bound columns: the six label counts
+    # plus the dominant walk each consume the classified array, and the
+    # interpreted HOF path does no CSE — unstaged, every consumer
+    # re-ran the full per-line classification (measured 6x: 7s -> 1s
+    # at sf0.1, the thrice-learned multi-consumer-HOF rule).
+    base = docs.select(id_col, lines_e.alias("_lines"))
+    base = base.select(
+        id_col, "_lines", F.transform(F.col("_lines"), classify).alias("_langs")
+    )
+    lines = F.col("_lines")
+    langs = F.col("_langs")
     labels = ["en", "de", "fr", "es", "zh", "und"]
 
     # closure factory, NOT a default-arg lambda: F.filter reads a
@@ -2250,7 +2260,7 @@ def line_language_profile(
     # all-zero case to 'en' (last >= wins) — route it to 'und' like
     # t03's zero-hits rule
     dom = F.when(F.size(lines) == 0, F.lit("und")).otherwise(dom)
-    return docs.select(
+    return base.select(
         id_col,
         F.size(lines).cast("int").alias("n_lines"),
         dom.alias("dominant_lang"),
@@ -2514,7 +2524,12 @@ def winnowing_fingerprints(
     # re-derived for EVERY window — O(n^2) per document, an effective
     # hang at corpus scale (the t41 lesson). Materializing each
     # intermediate as a real column makes the outer lambda read a bound
-    # row value and the whole op stays O(n * w).
+    # row value and the whole op stays O(n * w). The gram hash is FUSED
+    # into one transform straight off the bound ``_t`` column — each
+    # element is consumed exactly once, so the no-CSE rule is satisfied
+    # without materializing the gram-string array, whose per-window
+    # string churn was the winnowing family's measured ~2x variance
+    # source (6.4s stable vs 10.3-21.3s volatile at sf0.1).
     t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
     staged = docs.select(id_col, t.alias("_t"), F.length(t).alias("_n"))
     staged = staged.select(
@@ -2523,18 +2538,13 @@ def winnowing_fingerprints(
             F.col("_n") >= k,
             F.transform(
                 F.sequence(F.lit(1), F.col("_n") - k + 1),
-                lambda i: F.substring(F.col("_t"), i, k),
+                lambda i: F.conv(
+                    F.substring(F.md5(F.substring(F.col("_t"), i, k)), 1, 8), 16, 10
+                ).cast("long"),
             ),
         )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("_grams"),
-    )
-    staged = staged.select(
-        id_col,
-        F.transform(
-            F.col("_grams"),
-            lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
-        ).alias("_hs"),
+        .otherwise(F.array().cast("array<long>"))
+        .alias("_hs"),
     ).select(id_col, "_hs", F.size("_hs").alias("_m"))
 
     hs = F.col("_hs")
@@ -2565,9 +2575,33 @@ def winnowing_fingerprints(
         )
         .otherwise(F.array().cast("array<struct<pos:int,fp:long>>"))
     )
-    return staged.select(
-        id_col, F.explode(F.array_distinct(picks)).alias("p")
-    ).select(id_col, F.col("p.pos").alias("pos"), F.col("p.fp").alias("fp"))
+    # dedup via an O(n) consecutive-run filter, NOT array_distinct:
+    # a position can only be picked by the consecutive windows that
+    # contain it (an intermediate window picking elsewhere implies a
+    # smaller hash that would also beat it in the later window), so
+    # duplicate picks always form consecutive runs — keep a pick iff
+    # it differs from its predecessor. array_distinct on an array of
+    # structs is an O(n^2) interpreted comparison per doc (measured
+    # 10-14s vs 6.7-7.0s at sf0.1), and a post-explode .distinct()
+    # would add the family's only shuffle; picks is staged as a bound
+    # column first (the no-CSE rule — the filter lambda reads it twice)
+    st = staged.select(id_col, picks.alias("_picks"))
+    # element_at is 1-based and the filter index 0-based, so
+    # element_at(_picks, i) IS the predecessor for i >= 1; the
+    # greatest(i, 1) clamp keeps the index valid at i == 0 (where the
+    # self-compare is false and the i == 0 arm keeps the pick) without
+    # betting on boolean short-circuit order — element_at(_, 0) throws
+    kept = F.filter(
+        F.col("_picks"),
+        lambda p, i: (i == F.lit(0))
+        | (
+            p["pos"]
+            != F.element_at(F.col("_picks"), F.greatest(i, F.lit(1)))["pos"]
+        ),
+    )
+    return st.select(id_col, F.explode(kept).alias("p")).select(
+        id_col, F.col("p.pos").alias("pos"), F.col("p.fp").alias("fp")
+    )
 
 
 def winnowing_parameter_table(
@@ -2618,7 +2652,13 @@ def winnowing_parameter_table(
                 F.lit(round(2 / (w + 1) * 1e6)).cast("long").alias(
                     "expected_density_micro"
                 ),
-                F.round(F.col("n_fingerprints") * 1e6 / F.col("n_grams"))
+                # NULL density when the corpus has zero grams (every
+                # doc shorter than k) — ANSI mode makes an unguarded
+                # /0 a hard error, the t02 lesson
+                F.when(
+                    F.col("n_grams") > 0,
+                    F.round(F.col("n_fingerprints") * 1e6 / F.col("n_grams")),
+                )
                 .cast("long")
                 .alias("measured_density_micro"),
             )

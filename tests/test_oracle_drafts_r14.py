@@ -239,42 +239,7 @@ def _sql_rows(con, sql):
 # --- d27: winnowing contained-copy dedup -----------------------------------------
 
 
-def winnowing_dedup_sql(
-    winnow_sql: str,
-    max_df: int = 1000,
-    min_shared: int = 2,
-    min_overlap: float = 0.8,
-) -> str:
-    """The d25 derivation (sizes post-cap) + the smaller-side drop
-    rule (fewer surviving fingerprints; tie -> larger id) + a left
-    join back to every document."""
-    return f"""
-WITH wf AS ({winnow_sql}),
-dfp AS (SELECT DISTINCT doc_id, fp FROM wf),
-kept AS (
-  SELECT doc_id, fp FROM dfp
-  WHERE fp NOT IN (SELECT fp FROM dfp GROUP BY fp HAVING count(*) > {max_df})),
-sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
-shared AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
-  GROUP BY 1, 2 HAVING count(*) >= {min_shared}),
-scored AS (
-  SELECT s.doc_a, s.doc_b, sa.n AS na, sb.n AS nb
-  FROM shared s
-  JOIN sizes sa ON sa.doc_id = s.doc_a
-  JOIN sizes sb ON sb.doc_id = s.doc_b
-  WHERE round(s.n_shared / least(sa.n, sb.n), 4) >= {min_overlap}),
-drops AS (
-  SELECT CASE WHEN na < nb OR (na = nb AND doc_a > doc_b)
-              THEN doc_a ELSE doc_b END AS doc_id
-  FROM scored),
-cnt AS (SELECT doc_id, count(*) AS n_containers FROM drops GROUP BY doc_id)
-SELECT d.doc_id,
-       cnt.n_containers IS NULL AS keep,
-       coalesce(cnt.n_containers, 0)::BIGINT AS n_containers
-FROM documents d LEFT JOIN cnt ON cnt.doc_id = d.doc_id
-"""
+winnowing_dedup_sql = E.winnowing_dedup_sql  # moved verbatim into __spark_entry__ at the r14 rotation
 
 
 def test_oracle_draft_winnowing_dedup(spark, ddb):
@@ -317,31 +282,7 @@ def test_winnowing_dedup_drops_the_contained_copy(spark):
 # --- d28: winnowing train/test contamination -------------------------------------
 
 
-def winnowing_contamination_sql(
-    winnow_sql: str, max_df: int = 1000, min_shared: int = 2
-) -> str:
-    """The t43 derivation once over ALL docs, the q101/q58 md5 bucket
-    split (bucket 0 -> test), the hot cap over both splits, then the
-    cross-split-only fingerprint join rolled up per train doc."""
-    bucket = "(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10)"
-    return f"""
-WITH wf AS ({winnow_sql}),
-lab AS (SELECT doc_id, {bucket} = 0 AS is_test FROM documents),
-dfp AS (SELECT DISTINCT w.doc_id, fp, is_test
-        FROM wf w JOIN lab ON lab.doc_id = w.doc_id),
-kept AS (
-  SELECT doc_id, fp, is_test FROM dfp
-  WHERE fp NOT IN (SELECT fp FROM dfp GROUP BY fp HAVING count(*) > {max_df})),
-hits AS (
-  SELECT a.doc_id AS train_id, b.doc_id AS test_id, count(*) AS n_shared
-  FROM kept a JOIN kept b ON a.fp = b.fp AND NOT a.is_test AND b.is_test
-  GROUP BY 1, 2 HAVING count(*) >= {min_shared})
-SELECT train_id AS doc_id,
-       count(DISTINCT test_id)::BIGINT AS n_test_docs,
-       max(n_shared)::BIGINT AS n_shared_max,
-       sum(n_shared)::BIGINT AS n_shared_total
-FROM hits GROUP BY train_id
-"""
+winnowing_contamination_sql = E.winnowing_contamination_sql  # moved verbatim into __spark_entry__ at the r14 rotation
 
 
 def test_oracle_draft_winnowing_contamination(spark, ddb):
@@ -386,19 +327,7 @@ def test_winnowing_contamination_finds_the_planted_leak(spark):
 # --- d30: threshold sweep vs exact ground truth -----------------------------------
 
 
-def threshold_sweep_vs_exact_sql(dedup_threshold: float = 0.5) -> str:
-    """d16's estimate-vs-exact surface at threshold 0, rolled up per
-    lattice value with micro-lattice means and the precision columns."""
-    return f"""
-WITH pairs AS ({E.minhash_estimate_vs_exact_sql(0.0)})
-SELECT est_jaccard,
-       count(*)::BIGINT AS n_pairs,
-       round(sum(round(jaccard * 10000)) / count(*))::BIGINT AS mean_exact_micro,
-       round(sum(round(abs_err * 10000)) / count(*))::BIGINT AS mean_abs_err_micro,
-       sum((jaccard >= {dedup_threshold})::INT)::BIGINT AS n_true,
-       round(sum((jaccard >= {dedup_threshold})::INT) / count(*), 4) AS dedup_precision
-FROM pairs GROUP BY est_jaccard
-"""
+threshold_sweep_vs_exact_sql = E.threshold_sweep_vs_exact_sql  # moved verbatim into __spark_entry__ at the r14 rotation
 
 
 def test_oracle_draft_threshold_sweep_vs_exact(spark, ddb):
@@ -429,30 +358,7 @@ def test_threshold_sweep_vs_exact_agrees_with_d24_and_d16(spark):
 # --- s34: IVF-PQ serving recall from the persisted index --------------------------
 
 
-def pq_recall_sql(nprobe: int = 2, k: int = 5) -> str:
-    """The wired s10 ADC chain nested as the approx CTE + the s05
-    exact CTEs + the recall left-join — recall of a genuinely lossy
-    serving path (unlike s33's fresh-index identity)."""
-    return f"""
-WITH approx AS ({E.ivfpq_sql(nprobe, k)}),
-e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
-exact_scored AS (
-  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-         round(list_cosine_similarity(q.v, e.v), 4) AS cosine
-  FROM q JOIN e ON q.vec_id <> e.vec_id),
-exact AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT query_id, neighbor_id,
-           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-    FROM exact_scored) WHERE rank <= {k}),
-hits AS (SELECT query_id, neighbor_id, 1 AS hit FROM approx)
-SELECT exact.query_id,
-       cast(coalesce(sum(hits.hit), 0) AS BIGINT) AS n_matched,
-       round(coalesce(sum(hits.hit), 0)::DOUBLE / count(*), 4) AS recall_at_k
-FROM exact LEFT JOIN hits USING (query_id, neighbor_id)
-GROUP BY exact.query_id
-"""
+pq_recall_sql = E.pq_recall_sql  # moved verbatim into __spark_entry__ at the r14 rotation
 
 
 def test_oracle_draft_pq_recall_from_index(spark, ddb, tmp_path):
@@ -494,20 +400,7 @@ def test_recall_profile_is_the_shared_definition(spark):
 # --- s35: kNN graph rank profile ---------------------------------------------------
 
 
-def knn_rank_profile_sql(k: int = 5, num_cells: int = 8) -> str:
-    """The wired s30 edge derivation + one GROUP BY rank with the
-    micro-lattice cosine mean."""
-    return f"""
-WITH g AS ({E.knn_graph_sql(k, num_cells)})
-SELECT rank,
-       count(*)::BIGINT AS n_edges,
-       round(sum(round(cosine * 10000)) / count(*))::BIGINT AS mean_cosine_micro,
-       min(cosine) AS min_cosine,
-       max(cosine) AS max_cosine,
-       sum(mutual::INT)::BIGINT AS n_mutual,
-       round(sum(mutual::INT) / count(*), 4) AS mutual_frac
-FROM g GROUP BY rank
-"""
+knn_rank_profile_sql = E.knn_rank_profile_sql  # moved verbatim into __spark_entry__ at the r14 rotation
 
 
 def test_oracle_draft_knn_rank_profile(spark, ddb):
@@ -547,74 +440,7 @@ def test_knn_rank_profile_reads_the_graph_exactly(spark):
 # --- q103: sigstore ingest per-batch metrics ---------------------------------------
 
 
-def sigstore_metrics_sql(n_batches: int = 3, threshold: float = 0.5) -> str:
-    """The q102 unrolled per-stage derivation with a METRICS final
-    select: per batch, input size, accepted size, and the two loser
-    evidence counts (cross = near-dup of the store-so-far, within =
-    larger id of a batch-internal pair). Same split rule as q102:
-    residents doc_id % 4 = 0, drop b is doc_id % 4 = b + 1."""
-    sig_exprs = ",\n         ".join(
-        f"min(md5('{j}:' || shingle)) AS sig_{j}" for j in range(8)
-    )
-    band_cases = " ".join(
-        f"WHEN {b} THEN md5(sig_{2*b} || '|' || sig_{2*b+1})" for b in range(4)
-    )
-    agree = " + ".join(f"(sa.sig_{j} = sb.sig_{j})::INT" for j in range(8))
-    stages = []
-    finals = []
-    for b in range(n_batches):
-        g = b + 1
-        stages.append(f"""
-p{b} AS (
-  SELECT DISTINCT least(a.doc_id, b.doc_id) AS da, greatest(a.doc_id, b.doc_id) AS db
-  FROM buckets a JOIN buckets b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id <> b.doc_id
-  WHERE a.grp = {g}
-    AND (b.grp = {g} OR b.doc_id IN (SELECT doc_id FROM store{b}))),
-e{b} AS (
-  SELECT p.da, p.db,
-         p.da IN (SELECT doc_id FROM store{b}) AS a_res,
-         p.db IN (SELECT doc_id FROM store{b}) AS b_res
-  FROM p{b} p
-  JOIN sigs sa ON sa.doc_id = p.da
-  JOIN sigs sb ON sb.doc_id = p.db
-  WHERE round(({agree}) / 8.0, 4) >= {threshold}),
-lose{b} AS (
-  SELECT db AS doc_id FROM e{b} WHERE NOT a_res AND NOT b_res
-  UNION
-  SELECT CASE WHEN a_res THEN db ELSE da END AS doc_id
-  FROM e{b} WHERE a_res <> b_res),
-acc{b} AS (
-  SELECT doc_id FROM sigs WHERE grp = {g}
-    AND doc_id NOT IN (SELECT doc_id FROM lose{b})),
-store{b + 1} AS (
-  SELECT doc_id FROM store{b} UNION ALL SELECT doc_id FROM acc{b})""")
-        finals.append(f"""
-SELECT {b}::INT AS batch,
-       (SELECT count(*) FROM sigs WHERE grp = {g})::BIGINT AS n_in,
-       (SELECT count(*) FROM acc{b})::BIGINT AS n_accepted,
-       (SELECT count(DISTINCT CASE WHEN a_res THEN db ELSE da END)
-        FROM e{b} WHERE a_res <> b_res)::BIGINT AS n_cross_losers,
-       (SELECT count(DISTINCT db)
-        FROM e{b} WHERE NOT a_res AND NOT b_res)::BIGINT AS n_within_losers""")
-    return f"""
-WITH toks AS (SELECT doc_id, (doc_id % 4)::INT AS grp,
-                     regexp_split_to_array(text, '\\s+') w FROM documents),
-sh AS (
-  SELECT DISTINCT doc_id, grp,
-         unnest(CASE WHEN len(w) >= 3
-                THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
-                ELSE [array_to_string(w, ' ')] END) AS shingle
-  FROM toks),
-sigs AS (
-  SELECT doc_id, any_value(grp) AS grp, {sig_exprs}
-  FROM sh GROUP BY doc_id),
-buckets AS (
-  SELECT doc_id, grp, band, CASE band {band_cases} END AS bucket
-  FROM sigs, (SELECT unnest(range(4)) AS band)),
-store0 AS (SELECT doc_id FROM sigs WHERE grp = 0),{",".join(stages)}
-{" UNION ALL ".join(finals)}
-"""
+sigstore_metrics_sql = E.sigstore_metrics_sql  # moved verbatim into __spark_entry__ at the r14 rotation
 
 
 def test_oracle_draft_sigstore_metrics(spark, ddb, tmp_path):
@@ -689,56 +515,7 @@ def test_sigstore_metrics_conserve_the_corpus(spark, tmp_path):
 # --- q104: per-source corpus health dashboard --------------------------------------
 
 
-def corpus_health_sql(t02_sql: str, t16_sql: str) -> str:
-    """Nests the wired t02 (score) and t16 (keep) strings, the t42
-    sequential PII stages at DOC grain, and the t01 token regex; one
-    source-grain rollup with exact-integer ratios and the micro
-    quality mean."""
-    from datacatalog_tag_engine_spark.pipeline.text import PII_PATTERNS
-
-    stages, prev = [], "t"
-    for i, (pat, repl) in enumerate(PII_PATTERNS):
-        name = repl.strip("<>").lower()
-        cur = f"t{i}"
-        carried = (
-            ", " + ", ".join("n_" + r.strip("<>").lower() for _, r in PII_PATTERNS[:i])
-            if i
-            else ""
-        )
-        stages.append(
-            f"s{i} AS (SELECT doc_id, source, "
-            f"len(regexp_extract_all({prev}, '{pat}')) AS n_{name}, "
-            f"regexp_replace({prev}, '{pat}', '{repl}', 'g') AS {cur}"
-            + carried
-            + f" FROM {'base' if i == 0 else 's' + str(i - 1)})"
-        )
-        prev = cur
-    total = " + ".join("n_" + r.strip("<>").lower() for _, r in PII_PATTERNS)
-    last = f"s{len(PII_PATTERNS) - 1}"
-    return f"""
-WITH t02 AS ({t02_sql}),
-t16 AS ({t16_sql}),
-base AS (SELECT doc_id, source, coalesce(text, '') AS t FROM documents),
-{", ".join(stages)},
-pii AS (SELECT doc_id, source, ({total}) AS n_red FROM {last}),
-tok AS (SELECT doc_id,
-               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens
-        FROM documents),
-j AS (
-  SELECT p.source, t16.keep, t02.quality_score, p.n_red, tok.n_tokens
-  FROM pii p
-  JOIN t16 ON t16.doc_id = p.doc_id
-  JOIN t02 ON t02.doc_id = p.doc_id
-  JOIN tok ON tok.doc_id = p.doc_id)
-SELECT source,
-       count(*)::BIGINT AS n_docs,
-       round(sum(keep::INT) / count(*), 4) AS keep_rate,
-       round(sum(round(quality_score * 10000)) / count(*))::BIGINT AS mean_quality_micro,
-       round(sum((n_red > 0)::INT) / count(*), 4) AS pii_doc_frac,
-       round(sum(n_red) / count(*), 4) AS pii_hits_per_doc,
-       round(sum(n_tokens) / count(*), 4) AS mean_tokens
-FROM j GROUP BY source
-"""
+corpus_health_sql = E.corpus_health_sql  # moved verbatim into __spark_entry__ at the r14 rotation
 
 
 def test_oracle_draft_corpus_health(spark, ddb):
@@ -792,28 +569,7 @@ def test_corpus_health_columns_recompute_from_their_operators(spark):
 # --- q105: curriculum token budget ---------------------------------------------------
 
 
-def curriculum_token_budget_sql(t02_sql: str, n_stages: int = 10) -> str:
-    """The wired t02 string + q90's exact ntile staging + the t01
-    token regex, rolled up per stage with the cumulative window."""
-    return f"""
-WITH q AS ({t02_sql}),
-st AS (SELECT doc_id,
-              ntile({n_stages}) OVER (ORDER BY quality_score DESC, doc_id) AS stage
-       FROM q),
-tok AS (SELECT doc_id,
-               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens
-        FROM documents),
-per AS (
-  SELECT stage, count(*) AS n_docs, sum(n_tokens) AS n_tokens
-  FROM st JOIN tok USING (doc_id) GROUP BY stage)
-SELECT stage::INT AS stage,
-       n_docs::BIGINT AS n_docs,
-       n_tokens::BIGINT AS n_tokens,
-       sum(n_tokens) OVER (ORDER BY stage
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens,
-       round(n_tokens / sum(n_tokens) OVER (), 6) AS token_frac
-FROM per
-"""
+curriculum_token_budget_sql = E.curriculum_token_budget_sql  # moved verbatim into __spark_entry__ at the r14 rotation
 
 
 def test_oracle_draft_curriculum_token_budget(spark, ddb):
@@ -848,33 +604,7 @@ def test_curriculum_token_budget_accounts_every_token(spark):
 # --- m07: per-kind multimodal near-dup exposure --------------------------------------
 
 
-def neardup_rate_sql(m02_sql: str, m03_sql: str, m04_sql: str) -> str:
-    """Nests the three wired pair strings; item counts are the
-    fixtures' analytic sizes (6x3 image, 6x3 audio, 4x3 video — the
-    same parameter-fixed corpora the m02-m04 oracles replay)."""
-    return f"""
-WITH p2 AS ({m02_sql}),
-p3 AS ({m03_sql}),
-p4 AS ({m04_sql}),
-items AS (
-  SELECT 'image' AS kind, 18 AS n_items
-  UNION ALL SELECT 'audio', 18
-  UNION ALL SELECT 'video', 12),
-pairs AS (
-  SELECT 'image' AS kind, id_a, id_b FROM p2
-  UNION ALL SELECT 'audio', id_a, id_b FROM p3
-  UNION ALL SELECT 'video', id_a, id_b FROM p4),
-np AS (SELECT kind, count(*) AS n_dup_pairs FROM pairs GROUP BY kind),
-ip AS (SELECT kind, count(*) AS n_items_in_pairs FROM (
-         SELECT kind, id_a AS id FROM pairs
-         UNION SELECT kind, id_b FROM pairs) GROUP BY kind)
-SELECT i.kind,
-       i.n_items::BIGINT AS n_items,
-       coalesce(np.n_dup_pairs, 0)::BIGINT AS n_dup_pairs,
-       coalesce(ip.n_items_in_pairs, 0)::BIGINT AS n_items_in_pairs,
-       round(coalesce(ip.n_items_in_pairs, 0) / i.n_items, 4) AS dup_item_rate
-FROM items i LEFT JOIN np ON np.kind = i.kind LEFT JOIN ip ON ip.kind = i.kind
-"""
+neardup_rate_sql = E.neardup_rate_sql  # moved verbatim into __spark_entry__ at the r14 rotation
 
 
 def _m07_parts(spark):
@@ -945,25 +675,7 @@ def test_neardup_rate_profile_counts_the_planted_groups(spark):
 # --- t44: winnowing (k, w) parameter table -----------------------------------------
 
 
-def winnowing_parameter_table_sql(params=((8, 4), (8, 8), (12, 4), (12, 8))) -> str:
-    """One winnowing derivation per (k, w) — E.winnowing_sql is
-    already parameterized — plus the gram-count aggregate and the
-    micro-lattice densities."""
-    parts = []
-    for i, (k, w) in enumerate(params):
-        parts.append(f"""
-SELECT {k}::INT AS k, {w}::INT AS w, {w + k - 1}::INT AS guarantee_len,
-       g{i}.n_grams::BIGINT AS n_grams,
-       f{i}.c::BIGINT AS n_fingerprints,
-       {round(2 / (w + 1) * 1e6)}::BIGINT AS expected_density_micro,
-       round(f{i}.c * 1e6 / g{i}.n_grams)::BIGINT AS measured_density_micro
-FROM (SELECT count(*) AS c FROM ({E.winnowing_sql(k, w)})) f{i}
-CROSS JOIN (
-  SELECT coalesce(sum(CASE WHEN length(coalesce(text, '')) >= {k}
-                           THEN length(coalesce(text, '')) - {k} + 1
-                           ELSE 0 END), 0) AS n_grams
-  FROM documents) g{i}""")
-    return " UNION ALL ".join(parts)
+winnowing_parameter_table_sql = E.winnowing_parameter_table_sql  # moved verbatim into __spark_entry__ at the r14 rotation
 
 
 def test_oracle_draft_winnowing_parameter_table(spark, ddb):
@@ -999,42 +711,7 @@ def test_winnowing_parameter_table_prices_the_tradeoff(spark):
 # --- s36: per-rank cosine regret of the ADC serving path ---------------------------
 
 
-def topk_regret_sql(nprobe: int = 2, k: int = 5) -> str:
-    """The wired s10 ADC chain as the approx CTE, re-scored with true
-    cosines against the corpus vectors, joined to the exact per-rank
-    cosines, rolled up per rank on the 1e4 micro lattice."""
-    return f"""
-WITH approx AS ({E.ivfpq_sql(nprobe, k)}),
-e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
-exact_scored AS (
-  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-         round(list_cosine_similarity(q.v, e.v), 4) AS cosine
-  FROM q JOIN e ON q.vec_id <> e.vec_id),
-exact AS (
-  SELECT query_id, rank, cosine FROM (
-    SELECT query_id, cosine,
-           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-    FROM exact_scored) WHERE rank <= {k}),
-at AS (
-  SELECT a.query_id, a.rank,
-         round(list_cosine_similarity(qe.v, ne.v), 4) AS ac
-  FROM approx a
-  JOIN e qe ON qe.vec_id = a.query_id
-  JOIN e ne ON ne.vec_id = a.neighbor_id),
-j AS (
-  SELECT ex.rank,
-         round(ex.cosine * 10000) AS ecm,
-         round(at.ac * 10000) AS acm
-  FROM exact ex JOIN at ON at.query_id = ex.query_id AND at.rank = ex.rank)
-SELECT rank,
-       count(*)::BIGINT AS n_queries,
-       round(sum(ecm) / count(*))::BIGINT AS mean_exact_cosine_micro,
-       round(sum(acm) / count(*))::BIGINT AS mean_approx_cosine_micro,
-       round(sum(ecm - acm) / count(*))::BIGINT AS mean_regret_micro,
-       max(ecm - acm)::BIGINT AS max_regret_micro
-FROM j GROUP BY rank
-"""
+topk_regret_sql = E.topk_regret_sql  # moved verbatim into __spark_entry__ at the r14 rotation
 
 
 def test_oracle_draft_topk_regret(spark, ddb, tmp_path):
@@ -1077,58 +754,7 @@ def test_topk_regret_semantics(spark):
 # --- q106: per-source copy-audit rollup --------------------------------------------
 
 
-def copy_audit_profile_sql(
-    winnow_sql: str,
-    max_df: int = 100,
-    min_shared: int = 2,
-    min_overlap: float = 0.8,
-) -> str:
-    """The d27 derivation kept at PAIR grain (dropped + container
-    sides), attributed to sources, per-dropped cross-source flag,
-    source-grain rollup against every document."""
-    return f"""
-WITH wf AS ({winnow_sql}),
-dfp AS (SELECT DISTINCT doc_id, fp FROM wf),
-kept AS (
-  SELECT doc_id, fp FROM dfp
-  WHERE fp NOT IN (SELECT fp FROM dfp GROUP BY fp HAVING count(*) > {max_df})),
-sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
-shared AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
-  GROUP BY 1, 2 HAVING count(*) >= {min_shared}),
-scored AS (
-  SELECT s.doc_a, s.doc_b, sa.n AS na, sb.n AS nb
-  FROM shared s
-  JOIN sizes sa ON sa.doc_id = s.doc_a
-  JOIN sizes sb ON sb.doc_id = s.doc_b
-  WHERE round(s.n_shared / least(sa.n, sb.n), 4) >= {min_overlap}),
-edges AS (
-  SELECT CASE WHEN na < nb OR (na = nb AND doc_a > doc_b)
-              THEN doc_a ELSE doc_b END AS dropped,
-         CASE WHEN na < nb OR (na = nb AND doc_a > doc_b)
-              THEN doc_b ELSE doc_a END AS container
-  FROM scored),
-attributed AS (
-  SELECT e.dropped, dd.source AS dsrc, dc.source AS csrc
-  FROM edges e
-  JOIN documents dd ON dd.doc_id = e.dropped
-  JOIN documents dc ON dc.doc_id = e.container),
-per_dropped AS (
-  SELECT dropped, any_value(dsrc) AS dsrc,
-         max((dsrc <> csrc)::INT) AS x
-  FROM attributed GROUP BY dropped),
-dps AS (
-  SELECT dsrc AS source, count(*) AS n_dropped, sum(x) AS n_x
-  FROM per_dropped GROUP BY dsrc),
-tot AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
-SELECT t.source,
-       t.n_docs::BIGINT AS n_docs,
-       coalesce(d.n_dropped, 0)::BIGINT AS n_dropped,
-       round(coalesce(d.n_dropped, 0) / t.n_docs, 4) AS drop_frac,
-       coalesce(d.n_x, 0)::BIGINT AS n_dropped_by_other_source
-FROM tot t LEFT JOIN dps d ON d.source = t.source
-"""
+copy_audit_profile_sql = E.copy_audit_profile_sql  # moved verbatim into __spark_entry__ at the r14 rotation
 
 
 def test_oracle_draft_copy_audit_profile(spark, ddb):
@@ -1173,57 +799,7 @@ def test_copy_audit_profile_attributes_the_scrape(spark):
 # --- s37: recall-vs-work nprobe sweep ----------------------------------------------
 
 
-def nprobe_sweep_sql(k: int = 5, num_cells: int = 8) -> str:
-    """Shared s03/s04 cell CTEs + the exact top-k, then one probe /
-    scored / per-query-recall block per candidate nprobe, unioned to
-    the (nprobe, n_queries, mean_recall_micro, n_scored) table —
-    n_scored counts the scored CTE directly (the Spark side counts it
-    analytically from cell sizes minus self-hits; same number)."""
-    blocks, finals = [], []
-    for p in range(1, num_cells + 1):
-        blocks.append(f"""
-qp{p} AS (SELECT vec_id, v, cell FROM ranked WHERE rn <= {p} AND vec_id < 5),
-sc{p} AS (
-  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
-         round(list_cosine_similarity(q.v, a.v), 4) AS cosine
-  FROM qp{p} q JOIN assign a ON q.cell = a.cell AND q.vec_id <> a.vec_id),
-tp{p} AS (
-  SELECT query_id, neighbor_id, 1 AS hit FROM (
-    SELECT query_id, neighbor_id,
-           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-    FROM sc{p}) WHERE rank <= {k}),
-rc{p} AS (
-  SELECT exact.query_id,
-         round(coalesce(sum(tp{p}.hit), 0)::DOUBLE / count(*), 4) AS recall
-  FROM exact LEFT JOIN tp{p} USING (query_id, neighbor_id)
-  GROUP BY exact.query_id)""")
-        finals.append(f"""
-SELECT {p}::INT AS nprobe,
-       count(*)::BIGINT AS n_queries,
-       round(sum(round(recall * 10000)) / count(*))::BIGINT AS mean_recall_micro,
-       (SELECT count(*) FROM sc{p})::BIGINT AS n_scored
-FROM rc{p}""")
-    return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cents AS (SELECT vec_id AS cell, v AS cent_v FROM e ORDER BY vec_id LIMIT {num_cells}),
-ranked AS (
-  SELECT e.vec_id, e.v, c.cell,
-         row_number() OVER (PARTITION BY e.vec_id
-                            ORDER BY round(list_cosine_similarity(e.v, c.cent_v), 6) DESC, c.cell) AS rn
-  FROM e CROSS JOIN cents c),
-assign AS (SELECT vec_id, v, cell FROM ranked WHERE rn = 1),
-q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
-exact_scored AS (
-  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-         round(list_cosine_similarity(q.v, e.v), 4) AS cosine
-  FROM q JOIN e ON q.vec_id <> e.vec_id),
-exact AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT query_id, neighbor_id,
-           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-    FROM exact_scored) WHERE rank <= {k}),{",".join(blocks)}
-{" UNION ALL ".join(finals)}
-"""
+nprobe_sweep_sql = E.nprobe_sweep_sql  # moved verbatim into __spark_entry__ at the r14 rotation
 
 
 def test_oracle_draft_nprobe_sweep(spark, ddb):
@@ -1261,37 +837,7 @@ def test_nprobe_sweep_is_monotone_and_saturates(spark):
 # --- d29: incremental winnowing overlap from the persisted store --------------------
 
 
-def incremental_winnowing_sql(
-    winnow_sql: str,
-    max_df: int = 1000,
-    min_shared: int = 2,
-) -> str:
-    """The d25 derivation with a delta flag (doc_id % 3 = 0 — the
-    d19/q80 split) and candidates restricted to delta-touching pairs;
-    cap and sizes over the WHOLE fingerprint universe (store ∪ delta
-    == all docs when the store was built from the resident split)."""
-    return f"""
-WITH wf AS ({winnow_sql}),
-lab AS (SELECT doc_id, doc_id % 3 = 0 AS is_delta FROM documents),
-dfp AS (SELECT DISTINCT w.doc_id, fp, is_delta
-        FROM wf w JOIN lab ON lab.doc_id = w.doc_id),
-kept AS (
-  SELECT doc_id, fp, is_delta FROM dfp
-  WHERE fp NOT IN (SELECT fp FROM dfp GROUP BY fp HAVING count(*) > {max_df})),
-sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
-shared AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared,
-         any_value(a.is_delta) AS da, any_value(b.is_delta) AS db
-  FROM kept a JOIN kept b
-    ON a.fp = b.fp AND a.doc_id < b.doc_id AND (a.is_delta OR b.is_delta)
-  GROUP BY 1, 2 HAVING count(*) >= {min_shared})
-SELECT s.doc_a, s.doc_b, s.n_shared::BIGINT AS n_shared,
-       round(s.n_shared / least(sa.n, sb.n), 4) AS overlap,
-       (s.da <> s.db) AS is_cross
-FROM shared s
-JOIN sizes sa ON sa.doc_id = s.doc_a
-JOIN sizes sb ON sb.doc_id = s.doc_b
-"""
+incremental_winnowing_sql = E.incremental_winnowing_sql  # moved verbatim into __spark_entry__ at the r14 rotation
 
 
 def test_oracle_draft_incremental_winnowing(spark, ddb, tmp_path):

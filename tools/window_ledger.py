@@ -1,5 +1,5 @@
 """Print the rounds-since-green aging ledger — the SAME computation
-tests/test_r13_rotation_wiring.py asserts at rotation time — so the
+tests/test_r14_rotation_wiring.py asserts at rotation time — so the
 SCALE.md window-honesty note is generated, not hand-maintained (the
 r9 verdict's ask #7: at 166 queries and a 50-slot window a hand
 -written note eventually drifts). The ledger is capped at rounds
@@ -19,7 +19,7 @@ from collections import Counter
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as E
-from tests.test_r13_rotation_wiring import ROWS_ONLY, ledger
+from tests.test_r14_rotation_wiring import ROWS_ONLY, ledger
 
 
 def main() -> None:
