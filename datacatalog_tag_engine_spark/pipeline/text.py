@@ -708,6 +708,15 @@ GOPHER_FEATURE_COLUMNS = (
     "dup_word_frac", "top_bigram_frac", "fail_reasons", "keep",
 )
 
+# intermediate staging columns (dropped before return) — passthrough
+# inputs must not collide with these either
+_GOPHER_STAGE_COLUMNS = (
+    "_g_words", "_g_wlc", "_g_lines", "_g_bigrams", "_g_nsym",
+    "_f_n_words", "_f_mean_word_len", "_f_symbol_word_ratio",
+    "_f_bullet_line_frac", "_f_ellipsis_line_frac", "_f_alpha_word_frac",
+    "_f_stop_hits", "_f_dup_word_frac", "_f_top_bigram_frac", "_f_fail",
+)
+
 
 def gopher_filter(
     docs: DataFrame,
@@ -760,11 +769,51 @@ def gopher_filter(
     # docs and the filter must classify both identically (keep=false via
     # word_count), never crash
     t = F.coalesce(F.col(text_col), F.lit(""))
+    if passthrough:
+        clash = (set(docs.columns) - {id_col}) & set(GOPHER_FEATURE_COLUMNS)
+        if clash:
+            # a duplicate name would make every later by-name reference
+            # AMBIGUOUS_REFERENCE — fail loudly at plan time instead
+            raise ValueError(
+                f"passthrough input columns collide with gopher feature "
+                f"names: {sorted(clash)} — rename or drop them first"
+            )
+        stage_clash = set(docs.columns) & set(_GOPHER_STAGE_COLUMNS)
+        if stage_clash:
+            raise ValueError(
+                f"passthrough input columns collide with gopher staging "
+                f"names: {sorted(stage_clash)} — rename or drop them first"
+            )
+    lead = [F.col("*")] if passthrough else [F.col(id_col)]
+    # STAGE the derived arrays, then the raw scalar features, as bound
+    # columns (the multi-consumer-HOF rule, tools/hof_lint.py): the
+    # nine rules + the rounded output consume every feature at least
+    # twice, and each feature re-derives its source array on the
+    # no-CSE interpreted HOF path — unstaged, the words split alone
+    # re-ran ~20x per doc across the feature/rule/output consumers.
     # empty tokens (leading/trailing whitespace artifacts of split) are
     # NOT words — counting them inflates n_words and deflates every
-    # per-word fraction against the paper's thresholds
-    words = F.filter(F.split(t, r"\s+"), lambda w: F.length(w) > 0)
-    words_lc = F.filter(F.split(F.lower(t), r"\s+"), lambda w: F.length(w) > 0)
+    # per-word fraction against the paper's thresholds.
+    # blank lines are layout, not content — they must not dilute the
+    # bullet/ellipsis fractions
+    staged = docs.select(
+        *lead,
+        F.filter(F.split(t, r"\s+"), lambda w: F.length(w) > 0).alias("_g_words"),
+        F.filter(F.split(F.lower(t), r"\s+"), lambda w: F.length(w) > 0).alias(
+            "_g_wlc"
+        ),
+        F.filter(F.split(t, r"\n"), lambda l: F.length(F.trim(l)) > 0).alias(
+            "_g_lines"
+        ),
+        # the symbol count is the one feature input that needs the RAW
+        # text (not an array) — counted here because the staging select
+        # is the last projection that still sees the text column
+        # ('…' IS an ellipsis here exactly as in the ellipsis_lines rule)
+        F.size(F.regexp_extract_all(t, F.lit(r"#|\.\.\.|…"), 0)).alias("_g_nsym"),
+    )
+    staged = staged.withColumn("_g_bigrams", word_ngrams(F.col("_g_wlc"), 2))
+    words = F.col("_g_words")
+    words_lc = F.col("_g_wlc")
     n_words = F.size(words)
     # every per-word / per-line fraction NULL-guards its denominator:
     # ANSI mode (the session default) aborts the whole job on x/0, and
@@ -779,18 +828,14 @@ def gopher_filter(
     )
     n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
     alpha_word_frac = F.when(n_words > 0, n_alpha_words / n_words)
-    # '…' IS an ellipsis here exactly as in the ellipsis_lines rule
-    n_symbols = F.size(F.regexp_extract_all(t, F.lit(r"#|\.\.\.|…"), 0))
-    symbol_word_ratio = F.when(n_words > 0, n_symbols / n_words)
+    symbol_word_ratio = F.when(n_words > 0, F.col("_g_nsym") / n_words)
     stop_hits = F.size(
         F.filter(
             F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
             lambda s: F.array_contains(words_lc, s),
         )
     )
-    # blank lines are layout, not content — they must not dilute the
-    # bullet/ellipsis fractions
-    lines = F.filter(F.split(t, r"\n"), lambda l: F.length(F.trim(l)) > 0)
+    lines = F.col("_g_lines")
     n_lines = F.size(lines)
     bullet_line_frac = F.when(
         n_lines > 0,
@@ -803,51 +848,71 @@ def gopher_filter(
     dup_word_frac = F.when(
         n_words > 0, F.lit(1.0) - F.size(F.array_distinct(words_lc)) / n_words
     )
-    bigrams = word_ngrams(words_lc, 2)
+    bigrams = F.col("_g_bigrams")
     top_bigram_frac = F.when(
         n_words >= 2, _max_run_expr(F.array_sort(bigrams)) / F.size(bigrams)
     )  # else NULL: not measurable
 
-    rules = [
-        ("word_count", (n_words < min_words) | (n_words > max_words)),
-        ("mean_word_len",
-         (mean_word_len < min_mean_word_len) | (mean_word_len > max_mean_word_len)),
-        ("symbol_ratio", symbol_word_ratio > max_symbol_word_ratio),
-        ("bullet_lines", bullet_line_frac > max_bullet_line_frac),
-        ("ellipsis_lines", ellipsis_line_frac > max_ellipsis_line_frac),
-        ("alpha_words", alpha_word_frac < min_alpha_word_frac),
-        ("stopword_hits", stop_hits < min_stopword_hits),
-        ("dup_words", (n_words >= 2) & (dup_word_frac > max_dup_word_frac)),
-        ("top_bigram",
-         (n_words >= 2) & (top_bigram_frac > max_top_bigram_frac)),
-    ]
-    fail_reasons = F.array_sort(
-        F.filter(
-            F.array(*[F.when(cond, F.lit(name)) for name, cond in rules]),
-            lambda x: x.isNotNull(),
-        )
+    # second staging level: each RAW (unrounded) feature is computed
+    # exactly once; the rule predicates and the rounded output both
+    # read the bound scalar
+    feat = staged.select(
+        F.col("*"),
+        n_words.alias("_f_n_words"),
+        mean_word_len.alias("_f_mean_word_len"),
+        symbol_word_ratio.alias("_f_symbol_word_ratio"),
+        bullet_line_frac.alias("_f_bullet_line_frac"),
+        ellipsis_line_frac.alias("_f_ellipsis_line_frac"),
+        alpha_word_frac.alias("_f_alpha_word_frac"),
+        stop_hits.alias("_f_stop_hits"),
+        dup_word_frac.alias("_f_dup_word_frac"),
+        top_bigram_frac.alias("_f_top_bigram_frac"),
     )
-    if passthrough:
-        clash = (set(docs.columns) - {id_col}) & set(GOPHER_FEATURE_COLUMNS)
-        if clash:
-            # a duplicate name would make every later by-name reference
-            # AMBIGUOUS_REFERENCE — fail loudly at plan time instead
-            raise ValueError(
-                f"passthrough input columns collide with gopher feature "
-                f"names: {sorted(clash)} — rename or drop them first"
+    fn_words = F.col("_f_n_words")
+    fmean = F.col("_f_mean_word_len")
+    fsym = F.col("_f_symbol_word_ratio")
+    fbul = F.col("_f_bullet_line_frac")
+    fell = F.col("_f_ellipsis_line_frac")
+    falpha = F.col("_f_alpha_word_frac")
+    fstop = F.col("_f_stop_hits")
+    fdup = F.col("_f_dup_word_frac")
+    fbig = F.col("_f_top_bigram_frac")
+
+    rules = [
+        ("word_count", (fn_words < min_words) | (fn_words > max_words)),
+        ("mean_word_len",
+         (fmean < min_mean_word_len) | (fmean > max_mean_word_len)),
+        ("symbol_ratio", fsym > max_symbol_word_ratio),
+        ("bullet_lines", fbul > max_bullet_line_frac),
+        ("ellipsis_lines", fell > max_ellipsis_line_frac),
+        ("alpha_words", falpha < min_alpha_word_frac),
+        ("stopword_hits", fstop < min_stopword_hits),
+        ("dup_words", (fn_words >= 2) & (fdup > max_dup_word_frac)),
+        ("top_bigram", (fn_words >= 2) & (fbig > max_top_bigram_frac)),
+    ]
+    # fail_reasons feeds two outputs (the list and keep) — staged too
+    feat = feat.select(
+        F.col("*"),
+        F.array_sort(
+            F.filter(
+                F.array(*[F.when(cond, F.lit(name)) for name, cond in rules]),
+                lambda x: x.isNotNull(),
             )
-    lead = [F.col("*")] if passthrough else [F.col(id_col)]
-    out = docs.select(
-        *lead,
-        n_words.alias("n_words"),
-        F.round(mean_word_len, 4).alias("mean_word_len"),
-        F.round(symbol_word_ratio, 4).alias("symbol_word_ratio"),
-        F.round(bullet_line_frac, 4).alias("bullet_line_frac"),
-        F.round(ellipsis_line_frac, 4).alias("ellipsis_line_frac"),
-        F.round(alpha_word_frac, 4).alias("alpha_word_frac"),
-        stop_hits.alias("stopword_hits"),
-        F.round(dup_word_frac, 4).alias("dup_word_frac"),
-        F.round(top_bigram_frac, 4).alias("top_bigram_frac"),
+        ).alias("_f_fail"),
+    )
+    fail_reasons = F.col("_f_fail")
+    orig = docs.columns if passthrough else [id_col]
+    out = feat.select(
+        *orig,
+        fn_words.alias("n_words"),
+        F.round(fmean, 4).alias("mean_word_len"),
+        F.round(fsym, 4).alias("symbol_word_ratio"),
+        F.round(fbul, 4).alias("bullet_line_frac"),
+        F.round(fell, 4).alias("ellipsis_line_frac"),
+        F.round(falpha, 4).alias("alpha_word_frac"),
+        fstop.alias("stopword_hits"),
+        F.round(fdup, 4).alias("dup_word_frac"),
+        F.round(fbig, 4).alias("top_bigram_frac"),
         fail_reasons.alias("fail_reasons"),
         (F.size(fail_reasons) == 0).alias("keep"),
     )
