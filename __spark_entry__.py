@@ -5505,13 +5505,15 @@ SELECT source, pii_type,
 FROM u GROUP BY source, pii_type
 """
 
-def winnowing_sql(k: int = 8, w: int = 4) -> str:
+def winnowing_sql(k: int = 8, w: int = 4, src: str = "documents") -> str:
     """The winnowing selection replayed with DuckDB list functions:
     same gram hash (first 8 md5 hex digits as integer — the q58 rule),
     same rightmost-min window pick, same short-document degenerate
-    case, distinct selections."""
+    case, distinct selections. ``src`` parameterizes the corpus
+    relation (default keeps every wired string byte-identical); the
+    r15 funnel runs the chain on a survivor CTE."""
     return f"""
-WITH d AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents),
+WITH d AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM {src}),
 g AS (SELECT doc_id,
              CASE WHEN length(t) >= {k}
                   THEN list_transform(range(1, length(t) - {k} + 2),
@@ -6194,6 +6196,49 @@ JOIN sizes sb ON sb.doc_id = s.doc_b
 """
 
 
+def cluster_chain_sql(src: str) -> str:
+    """Transitive closure over the oracle-replayed minhash pairs for
+    ``src``(doc_id, text): CTEs through `clusters` (cluster_id = min
+    reachable doc_id, singletons = self). ONE copy of the chain —
+    q34/q48 run it on documents, q59 on the cleaned corpus, and the
+    r15 dedup-funnel oracle on each stage's survivors. Callers open
+    the statement with WITH RECURSIVE."""
+    sig_exprs = ",\n         ".join(
+        f"min(md5('{j}:' || shingle)) AS sig_{j}" for j in range(8)
+    )
+    band_cases = " ".join(
+        f"WHEN {b} THEN md5(sig_{2*b} || '|' || sig_{2*b+1})" for b in range(4)
+    )
+    return f"""{_shingle_cte(src)},
+sigs AS (
+  SELECT doc_id, {sig_exprs}
+  FROM sh GROUP BY doc_id),
+buckets AS (
+  SELECT doc_id, band, CASE band {band_cases} END AS bucket
+  FROM sigs, (SELECT unnest(range(4)) AS band)),
+cands AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT c.da, c.db
+  FROM cands c
+  JOIN inter ON inter.da = c.da AND inter.db = c.db
+  JOIN sizes sa ON sa.doc_id = c.da
+  JOIN sizes sb ON sb.doc_id = c.db
+  WHERE round(i / (sa.n + sb.n - i), 4) >= 0.5),
+edges AS (SELECT da AS src, db AS dst FROM pairs UNION SELECT db, da FROM pairs),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM {src}
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+clusters AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)"""
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
@@ -6451,37 +6496,10 @@ WHERE round(i / (sa.n + sb.n - i), 4) >= 0.5
 
     # clusters: transitive closure over the (oracle-replayed) minhash
     # pairs; cluster_id = min reachable doc_id, singletons = self.
-    # Parameterized on the source relation so q34/q48 (raw documents)
-    # and q59 (the cleaned corpus) share one derivation.
-    def _cluster_chain(src: str) -> str:
-        return f"""{_shingle_cte(src)},
-sigs AS (
-  SELECT doc_id, {sig_exprs}
-  FROM sh GROUP BY doc_id),
-buckets AS (
-  SELECT doc_id, band, CASE band {band_cases} END AS bucket
-  FROM sigs, (SELECT unnest(range(4)) AS band)),
-cands AS (
-  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-inter AS (
-  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-pairs AS (
-  SELECT c.da, c.db
-  FROM cands c
-  JOIN inter ON inter.da = c.da AND inter.db = c.db
-  JOIN sizes sa ON sa.doc_id = c.da
-  JOIN sizes sb ON sb.doc_id = c.db
-  WHERE round(i / (sa.n + sb.n - i), 4) >= 0.5),
-edges AS (SELECT da AS src, db AS dst FROM pairs UNION SELECT db, da FROM pairs),
-reach(src, dst) AS (
-  SELECT doc_id, doc_id FROM {src}
-  UNION
-  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-clusters AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)"""
+    # Parameterized on the source relation so q34/q48 (raw documents),
+    # q59 (the cleaned corpus), and the r15 funnel share one
+    # derivation (module-level cluster_chain_sql since the r15 bank).
+    _cluster_chain = cluster_chain_sql
 
     _cluster_cte = f"""
 WITH RECURSIVE {_cluster_chain("documents")}"""

@@ -2968,3 +2968,180 @@ def incremental_winnowing_overlap(
     if min_overlap is not None:
         out = out.filter(F.col("overlap") >= min_overlap)
     return out
+
+
+def winnowing_overlap_verify(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int | None = None,
+    max_df: int | None = 1000,
+    min_shared: int = 2,
+    min_overlap: float = 0.8,
+) -> DataFrame:
+    """Certification surface for the winnowing copy-detection path —
+    the d16 discipline applied to d25: every qualifying winnowing pair
+    carries BOTH its fingerprint-sample overlap (what d25/d27 decide
+    on: ~2/(w+1) of the grams, df-capped) and the EXACT distinct-gram
+    containment of the same pair, plus the absolute error. Winnowing
+    GUARANTEES detection (any shared run >= w + k - 1 chars shares a
+    fingerprint) but the overlap RATIO is a sample statistic — this
+    table is the evidence the sampled ratio tracks the true one
+    closely enough to rank drop decisions on, run at certification
+    scale exactly like d16/d30.
+
+    The exact side re-derives gram HASHES (the same md5 rule — no
+    selection, no df cap) for PAIR MEMBERS ONLY: pair membership is
+    orders of magnitude below the corpus, so the exact verify is
+    bounded by the audit's own output, never a second corpus pass.
+    Returns (doc_a, doc_b, n_shared, overlap, n_shared_exact,
+    overlap_exact, abs_err) rounded 4."""
+    from .text import winnowing_fingerprints, WINNOW_K
+
+    k = WINNOW_K if k is None else k
+    pairs = winnowing_overlap_pairs(
+        docs,
+        id_col,
+        text_col,
+        max_df=max_df,
+        min_shared=min_shared,
+        min_overlap=min_overlap,
+    ).localCheckpoint(eager=True)
+    member_ids = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    members = docs.join(F.broadcast(member_ids), id_col, "left_semi")
+    # full distinct gram hashes (winnowing's hash WITHOUT the window
+    # selection): explode the fused hash transform, distinct per doc
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    hs = F.when(
+        F.length(t) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - k + 1),
+            lambda i: F.conv(
+                F.substring(F.md5(F.substring(t, i, k)), 1, 8), 16, 10
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    grams = (
+        members.select(F.col(id_col), F.explode(hs).alias("gh")).distinct()
+    )
+    gsizes = grams.groupBy(id_col).agg(F.count("*").alias("gn"))
+    a = grams.select(F.col(id_col).alias("doc_a"), "gh")
+    b = grams.select(F.col(id_col).alias("doc_b"), "gh")
+    exact = (
+        a.join(b, "gh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("_i"))
+    )
+    return (
+        pairs.join(exact, ["doc_a", "doc_b"], "left")
+        .join(
+            gsizes.select(F.col(id_col).alias("doc_a"), F.col("gn").alias("_ga")),
+            "doc_a",
+        )
+        .join(
+            gsizes.select(F.col(id_col).alias("doc_b"), F.col("gn").alias("_gb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "overlap",
+            F.coalesce(F.col("_i"), F.lit(0)).cast("long").alias("n_shared_exact"),
+            F.round(
+                F.coalesce(F.col("_i"), F.lit(0))
+                / F.least(F.col("_ga"), F.col("_gb")),
+                4,
+            ).alias("overlap_exact"),
+            F.round(
+                F.abs(
+                    F.col("overlap")
+                    - F.coalesce(F.col("_i"), F.lit(0))
+                    / F.least(F.col("_ga"), F.col("_gb"))
+                ),
+                4,
+            ).alias("abs_err"),
+        )
+    )
+
+
+def containment_vs_jaccard_grid(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """The WHY-two-dedup-grains table: every LSH candidate pair scored
+    with exact Jaccard AND exact containment (shared / smaller side),
+    rolled onto a (jaccard decile, containment decile) grid. The
+    off-diagonal mass IS the argument for running d25/d27 next to
+    d15/q34: a short doc pasted into a long one sits at containment
+    ~1.0 with Jaccard near min(|A|,|B|)/|B| — far below any sane
+    whole-document dedup threshold — and this table counts exactly
+    that population on the real corpus (the reference decides
+    update-vs-replace by exact config identity; a training-data
+    curator decides keep-vs-drop on these two axes).
+
+    One shingle pass shared by signatures and the exact verify (the
+    d16 plan shape: candidate-bounded inverted-index join, never
+    all-pairs), one grid aggregate; <= 121 rows out. Deciles ride the
+    1e4 micro lattice with INTEGER division (floor of a double*10
+    differs at representation boundaries; round(x*1e4) // 1000 cannot).
+    Returns (j_decile, c_decile, n_pairs) with deciles 0..10 (10 =
+    exactly 1.0)."""
+    sh = shingle_table(docs, id_col, text_col, k).localCheckpoint(eager=True)
+    sigs = minhash_signatures(sh, num_hashes, id_col)
+    cands = lsh_candidate_pairs(sigs, num_hashes, bands, id_col)
+    sh_h = sh.select(
+        F.col(id_col), F.xxhash64("shingle").alias("_h")
+    ).localCheckpoint(eager=True)
+    sizes = sh_h.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = sh_h.select(F.col(id_col).alias("doc_a"), "_h")
+    b = sh_h.select(F.col(id_col).alias("doc_b"), "_h")
+    inter = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "_h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("_i"))
+    )
+    scored = (
+        inter.join(
+            sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("_na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("_nb")),
+            "doc_b",
+        )
+        .select(
+            F.round(
+                F.col("_i") / (F.col("_na") + F.col("_nb") - F.col("_i")), 4
+            ).alias("_j"),
+            F.round(F.col("_i") / F.least("_na", "_nb"), 4).alias("_c"),
+        )
+    )
+    grid = (
+        scored.select(
+            F.floor(F.round(F.col("_j") * 10000).cast("long") / 1000)
+            .cast("long")
+            .alias("j_decile"),
+            F.floor(F.round(F.col("_c") * 10000).cast("long") / 1000)
+            .cast("long")
+            .alias("c_decile"),
+        )
+        .groupBy("j_decile", "c_decile")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        # grid-sized; materialized eagerly so the corpus-sized shingle
+        # checkpoints can be freed before returning (the d16 pattern)
+        .localCheckpoint(eager=True)
+    )
+    free_local_checkpoint(sh)
+    free_local_checkpoint(sh_h)
+    return grid

@@ -658,3 +658,151 @@ def corpus_health_report(
             F.round(F.avg("n_tokens"), 4).alias("mean_tokens"),
         )
     )
+
+
+def source_quality_quantiles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    by: str = "source",
+    probs: tuple = (0.05, 0.25, 0.5, 0.75, 0.95),
+) -> DataFrame:
+    """Per-source quality-score DISTRIBUTION — the shape q104's mean
+    cannot show: two sources with equal mean quality where one is
+    uniform and the other bimodal (half boilerplate, half prose) need
+    opposite curation, and only the quantile spread tells them apart.
+    The q90/q105 curriculum staging also reads this: a stage boundary
+    at a global quantile lands differently per source, and this table
+    is where that skew is visible before the mixture is pinned.
+
+    One t02 scan joined to the source column at doc grain, one
+    source-grain aggregate with exact interpolated percentiles
+    (|sources| groups — exact is fine at any corpus size; the q74
+    tolerance pattern applies if a single source's row count ever
+    dominates). Returns (source, n_docs, p05..p95 rounded 4)."""
+    from .text import quality_scores
+
+    q = quality_scores(docs, id_col, text_col).select(id_col, "quality_score")
+    j = docs.select(id_col, by).join(q, id_col)
+    aggs = [F.count("*").cast("long").alias("n_docs")]
+    for p in probs:
+        aggs.append(
+            F.round(F.expr(f"percentile(quality_score, {p})"), 4).alias(
+                f"p{int(round(p * 100)):02d}"
+            )
+        )
+    return j.groupBy(by).agg(*aggs)
+
+
+def dedup_funnel(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = 100,
+    min_overlap: float = 0.8,
+    **gopher_kwargs,
+) -> DataFrame:
+    """The curation FUNNEL: documents and tokens surviving each stage
+    of the canonical cleaning sequence — gate, then exact dedup, then
+    whole-document near-dup canonicals, then contained-copy removal —
+    applied SEQUENTIALLY (each stage sees only the previous stage's
+    survivors, exactly as a production run would compose them). The
+    one-page accounting a corpus build publishes: "we started with X
+    tokens and trained on Y" with the loss attributed per stage. Stage
+    order is the cheap-to-expensive discipline: the gate prunes before
+    any join, exact dedup prunes before the minhash shuffle, and the
+    winnowing pair join runs last on the smallest corpus.
+
+    Each stage's surviving-id set is materialized once (eager local
+    checkpoint, id column only) so no stage's lineage re-executes its
+    predecessors, and stage inputs re-read the raw corpus semi-joined
+    to the surviving ids — at 100 TB that is one keep-set join per
+    stage, never a recomputation chain. Token counts are computed ONCE
+    on the input and joined per stage (t01's regex). Returns
+    (stage_id, stage, n_docs, n_tokens, docs_frac, tokens_frac)
+    with fractions of the INPUT, rounded 4."""
+    from .dedup import exact_dedup, minhash_dedup, neardup_clusters, winnowing_dedup
+    from .text import gopher_filter, token_counts
+    from ..session import free_local_checkpoint
+
+    toks = token_counts(docs, id_col, text_col).localCheckpoint(eager=True)
+    src0 = docs.select(id_col, text_col)
+
+    checkpoints = []
+
+    def survivors(ids):
+        cp = ids.localCheckpoint(eager=True)
+        checkpoints.append(cp)
+        return cp
+
+    stages = [("input", src0.select(id_col))]
+    cur = src0
+    gate = survivors(
+        gopher_filter(cur, id_col, text_col, **gopher_kwargs)
+        .filter("keep")
+        .select(id_col)
+    )
+    stages.append(("gopher_gate", gate))
+    cur = src0.join(gate, id_col, "left_semi")
+    exact = survivors(
+        exact_dedup(cur, id_col, text_col).filter("is_canonical").select(id_col)
+    )
+    stages.append(("exact_dedup", exact))
+    cur = src0.join(exact, id_col, "left_semi")
+    labels = neardup_clusters(cur, minhash_dedup(cur, id_col, text_col), id_col=id_col)
+    canon = survivors(
+        labels.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
+    )
+    stages.append(("minhash_canonical", canon))
+    cur = src0.join(canon, id_col, "left_semi")
+    kept = survivors(
+        winnowing_dedup(
+            cur, id_col, text_col, max_df=max_df, min_overlap=min_overlap
+        )
+        .filter("keep")
+        .select(id_col)
+    )
+    stages.append(("winnowing_contained", kept))
+
+    per = None
+    for i, (name, ids) in enumerate(stages):
+        row = (
+            ids.join(toks, id_col)
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("n_tokens").cast("long").alias("n_tokens"),
+            )
+            .select(
+                F.lit(i).cast("int").alias("stage_id"),
+                F.lit(name).alias("stage"),
+                "n_docs",
+                "n_tokens",
+            )
+        )
+        per = row if per is None else per.unionByName(row)
+
+    from pyspark.sql import Window
+
+    # whole-frame window over |stages| rows — the input totals ride
+    # along without a second pass
+    w = Window.partitionBy()
+    out = per.select(
+        "stage_id",
+        "stage",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_docs")
+            / F.max(F.when(F.col("stage_id") == 0, F.col("n_docs"))).over(w),
+            4,
+        ).alias("docs_frac"),
+        F.round(
+            F.col("n_tokens")
+            / F.max(F.when(F.col("stage_id") == 0, F.col("n_tokens"))).over(w),
+            4,
+        ).alias("tokens_frac"),
+    ).localCheckpoint(eager=True)
+    for cp in checkpoints:
+        free_local_checkpoint(cp)
+    free_local_checkpoint(toks)
+    return out

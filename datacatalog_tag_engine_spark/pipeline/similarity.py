@@ -2586,3 +2586,63 @@ def nprobe_recall_sweep(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def pq_distortion_profile(
+    corpus: DataFrame,
+    num_subspaces: int = 4,
+    num_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """Per-subspace PQ quantization-distortion table — the codebook QA
+    read before trusting ADC rankings (Jegou et al., TPAMI 2011 eval
+    their quantizers exactly this way): for each subspace, the summed
+    and mean squared error between the corpus sub-vectors and their
+    assigned codewords, on the SAME per-dimension micro lattice the
+    ADC argmin scores on (round((sv_i - cv_i)^2 * 1e6), summed) — so
+    the table prices precisely the distance surrogate s07/s10 rank by,
+    and a subspace whose codewords fit poorly (mean error an order
+    above its peers) is visible before it degrades recall (s34) or
+    regret (s36).
+
+    One corpus subspace scan joined to the broadcast codebook and the
+    broadcast-sized code assignment — num_subspaces rows out; the
+    integer lattice makes the table bit-stable on any partitioning.
+    Returns (subspace, n_vectors, sum_sqerr_micro, mean_sqerr_micro)."""
+    sub = dim // num_subspaces
+    cb = (
+        codebook
+        if codebook is not None
+        else pq_codebook(corpus, num_subspaces, num_codes, dim, id_col, vec_col)
+    )
+    v = corpus.select(F.col(vec_col).cast("array<double>").alias("v"), F.col(id_col))
+    subs = _pq_subspaces(v, id_col, id_col, num_subspaces, sub)
+    enc = pq_encode(
+        corpus, num_subspaces, num_codes, dim, id_col, vec_col, codebook=cb
+    )
+    j = enc.join(subs, [id_col, "m"]).join(
+        F.broadcast(cb.withColumnRenamed("c", "code")), ["m", "code"]
+    )
+    d = F.aggregate(
+        F.zip_with(
+            F.col("sv"),
+            F.col("cv"),
+            lambda a, b: F.round(F.pow(a - b, F.lit(2)) * 1e6).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        j.select(F.col("m").cast("int").alias("subspace"), d.alias("_d"))
+        .groupBy("subspace")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.sum("_d").cast("long").alias("sum_sqerr_micro"),
+            F.round(F.sum("_d") / F.count("*")).cast("long").alias(
+                "mean_sqerr_micro"
+            ),
+        )
+    )

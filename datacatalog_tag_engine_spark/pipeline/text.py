@@ -2730,3 +2730,125 @@ def winnowing_parameter_table(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# rule name -> the feature column its predicate reads (t16's rules;
+# one map drives t45's unpivot so a rule cannot silently lose its
+# feature pairing)
+GOPHER_RULE_FEATURES = {
+    "word_count": "n_words",
+    "mean_word_len": "mean_word_len",
+    "symbol_ratio": "symbol_word_ratio",
+    "bullet_lines": "bullet_line_frac",
+    "ellipsis_lines": "ellipsis_line_frac",
+    "alpha_words": "alpha_word_frac",
+    "stopword_hits": "stopword_hits",
+    "dup_words": "dup_word_frac",
+    "top_bigram": "top_bigram_frac",
+}
+
+
+def gopher_rule_quantiles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probs: tuple = (0.05, 0.25, 0.5, 0.75, 0.95),
+    **gopher_kwargs,
+) -> DataFrame:
+    """The Gopher gate's THRESHOLD-TUNING table — the d18/t44 decision
+    -table discipline applied to t16's nine knobs: per rule, the exact
+    interpolated quantiles of its feature ON THIS CORPUS next to the
+    fraction the current threshold rejects. Rae et al. published
+    thresholds tuned for their crawl mix; on a different corpus the
+    same thresholds can silently reject half a source (or nothing),
+    and the keep-rate alone cannot say which rule did it or where the
+    knee sits. Read this before re-pinning any gate parameter, exactly
+    like d18 prices (bands, rows) and t44 prices (k, w).
+
+    One gate scan (the staged t16 projection), one row-local unpivot
+    to (rule, value, failed) — NINE rows per doc, no join — and one
+    rule-grain aggregate; 9 rows out. NULL features ("not measurable":
+    empty docs, <2-word repetition rules) are excluded by the
+    percentile but counted in n_docs - n_measurable. Returns (rule,
+    n_docs, n_measurable, n_failed, fail_frac, p05..p95 rounded 4)."""
+    g = gopher_filter(docs, id_col, text_col, **gopher_kwargs)
+    entries = [
+        F.struct(
+            F.lit(rule).alias("rule"),
+            F.col(feat).cast("double").alias("value"),
+            F.array_contains(F.col("fail_reasons"), rule).alias("failed"),
+        )
+        for rule, feat in GOPHER_RULE_FEATURES.items()
+    ]
+    long = g.select(F.explode(F.array(*entries)).alias("e")).select(
+        "e.rule", "e.value", "e.failed"
+    )
+    aggs = [
+        F.count("*").cast("long").alias("n_docs"),
+        F.count("value").cast("long").alias("n_measurable"),
+        F.sum(F.col("failed").cast("int")).cast("long").alias("n_failed"),
+        F.round(F.sum(F.col("failed").cast("int")) / F.count("*"), 4).alias(
+            "fail_frac"
+        ),
+    ]
+    for p in probs:
+        aggs.append(
+            F.round(F.expr(f"percentile(value, {p})"), 4).alias(
+                f"p{int(round(p * 100)):02d}"
+            )
+        )
+    return long.groupBy("rule").agg(*aggs)
+
+
+def unicode_profile(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Encoding-corruption signals at document grain — the cleaning
+    gate the Gopher rules structurally miss: mojibake (a cascade of
+    U+FFFD replacement characters from a bad charset guess), binary
+    junk decoded as text (C0 control characters), and
+    unexpectedly-non-ASCII content in a source declared ASCII all
+    pass word-grain quality rules while poisoning the tokenizer.
+    CCNet-style pipelines run exactly this class of check before
+    language ID (a corrupted doc language-IDs as noise).
+
+    Pure row-local regexp counting over one scan — zero shuffles,
+    zero Python, the t02 shape. Newline/tab/CR are formatting, NOT
+    control junk here. ``suspect`` pins the conservative rule: any
+    replacement char, any control char, or a majority-non-ASCII doc.
+    Returns (doc_id, n_chars, n_nonascii, nonascii_frac, n_control,
+    n_replacement, suspect)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    staged = docs.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("n_chars"),
+        F.size(F.regexp_extract_all(t, F.lit(r"[^\x00-\x7F]"), 0))
+        .cast("long")
+        .alias("n_nonascii"),
+        F.size(
+            F.regexp_extract_all(
+                t, F.lit(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"), 0
+            )
+        )
+        .cast("long")
+        .alias("n_control"),
+        F.size(F.regexp_extract_all(t, F.lit("�"), 0))
+        .cast("long")
+        .alias("n_replacement"),
+    )
+    frac = F.when(
+        F.col("n_chars") > 0, F.round(F.col("n_nonascii") / F.col("n_chars"), 4)
+    )
+    return staged.select(
+        id_col,
+        "n_chars",
+        "n_nonascii",
+        frac.alias("nonascii_frac"),
+        "n_control",
+        "n_replacement",
+        (
+            (F.col("n_replacement") > 0)
+            | (F.col("n_control") > 0)
+            | F.coalesce(frac > 0.5, F.lit(False))
+        ).alias("suspect"),
+    )

@@ -314,3 +314,36 @@ def sigstore_ingest_replay(
             metrics_sink=metrics_sink,
         )
     return spark.read.parquet(accepted_sink)
+
+
+def ingest_rate_trend(metrics: DataFrame) -> DataFrame:
+    """Acceptance-rate TREND over the sigstore ingest loop's metrics
+    table (q103's output, one row per batch): per-batch acceptance on
+    the 1e4 micro lattice plus the running accepted total — the two
+    lines an ops dashboard actually plots over a crawl's drops. A
+    falling accept rate is the loop working (the store saturating on a
+    repetitive crawl) or the crawler looping (re-fetching yesterday);
+    the cumulative line says which, because saturation flattens it
+    while re-fetching flattens it AND n_in stays constant.
+
+    The global window is ordered by batch over a metrics table whose
+    row count IS the batch count (bounded by the loop's cadence, never
+    by corpus size) — one partition of a dimension-sized frame, the
+    q67 funnel-window shape. Returns (batch, n_in, n_accepted,
+    accept_rate_micro, cum_accepted, cum_in)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, 0)
+    return metrics.select(
+        F.col("batch").cast("int").alias("batch"),
+        F.col("n_in").cast("long").alias("n_in"),
+        F.col("n_accepted").cast("long").alias("n_accepted"),
+        F.when(
+            F.col("n_in") > 0,
+            F.round(F.col("n_accepted") * 10000 / F.col("n_in")),
+        )
+        .cast("long")
+        .alias("accept_rate_micro"),
+        F.sum("n_accepted").over(w).cast("long").alias("cum_accepted"),
+        F.sum("n_in").over(w).cast("long").alias("cum_in"),
+    )

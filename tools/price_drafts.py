@@ -1,8 +1,8 @@
-"""Price the r14 bank operators at sf0.1 (single warm pass each) —
-the baseline the r14 rotation will be judged against, and the early
+"""Price the r15 bank operators at sf0.1 (single warm pass each) —
+the baseline the r15 rotation will be judged against, and the early
 check that none of the queued operators is a scale-killer before it
-enters the certified inventory. (The r13 queue graduated into the
-inventory at the r13 rotation; bench.py prices it now.)
+enters the certified inventory. (The r14 bank graduated into the
+inventory at the r14 rotation; bench.py prices it now.)
 
 Usage: python tools/price_drafts.py [sf_dir]
 """
@@ -42,19 +42,8 @@ def main() -> None:
     from datacatalog_tag_engine_spark.pipeline.dedup import build_signature_store
     from datacatalog_tag_engine_spark.streaming.dedup import sigstore_ingest_replay
 
-    def s34():
-        # fresh dir per call: index/store builds refuse to overwrite,
-        # and the warm + timed passes each run the FULL build+serve
-        p = tempfile.mkdtemp(dir=tmp, prefix="s34_") + "/ivfpq"
-        SIM.build_ivfpq_index(emb, p, num_cells=8)
-        qs = emb.filter(F.col("vec_id") < 5)
-        return SIM.recall_profile(
-            SIM.brute_force_topk(emb, qs, k=5),
-            SIM.ivfpq_topk_from_index(spark, p, qs, k=5, nprobe=2),
-        )
-
-    def q103():
-        d = tempfile.mkdtemp(dir=tmp, prefix="q103_")
+    def q108():
+        d = tempfile.mkdtemp(dir=tmp, prefix="q108_")
         resident = docs.select("doc_id", "text").filter(F.col("doc_id") % 4 == 0)
         batches = [
             docs.select("doc_id", "text").filter(F.col("doc_id") % 4 == i)
@@ -65,70 +54,39 @@ def main() -> None:
             spark, f"{d}/store", batches, f"{d}/accepted",
             metrics_sink=f"{d}/metrics",
         )
-        return spark.read.parquet(f"{d}/metrics")
+        from datacatalog_tag_engine_spark.streaming.dedup import ingest_rate_trend
 
-    def m07():
-        img = MM.make_fake_image_corpus(spark, 6, 3)
-        aud = MM.make_fake_audio_corpus(spark, 6, 3)
-        vid = MM.make_fake_video_corpus(spark, 4, 3)
-        return MM.neardup_rate_profile([
-            ("image", img, DD.hamming_neardup_pairs(
-                MM.image_phash(img), id_col="media_id", fp_col="phash",
-                bits=64, bands=4, max_hamming=10), "media_id"),
-            ("audio", aud, DD.hamming_neardup_pairs(
-                MM.audio_fingerprint(aud), id_col="media_id", fp_col="afp",
-                bits=64, bands=4, max_hamming=10), "media_id"),
-            ("video", vid, DD.frame_neardup_pairs(
-                MM.video_frame_phashes(vid, sample_frames=4),
-                min_matching_frames=3, max_hamming=10), "media_id"),
-        ])
+        return ingest_rate_trend(spark.read.parquet(f"{d}/metrics"))
 
-    def _d29():
-        from datacatalog_tag_engine_spark.pipeline.dedup import (
-            build_winnowing_store,
-            incremental_winnowing_overlap,
-        )
-
-        d2 = tempfile.mkdtemp(dir=tmp, prefix="d29_")
-        build_winnowing_store(docs.filter(F.col("doc_id") % 3 != 0), f"{d2}/s")
-        return incremental_winnowing_overlap(
-            spark, f"{d2}/s", docs.filter(F.col("doc_id") % 3 == 0)
-        )
+    from datacatalog_tag_engine_spark.pipeline.profiling import (
+        dedup_funnel,
+        source_quality_quantiles,
+    )
+    from datacatalog_tag_engine_spark.pipeline.text import (
+        gopher_rule_quantiles,
+        unicode_profile,
+    )
 
     cases = {
-        # --- r14 bank (built after the r13 window was sized) ---
-        # max_df=100: the winnow-ladder knee for this fixture (SCALE.md)
-        "d27_winnowing_dedup": lambda: DD.winnowing_dedup(docs, max_df=100),
-        "d28_winnowing_contamination": lambda: DD.winnowing_contamination(
-            docs.filter(hash_bucket(F.col("doc_id"), 10) != 0),
-            docs.filter(hash_bucket(F.col("doc_id"), 10) == 0),
-            max_df=100,
+        # --- r15 bank (built after the r14 window was sized) ---
+        "t45_gopher_rule_quantiles": lambda: gopher_rule_quantiles(docs),
+        "t46_unicode_profile": lambda: unicode_profile(docs),
+        "d31_copy_cluster_profile": lambda: DD.cluster_size_profile(
+            docs,
+            DD.winnowing_overlap_pairs(docs, max_df=100, min_overlap=0.8).select(
+                "doc_a", "doc_b"
+            ),
         ),
-        "d30_threshold_sweep_vs_exact": lambda: DD.threshold_sweep_vs_exact(docs),
-        "s34_ivfpq_recall_from_index": s34,
-        "s35_knn_rank_profile": lambda: SIM.knn_rank_profile(
-            SIM.knn_graph(emb, k=5, num_cells=8)
+        "d32_winnowing_overlap_verify": lambda: DD.winnowing_overlap_verify(
+            docs, max_df=100, min_overlap=0.8
         ),
-        "q103_sigstore_metrics": q103,
-        "q104_corpus_health": lambda: corpus_health_report(docs),
-        "q105_curriculum_token_budget": lambda: curriculum_token_budget(docs),
-        "m07_multimodal_dup_rates": m07,
-        "q106_copy_audit_profile": lambda: DD.copy_audit_profile(
-            docs, max_df=100
+        "d33_containment_vs_jaccard_grid": lambda: DD.containment_vs_jaccard_grid(
+            docs
         ),
-        "d29_incremental_winnowing": _d29,
-        "s37_nprobe_sweep": lambda: SIM.nprobe_recall_sweep(
-            emb, emb.filter(F.col("vec_id") < 5), k=5, num_cells=8
-        ),
-        "s36_topk_regret": lambda: SIM.topk_regret_profile(
-            emb,
-            SIM.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=5),
-            SIM.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, num_cells=8),
-        ),
-        "t44_winnowing_params": lambda: __import__(
-            "datacatalog_tag_engine_spark.pipeline.text",
-            fromlist=["winnowing_parameter_table"],
-        ).winnowing_parameter_table(docs),
+        "s38_pq_distortion": lambda: SIM.pq_distortion_profile(emb),
+        "q107_dedup_funnel": lambda: dedup_funnel(docs),
+        "q108_ingest_rate_trend": q108,
+        "q109_source_quality_quantiles": lambda: source_quality_quantiles(docs),
     }
 
     out = {}
