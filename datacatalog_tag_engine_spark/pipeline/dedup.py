@@ -2175,9 +2175,20 @@ def neardup_clusters_star(
     converged = False
     for _ in range(max_rounds):
         nxt = small_star(large_star(e)).localCheckpoint(eager=True)
+        # ONE symmetric-difference probe job per round instead of two
+        # exceptAll counts (both sides are distinct edge SETS, so a
+        # full-outer join with presence markers finds any one-sided
+        # edge in a single shuffle) — halves the per-round convergence
+        # overhead of the O(log n) loop; decision is value-identical
         same = (
-            nxt.exceptAll(e).limit(1).count() == 0
-            and e.exceptAll(nxt).limit(1).count() == 0
+            nxt.select("u", "v", F.lit(1).alias("_l"))
+            .join(
+                e.select("u", "v", F.lit(1).alias("_r")), ["u", "v"], "full_outer"
+            )
+            .filter(F.col("_l").isNull() | F.col("_r").isNull())
+            .limit(1)
+            .count()
+            == 0
         )
         free_local_checkpoint(e)
         e = nxt
@@ -2449,6 +2460,17 @@ def winnowing_overlap_pairs(
             .select("fp")
         )
         join_side = fps.join(F.broadcast(hot), "fp", "left_anti")
+    # EXPLICIT fp repartition at cluster width before the pair join:
+    # the join's INPUT is thin (16-byte rows) but its OUTPUT fans out
+    # ~100x (candidate pairs), and AQE coalesces the fp exchange on
+    # input bytes — at sf0.1 that left the 72M-pair join + partial
+    # count running 11-wide on 32 cores (measured: tail 18.9 -> 12.1s
+    # at width 32). An explicit keyed repartition is exempt from AQE
+    # coalescing; both self-join sides inherit it, so the join adds no
+    # further exchange. Width rides spark.sql.shuffle.partitions — the
+    # session's cluster-scale knob, not a local constant.
+    width = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    join_side = join_side.repartition(width, "fp")
     # sizes AFTER the hot-set removal: n_shared counts surviving
     # fingerprints only, so the denominator must too (same universe)
     sizes = join_side.groupBy(id_col).agg(F.count("*").alias("n"))
@@ -2634,6 +2656,13 @@ def winnowing_contamination(
         )
         tr = tr.join(F.broadcast(hot), "fp", "left_anti")
         te = te.join(F.broadcast(hot), "fp", "left_anti")
+    # same exploding-join width fix as winnowing_overlap_pairs: the fp
+    # join's output fans out far beyond its thin input, so pin the
+    # exchange at cluster width instead of letting AQE coalesce it on
+    # input bytes
+    width = int(train.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    tr = tr.repartition(width, "fp")
+    te = te.repartition(width, "fp")
     hits = (
         tr.select(F.col(id_col).alias("train_id"), "fp")
         .join(te.select(F.col(id_col).alias("test_id"), "fp"), "fp")
@@ -2933,22 +2962,55 @@ def incremental_winnowing_overlap(
         )
         join_side = allfps.join(F.broadcast(hot), "fp", "left_anti")
     sizes = join_side.groupBy(id_col).agg(F.count("*").alias("n"))
-    a = join_side.select(
-        F.col(id_col).alias("doc_a"), "fp", F.col("_delta").alias("_da")
+    # DELTA-SIDED pair generation: the two-sided self-join emitted the
+    # FULL candidate pair surface (resident x resident included) and
+    # only then filtered to delta-touching rows — at a real daily
+    # delta/archive ratio that is archive²-shaped work for delta-shaped
+    # output. Joining delta fps against the whole universe generates
+    # ONLY delta-touching candidates (cost ∝ delta x universe). A
+    # delta-delta pair appears in both orientations, so its raw match
+    # count is exactly 2 x n_shared (per shared fp: (d1,d2) and
+    # (d2,d1)) — `div 2` restores the count; mixed pairs appear once.
+    # The explicit width repartition is the d25 exploding-join fix
+    # (AQE coalesces the thin fp exchange on input bytes, leaving the
+    # fan-out join under-parallelized); filter preserves the
+    # partitioning, so the join adds no extra exchange.
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    keyed = join_side.repartition(width, "fp")
+    d_side = keyed.filter(F.col("_delta")).select(
+        F.col(id_col).alias("doc_x"), "fp"
     )
-    b = join_side.select(
-        F.col(id_col).alias("doc_b"), "fp", F.col("_delta").alias("_db")
+    all_side = keyed.select(
+        F.col(id_col).alias("doc_y"), "fp", F.col("_delta").alias("_dy")
     )
-    shared = (
-        a.join(b, "fp")
-        .filter(
-            (F.col("doc_a") < F.col("doc_b")) & (F.col("_da") | F.col("_db"))
+    raw = (
+        d_side.join(all_side, "fp")
+        .filter(F.col("doc_x") != F.col("doc_y"))
+        .select(
+            F.least("doc_x", "doc_y").alias("doc_a"),
+            F.greatest("doc_x", "doc_y").alias("doc_b"),
+            "_dy",
+            (F.col("doc_x") < F.col("doc_y")).alias("_xlt"),
         )
-        .groupBy("doc_a", "doc_b")
+    )
+    # per pair: _dd (both delta) iff any matched row's other side is
+    # delta; for mixed pairs every row has the same orientation, so
+    # max(_xlt) says whether the delta doc is the smaller id
+    shared = (
+        raw.groupBy("doc_a", "doc_b")
         .agg(
-            F.count("*").cast("long").alias("n_shared"),
-            F.first("_da").alias("_da"),
-            F.first("_db").alias("_db"),
+            F.count("*").cast("long").alias("_cnt"),
+            F.max("_dy").alias("_dd"),
+            F.max("_xlt").alias("_xlt"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(F.col("_dd"), F.expr("_cnt div 2"))
+            .otherwise(F.col("_cnt"))
+            .alias("n_shared"),
+            (F.col("_dd") | F.col("_xlt")).alias("_da"),
+            (F.col("_dd") | ~F.col("_xlt")).alias("_db"),
         )
         .filter(F.col("n_shared") >= min_shared)
     )

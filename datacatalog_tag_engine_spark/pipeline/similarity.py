@@ -80,18 +80,30 @@ def _topk_by_key(
 
     ``q`` must carry (query_id, qv[, key]); ``c`` (neighbor_id,
     cv[, key])."""
+    # stage each side's norm ONCE PER ROW before the join: the fused
+    # cosine_expr form recomputes BOTH norms per candidate PAIR (3
+    # array aggregates per pair instead of 1) — no expression-level
+    # CSE can hoist work across join multiplicity. dot/( _qn * _cn )
+    # is the identical arithmetic (same aggregate over the same
+    # doubles), so the round-4 contract value is bit-identical
+    # (measured r14: s30 7.7 -> ~3s; the SemDeDup grid path at
+    # dedup.py:1081 has always used this staged form)
+    qn = q.withColumn("_qn", norm_expr(F.col("qv")))
+    cn = c.withColumn("_cn", norm_expr(F.col("cv")))
     if broadcast_queries:
         joined = (
-            F.broadcast(q).join(c, join_key) if join_key else F.broadcast(q).crossJoin(c)
+            F.broadcast(qn).join(cn, join_key) if join_key else F.broadcast(qn).crossJoin(cn)
         )
     else:
         if join_key is None:
             raise ValueError("broadcast_queries=False requires a join_key")
-        joined = q.join(c, join_key)
+        joined = qn.join(cn, join_key)
     scored = joined.filter(F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_expr(F.col("qv"), F.col("cv")), 4).alias("cosine"),
+        F.round(
+            dot_expr(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn")), 4
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -190,13 +202,22 @@ def _ranked_cells(
     k-means path."""
     if cents is None:
         cents = _default_cents(corpus, num_cells, id_col, vec_col)
-    v = corpus.select(F.col(id_col), F.col(vec_col), F.col(vec_col).cast("array<double>").alias("v"))
-    scored = v.crossJoin(F.broadcast(cents)).select(
+    # norms staged per side (vector once per row, centroid once per
+    # centroid) instead of per (row x centroid) pair — identical
+    # arithmetic to cosine_expr, ~1/3 the per-pair aggregate work
+    v = corpus.select(
+        F.col(id_col), F.col(vec_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("_vn", norm_expr(F.col("v")))
+    scored = v.crossJoin(
+        F.broadcast(cents.withColumn("_ctn", norm_expr(F.col("cent_v"))))
+    ).select(
         id_col,
         vec_col,
         "v",
         "cell",
-        F.round(cosine_expr(F.col("v"), F.col("cent_v")), 6).alias("_sim"),
+        F.round(
+            dot_expr(F.col("v"), F.col("cent_v")) / (F.col("_vn") * F.col("_ctn")), 6
+        ).alias("_sim"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cell"))
     return scored.withColumn("_rn", F.row_number().over(w)).drop("_sim")
@@ -938,19 +959,24 @@ def _exact_rerank(
     ranking. Spend budget on shortlist first, then nprobe for the
     unreachable-cell tail, and train the codebook only for ADC-ranked
     (rerank-less) serving, where it is the measured win."""
+    # per-side staged norms (the _topk_by_key discipline): one norm per
+    # corpus/query ROW instead of per shortlist pair — same arithmetic,
+    # bit-identical round-4 cosine
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
-    )
+    ).withColumn("_cn", norm_expr(F.col("cv")))
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
-    )
+    ).withColumn("_qn", norm_expr(F.col("qv")))
     scored = (
         c.join(F.broadcast(cand), "neighbor_id")
         .join(F.broadcast(q), "query_id")
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr(F.col("qv"), F.col("cv")), 4).alias("cosine"),
+            F.round(
+                dot_expr(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn")), 4
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -1418,13 +1444,16 @@ def range_search(
     if cents is None:
         cents = _default_cents(corpus, num_cells, id_col, vec_col)
     ranked = _ranked_cells(corpus, num_cells, id_col, vec_col, cents=cents)
+    # staged per-side norms (the _topk_by_key discipline) — one norm
+    # per row, not per candidate pair; bit-identical round-4 cosine
     c = ranked.filter(F.col("_rn") == 1).select(
         F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), "cell"
-    )
+    ).withColumn("_cn", norm_expr(F.col("cv")))
     q = (
         _ranked_cells(queries, num_cells, id_col, vec_col, cents=cents)
         .filter(F.col("_rn") <= nprobe)
         .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "cell")
+        .withColumn("_qn", norm_expr(F.col("qv")))
     )
     scored = (
         F.broadcast(q)
@@ -1433,7 +1462,9 @@ def range_search(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr(F.col("qv"), F.col("cv")), 4).alias("cosine"),
+            F.round(
+                dot_expr(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn")), 4
+            ).alias("cosine"),
         )
     )
     # probing n cells can surface the same neighbor once per shared
@@ -2472,11 +2503,11 @@ def topk_regret_profile(
     mean_approx_cosine_micro, mean_regret_micro, max_regret_micro)."""
     qv = corpus.select(
         F.col(id_col).alias(query_col), F.col(vec_col).cast("array<double>").alias("_qv")
-    )
+    ).withColumn("_qn", norm_expr(F.col("_qv")))
     nv = corpus.select(
         F.col(id_col).alias(neighbor_col),
         F.col(vec_col).cast("array<double>").alias("_nv"),
-    )
+    ).withColumn("_nn", norm_expr(F.col("_nv")))
     approx_true = (
         approx_topk.select(query_col, neighbor_col, "rank")
         .join(qv, query_col)
@@ -2484,7 +2515,9 @@ def topk_regret_profile(
         .select(
             query_col,
             "rank",
-            F.round(cosine_expr(F.col("_qv"), F.col("_nv")), 4).alias("_ac"),
+            F.round(
+                dot_expr(F.col("_qv"), F.col("_nv")) / (F.col("_qn") * F.col("_nn")), 4
+            ).alias("_ac"),
         )
     )
     exact = exact_topk.select(query_col, "rank", F.col("cosine").alias("_ec"))
