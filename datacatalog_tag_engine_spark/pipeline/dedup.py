@@ -2636,15 +2636,27 @@ def winnowing_contamination(
     side's hot keys out of the join either way."""
     from .text import winnowing_fingerprints
 
+    # d25's barrier discipline: each side's fingerprint stream is
+    # consumed TWICE in one plan (the hot-set union AND the pair
+    # join), and the distinct exchanges feeding those consumers are
+    # not identical subtrees, so ReuseExchange cannot dedup them —
+    # plan-audited (r14): 12 parquet scans / 4 Generate fingerprint
+    # runs without the barrier. Fingerprinting is the expensive HOF
+    # scan; materialize it once per side (measured r14: d28 11.7 ->
+    # ~6s at sf0.1). At 100 TB the fingerprint table is its own
+    # parquet artifact (build_winnowing_store); localCheckpoint is
+    # the single-session analog.
     tr = (
         winnowing_fingerprints(train, id_col, text_col)
         .select(id_col, "fp")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     te = (
         winnowing_fingerprints(test, id_col, text_col)
         .select(id_col, "fp")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     if max_df is not None:
         both = tr.select("fp").unionAll(te.select("fp"))
