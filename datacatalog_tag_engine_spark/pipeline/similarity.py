@@ -2656,9 +2656,10 @@ def nprobe_recall_sweep(
     The operator answers "nprobe=2 buys 0.94 recall for 2.1x the
     scoring work of nprobe=1" with counted mass on both axes, so the
     production setting is chosen from evidence, not folklore. Run at
-    certification scale on a query SAMPLE (one exact top-k + one
-    cell-restricted scoring pass per candidate nprobe); the serving
-    path itself stays ``ivf_topk``/``*_from_index``.
+    certification scale on a query SAMPLE (ONE exact top-k + ONE
+    scoring pass at the widest arm; each arm re-ranks its nested
+    slice of that edge list); the serving path itself stays
+    ``ivf_topk``/``*_from_index``.
 
     Work is counted analytically (probed-cell sizes joined at cell
     grain, self-hits subtracted via one id-grain join) — the sweep
@@ -2667,26 +2668,78 @@ def nprobe_recall_sweep(
     Returns (nprobe, n_queries, mean_recall_micro, n_scored), one row
     per candidate."""
     nprobes = list(nprobes) if nprobes is not None else list(range(1, num_cells + 1))
-    exact = brute_force_topk(corpus, queries, k, id_col, vec_col)
+    max_p = max(nprobes)
     cents = _default_cents(corpus, num_cells, id_col, vec_col)
-    assign = _ranked_cells(corpus, num_cells, id_col, vec_col, cents=cents).filter(
-        F.col("_rn") == 1
+    ranked = _ranked_cells(corpus, num_cells, id_col, vec_col, cents=cents)
+    assign = ranked.filter(F.col("_rn") == 1)
+    qranked = _ranked_cells(queries, num_cells, id_col, vec_col, cents=cents)
+    # the sweep's shared surfaces, materialized ONCE (r14): without the
+    # barriers every arm re-derived the corpus assignment, the query
+    # probes AND the exact top-k from the raw corpus — 8 arms cost 8
+    # corpus-assignment crossJoins plus 8 brute-force passes. All four
+    # checkpoints are query-/cell-/id-grain (never raw vectors beyond
+    # the exact edge list); their blocks release when the caller drops
+    # the returned frame.
+    exact = brute_force_topk(corpus, queries, k, id_col, vec_col).localCheckpoint(
+        eager=True
     )
-    sizes = assign.groupBy("cell").agg(F.count("*").alias("_sz"))
-    qcells = _ranked_cells(queries, num_cells, id_col, vec_col, cents=cents).select(
+    sizes = (
+        assign.groupBy("cell")
+        .agg(F.count("*").alias("_sz"))
+        .localCheckpoint(eager=True)
+    )
+    qcells = qranked.select(
         F.col(id_col).alias("_qid"), "cell", "_rn"
+    ).localCheckpoint(eager=True)
+    corpus_ids = assign.select(F.col(id_col).alias("_qid"), "cell").localCheckpoint(
+        eager=True
     )
-    corpus_ids = assign.select(F.col(id_col).alias("_qid"), "cell")
+    # ONE scoring pass at the WIDEST arm, each candidate edge tagged
+    # with the query's rank of the candidate's cell: arm p's candidate
+    # set is exactly cell_rank <= p (cells are disjoint, so the edge
+    # sets nest), and the per-arm top-k is a filter + re-rank over this
+    # edge list instead of its own corpus scoring pass. The cosine is
+    # the _topk_by_key staged-norm expression verbatim, so every arm's
+    # values are bit-identical to the per-arm ivf_topk form.
+    cn = assign.select(
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), "cell"
+    ).withColumn("_cn", norm_expr(F.col("cv")))
+    qn = (
+        qranked.filter(F.col("_rn") <= max_p)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("v").alias("qv"),
+            "cell",
+            F.col("_rn").alias("_cell_rank"),
+        )
+        .withColumn("_qn", norm_expr(F.col("qv")))
+    )
+    scored = (
+        F.broadcast(qn)
+        .join(cn, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "_cell_rank",
+            F.round(
+                dot_expr(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn")), 4
+            ).alias("cosine"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
     out = None
     for p in nprobes:
         probed = qcells.filter(F.col("_rn") <= p)
-        rec = recall_profile(
-            exact,
-            ivf_topk(
-                corpus, queries, k=k, num_cells=num_cells, nprobe=p,
-                id_col=id_col, vec_col=vec_col, cents=cents,
-            ),
+        approx = (
+            scored.filter(F.col("_cell_rank") <= p)
+            .withColumn("rank", F.row_number().over(rank_w))
+            .filter(F.col("rank") <= k)
         )
+        rec = recall_profile(exact, approx)
         agg = rec.agg(
             F.count("*").cast("long").alias("n_queries"),
             F.round(

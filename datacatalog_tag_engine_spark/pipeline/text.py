@@ -2612,18 +2612,32 @@ def winnowing_fingerprints(
         .alias("_hs"),
     ).select(id_col, "_hs", F.size("_hs").alias("_m"))
 
-    hs = F.col("_hs")
-    m = F.col("_m")
+    st = staged.select(
+        id_col, _winnow_picks_expr(F.col("_hs"), F.col("_m"), w).alias("_picks")
+    )
+    kept = _winnow_consec_dedup_expr("_picks")
+    return st.select(id_col, F.explode(kept).alias("p")).select(
+        id_col, F.col("p.pos").alias("pos"), F.col("p.fp").alias("fp")
+    )
 
-    # one struct per window: (rightmost-argmin position, min hash).
-    # ``w`` is a plain Python int, so the window scan UNROLLS to
-    # element_at reads + one least() + a rightmost-first when-chain —
-    # the slice/reverse/array_position form allocated ~4 array copies
-    # PER WINDOW (~14.5M windows at sf0.1 => ~60M short-lived arrays,
-    # GC-bound; measured r14: t43 6.7 -> 3.6s). least() over longs is
-    # exactly array_min(slice), and checking the RIGHTMOST element
-    # first reproduces the reversed-array_position tiebreak, so the
-    # pick is value-identical.
+
+def _winnow_picks_expr(hs: Column, m: Column, w: int) -> Column:
+    """The winnowing window-pick scan as ONE expression over a BOUND
+    gram-hash array column ``hs`` (with ``m`` = size(hs) also bound —
+    the no-CSE staging rule): one struct per window, (rightmost-argmin
+    position, min hash), pre-dedup. Shared by winnowing_fingerprints
+    and the fused winnowing_parameter_table so the two can never
+    drift on the pick rule.
+
+    ``w`` is a plain Python int, so the window scan UNROLLS to
+    element_at reads + one least() + a rightmost-first when-chain —
+    the slice/reverse/array_position form allocated ~4 array copies
+    PER WINDOW (~14.5M windows at sf0.1 => ~60M short-lived arrays,
+    GC-bound; measured r14: t43 6.7 -> 3.6s). least() over longs is
+    exactly array_min(slice), and checking the RIGHTMOST element
+    first reproduces the reversed-array_position tiebreak, so the
+    pick is value-identical."""
+
     def window_pick(i):
         elems = [F.element_at(hs, i + F.lit(j)) for j in range(w)]
         mn = F.least(*elems) if w > 1 else elems[0]
@@ -2636,7 +2650,7 @@ def winnowing_fingerprints(
             pos = i
         return F.struct(pos.cast("int").alias("pos"), mn.alias("fp"))
 
-    picks = (
+    return (
         F.when(m >= w, F.transform(F.sequence(F.lit(1), m - w + 1), window_pick))
         .when(
             m > 0,
@@ -2651,32 +2665,33 @@ def winnowing_fingerprints(
         )
         .otherwise(F.array().cast("array<struct<pos:int,fp:long>>"))
     )
-    # dedup via an O(n) consecutive-run filter, NOT array_distinct:
-    # a position can only be picked by the consecutive windows that
-    # contain it (an intermediate window picking elsewhere implies a
-    # smaller hash that would also beat it in the later window), so
-    # duplicate picks always form consecutive runs — keep a pick iff
-    # it differs from its predecessor. array_distinct on an array of
-    # structs is an O(n^2) interpreted comparison per doc (measured
-    # 10-14s vs 6.7-7.0s at sf0.1), and a post-explode .distinct()
-    # would add the family's only shuffle; picks is staged as a bound
-    # column first (the no-CSE rule — the filter lambda reads it twice)
-    st = staged.select(id_col, picks.alias("_picks"))
-    # element_at is 1-based and the filter index 0-based, so
-    # element_at(_picks, i) IS the predecessor for i >= 1; the
-    # greatest(i, 1) clamp keeps the index valid at i == 0 (where the
-    # self-compare is false and the i == 0 arm keeps the pick) without
-    # betting on boolean short-circuit order — element_at(_, 0) throws
-    kept = F.filter(
-        F.col("_picks"),
+
+
+def _winnow_consec_dedup_expr(picks_col: str) -> Column:
+    """Pick dedup via an O(n) consecutive-run filter over the BOUND
+    picks column named ``picks_col``, NOT array_distinct: a position
+    can only be picked by the consecutive windows that contain it (an
+    intermediate window picking elsewhere implies a smaller hash that
+    would also beat it in the later window), so duplicate picks always
+    form consecutive runs — keep a pick iff it differs from its
+    predecessor. array_distinct on an array of structs is an O(n^2)
+    interpreted comparison per doc (measured 10-14s vs 6.7-7.0s at
+    sf0.1), and a post-explode .distinct() would add the family's only
+    shuffle; the picks column must be staged (bound) first — the
+    filter lambda reads it twice (the no-CSE rule).
+
+    element_at is 1-based and the filter index 0-based, so
+    element_at(picks, i) IS the predecessor for i >= 1; the
+    greatest(i, 1) clamp keeps the index valid at i == 0 (where the
+    self-compare is false and the i == 0 arm keeps the pick) without
+    betting on boolean short-circuit order — element_at(_, 0) throws."""
+    return F.filter(
+        F.col(picks_col),
         lambda p, i: (i == F.lit(0))
         | (
             p["pos"]
-            != F.element_at(F.col("_picks"), F.greatest(i, F.lit(1)))["pos"]
+            != F.element_at(F.col(picks_col), F.greatest(i, F.lit(1)))["pos"]
         ),
-    )
-    return st.select(id_col, F.explode(kept).alias("p")).select(
-        id_col, F.col("p.pos").alias("pos"), F.col("p.fp").alias("fp")
     )
 
 
@@ -2699,32 +2714,105 @@ def winnowing_parameter_table(
     pinning parameters on a new corpus, exactly like d18 prices
     (bands, rows) and d20 prices max_df.
 
-    One winnowing scan per parameter pair (row-local, shuffle-free)
-    feeding a one-row aggregate; |params| rows out. Expected density
-    and measured density ride the 1e6 micro lattice (exact-integer
-    division, engine-identical). Returns (k, w, guarantee_len,
-    n_grams, n_fingerprints, expected_density_micro,
+    ONE corpus scan for the whole table (r14 optimization; was one
+    winnowing scan + one gram-count scan PER pair — 8 full passes for
+    the default grid): the gram-hash array is computed once per
+    DISTINCT k as a bound column (the md5 hashing is the family's
+    dominant per-row cost and is identical across w values), every
+    (k, w) pair's window-pick/consec-dedup count reads its k's bound
+    array (the staged no-CSE discipline — multi-referenced non-cheap
+    aliases are exempt from CollapseProject, so each array
+    materializes once per row), and a single aggregate sums all
+    per-pair fingerprint counts and per-k gram counts in one pass.
+    The pick logic is ``_winnow_picks_expr``/``_winnow_consec_dedup_expr``
+    — the SAME definitions winnowing_fingerprints explodes, so count
+    identity holds by construction (n_fingerprints = sum of kept-array
+    sizes = count of exploded rows). Still row-local and shuffle-free;
+    |params| rows out via one explode of the aggregated row. Expected
+    density and measured density ride the 1e6 micro lattice
+    (exact-integer division, engine-identical). Returns (k, w,
+    guarantee_len, n_grams, n_fingerprints, expected_density_micro,
     measured_density_micro)."""
-    spark = docs.sparkSession
-    out = None
     for k, w in params:
-        fps = winnowing_fingerprints(docs, id_col, text_col, k=k, w=w)
-        t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
-        grams = docs.select(
-            F.when(F.length(t) >= k, F.length(t) - k + 1)
+        if k < 1 or w < 1:
+            raise ValueError("winnowing needs k >= 1 and w >= 1")
+    pairs = list(dict.fromkeys(params))  # unique (k, w), first-seen order
+    ks = list(dict.fromkeys(k for k, _ in pairs))
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    stage0 = docs.select(t.alias("_t"), F.length(t).alias("_n"))
+    # one bound hash array + gram count per distinct k (the fused
+    # transform from winnowing_fingerprints, verbatim); the lambda is
+    # built by a factory — a kk=k default arg would change the lambda's
+    # ARITY and make F.transform pass the element index as kk
+    def _gram_hash(kk):
+        return lambda i: F.conv(
+            F.substring(F.md5(F.substring(F.col("_t"), i, kk)), 1, 8), 16, 10
+        ).cast("long")
+
+    stage1 = stage0.select(
+        *[
+            F.when(
+                F.col("_n") >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("_n") - k + 1), _gram_hash(k)
+                ),
+            )
+            .otherwise(F.array().cast("array<long>"))
+            .alias(f"_hs{k}")
+            for k in ks
+        ],
+        *[
+            F.when(F.col("_n") >= k, F.col("_n") - k + 1)
             .otherwise(F.lit(0))
             .cast("long")
-            .alias("_g")
-        ).agg(F.sum("_g").alias("n_grams"))
-        row = (
-            fps.agg(F.count("*").cast("long").alias("n_fingerprints"))
-            .crossJoin(grams)  # two one-row frames — broadcast by construction
-            .select(
+            .alias(f"_g{k}")
+            for k in ks
+        ],
+    )
+    gcols = [f"_g{k}" for k in ks]
+    stage2 = stage1.select(
+        *gcols,
+        *[F.col(f"_hs{k}") for k in ks],
+        *[F.size(f"_hs{k}").alias(f"_m{k}") for k in ks],
+    )
+    stage3 = stage2.select(
+        *gcols,
+        *[
+            _winnow_picks_expr(F.col(f"_hs{k}"), F.col(f"_m{k}"), w).alias(
+                f"_p_{k}_{w}"
+            )
+            for k, w in pairs
+        ],
+    )
+    stage4 = stage3.select(
+        *gcols,
+        *[
+            F.size(_winnow_consec_dedup_expr(f"_p_{k}_{w}"))
+            .cast("long")
+            .alias(f"_f_{k}_{w}")
+            for k, w in pairs
+        ],
+    )
+    # empty corpus: sum() is NULL — n_fingerprints coalesces to 0 (the
+    # explode-count form's value) while n_grams stays NULL (the sum
+    # form's value), matching the per-pair implementation exactly
+    agged = stage4.agg(
+        *[F.sum(f"_g{k}").alias(f"_ng{k}") for k in ks],
+        *[
+            F.coalesce(F.sum(f"_f_{k}_{w}"), F.lit(0))
+            .cast("long")
+            .alias(f"_nf_{k}_{w}")
+            for k, w in pairs
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
                 F.lit(k).cast("int").alias("k"),
                 F.lit(w).cast("int").alias("w"),
                 F.lit(w + k - 1).cast("int").alias("guarantee_len"),
-                F.col("n_grams"),
-                F.col("n_fingerprints"),
+                F.col(f"_ng{k}").alias("n_grams"),
+                F.col(f"_nf_{k}_{w}").alias("n_fingerprints"),
                 F.lit(round(2 / (w + 1) * 1e6)).cast("long").alias(
                     "expected_density_micro"
                 ),
@@ -2732,15 +2820,16 @@ def winnowing_parameter_table(
                 # doc shorter than k) — ANSI mode makes an unguarded
                 # /0 a hard error, the t02 lesson
                 F.when(
-                    F.col("n_grams") > 0,
-                    F.round(F.col("n_fingerprints") * 1e6 / F.col("n_grams")),
+                    F.col(f"_ng{k}") > 0,
+                    F.round(F.col(f"_nf_{k}_{w}") * 1e6 / F.col(f"_ng{k}")),
                 )
                 .cast("long")
                 .alias("measured_density_micro"),
             )
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+            for k, w in params
+        ]
+    )
+    return agged.select(F.explode(rows).alias("r")).select("r.*")
 
 
 # rule name -> the feature column its predicate reads (t16's rules;

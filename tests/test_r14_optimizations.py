@@ -124,3 +124,86 @@ def test_winnowing_contamination_barrier_value_identical(spark):
     )
     rows = lambda df: sorted(map(tuple, df.collect()))
     assert rows(got) == rows(want) and got.count() > 0
+
+def test_nprobe_sweep_fused_matches_per_arm_reference(spark):
+    # the fused sweep (one scoring pass at the widest arm, per-arm
+    # filter + re-rank) must reproduce the per-arm ivf_topk +
+    # recall_profile composition row for row
+    emb = _vecs(spark, n=90, dim=6, cells=4)
+    qs = emb.filter(F.col("vec_id") < 7)
+    got = S.nprobe_recall_sweep(emb, qs, k=3, num_cells=4)
+
+    exact = S.brute_force_topk(emb, qs, k=3)
+    cents = S._default_cents(emb, 4, "vec_id", "embedding")
+    assign = S._ranked_cells(emb, 4, "vec_id", "embedding", cents=cents).filter(
+        F.col("_rn") == 1
+    )
+    sizes = assign.groupBy("cell").agg(F.count("*").alias("_sz"))
+    qcells = S._ranked_cells(qs, 4, "vec_id", "embedding", cents=cents).select(
+        F.col("vec_id").alias("_qid"), "cell", "_rn"
+    )
+    corpus_ids = assign.select(F.col("vec_id").alias("_qid"), "cell")
+    want_rows = []
+    for p in range(1, 5):
+        probed = qcells.filter(F.col("_rn") <= p)
+        rec = S.recall_profile(
+            exact, S.ivf_topk(emb, qs, k=3, num_cells=4, nprobe=p, cents=cents)
+        )
+        agg = rec.agg(
+            F.count("*").cast("long").alias("n_queries"),
+            F.round(
+                F.sum(F.round(F.col("recall_at_k") * 10000).cast("long"))
+                / F.count("*")
+            )
+            .cast("long")
+            .alias("mean_recall_micro"),
+        ).collect()[0]
+        scanned = probed.join(sizes, "cell").agg(
+            F.coalesce(F.sum("_sz"), F.lit(0)).cast("long")
+        ).collect()[0][0]
+        self_hits = probed.join(corpus_ids, ["_qid", "cell"], "left_semi").count()
+        want_rows.append(
+            (p, agg["n_queries"], agg["mean_recall_micro"], scanned - self_hits)
+        )
+    assert sorted(map(tuple, got.collect())) == sorted(want_rows)
+
+
+def test_winnowing_parameter_table_fused_matches_per_pair_reference(spark):
+    # the one-scan table must equal the per-(k, w) composition over
+    # winnowing_fingerprints (including a short-doc and a NULL text)
+    from datacatalog_tag_engine_spark.pipeline.text import (
+        winnowing_fingerprints,
+        winnowing_parameter_table,
+    )
+
+    docs = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 0, F.lit(None).cast("string"))
+        .when(F.col("id") == 1, F.lit("tiny"))
+        .otherwise(
+            F.concat(
+                F.lit("the quick brown fox jumps over the lazy dog segment "),
+                (F.col("id") % 5).cast("string"),
+                F.lit(" shared tail content for winnowing parameter pricing"),
+            )
+        )
+        .alias("text"),
+    )
+    params = ((8, 4), (8, 8), (12, 4), (12, 8))
+    got = sorted(map(tuple, winnowing_parameter_table(docs, params).collect()))
+    want = []
+    for k, w in params:
+        n_fp = winnowing_fingerprints(docs, k=k, w=w).count()
+        t = F.lower(F.coalesce(F.col("text"), F.lit("")))
+        n_grams = docs.select(
+            F.when(F.length(t) >= k, F.length(t) - k + 1)
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("_g")
+        ).agg(F.sum("_g")).collect()[0][0]
+        # HALF_UP like Spark's round() — python round() is half-even
+        density = int(n_fp * 1e6 / n_grams + 0.5) if n_grams else None
+        want.append(
+            (k, w, w + k - 1, n_grams, n_fp, round(2 / (w + 1) * 1e6), density)
+        )
+    assert got == sorted(want) and len(got) == 4
