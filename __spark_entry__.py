@@ -632,6 +632,22 @@ def _docs(spark, sf_dir):
     return spark.table("documents")
 
 
+def _docs_spread(spark, sf_dir):
+    """_docs spread across the session width — the t16 precedent
+    applied to every CPU-heavy row-local scan (r14): the sf corpus is
+    ONE parquet file with ONE row group, so a scan-rooted plan runs
+    single-task no matter the core count, and the winnowing/gopher/
+    line-profile HOF math serializes onto one core. A real corpus has
+    thousands of input splits and needs no repartition; the width
+    rides spark.sql.shuffle.partitions — the session's cluster-scale
+    knob (guide: fix one-file input skew right after the read).
+    Round-robin, not id-keyed: these consumers do no id-grain groupBy
+    that could reuse the partitioning."""
+    return _docs(spark, sf_dir).repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions"))
+    )
+
+
 def _emb(spark, sf_dir):
     register_testdata(spark, sf_dir)
     return spark.table("embeddings")
@@ -2338,7 +2354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pairwise co-fire matrix of the Gopher gates (incl. the solo
     # diagonal) — the gate-redundancy diagnosis q72's drift can't see
     q["q98_gate_overlap"] = lambda spark, sf: TXT.gate_overlap_matrix(
-        _docs(spark, sf)
+        _docs_spread(spark, sf)
     )
 
     # cell-restricted k-NN graph + mutuality flag (the SemDeDup
@@ -2417,14 +2433,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # profile (dominant, mixed flag, distinct langs) — entirely
     # row-local higher-order functions, a pure scan at 100 TB
     q["t39_line_lang_profile"] = lambda spark, sf: TXT.line_language_profile(
-        _docs(spark, sf)
+        _docs_spread(spark, sf)
     )
 
     # the line/paragraph half of Gopher's repetition block: duplicate
     # line/paragraph fractions + char-fraction forms, the paper's
     # earlier-occurrence definition, NULL when unmeasurable; row-local
     q["t40_line_repetition"] = lambda spark, sf: TXT.line_repetition_signals(
-        _docs(spark, sf)
+        _docs_spread(spark, sf)
     )
 
     # the n-gram half of Gopher's repetition block at character grain:
@@ -2470,7 +2486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fingerprint, the contained-copy contract minhash can't give;
     # pure row-local HOFs, no shuffle
     q["t43_winnowing"] = lambda spark, sf: TXT.winnowing_fingerprints(
-        _docs(spark, sf)
+        _docs_spread(spark, sf)
     )
 
     # the dedup-threshold DECISION TABLE: all LSH candidates on the
@@ -2504,7 +2520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # overlap vs the SMALLER doc's surviving fingerprints — finds
     # contained copies whole-document minhash provably misses
     q["d25_winnowing_overlap"] = lambda spark, sf: DD.winnowing_overlap_pairs(
-        _docs(spark, sf)
+        _docs_spread(spark, sf)
     )
 
     def d26(spark, sf):
@@ -2601,7 +2617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # "everything contained anywhere goes, maximal docs stay".
     # max_df=100 is the winnow-ladder knee for this fixture (SCALE.md)
     q["d27_winnowing_dedup"] = lambda spark, sf: DD.winnowing_dedup(
-        _docs(spark, sf), max_df=100
+        _docs_spread(spark, sf), max_df=100
     )
 
     def d28(spark, sf):
@@ -2609,7 +2625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # flagged when it shares >= min_shared winnowing fingerprints
         # with any test doc (the q101/q58 md5 bucket split, bucket 0 ->
         # test); only the train x test quadrant is ever joined
-        docs = _docs(spark, sf)
+        docs = _docs_spread(spark, sf)
         test = docs.filter(SAMP.hash_bucket(F.col("doc_id"), 10) == 0)
         train = docs.filter(SAMP.hash_bucket(F.col("doc_id"), 10) != 0)
         return DD.winnowing_contamination(train, test, max_df=100)
@@ -2627,7 +2643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             incremental_winnowing_overlap,
         )
 
-        docs = _docs(spark, sf)
+        docs = _docs_spread(spark, sf)
         resident = docs.filter(F.col("doc_id") % 3 != 0)
         delta = docs.filter(F.col("doc_id") % 3 == 0)
         path = _cached_index(
@@ -2738,7 +2754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # many are contained in ANOTHER source's documents — the
     # scrape/mirror signal at dimension grain
     q["q106_copy_audit_profile"] = lambda spark, sf: DD.copy_audit_profile(
-        _docs(spark, sf), max_df=100
+        _docs_spread(spark, sf), max_df=100
     )
 
     def m07(spark, sf):
@@ -2779,7 +2795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # measured on THIS corpus — which also prices the d25/d27 join
     # surface); one shuffle-free winnowing scan per pair
     q["t44_winnowing_params"] = lambda spark, sf: TXT.winnowing_parameter_table(
-        _docs(spark, sf)
+        _docs_spread(spark, sf)
     )
 
     # ---- driver CORRECTNESS window ordering ------------------------------

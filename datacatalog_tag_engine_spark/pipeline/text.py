@@ -2235,8 +2235,19 @@ def gate_overlap_matrix(
     9 x 10 / 2 = 45 output rows regardless of corpus size; the shuffle
     carries (gate, gate) pairs, never documents. Returns
     (gate_a, gate_b, n_docs)."""
-    failed = gopher_filter(docs, id_col, text_col, **gopher_kwargs).select(
-        id_col, "fail_reasons"
+    # BARRIER before the explode (r14, plan-audited): explode over a
+    # bound array column makes InferFiltersFromGenerate add
+    # `size(fail_reasons) > 0`, and predicate pushdown then substitutes
+    # the alias straight through the staged projections — the ENTIRE
+    # nine-rule gate expression lands a second time in a scan-level
+    # Filter, so every document paid the gate math twice. The gate
+    # stream is thin here (id + <= 9 rule names); materialize it once,
+    # the winnowing_contamination barrier discipline. At 100 TB this
+    # boundary is the gate table itself (its own artifact).
+    failed = (
+        gopher_filter(docs, id_col, text_col, **gopher_kwargs)
+        .select(id_col, "fail_reasons")
+        .localCheckpoint(eager=True)
     )
     pairs = failed.select(
         F.explode("fail_reasons").alias("gate_a"), F.col("fail_reasons")
