@@ -1345,7 +1345,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             max_dup_word_frac=1.0,
             max_top_bigram_frac=1.0,
         )
-        kept = docs.join(g.filter("keep").select("doc_id"), "doc_id", "left_semi")
+        # materialize the thin (id, keep) stream before filtering on
+        # it: filter("keep") inlines the staged gate features ~30x into
+        # one pushed-down Filter (no CSE in FilterExec) — the q98 gate
+        # barrier discipline applied to the composition's gate stage
+        flags = g.select("doc_id", "keep").localCheckpoint(eager=True)
+        kept = docs.join(flags.filter("keep").select("doc_id"), "doc_id", "left_semi")
         # stage barriers: span removal consumes its input twice (starts
         # + rebuild) and the dedup phase walks `clean` three times
         # (minhash, clusters, apply) — materializing the stage
@@ -1463,11 +1468,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q61(spark, sf):
         # the streaming clean-ingest path's batch replay (relaxed
-        # Gopher gate -> keep-first fingerprint dedup)
+        # Gopher gate -> keep-first fingerprint dedup). One-file corpus:
+        # spread the gate's row math (see _docs_spread); keep-first is
+        # a min_by over a total order, so the spread is value-safe.
         from datacatalog_tag_engine_spark.streaming.dedup import clean_ingest_stream
 
         return clean_ingest_stream(
-            _docs(spark, sf),
+            _docs_spread(spark, sf),
             min_words=20,
             min_stopword_hits=0,
             max_dup_word_frac=1.0,
@@ -1861,9 +1868,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q72(spark, sf):
         # per-source corpus share before/after the Gopher gate under
         # the q59-stage relaxed rules — the mixture-QA number for the
-        # q54/q63 weights
+        # q54/q63 weights. One-file corpus: spread the gate's row math
+        # (see _docs_spread); the output is group-grain aggregates, so
+        # the spread is value-safe.
         return TXT.gate_mixture_drift(
-            _docs(spark, sf),
+            _docs_spread(spark, sf),
             min_words=20,
             min_stopword_hits=0,
             max_dup_word_frac=1.0,
@@ -2097,6 +2106,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from datacatalog_tag_engine_spark.pipeline.export import dirty_shards
         from datacatalog_tag_engine_spark.streaming.dedup import clean_ingest_stream
 
+        # NOT spread (measured r14): the gate runs over only the fresh
+        # third and the delta join reshuffles by id anyway — the
+        # full-text round-robin shuffle cost more than it parallelized
         docs = _docs(spark, sf)
         prior = docs.filter(F.col("doc_id") % 3 != 0)
         batch = docs.filter(F.col("doc_id") % 3 == 0)
@@ -2117,9 +2129,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q82(spark, sf):
         # corrective post-gate sampling weights from the q72 drift
         # table: weight = share_before/share_after capped, 0 for
-        # annihilated sources
+        # annihilated sources. Spread per q72.
         drift = TXT.gate_mixture_drift(
-            _docs(spark, sf),
+            _docs_spread(spark, sf),
             min_words=20,
             min_stopword_hits=0,
             max_dup_word_frac=1.0,

@@ -1786,9 +1786,19 @@ def gate_mixture_drift(
     empties keep their row (n_after = 0)."""
     from pyspark.sql import Window
 
-    kept = gopher_filter(docs, id_col=id_col, text_col=text_col, **gate_kwargs).filter(
-        "keep"
+    # Materialize the thin (id, keep) stream BEFORE filtering on it:
+    # `filter("keep").select(id)` lets CollapseProject + pushdown inline
+    # the staged gate features ~30x into one scan-level Filter predicate
+    # (FilterExec gets no subexpression elimination; ProjectExec does),
+    # so every doc paid split(text) dozens of times — the q98
+    # gate_overlap barrier discipline. At 100 TB this boundary is the
+    # gate table itself (its own artifact).
+    flags = (
+        gopher_filter(docs, id_col=id_col, text_col=text_col, **gate_kwargs)
+        .select(id_col, "keep")
+        .localCheckpoint(eager=True)
     )
+    kept = flags.filter("keep")
     before = docs.groupBy(by).agg(F.count("*").alias("n_before"))
     after = (
         docs.join(kept.select(id_col), id_col, "left_semi")

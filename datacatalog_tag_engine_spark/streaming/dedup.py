@@ -92,11 +92,29 @@ def clean_ingest_stream(
 
     if normalize:
         docs = normalize_text(docs, id_col=id_col, text_col=text_col, passthrough=True)
-    gated = (
-        gopher_filter(docs, id_col=id_col, text_col=text_col, passthrough=True, **gopher_kwargs)
-        .filter("keep")
-        .select(*docs.columns)
-    )
+    if docs.isStreaming:
+        # streaming plans cannot localCheckpoint; micro-batches are
+        # small enough that the collapsed gate filter is acceptable
+        gated = (
+            gopher_filter(docs, id_col=id_col, text_col=text_col, passthrough=True, **gopher_kwargs)
+            .filter("keep")
+            .select(*docs.columns)
+        )
+    else:
+        # batch replay: materialize the thin (id, keep) stream before
+        # filtering on it — `filter("keep")` would inline the staged
+        # gate features ~30x into one pushed-down Filter predicate
+        # (FilterExec gets no subexpression elimination; ProjectExec
+        # does). Semi-join the survivors back. q98/gate_mixture_drift
+        # barrier discipline.
+        flags = (
+            gopher_filter(docs, id_col=id_col, text_col=text_col, **gopher_kwargs)
+            .select(id_col, "keep")
+            .localCheckpoint(eager=True)
+        )
+        gated = docs.join(
+            flags.filter("keep").select(id_col), id_col, "left_semi"
+        ).select(*docs.columns)
     return dedup_stream(gated, watermark=watermark, ts_col=ts_col, text_col=text_col)
 
 
