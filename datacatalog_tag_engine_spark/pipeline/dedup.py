@@ -265,33 +265,69 @@ def jaccard_pairs(
     sh_h = shingles.select(id_col, F.xxhash64("shingle").alias("_h"))
     if candidates is None:
         sh_h = sh_h.localCheckpoint(eager=True)
+    else:
+        # the candidate set is consumed three times below (two doc-side
+        # semi-joins + the pair semi) — materialize the thin pair list
+        # once instead of re-running the LSH bucket join per consumer
+        candidates = candidates.select("doc_a", "doc_b").localCheckpoint(eager=True)
     sizes = sh_h.groupBy(id_col).agg(F.count("*").alias("n"))
 
     join_side = sh_h
+    if candidates is not None:
+        # restrict the inverted index to docs that appear in ANY
+        # candidate pair BEFORE the self-join: without this the join
+        # generates every pair sharing a shingle across the whole
+        # corpus and only then semi-filters to candidates — at corpus
+        # scale the discarded all-pairs fan-out dominates (guide §1.2 /
+        # §3.2 semi-join pre-filter). Candidate docs are a tiny
+        # fraction of the corpus after LSH.
+        cdocs = (
+            candidates.select(F.col("doc_a").alias(id_col))
+            .union(candidates.select(F.col("doc_b").alias(id_col)))
+            .distinct()
+        )
+        join_side = join_side.join(cdocs, id_col, "left_semi")
     if max_df is not None:
         # drop the HOT set (df > max_df), not keep the rare set: the
         # rare set is essentially the whole vocabulary (corpus-grain),
         # while the hot set is bounded by total_shingle_rows / max_df
         # keys BY CONSTRUCTION — safe to broadcast at any corpus size.
         # left_anti(hot) == left_semi(rare) value-for-value (every key
-        # has exactly one df).
+        # has exactly one df). df counts run over the FULL corpus
+        # (sh_h), not the candidate-restricted join side, so scores are
+        # unchanged by the candidate pre-filter above.
         hot = (
             sh_h.groupBy("_h")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") > max_df)
             .select("_h")
         )
-        join_side = sh_h.join(F.broadcast(hot), "_h", "left_anti")
+        join_side = join_side.join(F.broadcast(hot), "_h", "left_anti")
+
+    if candidates is None:
+        # inverted-index path: explicit width repartition on the join
+        # key before the exploding self-join + pair-key repartition
+        # before the count — the d25 winnowing fixes (AQE coalesces the
+        # thin shingle exchange on input bytes, leaving the fan-out
+        # join narrow; pair keys are near-unique per map partition so
+        # the default partial aggregate reduces nothing)
+        width = int(shingles.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        join_side = join_side.repartition(width, "_h")
 
     a = join_side.alias("a")
     b = join_side.alias("b")
-    inter = (
-        a.join(b, (F.col("a._h") == F.col("b._h")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
-    )
+    pair_rows = a.join(
+        b, (F.col("a._h") == F.col("b._h")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    ).select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
     if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+        # drop non-candidate incidence rows BEFORE the pair count: the
+        # aggregate then runs over candidate pairs only instead of the
+        # full shared-shingle fan-out (value-identical — a semi-join
+        # commutes with the groupBy on the same key)
+        pair_rows = pair_rows.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    else:
+        pair_rows = pair_rows.repartition(width, "doc_a", "doc_b")
+    inter = pair_rows.groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
 
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
@@ -370,13 +406,21 @@ def containment_pairs(
         )
         join_side = sh_h.join(F.broadcast(hot), "_h", "left_anti")
 
+    if candidates is None:
+        # inverted-index path: width repartition on the join key before
+        # the exploding self-join + pair-key repartition before the
+        # count — the d25 winnowing fixes (see jaccard_pairs)
+        width = int(shingles.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        join_side = join_side.repartition(width, "_h")
+
     a = join_side.alias("a")
     b = join_side.alias("b")
-    inter = (
-        a.join(b, (F.col("a._h") == F.col("b._h")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
-    )
+    pair_rows = a.join(
+        b, (F.col("a._h") == F.col("b._h")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    ).select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+    if candidates is None:
+        pair_rows = pair_rows.repartition(width, "doc_a", "doc_b")
+    inter = pair_rows.groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
     if candidates is not None:
         inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
 
@@ -1365,18 +1409,17 @@ def remove_repeated_spans(
     )
     pos_grams.unpersist()
     words_orig = F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+")  # same positions: lower() keeps whitespace
-    covered = F.array_distinct(
-        F.flatten(
-            F.transform(
-                F.coalesce(F.col("_starts"), F.array().cast("array<int>")),
-                lambda s: F.sequence(s, F.least(s + F.lit(n - 1), F.size(words_orig) - 1)),
-            )
+    # covered positions need not be deduped: array_except below is
+    # hash-based (O(words + covered)) and dedups internally — the old
+    # per-index `filter(seq, j -> !array_contains(covered, j))` scan
+    # was O(words x covered) per doc (r14, measured ~2x on the rebuild)
+    covered = F.flatten(
+        F.transform(
+            F.coalesce(F.col("_starts"), F.array().cast("array<int>")),
+            lambda s: F.sequence(s, F.least(s + F.lit(n - 1), F.size(words_orig) - 1)),
         )
     )
-    kept = F.filter(
-        F.sequence(F.lit(0), F.size(words_orig) - 1),
-        lambda j: ~F.array_contains(covered, j),
-    )
+    kept = F.array_except(F.sequence(F.lit(0), F.size(words_orig) - 1), covered)
     # the rebuilt text gets a TEMP name first: aliasing it straight to
     # text_col makes Spark's lateral-column-alias resolution capture the
     # F.col(text_col) references inside the LATER columns' higher-order
@@ -1394,7 +1437,9 @@ def remove_repeated_spans(
         .select(
             id_col,
             F.size(words_orig).alias("n_words"),
-            F.size(covered).alias("n_removed"),
+            # |covered distinct| == n_words - |kept| (covered is a
+            # subset of [0, n_words) by construction)
+            (F.size(words_orig) - F.size(kept)).alias("n_removed"),
             F.concat_ws(
                 " ", F.transform(kept, lambda j: F.element_at(words_orig, j + 1))
             ).alias("_clean_text"),
