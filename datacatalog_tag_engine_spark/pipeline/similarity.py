@@ -2668,32 +2668,24 @@ def nprobe_recall_sweep(
     Returns (nprobe, n_queries, mean_recall_micro, n_scored), one row
     per candidate."""
     nprobes = list(nprobes) if nprobes is not None else list(range(1, num_cells + 1))
-    max_p = max(nprobes)
+    sess = corpus.sparkSession
+    uniq = sorted({int(p) for p in nprobes})
+    max_p = max(uniq)
     cents = _default_cents(corpus, num_cells, id_col, vec_col)
     ranked = _ranked_cells(corpus, num_cells, id_col, vec_col, cents=cents)
     assign = ranked.filter(F.col("_rn") == 1)
     qranked = _ranked_cells(queries, num_cells, id_col, vec_col, cents=cents)
-    # the sweep's shared surfaces, materialized ONCE (r14): without the
-    # barriers every arm re-derived the corpus assignment, the query
-    # probes AND the exact top-k from the raw corpus — 8 arms cost 8
-    # corpus-assignment crossJoins plus 8 brute-force passes. All four
-    # checkpoints are query-/cell-/id-grain (never raw vectors beyond
-    # the exact edge list); their blocks release when the caller drops
-    # the returned frame.
-    exact = brute_force_topk(corpus, queries, k, id_col, vec_col).localCheckpoint(
-        eager=True
-    )
-    sizes = (
-        assign.groupBy("cell")
-        .agg(F.count("*").alias("_sz"))
-        .localCheckpoint(eager=True)
-    )
-    qcells = qranked.select(
-        F.col(id_col).alias("_qid"), "cell", "_rn"
-    ).localCheckpoint(eager=True)
-    corpus_ids = assign.select(F.col(id_col).alias("_qid"), "cell").localCheckpoint(
-        eager=True
-    )
+    # every per-arm surface below is consumed exactly ONCE by the fused
+    # arm-exploded tail (r14, second pass): the previous shape
+    # checkpointed five shared frames because eight per-arm plan
+    # branches re-read them — with the arms fused into one plan the
+    # checkpoints are pure job overhead (measured: the five eager
+    # checkpoint jobs held ~4s of s37's ~5.4s at sf0.1, data volume
+    # trivial) and are dropped entirely.
+    exact = brute_force_topk(corpus, queries, k, id_col, vec_col)
+    sizes = assign.groupBy("cell").agg(F.count("*").alias("_sz"))
+    qcells = qranked.select(F.col(id_col).alias("_qid"), "cell", "_rn")
+    corpus_ids = assign.select(F.col(id_col).alias("_qid"), "cell")
     # ONE scoring pass at the WIDEST arm, each candidate edge tagged
     # with the query's rank of the candidate's cell: arm p's candidate
     # set is exactly cell_rank <= p (cells are disjoint, so the edge
@@ -2726,47 +2718,94 @@ def nprobe_recall_sweep(
                 dot_expr(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn")), 4
             ).alias("cosine"),
         )
-        .localCheckpoint(eager=True)
     )
-    rank_w = Window.partitionBy("query_id").orderBy(
+    # ONE arm-exploded tail instead of eight per-arm plan branches: an
+    # edge with cell rank r belongs to every arm p >= r (the nesting
+    # property), so tagging each edge/probe row with its arms and
+    # aggregating per (nprobe, ...) computes all arms in a single plan.
+    # Per-arm values are identical to the per-arm composition: the
+    # window re-rank partitioned by (nprobe, query) over the exploded
+    # edges is the per-arm `filter(_cell_rank <= p)` + per-query
+    # row_number verbatim, and the recall join runs on the exact-edge x
+    # arms grid (recall_profile's left-join, per arm).
+    arm_arr = F.array(*[F.lit(p) for p in uniq])
+    arms_df = sess.createDataFrame([(p,) for p in uniq], "nprobe int")
+    approx = scored.select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        F.explode(F.filter(arm_arr, lambda a_: a_ >= F.col("_cell_rank"))).alias(
+            "nprobe"
+        ),
+    )
+    rank_w = Window.partitionBy("nprobe", "query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
-    out = None
-    for p in nprobes:
-        probed = qcells.filter(F.col("_rn") <= p)
-        approx = (
-            scored.filter(F.col("_cell_rank") <= p)
-            .withColumn("rank", F.row_number().over(rank_w))
-            .filter(F.col("rank") <= k)
+    hits = (
+        approx.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select("nprobe", "query_id", "neighbor_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    rec = (
+        exact.select("query_id", "neighbor_id")
+        .crossJoin(arms_df)
+        .join(hits, ["nprobe", "query_id", "neighbor_id"], "left")
+        .groupBy("nprobe", "query_id")
+        .agg(
+            F.count("*").alias("k"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_matched"),
         )
-        rec = recall_profile(exact, approx)
-        agg = rec.agg(
-            F.count("*").cast("long").alias("n_queries"),
-            F.round(
-                F.sum(F.round(F.col("recall_at_k") * 10000).cast("long"))
-                / F.count("*")
+        .select(
+            "nprobe",
+            F.round(F.col("n_matched") / F.col("k"), 4).alias("recall_at_k"),
+        )
+    )
+    agg = rec.groupBy("nprobe").agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.round(
+            F.sum(F.round(F.col("recall_at_k") * 10000).cast("long")) / F.count("*")
+        )
+        .cast("long")
+        .alias("mean_recall_micro"),
+    )
+    qarm = qcells.select(
+        "_qid",
+        "cell",
+        F.explode(F.filter(arm_arr, lambda a_: a_ >= F.col("_rn"))).alias("nprobe"),
+    )
+    scanned = (
+        qarm.join(sizes, "cell")
+        .groupBy("nprobe")
+        .agg(F.coalesce(F.sum("_sz"), F.lit(0)).cast("long").alias("_scanned"))
+    )
+    self_hits = (
+        qarm.join(corpus_ids, ["_qid", "cell"], "left_semi")
+        .groupBy("nprobe")
+        .agg(F.count("*").cast("long").alias("_self"))
+    )
+    out_dist = (
+        arms_df.join(agg, "nprobe", "left")
+        .join(scanned, "nprobe", "left")
+        .join(self_hits, "nprobe", "left")
+        .select(
+            F.col("nprobe").cast("int").alias("nprobe"),
+            F.coalesce(F.col("n_queries"), F.lit(0).cast("long")).alias("n_queries"),
+            "mean_recall_micro",
+            (
+                F.coalesce(F.col("_scanned"), F.lit(0).cast("long"))
+                - F.coalesce(F.col("_self"), F.lit(0).cast("long"))
             )
             .cast("long")
-            .alias("mean_recall_micro"),
+            .alias("n_scored"),
         )
-        scanned = probed.join(sizes, "cell").agg(
-            F.coalesce(F.sum("_sz"), F.lit(0)).cast("long").alias("_scanned")
-        )
-        self_hits = probed.join(corpus_ids, ["_qid", "cell"], "left_semi").agg(
-            F.count("*").cast("long").alias("_self")
-        )
-        row = (
-            agg.crossJoin(scanned)  # three one-row frames
-            .crossJoin(self_hits)
-            .select(
-                F.lit(p).cast("int").alias("nprobe"),
-                "n_queries",
-                "mean_recall_micro",
-                (F.col("_scanned") - F.col("_self")).cast("long").alias("n_scored"),
-            )
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+    )
+    # honor the caller's literal arm list (duplicates included) via a
+    # join on the tiny output table
+    arms_req = sess.createDataFrame([(int(p),) for p in nprobes], "nprobe int")
+    return arms_req.join(out_dist, "nprobe").select(
+        "nprobe", "n_queries", "mean_recall_micro", "n_scored"
+    )
 
 
 def pq_distortion_profile(
