@@ -2472,11 +2472,15 @@ def mutual_knn_clusters(
     everyone's top-k) lacks. The composition d07's dominance rule
     approximates from one side; this is the graph-exact form:
     ``knn_graph`` (cell-partitioned, never broadcast-the-corpus) →
-    mutual-edge filter (edge-grain) → star-contraction components
-    (O(log n) rounds, ``dedup.neardup_clusters_star``). Every vector
-    gets ``cluster_id`` = the smallest mutually-reachable vec id;
-    singletons label themselves. Returns (id_col, cluster_id)."""
-    from datacatalog_tag_engine_spark.pipeline.dedup import neardup_clusters_star
+    mutual-edge filter (edge-grain) → connected components through
+    ``dedup.neardup_clusters``, the engine's two-regime CC default
+    (exact driver union-find under its edge guard, distributed
+    min-label beyond it, escalating to star contraction when the
+    component shape proves chain-like — labeling proven identical
+    across all three regimes). Every vector gets ``cluster_id`` = the
+    smallest mutually-reachable vec id; singletons label themselves.
+    Returns (id_col, cluster_id)."""
+    from datacatalog_tag_engine_spark.pipeline.dedup import neardup_clusters
 
     g = knn_graph(
         corpus, k=k, num_cells=num_cells, nprobe=nprobe,
@@ -2488,7 +2492,7 @@ def mutual_knn_clusters(
         .select(F.col(id_col).alias("doc_a"), F.col("neighbor_id").alias("doc_b"))
     )
     ids = corpus.select(F.col(id_col).alias("doc_id"))
-    labels = neardup_clusters_star(ids, mutual)
+    labels = neardup_clusters(ids, mutual)
     return labels.select(F.col("doc_id").alias(id_col), "cluster_id")
 
 
