@@ -897,6 +897,16 @@ def ivfpq_topk(
         cents = _default_cents(corpus, num_cells, id_col, vec_col)
     if by_residual:
         diff = lambda a, b: F.zip_with(a, b, lambda x, y: x - y)  # noqa: E731
+        # resid feeds three consumers (codebook, encode, the candidate
+        # cell join) — without a barrier each one re-runs the corpus
+        # cell-scoring pass (plan-audited: 36 scans / 46 Windows in
+        # s12's unbarriered plan). This is the IVFADC analog of the
+        # persisted index materializing its assignment once. Spread on
+        # the id before the barrier: the one-file corpus otherwise
+        # leaves the whole PQ encode (the path's hottest expression
+        # work) on a single task, and pq_encode's (id, m) aggregate
+        # reuses the id partitioning with no extra exchange.
+        width = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         resid = (
             _ranked_cells(corpus, num_cells, id_col, vec_col, cents=cents)
             .filter(F.col("_rn") == 1)
@@ -904,6 +914,8 @@ def ivfpq_topk(
             .select(
                 id_col, "cell", diff(F.col("v"), F.col("cent_v")).alias("resid")
             )
+            .repartition(width, id_col)
+            .localCheckpoint(eager=True)
         )
         cb = (
             kmeans_pq_codebook(resid, num_subspaces, num_codes, dim, id_col, "resid")
@@ -913,6 +925,8 @@ def ivfpq_topk(
         codes = pq_encode(
             resid, num_subspaces, num_codes, dim, id_col, "resid", codebook=cb
         )
+        # probe-sized (queries x nprobe rows), consumed by the ADC
+        # tables AND the candidate broadcast — same barrier rationale
         qresid = (
             _ranked_cells(queries, num_cells, id_col, vec_col, cents=cents)
             .filter(F.col("_rn") <= nprobe)
@@ -922,6 +936,7 @@ def ivfpq_topk(
                 "cell",
                 diff(F.col("v"), F.col("cent_v")).alias("qr"),
             )
+            .localCheckpoint(eager=True)
         )
         # one ADC table per (query, probed cell): the query's RESIDUAL
         # against that cell's centroid, sliced by the shared layout
