@@ -770,6 +770,14 @@ def pq_encode(
         corpus, num_subspaces, num_codes, dim, id_col, vec_col
     )
     v = corpus.select(F.col(vec_col).cast("array<double>").alias("v"), F.col(id_col))
+    # spread the encode at session width BEFORE the subspace explode:
+    # the per-(vector, m, code) micro-L2 argmin is the path's hottest
+    # expression work and a one-file corpus otherwise leaves it on a
+    # single task (measured 4.2 s single-task at sf0.1). Keyed on the
+    # id so the (id, m) argmin aggregate below reuses the partitioning
+    # with no further exchange; width rides shuffle.partitions.
+    width = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    v = v.repartition(width, id_col)
     subs = _pq_subspaces(v, id_col, id_col, num_subspaces, sub)
     scored = subs.join(F.broadcast(cb), "m").select(
         id_col,
@@ -901,12 +909,8 @@ def ivfpq_topk(
         # cell join) — without a barrier each one re-runs the corpus
         # cell-scoring pass (plan-audited: 36 scans / 46 Windows in
         # s12's unbarriered plan). This is the IVFADC analog of the
-        # persisted index materializing its assignment once. Spread on
-        # the id before the barrier: the one-file corpus otherwise
-        # leaves the whole PQ encode (the path's hottest expression
-        # work) on a single task, and pq_encode's (id, m) aggregate
-        # reuses the id partitioning with no extra exchange.
-        width = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        # persisted index materializing its assignment once; the
+        # encode's session-width spread happens inside pq_encode.
         resid = (
             _ranked_cells(corpus, num_cells, id_col, vec_col, cents=cents)
             .filter(F.col("_rn") == 1)
@@ -914,7 +918,6 @@ def ivfpq_topk(
             .select(
                 id_col, "cell", diff(F.col("v"), F.col("cent_v")).alias("resid")
             )
-            .repartition(width, id_col)
             .localCheckpoint(eager=True)
         )
         cb = (
