@@ -2750,6 +2750,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # column a certified operator's own formula (t16/t02/t06/t01)
     # joined at doc grain and rolled up once; the corpus-grain form of
     # the reference's per-column DLP/coverage rollups
+    # examined r14: entry-level _docs_spread measured a WASH here — the
+    # report consumes docs five times (base + four metric scans), so
+    # the keyless repartition subtree re-runs per consumer and its five
+    # payload exchanges ate the 32-wide scan win; a checkpoint instead
+    # costs ~1 s at sf0.1 (the t31 probe). Left on the plain scan.
     q["q104_corpus_health"] = lambda spark, sf: PROF.corpus_health_report(
         _docs(spark, sf)
     )

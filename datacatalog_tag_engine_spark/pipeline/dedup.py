@@ -475,7 +475,17 @@ def containment_dedup(
     shingle cap defaults ON here too ("auto" =
     DEFAULT_CONTAINMENT_MAX_DF; see containment_pairs).
     """
-    ex = exact_dedup(docs, id_col, text_col)
+    # barrier the THIN (id, is_canonical) stream (r14, guide §5 reuse):
+    # ex is consumed twice (the canonical semi-join probe AND the final
+    # keep output), and each consumer re-ran the full-text md5 + the
+    # fingerprint window — one corpus pass each. Materialize the
+    # decision once; the window's shuffle and the md5 scan now run
+    # exactly once per call.
+    ex = (
+        exact_dedup(docs, id_col, text_col)
+        .select(id_col, "is_canonical")
+        .localCheckpoint(eager=True)
+    )
     canon = docs.join(
         ex.filter("is_canonical").select(id_col), id_col, "left_semi"
     )
@@ -1711,6 +1721,11 @@ def ngram_novelty(
     map-side-combined aggregates on the hash, and the output is
     |sources| rows. Returns (by, n_shingles, n_exclusive,
     novelty_frac rounded 4)."""
+    # examined r14: barriering this twice-consumed relation (eager
+    # checkpoint, with or without a pre-explode spread) measured ~1 s
+    # SLOWER at sf0.1 than the double-computed single-job plan — the
+    # explode is cheap and the two consumers pipeline inside one job,
+    # while the barrier pays a synchronous materialization. Left as is.
     sfp = (
         docs.select(F.col(by).alias("_src"), word_shingles(F.col(text_col), k).alias("_sh"))
         .select("_src", F.explode("_sh").alias("_s"))
@@ -1840,8 +1855,16 @@ def minhash_estimate_vs_exact(
     can be freed before returning, instead of staying pinned in the
     block manager for the returned DataFrame's lifetime."""
     sh = shingle_table(docs, id_col, text_col, k).localCheckpoint(eager=True)
-    sigs = minhash_signatures(sh, num_hashes, id_col)
-    cands = lsh_candidate_pairs(sigs, num_hashes, bands, id_col)
+    # barrier sigs and cands (r14, guide §5 reuse — the
+    # minhash_estimate_pairs discipline): sigs feeds THREE consumers
+    # (the LSH banding plus both sides of the estimate join) and cands
+    # TWO (the exact verify and the estimate join); unbarriered, each
+    # consumer re-ran the 8-aggregate signature groupBy / the banded
+    # self-join from scratch. Both are doc-grain-thin relations.
+    sigs = minhash_signatures(sh, num_hashes, id_col).localCheckpoint(eager=True)
+    cands = lsh_candidate_pairs(sigs, num_hashes, bands, id_col).localCheckpoint(
+        eager=True
+    )
     exact = jaccard_pairs(sh, cands, threshold, id_col)
     a = sigs.alias("a")
     b = sigs.alias("b")
@@ -1869,6 +1892,8 @@ def minhash_estimate_vs_exact(
         .localCheckpoint(eager=True)
     )
     free_local_checkpoint(sh)
+    free_local_checkpoint(sigs)
+    free_local_checkpoint(cands)
     return out
 
 

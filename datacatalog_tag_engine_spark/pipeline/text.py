@@ -331,8 +331,13 @@ def contamination_check(
     )
     # per-document dedup INSIDE the row (array_distinct) — equivalent
     # to a global distinct on (id, shingle) but saves that entire
-    # corpus-sized shuffle, the same plan choice as shingle_table
-    doc_sh = docs.select(
+    # corpus-sized shuffle, the same plan choice as shingle_table —
+    # including its pre-explode repartition (r14): the n-gram build is
+    # the CPU-heavy row-local pass, and keying the spread on the id
+    # feeds the per-doc groupBy below with no second shuffle.
+    from .dedup import _repartition_for_explode
+
+    doc_sh = _repartition_for_explode(docs.select(id_col, text_col), id_col).select(
         id_col, F.explode(F.array_distinct(word_ngrams(words, n))).alias("shingle")
     )
     return (

@@ -28,6 +28,14 @@ def get_spark(app_name: str = "tag-engine-spark", shuffle_partitions: int | None
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE's sort-merge -> shuffled-hash rewrite
+        # (maxShuffledHashJoinLocalMapThreshold, guide §3.1) was probed
+        # r14 on the fingerprint/shingle pair joins (tools/shj_probe.py):
+        # an apparent 2x on d25 under a loaded box did NOT reproduce on
+        # a quiet one — in-process toggle A/B measured a wash on
+        # d25/d29/q106 and ~0.5 s WORSE on d27 (the sort the rewrite
+        # removes is cheap on 8-byte keys; the per-partition hash map
+        # build is not free). Left at the default (off).
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or int(cpus)))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
