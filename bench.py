@@ -202,6 +202,35 @@ def main() -> None:
         out["errors"] = errors
     file_out = dict(out, passes=passes)
     payload = json.dumps(out)
+    # r14 ADVICE: a loaded-box run must not clobber the committed
+    # quiet-box baseline that round-over-round comparisons read. When
+    # this full-record run is ambient-hot (> 1.05) and the existing
+    # bench_out.json holds a quiet record, divert the file copy to
+    # bench_out_loaded.json. The stdout contract is unchanged — the
+    # driver always gets this run's real JSON line.
+    default_full = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
+    )
+    if (
+        out_path == default_full
+        and ambient is not None
+        and ambient > 1.05
+        and os.path.exists(out_path)
+    ):
+        try:
+            with open(out_path) as f:
+                prev_amb = json.load(f).get("ambient_index")
+            if prev_amb is not None and prev_amb <= 1.05:
+                out_path = os.path.join(
+                    os.path.dirname(default_full), "bench_out_loaded.json"
+                )
+                print(
+                    f"ambient {ambient} > 1.05: keeping quiet baseline, "
+                    f"record diverted to {out_path}",
+                    file=sys.stderr,
+                )
+        except Exception:
+            pass
     with open(out_path, "w") as f:
         f.write(json.dumps(file_out) + "\n")
     print(payload)

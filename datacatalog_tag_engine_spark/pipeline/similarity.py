@@ -437,7 +437,17 @@ def kmeans_centroids(
     train = corpus.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
-    model = KMeans(k=num_cells, seed=seed, maxIter=max_iter).fit(train)
+    # cache the train set for the Lloyd loop: MLlib re-evaluates its
+    # input once per init step + iteration (the "input data is not
+    # directly cached" warning), so an uncached plan re-reads parquet
+    # and re-builds vectors ~12x per fit (guide §5: reuse >= recompute
+    # cost). Caching does not change partitioning, so the seeded
+    # result is unchanged. Freed before return.
+    train = train.persist()
+    try:
+        model = KMeans(k=num_cells, seed=seed, maxIter=max_iter).fit(train)
+    finally:
+        train.unpersist()
     spark = corpus.sparkSession
     rows = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
     return spark.createDataFrame(rows, "cell long, cent_v array<double>")

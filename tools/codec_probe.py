@@ -59,13 +59,22 @@ def _session() -> SparkSession:
 
 
 def main() -> None:
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    # validate CLI names before paying SparkSession startup (r14 ADVICE):
+    # a typo used to surface as a bare KeyError after ~10s of JVM spin-up
+    unknown = [n for n in QUERIES if n not in qs]
+    if unknown:
+        sys.exit(
+            f"unknown queries: {', '.join(unknown)}\n"
+            f"available: {', '.join(sorted(qs))}"
+        )
+
     spark = _session()
     spark.sparkContext.setLogLevel("ERROR")
     assert spark.sparkContext.getConf().get("spark.io.compression.codec") == CODEC
 
-    import __spark_entry__ as E
-
-    qs = E.queries()
     for name in QUERIES:
         runs = []
         for _ in range(3):
